@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Replaces the reference's ambient Databricks session (reference
+notebooks/test.py:4, typings/__builtins__.pyi) with an explicit,
+locally-runnable factory. Connect-compatible: no ``_jsparkSession``
+internals anywhere in this package (the reference used
+``spark._jsparkSession.catalog().tableExists`` — see reference
+notebooks/pipeline_core.py:138; we use only public API).
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast-join conversion are the main levers that keep
+  hand-tuning out of the query code.
+- ``spark.sql.shuffle.partitions`` is a local-mode default only; on a
+  real cluster AQE's coalescing makes the initial number mostly moot.
+- Session timezone pinned to UTC so results are reproducible and
+  comparable across engines (DuckDB oracle is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "lakehouse_poc_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for this engine.
+
+    In production the same conf block applies unchanged on a cluster —
+    only ``master`` differs (supplied by spark-submit / the cluster
+    manager, never hardcoded here).
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    # Only force a master when none is configured (lets spark-submit win).
+    if not os.environ.get("SPARK_MASTER") and "MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    else:
+        builder = builder.master(os.environ.get("SPARK_MASTER", os.environ.get("MASTER", f"local[{cpus}]")))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

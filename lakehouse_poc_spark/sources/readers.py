@@ -1,0 +1,118 @@
+"""Sources: distributed readers (realizes the reference's empty
+``src/utils/blob_io.py`` stub, and replaces its driver-side ingest).
+
+The reference ingests two ways:
+- S1: ``spark.read.option("header", True).option("inferSchema", True)
+  .csv(glob)`` (reference notebooks/pipeline_core.py:43-57) — kept, as
+  ``read_csv``.
+- S2/S3: driver-side HTTP blob listing + ``pd.read_csv`` +
+  ``spark.createDataFrame`` (reference "Mini-ETL-Pipeline in
+  Databricks.py":25-44,74-111) — an anti-pattern at scale (all bytes
+  flow through the driver). Replaced by distributed reads with the
+  same CSV *dialect* config surface (sep=';', cp1252, no quoting —
+  Mini-ETL:6-14); cloud paths are just globs (``abfss://...``), and
+  per-file lineage comes from the ``_metadata`` hidden column instead
+  of a driver-side listing.
+
+Scale notes: Spark splits CSV/parquet reads across executors by
+``spark.sql.files.maxPartitionBytes`` (128 MB default) — a 100 TB scan
+is ~800k input splits, scheduled across the cluster with no driver
+data movement. ``inferSchema`` double-scans CSV; callers on big data
+should pass an explicit ``schema``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class CsvDialect:
+    """Per-source CSV dialect, mirroring the reference's config surface
+    (reference "Mini-ETL-Pipeline in Databricks.py":6-14: sep=';',
+    encoding cp1252, no quoting, CRLF, header)."""
+
+    sep: str = ";"
+    encoding: str = "cp1252"
+    header: bool = True
+    quote: str = '"'
+    line_sep: str | None = None
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        opts = {
+            "sep": self.sep,
+            "encoding": self.encoding,
+            "header": str(self.header).lower(),
+            "quote": self.quote,
+            **self.extra,
+        }
+        if self.line_sep:
+            opts["lineSep"] = self.line_sep
+        return opts
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    dialect: CsvDialect | None = None,
+    schema=None,
+    infer_schema: bool = True,
+    with_file_metadata: bool = False,
+) -> DataFrame:
+    """Distributed CSV scan with dialect options (reference S1+S3).
+
+    ``with_file_metadata=True`` adds ``source_file`` and
+    ``source_mtime`` from the hidden ``_metadata`` column — the
+    distributed replacement for the reference's driver-side blob
+    listing (its ``last_modified``, Mini-ETL:25-44).
+    """
+    dialect = dialect or CsvDialect()
+    reader = spark.read.options(**dialect.options())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if with_file_metadata:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns(
+            {
+                "source_file": F.col("_metadata.file_path"),
+                "source_mtime": F.col("_metadata.file_modification_time"),
+            }
+        )
+    return df
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-generated star schema (TESTDATA.md) as DataFrames."""
+    return {t: read_parquet_table(spark, sf_dir, t) for t in STAR_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each star-schema table as a temp view (for the SQL surface)."""
+    dfs = load_star_schema(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
