@@ -38,6 +38,14 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_discounted_revenue",
+    "window_topk_per_brand",
+    "window_running_total",
+    "dedup_latest_events",
+    "sessionize_events",
+    "asof_events_orders",
+    "tumbling_hourly_events",
+    "rollup_revenue",
+    "json_props_extract",
 ]
 
 

@@ -1,1 +1,489 @@
-"""Placeholder — filled in as operators land."""
+"""Analytics queries: windows, set ops, rollup/pivot, sessionization,
+as-of & range joins, JSON extraction, scalar-function surface.
+
+Covers the remaining SURVEY.md §2 rows not exercised by tpch.py
+(W1 windows, U1 set ops, X1-X7 scalars, A2/A3 dedup idioms) plus the
+extended operators (as-of join, range join, sessionization, JSON).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.dedup_latest import dedup_latest
+from ..operators.range_join import band_join
+from ..operators.sessionize import sessionize
+from ..sources.readers import read_parquet_table
+from . import query
+from .tpch import dsum, sql_dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference A3/W1: dedup-latest argmax (pipeline_core.py:95-106) on events.
+@query(
+    "dedup_latest_events",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+    """,
+)
+def dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return dedup_latest(ev, keys=["user_id"], order_by=["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value"
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Running total per customer (window frame, exact via decimal sum).
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-3 parts by revenue within each brand (rank window + filter).
+@query(
+    "window_topk_per_brand",
+    oracle=f"""
+    WITH part_rev AS (
+        SELECT p_brand, p_partkey, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue, rk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+        FROM part_rev
+    ) t
+    WHERE rk <= 3
+    ORDER BY p_brand, rk
+    """,
+)
+def window_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("p_brand", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag/lead: average days between consecutive orders per customer.
+@query(
+    "window_order_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_days) AS n_gaps,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days) AS avg_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(w).cast("date"),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            (F.sum("gap_days").cast("double") / F.count("gap_days")).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile + percent_rank: account-balance quartiles per nation.
+@query(
+    "window_balance_quartiles",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS pr
+    FROM customer
+    ORDER BY c_nationkey, quartile, c_custkey
+    """,
+)
+def window_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    ).orderBy("c_nationkey", "quartile", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1 unionByName generalized: INTERSECT / EXCEPT / UNION).
+@query(
+    "set_ops_customers",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'both' AS cohort, COUNT(*) AS n FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) t
+    UNION ALL
+    SELECT 'only_1996', COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97) t
+    UNION ALL
+    SELECT 'only_1997', COUNT(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96) t
+    UNION ALL
+    SELECT 'either', COUNT(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97) t
+    ORDER BY cohort
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_keys(1996), year_keys(1997)
+    rows = [
+        y96.intersect(y97).agg(F.lit("both").alias("cohort"), F.count(F.lit(1)).alias("n")),
+        y96.exceptAll(y97).distinct().agg(F.lit("only_1996").alias("cohort"), F.count(F.lit(1)).alias("n")),
+        y97.exceptAll(y96).distinct().agg(F.lit("only_1997").alias("cohort"), F.count(F.lit(1)).alias("n")),
+        y96.union(y97).distinct().agg(F.lit("either").alias("cohort"), F.count(F.lit(1)).alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with grouping-id (hierarchical totals).
+@query(
+    "rollup_revenue",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "revenue",
+            "n_rows",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: revenue by return flag, line statuses as columns.
+@query(
+    "pivot_linestatus",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'rev_O')},
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'rev_F')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(rev).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("rev_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("rev_F"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction from events.props (X-surface extension).
+@query(
+    "json_props_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+    ORDER BY k_bucket
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling hourly window (batch twin of the streaming query).
+@query(
+    "tumbling_hourly_events",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based), then per-user session stats.
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id,
+               SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+            FROM events
+        ) t
+    )
+    SELECT user_id,
+           MAX(session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session gap compared in integer microseconds on both engines so
+    # threshold crossings can never disagree on float rounding.
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    with_sid = sessionize(
+        ev, keys=["user_id"], ts_col="ts_us", gap=1800000000, tiebreak=["event_id"]
+    )
+    return (
+        with_sid.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event matched to the user's latest order at-or-before
+# the event time (backward inclusive). Orders deduped to one row per
+# (custkey, orderdate) first so ties are deterministic.
+@query(
+    "asof_events_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS matched_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.matched_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS matched_date
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("matched_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders.withColumn("matched_date", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left=["user_id"],
+        by_right=["o_custkey"],
+        right_payload=["matched_orderkey", "matched_date"],
+    )
+    return joined.select("event_id", "user_id", "matched_orderkey", "matched_date").orderBy(
+        "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join: event values bucketed into static bands.
+@query(
+    "band_join_event_values",
+    oracle=f"""
+    SELECT band, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    JOIN (VALUES (0.0, 50.0, 'b0_50'), (50.0, 100.0, 'b50_100'),
+                 (100.0, 150.0, 'b100_150'), (150.0, 200.0, 'b150_200'),
+                 (200.0, 1000000.0, 'b200_plus')) AS bands(lo, hi, band)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def band_join_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        [
+            (0.0, 50.0, "b0_50"),
+            (50.0, 100.0, "b50_100"),
+            (100.0, 150.0, "b100_150"),
+            (150.0, 200.0, "b150_200"),
+            (200.0, 1000000.0, "b200_plus"),
+        ],
+        "lo double, hi double, band string",
+    )
+    return (
+        band_join(ev, bands, value_col="value")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (X1-X7): string / conditional / math built-ins.
+@query(
+    "scalar_functions_showcase",
+    oracle="""
+    SELECT c_custkey,
+           trim(upper(c_name)) AS name_up,
+           substring(c_name, 1, 8) AS name_prefix,
+           c_name || '|' || c_mktsegment AS name_seg,
+           length(c_name) AS name_len,
+           CASE WHEN c_acctbal >= 5000 THEN 'high'
+                WHEN c_acctbal >= 0 THEN 'mid'
+                ELSE 'neg' END AS bal_class,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           abs(c_acctbal) AS bal_abs,
+           c_custkey % 7 AS key_mod
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.trim(F.upper("c_name")).alias("name_up"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")).alias("name_seg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.when(F.col("c_acctbal") >= 5000, "high")
+        .when(F.col("c_acctbal") >= 0, "mid")
+        .otherwise("neg")
+        .alias("bal_class"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.ceil("c_acctbal").cast("bigint").alias("bal_ceil"),
+        F.abs("c_acctbal").alias("bal_abs"),
+        (F.col("c_custkey") % 7).alias("key_mod"),
+    ).orderBy("c_custkey")

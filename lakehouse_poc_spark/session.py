@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts fixture);
+        # read as long nanos and convert in the reader (sources/readers.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     # Only force a master when none is configured (lets spark-submit win).
     if not os.environ.get("SPARK_MASTER") and "MASTER" not in os.environ:

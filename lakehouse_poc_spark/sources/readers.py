@@ -102,7 +102,18 @@ def read_csv(
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 can't map
+        # natively; with spark.sql.legacy.parquet.nanosAsLong it arrives
+        # as long nanos. Truncate to micros with integer division (`div`
+        # keeps LongType — a double division would lose precision above
+        # 2^53) and rebuild a proper timestamp. Matches DuckDB's
+        # ns→us truncation, so oracle comparisons stay exact.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
