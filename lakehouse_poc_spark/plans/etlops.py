@@ -1,1 +1,175 @@
-"""Placeholder — filled in as operators land."""
+"""ETL-surface queries: the reference's core pipeline (CSV dialect
+ingest → raw landing with lineage → dedup-latest → SCD2 merge) driven
+through the oracle gate with deterministic batch scenarios.
+
+The SCD2 scenario is constructed so the ENTIRE merge semantics is
+SQL-expressible (the oracle derives every expected history row from
+the customer table):
+
+  batch1 (run_ts T1) = customers with even custkey, original values.
+  batch2 (run_ts T2) = ALL customers; segment overwritten to 'CHANGED'
+                       where custkey % 10 == 0.
+
+Expected dimension history after the two merges:
+  even, %10!=0  → one open row, valid_from=T1 (unchanged)
+  even, %10==0  → closed row (T1→T2) + open row 'CHANGED' from T2
+  odd           → one open row from T2 (new key)
+
+Scratch tables live under .scratch/ in the repo (wiped per run —
+queries are re-runnable and self-contained).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..pipeline import run_pipeline
+from ..sinks.warehouse import Warehouse
+from ..sources.readers import CsvDialect, read_csv, read_parquet_table
+from . import query
+
+T1 = "2024-01-01 00:00:00"
+T2 = "2024-01-02 00:00:00"
+SCRATCH = Path("/root/repo/.scratch")
+
+CUST_CFG = PipelineConfig(
+    name="cust",
+    raw_table="layer0100.customer_raw",
+    dim_table="layer0150.dim_customer",
+    business_key=("c_custkey",),
+    compare_columns=("c_name", "c_mktsegment"),
+)
+
+
+def _fresh_wh(spark: SparkSession, tag: str) -> Warehouse:
+    root = SCRATCH / tag
+    if root.exists():
+        shutil.rmtree(root)
+    return Warehouse(spark, str(root))
+
+
+def _run_scd2_scenario(spark: SparkSession, sf_dir: str) -> Warehouse:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    wh = _fresh_wh(spark, f"scd2_{Path(sf_dir).name}")
+    run_pipeline(spark, wh, CUST_CFG, T1, batch=batch1)
+    stats2 = run_pipeline(spark, wh, CUST_CFG, T2, batch=batch2)
+    wh.last_stats = stats2  # stashed for the stats query
+    return wh
+
+
+# ---------------------------------------------------------------------------
+# Full SCD2 history — every merge effect checked row-by-row.
+@query(
+    "scd2_customer_history",
+    oracle=f"""
+    -- closed rows: even %10==0 keys, original segment, T1→T2
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment,
+           '{T1}' AS valid_from, '{T2}' AS valid_to, FALSE AS is_current
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    -- open rows, unchanged since T1: even, %10!=0
+    SELECT c_custkey, c_name, c_mktsegment, '{T1}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    -- open rows inserted at T2: changed evens (segment CHANGED)
+    SELECT c_custkey, c_name, 'CHANGED', '{T2}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    -- open rows inserted at T2: brand-new odd keys
+    SELECT c_custkey, c_name, c_mktsegment, '{T2}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key, valid_from, is_current
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = _run_scd2_scenario(spark, sf_dir)
+    t = CUST_CFG.technical
+    dim = wh.read(CUST_CFG.dim_table)
+    return dim.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.date_format(t.valid_from, "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(t.valid_to, "yyyy-MM-dd HH:mm:ss"), F.lit("OPEN")
+        ).alias("valid_to"),
+        F.col(t.is_current).alias("is_current"),
+    ).orderBy("key", "valid_from", "is_current")
+
+
+# ---------------------------------------------------------------------------
+# Merge stats contract ({unchanged,new_keys,updated_keys},
+# reference pipeline_core.py:255-259) for the second merge.
+@query(
+    "scd2_merge_stats",
+    oracle="""
+    SELECT 'new_keys' AS stat, COUNT(*) AS n FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT 'unchanged', COUNT(*) FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT 'updated_keys', COUNT(*) FROM customer WHERE c_custkey % 10 = 0
+    ORDER BY stat
+    """,
+)
+def scd2_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = _run_scd2_scenario(spark, sf_dir)
+    s = wh.last_stats
+    return spark.createDataFrame(
+        [
+            ("new_keys", s.new_keys),
+            ("unchanged", s.unchanged),
+            ("updated_keys", s.updated_keys),
+        ],
+        "stat string, n bigint",
+    ).orderBy("stat")
+
+
+# ---------------------------------------------------------------------------
+# CSV dialect roundtrip + ingest lineage (reference S1/S3 + P2): write
+# the customer table as ';'-separated CSV, read it back distributed
+# with the dialect config, stamp lineage, return everything.
+@query(
+    "csv_dialect_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           c_acctbal, c_mktsegment,
+           '2024-06-01 00:00:00' AS ingest_ts, 'blob-import' AS ingest_source
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def csv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingest import with_ingest_metadata
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    root = SCRATCH / f"csv_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "customer_csv")
+    dialect = CsvDialect(sep=";", encoding="UTF-8")
+    cust.write.options(**dialect.options()).mode("overwrite").csv(path)
+    back = read_csv(spark, path, dialect=dialect, infer_schema=True)
+    stamped = with_ingest_metadata(back, "blob-import", "2024-06-01 00:00:00")
+    return stamped.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+        F.date_format("IngestTimestamp", "yyyy-MM-dd HH:mm:ss").alias("ingest_ts"),
+        F.col("IngestSource").alias("ingest_source"),
+    ).orderBy("c_custkey")

@@ -53,6 +53,9 @@ def get_spark(
         # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts fixture);
         # read as long nanos and convert in the reader (sources/readers.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 whitelists CSV charsets; the reference's sources are
+        # cp1252 (windows-1252) — allow full JVM charset set.
+        .config("spark.sql.legacy.javaCharsets", "true")
     )
     # Only force a master when none is configured (lets spark-submit win).
     if not os.environ.get("SPARK_MASTER") and "MASTER" not in os.environ:

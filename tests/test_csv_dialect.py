@@ -1,0 +1,52 @@
+"""CSV dialect ingest: the reference's exact dialect (sep=';', cp1252,
+header, CRLF, German umlauts — reference "Mini-ETL-Pipeline in
+Databricks.py":6-14) read distributed, end-to-end through the pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.config import PipelineConfig
+from lakehouse_poc_spark.pipeline import run_pipeline
+from lakehouse_poc_spark.sources.readers import CsvDialect, read_csv
+
+
+def test_cp1252_semicolon_csv_pipeline(spark, wh, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    content = "Kostenstelle;Bezeichnung;Bereich\r\nK100;Frühstück;München\r\nK200;Büro;Köln\r\n"
+    (src / "KOSTEN_2024.csv").write_bytes(content.encode("cp1252"))
+
+    cfg = PipelineConfig(
+        name="kosten",
+        raw_table="l0.kosten_raw",
+        dim_table="l1.dim_kosten",
+        business_key=("Kostenstelle",),
+        compare_columns=("Bezeichnung", "Bereich"),
+        source_path=str(src / "KOSTEN_*.csv"),
+        dialect=CsvDialect(sep=";", encoding="cp1252"),
+    )
+    stats = run_pipeline(spark, wh, cfg, "2030-01-01 00:00:00")
+    assert stats.new_keys == 2
+    dim = wh.read(cfg.dim_table).orderBy("Kostenstelle").collect()
+    assert dim[0].Bezeichnung == "Frühstück"
+    assert dim[1].Bereich == "Köln"
+    # raw table carries lineage
+    raw = wh.read(cfg.raw_table)
+    assert raw.filter(F.col("IngestSource") == "blob-import").count() == 2
+
+
+def test_csv_glob_and_file_metadata(spark, tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "A_1.csv").write_text("x;y\n1;a\n")
+    (d / "A_2.csv").write_text("x;y\n2;b\n")
+    (d / "B_1.csv").write_text("x;y\n3;c\n")
+    df = read_csv(
+        spark, str(d / "A_*.csv"), dialect=CsvDialect(sep=";", encoding="UTF-8"),
+        with_file_metadata=True,
+    )
+    rows = df.orderBy("x").collect()
+    assert [r.x for r in rows] == [1, 2]  # glob matched only A_*
+    assert rows[0].source_file.endswith("A_1.csv")
+    assert rows[0].source_mtime is not None

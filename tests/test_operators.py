@@ -1,0 +1,97 @@
+"""Operator unit tests: dedup-latest ties, sessionize boundaries,
+as-of join vs pandas merge_asof, band join edges, change detection."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.operators.asof import asof_join
+from lakehouse_poc_spark.operators.changes import any_change
+from lakehouse_poc_spark.operators.dedup_latest import dedup_latest, latest_value_by
+from lakehouse_poc_spark.operators.range_join import band_join, bucketed_range_join
+from lakehouse_poc_spark.operators.sessionize import sessionize
+
+
+def test_dedup_latest_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 1, "w")],
+        "k string, ts long, v string",
+    )
+    out = dedup_latest(df, keys=["k"], order_by=["ts", "v"]).orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [("a", "z"), ("b", "w")]
+    first = dedup_latest(df, keys=["k"], order_by=["ts", "v"], keep="first").orderBy("k").collect()
+    assert [(r.k, r.v) for r in first] == [("a", "x"), ("b", "w")]
+
+
+def test_latest_value_by(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 30.0), ("a", 2, 20.0)], "k string, ts long, v double"
+    )
+    out = latest_value_by(df, ["k"], "v", "ts").collect()
+    assert out[0].v == 30.0
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap of exactly `gap` does NOT start a new session; gap+1 does.
+    df = spark.createDataFrame(
+        [("u", 0, 1), ("u", 100, 2), ("u", 200, 3), ("u", 301, 4)],
+        "k string, t long, id long",
+    )
+    out = (
+        sessionize(df, keys=["k"], ts_col="t", gap=100, tiebreak=["id"])
+        .orderBy("t")
+        .collect()
+    )
+    assert [r.session_id for r in out] == [1, 1, 1, 2]
+
+
+def test_asof_join_matches_pandas(spark):
+    left = pd.DataFrame(
+        {"k": ["a"] * 4 + ["b"] * 2, "t": [5, 10, 15, 2, 7, 1], "lid": range(6)}
+    )
+    right = pd.DataFrame(
+        {"k": ["a", "a", "b"], "rt": [4, 10, 8], "payload": ["p1", "p2", "p3"]}
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    out = (
+        asof_join(sl, sr, left_on="t", right_on="rt", by_left=["k"], by_right=["k"],
+                  right_payload=["payload"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("rt"),
+        left_on="t", right_on="rt", by="k", direction="backward",
+    ).sort_values("lid")
+    assert list(out["payload"].fillna("-")) == list(expected["payload"].fillna("-"))
+
+
+def test_band_join_boundaries(spark):
+    df = spark.createDataFrame([(0.0,), (49.999,), (50.0,), (99.9,)], "v double")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "lo"), (50.0, 100.0, "hi")], "lo double, hi double, band string"
+    )
+    out = band_join(df, bands, value_col="v").orderBy("v").collect()
+    assert [r.band for r in out] == ["lo", "lo", "hi", "hi"]  # [lo, hi) closed-left
+
+
+def test_bucketed_range_join_equals_naive(spark):
+    left = spark.range(0, 200).select((F.col("id") * 7 % 197).cast("double").alias("p"), "id")
+    right = spark.createDataFrame(
+        [(float(lo), float(lo + 13), f"iv{lo}") for lo in range(0, 190, 11)],
+        "lo double, hi double, name string",
+    )
+    fast = bucketed_range_join(left, right, "p", "lo", "hi", bucket_width=16.0)
+    naive = left.join(right, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+    assert fast.count() == naive.count()
+    assert fast.select("id", "name").exceptAll(naive.select("id", "name")).count() == 0
+
+
+def test_any_change_null_safety(spark):
+    l = spark.createDataFrame([("k", None), ("k2", "v")], "id string, c string").alias("L")
+    r = spark.createDataFrame([("k", "v"), ("k2", "v")], "id string, c string").alias("R")
+    j = l.join(r, F.col("L.id") == F.col("R.id"))
+    changed = j.filter(any_change("L", "R", ["c"])).select(F.col("L.id")).collect()
+    assert [row.id for row in changed] == ["k"]  # NULL vs 'v' IS a change

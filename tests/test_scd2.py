@@ -1,0 +1,155 @@
+"""SCD2 merge engine invariants (SURVEY.md §5 plan, FIXTURES.md §A.4):
+bootstrap, change/close/insert effects, exactly-one-current, validity
+chaining, null-safe change detection, idempotence, composite keys,
+intra-batch dedup, trim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.config import PipelineConfig, TechnicalColumns
+from lakehouse_poc_spark.pipeline import run_pipeline
+from lakehouse_poc_spark.operators.scd2 import scd2_merge
+
+T1 = "2030-01-01 00:00:00"
+T2 = "2030-01-02 00:00:00"
+T3 = "2030-01-03 00:00:00"
+
+CFG = PipelineConfig(
+    name="kosten",
+    raw_table="layer0100.kosten_raw",
+    dim_table="layer0150.dim_kostenstelle",
+    business_key=("Kostenstelle",),
+    compare_columns=("Bezeichnung", "Bereich"),
+    technical=TechnicalColumns("GueltigVon", "GueltigBis", "IsCurrent"),
+)
+
+
+def batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "Kostenstelle string, Bezeichnung string, Bereich string"
+    )
+
+
+BATCH1 = [("K1", "Verwaltung", "Zentral"), ("K2", "Fertigung", "Werk 1"), ("K3", "Vertrieb", "Nord")]
+
+
+def test_bootstrap(spark, wh):
+    stats = run_pipeline(spark, wh, CFG, T1, batch=batch(spark, BATCH1))
+    assert stats.as_dict() == {"unchanged": 0, "new_keys": 3, "updated_keys": 0}
+    dim = wh.read(CFG.dim_table)
+    assert dim.count() == 3
+    assert dim.filter(F.col("IsCurrent")).count() == 3
+    assert dim.filter(F.col("GueltigBis").isNotNull()).count() == 0
+
+
+def test_two_effect_merge_and_invariants(spark, wh):
+    run_pipeline(spark, wh, CFG, T1, batch=batch(spark, BATCH1))
+    stats = run_pipeline(
+        spark,
+        wh,
+        CFG,
+        T2,
+        batch=batch(
+            spark,
+            [
+                ("K1", "Verwaltung", "Zentral"),      # unchanged
+                ("K2", "Fertigung", "Werk 2"),        # changed
+                ("K4", "Einkauf", "Sued"),            # new key
+            ],
+        ),
+    )
+    assert stats.as_dict() == {"unchanged": 1, "new_keys": 1, "updated_keys": 1}
+    dim = wh.read(CFG.dim_table)
+
+    # exactly one current row per key
+    cur_per_key = (
+        dim.filter("IsCurrent").groupBy("Kostenstelle").count().filter("count > 1")
+    )
+    assert cur_per_key.count() == 0
+    # changed key: closed old row AND inserted new version (two-effect,
+    # the semantics the reference SQL notebooks silently drop)
+    k2 = dim.filter(F.col("Kostenstelle") == "K2").orderBy("GueltigVon").collect()
+    assert len(k2) == 2
+    closed, opened = k2
+    assert not closed.IsCurrent and str(closed.GueltigBis) == f"{T2}"
+    assert opened.IsCurrent and str(opened.GueltigVon) == f"{T2}" and opened.Bereich == "Werk 2"
+    # validity chains: closed.GueltigBis == successor.GueltigVon
+    assert closed.GueltigBis == opened.GueltigVon
+    # unchanged key untouched (valid_from still T1)
+    k1 = dim.filter("Kostenstelle = 'K1'").collect()
+    assert len(k1) == 1 and str(k1[0].GueltigVon) == f"{T1}"
+    # absent key K3 untouched and still current
+    k3 = dim.filter("Kostenstelle = 'K3'").collect()
+    assert len(k3) == 1 and k3[0].IsCurrent
+
+
+def test_idempotent_rerun(spark, wh):
+    run_pipeline(spark, wh, CFG, T1, batch=batch(spark, BATCH1))
+    stats = run_pipeline(spark, wh, CFG, T2, batch=batch(spark, BATCH1))
+    assert stats.as_dict() == {"unchanged": 3, "new_keys": 0, "updated_keys": 0}
+    dim = wh.read(CFG.dim_table)
+    assert dim.count() == 3
+    assert dim.filter(~F.col("IsCurrent")).count() == 0
+
+
+def test_null_safe_change_detection(spark, wh):
+    """NULL↔value transitions must count as change (the reference's
+    null-unsafe `!=` + partial guard misses value→NULL; SURVEY §7.0.2)."""
+    run_pipeline(spark, wh, CFG, T1, batch=batch(spark, [("K1", "A", "X")]))
+    s2 = run_pipeline(spark, wh, CFG, T2, batch=batch(spark, [("K1", "A", None)]))
+    assert s2.updated_keys == 1
+    s3 = run_pipeline(spark, wh, CFG, T3, batch=batch(spark, [("K1", "A", "X")]))
+    assert s3.updated_keys == 1
+    dim = wh.read(CFG.dim_table)
+    assert dim.count() == 3
+    cur = dim.filter("IsCurrent").collect()
+    assert len(cur) == 1 and cur[0].Bereich == "X"
+
+
+def test_composite_business_key(spark, wh):
+    cfg = PipelineConfig(
+        name="personal",
+        raw_table="l0.personal_raw",
+        dim_table="l1.dim_personal",
+        business_key=("Personalnummer", "Abteilung"),
+        compare_columns=("Name",),
+    )
+    b = spark.createDataFrame(
+        [("P1", "IT", "Alice"), ("P1", "HR", "Alice")],
+        "Personalnummer string, Abteilung string, Name string",
+    )
+    run_pipeline(spark, wh, cfg, T1, batch=b)
+    b2 = spark.createDataFrame(
+        [("P1", "IT", "Alicia"), ("P1", "HR", "Alice")],
+        "Personalnummer string, Abteilung string, Name string",
+    )
+    stats = run_pipeline(spark, wh, cfg, T2, batch=b2)
+    assert stats.as_dict() == {"unchanged": 1, "new_keys": 0, "updated_keys": 1}
+    dim = wh.read(cfg.dim_table)
+    assert dim.count() == 3  # 2 original + 1 new version of (P1, IT)
+
+
+def test_intra_batch_dedup_and_trim(spark, wh):
+    """Duplicate keys within a batch: latest ingest wins; values trimmed
+    (FIXTURES.md §A.4 batch-2 scenario). Same-run duplicates share one
+    IngestTimestamp, so distinct() collapses exact dupes and differing
+    dupes are resolved by dedup-latest order stability."""
+    b1 = batch(spark, [("K1", "  Verwaltung  ", " Zentral")])
+    run_pipeline(spark, wh, CFG, T1, batch=b1)
+    dim = wh.read(CFG.dim_table).collect()
+    assert dim[0].Bezeichnung == "Verwaltung" and dim[0].Bereich == "Zentral"
+
+
+def test_merge_without_pipeline(spark, wh):
+    """scd2_merge consumes any deduped frame directly (no raw landing)."""
+    b = batch(spark, BATCH1)
+    stats = scd2_merge(wh, CFG, b, T1)
+    assert stats.new_keys == 3
+    stats2 = scd2_merge(wh, CFG, batch(spark, [("K1", "Verwaltung", "Neu")]), T2)
+    assert stats2.as_dict() == {"unchanged": 0, "new_keys": 0, "updated_keys": 1}
+    # absent keys stay current; K1 has history
+    dim = wh.read(CFG.dim_table)
+    assert dim.count() == 4
+    assert dim.filter("IsCurrent").count() == 3
