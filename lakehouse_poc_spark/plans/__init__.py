@@ -45,7 +45,7 @@ def query(name: str, oracle: str | None = None):
 
 
 def _load_all() -> None:
-    from . import analytics, etlops, simops, streamops, textops, tpch  # noqa: F401
+    from . import analytics, etlops, simops, streamops, textops, tpch, tpch2  # noqa: F401
 
 
 _load_all()
