@@ -1,1 +1,249 @@
-"""Placeholder — filled in as operators land."""
+"""Structured Streaming queries (§7.1 stage 8 extension — the
+reference has no streaming surface, SURVEY.md §2.11).
+
+Each query REALLY runs Structured Streaming: a file-source stream over
+the fixture parquet, watermarked stateful operators, an availableNow
+bounded run into a sink, and the sink read back as the result
+DataFrame. Bounded runs over deterministic input make the results
+reproducible, so every query still carries a full SQL oracle — the
+oracle states the *batch-equivalent semantics* of the streaming op.
+
+Determinism notes:
+- complete-mode memory sinks emit every window (append would withhold
+  windows above the final watermark — correct for unbounded sinks,
+  wrong for a bounded correctness run);
+- the dedup and SCD2 queries copy fixture files into a fresh temp dir
+  per invocation, so checkpoints never leak state between runs;
+- micro-batch order for the SCD2 query is forced by running two
+  bounded streams against one checkpoint (write snapshot A, drain,
+  write snapshot B, drain) — not by file-listing order.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..sinks.warehouse import Warehouse
+from ..sources.readers import read_parquet_table
+from ..streaming.runner import (
+    run_append_to_parquet,
+    run_to_memory,
+    scd2_stream,
+)
+from ..streaming.windows import (
+    dedup_within_watermark,
+    session_agg,
+    stream_events,
+    stream_parquet,
+    windowed_agg,
+)
+from . import query
+from .tpch import dsum, sql_dsum
+
+
+# ---------------------------------------------------------------------------
+# Tumbling hourly window over the event stream (streaming twin of the
+# batch tumbling_hourly_events query — same oracle semantics).
+@query(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    ORDER BY hour_start, event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_agg(
+        stream_events(spark, sf_dir), window="1 hour", watermark="2 hours"
+    )
+    sunk = run_to_memory(agg, mode="complete")
+    return sunk.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("hour_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (1 h window, 15 min slide): each event lands in
+# exactly 4 overlapping windows; oracle reproduces that via a
+# generate_series cross join on epoch-aligned bucket starts.
+@query(
+    "stream_sliding_hourly",
+    oracle=f"""
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+               value
+        FROM events CROSS JOIN generate_series(0, 3) AS g(k)
+    ) t
+    GROUP BY win_start
+    ORDER BY window_start
+    """,
+)
+def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = windowed_agg(
+        stream_events(spark, sf_dir),
+        window="1 hour",
+        slide="15 minutes",
+        watermark="2 hours",
+        keys=(),
+    )
+    sunk = run_to_memory(agg, mode="complete")
+    return sunk.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "total_value",
+    ).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# Native session windows per user (30 min gap), re-aggregated to the
+# same per-user shape as the batch sessionize query; the islands oracle
+# uses the same `> gap` new-session rule (a delta of exactly the gap
+# merges — verified against session_window's boundary behavior).
+@query(
+    "stream_sessions_per_user",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+            FROM events
+        ) t
+    )
+    SELECT user_id,
+           MAX(session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_agg(
+        stream_events(spark, sf_dir), gap="30 minutes", watermark="2 hours"
+    )
+    sunk = run_to_memory(agg, mode="complete")
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-scoped dedup: the event file is staged TWICE into the
+# source dir and streamed one file per micro-batch — the second copy is
+# eliminated (in-batch state for batch 1's file, cross-batch state +
+# late-row semantics for batch 2's). The sink must hold exactly the
+# original events.
+@query(
+    "stream_dedup_events",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
+    src = work / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "copy_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "copy_b.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = stream_parquet(
+        spark, str(src), schema, max_files_per_trigger=1
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_within_watermark(stream, keys=("event_id",), watermark="1 hour")
+    sunk = run_append_to_parquet(deduped, str(work / "out"), str(work / "ckpt"))
+    return (
+        sunk.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch → SCD2: two customer snapshots arrive as ordered
+# micro-batches (snapshot B bumps acctbal by 100 for every third
+# customer); each batch is merged with the canonical two-effect SCD2
+# engine. The oracle derives the expected dimension state from the
+# customer table alone.
+@query(
+    "stream_scd2_customers",
+    oracle=f"""
+    SELECT
+        (SELECT COUNT(*) FROM customer)
+      + (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n_rows,
+        (SELECT COUNT(*) FROM customer) AS n_current,
+        (SELECT COUNT(*) FROM customer WHERE c_custkey % 3 = 0) AS n_closed,
+        (SELECT {sql_dsum("c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100.0 ELSE 0.0 END", 'x').replace(' AS x', '')}
+         FROM customer) AS cur_bal
+    """,
+)
+def stream_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="stream_scd2_"))
+    src = work / "in"
+    src.mkdir()
+    cfg = PipelineConfig(
+        name="customers_stream",
+        raw_table="layer0100.customer_raw",
+        dim_table="layer0150.dim_customer",
+        business_key=("c_custkey",),
+        compare_columns=("c_name", "c_acctbal", "c_mktsegment"),
+    )
+    wh = Warehouse(spark, str(work / "wh"))
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    snap_b = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    run_ts = lambda bid: f"2020-01-{bid + 1:02d} 00:00:00"  # noqa: E731
+    ckpt = str(work / "ckpt")
+    # Drain snapshot A, then land snapshot B and drain again — the
+    # shared checkpoint forces batch order A → B.
+    cust.write.mode("append").parquet(str(src))
+    scd2_stream(
+        stream_parquet(spark, str(src), cust.schema), wh, cfg, ckpt, run_ts
+    )
+    snap_b.write.mode("append").parquet(str(src))
+    scd2_stream(
+        stream_parquet(spark, str(src), cust.schema), wh, cfg, ckpt, run_ts
+    )
+    dim = wh.read(cfg.dim_table)
+    cur = F.col("is_current")
+    return dim.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(cur, 1).otherwise(0)).alias("n_current"),
+        F.sum(F.when(~cur, 1).otherwise(0)).alias("n_closed"),
+        F.sum(F.when(cur, F.col("c_acctbal")).otherwise(F.lit(0.0)).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("cur_bal"),
+    )

@@ -1,0 +1,106 @@
+"""Streaming execution helpers: bounded runs (availableNow) into
+memory/parquet sinks, and the foreachBatch→SCD2 bridge.
+
+``availableNow`` processes everything currently in the source and
+stops — the batch-bounded way to drive a streaming pipeline, used by
+the query surface and tests. A production deployment would swap the
+trigger for a processing-time one and the memory sink for Delta; the
+dataflow is unchanged.
+
+foreachBatch + SCD2 (SURVEY.md §7.1 stage 8 "late-upsert"): each
+micro-batch of dimension snapshots is merged with the same canonical
+two-effect SCD2 engine the batch pipeline uses (operators/scd2.py).
+Exactly-once: the merge is idempotent per (business key, content) and
+the checkpoint guarantees each batch is applied once; on Delta you'd
+add txnAppId/txnVersion for cross-restart transactional dedup.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import PipelineConfig
+from ..operators.scd2 import MergeStats, scd2_merge
+from ..sinks.warehouse import Warehouse
+
+
+def run_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a (typically aggregating) stream to completion into a memory
+    sink; returns the sink contents as a batch DataFrame.
+
+    Complete mode emits every window including ones still above the
+    final watermark — append mode would withhold non-finalized windows,
+    which is correct for an unbounded sink but surprising for a bounded
+    correctness run.
+    """
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_append_to_parquet(sdf: DataFrame, sink_dir: str, checkpoint_dir: str) -> DataFrame:
+    """Run an append-mode stream (row-wise ops: dedup, filters, maps)
+    to completion into a parquet sink; returns the sink as a batch DF."""
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.read.parquet(sink_dir)
+
+
+def run_foreach_batch(
+    sdf: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """Run a stream to completion, handing each micro-batch to ``fn``."""
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def scd2_stream(
+    snapshots: DataFrame,
+    wh: Warehouse,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    run_ts_for_batch: Callable[[int], datetime | str],
+) -> list[MergeStats]:
+    """Merge a stream of dimension snapshots into an SCD2 table, one
+    canonical two-effect merge per micro-batch.
+
+    ``run_ts_for_batch`` maps batch id → validity timestamp so reruns
+    are reproducible (the SURVEY §7.0.3 determinism rule, extended to
+    streams). Returns the per-batch merge stats.
+    """
+    stats: list[MergeStats] = []
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats.append(
+            scd2_merge(wh, cfg, batch_df, run_ts=run_ts_for_batch(batch_id))
+        )
+
+    run_foreach_batch(snapshots, apply, checkpoint_dir)
+    return stats

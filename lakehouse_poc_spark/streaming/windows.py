@@ -1,0 +1,117 @@
+"""Structured Streaming surface (SURVEY.md §2.11 / §7.1 stage 8).
+
+The reference has NO streaming operators (verified: no readStream /
+writeStream / withWatermark tokens anywhere in the tree) — this is the
+declared extension: event-time windowed aggregation, session windows,
+and watermark-scoped deduplication over a micro-batched file source.
+
+All transformations here are pure functions ``streaming DF → streaming
+DF`` so they compose and unit-test like the batch operators; running
+them (triggers, sinks, checkpoints) lives in runner.py.
+
+Scale notes (1000-executor / 100 TB view):
+- the file source lists and splits files exactly like the batch reader
+  — ingest parallelism is partition-, not driver-, bound;
+- windowed aggs keep one state row per (window, keys) in the state
+  store, bounded by the watermark horizon — state size is
+  O(active windows × key cardinality), independent of stream length;
+- dropDuplicatesWithinWatermark state is bounded the same way (one row
+  per key within the horizon) — unbounded dropDuplicates is the
+  anti-pattern at scale;
+- shuffles: exactly one per stateful op, on the grouping keys — the
+  same exchange a batch groupBy would plan.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (schema from a batch
+    peek — file streams require an explicit schema; the ns→us cast
+    mirrors sources/readers.py so batch and stream rows are identical).
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file source needs a directory (single-file paths fail batch
+    # reconstruction: "Option 'basePath' must be a directory") — stage
+    # the fixture into a fresh temp dir.
+    staged = Path(tempfile.mkdtemp(prefix="stream_events_")) / "in"
+    staged.mkdir()
+    shutil.copy(path, staged / "events.parquet")
+    raw = spark.readStream.schema(schema).parquet(str(staged))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_parquet(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Generic parquet file-source stream; ``max_files_per_trigger=1``
+    turns a directory of snapshot files into ordered micro-batches."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def windowed_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, when ``slide`` is set) window
+    aggregation: count + exact decimal-cast sum per (window, keys)."""
+    win = (
+        F.window("ts", window, slide) if slide is not None else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Native session windows: sessions merge while consecutive events
+    are within ``gap`` (boundary semantics: a delta of exactly ``gap``
+    still merges — matches the batch sessionize operator's ``> gap``
+    new-session rule, verified empirically)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-scoped exact deduplication: keeps the first arrival of
+    each key; duplicate arrivals within the watermark horizon are
+    dropped from the stream (state is evicted past the horizon, so
+    memory is bounded — the streaming twin of operators/dedup.py's
+    exact_dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

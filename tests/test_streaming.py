@@ -1,0 +1,180 @@
+"""Structured Streaming tests: watermark late-drop semantics, cross-
+batch dedup, session-window boundaries, and foreachBatch SCD2
+invariants — behaviors the batch-differential harness can't observe.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.config import PipelineConfig
+from lakehouse_poc_spark.sinks.warehouse import Warehouse
+from lakehouse_poc_spark.streaming.runner import (
+    run_append_to_parquet,
+    run_to_memory,
+    scd2_stream,
+)
+from lakehouse_poc_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_agg,
+    stream_parquet,
+)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    base = _events_df(
+        spark,
+        [
+            (1, 1, "2020-01-01 10:00:00", 1.0),
+            (2, 1, "2020-01-01 10:30:00", 2.0),
+            (3, 2, "2020-01-01 10:45:00", 3.0),
+        ],
+    )
+    base.coalesce(1).write.parquet(str(src / "a"))
+    base.coalesce(1).write.parquet(str(src / "b"))  # full duplicate batch
+    stream = stream_parquet(
+        spark, str(src) + "/*", base.schema, max_files_per_trigger=1
+    )
+    deduped = dedup_within_watermark(stream, keys=("event_id",), watermark="1 hour")
+    out = run_append_to_parquet(
+        deduped, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    assert out.count() == 3
+    assert out.select("event_id").distinct().count() == 3
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving in a later batch with event time far below the
+    watermark must be dropped by the stateful operator."""
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = _events_df(spark, [(1, 1, "2020-01-01 10:00:00", 1.0)]).schema
+
+    def land(rows, name):
+        _events_df(spark, rows).coalesce(1).write.parquet(str(src / name))
+
+    def drain():
+        stream = stream_parquet(spark, str(src) + "/*", schema)
+        deduped = dedup_within_watermark(
+            stream, keys=("event_id",), watermark="1 hour"
+        )
+        return run_append_to_parquet(
+            deduped, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+
+    # Batch 1 advances the watermark to 11:00 (max 12:00 - 1 h).
+    land(
+        [(1, 1, "2020-01-01 10:00:00", 1.0), (2, 1, "2020-01-01 12:00:00", 2.0)],
+        "batch1",
+    )
+    drain()
+    # Batch 2: event 3 is 3 h late (09:00 < watermark 11:00) → dropped;
+    # event 4 is fresh → kept.
+    land(
+        [(3, 2, "2020-01-01 09:00:00", 9.0), (4, 2, "2020-01-01 12:30:00", 4.0)],
+        "batch2",
+    )
+    out = drain()
+    ids = sorted(r.event_id for r in out.select("event_id").collect())
+    assert ids == [1, 2, 4]
+
+
+def test_session_window_gap_boundary(spark):
+    """A delta of exactly the gap merges into one session (matches the
+    batch sessionize operator's `> gap` new-session rule)."""
+    df = _events_df(
+        spark,
+        [
+            (1, 1, "2020-01-01 00:00:00", 1.0),
+            (2, 1, "2020-01-01 00:30:00", 1.0),  # exactly 30 min later
+            (3, 2, "2020-01-01 00:00:00", 1.0),
+            (4, 2, "2020-01-01 00:30:01", 1.0),  # 1 s past the gap
+        ],
+    )
+    r = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [(row.user_id, row.n_sessions) for row in r] == [(1, 1), (2, 2)]
+
+
+def test_streaming_session_agg_matches_batch(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        (1, 1, "2020-01-01 00:00:00", 1.0),
+        (2, 1, "2020-01-01 00:10:00", 1.0),
+        (3, 1, "2020-01-01 02:00:00", 1.0),
+        (4, 2, "2020-01-01 00:00:00", 1.0),
+    ]
+    df = _events_df(spark, rows)
+    df.coalesce(1).write.parquet(str(src / "a"))
+    agg = session_agg(
+        stream_parquet(spark, str(src) + "/*", df.schema),
+        gap="30 minutes",
+        watermark="2 hours",
+    )
+    sunk = run_to_memory(agg, mode="complete")
+    per_user = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in sunk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+        )
+        .collect()
+    }
+    assert per_user == {1: (2, 3), 2: (1, 1)}
+
+
+def test_scd2_stream_two_batches(spark, tmp_path):
+    cfg = PipelineConfig(
+        name="t",
+        raw_table="raw.t",
+        dim_table="dim.t",
+        business_key=("k",),
+        compare_columns=("v",),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    snap_a = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    snap_b = spark.createDataFrame([("a", 9), ("b", 2), ("c", 3)], "k string, v int")
+
+    run_ts = lambda bid: f"2020-01-{bid + 1:02d} 00:00:00"  # noqa: E731
+    snap_a.write.mode("append").parquet(str(src))
+    s1 = scd2_stream(stream_parquet(spark, str(src), snap_a.schema), wh, cfg, ckpt, run_ts)
+    snap_b.write.mode("append").parquet(str(src))
+    s2 = scd2_stream(stream_parquet(spark, str(src), snap_a.schema), wh, cfg, ckpt, run_ts)
+
+    assert s1[0].as_dict() == {"unchanged": 0, "new_keys": 2, "updated_keys": 0}
+    assert s2[0].as_dict() == {"unchanged": 1, "new_keys": 1, "updated_keys": 1}
+
+    dim = wh.read(cfg.dim_table)
+    # SCD2 invariants: exactly one current row per key; the closed row's
+    # valid_to equals its successor's valid_from.
+    per_key_current = (
+        dim.filter("is_current").groupBy("k").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_key_current] == [1]
+    a_rows = {
+        (r.v, r.is_current): r
+        for r in dim.filter(F.col("k") == "a").collect()
+    }
+    closed, current = a_rows[(1, False)], a_rows[(9, True)]
+    assert closed.valid_to == current.valid_from
+    assert current.valid_to is None
