@@ -1,0 +1,196 @@
+"""Multimodal (image/audio/video-shaped) columns: opaque ``binary``
+payloads + typed metadata, processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the *codec* step is
+split honestly in two (per the build brief):
+- ``decode_with_pillow`` — the real-library path, import-gated and
+  raising ``NotImplementedError`` here (clearly-marked STUB);
+- a deterministic synthetic codec (``synthesize_images`` /
+  ``decode_images``) whose Spark-side plumbing — binary columns, typed
+  metadata structs, Arrow batch shapes, mapInPandas signatures,
+  partition-preserving execution — is real and oracle-tested.
+
+Scale notes (100 TB of media):
+- payloads stay in executors end-to-end (binary column in Arrow
+  batches); nothing is collected to the driver;
+- mapInPandas streams record batches (bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``), so executor
+  memory is per-batch, not per-partition;
+- decode/feature steps are embarrassingly parallel map-only passes —
+  no shuffle; downstream aggregations shuffle on their own keys;
+- at real scale the binary column lives in parquet next to its
+  metadata, so predicate pushdown on metadata (width, duration,
+  format) prunes file groups before any byte is decoded.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEADER_FMT = "<II"  # width, height — the fake codec header
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+
+IMAGE_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, format string"
+)
+
+
+def _fake_pixels(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic pixel bytes: pixel i = (i*31 + doc_id) % 256 —
+    trivially recomputable by the SQL oracle."""
+    i = np.arange(n, dtype=np.int64)
+    return ((i * 31 + doc_id) % 256).astype(np.uint8)
+
+
+def fake_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    """Deterministic fake image dimensions from document features."""
+    return 16 + n_chars % 32, 8 + doc_id % 16
+
+
+def synthesize_images(docs: DataFrame) -> DataFrame:
+    """documents → fake image table (binary payload + typed metadata).
+
+    Stands in for a real ingest of image bytes; the payload layout is
+    an 8-byte (width, height) header followed by width*height pixel
+    bytes, so the decode step has something real to parse.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = fake_dims(int(doc_id), int(n_chars))
+                payloads.append(
+                    struct.pack(HEADER_FMT, w, h)
+                    + _fake_pixels(int(doc_id), w * h).tobytes()
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                    "format": "fake-raw",
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def decode_images(images: DataFrame) -> DataFrame:
+    """Parse the payload (header + pixels) and extract per-image
+    features — the deterministic twin of a PIL/libvips decode."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "mean_pixel": [],
+                "max_pixel": [],
+            }
+            for payload in pdf["payload"]:
+                w, h = struct.unpack(HEADER_FMT, payload[:HEADER_SIZE])
+                px = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_SIZE)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(len(px))
+                out["mean_pixel"].append(float(px.sum()) / len(px))
+                out["max_pixel"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        decode,
+        "doc_id long, width int, height int, n_pixels long, "
+        "mean_pixel double, max_pixel int",
+    )
+
+
+def decode_with_pillow(images: DataFrame) -> DataFrame:
+    """Real-library decode path — STUB in this container.
+
+    The Spark plumbing is identical to :func:`decode_images`; only the
+    per-payload codec call differs. Raises ``NotImplementedError``
+    when Pillow is absent (it is, here, by design).
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Pillow is not available in this environment; use the "
+            "deterministic decode_images() path (same plumbing)."
+        ) from e
+    raise NotImplementedError("real-codec path not exercised in this container")
+
+
+def payload_byte_stats(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Per-payload byte statistics (numpy over Arrow binary batches)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len).astype("int64")
+            s = pdf[payload_col].map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n,
+                    "byte_sum": s,
+                    "mean_byte": s / n,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        stats, f"{id_col} long, n_bytes long, byte_sum long, mean_byte double"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_bytes: int = 64,
+    every: int = 4,
+) -> DataFrame:
+    """Video-shaped op: treat the payload as fixed-size frames and
+    keep every ``every``-th frame (a frame-sampling decimator). The
+    trailing partial frame counts as a frame."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col],
+                "n_frames": [],
+                "n_sampled": [],
+                "sampled_byte_sum": [],
+            }
+            for payload in pdf[payload_col]:
+                px = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = -(-len(px) // frame_bytes)  # ceil div
+                total = 0
+                n_sampled = 0
+                for f in range(0, n_frames, every):
+                    total += int(px[f * frame_bytes : (f + 1) * frame_bytes].sum())
+                    n_sampled += 1
+                out["n_frames"].append(n_frames)
+                out["n_sampled"].append(n_sampled)
+                out["sampled_byte_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample,
+        f"{id_col} long, n_frames long, n_sampled long, sampled_byte_sum long",
+    )

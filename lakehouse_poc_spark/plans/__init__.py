@@ -45,7 +45,16 @@ def query(name: str, oracle: str | None = None):
 
 
 def _load_all() -> None:
-    from . import analytics, etlops, simops, streamops, textops, tpch, tpch2  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        etlops,
+        multimodal,
+        simops,
+        streamops,
+        textops,
+        tpch,
+        tpch2,
+    )
 
 
 _load_all()

@@ -1,0 +1,107 @@
+"""Multimodal-column queries: binary payload synthesis, decode,
+feature extraction, and frame sampling over the documents table.
+
+The payloads are deterministic (fake codec, operators/multimodal.py),
+so every mapInPandas pipeline here has an exact SQL oracle that
+recomputes the same bytes arithmetically — the Arrow plumbing is
+what's actually under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    decode_images,
+    payload_byte_stats,
+    sample_frames,
+    synthesize_images,
+)
+from ..sources.readers import read_parquet_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+def _payload(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("payload", F.encode("text", "UTF-8"))
+
+
+# ---------------------------------------------------------------------------
+# Synthesize → decode: binary payload with (width, height) header and
+# deterministic pixels; the oracle recomputes pixel i = (i*31+doc_id)%256.
+@query(
+    "multimodal_image_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               16 + n_chars % 32 AS width,
+               8 + doc_id % 16 AS height
+        FROM documents
+    ), p AS (
+        SELECT doc_id, width, height, width * height AS n_pixels,
+               list_transform(generate_series(0, width * height - 1),
+                              i -> (i * 31 + doc_id) % 256) AS px
+        FROM d
+    )
+    SELECT doc_id, width, height, n_pixels,
+           CAST(list_sum(px) AS DOUBLE) / n_pixels AS mean_pixel,
+           list_max(px) AS max_pixel
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return decode_images(synthesize_images(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Byte statistics over a real binary column (text bytes as payload;
+# the fixture text is pure printable ASCII, so the oracle's per-char
+# ascii() equals the UTF-8 byte value).
+@query(
+    "multimodal_payload_bytes",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                        j -> ascii(substr(text, j, 1)))) AS BIGINT)
+               AS byte_sum,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                        j -> ascii(substr(text, j, 1)))) AS DOUBLE)
+               / length(text) AS mean_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_payload_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _payload(_t(spark, sf_dir, "documents"))
+    return payload_byte_stats(docs, "doc_id", "payload").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Video-shaped frame sampling: 64-byte frames, keep every 4th (incl.
+# the trailing partial frame); oracle selects the same byte ranges.
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
+           CAST(ceil(ceil(length(text) / 64.0) / 4.0) AS BIGINT) AS n_sampled,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                j -> CASE WHEN ((j - 1) // 64) % 4 = 0
+                          THEN ascii(substr(text, j, 1)) ELSE 0 END)) AS BIGINT)
+               AS sampled_byte_sum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(
+        docs, "doc_id", "payload", frame_bytes=64, every=4
+    ).orderBy("doc_id")

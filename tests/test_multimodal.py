@@ -1,0 +1,75 @@
+"""Multimodal operator tests: fake-codec round trip, Arrow batch
+plumbing across partitions, and the import-gated real-codec stub."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.operators.multimodal import (
+    decode_images,
+    decode_with_pillow,
+    fake_dims,
+    payload_byte_stats,
+    sample_frames,
+    synthesize_images,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, "x" * (40 + 7 * i), 40 + 7 * i) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_synthesize_decode_roundtrip(spark, docs):
+    out = {r.doc_id: r for r in decode_images(synthesize_images(docs)).collect()}
+    assert len(out) == 10
+    for doc_id in (0, 3, 9):
+        w, h = fake_dims(doc_id, 40 + 7 * doc_id)
+        px = (np.arange(w * h, dtype=np.int64) * 31 + doc_id) % 256
+        r = out[doc_id]
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.mean_pixel == pytest.approx(px.mean())
+        assert r.max_pixel == px.max()
+
+
+def test_mapinpandas_preserves_rows_across_partitions(spark, docs):
+    many = docs.repartition(7)
+    assert synthesize_images(many).count() == 10
+    stats = payload_byte_stats(
+        many.withColumn("payload", F.encode("text", "UTF-8")), "doc_id", "payload"
+    )
+    rows = {r.doc_id: r for r in stats.collect()}
+    # 'x' is codepoint 120; text i is all-x of length 40+7i.
+    for i in range(10):
+        n = 40 + 7 * i
+        assert (rows[i].n_bytes, rows[i].byte_sum) == (n, 120 * n)
+        assert rows[i].mean_byte == pytest.approx(120.0)
+
+
+def test_frame_sampling_counts(spark, docs):
+    framed = sample_frames(
+        docs.withColumn("payload", F.encode("text", "UTF-8")),
+        "doc_id",
+        "payload",
+        frame_bytes=16,
+        every=2,
+    )
+    rows = {r.doc_id: r for r in framed.collect()}
+    for i in range(10):
+        n = 40 + 7 * i
+        n_frames = -(-n // 16)
+        n_sampled = -(-n_frames // 2)
+        assert (rows[i].n_frames, rows[i].n_sampled) == (n_frames, n_sampled)
+        # all bytes are 'x' (120): sampled sum = 120 * bytes in kept frames
+        kept = sum(
+            min(16, n - f * 16) for f in range(0, n_frames, 2)
+        )
+        assert rows[i].sampled_byte_sum == 120 * kept
+
+
+def test_real_codec_path_is_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_with_pillow(synthesize_images(docs))
