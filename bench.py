@@ -46,6 +46,16 @@ HEADLINE = [
     "tumbling_hourly_events",
     "rollup_revenue",
     "json_props_extract",
+    # LLM-data-pipeline scale paths (sub-quadratic variants only —
+    # the O(n²) brute-force twins are correctness oracles, not bench).
+    "dedup_exact_documents",
+    "minhash_lsh_pairs_docs",
+    "simhash_pairs_docs",
+    "similarity_topk_lsh",
+    "text_quality_scores",
+    "multimodal_image_stats",
+    # streaming (bounded availableNow run incl. checkpoint overhead)
+    "stream_tumbling_hourly",
 ]
 
 
@@ -54,8 +64,16 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # Warm the JVM + file listing outside the timed region.
+    # Warm the JVM, file listing, and the Python UDF workers (one
+    # pandas-importing daemon per core) outside the timed region —
+    # both are per-executor one-time costs, not query cost.
     spark.range(1).count()
+    cores = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(cores).repartition(cores).mapInPandas(_noop, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

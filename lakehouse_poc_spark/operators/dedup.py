@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, word_shingles
 from ..functions.vectors import cosine
+from .partitioning import fan_out
 
 MERSENNE31 = (1 << 31) - 1
 
@@ -37,7 +38,7 @@ def exact_dedup(
     """Exact dedup on normalized content hash; keeps the min/max id per
     group (one hash-shuffle)."""
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
-    fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    fp = fan_out(df).withColumn("__fp", fingerprint_md5(text_col))
     keeper = fp.groupBy("__fp").agg(agg.alias(id_col))
     return fp.join(keeper, [id_col, "__fp"], "left_semi").drop("__fp")
 
@@ -65,7 +66,7 @@ def minhash_signature(
     """
     params = _perm_params(num_perm, seed)
     sh = word_shingles(text_col, n=shingle_n)
-    base = df.withColumn(
+    base = fan_out(df).withColumn(
         "__shingles", F.array_distinct(sh)
     ).withColumn(
         "__sh_hashes",
@@ -153,14 +154,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (the brute-force oracle path —
     O(n²), use LSH beyond ~10^4 docs)."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
     union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    # Size-ratio prefilter: J(A,B) >= t implies t*|B| <= |A| (and vice
+    # versa), so the cheap size predicate prunes pairs BEFORE the
+    # expensive array intersection without changing the result set.
+    sa, sb = F.size("a.sh").cast("double"), F.size("b.sh").cast("double")
+    size_compatible = (sa >= threshold * sb) & (sb >= threshold * sa)
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_compatible)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -174,6 +180,7 @@ def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFra
     """64-bit SimHash over word shingles: per-bit majority vote of
     shingle hashes, folded entirely in array expressions (no explode —
     one map-only pass)."""
+    df = fan_out(df)
     sh = F.array_distinct(word_shingles(text_col, 2))
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     # votes[j] = Σ over shingles of (bit_j(h) ? +1 : -1). Bit positions
@@ -250,7 +257,7 @@ def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact cosine near-dup pairs (brute force — oracle path)."""
-    v = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    v = fan_out(df).select(F.col(id_col), F.col(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -31,7 +31,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from .partitioning import fan_out
 
 HEADER_FMT = "<II"  # width, height — the fake codec header
 HEADER_SIZE = struct.calcsize(HEADER_FMT)
@@ -82,7 +83,7 @@ def synthesize_images(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "n_chars").mapInPandas(gen, IMAGE_SCHEMA)
+    return fan_out(docs).select("doc_id", "n_chars").mapInPandas(gen, IMAGE_SCHEMA)
 
 
 def decode_images(images: DataFrame) -> DataFrame:
@@ -153,7 +154,7 @@ def payload_byte_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return fan_out(df).select(id_col, payload_col).mapInPandas(
         stats, f"{id_col} long, n_bytes long, byte_sum long, mean_byte double"
     )
 
@@ -190,7 +191,7 @@ def sample_frames(
                 out["sampled_byte_sum"].append(total)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return fan_out(df).select(id_col, payload_col).mapInPandas(
         sample,
         f"{id_col} long, n_frames long, n_sampled long, sampled_byte_sum long",
     )

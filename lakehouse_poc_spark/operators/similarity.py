@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot
+from .partitioning import fan_out
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -53,7 +54,7 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor id, cos_sim, rank).
     Self-matches (same id) are excluded when the id columns share a
     domain. Ties broken by neighbor id for determinism."""
-    c = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
+    c = fan_out(corpus).select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -87,7 +88,7 @@ def lsh_topk(
     bucket, then exact cosine ranking. Deterministic for a fixed seed."""
     dim = 64  # fixture embedding dimension; parameterize when needed
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     c = c.withColumn("__bucket", lsh_bucket_expr("__nv", planes))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")

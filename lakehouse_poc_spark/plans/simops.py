@@ -64,7 +64,9 @@ def _sql_cosine(a: str, b: str) -> str:
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         AND len(a.s) >= 0.5 * len(b.s) AND len(b.s) >= 0.5 * len(a.s)
     ) t
     WHERE jaccard >= 0.5
     ORDER BY id_a, id_b
