@@ -38,12 +38,29 @@ def token_count(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings (dedup unit for
-    MinHash / Jaccard). Empty when the doc has fewer than ``n`` words."""
+    MinHash / Jaccard). Empty when the doc has fewer than ``n`` words.
+
+    Built as a zip_with fold over n shifted slices of the token array.
+    Shape matters: higher-order-function lambdas are interpreted
+    (CodegenFallback), so an outer expression referenced INSIDE a
+    lambda is re-evaluated per array element — an element_at(tokens,…)
+    formulation re-tokenizes the whole document for every shingle
+    (O(words²) per doc). Here the token array appears only as lambda
+    *children*, each evaluated once per row.
+    """
     toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
+    sz = F.size(toks)
+    shingles = F.slice(toks, 1, sz)
+    for j in range(1, n):
+        # zip pads the shorter (shifted) side with null; concat_ws
+        # skips nulls, so tail entries hold partial shingles — sliced
+        # off below.
+        shingles = F.zip_with(
+            shingles,
+            F.slice(toks, j + 1, sz),
+            lambda acc, x: F.concat_ws(" ", acc, x),
+        )
+    return F.slice(shingles, 1, F.greatest(sz - (n - 1), F.lit(0)))
 
 
 def substring_count(col: Column | str, needle: str) -> Column:

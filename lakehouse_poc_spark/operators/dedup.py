@@ -54,34 +54,44 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
 def minhash_signature(
     df: DataFrame,
     text_col: str,
+    id_col: str = "doc_id",
     num_perm: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Add ``__shingles`` and a ``__sig`` array<long> MinHash signature.
+    """MinHash signatures: one row per ``id_col`` with a ``__sig``
+    array<long> of length ``num_perm``.
 
     Shingle → 31-bit hash via xxhash64 mod Mersenne-31; permutation i is
     ``(a_i·h + b_i) mod M31`` (products stay < 2^62: no overflow under
     ANSI mode). Signature element i = min over shingles.
+
+    Shape: explode shingles → hash once → ``num_perm`` partial MIN
+    aggregates → group back by id. The mins combine map-side, so the
+    one shuffle carries ``num_perm`` longs per doc — and each shingle
+    is constructed and hashed exactly once (an array-expression
+    formulation gets its shingle subexpression inlined ``num_perm``
+    times by project collapsing, recomputing shingling 32×).
     """
     params = _perm_params(num_perm, seed)
-    sh = word_shingles(text_col, n=shingle_n)
-    base = fan_out(df).withColumn(
-        "__shingles", F.array_distinct(sh)
-    ).withColumn(
-        "__sh_hashes",
-        F.transform(F.col("__shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))),
+    exploded = fan_out(df).select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_shingles(text_col, n=shingle_n))
+        ).alias("__shingle"),
     )
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                F.col("__sh_hashes"),
-                lambda h: F.pmod(a * h + b, F.lit(MERSENNE31)),
-            )
+    h = F.pmod(F.xxhash64("__shingle"), F.lit(MERSENNE31))
+    mins = [
+        F.min(F.pmod(a * h + b, F.lit(MERSENNE31))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("__sig")
         )
-
-    sig = F.array(*[perm_min(a, b) for a, b in params])
-    return base.withColumn("__sig", sig).drop("__sh_hashes")
+    )
 
 
 def minhash_lsh_pairs(
@@ -100,12 +110,12 @@ def minhash_lsh_pairs(
     threshold, restricted to LSH candidates (same hash in >=1 band).
     """
     rows = num_perm // bands
-    sigs = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(
-        F.col(id_col), "__shingles", "__sig"
-    )
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed)
+    # Banded relation carries ONLY (id, band, bhash) — the shingle
+    # arrays would otherwise be shuffled `bands`× per doc; they are
+    # re-joined onto the (much smaller) candidate-pair set instead.
     banded = sigs.select(
         id_col,
-        "__shingles",
         F.explode(
             F.array(
                 *[
@@ -117,7 +127,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select(id_col, "__shingles", "bh.band", "bh.bhash")
+    ).select(id_col, "bh.band", "bh.bhash")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -131,15 +141,25 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__shingles").alias("sh_a"),
-            F.col("b.__shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_map = fan_out(df).select(
+        F.col(id_col).alias("__sid"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    pairs = (
+        cand.join(sh_map, cand.id_a == sh_map.__sid)
+        .withColumnRenamed("__sh", "sh_a")
+        .drop("__sid")
+        .join(sh_map, cand.id_b == sh_map.__sid)
+        .withColumnRenamed("__sh", "sh_b")
+        .drop("__sid")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -44,8 +44,8 @@ def test_minhash_lsh_matches_bruteforce_on_fixture(spark):
 
 
 def test_minhash_signature_deterministic(spark):
-    s1 = minhash_signature(docs(spark).limit(5), "text").select("__sig").collect()
-    s2 = minhash_signature(docs(spark).limit(5), "text").select("__sig").collect()
+    s1 = minhash_signature(docs(spark).limit(5), "text", "doc_id").select("__sig").collect()
+    s2 = minhash_signature(docs(spark).limit(5), "text", "doc_id").select("__sig").collect()
     assert [r["__sig"] for r in s1] == [r["__sig"] for r in s2]
 
 
