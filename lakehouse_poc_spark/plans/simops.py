@@ -20,7 +20,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.readers import read_parquet_table
 from . import query
 
@@ -148,6 +148,62 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         emb, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate top-k: deterministic coarse quantizer (the 16
+# lowest-id corpus vectors as centroids), corpus assigned to 1 cell,
+# queries probe 2 cells, exact ranking within the probed cells. Fully
+# deterministic → exact oracle reproducing the same cell assignment.
+@query(
+    "similarity_topk_ivf",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    corpus_cells AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+        ) t WHERE crank <= 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 8
+        ) t WHERE crank <= 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               {_sql_cosine('q.qv', 'c.nv')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_sql_cosine('q.qv', 'c.nv')} DESC, c.neighbor_id
+               ) AS INTEGER) AS rank
+        FROM query_cells q JOIN corpus_cells c ON q.cid = c.cid
+        WHERE c.neighbor_id <> q.query_id
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_centroids=16, nprobe=2,
     ).orderBy("query_id", "rank")
 
 

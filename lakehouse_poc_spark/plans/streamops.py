@@ -187,6 +187,58 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState): running per-user
+# stats with state carried ACROSS micro-batches — the event file is
+# split in half and streamed one file per batch, so most users are
+# updated twice; the sink keeps every per-batch snapshot and the final
+# answer takes each user's latest. Aggregates are order-independent
+# (count/min/max), so the SQL oracle is exact regardless of batching.
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.runner import run_foreach_batch
+    from ..streaming.stateful import running_user_stats
+
+    work = Path(tempfile.mkdtemp(prefix="stream_state_"))
+    src = work / "in"
+    src.mkdir()
+    ev = read_parquet_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src / "half_a"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(src / "half_b"))
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    out = str(work / "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_foreach_batch(
+        running_user_stats(stream), sink, str(work / "ckpt"), output_mode="update"
+    )
+    snapshots = spark.read.parquet(out)
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snapshots.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # foreachBatch → SCD2: two customer snapshots arrive as ordered
 # micro-batches (snapshot B bumps acctbal by 100 for every third
 # customer); each batch is merged with the canonical two-effect SCD2

@@ -68,10 +68,17 @@ def run_foreach_batch(
     sdf: DataFrame,
     fn: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
+    output_mode: str = "append",
 ) -> None:
-    """Run a stream to completion, handing each micro-batch to ``fn``."""
+    """Run a stream to completion, handing each micro-batch to ``fn``.
+
+    ``output_mode`` matters even under foreachBatch: stateful operators
+    validate it (applyInPandasWithState in update mode requires an
+    update-mode sink).
+    """
     q = (
-        sdf.writeStream.foreachBatch(fn)
+        sdf.writeStream.outputMode(output_mode)
+        .foreachBatch(fn)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -140,6 +140,49 @@ def test_streaming_session_agg_matches_batch(spark, tmp_path):
     assert per_user == {1: (2, 3), 2: (1, 1)}
 
 
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry per-key state across
+    micro-batches: a user appearing in both batches gets cumulative
+    counts, min/max spanning both."""
+    from lakehouse_poc_spark.streaming.runner import run_foreach_batch
+    from lakehouse_poc_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = _events_df(
+        spark,
+        [(1, 1, "2020-01-01 10:00:00", 5.0), (2, 2, "2020-01-01 10:01:00", 1.0)],
+    ).select("event_id", "ts", "user_id", "value")
+    b2 = _events_df(
+        spark,
+        [(3, 1, "2020-01-01 11:00:00", 2.0), (4, 1, "2020-01-01 11:30:00", 9.0)],
+    ).select("event_id", "ts", "user_id", "value")
+    b1.coalesce(1).write.parquet(str(src / "a"))
+    b2.coalesce(1).write.parquet(str(src / "b"))
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", b1.schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    run_foreach_batch(
+        running_user_stats(stream), sink, str(tmp_path / "ckpt"), output_mode="update"
+    )
+    snaps = spark.read.parquet(out).collect()
+    final = {}
+    for r in snaps:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    u1 = final[1]
+    assert (u1.n_events, u1.min_value, u1.max_value) == (3, 2.0, 9.0)
+    u2 = final[2]
+    assert (u2.n_events, u2.min_value, u2.max_value) == (1, 1.0, 1.0)
+    # user 1 appeared in two batches → two snapshots were emitted
+    assert sum(1 for r in snaps if r.user_id == 1) == 2
+
+
 def test_scd2_stream_two_batches(spark, tmp_path):
     cfg = PipelineConfig(
         name="t",
