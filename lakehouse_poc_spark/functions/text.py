@@ -142,6 +142,41 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+# BPE-ish pretokenizer: letter runs, digit runs, single punctuation —
+# the class-based pattern behaves identically in Java regex and RE2.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-style pretokenization (the usual
+    letters/digits/punctuation split that byte-pair vocabularies are
+    trained over) — a closer LLM-cost proxy than whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("bigint")
+
+
+def char_codes(col: Column | str) -> Column:
+    """Per-character code points as array<long> (ASCII range in the
+    fixtures). split('') is the transform's CHILD, so it evaluates once
+    per row — see word_shingles on why that placement matters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+
+
+def rolling_hash(col: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash over the characters:
+    ``h := (h*base + code) mod m``. Intermediates stay < 2^39 — no
+    overflow. A left-fold, so any engine folding the same sequence
+    produces the identical value (DuckDB's list_reduce seeds with the
+    first element; that equals this fold's first step since
+    ``(0*base + c1) mod m = c1``)."""
+    return F.aggregate(
+        char_codes(col),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + c, F.lit(mod)),
+    )
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercase text.
     Portable across engines (identical hex)."""

@@ -138,6 +138,58 @@ def scd2_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stat")
 
 
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    from .tpch import dsum
+
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+
+
+# ---------------------------------------------------------------------------
+# ORC sink/source roundtrip: the orders table written as ORC, read
+# back, aggregated — proves the columnar-format surface beyond parquet.
+@query("orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"orc_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    return _roundtrip_agg(spark.read.orc(path))
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines sink/source roundtrip with an explicit read schema (the
+# scale-correct way: schema inference double-scans).
+@query("jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"jsonl_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "orders_jsonl")
+    orders.write.mode("overwrite").json(path)
+    back = spark.read.schema(orders.schema).json(path)
+    return _roundtrip_agg(back)
+
+
+
 # ---------------------------------------------------------------------------
 # CSV dialect roundtrip + ingest lineage (reference S1/S3 + P2): write
 # the customer table as ';'-separated CSV, read it back distributed

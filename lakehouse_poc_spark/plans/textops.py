@@ -15,10 +15,12 @@ from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     avg_word_len,
+    bpe_token_count,
     fingerprint_md5,
     lang_id,
     punct_count,
     quality_score,
+    rolling_hash,
     stopword_count,
     token_count,
 )
@@ -142,6 +144,50 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_md5("text").alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting next to the whitespace baseline.
+@query(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Polynomial rolling-hash fingerprint (Rabin-Karp fold over chars).
+@query(
+    "text_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_transform(generate_series(1, length(text)),
+                              j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+               (acc, c) -> (acc * 131 + c) % 2147483647
+           ) AS rhash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash("text").alias("rhash")
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

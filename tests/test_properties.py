@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis): SCD2 merge invariants under
+arbitrary batch sequences, sessionize against a Python reference,
+shingling against a Python reference.
+
+Each example runs real Spark jobs, so example counts stay small and
+the data tiny — the point is the *shape* of the inputs (dup keys,
+null values, single-row batches, identical reruns), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.config import PipelineConfig
+from lakehouse_poc_spark.functions.text import word_shingles
+from lakehouse_poc_spark.operators.scd2 import scd2_merge
+from lakehouse_poc_spark.operators.sessionize import sessionize
+from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+CFG = PipelineConfig(
+    name="p",
+    raw_table="raw.p",
+    dim_table="dim.p",
+    business_key=("k",),
+    compare_columns=("v",),
+)
+
+batches_strategy = st.lists(
+    st.dictionaries(
+        keys=st.sampled_from(["a", "b", "c", "d"]),
+        values=st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=batches_strategy)
+def test_scd2_invariants_hold_for_any_batch_sequence(spark, tmp_path_factory, batches):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    expected_current: dict[str, int | None] = {}
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(list(batch.items()), "k string, v int")
+        stats = scd2_merge(wh, CFG, df, run_ts=f"2020-01-{i + 1:02d} 00:00:00")
+        # stats partition the batch exactly
+        assert stats.unchanged + stats.new_keys + stats.updated_keys == len(batch)
+        expected_current.update(batch)
+
+    dim = wh.read(CFG.dim_table).collect()
+    current = {r.k: r.v for r in dim if r.is_current}
+    # 1. the current snapshot equals the last-write-wins dict
+    assert current == expected_current
+    # 2. exactly one current row per key, and every key ever seen exists
+    assert len([r for r in dim if r.is_current]) == len(expected_current)
+    # 3. validity chains: per key, sort by valid_from — closed rows
+    #    link to the successor's valid_from; only the last row is open
+    by_key: dict[str, list] = {}
+    for r in dim:
+        by_key.setdefault(r.k, []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r.valid_from)
+        for prev, nxt in zip(rows, rows[1:]):
+            assert not prev.is_current
+            assert prev.valid_to == nxt.valid_from
+        assert rows[-1].is_current and rows[-1].valid_to is None
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.dictionaries(st.sampled_from("abcd"), st.integers(0, 3), min_size=1))
+def test_scd2_rerun_of_same_batch_is_all_unchanged(spark, tmp_path_factory, batch):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    df = spark.createDataFrame(list(batch.items()), "k string, v int")
+    scd2_merge(wh, CFG, df, run_ts="2020-01-01 00:00:00")
+    stats = scd2_merge(wh, CFG, df, run_ts="2020-01-02 00:00:00")
+    assert stats.as_dict() == {
+        "unchanged": len(batch),
+        "new_keys": 0,
+        "updated_keys": 0,
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ts_lists=st.dictionaries(
+        keys=st.integers(1, 3),
+        values=st.lists(st.integers(0, 100), min_size=1, max_size=8),
+        min_size=1,
+        max_size=3,
+    ),
+    gap=st.integers(1, 20),
+)
+def test_sessionize_matches_python_reference(spark, ts_lists, gap):
+    rows = [
+        (k, ts, i * 1000 + j)
+        for i, (k, tss) in enumerate(sorted(ts_lists.items()))
+        for j, ts in enumerate(tss)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, eid long")
+    got = {
+        (r.k, r.ts, r.eid): r.session_id
+        for r in sessionize(df, ["k"], "ts", gap, tiebreak=["eid"]).collect()
+    }
+    for k in ts_lists:
+        # python reference: new session when delta > gap
+        sid = 0
+        prev = None
+        expected_order = sorted((ts, eid) for (kk, ts, eid) in rows if kk == k)
+        for ts, _eid in expected_order:
+            if prev is None or ts - prev > gap:
+                sid += 1
+            prev = ts
+            assert got[(k, ts, _eid)] == sid
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), max_size=8),
+    n=st.integers(2, 4),
+)
+def test_word_shingles_match_python_reference(spark, words, n):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(word_shingles("t", n).alias("s")).collect()[0].s
+    toks = text.split(" ")  # mirrors \s+ split on single-space joins
+    expected = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    assert list(got) == expected
