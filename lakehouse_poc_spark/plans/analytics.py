@@ -258,6 +258,126 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUBE over two dimensions (all 4 grouping combinations).
+@query(
+    "cube_order_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (explicit set list — the general form rollup/cube
+# compile to), via the SQL surface over a registered temp view.
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR), 'ALL') AS ship_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (EXTRACT(year FROM l_shipdate)))
+    ORDER BY returnflag, ship_year
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(CAST(year(l_shipdate) AS STRING), 'ALL') AS ship_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)))
+        ORDER BY returnflag, ship_year
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles (percentile_disc picks actual values —
+# no interpolation arithmetic, so both engines agree bit-for-bit).
+@query(
+    "percentiles_order_price",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           MAX(o_totalprice) AS p100
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__pct_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+               MAX(o_totalprice) AS p100
+        FROM __pct_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase (salted) aggregation — identical result to the
+# direct groupBy, but a hot key splits across n_salts reducers.
+@query(
+    "salted_agg_events",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev, keys=["event_type"], spread_col="event_id", n_salts=16
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Pivot: revenue by return flag, line statuses as columns.
 @query(
     "pivot_linestatus",

@@ -153,3 +153,39 @@ def test_merge_without_pipeline(spark, wh):
     dim = wh.read(CFG.dim_table)
     assert dim.count() == 4
     assert dim.filter("IsCurrent").count() == 3
+
+
+def test_run_many_fanout_and_skip(spark, wh):
+    """O2/O3: the config-driven multi-table loop merges every table
+    with a batch and skips tables with none (the reference's
+    'no files matched' early return)."""
+    from lakehouse_poc_spark.pipeline import run_many
+
+    cfg_a = CFG
+    cfg_b = PipelineConfig(
+        name="personal",
+        raw_table="layer0100.personal_raw",
+        dim_table="layer0150.dim_personal",
+        business_key=("Personalnummer",),
+        compare_columns=("Name", "Abteilung"),
+    )
+    cfg_skip = PipelineConfig(
+        name="nobatch",
+        raw_table="layer0100.none_raw",
+        dim_table="layer0150.dim_none",
+        business_key=("k",),
+        compare_columns=("v",),
+    )
+    batches = {
+        "kosten": batch(spark, BATCH1),
+        "personal": spark.createDataFrame(
+            [("P1", "A", "X"), ("P2", "B", "Y")],
+            "Personalnummer string, Name string, Abteilung string",
+        ),
+    }
+    out = run_many(spark, wh, [cfg_a, cfg_b, cfg_skip], T1, batches=batches)
+    assert set(out) == {"kosten", "personal"}
+    assert out["kosten"].new_keys == 3
+    assert out["personal"].new_keys == 2
+    assert not wh.table_exists(cfg_skip.dim_table)
+    assert wh.read(cfg_b.dim_table).count() == 2
