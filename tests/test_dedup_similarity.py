@@ -62,7 +62,7 @@ def test_simhash_identical_docs_same_hash(spark):
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r t")],
         "id long, text string",
     )
-    hs = {r.id: r.simhash for r in simhash64(df, "text").collect()}
+    hs = {r.id: r.simhash for r in simhash64(df, "text", "id").collect()}
     assert hs[1] == hs[2] and hs[1] != hs[3]
     pairs = simhash_near_pairs(df, "text", "id", max_hamming=3).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
