@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+SCALE.md §1 documents must survive future edits — filter pushdown to
+the scan, column pruning, broadcast dimension joins, map-side partial
+aggregation, and no shrink from fan_out on wide inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.operators.partitioning import fan_out
+from lakehouse_poc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _formatted(QUERIES["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of lineitem's 11 columns survive pruning
+    scan = plan[plan.index("(1) Scan parquet") :].split("\n\n")[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_q1_aggregates_partially_before_shuffle(spark):
+    plan = _formatted(QUERIES["q1_pricing_summary"](spark, SF))
+    assert "partial_sum" in plan  # map-side combine precedes the exchange
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _formatted(QUERIES["q5_local_supplier_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan  # every join resolved broadcast at this SF
+
+
+def test_q4_semi_join_stays_semi(spark):
+    plan = _formatted(QUERIES["q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_fan_out_never_shrinks(spark):
+    wide = spark.range(0, 1000).repartition(64)
+    assert fan_out(wide).rdd.getNumPartitions() == 64
+    narrow = spark.range(0, 10).coalesce(1)
+    assert (
+        fan_out(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_text_functions_stay_jvm_side(spark):
+    """No Python evaluation nodes in the text/dedup query plans — the
+    expressions must stay in the JVM (mapInPandas appears only in the
+    multimodal codecs, by design)."""
+    for name in ("text_quality_scores", "ngram_jaccard_pairs_docs"):
+        plan = _formatted(QUERIES[name](spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
