@@ -152,6 +152,57 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-label embedding centroids: column-wise mean over array<float>.
+# Shape: posexplode → (label, pos) partial sums → group back with an
+# ordered collect — the shuffle carries one row per (label, dim), and
+# the decimal-cast sums keep the doubles engine-exact.
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH flat AS (
+        SELECT label, u.pos, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding) AS val) u
+    ), dims AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM flat GROUP BY label, pos
+    )
+    SELECT label, list(m ORDER BY pos) AS centroid, n_vectors
+    FROM dims
+    JOIN (SELECT label AS l2, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+      ON label = l2
+    GROUP BY label, n_vectors
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    dims = flat.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+        .join(counts, "label")
+        .select("label", "centroid", "n_vectors")
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF approximate top-k: deterministic coarse quantizer (the 16
 # lowest-id corpus vectors as centroids), corpus assigned to 1 cell,
 # queries probe 2 cells, exact ranking within the probed cells. Fully

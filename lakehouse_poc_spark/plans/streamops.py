@@ -187,6 +187,39 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-static join: the event stream enriched against the static
+# customer dimension (broadcast — the static side is planned like any
+# batch dim join), sunk row-wise, then aggregated per segment.
+@query(
+    "stream_static_join_events",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           {sql_dsum('e.value', 'total_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def stream_static_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="stream_join_"))
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream_events(spark, sf_dir).join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    )
+    sunk = run_append_to_parquet(
+        enriched, str(work / "out"), str(work / "ckpt")
+    )
+    return (
+        sunk.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState): running per-user
 # stats with state carried ACROSS micro-batches — the event file is
 # split in half and streamed one file per batch, so most users are
