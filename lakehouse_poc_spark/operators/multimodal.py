@@ -134,6 +134,34 @@ def decode_with_pillow(images: DataFrame) -> DataFrame:
     raise NotImplementedError("real-codec path not exercised in this container")
 
 
+def grouped_demean(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Grouped-map (``applyInPandas``) demonstration: subtract the
+    group's exact mean from each row's value. The mean is computed in
+    integer-scaled arithmetic (micro-units) so it is order-independent
+    and bit-identical to a SQL decimal mean.
+
+    Scale: one shuffle on the key; each group materializes as one
+    pandas frame, so this pattern fits when groups are bounded (per
+    user / per device) — for giant groups prefer window expressions.
+    """
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        # floor, not round: floor semantics agree across engines
+        # (SQL round() is half-away-from-zero, numpy's is half-even).
+        micros = np.floor(pdf[value_col] * 1_000_000).astype("int64")
+        mean = float(micros.sum() / len(micros)) / 1_000_000
+        out = pdf[[key_col]].copy()
+        out["value"] = pdf[value_col]
+        out["demeaned"] = pdf[value_col] - mean
+        return out
+
+    return df.select(key_col, value_col).groupBy(key_col).applyInPandas(
+        demean, f"{key_col} long, value double, demeaned double"
+    )
+
+
 def payload_byte_stats(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:

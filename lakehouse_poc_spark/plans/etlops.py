@@ -191,6 +191,44 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Partitioned write + partition pruning: events written partitioned by
+# event date (the raw-table layout SCALE.md prescribes at 100 TB); a
+# date-filtered read must touch only the matching partitions (pruning
+# is asserted on the physical plan in tests/test_plan_shapes.py).
+@query(
+    "partitioned_events_prune",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY 1
+    ORDER BY event_date
+    """,
+)
+def partitioned_events_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    root = SCRATCH / f"events_part_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "events_by_date")
+    ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path).filter(
+        (F.col("event_date") >= "2024-01-10") & (F.col("event_date") < "2024-01-13")
+    )
+    # partition-column type inference reads the dir name back as DATE;
+    # cast to string so both engines emit identical values.
+    return (
+        back.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_date")
+    )
+
+
+# ---------------------------------------------------------------------------
 # CSV dialect roundtrip + ingest lineage (reference S1/S3 + P2): write
 # the customer table as ';'-separated CSV, read it back distributed
 # with the dialect config, stamp lineage, return everything.

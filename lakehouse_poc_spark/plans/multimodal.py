@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     decode_images,
+    grouped_demean,
     payload_byte_stats,
     sample_frames,
     synthesize_images,
@@ -81,6 +82,29 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_payload_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _payload(_t(spark, sf_dir, "documents"))
     return payload_byte_stats(docs, "doc_id", "payload").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-user demeaned event values. The mean
+# is computed in floored micro-units so both engines derive the same
+# double (floor semantics agree; round's tie-breaking does not).
+@query(
+    "grouped_demean_events",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000 AS mean_v
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.value, e.value - m.mean_v AS demeaned
+    FROM events e JOIN m ON e.user_id = m.user_id
+    ORDER BY e.user_id, e.value
+    """,
+)
+def grouped_demean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return grouped_demean(ev, "user_id", "value").orderBy("user_id", "value")
 
 
 # ---------------------------------------------------------------------------

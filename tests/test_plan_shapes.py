@@ -53,6 +53,19 @@ def test_fan_out_never_shrinks(spark):
     )
 
 
+def test_partitioned_read_prunes_partitions(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}") for i in range(50)],
+        "event_id long, event_date string",
+    )
+    path = str(tmp_path / "by_date")
+    ev.write.partitionBy("event_date").parquet(path)
+    filtered = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-03")
+    plan = _formatted(filtered)
+    assert "PartitionFilters" in plan
+    assert filtered.count() == 10
+
+
 def test_text_functions_stay_jvm_side(spark):
     """No Python evaluation nodes in the text/dedup query plans — the
     expressions must stay in the JVM (mapInPandas appears only in the
