@@ -117,6 +117,42 @@ def decode_images(images: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of the raster payloads to (out_w, out_h):
+    output pixel (x, y) samples source pixel
+    (floor(x*w/out_w), floor(y*h/out_h)) — real raster math in numpy
+    over Arrow batches, reproducible by the SQL oracle. Emits the
+    resized payload (same header layout) plus summary features."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "payload": [],
+                "width": out_w,
+                "height": out_h,
+                "mean_pixel": [],
+            }
+            for payload in pdf["payload"]:
+                w, h = struct.unpack(HEADER_FMT, payload[:HEADER_SIZE])
+                px = np.frombuffer(
+                    payload, dtype=np.uint8, offset=HEADER_SIZE
+                ).reshape(h, w)
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                small = px[np.ix_(ys, xs)]
+                out["payload"].append(
+                    struct.pack(HEADER_FMT, out_w, out_h) + small.tobytes()
+                )
+                out["mean_pixel"].append(float(small.sum()) / small.size)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        resize,
+        "doc_id long, payload binary, width int, height int, mean_pixel double",
+    )
+
+
 def decode_with_pillow(images: DataFrame) -> DataFrame:
     """Real-library decode path — STUB in this container.
 

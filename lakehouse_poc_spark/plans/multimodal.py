@@ -16,6 +16,7 @@ from ..operators.multimodal import (
     decode_images,
     grouped_demean,
     payload_byte_stats,
+    resize_images,
     sample_frames,
     synthesize_images,
 )
@@ -82,6 +83,37 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_payload_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _payload(_t(spark, sf_dir, "documents"))
     return payload_byte_stats(docs, "doc_id", "payload").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor resize to 8×8: output pixel (x,y) samples source
+# flat index (y*h//8)*w + (x*w//8); the oracle replays the same
+# index arithmetic over the synthetic pixel function.
+@query(
+    "multimodal_resize_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               16 + n_chars % 32 AS w,
+               8 + doc_id % 16 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(SUM(((((y * h) // 8) * w + ((x * w) // 8)) * 31 + doc_id) % 256)
+                AS DOUBLE) / 64 AS mean_pixel
+    FROM d,
+         generate_series(0, 7) gy(y),
+         generate_series(0, 7) gx(x)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    resized = resize_images(synthesize_images(docs), out_w=8, out_h=8)
+    return resized.select("doc_id", "width", "height", "mean_pixel").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -73,3 +73,21 @@ def test_frame_sampling_counts(spark, docs):
 def test_real_codec_path_is_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         decode_with_pillow(synthesize_images(docs))
+
+
+def test_resize_roundtrip_decodes_at_target_dims(spark, docs):
+    from lakehouse_poc_spark.operators.multimodal import resize_images
+
+    resized = resize_images(synthesize_images(docs), out_w=4, out_h=4)
+    decoded = {r.doc_id: r for r in decode_images(resized.select("doc_id", "payload")).collect()}
+    for i in range(10):
+        r = decoded[i]
+        assert (r.width, r.height, r.n_pixels) == (4, 4, 16)
+    # spot-check pixel selection for doc 0 against numpy reference
+    w, h = fake_dims(0, 40)
+    px = ((np.arange(w * h, dtype=np.int64) * 31) % 256).reshape(h, w)
+    ys = (np.arange(4, dtype=np.int64) * h) // 4
+    xs = (np.arange(4, dtype=np.int64) * w) // 4
+    expected_mean = px[np.ix_(ys, xs)].mean()
+    got = {r.doc_id: r.mean_pixel for r in resized.collect()}
+    assert got[0] == pytest.approx(expected_mean)
