@@ -164,41 +164,37 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings,
              LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
                              unnest(embedding) AS val) u
-    ), dims AS (
-        SELECT label, pos,
-               CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
-        FROM flat GROUP BY label, pos
     )
-    SELECT label, list(m ORDER BY pos) AS centroid, n_vectors
-    FROM dims
-    JOIN (SELECT label AS l2, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
-      ON label = l2
-    GROUP BY label, n_vectors
-    ORDER BY label
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m,
+           COUNT(*) AS n_vectors
+    FROM flat
+    GROUP BY label, pos
+    ORDER BY label, pos
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    # posexplode is 0-based; +1 aligns with SQL's generate_subscripts.
+    # Output is one scalar row per (label, dimension) — at rest the
+    # centroid matrix, re-assembled by the consumer when needed.
     flat = emb.select(
-        "label", F.posexplode("embedding").alias("pos", "val")
-    ).select("label", "pos", F.col("val").cast("double").alias("val"))
-    dims = flat.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("m")
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
     )
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     return (
-        dims.groupBy("label")
+        flat.groupBy("label", "pos")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-            ).alias("centroid")
+            (
+                F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_vectors"),
         )
-        .join(counts, "label")
-        .select("label", "centroid", "n_vectors")
-        .orderBy("label")
+        .orderBy("label", "pos")
     )
 
 
