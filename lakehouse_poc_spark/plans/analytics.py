@@ -357,6 +357,25 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog++ approximate distinct counts (rows-only: the sketch
+# estimate is engine-specific by nature; tests/test_operators.py bounds
+# the relative error against the exact count). At 100 TB this is the
+# only sane distinct-cardinality path — the sketch merges map-side in
+# constant memory while exact COUNT DISTINCT shuffles every key.
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew-safe two-phase (salted) aggregation — identical result to the
 # direct groupBy, but a hot key splits across n_salts reducers.
 @query(

@@ -95,3 +95,21 @@ def test_any_change_null_safety(spark):
     j = l.join(r, F.col("L.id") == F.col("R.id"))
     changed = j.filter(any_change("L", "R", ["c"])).select(F.col("L.id")).collect()
     assert [row.id for row in changed] == ["k"]  # NULL vs 'v' IS a change
+
+
+def test_approx_distinct_within_rsd_bound(spark):
+    from lakehouse_poc_spark.plans import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.001").collect()
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    ev = read_parquet_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        rel_err = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
+        assert rel_err < 0.05, (r.event_type, r.approx_users, exact[r.event_type])
