@@ -147,6 +147,69 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end curation pipeline — the ops composed the way a training-
+# data pipeline uses them: quality gate → exact dedup (docs cloned
+# first so the dedup stage has real work) → per-language corpus
+# stats. Fully oracle-checked stage by stage.
+@query(
+    "docs_curation_pipeline",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+               0.5 * least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 200.0, 1.0)
+             + 0.3 * least(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE)
+                           / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) * 3, 1.0)
+             + 0.2 * (1.0 - least(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                                  / CAST(greatest(length(text), 1) AS DOUBLE) * 10, 1.0))
+               AS quality
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM scored WHERE quality >= 0.5
+    ),
+    cloned AS (
+        SELECT doc_id, text, lang, n_tok FROM gated
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, n_tok FROM gated
+    ),
+    deduped AS (
+        -- arg_min on doc_id: real duplicate texts may carry different
+        -- lang labels; the surviving row is the min-id one
+        SELECT MIN(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(n_tok, doc_id) AS n_tok
+        FROM cloned
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.filter(quality_score("text") >= 0.5).select(
+        "doc_id", "text", "lang", token_count("text").alias("n_tok")
+    )
+    cloned = gated.unionByName(
+        gated.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    deduped = exact_dedup(cloned, text_col="text", id_col="doc_id")
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish token counting next to the whitespace baseline.
 @query(
     "text_bpe_tokens",
@@ -195,8 +258,18 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fingerprint keeping the min id → exactly the original ids survive.
 @query(
     "dedup_exact_documents",
-    oracle="""
-    SELECT doc_id FROM documents ORDER BY doc_id
+    oracle=r"""
+    -- keep-min-id per normalized-content group over docs + clones
+    -- (NOT just "all original ids": larger fixtures contain real
+    -- duplicate texts, where only the smallest id survives)
+    SELECT MIN(doc_id) AS doc_id
+    FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    ) t
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ORDER BY doc_id
     """,
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
