@@ -54,6 +54,8 @@ HEADLINE = [
     "similarity_topk_lsh",
     "text_quality_scores",
     "multimodal_image_stats",
+    "similarity_topk_ivf",
+    "docs_curation_pipeline",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

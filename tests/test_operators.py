@@ -113,3 +113,17 @@ def test_approx_distinct_within_rsd_bound(spark):
     for r in rows:
         rel_err = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
         assert rel_err < 0.05, (r.event_type, r.approx_users, exact[r.event_type])
+
+
+def test_pandas_bridge_arrow_roundtrip(spark):
+    """Reference S6: the pandas → Spark bridge (Arrow-accelerated) and
+    back — schemas and values survive both directions."""
+    pdf = pd.DataFrame(
+        {"k": ["a", "b", "c"], "v": [1.5, 2.5, None], "n": [1, 2, 3]}
+    )
+    df = spark.createDataFrame(pdf)
+    assert df.count() == 3
+    back = df.orderBy("k").toPandas()
+    assert list(back["k"]) == ["a", "b", "c"]
+    assert back["n"].tolist() == [1, 2, 3]
+    assert pd.isna(back["v"][2]) and back["v"][1] == 2.5
