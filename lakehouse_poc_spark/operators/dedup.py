@@ -110,7 +110,13 @@ def minhash_lsh_pairs(
     threshold, restricted to LSH candidates (same hash in >=1 band).
     """
     rows = num_perm // bands
-    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed)
+    # Both sides of the banding self-join (and both shingle re-joins
+    # below) consume these subplans; without a materialization barrier
+    # Spark evaluates the full shingle/signature pipeline once PER
+    # CONSUMER (4 corpus passes, no exchange reuse across the join).
+    # Persist = compute once. At cluster scale the equivalent is
+    # writing the signature table to storage between stages.
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed).persist()
     # Banded relation carries ONLY (id, band, bhash) — the shingle
     # arrays would otherwise be shuffled `bands`× per doc; they are
     # re-joined onto the (much smaller) candidate-pair set instead.
@@ -147,7 +153,7 @@ def minhash_lsh_pairs(
     sh_map = fan_out(df).select(
         F.col(id_col).alias("__sid"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
-    )
+    ).persist()
     pairs = (
         cand.join(sh_map, cand.id_a == sh_map.__sid)
         .withColumnRenamed("__sh", "sh_a")
@@ -239,7 +245,8 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: block on 16-bit chunks (a pair within
     hamming<=3·16 shares >=1 chunk by pigeonhole when max_hamming < 4),
     verify exact hamming distance."""
-    hs = simhash64(df, text_col, id_col)
+    # persist: both sides of the chunk self-join consume the signatures
+    hs = simhash64(df, text_col, id_col).persist()
     chunked = hs.select(
         id_col,
         "simhash",
