@@ -191,6 +191,70 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed co-located join: lineitem and orders written bucketed+sorted
+# on the order key join shuffle-free (SCALE.md §2's prescription for
+# fact-fact joins at 100 TB). tests/test_plan_shapes.py asserts the
+# executed plan contains no exchange between the scans and the join.
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = write_bucketed_tables(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def write_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
+    """Write lineitem + orders bucketed and sorted by order key into
+    the session catalog; returns the two bucketed tables. Reused by
+    the plan-shape test."""
+    tag = Path(sf_dir).name.replace(".", "_")
+    li_name, o_name = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    warehouse = Path(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    )
+    for name, df, key in (
+        (li_name, read_parquet_table(spark, sf_dir, "lineitem"), "l_orderkey"),
+        (o_name, read_parquet_table(spark, sf_dir, "orders"), "o_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            # the in-memory catalog resets per session but the
+            # warehouse directory persists — clear stale locations
+            stale = warehouse / name
+            if stale.exists():
+                shutil.rmtree(stale)
+            (
+                df.write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return spark.table(li_name), spark.table(o_name)
+
+
+# ---------------------------------------------------------------------------
 # Partitioned write + partition pruning: events written partitioned by
 # event date (the raw-table layout SCALE.md prescribes at 100 TB); a
 # date-filtered read must touch only the matching partitions (pruning

@@ -53,6 +53,25 @@ def test_fan_out_never_shrinks(spark):
     )
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed+sorted on the join key: with broadcast
+    disabled (as it would be between two 40 TB facts) the sort-merge
+    join must read the buckets directly — no Exchange on either side."""
+    from lakehouse_poc_spark.plans.etlops import write_bucketed_tables
+
+    li, o = write_bucketed_tables(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "o_orderpriority")
+        plan = _formatted(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_partitioned_read_prunes_partitions(spark, tmp_path):
     ev = spark.createDataFrame(
         [(i, f"2024-01-{(i % 5) + 1:02d}") for i in range(50)],
