@@ -187,6 +187,62 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join: each click joined to the same user's
+# purchases within the following 15 minutes. Both sides carry
+# watermarks and the join condition bounds event-time — the state
+# Spark must keep is therefore watermark-bounded on both sides (the
+# requirement for stream-stream joins to run unbounded).
+@query(
+    "stream_stream_click_purchase",
+    oracle=f"""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           {sql_dsum('p.value', 'purchase_value')}
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = Path(tempfile.mkdtemp(prefix="stream_ss_"))
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
+    )
+    sunk = run_append_to_parquet(joined, str(work / "out"), str(work / "ckpt"))
+    return (
+        sunk.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("p_value"), "purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-static join: the event stream enriched against the static
 # customer dimension (broadcast — the static side is planned like any
 # batch dim join), sunk row-wise, then aggregated per segment.
