@@ -221,3 +221,29 @@ def test_scd2_stream_two_batches(spark, tmp_path):
     closed, current = a_rows[(1, False)], a_rows[(9, True)]
     assert closed.valid_to == current.valid_from
     assert current.valid_to is None
+
+
+def test_scd2_stream_checkpoint_prevents_reprocessing(spark, tmp_path):
+    """Re-running the bounded stream against the same checkpoint with
+    no new files must apply nothing (exactly-once at the batch level)."""
+    from lakehouse_poc_spark.config import PipelineConfig as PC
+
+    cfg = PC(
+        name="t2", raw_table="raw.t2", dim_table="dim.t2",
+        business_key=("k",), compare_columns=("v",),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    snap = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    snap.write.mode("append").parquet(str(src))
+
+    run_ts = lambda bid: f"2021-01-{bid + 1:02d} 00:00:00"  # noqa: E731
+    s1 = scd2_stream(stream_parquet(spark, str(src), snap.schema), wh, cfg, ckpt, run_ts)
+    assert len(s1) == 1 and s1[0].new_keys == 2
+    # drain again: checkpoint remembers the files → zero batches applied
+    s2 = scd2_stream(stream_parquet(spark, str(src), snap.schema), wh, cfg, ckpt, run_ts)
+    assert s2 == []
+    dim = wh.read(cfg.dim_table)
+    assert dim.count() == 2 and dim.filter("is_current").count() == 2
