@@ -44,8 +44,14 @@ class Warehouse:
         p = self.path(table)
         return p.exists() and any(p.glob("*.parquet")) or (p / "_SUCCESS").exists()
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.path(table)))
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions column sets across files —
+        schema evolution on an append-only raw table (a batch landed
+        with new columns reads back as the superset, old rows null)."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(str(self.path(table)))
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("append")
@@ -84,3 +90,16 @@ class Warehouse:
         p = self.path(table)
         if p.exists():
             shutil.rmtree(p)
+
+    def compact(self, table: str, target_files: int) -> int:
+        """Small-file compaction: rewrite the table into
+        ``target_files`` files (atomic staged swap). The lakehouse
+        maintenance op every append-only raw table needs — at 100 TB
+        streaming/micro-batch ingest produces thousands of small files
+        per day and scan cost is dominated by file-open overhead until
+        compaction (Delta's OPTIMIZE; this is the parquet-dir form).
+        Returns the number of files before compaction."""
+        before = len(list(self.path(table).glob("*.parquet")))
+        df = self.read(table, merge_schema=True).coalesce(target_files)
+        self.overwrite_from_plan(df, table)
+        return before

@@ -1,0 +1,40 @@
+"""Warehouse maintenance ops: schema evolution on append-only raw
+tables and small-file compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    batch1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    batch2 = spark.createDataFrame(
+        [(2, "b", "extra")], "id long, name string, note string"
+    )
+    wh.append(batch1, "raw.t")
+    wh.append(batch2, "raw.t")
+    merged = wh.read("raw.t", merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "note"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].note is None and rows[2].note == "extra"
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(6):  # six tiny appends → many small files
+        wh.append(
+            spark.range(i * 10, (i + 1) * 10).withColumn("v", F.col("id") * 2),
+            "raw.many",
+        )
+    files_before = len(list(wh.path("raw.many").glob("*.parquet")))
+    assert files_before >= 6
+    reported = wh.compact("raw.many", target_files=2)
+    assert reported == files_before
+    files_after = len(list(wh.path("raw.many").glob("*.parquet")))
+    assert files_after <= 2
+    compacted = wh.read("raw.many")
+    assert compacted.count() == 60
+    assert compacted.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(60))
