@@ -50,7 +50,14 @@ def load_raw(
 def transform_dim(df_raw: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Raw batch → one clean row per business key (reference
     transform_dim, pipeline_core.py:77-108): project wanted columns,
-    trim strings, keep the latest row per key, distinct."""
+    trim strings, keep the latest row per key, distinct.
+
+    Tie semantics: rows landed in the SAME run share an ingest
+    timestamp; identical-content ties collapse via distinct, but a key
+    appearing twice in one batch with different content has no defined
+    winner (the reference has the same hazard — its row_number orders
+    only by IngestTimestamp). Feed each run only that run's new files
+    (pipeline O3 conditional load) so "latest" is well-defined."""
     projected = trim_columns(
         df_raw.select(*cfg.wanted_columns, INGEST_TS), cols=None
     )

@@ -50,3 +50,56 @@ def test_csv_glob_and_file_metadata(spark, tmp_path):
     assert [r.x for r in rows] == [1, 2]  # glob matched only A_*
     assert rows[0].source_file.endswith("A_1.csv")
     assert rows[0].source_mtime is not None
+
+
+def test_multi_table_csv_fanout_mirrors_mini_etl(spark, wh, tmp_path):
+    """The reference's Mini-ETL shape end-to-end: two pattern-matched
+    CSV sources (KOSTEN_*/PERSONAL_*), one config-driven fan-out run,
+    two SCD2 dimensions; a second run with one changed row closes and
+    reinserts exactly that key."""
+    from lakehouse_poc_spark.pipeline import run_many
+
+    src = tmp_path / "blobs"
+    src.mkdir()
+    (src / "KOSTEN_2024.csv").write_bytes(
+        "Kostenstelle;Bezeichnung;Bereich\r\nK1;Einkauf;Nord\r\nK2;Verkauf;Süd\r\n".encode("cp1252")
+    )
+    (src / "PERSONAL_2024.csv").write_bytes(
+        "Personalnummer;Name;Abteilung\r\nP1;Müller;IT\r\n".encode("cp1252")
+    )
+    dialect = CsvDialect(sep=";", encoding="cp1252")
+    def configs_for(kosten_glob, with_personal=True):
+        # each run feeds only that run's new files (the reference's
+        # blob-listing diff → conditional load, Mini-ETL:113-131)
+        cfgs = [
+            PipelineConfig(
+                name="kosten", raw_table="l0.kosten", dim_table="l1.dim_kosten",
+                business_key=("Kostenstelle",), compare_columns=("Bezeichnung", "Bereich"),
+                source_path=str(src / kosten_glob), dialect=dialect,
+            )
+        ]
+        if with_personal:
+            cfgs.append(
+                PipelineConfig(
+                    name="personal", raw_table="l0.personal", dim_table="l1.dim_personal",
+                    business_key=("Personalnummer",), compare_columns=("Name", "Abteilung"),
+                    source_path=str(src / "PERSONAL_*.csv"), dialect=dialect,
+                )
+            )
+        return cfgs
+
+    out = run_many(spark, wh, configs_for("KOSTEN_2024.csv"), "2030-01-01 00:00:00")
+    assert out["kosten"].new_keys == 2 and out["personal"].new_keys == 1
+
+    # second batch: K2 moves to Bereich=West
+    (src / "KOSTEN_2025.csv").write_bytes(
+        "Kostenstelle;Bezeichnung;Bereich\r\nK1;Einkauf;Nord\r\nK2;Verkauf;West\r\n".encode("cp1252")
+    )
+    out2 = run_many(
+        spark, wh, configs_for("KOSTEN_2025.csv", with_personal=False),
+        "2030-02-01 00:00:00",
+    )
+    assert out2["kosten"].as_dict()["updated_keys"] == 1
+    dim = wh.read("l1.dim_kosten")
+    k2 = {(r.Bereich, r.is_current) for r in dim.filter("Kostenstelle = 'K2'").collect()}
+    assert k2 == {("Süd", False), ("West", True)}
