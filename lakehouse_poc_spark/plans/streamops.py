@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..sinks.warehouse import Warehouse
-from ..sources.readers import read_parquet_table
+from ..sources.readers import ensure_session_confs, read_parquet_table
 from ..streaming.runner import (
     run_append_to_parquet,
     run_to_memory,
@@ -173,6 +173,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "copy_a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src / "copy_b.parquet")
+    ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = stream_parquet(
         spark, str(src), schema, max_files_per_trigger=1

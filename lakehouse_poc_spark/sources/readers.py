@@ -83,6 +83,7 @@ def read_csv(
     listing (its ``last_modified``, Mini-ETL:25-44).
     """
     dialect = dialect or CsvDialect()
+    ensure_session_confs(spark)
     reader = spark.read.options(**dialect.options())
     if schema is not None:
         reader = reader.schema(schema)
@@ -101,7 +102,39 @@ def read_csv(
     return df
 
 
+#: Runtime-settable SQL confs every query in this engine relies on.
+#: ``get_spark`` sets them at build time, but the driver contract says
+#: ``queries()`` must work with *any* provided SparkSession — so readers
+#: re-assert them defensively (all verified settable on a live session).
+_REQUIRED_RUNTIME_CONFS = {
+    # events.ts fixture is parquet TIMESTAMP(NANOS); Spark 4 rejects it
+    # natively ([PARQUET_TYPE_ILLEGAL]) unless read as long nanos.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Reproducible, engine-comparable timestamps (DuckDB oracle is UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Reference CSV sources are cp1252; Spark 4 whitelists charsets.
+    "spark.sql.legacy.javaCharsets": "true",
+    # Arrow transfer for the Pandas-UDF operators (similarity, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs this engine's plans assume (idempotent).
+
+    Called from every reader so the ``queries()``/``oracle_sql()`` driver
+    contract holds for sessions we didn't build (ADVICE r1, high).
+    """
+    for key, want in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:  # pragma: no cover - non-settable on some builds
+            pass
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 can't map

@@ -38,6 +38,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     peek — file streams require an explicit schema; the ns→us cast
     mirrors sources/readers.py so batch and stream rows are identical).
     """
+    from ..sources.readers import ensure_session_confs
+
+    ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # The file source needs a directory (single-file paths fail batch
