@@ -115,7 +115,10 @@ def minhash_lsh_pairs(
     # Spark evaluates the full shingle/signature pipeline once PER
     # CONSUMER (4 corpus passes, no exchange reuse across the join).
     # Persist = compute once. At cluster scale the equivalent is
-    # writing the signature table to storage between stages.
+    # writing the signature table to storage between stages. The caches
+    # are released in the finally below: the (small) pair result is
+    # eagerly materialized with localCheckpoint, so nothing downstream
+    # re-reads the cached inputs after this function returns.
     sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed).persist()
     # Banded relation carries ONLY (id, band, bhash) — the shingle
     # arrays would otherwise be shuffled `bands`× per doc; they are
@@ -154,21 +157,26 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__sid"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
     ).persist()
-    pairs = (
-        cand.join(sh_map, cand.id_a == sh_map.__sid)
-        .withColumnRenamed("__sh", "sh_a")
-        .drop("__sid")
-        .join(sh_map, cand.id_b == sh_map.__sid)
-        .withColumnRenamed("__sh", "sh_b")
-        .drop("__sid")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    try:
+        pairs = (
+            cand.join(sh_map, cand.id_a == sh_map.__sid)
+            .withColumnRenamed("__sh", "sh_a")
+            .drop("__sid")
+            .join(sh_map, cand.id_b == sh_map.__sid)
+            .withColumnRenamed("__sh", "sh_b")
+            .drop("__sid")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        return (
+            pairs.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sigs.unpersist()
+        sh_map.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -242,44 +250,61 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit chunks (a pair within
-    hamming<=3·16 shares >=1 chunk by pigeonhole when max_hamming < 4),
-    verify exact hamming distance."""
-    # persist: both sides of the chunk self-join consume the signatures
+    """SimHash near-dup pairs with *guaranteed* recall: the 64-bit hash
+    is split into ``max_hamming + 1`` chunks, so by pigeonhole any pair
+    within ``max_hamming`` differing bits shares at least one identical
+    chunk; blocked candidates are then verified on exact hamming
+    distance. (The r1 version used 4 fixed 16-bit chunks, which only
+    guarantees recall for hamming < 4 — ADVICE r1, medium.)
+    """
+    if not 0 <= max_hamming <= 31:
+        # > 31 would make chunks of <2 bits: blocking degenerates to
+        # near-cross-join; use brute-force hamming instead.
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(sizes[:i]) for i in range(n_chunks)]
+    # persist: both sides of the chunk self-join consume the signatures;
+    # released in the finally (result is eagerly materialized).
     hs = simhash64(df, text_col, id_col).persist()
-    chunked = hs.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("ckey"),
-                    )
-                    for c in range(4)
-                ]
+    try:
+        chunked = hs.select(
+            id_col,
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftright("simhash", offsets[c])
+                            .bitwiseAND(F.lit((1 << sizes[c]) - 1))
+                            .alias("ckey"),
+                        )
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("ch"),
+        ).select(id_col, "simhash", "ch.chunk", "ch.ckey")
+        a, b = chunked.alias("a"), chunked.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.ckey") == F.col("b.ckey"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-        ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk", "ch.ckey")
-    a, b = chunked.alias("a"), chunked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+            .localCheckpoint(eager=True)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    finally:
+        hs.unpersist()
 
 
 def embedding_neardup_pairs(

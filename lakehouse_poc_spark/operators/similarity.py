@@ -154,11 +154,33 @@ def lsh_topk(
     k: int,
     n_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine ranking. Deterministic for a fixed seed."""
-    dim = 64  # fixture embedding dimension; parameterize when needed
+    bucket, then exact cosine ranking. Deterministic for a fixed seed.
+
+    ``dim`` defaults to the observed vector length (one-row peek at the
+    corpus). A plane/vector length mismatch would silently zero the
+    sign bits (zip_with null-pads), so mismatched rows are rejected at
+    plan level with a raise_error guard instead (ADVICE r1, low).
+    """
+    if dim is None:
+        probe = corpus.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("lsh_topk: empty corpus, pass dim explicitly")
+        dim = probe["d"]
     planes = hyperplanes(dim, n_planes, seed)
+    guard = lambda v: F.when(  # noqa: E731
+        F.size(v) != F.lit(dim),
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_topk: expected {dim}-dim vector, got "),
+                F.size(v).cast("string"),
+            )
+        ),
+    ).otherwise(v)
+    corpus = corpus.withColumn(vec_col, guard(F.col(vec_col)))
+    queries = queries.withColumn(vec_col, guard(F.col(vec_col)))
     c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     c = c.withColumn("__bucket", lsh_bucket_expr("__nv", planes))
     q = queries.select(

@@ -65,7 +65,9 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(str(self.path(table)))
 
-    def overwrite_from_plan(self, df: DataFrame, table: str) -> None:
+    def overwrite_from_plan(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
         """Overwrite a table with a plan that READS the same table.
 
         A plain overwrite would clobber its own input mid-read; stage to
@@ -76,7 +78,10 @@ class Warehouse:
         staged = target.with_name(target.name + "__staging")
         if staged.exists():
             shutil.rmtree(staged)
-        df.write.mode("overwrite").parquet(str(staged))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(staged))
         old = target.with_name(target.name + "__old")
         if old.exists():
             shutil.rmtree(old)
@@ -91,15 +96,27 @@ class Warehouse:
         if p.exists():
             shutil.rmtree(p)
 
-    def compact(self, table: str, target_files: int) -> int:
+    def compact(
+        self, table: str, target_files: int, partition_by: list[str] | None = None
+    ) -> int:
         """Small-file compaction: rewrite the table into
-        ``target_files`` files (atomic staged swap). The lakehouse
-        maintenance op every append-only raw table needs — at 100 TB
-        streaming/micro-batch ingest produces thousands of small files
-        per day and scan cost is dominated by file-open overhead until
-        compaction (Delta's OPTIMIZE; this is the parquet-dir form).
-        Returns the number of files before compaction."""
-        before = len(list(self.path(table).glob("*.parquet")))
-        df = self.read(table, merge_schema=True).coalesce(target_files)
-        self.overwrite_from_plan(df, table)
+        ``target_files`` files per partition (atomic staged swap). The
+        lakehouse maintenance op every append-only raw table needs — at
+        100 TB streaming/micro-batch ingest produces thousands of small
+        files per day and scan cost is dominated by file-open overhead
+        until compaction (Delta's OPTIMIZE; this is the parquet-dir
+        form). Counts files recursively and carries ``partition_by``
+        through the rewrite so a partitioned table keeps its layout
+        (and its pruning) instead of being silently flattened (ADVICE
+        r1). Returns the number of data files before compaction."""
+        before = len(list(self.path(table).glob("**/*.parquet")))
+        df = self.read(table, merge_schema=True)
+        if partition_by:
+            # repartition by the partition columns so each output
+            # partition dir gets ~target_files files (one writer task
+            # per (partition value, repartition slot)).
+            df = df.repartition(target_files, *partition_by)
+        else:
+            df = df.coalesce(target_files)
+        self.overwrite_from_plan(df, table, partition_by=partition_by)
         return before

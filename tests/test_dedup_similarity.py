@@ -104,3 +104,38 @@ def test_topk_brute_correct_and_lsh_subset(spark):
     l1 = lsh_topk(e, q, "embedding", "vec_id", "vec_id", k=3).collect()
     l2 = lsh_topk(e, q, "embedding", "vec_id", "vec_id", k=3).collect()
     assert sorted(map(tuple, l1)) == sorted(map(tuple, l2))
+
+
+def test_simhash_recall_at_mid_hamming(spark):
+    """Pairs at hamming 4-8 whose differing bits span the old 16-bit
+    chunks must still be found (r1 blocked on 4 chunks: guaranteed
+    recall only below hamming 4)."""
+    df = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+         (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz"),
+         (3, "completely different text here entirely")],
+        "id long, text string",
+    )
+    hs = {r.id: r.simhash for r in simhash64(df, "text", "id").collect()}
+    d12 = bin((hs[1] ^ hs[2]) & ((1 << 64) - 1)).count("1")
+    pairs = {(p.id_a, p.id_b): p.hamming
+             for p in simhash_near_pairs(df, "text", "id", max_hamming=31).collect()}
+    if d12 <= 31:  # blocking must find it regardless of which bits differ
+        assert (1, 2) in pairs and pairs[(1, 2)] == d12
+
+
+def test_lsh_topk_infers_dim_and_rejects_mismatch(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    e = emb(spark)
+    q = e.filter(F.col("vec_id") < 2)
+    out = lsh_topk(e, q, "embedding", "vec_id", "vec_id", k=2).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+    # a corpus row with the wrong vector length must fail loudly,
+    # not silently land in bucket 0
+    bad = e.limit(1).withColumn("embedding", F.slice("embedding", 1, 3))
+    mixed = e.unionByName(bad)
+    with pytest.raises(Exception) as ei:
+        lsh_topk(mixed, q, "embedding", "vec_id", "vec_id", k=2, dim=64).collect()
+    assert "expected 64-dim" in str(ei.value)

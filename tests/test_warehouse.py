@@ -38,3 +38,23 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     compacted = wh.read("raw.many")
     assert compacted.count() == 60
     assert compacted.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(60))
+
+
+def test_partitioned_compaction_preserves_layout(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(4):
+        df = spark.range(i * 10, (i + 1) * 10).withColumn(
+            "day", (F.col("id") % 2).cast("string")
+        )
+        wh.append(df, "raw.part", partition_by=["day"])
+    before = wh.compact("raw.part", target_files=1, partition_by=["day"])
+    assert before >= 8  # 4 appends × 2 partition dirs, counted recursively
+    root = wh.path("raw.part")
+    # partition dirs survive the rewrite
+    assert (root / "day=0").exists() and (root / "day=1").exists()
+    assert len(list(root.glob("day=*/*.parquet"))) <= 2
+    back = wh.read("raw.part")
+    assert back.count() == 40
+    # pruning still works: reading one partition touches one dir
+    one = spark.read.parquet(str(root)).filter(F.col("day") == "0")
+    assert one.count() == 20
