@@ -1,0 +1,179 @@
+"""Training-data curation queries: deterministic hash-based
+train/val/test splits, stratified sampling, and PII redaction.
+
+Why hash-based: at 100 TB a split must be (a) reproducible across
+runs and engines, (b) computable map-only with no shuffle, no RNG
+state, and no driver coordination, and (c) stable under re-partitioning
+and incremental appends (a doc's split never changes when more data
+arrives). ``md5(key)`` gives all three — every row decides its own
+split from its key alone. A ``rand()``-based split has none of these
+properties. The same idiom realizes per-stratum sampling: the hash is
+salted so the sample is independent of the split assignment.
+
+All three queries are exact-oracle-checked: md5 hex, substring
+compare, and regexp behavior are identical across Spark and DuckDB for
+the patterns used here (character classes, quantifiers, alternation —
+no lookaround, which RE2 lacks).
+
+Extends the reference surface (SURVEY.md §7.1 stage 9: LLM-pipeline
+ops); the reference itself has no sampling/redaction operators
+(verified — its only filters are SCD2 flags, reference
+notebooks/pipeline_core.py:160,210).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_parquet_table
+from . import query
+
+# hex-string thresholds on the first two md5 nibbles: 256 buckets,
+# 'cc' = 204/256 = 79.7% train, 'e6' = 230/256 → 10.2% val, 10.2% test.
+_TRAIN_HI = "cc"
+_VAL_HI = "e6"
+# independent salt for sampling (decorrelates sample from split)
+_SAMPLE_SALT = "s1:"
+_SAMPLE_HI = "34"  # 52/256 = 20.3% per-stratum sample
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+def _bucket(key: F.Column | str, salt: str = "") -> F.Column:
+    """First two hex chars of md5(salt || key) — a uniform 256-bucket
+    assignment computed row-local (map-only at any scale)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 2)
+
+
+def split_column(key: F.Column | str) -> F.Column:
+    """'train' / 'val' / 'test' ≈ 80/10/10 by key hash."""
+    b = _bucket(key)
+    return (
+        F.when(b < _TRAIN_HI, F.lit("train"))
+        .when(b < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def sampled_column(key: F.Column | str, hi: str = _SAMPLE_HI) -> F.Column:
+    """Deterministic ~hi/256 Bernoulli sample flag by salted key hash."""
+    return _bucket(key, _SAMPLE_SALT) < hi
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "hash_split_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", split_column("doc_id").alias("split")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Stratified sample: the same hash idiom per stratum. One map-only pass
+# + one shuffle on the (low-cardinality) stratum key for the report.
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN substr(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                              < '{_SAMPLE_HI}' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(sampled_column("doc_id").cast("int")).cast("bigint").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The fixture corpus carries no real PII, so the query
+# first *injects* synthetic identifiers derived from doc_id (making the
+# redaction measurable and the oracle exact), then scrubs them with the
+# production patterns. The patterns are RE2-safe (no lookaround) so the
+# operator ports to any regex engine.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(text: F.Column) -> F.Column:
+    """Scrub emails then phones (order matters: email local parts may
+    contain digit runs that would otherwise half-match phone shapes)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+
+
+@query(
+    "pii_redaction_docs",
+    oracle=rf"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +555-726-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' office 212-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+?[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '\+?[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g')) AS red_fp,
+           CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '\+?[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g')) AS BIGINT)
+               AS red_len
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +555-726-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" office 212-555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    red = redact_pii(F.col("t"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(red).alias("red_fp"),
+        F.length(red).cast("bigint").alias("red_len"),
+    ).orderBy("doc_id")

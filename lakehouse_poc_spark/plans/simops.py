@@ -1,7 +1,8 @@
 """Similarity & near-dup queries: n-gram Jaccard (exact oracle),
 MinHash LSH and SimHash (deterministic but engine-specific hashing →
 rows-only driver check), embedding cosine near-dup + brute-force top-k
-(exact, fold-generated SQL oracle), hyperplane-LSH top-k (rows-only).
+(exact, fold-generated SQL oracle), hyperplane-LSH top-k (exact oracle
+— the planes are driver-side literals embedded in the SQL).
 
 The exact-cosine oracles generate a left-fold SQL expression
 (``list_reduce`` over per-element double products) that evaluates in
@@ -20,7 +21,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, hyperplanes, ivf_topk, lsh_topk
 from ..sources.readers import read_parquet_table
 from . import query
 
@@ -255,8 +256,59 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Hyperplane-LSH approximate top-k (rows-only; recall asserted in tests).
-@query("similarity_topk_lsh")
+# Hyperplane-LSH approximate top-k. The hyperplanes are DRIVER-SIDE
+# literals (operators/similarity.py::hyperplanes, seeded PRNG), so the
+# whole query — bucket sign-bits included — is plain float arithmetic
+# and gets a fully exact SQL oracle: each plane's dot product is the
+# same left-fold as Spark's F.aggregate, against the same literal
+# plane values (repr() round-trips doubles exactly).
+
+
+def _sql_plane_dot(vec: str, plane: list[float]) -> str:
+    lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"j -> CAST({vec}[j] AS DOUBLE) * ({lits})[j]), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_lsh_bucket(vec: str, planes: list[list[float]]) -> str:
+    cases = [
+        f"CASE WHEN {_sql_plane_dot(vec, p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(cases) + ")"
+
+
+_LSH_PLANES = hyperplanes(EMB_DIM, 8, seed=7)
+
+
+@query(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings WHERE vec_id < 8
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               {_sql_cosine('q.qv', 'c.nv')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_sql_cosine('q.qv', 'c.nv')} DESC, c.neighbor_id
+               ) AS INTEGER) AS rank
+        FROM q JOIN c ON q.bucket = c.bucket AND c.neighbor_id <> q.query_id
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
