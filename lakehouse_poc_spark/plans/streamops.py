@@ -130,7 +130,7 @@ def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
     )
     SELECT user_id,
-           MAX(session_id) AS n_sessions,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM s
     GROUP BY user_id

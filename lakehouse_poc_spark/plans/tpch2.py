@@ -195,10 +195,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+               AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -313,7 +313,16 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    per_part = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+    # Semi-join prune BEFORE the per-part average: Catalyst can't push the
+    # Brand#3 restriction through the later equi-join, so without this the
+    # sub-aggregation scans every part's lineitems (~brand-count× too much
+    # work at 100 TB). The semi-join broadcasts the filtered part keys.
+    li_pruned = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li["l_partkey"] == part["p_partkey"],
+        "left_semi",
+    )
+    per_part = li_pruned.groupBy(F.col("l_partkey").alias("ak")).agg(
         (F.lit(0.5) * davg(F.col("l_quantity"), "a")).alias("qty_limit")
     )
     return (

@@ -92,3 +92,11 @@ def test_text_functions_stay_jvm_side(spark):
     for name in ("text_quality_scores", "ngram_jaccard_pairs_docs"):
         plan = _formatted(QUERIES[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q17_pre_aggregation_is_semi_join_pruned(spark):
+    """The per-part avg sub-aggregation must scan only Brand#3 parts'
+    lineitems (broadcast semi-join prune), not the whole fact table —
+    at 100 TB the unpruned variant aggregates ~brand-count× too much."""
+    plan = _formatted(QUERIES["q17_small_quantity"](spark, SF))
+    assert "LeftSemi" in plan
