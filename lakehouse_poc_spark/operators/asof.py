@@ -1,5 +1,5 @@
 """As-of join (backward): for each left row, the latest right row at or
-before the left timestamp, per key.
+before (strictly before, with ``strict=True``) the left timestamp, per key.
 
 Spark has no native as-of join. The naive formulations either explode
 (inequality join → O(n·m) per key) or serialize (``merge_asof`` per
@@ -51,18 +51,21 @@ def asof_join(
     rkey = [F.col(c).alias(f"__k{i}") for i, c in enumerate(by_right)]
 
     # Right side at same timestamp sorts before/after left depending on
-    # strictness: inclusive → right first (visible to left at equal t).
+    # strictness: inclusive → right first (visible to left at equal t);
+    # strict → right last (a right row at exactly t falls outside the
+    # unbounded-preceding..current frame of every left row at t).
+    r_side, l_side = (1, 0) if strict else (0, 1)
     r = right.select(
         *rkey,
         F.col(right_on).alias("__t"),
-        F.lit(0 if strict else 0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.struct(*[F.col(c) for c in payload]).alias("__payload"),
     )
     lft = left.select(
         "*",
         *key,
         F.col(left_on).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
     r_aligned = r.select(
@@ -79,18 +82,12 @@ def asof_join(
     w = (
         Window.partitionBy(*kcols)
         .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # For strict mode we must not see right rows AT the same t; they sort
-    # with __side=0 before left rows, so exclude the current row and rely
-    # on ordering — a right row at exactly t sits earlier in the frame,
-    # which is wrong for strict. Handle strict by shifting right times.
-    if strict:
-        raise NotImplementedError("strict (<) as-of join lands with the streaming surface")
     carried = unioned.withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == l_side).select(
         *left.columns, *[F.col(f"__match.{c}").alias(c) for c in payload]
     )
     return out

@@ -554,6 +554,46 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Strict (<) as-of join: same attribution shape, but an order placed at
+# EXACTLY the event timestamp is not yet visible (event-attribution
+# semantics: cause must precede effect).
+@query(
+    "asof_strict_events_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS matched_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.matched_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS matched_date
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND r.o_orderdate < e.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_strict_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("matched_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders.withColumn("matched_date", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left=["user_id"],
+        by_right=["o_custkey"],
+        right_payload=["matched_orderkey", "matched_date"],
+        strict=True,
+    )
+    return joined.select("event_id", "user_id", "matched_orderkey", "matched_date").orderBy(
+        "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (band) join: event values bucketed into static bands.
 @query(
     "band_join_event_values",

@@ -68,6 +68,31 @@ def test_asof_join_matches_pandas(spark):
     assert list(out["payload"].fillna("-")) == list(expected["payload"].fillna("-"))
 
 
+def test_asof_join_strict_matches_pandas(spark):
+    # t=10 has a right row at exactly rt=10: inclusive matches it (p2),
+    # strict must fall back to rt=4 (p1).
+    left = pd.DataFrame(
+        {"k": ["a"] * 4 + ["b"] * 2, "t": [5, 10, 15, 2, 7, 1], "lid": range(6)}
+    )
+    right = pd.DataFrame(
+        {"k": ["a", "a", "b"], "rt": [4, 10, 8], "payload": ["p1", "p2", "p3"]}
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    out = (
+        asof_join(sl, sr, left_on="t", right_on="rt", by_left=["k"], by_right=["k"],
+                  right_payload=["payload"], strict=True)
+        .orderBy("lid")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("rt"),
+        left_on="t", right_on="rt", by="k", direction="backward",
+        allow_exact_matches=False,
+    ).sort_values("lid")
+    assert list(out["payload"].fillna("-")) == list(expected["payload"].fillna("-"))
+
+
 def test_band_join_boundaries(spark):
     df = spark.createDataFrame([(0.0,), (49.999,), (50.0,), (99.9,)], "v double")
     bands = spark.createDataFrame(
