@@ -277,9 +277,16 @@ def simhash_near_pairs(
                     *[
                         F.struct(
                             F.lit(c).alias("chunk"),
-                            F.shiftright("simhash", offsets[c])
-                            .bitwiseAND(F.lit((1 << sizes[c]) - 1))
-                            .alias("ckey"),
+                            (
+                                # a 64-bit chunk (max_hamming=0) is the whole
+                                # signature: (1<<64)-1 overflows a long lit,
+                                # so group on the raw column instead
+                                F.col("simhash")
+                                if sizes[c] == 64
+                                else F.shiftright("simhash", offsets[c]).bitwiseAND(
+                                    F.lit((1 << sizes[c]) - 1)
+                                )
+                            ).alias("ckey"),
                         )
                         for c in range(n_chunks)
                     ]

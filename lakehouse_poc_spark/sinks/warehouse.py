@@ -28,6 +28,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class Warehouse:
@@ -112,10 +113,30 @@ class Warehouse:
         before = len(list(self.path(table).glob("**/*.parquet")))
         df = self.read(table, merge_schema=True)
         if partition_by:
-            # repartition by the partition columns so each output
-            # partition dir gets ~target_files files (one writer task
-            # per (partition value, repartition slot)).
-            df = df.repartition(target_files, *partition_by)
+            if target_files <= 1:
+                # one task per partition value -> exactly one file per dir
+                df = df.repartition(*partition_by)
+            else:
+                # Repartitioning on the partition columns ALONE sends every
+                # row of a partition value to one task (1 giant file + one
+                # skewed writer per value, ADVICE r2). Add a deterministic
+                # row salt in [0, target_files) so each value spreads over
+                # ~target_files writer tasks, each emitting one file into
+                # the value's dir. The partition number must be explicit:
+                # AQE would otherwise coalesce the small salted shuffle
+                # back into one task, silently restoring the skew. Range
+                # partitioning keeps (value, salt) combos in distinct
+                # tasks instead of hash-colliding them.
+                n_values = df.select(*partition_by).distinct().count()
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(target_files),
+                )
+                df = df.repartitionByRange(
+                    max(1, n_values) * target_files,
+                    *[F.col(c) for c in partition_by],
+                    salt,
+                )
         else:
             df = df.coalesce(target_files)
         self.overwrite_from_plan(df, table, partition_by=partition_by)

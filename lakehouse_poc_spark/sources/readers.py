@@ -23,6 +23,7 @@ should pass an explicit ``schema``.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,8 +130,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
         try:
             if spark.conf.get(key, None) != want:
                 spark.conf.set(key, want)
-        except Exception:  # pragma: no cover - non-settable on some builds
-            pass
+        except Exception as exc:  # pragma: no cover - non-settable on some builds
+            # A silently un-pinned conf (nanosAsLong, session timezone)
+            # surfaces later as an unrelated read error or a quiet
+            # divergence from the UTC-pinned oracle — name the culprit.
+            warnings.warn(
+                f"could not pin required Spark conf {key!r}={want!r}: {exc}; "
+                "reads and oracle comparisons may diverge",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

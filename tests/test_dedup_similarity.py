@@ -139,3 +139,15 @@ def test_lsh_topk_infers_dim_and_rejects_mismatch(spark):
     with pytest.raises(Exception) as ei:
         lsh_topk(mixed, q, "embedding", "vec_id", "vec_id", k=2, dim=64).collect()
     assert "expected 64-dim" in str(ei.value)
+
+
+def test_simhash_max_hamming_zero_exact_duplicates(spark):
+    """max_hamming=0 means one 64-bit chunk; the mask (1<<64)-1 used to
+    overflow a long literal (ADVICE r2) — now groups on the raw column."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "something else entirely")],
+        "id long, text string",
+    )
+    pairs = simhash_near_pairs(df, "text", "id", max_hamming=0).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]

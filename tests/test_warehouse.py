@@ -58,3 +58,22 @@ def test_partitioned_compaction_preserves_layout(spark, tmp_path):
     # pruning still works: reading one partition touches one dir
     one = spark.read.parquet(str(root)).filter(F.col("day") == "0")
     assert one.count() == 20
+
+
+def test_partitioned_compaction_spreads_target_files(spark, tmp_path):
+    """target_files>1 must yield MULTIPLE files per partition dir (salted
+    writers), not one giant file per partition value (ADVICE r2)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(6):
+        df = spark.range(i * 100, (i + 1) * 100).withColumn(
+            "day", (F.col("id") % 2).cast("string")
+        )
+        wh.append(df, "raw.part_multi", partition_by=["day"])
+    wh.compact("raw.part_multi", target_files=4, partition_by=["day"])
+    root = wh.path("raw.part_multi")
+    for d in ("day=0", "day=1"):
+        n = len(list((root / d).glob("*.parquet")))
+        assert 2 <= n <= 4, f"{d}: {n} files (want ~target_files=4, got 1-file skew?)"
+    back = wh.read("raw.part_multi")
+    assert back.count() == 600
+    assert back.agg(F.countDistinct("id")).collect()[0][0] == 600
