@@ -168,12 +168,19 @@ def minhash_lsh_pairs(
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-        return (
+        out = (
             pairs.withColumn("jaccard", inter / union)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        # Materialize the (small) pair set into its own cache so the
+        # input caches can be released before returning. Cheaper than
+        # the r2 eager localCheckpoint (which wrote partitions to local
+        # disk and cost ~0.5 s at sf0.1); count() is a cache-filling
+        # no-shuffle action.
+        out.count()
+        return out
     finally:
         sigs.unpersist()
         sh_map.unpersist()
@@ -294,7 +301,7 @@ def simhash_near_pairs(
             ).alias("ch"),
         ).select(id_col, "simhash", "ch.chunk", "ch.ckey")
         a, b = chunked.alias("a"), chunked.alias("b")
-        return (
+        out = (
             a.join(
                 b,
                 (F.col("a.chunk") == F.col("b.chunk"))
@@ -308,8 +315,13 @@ def simhash_near_pairs(
             )
             .filter(F.col("hamming") <= max_hamming)
             .dropDuplicates(["id_a", "id_b"])
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        # cache-filling action so hs can be released on return (same
+        # barrier pattern as minhash_lsh_pairs; cheaper than an eager
+        # localCheckpoint)
+        out.count()
+        return out
     finally:
         hs.unpersist()
 
