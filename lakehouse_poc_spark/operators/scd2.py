@@ -136,7 +136,18 @@ def scd2_merge(
     history = dim.filter(~F.col(t.is_current))
 
     new_dim = history.unionByName(kept_current).unionByName(closed).unionByName(inserts)
-    wh.overwrite_from_plan(new_dim, cfg.dim_table)
+    # format-specific apply: parquet rewrites via staged swap; Delta
+    # MERGEs the closes in place and appends the inserts
+    wh.apply_scd2_changeset(
+        cfg.dim_table,
+        keys,
+        changed_keys,
+        inserts,
+        t.is_current,
+        t.valid_to,
+        run_ts,
+        new_dim,
+    )
     flagged.unpersist()
     return MergeStats(
         unchanged=int(counts["same"] or 0),

@@ -31,10 +31,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def delta_available() -> bool:
+    """True when the delta-spark bindings are importable. This container
+    ships without them; on a real cluster ``pip install delta-spark`` +
+    the Delta catalog/extension confs light up the ``format="delta"``
+    backend with no code change."""
+    try:  # pragma: no cover - absent in the test container by design
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    """``format="parquet"`` (default) emulates managed tables as parquet
+    dirs with staged-swap rewrites. ``format="delta"`` (reference M1/M2:
+    Delta ``saveAsTable`` + ``MERGE`` — pipeline_core.py:62-68,219-227)
+    uses path-based Delta tables: ACID overwrites replace the staged
+    swap and the SCD2 change-set feeds ``DeltaTable.merge``, rewriting
+    only matched files instead of the whole dimension."""
+
+    FORMATS = ("parquet", "delta")
+
+    def __init__(self, spark: SparkSession, root: str, format: str = "parquet"):
+        if format not in self.FORMATS:
+            raise ValueError(f"format must be one of {self.FORMATS}, got {format!r}")
+        if format == "delta" and not delta_available():
+            raise ImportError(
+                "format='delta' requires the delta-spark package (pip install "
+                "delta-spark) and the Delta SQL extension/catalog session confs"
+            )
         self.spark = spark
         self.root = Path(root)
+        self.format = format
         self.root.mkdir(parents=True, exist_ok=True)
 
     def path(self, table: str) -> Path:
@@ -43,28 +73,35 @@ class Warehouse:
 
     def table_exists(self, table: str) -> bool:
         p = self.path(table)
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            return (p / "_delta_log").exists()
         return p.exists() and any(p.glob("*.parquet")) or (p / "_SUCCESS").exists()
 
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions column sets across files —
         schema evolution on an append-only raw table (a batch landed
-        with new columns reads back as the superset, old rows null)."""
-        reader = self.spark.read
-        if merge_schema:
+        with new columns reads back as the superset, old rows null).
+        Delta resolves schema from its log, so the option is a no-op
+        there."""
+        reader = self.spark.read.format(self.format)
+        if merge_schema and self.format == "parquet":
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(str(self.path(table)))
+        return reader.load(str(self.path(table)))
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        w = df.write.mode("append")
+        w = df.write.format(self.format).mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(str(self.path(table)))
+        w.save(str(self.path(table)))
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
-        w = df.write.mode("overwrite")
+        w = df.write.format(self.format).mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(str(self.path(table)))
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            # allow repartitioning/layout changes across overwrites
+            w = w.option("overwriteSchema", "true")
+        w.save(str(self.path(table)))
 
     def overwrite_from_plan(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
@@ -75,6 +112,11 @@ class Warehouse:
         a sibling dir then atomically swap (rename). Delta/Iceberg make
         this a transaction; this is the parquet-dir equivalent.
         """
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            # Delta overwrites are snapshot-isolated transactions: the
+            # plan reads the pre-overwrite snapshot, no staging needed.
+            self.overwrite(df, table, partition_by=partition_by)
+            return
         target = self.path(table)
         staged = target.with_name(target.name + "__staging")
         if staged.exists():
@@ -91,6 +133,49 @@ class Warehouse:
         staged.rename(target)
         if old.exists():
             shutil.rmtree(old)
+
+    def apply_scd2_changeset(
+        self,
+        table: str,
+        keys: list[str],
+        changed_keys: DataFrame,
+        inserts: DataFrame,
+        is_current_col: str,
+        valid_to_col: str,
+        run_ts,
+        full_rewrite: DataFrame,
+    ) -> None:
+        """Format-specific final step of an SCD2 merge (the change-set
+        itself is computed format-agnostically in operators/scd2.py).
+
+        parquet: staged-swap rewrite of the whole dimension
+        (``full_rewrite`` is the complete new table plan).
+
+        delta: ``DeltaTable.merge`` closes the changed keys' open rows
+        in place (rewriting only the files that hold them — the 100 TB
+        path: a dimension merge touches MB, not the full table), then
+        appends the new versions. Mirrors the reference's
+        ``MERGE INTO``/Delta sink (pipeline_core.py:219-227,147-153)."""
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            from delta.tables import DeltaTable
+
+            dt = DeltaTable.forPath(self.spark, str(self.path(table)))
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            cond += f" AND t.{is_current_col} = true"
+            (
+                dt.alias("t")
+                .merge(changed_keys.alias("s"), cond)
+                .whenMatchedUpdate(
+                    set={
+                        is_current_col: F.lit(False),
+                        valid_to_col: F.lit(run_ts).cast("timestamp"),
+                    }
+                )
+                .execute()
+            )
+            self.append(inserts, table)
+            return
+        self.overwrite_from_plan(full_rewrite, table)
 
     def drop(self, table: str) -> None:
         p = self.path(table)

@@ -77,3 +77,41 @@ def test_partitioned_compaction_spreads_target_files(spark, tmp_path):
     back = wh.read("raw.part_multi")
     assert back.count() == 600
     assert back.agg(F.countDistinct("id")).collect()[0][0] == 600
+
+
+def test_delta_backend_guarded(spark, tmp_path):
+    import pytest
+
+    from lakehouse_poc_spark.sinks.warehouse import delta_available
+
+    with pytest.raises(ValueError):
+        Warehouse(spark, str(tmp_path / "wh"), format="orc")
+    if not delta_available():
+        with pytest.raises(ImportError, match="delta-spark"):
+            Warehouse(spark, str(tmp_path / "wh"), format="delta")
+
+
+def test_delta_backend_scd2_roundtrip(spark, tmp_path):
+    """Full SCD2 merge on the Delta backend — exercises DeltaTable.merge
+    + append instead of the staged-swap rewrite. Skips in containers
+    without delta-spark (this one, by design)."""
+    import pytest
+
+    pytest.importorskip("delta")
+    from lakehouse_poc_spark.config import PipelineConfig
+    from lakehouse_poc_spark.operators.scd2 import scd2_merge
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), format="delta")
+    cfg = PipelineConfig(
+        raw_table="raw.t", dim_table="dim.t",
+        business_key=("k",), compare_columns=("v",),
+    )
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    s1 = scd2_merge(wh, cfg, b1, "2024-01-01 00:00:00")
+    assert s1.new_keys == 2
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string")
+    s2 = scd2_merge(wh, cfg, b2, "2024-02-01 00:00:00")
+    assert (s2.new_keys, s2.updated_keys) == (1, 1)
+    dim = wh.read("dim.t")
+    assert dim.count() == 4  # 2 open originals -> 1 closed + 3 open
+    assert dim.filter(F.col(cfg.technical.is_current)).count() == 3
