@@ -594,6 +594,108 @@ def asof_strict_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of join: each event matched to the user's NEXT order at or
+# after the event time (lead attribution: which order did this event
+# precede?).
+@query(
+    "asof_forward_events_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS matched_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.matched_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS matched_date
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND r.o_orderdate >= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_forward_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("matched_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders.withColumn("matched_date", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left=["user_id"],
+        by_right=["o_custkey"],
+        right_payload=["matched_orderkey", "matched_date"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "matched_orderkey", "matched_date").orderBy(
+        "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join: each event matched to the user's time-closest
+# order (equidistant → backward). DuckDB has no nearest ASOF, so the
+# oracle composes a backward and a forward ASOF join and picks the
+# closer side with the same microsecond arithmetic.
+@query(
+    "asof_nearest_events_orders",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS matched_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    b AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               r.matched_orderkey AS bk, r.o_orderdate AS bt
+        FROM events e
+        ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    ),
+    f AS (
+        SELECT e.event_id, r.matched_orderkey AS fk, r.o_orderdate AS ft
+        FROM events e
+        ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND r.o_orderdate >= e.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN ft IS NULL THEN bk
+                WHEN bt IS NULL THEN fk
+                WHEN epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts)
+                     THEN bk
+                ELSE fk END AS matched_orderkey,
+           strftime(
+               CASE WHEN ft IS NULL THEN bt
+                    WHEN bt IS NULL THEN ft
+                    WHEN epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts)
+                         THEN bt
+                    ELSE ft END,
+               '%Y-%m-%d') AS matched_date
+    FROM b JOIN f USING (event_id)
+    ORDER BY b.event_id
+    """,
+)
+def asof_nearest_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("matched_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        orders.withColumn("matched_date", F.date_format("o_orderdate", "yyyy-MM-dd")),
+        left_on="ts",
+        right_on="o_orderdate",
+        by_left=["user_id"],
+        by_right=["o_custkey"],
+        right_payload=["matched_orderkey", "matched_date"],
+        direction="nearest",
+    )
+    return joined.select("event_id", "user_id", "matched_orderkey", "matched_date").orderBy(
+        "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (band) join: event values bucketed into static bands.
 @query(
     "band_join_event_values",

@@ -93,6 +93,33 @@ def test_asof_join_strict_matches_pandas(spark):
     assert list(out["payload"].fillna("-")) == list(expected["payload"].fillna("-"))
 
 
+def test_asof_join_forward_and_nearest_match_pandas(spark):
+    left = pd.DataFrame(
+        {"k": ["a"] * 5 + ["b"] * 3, "t": [1, 4, 10, 11, 30, 2, 8, 9], "lid": range(8)}
+    )
+    right = pd.DataFrame(
+        {"k": ["a", "a", "a", "b"], "rt": [4, 10, 12, 8], "payload": ["p1", "p2", "p3", "p4"]}
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    for direction, exact in [("forward", True), ("forward", False),
+                             ("nearest", True)]:
+        out = (
+            asof_join(sl, sr, left_on="t", right_on="rt", by_left=["k"], by_right=["k"],
+                      right_payload=["payload"], direction=direction, strict=not exact)
+            .orderBy("lid")
+            .toPandas()
+        )
+        expected = pd.merge_asof(
+            left.sort_values("t"), right.sort_values("rt"),
+            left_on="t", right_on="rt", by="k", direction=direction,
+            allow_exact_matches=exact,
+        ).sort_values("lid")
+        assert list(out["payload"].fillna("-")) == list(
+            expected["payload"].fillna("-")
+        ), direction
+
+
 def test_band_join_boundaries(spark):
     df = spark.createDataFrame([(0.0,), (49.999,), (50.0,), (99.9,)], "v double")
     bands = spark.createDataFrame(
