@@ -341,3 +341,60 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, component)
+    where ``component`` is the minimum id reachable from ``id``.
+
+    The step that turns pairwise near-dup evidence into an actual
+    deduped corpus: every doc in a component maps to one canonical
+    survivor. Iterative min-label propagation: each round, every vertex
+    takes the min of its own label and its neighbors' labels — one
+    hash-shuffle per round, converging in O(max component diameter)
+    rounds. Near-dup clusters are dense and shallow (diameter ≤ ~3), so
+    this beats the O(log n)-round large-star/small-star alternation in
+    practice; for adversarial chain-shaped graphs swap in that
+    alternation (same loop skeleton). Lineage is truncated per round
+    (localCheckpoint) — an iterative plan would otherwise grow
+    exponentially; on a cluster checkpoint to durable storage instead.
+    Terminates early when a round changes no label (one count() action
+    per round — the driver-side loop is control flow, not data flow).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                "label",
+                F.least("label", "nbr_min").alias("new_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("new_label") < F.col("label")).count()
+        labels = stepped.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_components,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -78,6 +79,80 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: pairs → connected components → one canonical doc
+# (min id) per component; docs in no pair are their own canonical. The
+# step that turns pairwise evidence into a deduped corpus. Pair source
+# here is the oracle-expressible brute Jaccard; at scale you'd feed
+# minhash_lsh_pairs into the same component/canonical machinery. The
+# DuckDB oracle rebuilds the pair graph and closes it with a recursive
+# CTE (fine at oracle scale; the Spark path is the distributed one).
+@query(
+    "dedup_clusters_docs",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               )) AS s
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND len(a.s) >= 0.5 * len(b.s) AND len(b.s) >= 0.5 * len(a.s)
+        ) t
+        WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp_id
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.comp_id, d.doc_id) AS BIGINT) AS canonical_id,
+           (c.comp_id IS NULL OR c.comp_id = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

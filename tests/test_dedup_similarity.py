@@ -7,6 +7,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from lakehouse_poc_spark.operators.dedup import (
+    connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -151,3 +152,14 @@ def test_simhash_max_hamming_zero_exact_duplicates(spark):
     )
     pairs = simhash_near_pairs(df, "text", "id", max_hamming=0).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_connected_components_known_topology(spark):
+    """Chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    triangle 10-11-12, isolated pair 20-21."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
