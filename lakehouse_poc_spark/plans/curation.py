@@ -177,3 +177,53 @@ def pii_redaction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(red).alias("red_fp"),
         F.length(red).cast("bigint").alias("red_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: next-fit token-budget packing within md5-nibble
+# groups (operators/packing.py). The DuckDB oracle replays the same
+# sequential next-fit with a recursive CTE walking each group's docs in
+# id order — row-for-row identical pack assignments.
+_PACK_BUDGET = 512
+
+@query(
+    "pack_sequences_docs",
+    oracle=rf"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tokens,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS grp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    packed AS (
+        SELECT grp, rn, doc_id, tokens,
+               CAST(0 AS BIGINT) AS pack_id,
+               CAST(0 AS BIGINT) AS pack_offset,
+               tokens AS acc
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.grp, d.rn, d.doc_id, d.tokens,
+               CASE WHEN p.acc > 0 AND p.acc + d.tokens > {_PACK_BUDGET}
+                    THEN p.pack_id + 1 ELSE p.pack_id END,
+               CASE WHEN p.acc > 0 AND p.acc + d.tokens > {_PACK_BUDGET}
+                    THEN 0 ELSE p.acc END,
+               CASE WHEN p.acc > 0 AND p.acc + d.tokens > {_PACK_BUDGET}
+                    THEN d.tokens ELSE p.acc + d.tokens END
+        FROM packed p JOIN d ON d.grp = p.grp AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, tokens, grp, pack_id, pack_offset
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, id_col="doc_id", token_col=token_count("text"), budget=_PACK_BUDGET
+    ).orderBy("doc_id")
