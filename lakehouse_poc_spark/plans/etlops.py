@@ -327,3 +327,46 @@ def csv_dialect_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("IngestTimestamp", "yyyy-MM-dd HH:mm:ss").alias("ingest_ts"),
         F.col("IngestSource").alias("ingest_source"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: two event batches (split by event_id
+# parity) upserted sequentially into an hourly rollup must be
+# bit-identical to a one-shot full aggregation (the oracle). Decimal
+# sums make the merge order-insensitive; the second upsert rewrites
+# only the day partitions its batch touches.
+@query(
+    "incremental_rollup_events",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import read_rollup, upsert_hourly_rollup
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    wh = _fresh_wh(spark, f"rollup_{Path(sf_dir).name}")
+    upsert_hourly_rollup(
+        wh, "agg.hourly", ev.filter(F.col("event_id") % 2 == 0), dims=["event_type"]
+    )
+    upsert_hourly_rollup(
+        wh, "agg.hourly", ev.filter(F.col("event_id") % 2 == 1), dims=["event_type"]
+    )
+    return (
+        read_rollup(wh, "agg.hourly", dims=["event_type"])
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("hour", "event_type")
+    )

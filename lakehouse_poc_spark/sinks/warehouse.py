@@ -75,7 +75,11 @@ class Warehouse:
         p = self.path(table)
         if self.format == "delta":  # pragma: no cover - needs delta-spark
             return (p / "_delta_log").exists()
-        return p.exists() and any(p.glob("*.parquet")) or (p / "_SUCCESS").exists()
+        if not p.exists():
+            return False
+        # recursive: partitioned tables nest their files under
+        # <part>=<value>/ dirs with no root-level marker
+        return (p / "_SUCCESS").exists() or any(p.glob("**/*.parquet"))
 
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions column sets across files —
@@ -133,6 +137,24 @@ class Warehouse:
         staged.rename(target)
         if old.exists():
             shutil.rmtree(old)
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the partition dirs
+        present in ``df``, leaving all others untouched. The physical
+        primitive behind incremental rollup maintenance — at 100 TB an
+        hourly upsert rewrites a handful of day partitions, not the
+        table. (Delta's ``replaceWhere``; this is the datasource
+        ``partitionOverwriteMode=dynamic`` form, which works for both
+        backends.)"""
+        (
+            df.write.format(self.format)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .save(str(self.path(table)))
+        )
 
     def apply_scd2_changeset(
         self,

@@ -1,0 +1,65 @@
+"""Incremental rollup maintenance: merge correctness and the key scale
+property — an upsert rewrites ONLY the day partitions its batch touches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.operators.rollup import read_rollup, upsert_hourly_rollup
+from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_incremental_equals_full(spark, tmp_path):
+    rows = [
+        (f"2024-03-0{d} 0{h}:15:00", t, float(d * h + i))
+        for d in (1, 2)
+        for h in (1, 2)
+        for i, t in enumerate(["click", "view"])
+    ]
+    ev = _events(spark, rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    upsert_hourly_rollup(wh, "agg.h", ev.limit(4), dims=["event_type"])
+    upsert_hourly_rollup(wh, "agg.h", ev.subtract(ev.limit(4)), dims=["event_type"])
+    got = {
+        (str(r.hour), r.event_type): (r.n_events, r.sum_value)
+        for r in read_rollup(wh, "agg.h", dims=["event_type"]).collect()
+    }
+    full = {
+        (str(r.hour), r.event_type): (r.n, r.s)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == full
+
+
+def test_upsert_touches_only_affected_partitions(spark, tmp_path):
+    ev1 = _events(
+        spark,
+        [("2024-03-01 01:00:00", "click", 1.0), ("2024-03-02 01:00:00", "view", 2.0)],
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    upsert_hourly_rollup(wh, "agg.h", ev1, dims=["event_type"])
+    day1 = wh.path("agg.h") / "day=2024-03-01"
+    before = sorted(f.name for f in day1.glob("*.parquet"))
+    mtimes = {f.name: f.stat().st_mtime_ns for f in day1.glob("*.parquet")}
+    # second batch touches only day 2
+    ev2 = _events(spark, [("2024-03-02 05:00:00", "click", 3.0)])
+    upsert_hourly_rollup(wh, "agg.h", ev2, dims=["event_type"])
+    after = sorted(f.name for f in day1.glob("*.parquet"))
+    assert before == after
+    assert mtimes == {f.name: f.stat().st_mtime_ns for f in day1.glob("*.parquet")}
+    # and day 2 now has both hours
+    assert (
+        read_rollup(wh, "agg.h", dims=["event_type"])
+        .filter(F.to_date("hour") == "2024-03-02")
+        .count()
+        == 2
+    )
