@@ -227,3 +227,68 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, id_col="doc_id", token_col=token_count("text"), budget=_PACK_BUDGET
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: keep a doc with probability equal to its
+# quality score, DETERMINISTICALLY — u(doc_id) < quality(text) where u
+# is a 24-bit uniform from salted md5. Same map-only/append-stable
+# properties as the unweighted split; re-runs and engines agree
+# bit-for-bit. The standard corpus-shaping move (upweight fluent prose,
+# downweight fragment/punctuation soup) without RNG state.
+from ..functions.text import STOPWORDS as _SW
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in _SW)
+_W_SALT = "w1:"
+
+
+def weighted_keep(key, quality: F.Column) -> F.Column:
+    """True iff salted-hash uniform in [0,1) < quality (map-only)."""
+    k = F.col(key) if isinstance(key, str) else key
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_W_SALT), k.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(16777216.0)
+    )
+    return u < quality
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x IN ({_STOPLIST_SQL}))) AS BIGINT) AS n_stop,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               0.5 * least(CAST(n_tok AS DOUBLE) / 200.0, 1.0)
+             + 0.3 * least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0) * 3, 1.0)
+             + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) * 10, 1.0))
+               AS quality
+        FROM t
+    )
+    SELECT doc_id, quality,
+           (CAST(('0x' || substr(md5('{_W_SALT}' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+              / 16777216.0) < quality AS sampled
+    FROM q
+    ORDER BY doc_id
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score("text")
+    return docs.select(
+        "doc_id",
+        q.alias("quality"),
+        weighted_keep("doc_id", q).alias("sampled"),
+    ).orderBy("doc_id")

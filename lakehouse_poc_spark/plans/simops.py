@@ -391,3 +391,64 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, n_planes=8,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization quality report: per-vector scale, reconstruction
+# MSE, and cosine(original, dequantized). The decision artifact for
+# "can this corpus serve ANN from int8?" — at 100 TB the quantized
+# corpus is a map-only rewrite 4-8x smaller at rest and in shuffle.
+@query(
+    "embedding_quantize_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT vec_id,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale,
+               embedding
+        FROM embeddings
+    ),
+    d AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) / scale * 127) * scale / 127) AS deq,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS orig
+        FROM t
+    )
+    SELECT vec_id, scale,
+           list_reduce(list_transform(generate_series(1, {EMB_DIM}),
+               i -> (orig[i] - deq[i]) * (orig[i] - deq[i])), (acc, x) -> acc + x)
+             / {EMB_DIM}.0 AS mse,
+           ({_sql_dot('orig', 'deq')}
+              / (sqrt({_sql_dot('orig', 'orig')}) * sqrt({_sql_dot('deq', 'deq')})))
+             AS cos_deq
+    FROM d
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine, dequantize, maxabs_scale, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = maxabs_scale(F.col("embedding"))
+    with_q = emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.col("embedding").alias("orig"),
+        dequantize(quantize_int8(F.col("embedding"), scale), scale).alias("deq"),
+    )
+    diff_sq = F.aggregate(
+        F.zip_with(
+            "orig",
+            "deq",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return with_q.select(
+        "vec_id",
+        "scale",
+        (diff_sq / F.lit(float(EMB_DIM))).alias("mse"),
+        cosine(F.col("orig"), F.col("deq")).alias("cos_deq"),
+    ).orderBy("vec_id")
