@@ -50,6 +50,10 @@ HEADLINE = [
     # the O(n²) brute-force twins are correctness oracles, not bench).
     "dedup_exact_documents",
     "minhash_lsh_pairs_docs",
+    "dedup_clusters_lsh_docs",
+    "pack_sequences_docs",
+    "asof_nearest_events_orders",
+    "incremental_rollup_events",
     "simhash_pairs_docs",
     "similarity_topk_lsh",
     "text_quality_scores",

@@ -452,3 +452,34 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (diff_sq / F.lit(float(EMB_DIM))).alias("mse"),
         cosine(F.col("orig"), F.col("deq")).alias("cos_deq"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Scale-path clustering: minhash-LSH pairs → connected components →
+# canonical per component. Rows-only (xxhash64 pair source is not
+# SQL-portable); pair-parity of the source is asserted against the
+# brute-force twin in tests, and dedup_clusters_docs oracle-checks the
+# identical component machinery on the portable pair source.
+@query("dedup_clusters_lsh_docs")
+def dedup_clusters_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id",
+        num_perm=32, bands=8, shingle_n=3, threshold=0.5,
+    )
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id"))
+            ).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

@@ -389,3 +389,55 @@ def stream_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cur_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch → incremental rollup: events land as two ordered
+# micro-batches (event_id parity); each is merged into the hourly
+# rollup table (affected-day partition rewrite only). Must equal the
+# one-shot full aggregation — same oracle as the batch twin.
+@query(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import rollup_stream
+
+    work = Path(tempfile.mkdtemp(prefix="stream_rollup_"))
+    src = work / "in"
+    src.mkdir()
+    wh = Warehouse(spark, str(work / "wh"))
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ckpt = str(work / "ckpt")
+    # batch 1: even event_ids; drain; batch 2: odd; drain again — the
+    # shared checkpoint orders the micro-batches.
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(str(src))
+    rollup_stream(
+        stream_parquet(spark, str(src), ev.schema), wh, "agg.hourly", ckpt,
+        dims=["event_type"],
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(str(src))
+    rollup_stream(
+        stream_parquet(spark, str(src), ev.schema), wh, "agg.hourly", ckpt,
+        dims=["event_type"],
+    )
+    return (
+        wh.read("agg.hourly")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -111,3 +111,31 @@ def scd2_stream(
 
     run_foreach_batch(snapshots, apply, checkpoint_dir)
     return stats
+
+
+def rollup_stream(
+    events: DataFrame,
+    wh: Warehouse,
+    table: str,
+    checkpoint_dir: str,
+    dims: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """foreachBatch → incremental hourly rollup: each micro-batch is
+    merged into the rollup with operators/rollup.py (partial aggregate
+    + affected-partition rewrite). The streaming form of continuous
+    aggregate maintenance: state lives in the rollup table itself, so
+    no streaming state store is needed and restarts resume from the
+    checkpoint. Exactly-once to the same standard as the batch op:
+    mergeable decimal aggregates + each batch applied once."""
+    from ..operators.rollup import upsert_hourly_rollup
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_hourly_rollup(
+            wh, table, batch_df, ts_col=ts_col, dims=dims, value_col=value_col
+        )
+
+    run_foreach_batch(events, apply, checkpoint_dir)
