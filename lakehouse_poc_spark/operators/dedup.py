@@ -398,3 +398,42 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance near-pairs (typo-level entity dedup, e.g. product
+    or supplier names): (id_a, id_b, dist) with dist <= max_dist.
+
+    Length-band prefilter (|len(a) - len(b)| <= max_dist is a necessary
+    condition for edit distance <= max_dist) prunes pairs BEFORE the
+    O(len²) DP runs; the DP itself uses Spark's thresholded
+    levenshtein, which abandons a row as soon as the running minimum
+    exceeds ``max_dist`` (band DP, O(len·max_dist)). Still O(n²)
+    candidate generation over distinct values — like the brute Jaccard
+    twin this is the declared oracle/small-n path; dedupe to distinct
+    strings first (typo spaces are tiny relative to corpora) and use
+    q-gram/chunk blocking when n_distinct outgrows it.
+    """
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__s"), F.length(text_col).alias("__len")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    thresholded = F.levenshtein(F.col("a.__s"), F.col("b.__s"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.abs(F.col("a.__len") - F.col("b.__len")) <= max_dist),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            thresholded.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

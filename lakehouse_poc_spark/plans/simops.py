@@ -483,3 +483,35 @@ def dedup_clusters_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-pairs over distinct part names (typo-level entity
+# dedup). Thresholded band DP on Spark; plain levenshtein <= d in the
+# oracle — identical pair sets by definition.
+@query(
+    "levenshtein_pairs_parts",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def levenshtein_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import levenshtein_pairs
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    return (
+        levenshtein_pairs(names, text_col="p_name", id_col="p_name", max_dist=2)
+        .select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )

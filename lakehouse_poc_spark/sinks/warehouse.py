@@ -156,6 +156,45 @@ class Warehouse:
             .save(str(self.path(table)))
         )
 
+    def drop_partitions(
+        self, table: str, partition_col: str, before: str | None = None,
+        values: list[str] | None = None,
+    ) -> int:
+        """Retention/TTL primitive: delete whole partition dirs whose
+        value is in ``values`` or lexicographically < ``before``
+        (ISO dates sort correctly as strings). Metadata-only at any
+        scale — no data files are read or rewritten, which is how
+        retention must work at 100 TB (a DELETE that scans the table to
+        drop old days is the anti-pattern). Delta's equivalent is a
+        partition-predicate DELETE. Returns the number of partitions
+        dropped."""
+        if (before is None) == (values is None):
+            raise ValueError("exactly one of before/values is required")
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            from delta.tables import DeltaTable
+
+            dt = DeltaTable.forPath(self.spark, str(self.path(table)))
+            if values is not None:
+                quoted = ", ".join(f"'{v}'" for v in values)
+                pred = f"{partition_col} IN ({quoted})"
+            else:
+                pred = f"{partition_col} < '{before}'"
+            n = len(values) if values is not None else -1
+            dt.delete(pred)
+            return n
+        dropped = 0
+        prefix = f"{partition_col}="
+        for d in sorted(self.path(table).glob(f"{prefix}*")):
+            if not d.is_dir():
+                continue
+            val = d.name[len(prefix):]
+            if (values is not None and val in values) or (
+                before is not None and val < before
+            ):
+                shutil.rmtree(d)
+                dropped += 1
+        return dropped
+
     def apply_scd2_changeset(
         self,
         table: str,

@@ -115,3 +115,25 @@ def test_delta_backend_scd2_roundtrip(spark, tmp_path):
     dim = wh.read("dim.t")
     assert dim.count() == 4  # 2 open originals -> 1 closed + 3 open
     assert dim.filter(F.col(cfg.technical.is_current)).count() == 3
+
+
+def test_drop_partitions_retention(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 4) + 1:02d}") for i in range(40)],
+        "id long, day string",
+    )
+    wh.append(df, "raw.ev", partition_by=["day"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        wh.drop_partitions("raw.ev", "day")
+    assert wh.drop_partitions("raw.ev", "day", before="2024-01-03") == 2
+    left = wh.read("raw.ev")
+    assert left.count() == 20
+    assert sorted(str(r.day) for r in left.select("day").distinct().collect()) == [
+        "2024-01-03",
+        "2024-01-04",
+    ]
+    assert wh.drop_partitions("raw.ev", "day", values=["2024-01-04"]) == 1
+    assert wh.read("raw.ev").count() == 10
