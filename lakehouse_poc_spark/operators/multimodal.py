@@ -259,3 +259,87 @@ def sample_frames(
         sample,
         f"{id_col} long, n_frames long, n_sampled long, sampled_byte_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: deterministic int16 PCM payloads + feature extraction
+# (duration, energy, peak, zero-crossing rate — the standard first-pass
+# audio curation features). Same contract as the image codec: payload
+# layout is real (packed header + samples), the waveform is synthetic,
+# and a librosa/soundfile decode would drop into the identical
+# mapInPandas slot.
+
+AUDIO_HEADER_FMT = "<ii"  # (sample_rate, n_samples)
+AUDIO_HEADER_SIZE = struct.calcsize(AUDIO_HEADER_FMT)
+AUDIO_SCHEMA = "doc_id long, payload binary, sample_rate int, n_samples int, format string"
+_AUDIO_SR = 8000
+
+
+def _fake_samples(doc_id: int, n: int) -> np.ndarray:
+    """Deterministic pseudo-waveform in [-128, 127] (int16 storage)."""
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 31 + i * 17) % 256) - 128).astype(np.int16)
+
+
+def synthesize_audio(docs: DataFrame) -> DataFrame:
+    """documents → fake audio table: header + int16-LE samples;
+    n_samples = 64 + doc_id % 64."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ns = [], []
+            for doc_id in pdf["doc_id"]:
+                n = 64 + int(doc_id) % 64
+                payloads.append(
+                    struct.pack(AUDIO_HEADER_FMT, _AUDIO_SR, n)
+                    + _fake_samples(int(doc_id), n).tobytes()
+                )
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "sample_rate": _AUDIO_SR,
+                    "n_samples": ns,
+                    "format": "fake-pcm16",
+                }
+            )
+
+    return fan_out(docs).select("doc_id").mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Unpack PCM payloads → per-clip features. Energy and peak are
+    integer-exact; zero-crossing counts sign flips between consecutive
+    samples (negative vs non-negative)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_s": [],
+                "energy": [],
+                "peak": [],
+                "zero_crossings": [],
+            }
+            for payload in pdf["payload"]:
+                sr, n = struct.unpack(AUDIO_HEADER_FMT, payload[:AUDIO_HEADER_SIZE])
+                s = np.frombuffer(
+                    payload, dtype=np.int16, offset=AUDIO_HEADER_SIZE
+                ).astype(np.int64)
+                neg = s < 0
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / sr)
+                out["energy"].append(float((s * s).sum()) / n)
+                out["peak"].append(int(np.abs(s).max()))
+                out["zero_crossings"].append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(
+        feats,
+        "doc_id long, sample_rate int, n_samples int, duration_s double, "
+        "energy double, peak int, zero_crossings long",
+    )

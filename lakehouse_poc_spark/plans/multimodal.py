@@ -161,3 +161,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         docs, "doc_id", "payload", frame_bytes=64, every=4
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: synthesize → features. The oracle recomputes sample
+# i = ((doc_id*31 + i*17) % 256) - 128 arithmetically; energy/peak are
+# integer-exact, duration is one exact division.
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+    ), s AS (
+        SELECT doc_id, n,
+               list_transform(generate_series(0, n - 1),
+                              i -> ((doc_id * 31 + i * 17) % 256) - 128) AS w
+        FROM d
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n AS DOUBLE) / 8000 AS duration_s,
+           CAST(list_sum(list_transform(w, x -> x * x)) AS DOUBLE) / n AS energy,
+           CAST(list_max(list_transform(w, x -> abs(x))) AS INTEGER) AS peak,
+           CAST(len(list_filter(generate_series(2, n),
+                                i -> (w[i - 1] < 0) <> (w[i] < 0))) AS BIGINT)
+               AS zero_crossings
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_features, synthesize_audio
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(synthesize_audio(docs)).orderBy("doc_id")
