@@ -244,7 +244,11 @@ class Warehouse:
             shutil.rmtree(p)
 
     def compact(
-        self, table: str, target_files: int, partition_by: list[str] | None = None
+        self,
+        table: str,
+        target_files: int,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction: rewrite the table into
         ``target_files`` files per partition (atomic staged swap). The
@@ -255,9 +259,28 @@ class Warehouse:
         form). Counts files recursively and carries ``partition_by``
         through the rewrite so a partitioned table keeps its layout
         (and its pruning) instead of being silently flattened (ADVICE
-        r1). Returns the number of data files before compaction."""
+        r1). Returns the number of data files before compaction.
+
+        ``cluster_by`` additionally range-partitions and sorts the
+        rewrite on the given columns (Delta OPTIMIZE ZORDER's
+        single-dimension cousin): each output file then covers a
+        narrow value range, so parquet row-group min/max statistics
+        skip whole files for selective filters on those columns — at
+        100 TB, clustering the fact table on its hottest filter column
+        turns full scans into a handful of file reads."""
         before = len(list(self.path(table).glob("**/*.parquet")))
         df = self.read(table, merge_schema=True)
+        if cluster_by:
+            if partition_by:
+                raise ValueError(
+                    "cluster_by and partition_by are mutually exclusive; "
+                    "cluster within partitions is not implemented"
+                )
+            df = df.repartitionByRange(
+                target_files, *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(*cluster_by)
+            self.overwrite_from_plan(df, table, partition_by=None)
+            return before
         if partition_by:
             if target_files <= 1:
                 # one task per partition value -> exactly one file per dir

@@ -3,6 +3,8 @@ tables and small-file compaction."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lakehouse_poc_spark.sinks.warehouse import Warehouse
@@ -137,3 +139,34 @@ def test_drop_partitions_retention(spark, tmp_path):
     ]
     assert wh.drop_partitions("raw.ev", "day", values=["2024-01-04"]) == 1
     assert wh.read("raw.ev").count() == 10
+
+
+def test_compaction_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by rewrites into range-disjoint, sorted files so parquet
+    min/max stats can skip whole files for selective filters."""
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(400).select(
+        F.col("id"), F.pmod(F.col("id") * 37 + 11, 400).alias("v")
+    )
+    wh.append(df.repartition(8), "raw.clustered")
+    with pytest.raises(ValueError):
+        wh.compact("raw.clustered", 2, partition_by=["v"], cluster_by=["v"])
+    wh.compact("raw.clustered", target_files=4, cluster_by=["v"])
+    files = sorted(wh.path("raw.clustered").glob("*.parquet"))
+    assert 2 <= len(files) <= 4
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("v")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary value may touch)
+    assert wh.read("raw.clustered").count() == 400
