@@ -193,3 +193,84 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    wh,
+    table: str,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+) -> None:
+    """Materialize the IVF index AT REST: centroids in a side table,
+    corpus written partitioned by cell id. This is the 100 TB form of
+    IVF — the cell assignment is paid once at build time, and a query
+    then reads only its probed cells' partition dirs (partition
+    pruning does the candidate selection; see ivf_query_at_rest).
+    Same deterministic quantizer as ivf_topk (min-id corpus vectors),
+    so at-rest results match the in-flight operator exactly."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    wh.overwrite(cents, f"{table}_centroids")
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine(F.col(vec_col), F.col("cent_vec")))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= 1)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    wh.overwrite(assigned, table, partition_by=["cell"])
+
+
+def ivf_query_at_rest(
+    wh,
+    table: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query the at-rest IVF index: assign each query to its nprobe
+    nearest cells, then scan ONLY those cells' partitions (the isin
+    filter on the partition column prunes at the file listing — no
+    data from unprobed cells is read). Candidate scoring and the
+    per-query top-k window are identical to ivf_topk."""
+    cents = wh.read(f"{table}_centroids")
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine(F.col("__qv"), F.col("cent_vec")))
+        .withColumn("__crank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cent_id"))
+        ))
+        .filter(F.col("__crank") <= nprobe)
+        .select("query_id", "__qv", F.col("cent_id").alias("cell"))
+    )
+    # probed cells: a bounded driver-side list (|queries| * nprobe ids)
+    # that becomes a literal partition filter -> file-listing pruning
+    cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    corpus = wh.read(table).filter(F.col("cell").isin(cells))
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -163,3 +163,36 @@ def test_connected_components_known_topology(spark):
     )
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_ivf_at_rest_matches_inflight_and_prunes(spark, tmp_path):
+    """The partitioned-at-rest IVF index returns exactly what the
+    in-flight operator returns, and its scan carries a partition
+    filter on the cell column (pruning = candidate selection)."""
+    from lakehouse_poc_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_at_rest,
+        ivf_topk,
+    )
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "qid")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ivf_build_index(emb, wh, "ann.ivf", "embedding", "vec_id", n_centroids=16)
+    at_rest = ivf_query_at_rest(
+        wh, "ann.ivf", queries.select("qid", "embedding"),
+        "embedding", "vec_id", "qid", k=5, nprobe=2,
+    )
+    inflight = ivf_topk(
+        emb, queries.select("qid", "embedding"),
+        "embedding", "vec_id", "qid", k=5, nprobe=2, n_centroids=16,
+    )
+    a = {(r.query_id, r.rank): r.neighbor_id for r in at_rest.collect()}
+    b = {(r.query_id, r.rank): r.neighbor_id for r in inflight.collect()}
+    assert a == b
+    plan = at_rest._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
