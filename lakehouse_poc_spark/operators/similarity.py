@@ -83,16 +83,18 @@ def ivf_topk(
     k: int,
     n_centroids: int = 16,
     nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer
     assigns every corpus vector to its nearest centroid (one cell);
     a query scans only its ``nprobe`` nearest cells, ranked exactly.
 
-    The quantizer is deterministic — the ``n_centroids`` corpus
-    vectors with the smallest ids (a real IVF trains k-means; the
-    *flow* is identical and this stays exactly reproducible for the
-    differential oracle). Ties in centroid distance break on centroid
-    id; final ranking ties break on neighbor id.
+    The default quantizer is deterministic — the ``n_centroids``
+    corpus vectors with the smallest ids (exactly reproducible for
+    the differential oracle); pass ``centroids=`` (e.g. from
+    :func:`kmeans_train`) for a trained quantizer — same flow, better
+    cell balance. Ties in centroid distance break on centroid id;
+    final ranking ties break on neighbor id.
 
     Scale shape: centroid list is broadcast (tiny); corpus assignment
     is one map-only pass of N·n_centroids fused dot products; at rest
@@ -100,11 +102,17 @@ def ivf_topk(
     nprobe/n_centroids of the data via partition pruning. The only
     shuffle is the final per-query top-k window over candidates.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
-    )
+    if centroids is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            [(cid, v) for cid, v in centroids],
+            "__cid long, __cv array<double>",
+        )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+        )
 
     def assign(df: DataFrame, vid: str, v: str, probes: int) -> DataFrame:
         w = Window.partitionBy(vid).orderBy(F.desc("__csim"), F.asc("__cid"))
@@ -274,3 +282,64 @@ def ivf_query_at_rest(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    iters: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means for the IVF coarse quantizer, distributed and
+    deterministic: init = the k min-id corpus vectors (reproducible —
+    a k-means|| sampling pass would slot in here), then ``iters``
+    rounds of (assign by max cosine, recompute elementwise means).
+
+    Per round: one map-only broadcast assignment pass + one shuffle of
+    (cell, position, value) triples for the means — O(N·k·d) compute,
+    shuffle bytes ∝ N·d, never materializing N×k. Empty cells keep
+    their previous centroid. Centroids (k×d doubles) come back to the
+    driver each round — tiny by construction.
+
+    Returns [(cent_id, centroid)] for :func:`ivf_topk` /
+    :func:`ivf_build_index` ``centroids=``.
+    """
+    spark = corpus.sparkSession
+    init = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r[0])) for i, r in enumerate(init)
+    ]
+    base = fan_out(corpus).select(F.col(id_col), F.col(vec_col))
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(cid, v) for cid, v in cents], "cent_id int, cent_vec array<double>"
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
+        assigned = (
+            base.crossJoin(F.broadcast(cent_df))
+            .withColumn("__csim", cosine(F.col(vec_col), F.col("cent_vec")))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("cent_id", F.posexplode(F.col(vec_col).cast("array<double>")))
+        )
+        means = (
+            assigned.groupBy("cent_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cent_id", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        updated = {r["cent_id"]: list(r["centroid"]) for r in means}
+        cents = [(cid, updated.get(cid, v)) for cid, v in cents]
+    return cents

@@ -515,3 +515,28 @@ def levenshtein_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with a TRAINED quantizer (Lloyd's k-means, deterministic min-id
+# init). Rows-only: unrolling 3 k-means iterations into SQL is not
+# practical; determinism + recall vs brute force are unit-tested
+# (test_dedup_similarity.py).
+@query("similarity_topk_ivf_trained")
+def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    cents = kmeans_train(emb, "embedding", "vec_id", k=16, iters=3)
+    return (
+        ivf_topk(
+            emb, queries, "embedding", "vec_id", "qid",
+            k=10, nprobe=2, centroids=cents,
+        )
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )

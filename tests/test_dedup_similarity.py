@@ -196,3 +196,33 @@ def test_ivf_at_rest_matches_inflight_and_prunes(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_kmeans_ivf_deterministic_and_recall(spark):
+    """Trained-quantizer IVF: same centroids on re-run (deterministic
+    init + exact mean arithmetic on the same partitioning) and recall
+    vs brute-force top-5 at nprobe=4 above a sanity floor."""
+    from lakehouse_poc_spark.operators.similarity import ivf_topk, kmeans_train
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, SF, "embeddings")
+    c1 = kmeans_train(emb, "embedding", "vec_id", k=8, iters=2)
+    c2 = kmeans_train(emb, "embedding", "vec_id", k=8, iters=2)
+    assert c1 == c2
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            emb, queries, "embedding", "vec_id", "qid", k=5
+        ).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, queries, "embedding", "vec_id", "qid",
+            k=5, nprobe=4, centroids=c1,
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
