@@ -437,3 +437,133 @@ def levenshtein_pairs(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+def levenshtein_pairs_blocked(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Scale path for edit-distance pairs: PassJoin-style chunk
+    blocking with GUARANTEED recall.
+
+    Pigeonhole: split a string into ``max_dist + 1`` contiguous chunks;
+    any string within edit distance ``max_dist`` contains at least one
+    of those chunks verbatim, starting within ``±max_dist`` of its
+    original position. So the chunk side emits its d+1 chunks keyed
+    (chunk_idx, own_length, chunk); the window side emits, for each
+    chunk index and each candidate partner length in ``±max_dist``,
+    the substrings at the corresponding start positions ``±max_dist``.
+    Candidates join on the exact (idx, length, substring) key — a hash
+    shuffle of short tokens, sub-quadratic like the SimHash chunk
+    blocking — and survivors are verified with thresholded
+    levenshtein. Emission fan-out per row is O(d² · (2d+1)) ≈ tens of
+    keys for d=2, independent of corpus size.
+
+    Strings shorter than ``max_dist + 1`` have zero-length chunks; they
+    are routed through a tiny brute-force side join instead (both sides
+    length ≤ 2·max_dist — a vanishing fraction of any real corpus).
+
+    Result-identical to :func:`levenshtein_pairs` (asserted in tests);
+    registered under the same SQL oracle.
+    """
+    d = max_dist
+    n_chunks = d + 1
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__s"), F.length(text_col).alias("__len")
+    )
+    long_side = base.filter(F.col("__len") > d)
+    short_side = base.filter(F.col("__len") <= d)
+
+    def start(i, length):  # 1-based substring start of chunk i for a string of `length`
+        return F.floor(F.lit(i) * length / n_chunks).cast("int") + 1
+
+    def clen(i, length):
+        return (
+            F.floor(F.lit(i + 1) * length / n_chunks)
+            - F.floor(F.lit(i) * length / n_chunks)
+        ).cast("int")
+
+    L = F.col("__len")
+    chunks = long_side.select(
+        id_col,
+        "__s",
+        "__len",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        L.alias("clen_src"),
+                        F.substring("__s", start(i, L), clen(i, L)).alias("tok"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "__s", "__len", "c.ci", "c.clen_src", "c.tok")
+
+    # window side: for each chunk index and candidate partner length
+    # (own length ± d), substrings at partner-start ± d
+    win_structs = []
+    for i in range(n_chunks):
+        for dl in range(-d, d + 1):
+            plen = L + dl  # candidate partner (chunk-side) length
+            for shift in range(-d, d + 1):
+                pos = start(i, plen) + shift
+                win_structs.append(
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        plen.cast("int").alias("clen_src"),
+                        F.when(
+                            (plen > d) & (pos >= 1),
+                            F.substring("__s", pos, clen(i, plen)),
+                        ).alias("tok"),
+                    )
+                )
+    windows = (
+        long_side.select(
+            F.col(id_col), "__s", F.explode(F.array(*win_structs)).alias("w")
+        )
+        .select(id_col, "__s", "w.ci", "w.clen_src", "w.tok")
+        .filter(F.col("tok").isNotNull() & (F.length("tok") > 0))
+        .dropDuplicates([id_col, "ci", "clen_src", "tok"])
+    )
+
+    a, b = chunks.alias("a"), windows.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.clen_src") == F.col("b.clen_src"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            F.least(F.col("a.__s"), F.col("b.__s")).alias("s_a"),
+            F.greatest(F.col("a.__s"), F.col("b.__s")).alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # short strings (len <= d): brute against everything of length <= 2d
+    tiny_partners = base.filter(F.col("__len") <= 2 * d)
+    sa, sb = short_side.alias("sa"), tiny_partners.alias("sb")
+    cand_short = (
+        sa.join(sb, F.col(f"sa.{id_col}") != F.col(f"sb.{id_col}"))
+        .select(
+            F.least(F.col(f"sa.{id_col}"), F.col(f"sb.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"sa.{id_col}"), F.col(f"sb.{id_col}")).alias("id_b"),
+            F.least(F.col("sa.__s"), F.col("sb.__s")).alias("s_a"),
+            F.greatest(F.col("sa.__s"), F.col("sb.__s")).alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_long.unionByName(cand_short).dropDuplicates(["id_a", "id_b"])
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"), d)
+    return (
+        cand.select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )

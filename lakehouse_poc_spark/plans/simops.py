@@ -540,3 +540,36 @@ def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path edit-distance pairs: PassJoin-style chunk blocking
+# (guaranteed recall via the pigeonhole chunks, see
+# operators/dedup.py::levenshtein_pairs_blocked). Result-identical to
+# the brute twin, so it shares the same oracle.
+@query(
+    "levenshtein_blocked_parts",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def levenshtein_blocked_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import levenshtein_pairs_blocked
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    return (
+        levenshtein_pairs_blocked(names, text_col="p_name", id_col="p_name", max_dist=2)
+        .select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -226,3 +226,43 @@ def test_kmeans_ivf_deterministic_and_recall(spark):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_blocked_levenshtein_equals_brute(spark):
+    """PassJoin-style chunk blocking must return EXACTLY the brute
+    pairs (guaranteed recall + same verification) on both a typo
+    corpus and the fixture part names."""
+    from lakehouse_poc_spark.operators.dedup import (
+        levenshtein_pairs,
+        levenshtein_pairs_blocked,
+    )
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    typos = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([
+            "spark", "spurk", "sprk", "sparkle", "park", "quark",
+            "a", "ab", "", "abcd", "abce", "abcde",
+            "mergesort", "mergesortt", "mergeport", "heapsort",
+        ])],
+        "id long, s string",
+    )
+    for max_dist in (1, 2, 3):
+        brute = {
+            (r.id_a, r.id_b, r.dist)
+            for r in levenshtein_pairs(typos, "s", "id", max_dist).collect()
+        }
+        blocked = {
+            (r.id_a, r.id_b, r.dist)
+            for r in levenshtein_pairs_blocked(typos, "s", "id", max_dist).collect()
+        }
+        assert blocked == brute, max_dist
+    names = read_parquet_table(spark, SF, "part").select("p_name").distinct()
+    brute = {
+        (r.id_a, r.id_b)
+        for r in levenshtein_pairs(names, "p_name", "p_name", 2).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in levenshtein_pairs_blocked(names, "p_name", "p_name", 2).collect()
+    }
+    assert blocked == brute
