@@ -31,6 +31,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def zorder_value(x: "F.Column", y: "F.Column", bits: int = 16) -> "F.Column":
+    """Morton (Z-order) interleave of two normalized integer rank
+    columns (each already scaled into [0, 2**bits)): bit i of x lands
+    at position 2i, bit i of y at 2i+1. Locality in BOTH dimensions
+    maps to locality in the single z value, so range-clustering files
+    on z gives two-dimensional file skipping — Delta OPTIMIZE ZORDER's
+    core, as a pure expression."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
 def delta_available() -> bool:
     """True when the delta-spark bindings are importable. This container
     ships without them; on a real cluster ``pip install delta-spark`` +
@@ -249,6 +266,7 @@ class Warehouse:
         target_files: int,
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> int:
         """Small-file compaction: rewrite the table into
         ``target_files`` files per partition (atomic staged swap). The
@@ -270,6 +288,31 @@ class Warehouse:
         turns full scans into a handful of file reads."""
         before = len(list(self.path(table).glob("**/*.parquet")))
         df = self.read(table, merge_schema=True)
+        if zorder_by:
+            if partition_by or cluster_by:
+                raise ValueError("zorder_by excludes partition_by/cluster_by")
+            cx, cy = zorder_by
+            # min/max → 16-bit rank space (one tiny agg, driver-side
+            # literals), then Morton interleave; cluster files on z
+            lo_hi = df.agg(
+                F.min(cx).cast("double"), F.max(cx).cast("double"),
+                F.min(cy).cast("double"), F.max(cy).cast("double"),
+            ).collect()[0]
+            x0, x1, y0, y1 = (float(v) for v in lo_hi)
+            sx = 65535.0 / ((x1 - x0) or 1.0)
+            sy = 65535.0 / ((y1 - y0) or 1.0)
+            z = zorder_value(
+                ((F.col(cx).cast("double") - F.lit(x0)) * F.lit(sx)).cast("long"),
+                ((F.col(cy).cast("double") - F.lit(y0)) * F.lit(sy)).cast("long"),
+            )
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            self.overwrite_from_plan(df, table, partition_by=None)
+            return before
         if cluster_by:
             if partition_by:
                 raise ValueError(

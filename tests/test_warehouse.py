@@ -170,3 +170,32 @@ def test_compaction_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary value may touch)
     assert wh.read("raw.clustered").count() == 400
+
+
+def test_compaction_zorder_shrinks_both_dimension_ranges(spark, tmp_path):
+    """Z-order clustering: each output file covers a sub-range of BOTH
+    columns (vs 1D clustering, which only bounds its own column), so
+    min/max stats skip files for filters on either dimension."""
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n = 1024
+    df = spark.range(n).select(
+        F.pmod(F.col("id") * 73, n).alias("x"),
+        F.pmod(F.col("id") * 151, n).alias("y"),
+    )
+    wh.append(df.repartition(8), "raw.z")
+    wh.compact("raw.z", target_files=16, zorder_by=("x", "y"))
+    files = sorted(wh.path("raw.z").glob("*.parquet"))
+    assert len(files) >= 8
+    spans = []
+    for f in files:
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append(((max(xs) - min(xs)) / n, (max(ys) - min(ys)) / n))
+    # average per-file span in EACH dimension well below the full range
+    import statistics
+
+    assert statistics.mean(s[0] for s in spans) < 0.55
+    assert statistics.mean(s[1] for s in spans) < 0.55
+    assert wh.read("raw.z").count() == n
