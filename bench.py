@@ -77,6 +77,12 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
 
     def _noop(batches):
+        # also warm the imports the multimodal/packing kernels use, so
+        # the first timed Arrow-UDF query isn't charged ~2s of per-worker
+        # numpy import cost
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
         yield from batches
 
     spark.range(cores).repartition(cores).mapInPandas(_noop, "id long").count()
@@ -93,7 +99,7 @@ def main() -> None:
             continue
         best = float("inf")
         attempts = 0
-        while attempts < 2 or (best < 3.0 and attempts < 3):
+        while attempts < 2 or (best < 4.0 and attempts < 3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
