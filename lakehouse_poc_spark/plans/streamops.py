@@ -441,3 +441,62 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment: events arrive as two ordered micro-
+# batches; each batch is enriched against the static (pre-deduped)
+# order dimension with the SAME one-shuffle as-of operator the batch
+# surface uses, appended to a parquet sink. Row-level semantics are
+# batch-identical because backward as-of needs only the static right
+# side, so the oracle is the batch twin's ASOF JOIN.
+@query(
+    "stream_asof_enrich_events",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS matched_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.matched_orderkey
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def stream_asof_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ..streaming.runner import run_foreach_batch
+
+    work = Path(tempfile.mkdtemp(prefix="stream_asof_"))
+    src = work / "in"
+    sink = work / "out"
+    src.mkdir()
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = (
+        read_parquet_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("matched_orderkey"))
+    )
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = asof_join(
+            batch_df,
+            orders,
+            left_on="ts",
+            right_on="o_orderdate",
+            by_left=["user_id"],
+            by_right=["o_custkey"],
+            right_payload=["matched_orderkey"],
+        ).select("event_id", "user_id", "matched_orderkey")
+        out.write.mode("append").parquet(str(sink))
+
+    ckpt = str(work / "ckpt")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(str(src))
+    run_foreach_batch(stream_parquet(spark, str(src), ev.schema), enrich, ckpt)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(str(src))
+    run_foreach_batch(stream_parquet(spark, str(src), ev.schema), enrich, ckpt)
+    return spark.read.parquet(str(sink)).orderBy("event_id")

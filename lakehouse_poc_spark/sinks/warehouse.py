@@ -255,6 +255,23 @@ class Warehouse:
             return
         self.overwrite_from_plan(full_rewrite, table)
 
+    def vacuum(self) -> int:
+        """Remove leftover ``__staging``/``__old`` dirs that a crash
+        between the write and the swap in ``overwrite_from_plan`` can
+        strand (the parquet-emulation analogue of ``VACUUM``; Delta's
+        own vacuum handles its tombstoned files). Safe at any time: live
+        tables never have these suffixes. Returns dirs removed."""
+        removed = 0
+        for d in self.root.glob("**/*__staging"):
+            if d.is_dir():
+                shutil.rmtree(d)
+                removed += 1
+        for d in self.root.glob("**/*__old"):
+            if d.is_dir():
+                shutil.rmtree(d)
+                removed += 1
+        return removed
+
     def drop(self, table: str) -> None:
         p = self.path(table)
         if p.exists():

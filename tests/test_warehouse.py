@@ -199,3 +199,15 @@ def test_compaction_zorder_shrinks_both_dimension_ranges(spark, tmp_path):
     assert statistics.mean(s[0] for s in spans) < 0.55
     assert statistics.mean(s[1] for s in spans) < 0.55
     assert wh.read("raw.z").count() == n
+
+
+def test_vacuum_removes_stranded_swap_dirs(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    wh.append(df, "raw.t")
+    # simulate a crash between write and swap
+    (wh.path("raw.t").parent / "t__staging").mkdir()
+    (wh.path("raw.t").parent / "t__old").mkdir()
+    assert wh.vacuum() == 2
+    assert wh.vacuum() == 0
+    assert wh.read("raw.t").count() == 10
