@@ -60,6 +60,8 @@ HEADLINE = [
     "multimodal_image_stats",
     "similarity_topk_ivf",
     "docs_curation_pipeline",
+    "tfidf_top_terms",
+    "decontaminate_docs",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

@@ -47,6 +47,7 @@ def query(name: str, oracle: str | None = None):
 def _load_all() -> None:
     from . import (  # noqa: F401
         analytics,
+        corpus,
         curation,
         etlops,
         multimodal,

@@ -1,0 +1,362 @@
+"""Corpus-level text analytics for training-data pipelines:
+vocabulary construction, TF-IDF term weighting, Gopher-style
+repetition screens, benchmark decontamination, and deterministic
+global shuffle ordering.
+
+These extend the per-document screens in plans/textops.py to
+whole-corpus statistics — the operations a 100 TB pretraining
+pipeline runs between raw ingestion and sequence packing. The
+reference (lakehouse-poc) has no text surface at all; this family is part
+of the SURVEY §7 extension plan.
+
+Determinism: fractions are single IEEE divisions of exact integer
+counts (bit-identical across engines). TF-IDF uses natural log —
+the one transcendental in the repo's oracle surface — so the score
+is rounded to 6 dp and the ranking key is the rounded micro-int,
+making tie semantics identical in Spark and DuckDB.
+
+100 TB shapes:
+- vocab_top_tokens: explode → partial count (map-side combine) →
+  one shuffle on token → global top-k. Vocabulary cardinality,
+  not corpus size, bounds the shuffle.
+- tfidf_top_terms: one shuffle to (doc, term) counts; document
+  frequencies are vocabulary-sized and broadcast back.
+- text_repetition_stats: per-doc grouped counts — shuffles on
+  (doc_id, gram), never across documents.
+- decontaminate_docs: eval-set grams are a small fraction of the
+  corpus (held-out split); the gram join is the only shuffle, and
+  AQE will broadcast the eval side when it fits.
+- global_shuffle_documents: a range-partitioned sort on a uniform
+  md5 key — the canonical distributed shuffle of training data
+  (balanced partitions for free because the key is uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from ..sources.readers import read_parquet_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction: global top-k tokens by occurrence count.
+@query(
+    "vocab_top_tokens",
+    oracle=r"""
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-3 most characteristic terms per document.
+#
+# score = tf * ln((N + 1) / (df + 1))  (smoothed IDF). ln is the one
+# operation IEEE doesn't pin down bit-for-bit across libm
+# implementations, so the published score is ROUND(.., 6) and the
+# rank key is the rounded micro-int — tie handling is then exact and
+# identical in both engines.
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents
+        )
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tc.doc_id, tc.token, tc.tf, dfreq.df,
+               CAST(ROUND(CAST(tc.tf AS DOUBLE)
+                    * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                         / (CAST(dfreq.df AS DOUBLE) + 1.0)) * 1000000.0)
+                    AS BIGINT) AS score_micro
+        FROM tc, dfreq, n
+        WHERE tc.token = dfreq.token
+    )
+    SELECT doc_id, token, tf, df,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_micro DESC, token) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY doc_id, token
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Document frequencies: one row per (doc, term) already, so a
+    # plain count per token is the distinct-doc count. Vocabulary-
+    # sized → broadcast back onto the big relation.
+    dfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tc.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_micro",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("score_micro").cast("double") / F.lit(1000000.0)).alias("tfidf"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition screens: distinct-token ratio, most-common-
+# token fraction, most-common-bigram fraction, and the resulting
+# keep/drop flag. (Rae et al. 2021, "Scaling Language Models" §A1.1 —
+# public paper; thresholds here are illustrative.)
+@query(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ),
+    tok_counts AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+        GROUP BY doc_id, token
+    ),
+    tok_stats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_tok
+        FROM tok_counts GROUP BY doc_id
+    ),
+    big_counts AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM toks
+        )
+        GROUP BY doc_id, gram
+    ),
+    big_stats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_big,
+               CAST(MAX(c) AS BIGINT) AS top_big
+        FROM big_counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_tok,
+           CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tok AS DOUBLE)
+               AS distinct_frac,
+           CAST(t.top_tok AS DOUBLE) / CAST(t.n_tok AS DOUBLE)
+               AS top_token_frac,
+           CAST(b.top_big AS DOUBLE) / CAST(b.n_big AS DOUBLE)
+               AS top_bigram_frac,
+           (CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tok AS DOUBLE) >= 0.2
+            AND CAST(t.top_tok AS DOUBLE) / CAST(t.n_tok AS DOUBLE) <= 0.2
+            AND CAST(b.top_big AS DOUBLE) / CAST(b.n_big AS DOUBLE) <= 0.18)
+               AS keep
+    FROM tok_stats t JOIN big_stats b ON t.doc_id = b.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    big_counts = (
+        docs.select("doc_id", F.explode(word_shingles("text", 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big_stats = big_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_big"), F.max("c").alias("top_big")
+    )
+    distinct_frac = F.col("n_distinct").cast("double") / F.col("n_tok").cast("double")
+    top_token_frac = F.col("top_tok").cast("double") / F.col("n_tok").cast("double")
+    top_bigram_frac = F.col("top_big").cast("double") / F.col("n_big").cast("double")
+    return (
+        tok_stats.join(big_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            distinct_frac.alias("distinct_frac"),
+            top_token_frac.alias("top_token_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            (
+                (distinct_frac >= 0.2)
+                & (top_token_frac <= 0.2)
+                & (top_bigram_frac <= 0.18)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs that share any token
+# 8-gram with the held-out eval split. The split reuses the repo's
+# md5-bucket convention (curation.py): bucket >= 'f0' (16/256 ≈ 6%)
+# is "eval", the rest is the training corpus being screened.
+_EVAL_LO = "f0"
+_DECONTAM_N = 8
+
+
+@query(
+    "decontaminate_docs",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b,
+               string_split_regex(text, '\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, b,
+               array_to_string(w[i.i:i.i + {_DECONTAM_N - 1}], ' ') AS gram
+        FROM d, LATERAL unnest(range(1, len(w) - {_DECONTAM_N - 2})) AS i(i)
+    ),
+    eval_grams AS (
+        SELECT DISTINCT gram FROM g WHERE b >= '{_EVAL_LO}'
+    ),
+    hits AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM g JOIN eval_grams e USING (gram)
+        WHERE g.b < '{_EVAL_LO}'
+        GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_grams,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM d WHERE b < '{_EVAL_LO}') t
+    LEFT JOIN hits h ON t.doc_id = h.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("b"),
+        "text",
+    )
+    grams = bucketed.select(
+        "doc_id",
+        "b",
+        F.explode(word_shingles("text", _DECONTAM_N)).alias("gram"),
+    ).distinct()
+    eval_grams = (
+        grams.filter(F.col("b") >= _EVAL_LO).select("gram").distinct()
+    )
+    train_grams = grams.filter(F.col("b") < _EVAL_LO)
+    # The eval split is a small fraction of the corpus; AQE broadcasts
+    # it when it fits, otherwise this is one shuffle on gram.
+    hits = (
+        train_grams.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train = bucketed.filter(F.col("b") < _EVAL_LO).select("doc_id")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias(
+                "n_shared_grams"
+            ),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle: the training-order permutation as a
+# range-partitioned sort on a salted md5 key. Uniform key → balanced
+# partitions; same seed → same order on any cluster size.
+_SHUFFLE_SEED = "seed42:"
+
+
+@query(
+    "global_shuffle_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('{_SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def global_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
+    ).orderBy("doc_id")

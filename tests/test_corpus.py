@@ -1,0 +1,78 @@
+"""Corpus-analytics operators (plans/corpus.py): result sanity plus
+the scale-critical plan shapes — vocabulary counting combines
+map-side, TF-IDF broadcasts the vocabulary-sized document-frequency
+relation, and decontamination joins grams instead of doc pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_vocab_counts_sum_to_corpus_tokens(spark):
+    vocab = QUERIES["vocab_top_tokens"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("n")
+    ).first()["n"]
+    rows = vocab.collect()
+    # the synthetic vocabulary is < 100 words, so top-100 is exhaustive
+    assert sum(r["n_occurrences"] for r in rows) == n_tokens
+    assert all(r["doc_freq"] <= r["n_occurrences"] for r in rows)
+
+
+def test_vocab_aggregates_partially_before_shuffle(spark):
+    plan = _formatted(QUERIES["vocab_top_tokens"](spark, SF))
+    assert "partial_count" in plan
+
+
+def test_tfidf_broadcasts_document_frequencies(spark):
+    df = QUERIES["tfidf_top_terms"](spark, SF)
+    plan = _formatted(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    rows = df.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert rows <= 3
+
+
+def test_repetition_fractions_bounded(spark):
+    rows = QUERIES["text_repetition_stats"](spark, SF).collect()
+    for r in rows:
+        assert 0.0 < r["distinct_frac"] <= 1.0
+        assert 0.0 < r["top_token_frac"] <= 1.0
+        assert 0.0 < r["top_bigram_frac"] <= 1.0
+
+
+def test_decontaminate_screens_only_train_split(spark):
+    res = QUERIES["decontaminate_docs"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train_ids = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("b"),
+        )
+        .filter(F.col("b") < "f0")
+        .collect()
+    }
+    rows = res.collect()
+    assert {r["doc_id"] for r in rows} == train_ids
+    assert all((r["n_shared_grams"] > 0) == r["contaminated"] for r in rows)
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    rows = QUERIES["global_shuffle_documents"](spark, SF).collect()
+    positions = sorted(r["shuffle_pos"] for r in rows)
+    assert positions == list(range(1, len(rows) + 1))
+    # deterministic: same seed → same order
+    again = {r["doc_id"]: r["shuffle_pos"] for r in QUERIES[
+        "global_shuffle_documents"](spark, SF).collect()}
+    assert all(again[r["doc_id"]] == r["shuffle_pos"] for r in rows)
