@@ -1,0 +1,148 @@
+"""Data-quality queries: the expectations engine (operators/quality.py)
+driven over the orders and events tables, oracle-checked end-to-end.
+
+``dq_orders_expectations`` exercises every expectation kind — range,
+set-membership, regex, not-null, key uniqueness, referential
+integrity — and folds the report into ONE aggregate pass.
+``dq_quarantine_split`` is the row-level view: the quarantined rows
+with their violation reasons, exactly as an ingest gate would land
+them in a reject table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quality as Q
+from ..sources.readers import read_parquet_table
+from . import query
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]
+_PRIORITIES_SQL = ", ".join(f"'{p}'" for p in _PRIORITIES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dq_orders_expectations",
+    oracle=f"""
+    WITH refkeys AS (
+        SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0
+    ),
+    flags AS (
+        SELECT
+            (o_totalprice IS NOT NULL AND o_totalprice >= 0
+             AND o_totalprice <= 300000) AS ok_price_range,
+            o_orderpriority IN ({_PRIORITIES_SQL}) AS ok_priority_known,
+            regexp_matches(o_orderstatus, '^[OF]$') AS ok_status_format,
+            o_orderdate IS NOT NULL AS ok_date_not_null,
+            (COUNT(*) OVER (PARTITION BY o_orderkey)) = 1 AS ok_order_key_unique,
+            o_custkey IN (SELECT c_custkey FROM refkeys) AS ok_cust_ref
+        FROM orders
+    )
+    SELECT 'cust_ref' AS expectation,
+           CAST(SUM(CASE WHEN NOT ok_cust_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           CAST(COUNT(*) AS BIGINT) AS n_rows FROM flags
+    UNION ALL
+    SELECT 'date_not_null',
+           CAST(SUM(CASE WHEN NOT ok_date_not_null THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 'order_key_unique',
+           CAST(SUM(CASE WHEN NOT ok_order_key_unique THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 'price_range',
+           CAST(SUM(CASE WHEN NOT ok_price_range THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 'priority_known',
+           CAST(SUM(CASE WHEN NOT ok_priority_known THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT 'status_format',
+           CAST(SUM(CASE WHEN NOT ok_status_format THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM flags
+    UNION ALL
+    SELECT '__total_invalid',
+           CAST(SUM(CASE WHEN NOT (ok_price_range AND ok_priority_known
+                                   AND ok_status_format AND ok_date_not_null
+                                   AND ok_order_key_unique AND ok_cust_ref)
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM flags
+    ORDER BY expectation
+    """,
+)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    checked = Q.check(
+        orders,
+        [
+            Q.in_range("price_range", "o_totalprice", 0, 300000),
+            Q.one_of("priority_known", "o_orderpriority", _PRIORITIES),
+            Q.matches("status_format", "o_orderstatus", "^[OF]$"),
+            Q.not_null("date_not_null", "o_orderdate"),
+        ],
+        unique_key=("order_key_unique", ["o_orderkey"]),
+        referential=(
+            "cust_ref",
+            "o_custkey",
+            customer.filter(F.col("c_acctbal") > 0),
+            "c_custkey",
+        ),
+    )
+    names = [
+        "price_range",
+        "priority_known",
+        "status_format",
+        "date_not_null",
+        "order_key_unique",
+        "cust_ref",
+    ]
+    return Q.summarize(checked, names).select(
+        "expectation", "n_failed", "n_rows"
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dq_quarantine_split",
+    oracle="""
+    WITH flags AS (
+        SELECT event_id, user_id,
+               (ts IS NOT NULL) AS ok_ts,
+               (event_type IN ('click', 'view', 'purchase', 'signup'))
+                   AS ok_type,
+               (value IS NOT NULL AND value >= 0 AND value <= 400) AS ok_value
+        FROM events
+    )
+    SELECT event_id, user_id,
+           concat_ws(',',
+               CASE WHEN NOT ok_ts THEN 'ts_not_null' END,
+               CASE WHEN NOT ok_type THEN 'type_known' END,
+               CASE WHEN NOT ok_value THEN 'value_range' END
+           ) AS _violations
+    FROM flags
+    WHERE NOT (ok_ts AND ok_type AND ok_value)
+    ORDER BY event_id
+    """,
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    checked = Q.check(
+        events,
+        [
+            Q.not_null("ts_not_null", "ts"),
+            Q.one_of("type_known", "event_type", ["click", "view", "purchase", "signup"]),
+            Q.in_range("value_range", "value", 0, 400),
+        ],
+    )
+    _valid, invalid = Q.quarantine(checked)
+    return invalid.select("event_id", "user_id", Q.VIOLATIONS_COL).orderBy(
+        "event_id"
+    )

@@ -138,6 +138,99 @@ def scd2_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stat")
 
 
+# ---------------------------------------------------------------------------
+# Time travel + CDC over the versioned warehouse: the same two-merge
+# SCD2 scenario with track_versions=True. Merge 1 bootstraps the
+# dimension (version 0); merge 2 archives it and installs version 1.
+def _run_versioned_scenario(spark: SparkSession, sf_dir: str) -> Warehouse:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    root = SCRATCH / f"scd2v_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root), track_versions=True)
+    run_pipeline(spark, wh, CUST_CFG, T1, batch=batch1)
+    run_pipeline(spark, wh, CUST_CFG, T2, batch=batch2)
+    return wh
+
+
+# Read version 0 (the pre-rewrite snapshot) through the live table dir
+# of version 1 — proves the archive holds the exact bootstrap state.
+@query(
+    "warehouse_time_travel",
+    oracle=f"""
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           '{T1}' AS valid_from, 'OPEN' AS valid_to, TRUE AS is_current
+    FROM customer WHERE c_custkey % 2 = 0
+    ORDER BY key
+    """,
+)
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = _run_versioned_scenario(spark, sf_dir)
+    assert wh.version(CUST_CFG.dim_table) == 1
+    t = CUST_CFG.technical
+    v0 = wh.read_version(CUST_CFG.dim_table, 0)
+    return v0.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.date_format(t.valid_from, "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(t.valid_to, "yyyy-MM-dd HH:mm:ss"), F.lit("OPEN")
+        ).alias("valid_to"),
+        F.col(t.is_current).alias("is_current"),
+    ).orderBy("key")
+
+
+# CDC between version 0 and version 1, Delta-CDF-shaped: the second
+# merge's effects reappear as insert / update_preimage /
+# update_postimage rows (no deletes — SCD2 never deletes).
+@query(
+    "warehouse_table_changes",
+    oracle=f"""
+    -- inserts at T2: changed evens (segment CHANGED) + new odd keys
+    SELECT c_custkey AS key, 'CHANGED' AS segment,
+           '{T2}' AS valid_from, 'OPEN' AS valid_to, TRUE AS is_current,
+           'insert' AS _change_type
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '{T2}', 'OPEN', TRUE, 'insert'
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    -- the T1 open row of every changed even key flips to closed
+    SELECT c_custkey, c_mktsegment, '{T1}', 'OPEN', TRUE, 'update_preimage'
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '{T1}', '{T2}', FALSE, 'update_postimage'
+    FROM customer WHERE c_custkey % 10 = 0
+    ORDER BY key, valid_from, _change_type
+    """,
+)
+def warehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = _run_versioned_scenario(spark, sf_dir)
+    t = CUST_CFG.technical
+    changes = wh.table_changes(
+        CUST_CFG.dim_table, 0, 1, keys=["c_custkey", t.valid_from]
+    )
+    return changes.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.date_format(t.valid_from, "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(t.valid_to, "yyyy-MM-dd HH:mm:ss"), F.lit("OPEN")
+        ).alias("valid_to"),
+        F.col(t.is_current).alias("is_current"),
+        "_change_type",
+    ).orderBy("key", "valid_from", "_change_type")
+
+
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
     from .tpch import dsum
 

@@ -71,7 +71,13 @@ class Warehouse:
 
     FORMATS = ("parquet", "delta")
 
-    def __init__(self, spark: SparkSession, root: str, format: str = "parquet"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        format: str = "parquet",
+        track_versions: bool = False,
+    ):
         if format not in self.FORMATS:
             raise ValueError(f"format must be one of {self.FORMATS}, got {format!r}")
         if format == "delta" and not delta_available():
@@ -82,11 +88,136 @@ class Warehouse:
         self.spark = spark
         self.root = Path(root)
         self.format = format
+        # Time travel: when True, every table REWRITE (overwrite /
+        # overwrite_from_plan / SCD2 apply) archives the superseded
+        # state under <table>__versions/v{n} instead of deleting it.
+        # Delta tracks versions natively, so the flag is parquet-only.
+        # Appends are not versioned: raw landing tables are
+        # append-only logs whose history IS the table.
+        self.track_versions = track_versions and format == "parquet"
         self.root.mkdir(parents=True, exist_ok=True)
 
     def path(self, table: str) -> Path:
         # "layer0100.kosten_raw" → <root>/layer0100/kosten_raw
         return self.root.joinpath(*table.split("."))
+
+    def _versions_dir(self, table: str) -> Path:
+        p = self.path(table)
+        return p.with_name(p.name + "__versions")
+
+    def version(self, table: str) -> int:
+        """Current version number: 0 for a freshly created table,
+        +1 per archived rewrite (Delta-style monotone counter).
+        Derived from the highest archived index — NOT the archive
+        count — so vacuumed history never causes index reuse."""
+        vd = self._versions_dir(table)
+        snaps = sorted(vd.glob("v*")) if vd.exists() else []
+        return int(snaps[-1].name[1:]) + 1 if snaps else 0
+
+    def history(self, table: str) -> list[dict]:
+        """Version log, oldest first: archived snapshots plus the
+        current state. Metadata only — nothing is read."""
+        entries = []
+        vd = self._versions_dir(table)
+        if vd.exists():
+            for d in sorted(vd.glob("v*")):
+                entries.append(
+                    {
+                        "version": int(d.name[1:]),
+                        "n_files": len(list(d.glob("**/*.parquet"))),
+                        "current": False,
+                    }
+                )
+        entries.append(
+            {
+                "version": self.version(table),
+                "n_files": len(list(self.path(table).glob("**/*.parquet"))),
+                "current": True,
+            }
+        )
+        return entries
+
+    def _archive_current(self, table: str) -> None:
+        """Move the live table dir into the version archive (called by
+        rewrite ops before installing the new state). Rename-only —
+        no data is copied, so archiving is O(1) at any table size."""
+        target = self.path(table)
+        if not self.track_versions or not target.exists():
+            return
+        vd = self._versions_dir(table)
+        vd.mkdir(parents=True, exist_ok=True)
+        target.rename(vd / f"v{self.version(table):06d}")
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel: read the table as of ``version``. The current
+        version reads the live dir; earlier ones read the archive.
+        (Delta: ``option("versionAsOf", n)``.)"""
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            return (
+                self.spark.read.format("delta")
+                .option("versionAsOf", version)
+                .load(str(self.path(table)))
+            )
+        current = self.version(table)
+        if version == current:
+            return self.read(table)
+        archived = self._versions_dir(table) / f"v{version:06d}"
+        if not archived.exists():
+            raise ValueError(
+                f"version {version} of {table!r} not found "
+                f"(current={current}; was the warehouse created with "
+                f"track_versions=True, or did vacuum prune it?)"
+            )
+        return self.spark.read.parquet(str(archived))
+
+    def table_changes(
+        self, table: str, v_from: int, v_to: int, keys: list[str]
+    ) -> DataFrame:
+        """CDC between two versions, Delta Change-Data-Feed shaped:
+        each difference row carries ``_change_type`` ∈ {insert, delete,
+        update_preimage, update_postimage}. ``keys`` identify a row
+        across versions; all other columns are change-compared
+        null-safely.
+
+        Plan shape: two anti-joins + one inner join, all on ``keys`` —
+        a single shuffle key, so AQE plans them as one exchange reused
+        three times. Nothing is driver-side; at 100 TB the cost is one
+        co-partitioning of the two snapshots. (Delta: the change feed
+        is read from the log instead — ``readChangeFeed`` — but the
+        emitted schema here matches, so callers are portable.)"""
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            return (
+                self.spark.read.format("delta")
+                .option("readChangeFeed", "true")
+                .option("startingVersion", v_from)
+                .option("endingVersion", v_to)
+                .load(str(self.path(table)))
+            )
+        old = self.read_version(table, v_from)
+        new = self.read_version(table, v_to)
+        data_cols = [c for c in new.columns if c not in keys]
+        inserts = new.join(old, keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = old.join(new, keys, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        o = old.alias("o")
+        n = new.alias("n")
+        changed = n.join(o, keys, "inner").filter(
+            ~F.expr(
+                " AND ".join(f"o.{c} <=> n.{c}" for c in data_cols)
+            )
+            if data_cols
+            else F.lit(False)
+        )
+        pre = changed.select(
+            *keys, *[F.col(f"o.{c}").alias(c) for c in data_cols]
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        post = changed.select(
+            *keys, *[F.col(f"n.{c}").alias(c) for c in data_cols]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
     def table_exists(self, table: str) -> bool:
         p = self.path(table)
@@ -116,6 +247,7 @@ class Warehouse:
         w.save(str(self.path(table)))
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        self._archive_current(table)
         w = df.write.format(self.format).mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -146,6 +278,10 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(staged))
+        if self.track_versions:
+            self._archive_current(table)
+            staged.rename(target)
+            return
         old = target.with_name(target.name + "__old")
         if old.exists():
             shutil.rmtree(old)
@@ -255,12 +391,17 @@ class Warehouse:
             return
         self.overwrite_from_plan(full_rewrite, table)
 
-    def vacuum(self) -> int:
+    def vacuum(self, retain_versions: int | None = None) -> int:
         """Remove leftover ``__staging``/``__old`` dirs that a crash
         between the write and the swap in ``overwrite_from_plan`` can
         strand (the parquet-emulation analogue of ``VACUUM``; Delta's
         own vacuum handles its tombstoned files). Safe at any time: live
-        tables never have these suffixes. Returns dirs removed."""
+        tables never have these suffixes.
+
+        ``retain_versions=n`` additionally prunes archived time-travel
+        snapshots, keeping only the newest ``n`` (metadata-only dir
+        removals — the retention knob every versioned table needs
+        before the archive outgrows the table). Returns dirs removed."""
         removed = 0
         for d in self.root.glob("**/*__staging"):
             if d.is_dir():
@@ -270,12 +411,21 @@ class Warehouse:
             if d.is_dir():
                 shutil.rmtree(d)
                 removed += 1
+        if retain_versions is not None:
+            for vd in self.root.glob("**/*__versions"):
+                snaps = sorted(vd.glob("v*"))
+                for d in snaps[: max(0, len(snaps) - retain_versions)]:
+                    shutil.rmtree(d)
+                    removed += 1
         return removed
 
     def drop(self, table: str) -> None:
         p = self.path(table)
         if p.exists():
             shutil.rmtree(p)
+        vd = self._versions_dir(table)
+        if vd.exists():
+            shutil.rmtree(vd)
 
     def compact(
         self,

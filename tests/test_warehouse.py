@@ -211,3 +211,83 @@ def test_vacuum_removes_stranded_swap_dirs(spark, tmp_path):
     assert wh.vacuum() == 2
     assert wh.vacuum() == 0
     assert wh.read("raw.t").count() == 10
+
+
+def test_time_travel_versions_and_history(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), track_versions=True)
+    t = "dim.v"
+    wh.overwrite(spark.range(3).selectExpr("id", "id AS v"), t)
+    assert wh.version(t) == 0
+    wh.overwrite_from_plan(wh.read(t).withColumn("v", F.col("v") + 10), t)
+    wh.overwrite_from_plan(wh.read(t).withColumn("v", F.col("v") + 100), t)
+    assert wh.version(t) == 2
+    assert [r["id"] for r in wh.read_version(t, 0).orderBy("id").collect()] == [0, 1, 2]
+    assert wh.read_version(t, 0).orderBy("id").collect()[1]["v"] == 1
+    assert wh.read_version(t, 1).orderBy("id").collect()[1]["v"] == 11
+    assert wh.read_version(t, 2).orderBy("id").collect()[1]["v"] == 111
+    hist = wh.history(t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[-1]["current"] and not hist[0]["current"]
+
+
+def test_vacuum_retention_never_reuses_version_numbers(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), track_versions=True)
+    t = "dim.v"
+    wh.overwrite(spark.range(2).selectExpr("id", "0 AS gen"), t)
+    for gen in (1, 2, 3):
+        wh.overwrite(spark.range(2).selectExpr("id", f"{gen} AS gen"), t)
+    assert wh.version(t) == 3
+    assert wh.vacuum(retain_versions=1) == 2  # v0, v1 pruned
+    with pytest.raises(ValueError):
+        wh.read_version(t, 0)
+    # the next rewrite must mint v3's archive slot, not recycle v0's
+    wh.overwrite(spark.range(2).selectExpr("id", "4 AS gen"), t)
+    assert wh.version(t) == 4
+    assert wh.read_version(t, 3).first()["gen"] == 3
+
+
+def test_table_changes_emits_all_four_change_types(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), track_versions=True)
+    t = "dim.cdc"
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "k int, v string"
+        ),
+        t,
+    )
+    wh.overwrite_from_plan(
+        spark.createDataFrame(
+            # k=1 unchanged, k=2 updated, k=3 null→value, k=4 inserted
+            [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "k int, v string"
+        ),
+        t,
+    )
+    rows = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in wh.table_changes(t, 0, 1, keys=["k"]).collect()
+    }
+    assert rows == {
+        (2, "update_preimage"): "b",
+        (2, "update_postimage"): "B",
+        (3, "update_preimage"): None,  # null-safe compare flags null→'c'
+        (3, "update_postimage"): "c",
+        (4, "insert"): "d",
+    }
+    # reverse direction: the insert reads back as a delete
+    back = wh.table_changes(t, 1, 0, keys=["k"]).filter(
+        "_change_type = 'delete'"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in back] == [(4, "d")]
+
+
+def test_drop_removes_version_archive(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), track_versions=True)
+    t = "dim.v"
+    wh.overwrite(spark.range(2), t)
+    wh.overwrite_from_plan(wh.read(t), t)
+    assert wh._versions_dir(t).exists()
+    wh.drop(t)
+    assert not wh._versions_dir(t).exists()
+    assert not wh.table_exists(t)
