@@ -49,6 +49,7 @@ def _load_all() -> None:
         analytics,
         corpus,
         curation,
+        dqops,
         etlops,
         multimodal,
         simops,

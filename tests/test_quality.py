@@ -1,0 +1,99 @@
+"""Data-quality expectations engine (operators/quality.py): violation
+annotation semantics, quarantine split, and the scale-critical plan
+shapes (row-local checks add no exchange; the summary is one
+aggregate pass, not one job per rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.operators import quality as Q
+
+
+def _checked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok"),
+            (2, -5.0, "ok"),       # range violation
+            (3, 10.0, "bad"),      # set violation
+            (4, None, "bad"),      # range (null) + set violations
+            (4, 10.0, "ok"),       # duplicate key (both rows flagged)
+            (4, 10.0, "ok"),
+        ],
+        "k int, amount double, status string",
+    )
+    return Q.check(
+        df,
+        [
+            Q.in_range("amount_range", "amount", 0, 100),
+            Q.one_of("status_known", "status", ["ok"]),
+        ],
+        unique_key=("k_unique", ["k"]),
+    )
+
+
+def test_violations_sorted_and_composed(spark):
+    rows = {
+        (r["k"], r["amount"], r["status"]): r[Q.VIOLATIONS_COL]
+        for r in _checked(spark).collect()
+    }
+    assert rows[(1, 10.0, "ok")] == ""
+    assert rows[(2, -5.0, "ok")] == "amount_range"
+    assert rows[(3, 10.0, "bad")] == "status_known"
+    # multi-violation: alphabetical, comma-joined; duplicate key adds k_unique
+    assert rows[(4, None, "bad")] == "amount_range,k_unique,status_known"
+    assert rows[(4, 10.0, "ok")] == "k_unique"
+
+
+def test_summarize_counts_each_rule_and_total(spark):
+    out = {
+        r["expectation"]: (r["n_failed"], r["n_rows"])
+        for r in Q.summarize(
+            _checked(spark), ["amount_range", "status_known", "k_unique"]
+        ).collect()
+    }
+    assert out["amount_range"] == (2, 6)
+    assert out["status_known"] == (2, 6)
+    assert out["k_unique"] == (3, 6)
+    assert out["__total_invalid"] == (5, 6)
+
+
+def test_quarantine_partitions_rows(spark):
+    valid, invalid = Q.quarantine(_checked(spark))
+    assert valid.count() == 1
+    assert invalid.count() == 5
+    assert Q.VIOLATIONS_COL not in valid.columns
+
+
+def test_referential_flags_missing_and_null_fk(spark):
+    facts = spark.createDataFrame(
+        [(1, 100), (2, 999), (3, None)], "id int, fk int"
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "pk int")
+    rows = {
+        r["id"]: r[Q.VIOLATIONS_COL]
+        for r in Q.check(
+            facts, [], referential=("fk_ref", "fk", dim, "pk")
+        ).collect()
+    }
+    assert rows == {1: "", 2: "fk_ref", 3: "fk_ref"}
+
+
+def test_row_local_checks_add_no_exchange(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("amount")
+    )
+    checked = Q.check(df, [Q.in_range("amount_range", "amount", 0, 5)])
+    plan = checked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+def test_summarize_is_single_aggregate(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("amount")
+    )
+    checked = Q.check(df, [Q.in_range("amount_range", "amount", 0, 5)])
+    plan = Q.summarize(checked, ["amount_range"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    # one partial+final aggregate pair over the scan — not N count jobs
+    assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
