@@ -100,3 +100,45 @@ def test_q17_pre_aggregation_is_semi_join_pruned(spark):
     at 100 TB the unpruned variant aggregates ~brand-count× too much."""
     plan = _formatted(QUERIES["q17_small_quantity"](spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling is the runtime half of the skew story
+    (salted_agg is the aggregation half): with the detection
+    thresholds scaled to fixture size, the planner must split the hot
+    key's oversized partition instead of serializing it on one task.
+    At 100 TB the same confs (at their defaults) split any partition
+    > 256 MB — no query rewrite needed."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0)  # 90% of rows on key 0
+            .otherwise(F.pmod(F.col("id"), 500))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS dataset (count() would plan a separate query
+        # whose adaptive plan we couldn't inspect)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
