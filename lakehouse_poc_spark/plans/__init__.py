@@ -50,6 +50,7 @@ def _load_all() -> None:
         corpus,
         curation,
         dqops,
+        eventops,
         etlops,
         multimodal,
         simops,

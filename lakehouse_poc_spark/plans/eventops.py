@@ -1,0 +1,186 @@
+"""Product-analytics operators over the events stream: funnel
+conversion, cohort retention, and value histograms — the standard
+event-warehouse query family (SURVEY §7 extension scope; the
+reference has no event surface).
+
+100 TB shapes:
+- Funnel: three per-user conditional-min aggregations chained by
+  joins, ALL on user_id — one logical shuffle key, so the exchanges
+  reuse the same partitioning (and AQE coalesces); the stage tables
+  shrink monotonically (users can only drop out).
+- Cohort retention: two aggs on user_id (cohort assignment, weekly
+  activity) then one on (cohort, offset) — bytes ∝ users + cells,
+  never events, after the map-side combines.
+- Histogram: bin id is a row-local expression; one partial-combined
+  shuffle on ~#bins groups. The anti-pattern it replaces is
+  collect-then-numpy on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_parquet_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: first view → first later click → first later
+# purchase, strictly increasing timestamps per user.
+@query(
+    "funnel_conversion_events",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    )
+    ORDER BY stage
+    """,
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    return (
+        _stage(v, "1_view")
+        .unionByName(_stage(c, "2_click"))
+        .unionByName(_stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention matrix: users grouped by first-activity
+# week, counted in each subsequent week they return.
+@query(
+    "cohort_retention_events",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(date_trunc('week', e.ts) AS DATE) AS wk
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort, wk
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("bigint").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram of event values: distributed binning (the
+# declarative replacement for collect-then-histogram on the driver).
+_BIN_WIDTH = 50
+
+
+@query(
+    "histogram_event_values",
+    oracle=f"""
+    SELECT CAST(FLOOR(value / {_BIN_WIDTH}) * {_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+           CAST(FLOOR(value / {_BIN_WIDTH}) * {_BIN_WIDTH} + {_BIN_WIDTH} AS DOUBLE) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY FLOOR(value / {_BIN_WIDTH})
+    ORDER BY bin_lo
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / _BIN_WIDTH)
+    return (
+        events.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            (F.col("bin") * _BIN_WIDTH).cast("double").alias("bin_lo"),
+            (F.col("bin") * _BIN_WIDTH + _BIN_WIDTH).cast("double").alias("bin_hi"),
+            "n",
+            "total_value",
+        )
+        .orderBy("bin_lo")
+    )
