@@ -1,0 +1,80 @@
+"""File-level statistics + manifest pruning: the Iceberg/Delta
+file-skipping mechanic, built from public Spark primitives.
+
+Partition pruning skips directories; THIS skips files *within* the
+surviving directories using per-file column min/max — the second
+pruning tier a 100 TB table needs (a day partition can hold
+thousands of files; a selective filter on a clustered column should
+open only the handful whose range overlaps).
+
+- ``collect_file_stats`` is a distributed scan: files are read where
+  they live, grouped by ``_metadata.file_path`` (one shuffle with
+  ~#files groups, bytes ∝ files × columns). The resulting stats
+  table IS the manifest; persist it next to the table and refresh
+  per batch.
+- ``pruned_read`` filters the manifest to files whose [min, max]
+  overlaps the predicate range and reads only those paths. The
+  driver materializes the FILE LIST — manifest-sized, exactly what
+  every table-format planner does — never data rows. The caller's
+  predicate is re-applied on the surviving rows, so pruning is a
+  pure optimization: results are identical with or without it
+  (min/max overlap is necessary, not sufficient).
+
+Pair with ``Warehouse.compact(cluster_by=[col])``: range-clustering
+makes per-file ranges narrow and disjoint, which is what turns
+overlap pruning from "reads everything anyway" into "reads 1 file".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """Per-file row counts and column min/max for ``columns``, computed
+    distributedly (no driver-side footer loop). One row per data file:
+    (file, n_rows, <col>_min, <col>_max, ...)."""
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"), *columns
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in columns:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy("file").agg(*aggs)
+
+
+def prune_files(
+    stats: DataFrame, col: str, lo, hi
+) -> list[str]:
+    """File paths whose [min, max] range overlaps [lo, hi] — the
+    manifest-side half of file skipping. Collects only the file list
+    (manifest-sized), as any table-format planner does."""
+    surviving = stats.filter(
+        (F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi)
+    ).select("file")
+    return [r["file"] for r in surviving.collect()]
+
+
+def pruned_read(
+    spark: SparkSession,
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files that can contain rows with ``col`` in
+    [lo, hi], then re-apply the predicate (overlap is necessary, not
+    sufficient — a file spanning the range may hold no matching row).
+    Returns an empty-but-typed frame when nothing survives."""
+    files = prune_files(stats, col, lo, hi)
+    if not files:
+        any_file = [r["file"] for r in stats.select("file").limit(1).collect()]
+        empty = spark.read.parquet(*any_file).filter(F.lit(False))
+        return empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return spark.read.parquet(*files).filter(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )

@@ -231,6 +231,48 @@ def warehouse_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key", "valid_from", "_change_type")
 
 
+# ---------------------------------------------------------------------------
+# File skipping: cluster orders on o_totalprice, collect per-file
+# min/max stats (the manifest), then answer a selective range query
+# reading ONLY overlapping files. Results must equal the plain
+# predicate on the base table — pruning is a pure optimization.
+@query(
+    "file_skipping_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_totalprice <= 150000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def file_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filestats import collect_file_stats, pruned_read
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"fskip_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    wh.append(orders.repartition(8), "raw.orders")
+    wh.compact("raw.orders", target_files=8, cluster_by=["o_totalprice"])
+    path = str(wh.path("raw.orders"))
+    stats = collect_file_stats(spark, path, ["o_totalprice"])
+    pruned = pruned_read(spark, stats, "o_totalprice", 100000, 150000)
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
     from .tpch import dsum
 

@@ -1,0 +1,64 @@
+"""File-skipping statistics (operators/filestats.py): the manifest
+must prune most files of a range-clustered table for a selective
+predicate, and pruning must never change results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.operators.filestats import (
+    collect_file_stats,
+    prune_files,
+    pruned_read,
+)
+from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+
+def _clustered_table(spark, tmp_path, n_files=10):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(10_000).select(
+        F.col("id"), F.pmod(F.col("id") * 7919, 10_000).alias("v")
+    )
+    wh.append(df.repartition(8), "raw.t")
+    wh.compact("raw.t", target_files=n_files, cluster_by=["v"])
+    return str(wh.path("raw.t"))
+
+
+def test_stats_cover_every_file_and_row(spark, tmp_path):
+    path = _clustered_table(spark, tmp_path)
+    stats = collect_file_stats(spark, path, ["v"])
+    rows = stats.collect()
+    n_files = len(list((tmp_path / "wh/raw/t").glob("*.parquet")))
+    assert len(rows) == n_files
+    assert sum(r["n_rows"] for r in rows) == 10_000
+    assert all(r["v_min"] <= r["v_max"] for r in rows)
+
+
+def test_selective_range_prunes_most_files(spark, tmp_path):
+    path = _clustered_table(spark, tmp_path)
+    stats = collect_file_stats(spark, path, ["v"])
+    total = stats.count()
+    surviving = prune_files(stats, "v", 1000, 1500)
+    # a ~5% range over a 10-file clustered table touches 1-2 files
+    assert 1 <= len(surviving) <= max(2, total // 3)
+
+
+def test_pruned_read_equals_plain_predicate(spark, tmp_path):
+    path = _clustered_table(spark, tmp_path)
+    stats = collect_file_stats(spark, path, ["v"])
+    pruned = pruned_read(spark, stats, "v", 1000, 1500)
+    plain = (
+        spark.read.parquet(path)
+        .filter((F.col("v") >= 1000) & (F.col("v") <= 1500))
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in plain.collect()
+    )
+
+
+def test_empty_overlap_returns_typed_empty_frame(spark, tmp_path):
+    path = _clustered_table(spark, tmp_path)
+    stats = collect_file_stats(spark, path, ["v"])
+    out = pruned_read(spark, stats, "v", 50_000, 60_000)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
