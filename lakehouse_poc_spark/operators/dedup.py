@@ -567,3 +567,37 @@ def levenshtein_pairs_blocked(
         cand.select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: keep only batch rows whose normalized
+    content fingerprint is NOT already in the historical corpus, after
+    within-batch dedup (keep-min-id).
+
+    The growth pattern of a continuously-ingested corpus: the
+    historical side is a *fingerprint store* (one md5 per document,
+    not the documents), so the anti-join shuffles 16-byte keys — at
+    100 TB corpus scale the store is ~0.1% of corpus bytes and the
+    new batch is small, making this one cheap shuffle (or a broadcast
+    of the batch side). Append the survivors' fingerprints to the
+    store to complete the cycle.
+
+    ``corpus_fingerprints`` must carry a ``__fp`` column (build with
+    :func:`fingerprint_store`).
+    """
+    deduped = exact_dedup(batch, text_col=text_col, id_col=id_col)
+    fp = deduped.withColumn("__fp", fingerprint_md5(text_col))
+    return fp.join(
+        corpus_fingerprints.select("__fp"), "__fp", "left_anti"
+    ).drop("__fp")
+
+
+def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct normalized-content fingerprints of a corpus — the
+    compact historical state `incremental_dedup` joins against."""
+    return df.select(fingerprint_md5(text_col).alias("__fp")).distinct()

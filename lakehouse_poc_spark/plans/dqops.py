@@ -146,3 +146,43 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return invalid.select("event_id", "user_id", Q.VIOLATIONS_COL).orderBy(
         "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style profile: one aggregate pass over orders yields per-
+# column nulls / exact NDV / min / max (CBO-style table statistics).
+@query(
+    "table_stats_orders",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT s.column, n.n_rows, s.n_nulls, s.n_distinct, s.min_value, s.max_value
+    FROM (
+        SELECT 'o_custkey' AS column,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(MIN(o_orderstatus) AS VARCHAR),
+               CAST(MAX(o_orderstatus) AS VARCHAR)
+        FROM orders
+    ) s, n
+    ORDER BY s.column
+    """,
+)
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import analyze_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return analyze_table(orders, ["o_custkey", "o_orderdate", "o_orderstatus"])

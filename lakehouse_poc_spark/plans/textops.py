@@ -279,3 +279,65 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(unioned, text_col="text", id_col="doc_id").select(
         "doc_id"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup: a new batch (fresh docs + re-crawled
+# duplicates + an in-batch double) joins against the historical
+# fingerprint store; only genuinely new content survives. The
+# continuous-ingest twin of dedup_exact_documents.
+@query(
+    "dedup_incremental_docs",
+    oracle=r"""
+    WITH b AS (
+        SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk, text
+        FROM documents
+    ),
+    corpus AS (SELECT doc_id, text FROM b WHERE bk < 'cc'),
+    batch AS (
+        SELECT doc_id, text FROM b WHERE bk >= 'cc'
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM b WHERE bk >= 'cc'
+    ),
+    wb AS (
+        SELECT MIN(doc_id) AS doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM batch
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    )
+    SELECT doc_id FROM wb
+    WHERE fp NOT IN (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        FROM corpus
+    )
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fingerprint_store, incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("bk"),
+        "text",
+    )
+    corpus = docs.filter(F.col("bk") < "cc").select("doc_id", "text")
+    fresh = docs.filter(F.col("bk") >= "cc").select("doc_id", "text")
+    batch = (
+        fresh.unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            fresh.select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        )
+    )
+    store = fingerprint_store(corpus, "text")
+    return (
+        incremental_dedup(batch, store, text_col="text", id_col="doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

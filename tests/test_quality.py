@@ -97,3 +97,28 @@ def test_summarize_is_single_aggregate(spark):
     ).executedPlan().toString()
     # one partial+final aggregate pair over the scan — not N count jobs
     assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
+
+
+def test_analyze_table_is_one_pass(spark):
+    """Exact multi-column NDV compiles to a single Expand-based
+    aggregate — one shuffle, not one count-distinct job per column."""
+    from lakehouse_poc_spark.operators.stats import analyze_table
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).alias("a"), (F.col("id") % 7).alias("b")
+    )
+    prof = analyze_table(df, ["a", "b"])
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    rows = {r["column"]: r for r in prof.collect()}
+    assert rows["a"]["n_distinct"] == 13 and rows["b"]["n_distinct"] == 7
+    assert rows["a"]["n_rows"] == 1000 and rows["a"]["n_nulls"] == 0
+    assert rows["a"]["min_value"] == "0" and rows["a"]["max_value"] == "12"
+
+
+def test_analyze_table_approx_mode(spark):
+    from lakehouse_poc_spark.operators.stats import analyze_table
+
+    df = spark.range(10_000).select((F.col("id") % 97).alias("a"))
+    rows = analyze_table(df, ["a"], approx=True).collect()
+    assert abs(rows[0]["n_distinct"] - 97) <= 5  # HLL within tolerance
