@@ -768,3 +768,80 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs("c_acctbal").alias("bal_abs"),
         (F.col("c_custkey") % 7).alias("key_mod"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Time-range window: trailing-7-day spend per user at every event —
+# RANGE frames over event-time seconds (vs the ROWS frames above).
+@query(
+    "window_trailing_7d_user",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_7d
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_trailing_7d_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_7d"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling 7-day active users per day. Sliding distinct counts
+# don't compose as window aggregates; the scale-correct exact form
+# maps each (user, day) onto the 7 days it contributes to (bounded
+# 7x explode of the ALREADY distinct-reduced pairs), then counts
+# distinct per day — never a per-day self-join over raw events.
+@query(
+    "rolling_wau_events",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    ORDER BY day
+    """,
+)
+def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contributes = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    return (
+        contributes.join(days.withColumnRenamed("d", "day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )
