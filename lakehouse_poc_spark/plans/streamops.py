@@ -33,6 +33,7 @@ from ..sinks.warehouse import Warehouse
 from ..sources.readers import ensure_session_confs, read_parquet_table
 from ..streaming.runner import (
     run_append_to_parquet,
+    run_foreach_batch,
     run_to_memory,
     scd2_stream,
 )
@@ -500,3 +501,84 @@ def stream_asof_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(str(src))
     run_foreach_batch(stream_parquet(spark, str(src), ev.schema), enrich, ckpt)
     return spark.read.parquet(str(sink)).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming data-quality gate: every micro-batch flows through the
+# expectations engine inside foreachBatch; valid rows land in the
+# clean table, violations in the quarantine table with reasons. The
+# batch/stream split uses the same operators (operators/quality.py)
+# so the gate's semantics are the oracle-checked batch semantics.
+# State: none beyond the file-source checkpoint — the gate itself is
+# stateless row-local work, so it scales as a map-only pass per batch.
+@query(
+    "stream_dq_gate_events",
+    oracle="""
+    WITH flags AS (
+        SELECT event_id,
+               (ts IS NOT NULL) AS ok_ts,
+               (event_type IN ('click', 'view', 'purchase', 'signup'))
+                   AS ok_type,
+               (value IS NOT NULL AND value >= 0 AND value <= 400) AS ok_value
+        FROM events
+    )
+    SELECT reason, n FROM (
+        SELECT concat_ws(',',
+                   CASE WHEN NOT ok_ts THEN 'ts_not_null' END,
+                   CASE WHEN NOT ok_type THEN 'type_known' END,
+                   CASE WHEN NOT ok_value THEN 'value_range' END
+               ) AS reason,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM flags
+        WHERE NOT (ok_ts AND ok_type AND ok_value)
+        GROUP BY 1
+        UNION ALL
+        SELECT '__valid', CAST(COUNT(*) AS BIGINT) FROM flags
+        WHERE ok_ts AND ok_type AND ok_value
+    )
+    ORDER BY reason
+    """,
+)
+def stream_dq_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as Q
+
+    work = Path(tempfile.mkdtemp(prefix="stream_dq_"))
+    src = work / "in"
+    src.mkdir()
+    ensure_session_confs(spark)
+    events = read_parquet_table(spark, sf_dir, "events")
+    # two landings → two micro-batches through the same checkpoint
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(str(src))
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = stream_parquet(spark, str(src), schema)
+    wh = Warehouse(spark, str(work / "wh"))
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        checked = Q.check(
+            batch_df,
+            [
+                Q.not_null("ts_not_null", "ts"),
+                Q.one_of(
+                    "type_known",
+                    "event_type",
+                    ["click", "view", "purchase", "signup"],
+                ),
+                Q.in_range("value_range", "value", 0, 400),
+            ],
+        )
+        valid, invalid = Q.quarantine(checked)
+        wh.append(valid, "clean.events")
+        wh.append(invalid, "reject.events")
+
+    run_foreach_batch(stream, gate, str(work / "ckpt"))
+    rejected = (
+        wh.read("reject.events")
+        .groupBy(F.col(Q.VIOLATIONS_COL).alias("reason"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    valid_n = wh.read("clean.events").agg(
+        F.lit("__valid").alias("reason"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return rejected.unionByName(valid_n).orderBy("reason")
