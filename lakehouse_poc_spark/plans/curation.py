@@ -292,3 +292,50 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("quality"),
         weighted_keep("doc_id", q).alias("sampled"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota sampling: cap each source at the K highest-quality
+# docs (ties broken by doc_id) — the "per-domain cap" every crawl
+# curation pipeline applies. One shuffle on source; the window
+# computes rank map-side-sorted within each source partition.
+@query(
+    "quota_sample_docs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               0.5 * least(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) / 200.0, 1.0)
+             + 0.3 * least(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x IN ({_STOPLIST_SQL}))) AS DOUBLE)
+                           / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) * 3, 1.0)
+             + 0.2 * (1.0 - least(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                                  / CAST(greatest(length(text), 1) AS DOUBLE) * 10, 1.0))
+               AS quality
+        FROM documents
+    )
+    SELECT doc_id, source, quality FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS rk
+        FROM scored
+    )
+    WHERE rk <= 15
+    ORDER BY doc_id
+    """,
+)
+def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    )

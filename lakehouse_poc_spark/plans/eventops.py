@@ -184,3 +184,52 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested-data operators: per-user ordered event arrays manipulated
+# with higher-order functions (transform/filter/aggregate) — the
+# API surface for array<struct> columns. The fold order is pinned
+# (sort by ts, event_id) so the left-to-right double sum is
+# bit-identical across engines.
+@query(
+    "nested_event_arrays",
+    oracle="""
+    WITH l AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS types,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(len(list_filter(types, t -> t = 'purchase')) AS BIGINT)
+               AS n_purchases,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   [vals[i] FOR i IN range(1, len(vals) + 1)
+                    IF types[i] = 'purchase']),
+               (acc, x) -> acc + x
+           ) AS purchase_total
+    FROM l
+    ORDER BY user_id
+    """,
+)
+def nested_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    rows = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
+        ).alias("evs")
+    )
+    purchases = F.filter(F.col("evs"), lambda e: e["event_type"] == "purchase")
+    return rows.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.size(purchases).cast("bigint").alias("n_purchases"),
+        F.aggregate(
+            F.transform(purchases, lambda e: e["value"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("purchase_total"),
+    ).orderBy("user_id")
