@@ -62,6 +62,8 @@ HEADLINE = [
     "docs_curation_pipeline",
     "tfidf_top_terms",
     "decontaminate_docs",
+    "funnel_conversion_events",
+    "dq_orders_expectations",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

@@ -505,3 +505,59 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style refresh maintenance (RF1 insert / RF2 delete) against
+# the warehouse DML surface: land orders, append a re-keyed "new
+# sales" batch, DELETE a keyed tranche, then report the final state.
+# Completes the DML triad the reference's notebooks imply (append /
+# merge / delete) with every effect oracle-derived from the base
+# table.
+@query(
+    "tpch_rf_maintenance",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 7
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def tpch_rf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = SCRATCH / f"rf_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    wh.append(orders, "fact.orders")
+    # RF1: new sales batch (re-keyed clone of the %10==7 tranche)
+    rf1 = orders.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    wh.append(rf1, "fact.orders")
+    # RF2: retire the %10==3 tranche (predicate delete; the re-keyed
+    # inserts don't match — %10 is preserved by the +10M shift, and
+    # tranche 7 was inserted, not 3)
+    wh.delete_where("fact.orders", F.col("o_orderkey") % 10 == 3)
+    return (
+        wh.read("fact.orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -391,6 +391,22 @@ class Warehouse:
             return
         self.overwrite_from_plan(full_rewrite, table)
 
+    def delete_where(self, table: str, predicate) -> None:
+        """DML DELETE: remove rows matching ``predicate`` (a Column or
+        SQL string). Parquet emulation rewrites the table keeping the
+        complement (staged swap, versioned when tracking); Delta issues
+        a native DELETE that rewrites only files containing matches —
+        the 100 TB path, where a keyed delete touches MB not the table.
+        Completes the DML triad: append (INSERT), SCD2/merge (UPDATE),
+        delete_where (DELETE)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            from delta.tables import DeltaTable
+
+            DeltaTable.forPath(self.spark, str(self.path(table))).delete(pred)
+            return
+        self.overwrite_from_plan(self.read(table).filter(~pred), table)
+
     def vacuum(self, retain_versions: int | None = None) -> int:
         """Remove leftover ``__staging``/``__old`` dirs that a crash
         between the write and the swap in ``overwrite_from_plan`` can

@@ -291,3 +291,17 @@ def test_drop_removes_version_archive(spark, tmp_path):
     wh.drop(t)
     assert not wh._versions_dir(t).exists()
     assert not wh.table_exists(t)
+
+
+def test_delete_where_rewrites_complement_and_versions(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"), track_versions=True)
+    t = "fact.t"
+    wh.append(spark.range(10).selectExpr("id", "id % 3 AS g"), t)
+    wh.delete_where(t, F.col("g") == 1)
+    kept = sorted(r["id"] for r in wh.read(t).collect())
+    assert kept == [0, 2, 3, 5, 6, 8, 9]
+    # the pre-delete state is time-travelable
+    assert wh.read_version(t, 0).count() == 10
+    # string predicates work too
+    wh.delete_where(t, "id >= 8")
+    assert sorted(r["id"] for r in wh.read(t).collect()) == [0, 2, 3, 5, 6]
