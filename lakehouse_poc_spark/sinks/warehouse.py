@@ -391,6 +391,51 @@ class Warehouse:
             return
         self.overwrite_from_plan(full_rewrite, table)
 
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        table: str,
+        expectations: list,
+        partition_by: list[str] | None = None,
+        max_invalid: int = 0,
+    ) -> dict:
+        """Write-Audit-Publish: stage ``df`` to an unpublished branch
+        dir, audit it with the expectations engine, and atomically
+        publish (rename) only if at most ``max_invalid`` rows violate.
+        On failure the staged branch is dropped and the live table is
+        untouched — the Iceberg WAP / Delta staging pattern.
+
+        The audit runs on the STAGED files (not the input plan), so
+        what is validated is byte-for-byte what gets published.
+        Returns {published, n_rows, n_invalid}."""
+        from ..operators.quality import VIOLATIONS_COL, check
+
+        target = self.path(table)
+        branch = target.with_name(target.name + "__staging")
+        if branch.exists():
+            shutil.rmtree(branch)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(branch))
+        staged = self.spark.read.parquet(str(branch))
+        checked = check(staged, expectations)
+        counts = checked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(VIOLATIONS_COL) != "", 1).otherwise(0)).alias(
+                "bad"
+            ),
+        ).collect()[0]
+        n_rows, n_invalid = int(counts["n"]), int(counts["bad"] or 0)
+        if n_invalid > max_invalid:
+            shutil.rmtree(branch)
+            return {"published": False, "n_rows": n_rows, "n_invalid": n_invalid}
+        self._archive_current(table)
+        if target.exists():
+            shutil.rmtree(target)
+        branch.rename(target)
+        return {"published": True, "n_rows": n_rows, "n_invalid": n_invalid}
+
     def delete_where(self, table: str, predicate) -> None:
         """DML DELETE: remove rows matching ``predicate`` (a Column or
         SQL string). Parquet emulation rewrites the table keeping the

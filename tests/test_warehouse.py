@@ -305,3 +305,24 @@ def test_delete_where_rewrites_complement_and_versions(spark, tmp_path):
     # string predicates work too
     wh.delete_where(t, "id >= 8")
     assert sorted(r["id"] for r in wh.read(t).collect()) == [0, 2, 3, 5, 6]
+
+
+def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
+    from lakehouse_poc_spark.operators import quality as Q
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "pub.t"
+    good = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    rules = [Q.in_range("v_range", "v", 0, 100)]
+    r1 = wh.write_audit_publish(good, t, rules)
+    assert r1 == {"published": True, "n_rows": 10, "n_invalid": 0}
+    assert wh.read(t).count() == 10
+    # a bad batch must NOT replace the live table
+    bad = spark.range(5).selectExpr("id", "CAST(id * 1000 AS DOUBLE) AS v")
+    r2 = wh.write_audit_publish(bad, t, rules)
+    assert not r2["published"] and r2["n_invalid"] == 4
+    assert wh.read(t).count() == 10  # live table untouched
+    assert not (wh.path(t).parent / "t__staging").exists()  # branch dropped
+    # tolerance: allow up to 4 invalid rows → publishes
+    r3 = wh.write_audit_publish(bad, t, rules, max_invalid=4)
+    assert r3["published"] and wh.read(t).count() == 5
