@@ -343,3 +343,70 @@ def kmeans_train(
         updated = {r["cent_id"]: list(r["centroid"]) for r in means}
         cents = [(cid, updated.get(cid, v)) for cid, v in cents]
     return cents
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank of per-query candidate sets:
+    greedily pick the candidate maximizing
+    ``lam * sim_to_query - (1 - lam) * max_sim_to_already_picked``
+    (ties by neighbor id), emitting ``k`` diversified results per
+    query with ``mmr_rank``.
+
+    ``candidates`` is a (query_id, neighbor_id, cos_sim) relation —
+    the output of any top-k retriever above (retrieve k' > k, then
+    diversify down to k, the standard two-stage shape).
+
+    Scale shape: the greedy selection is inherently sequential in k
+    but embarrassingly parallel across queries — one shuffle groups
+    each query's candidate set (tens of rows), and the Arrow-batched
+    kernel runs per group. Candidate vectors are attached by one join
+    on the corpus BEFORE grouping, so the kernel never sees the
+    corpus, only k' vectors per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    with_vecs = candidates.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cos_sim", "__nv"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        mat = np.array(pdf["__nv"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T  # candidate-candidate cosine
+        picked: list[int] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(picked) < k:
+            best, best_score = None, None
+            for i in remaining:
+                redundancy = max((sims[i][j] for j in picked), default=0.0)
+                score = lam * pdf["cos_sim"][i] - (1.0 - lam) * redundancy
+                # strict > keeps the earliest (highest-sim, lowest-id)
+                # candidate on ties → deterministic
+                if best is None or score > best_score:
+                    best, best_score = i, score
+            picked.append(best)
+            remaining.remove(best)
+        out = pdf.iloc[picked][["query_id", "neighbor_id", "cos_sim"]].copy()
+        out["mmr_rank"] = range(1, len(picked) + 1)
+        return out
+
+    schema = (
+        "query_id long, neighbor_id long, cos_sim double, mmr_rank integer"
+    )
+    return with_vecs.groupBy("query_id").applyInPandas(_mmr, schema)

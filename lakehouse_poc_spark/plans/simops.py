@@ -573,3 +573,24 @@ def levenshtein_blocked_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieve-then-diversify: brute top-12 candidates per
+# query, MMR-diversified down to 5 (lam=0.5). The greedy selection is
+# iterative (not SQL-expressible) → rows-only driver check; the
+# kernel's semantics, determinism, and diversity behavior are
+# pinned by test_dedup_similarity.py::test_mmr_rerank_*.
+@query("similarity_topk_mmr")
+def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cands = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=12,
+    )
+    return mmr_rerank(
+        cands, emb, vec_col="embedding", id_col="vec_id", k=5
+    ).orderBy("query_id", "mmr_rank")

