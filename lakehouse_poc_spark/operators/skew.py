@@ -49,3 +49,37 @@ def salted_agg(
             F.sum("__v").cast("double").alias("total_value"),
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Result-identical skew-safe equi-join: replicate the small side
+    ``n_salts`` times and split the fact side's hot keys across salts.
+
+    AQE's skew-join splitting handles most cases at runtime; this is
+    the explicit rewrite for when a single join key is so hot that
+    even split shuffle blocks land on one reducer's key, or when AQE
+    is unavailable (e.g. inside foreachBatch micro-batches). The salt
+    is a deterministic hash of ``salt_src`` (a fact column, e.g. its
+    primary key), so the output is reproducible and equals the plain
+    ``fact.join(dim, key)`` row-for-row for any ``n_salts``.
+
+    Scale shape: the dim side grows ``n_salts``× (it is the SMALL
+    side — replication is cheap and usually broadcast anyway); the
+    fact shuffle key becomes (key, salt), spreading each hot key over
+    ``n_salts`` reducers.
+    """
+    dim_rep = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    salted = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"),
+    )
+    return salted.join(dim_rep, [key, "__salt"]).drop("__salt")

@@ -360,3 +360,115 @@ def global_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: overlapping fixed-width windows per doc —
+# the step before embedding long documents or packing them into model
+# context windows. Zero shuffle: pure codegen map over the scan
+# (operators/chunking.py); the ORDER BY here is presentation-only.
+@query(
+    "chunk_documents_windows",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               greatest(1, CAST(ceil((CAST(length(text) AS DOUBLE) - 16.0) / 48.0)
+                                AS BIGINT)) AS n_win
+        FROM documents
+    )
+    , e AS (
+        SELECT doc_id, text, unnest(range(0, n_win)) AS i FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 48 AS BIGINT) AS chunk_start,
+           substr(text, CAST(i * 48 + 1 AS INT), 64) AS chunk_text,
+           CAST(length(substr(text, CAST(i * 48 + 1 AS INT), 64)) AS BIGINT)
+               AS chunk_len
+    FROM e
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_text_windows
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_text_windows(docs, "text", chunk_chars=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI over the top-k vocabulary: which frequent
+# tokens appear together in the same document more than chance.
+#
+# 100 TB shape: the vocabulary is a TakeOrdered top-k (tiny) and is
+# BROADCAST back onto the exploded token stream, so the only real
+# shuffle is the per-document self-join on doc_id — bounded at ≤k
+# vocab tokens per document (≤ k·(k−1)/2 pairs), never tokens².
+# PMI's ln is rounded to 6 dp (the corpus-family convention) so tie
+# semantics match the oracle bit-for-bit.
+_PMI_VOCAB_K = 40
+
+
+@query(
+    "token_cooccurrence_pmi",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tok GROUP BY token),
+    vocab AS (SELECT token, doc_freq FROM freq ORDER BY doc_freq DESC, token LIMIT {_PMI_VOCAB_K}),
+    tv AS (SELECT t.doc_id, t.token, v.doc_freq
+           FROM tok t JOIN vocab v USING (token)),
+    pc AS (
+        SELECT a.token AS token_a, b.token AS token_b,
+               a.doc_freq AS df_a, b.doc_freq AS df_b,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2, 3, 4
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+    SELECT token_a, token_b, n_docs,
+           ROUND(ln(CAST(n_docs * n_total AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)), 6)
+               AS pmi
+    FROM pc, tot
+    ORDER BY n_docs DESC, token_a, token_b
+    LIMIT 30
+    """,
+)
+def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    vocab = freq.orderBy(F.desc("doc_freq"), "token").limit(_PMI_VOCAB_K)
+    tv = tok.join(F.broadcast(vocab), "token")
+    a, b = tv.alias("a"), tv.alias("b")
+    pairs = a.join(b, on="doc_id").filter(F.col("a.token") < F.col("b.token"))
+    pc = pairs.groupBy(
+        F.col("a.token").alias("token_a"),
+        F.col("b.token").alias("token_b"),
+        F.col("a.doc_freq").alias("df_a"),
+        F.col("b.doc_freq").alias("df_b"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        pc.crossJoin(F.broadcast(total))
+        .select(
+            "token_a",
+            "token_b",
+            "n_docs",
+            F.round(
+                F.log(
+                    (F.col("n_docs") * F.col("n_total")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_docs"), "token_a", "token_b")
+        .limit(30)
+    )

@@ -339,3 +339,39 @@ def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "quality")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware (leakage-safe) split: hash the GROUP key (source), not
+# the document id, so every document from one source lands in the
+# same split — near-duplicates and templated pages cluster within
+# sources, and hashing per-doc would leak them across train/test.
+# Same map-only md5-bucket idiom as hash_split_documents; one row per
+# (source, split) proves the invariant (each source → exactly one
+# split) while keeping the compare small.
+@query(
+    "group_split_documents",
+    oracle=f"""
+    SELECT source,
+           CASE WHEN substr(md5('grp:' || source), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                WHEN substr(md5('grp:' || source), 1, 2) < '{_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    b = _bucket("source", salt="grp:")
+    split = (
+        F.when(b < _TRAIN_HI, F.lit("train"))
+        .when(b < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.groupBy("source", split.alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )

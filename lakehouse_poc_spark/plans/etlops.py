@@ -561,3 +561,69 @@ def tpch_rf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental file ingestion (sources/incremental.py): a day-partitioned
+# landing zone is ingested in two passes — days 01–09, then the FULL
+# glob. The file registry must skip every already-seen file, so pass 2
+# ingests only days 10–30, and the final table holds each event exactly
+# once (proved by n_rows == n_distinct on the oracle side too). All
+# three report rows derive from the target table, fully distributed.
+@query(
+    "incremental_file_ingest",
+    oracle="""
+    WITH d AS (SELECT event_id, strftime(ts, '%Y-%m-%d') AS day FROM events)
+    SELECT step, n_rows, n_distinct FROM (
+        SELECT '1_first_batch' AS step,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        FROM d WHERE day < '2024-01-10'
+        UNION ALL
+        SELECT '2_second_batch', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT event_id) AS BIGINT)
+        FROM d WHERE day >= '2024-01-10'
+        UNION ALL
+        SELECT '3_final_table', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT event_id) AS BIGINT)
+        FROM d
+    )
+    ORDER BY step
+    """,
+)
+def incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.incremental import ingest_new_files
+
+    tag = f"incr_{Path(sf_dir).name}"
+    root = SCRATCH / tag
+    if root.exists():
+        shutil.rmtree(root)
+    src = str(root / "landing")
+    events = read_parquet_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    events.write.partitionBy("day").parquet(src)
+
+    wh = Warehouse(spark, str(root / "wh"))
+    ingest_new_files(
+        spark, wh, f"{src}/day=2024-01-0*", "land.events", "meta.ingested_files",
+        base_path=src, partition_by=["day"], run_ts="2024-02-01 00:00:00",
+    )
+    ingest_new_files(
+        spark, wh, f"{src}/day=*", "land.events", "meta.ingested_files",
+        base_path=src, partition_by=["day"], run_ts="2024-02-02 00:00:00",
+    )
+
+    tgt = wh.read("land.events")
+    first = F.col("day") < "2024-01-10"
+
+    def _stats(df: DataFrame, step: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        ).select(F.lit(step).alias("step"), "n_rows", "n_distinct")
+
+    return (
+        _stats(tgt.filter(first), "1_first_batch")
+        .unionByName(_stats(tgt.filter(~first), "2_second_batch"))
+        .unionByName(_stats(tgt, "3_final_table"))
+        .orderBy("step")
+    )

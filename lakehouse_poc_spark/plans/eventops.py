@@ -233,3 +233,60 @@ def nested_event_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("purchase_total"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip values to per-group [p05, p95] before averaging
+# — the standard outlier-robust feature/metric transform. Percentiles
+# are exact (percentile_disc) for bit-exact oracle comparison; at
+# 100 TB the drop-in scale path is approx_percentile, which merges
+# its sketch map-side instead of sorting each group. The percentile
+# table is one row per event_type, so the join back onto events is a
+# broadcast — the only shuffles are the two aggregations on the
+# low-cardinality group key. Sums go through the repo's
+# decimal(30,6) convention so both means are bit-identical to DuckDB.
+@query(
+    "winsorize_event_values",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               quantile_disc(value, 0.05) AS p05,
+               quantile_disc(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, p.p05, p.p95,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_raw,
+           CAST(SUM(CAST(least(greatest(e.value, p.p05), p.p95) AS DECIMAL(30,6)))
+                AS DOUBLE) / COUNT(*) AS mean_winsor,
+           CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped
+    FROM events e JOIN p ON e.event_type = p.event_type
+    GROUP BY e.event_type, p.p05, p.p95
+    ORDER BY e.event_type
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__winsor_events")
+    return spark.sql(
+        """
+        WITH p AS (
+            SELECT event_type,
+                   percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+            FROM __winsor_events GROUP BY event_type
+        )
+        SELECT /*+ BROADCAST(p) */
+               e.event_type, p.p05, p.p95,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_raw,
+               CAST(SUM(CAST(least(greatest(e.value, p.p05), p.p95) AS DECIMAL(30,6)))
+                    AS DOUBLE) / COUNT(*) AS mean_winsor,
+               CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped
+        FROM __winsor_events e JOIN p ON e.event_type = p.event_type
+        GROUP BY e.event_type, p.p05, p.p95
+        ORDER BY e.event_type
+        """
+    )
