@@ -64,6 +64,10 @@ HEADLINE = [
     "decontaminate_docs",
     "funnel_conversion_events",
     "dq_orders_expectations",
+    "chunk_documents_windows",
+    "token_cooccurrence_pmi",
+    "winsorize_event_values",
+    "gap_fill_hourly_events",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

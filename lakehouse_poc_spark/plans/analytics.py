@@ -879,3 +879,75 @@ def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide per-priority measures to long (measure, value)
+# form — the inverse of pivot_linestatus. DataFrame.unpivot is a
+# zero-shuffle Expand over the aggregate (rows × #measures), same
+# shape as rollup's Expand; the melt itself never re-shuffles.
+@query(
+    "unpivot_order_measures",
+    oracle=f"""
+    WITH w AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               {sql_dsum('o_totalprice', 'total_price')},
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, measure, value
+    FROM w UNPIVOT (value FOR measure IN (n_orders, total_price, avg_price))
+    ORDER BY o_orderpriority, measure
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("total_price"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "avg_price"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("o_orderpriority", "measure")
+
+
+# ---------------------------------------------------------------------------
+# VariantType semi-structured path (Spark 4): parse the JSON props
+# ONCE into a binary variant, then do typed extractions from it —
+# the scale replacement for repeated get_json_object string re-parses
+# (variant decode is a byte-offset lookup, not a JSON parse, and the
+# parse happens a single time per row inside one projection). The
+# oracle is ordinary JSON SQL; results must be identical.
+@query(
+    "variant_props_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        parsed.groupBy((k % 5).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )

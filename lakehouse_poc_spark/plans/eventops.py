@@ -290,3 +290,74 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY e.event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: a dense hourly spine per event_type (explode
+# of sequence(min_hour, max_hour)) left-joined onto the aggregates,
+# with counts zero-filled and totals forward-filled via
+# last(ignorenulls) — the standard regularization before windowed
+# models. 100 TB shape: the spine is (#types × #hours), tiny next to
+# the events; bounds are a broadcast scalar; the only event-sized
+# work is the first hourly aggregation (map-side combined). The
+# forward-fill window partitions by event_type — state is one row.
+@query(
+    "gap_fill_hourly_events",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+        SELECT t.event_type, unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS hr
+        FROM types t, b
+    ),
+    j AS (
+        SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n, h.total
+        FROM spine s LEFT JOIN h ON s.event_type = h.event_type AND s.hr = h.hr
+    )
+    SELECT event_type,
+           strftime(hr, '%Y-%m-%d %H:00') AS hour,
+           CAST(n AS BIGINT) AS n,
+           last_value(total IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_seen_total
+    FROM j
+    ORDER BY event_type, hour
+    """,
+)
+def gap_fill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+    )
+    bounds = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 hour"))
+        ).alias("hr"),
+    )
+    j = spine.join(h, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.last("total", ignorenulls=True).over(w).alias("last_seen_total"),
+    ).orderBy("event_type", "hour")
