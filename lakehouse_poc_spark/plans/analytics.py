@@ -951,3 +951,130 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup (hypertable-style): year → month subtotals and
+# grand total in ONE pass — a single Expand + two-stage aggregate, so
+# one shuffle serves every grain. Ordering and grouping_id are pinned
+# (NULLS FIRST, gid = 2*grouping(y)+grouping(m)) so the oracle matches
+# row-for-row.
+@query(
+    "time_rollup_orders",
+    oracle=f"""
+    SELECT CAST(2 * GROUPING(y) + GROUPING(m) AS BIGINT) AS gid,
+           y, m,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS y,
+               CAST(strftime(o_orderdate, '%m') AS BIGINT) AS m,
+               o_totalprice
+        FROM orders
+    )
+    GROUP BY ROLLUP (y, m)
+    ORDER BY gid DESC, y NULLS FIRST, m NULLS FIRST
+    """,
+)
+def time_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        "o_totalprice",
+    )
+    return (
+        base.rollup("y", "m")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select("gid", "y", "m", "n_orders", "total_price")
+        .orderBy(F.desc("gid"), F.asc_nulls_first("y"), F.asc_nulls_first("m"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of its region's revenue — the
+# window-over-aggregate idiom. One shuffle for the per-nation
+# aggregate (post-partial), one window partitioned by region (25
+# rows); the region/nation dims broadcast onto customers.
+@query(
+    "revenue_share_by_nation",
+    oracle=f"""
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {sql_dsum('o_totalprice', 'revenue')}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, revenue,
+           revenue / SUM(revenue) OVER (PARTITION BY region) AS region_share
+    FROM nat
+    ORDER BY region, nation
+    """,
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("o_totalprice"), "revenue"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w)).alias("region_share"),
+    ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix: Markov counts between consecutive event
+# types per user (lag window → pair counts). One shuffle on user_id
+# for the ordering window, one post-partial shuffle on the 25-cell
+# pair key — the standard sequence-model feature extraction.
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

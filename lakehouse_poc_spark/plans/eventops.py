@@ -361,3 +361,48 @@ def gap_fill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         F.last("total", ignorenulls=True).over(w).alias("last_seen_total"),
     ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Robust dispersion: median + MAD (median absolute deviation) per
+# event_type — outlier-insensitive alternatives to mean/stddev for
+# monitoring skewed value streams. Exact percentile_disc for oracle
+# bit-equality (approx_percentile is the 100 TB drop-in, as with
+# winsorize); the median table is one row per type, broadcast back
+# for the deviation pass.
+@query(
+    "mad_event_values",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS median_value
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           med.median_value,
+           quantile_disc(abs(e.value - med.median_value), 0.5) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type, med.median_value
+    ORDER BY e.event_type
+    """,
+)
+def mad_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__mad_events")
+    return spark.sql(
+        """
+        WITH med AS (
+            SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS median_value
+            FROM __mad_events GROUP BY event_type
+        )
+        SELECT /*+ BROADCAST(med) */
+               e.event_type,
+               med.median_value,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.value - med.median_value)) AS mad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM __mad_events e JOIN med ON e.event_type = med.event_type
+        GROUP BY e.event_type, med.median_value
+        ORDER BY e.event_type
+        """
+    )
