@@ -141,3 +141,37 @@ def test_word_shingles_match_python_reference(spark, words, n):
     toks = text.split(" ")  # mirrors \s+ split on single-space joins
     expected = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     assert list(got) == expected
+
+
+# ---------------------------------------------------------------------------
+# Chunking: for ANY text and any (chunk, overlap) config, dropping
+# each chunk's leading overlap and concatenating rebuilds the text,
+# and every chunk except possibly the last is exactly chunk_chars.
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=300), min_size=1, max_size=4
+    ),
+    chunk_chars=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunk_windows_rebuild_any_text(spark, texts, chunk_chars, data):
+    from lakehouse_poc_spark.operators.chunking import chunk_text_windows
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk_chars - 1))
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = chunk_text_windows(df, "text", chunk_chars=chunk_chars, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in enumerate(texts):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        rebuilt = chunks[0]["chunk_text"] + "".join(
+            c["chunk_text"][overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == text
+        assert all(c["chunk_len"] == chunk_chars for c in chunks[:-1])
