@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import read_parquet_table
 from . import query
+from .tpch import dsum, sql_dsum
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -406,3 +407,71 @@ def mad_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY e.event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows in batch: 1-hour windows every 15 minutes.
+# Each event belongs to window/slide = 4 windows; F.window with a
+# slide emits all of them as a row-local expression, so the plan is
+# explode(4x) → map-side partial agg → ONE shuffle on (window, type).
+# The oracle derives the same 4 hop starts per event arithmetically
+# (epoch-aligned buckets, matching Spark's epoch-origin windows under
+# the pinned UTC session).
+@query(
+    "hopping_window_events",
+    oracle=f"""
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM (
+        SELECT e.event_type, e.value,
+               time_bucket(INTERVAL 15 MINUTE, e.ts) - k.k * INTERVAL 15 MINUTE AS w_start
+        FROM events e
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    GROUP BY w_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (users with >= N/1000 of all events) via the
+# two-pass Misra-Gries candidate filter — the scale path that shuffles
+# candidates, not the full distinct-key space (operators/heavyhitters
+# .py documents the superset guarantee). The threshold compare is
+# integer (n*1000 >= N) on both engines, so no float boundary exists;
+# the result is exact, which is why a plain SQL oracle applies.
+@query(
+    "heavy_hitter_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_rows
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * 1000 >= (SELECT COUNT(*) FROM events)
+    ORDER BY n_rows DESC, user_id
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import heavy_hitters_exact
+
+    events = _t(spark, sf_dir, "events")
+    return heavy_hitters_exact(
+        events, "user_id", phi_denominator=1000, capacity=1024
+    ).orderBy(F.col("n_rows").desc(), "user_id")
