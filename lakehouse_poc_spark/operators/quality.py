@@ -176,3 +176,47 @@ def observe_expectations(
         for e in expectations
     ]
     return df.observe(obs, *metrics), obs
+
+
+def fk_audit(
+    tables: dict[str, DataFrame],
+    edges: list[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key edge
+    ``(child_table, fk_col, parent_table, pk_col)`` with the child row
+    count, null-FK count, and dangling-reference count.
+
+    Each edge is ONE left join (parent side reduced to distinct keys —
+    dims auto-broadcast under the AQE threshold) feeding ONE aggregate,
+    so the whole audit is a union of 7 two-stage branches; nothing is
+    materialized row-wise. Null FKs are excluded from the orphan count:
+    a null is a missing value (reported separately), not a dangling
+    reference — the SQL ``NOT EXISTS`` twin has the same semantics.
+    """
+    out = None
+    for child, fk, parent, pk in edges:
+        parents = (
+            tables[parent]
+            .select(F.col(pk).alias(fk))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        branch = (
+            tables[child]
+            .select(fk)
+            .join(parents, fk, "left")
+            .agg(
+                F.lit(f"{child}.{fk}->{parent}").alias("edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col(fk).isNull(), 1).otherwise(0)
+                ).alias("n_null"),
+                F.sum(
+                    F.when(
+                        F.col(fk).isNotNull() & F.col("__hit").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

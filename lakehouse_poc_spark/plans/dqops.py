@@ -186,3 +186,78 @@ def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     return analyze_table(orders, ["o_custkey", "o_orderdate", "o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit over the whole star schema: every
+# foreign-key edge checked in one DataFrame (7 anti-join branches
+# unioned). Scale shape: the dim-side parents (customer, nation,
+# region, part, supplier) broadcast, so those branches are map-only;
+# the two fact-fact edges (lineitem->orders twice removed) shuffle on
+# the join key — SCALE.md's bucketing prescription applies. Null FKs
+# are counted separately from orphans (a null is a missing value, not
+# a dangling reference).
+@query(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS edge,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+               (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation',
+               (SELECT COUNT(*) FROM supplier),
+               (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NULL),
+               (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+        UNION ALL
+        SELECT 'nation.n_regionkey->region',
+               (SELECT COUNT(*) FROM nation),
+               (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
+               (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey))
+    )
+    ORDER BY edge
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import fk_audit
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    tables = {n: _t(spark, sf_dir, n) for n in
+              {e[0] for e in edges} | {e[2] for e in edges}}
+    return fk_audit(tables, edges).orderBy("edge")
