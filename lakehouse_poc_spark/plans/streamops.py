@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..sinks.warehouse import Warehouse
-from ..sources.readers import ensure_session_confs, read_parquet_table
+from ..sources.readers import (
+    ensure_session_confs,
+    normalize_event_ts,
+    read_parquet_table,
+)
 from ..streaming.runner import (
     run_append_to_parquet,
     run_foreach_batch,
@@ -176,9 +180,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", src / "copy_b.parquet")
     ensure_session_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = stream_parquet(
-        spark, str(src), schema, max_files_per_trigger=1
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
+    )
     deduped = dedup_within_watermark(stream, keys=("event_id",), watermark="1 hour")
     sunk = run_append_to_parquet(deduped, str(work / "out"), str(work / "ckpt"))
     return (

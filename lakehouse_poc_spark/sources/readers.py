@@ -146,15 +146,30 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 can't map
-        # natively; with spark.sql.legacy.parquet.nanosAsLong it arrives
-        # as long nanos. Truncate to micros with integer division (`div`
-        # keeps LongType — a double division would lose precision above
-        # 2^53) and rebuild a proper timestamp. Matches DuckDB's
-        # ns→us truncation, so oracle comparisons stay exact.
-        from pyspark.sql import functions as F
+        df = normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType regardless of how the
+    fixture encodes it — the generator has shipped both parquet
+    TIMESTAMP(NANOS) (rounds 1–3; arrives as long nanos under
+    ``nanosAsLong``) and TIMESTAMP(MICROS) without timezone (round 4+;
+    arrives as TIMESTAMP_NTZ). Both normalize to the same UTC
+    wall-clock instants (session timezone is pinned to UTC), so every
+    downstream plan and oracle sees identical values either way.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # long nanos → micros via integer division (`div` keeps LongType;
+        # a double division would lose precision above 2^53). Matches
+        # DuckDB's ns→us truncation, so oracle comparisons stay exact.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # wall-clock-preserving under the UTC session timezone
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

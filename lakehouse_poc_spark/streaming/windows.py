@@ -38,7 +38,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     peek — file streams require an explicit schema; the ns→us cast
     mirrors sources/readers.py so batch and stream rows are identical).
     """
-    from ..sources.readers import ensure_session_confs
+    from ..sources.readers import ensure_session_confs, normalize_event_ts
 
     ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
@@ -50,7 +50,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged.mkdir()
     shutil.copy(path, staged / "events.parquet")
     raw = spark.readStream.schema(schema).parquet(str(staged))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def stream_parquet(
