@@ -1,0 +1,141 @@
+"""Iterative graph operators over edge DataFrames: integer-scaled
+PageRank and BFS hop counts.
+
+The reference has no graph surface; these are the declared extension
+ops a training-data pipeline needs for link-graph-derived quality
+signals (domain authority → document weighting) and for reachability
+audits over lineage/transition graphs.
+
+Determinism: PageRank is usually float-iterative — sums of doubles in
+engine-dependent order, impossible to hash-compare exactly. Here ranks
+are fixed-point BIGINTs (scale 1e12) and every update is integer
+multiply / floor-divide / integer sum, so ten iterations produce
+bit-identical results on any engine — the SQL oracle unrolls the same
+ten exact integer steps.
+
+Scale shape (billion-edge graph, 1000 executors):
+- edges are hash-partitioned on src ONCE and the partitioning is
+  reused across iterations (each step joins ranks—partitioned the same
+  way—to edges: co-partitioned, no edge re-shuffle);
+- per-iteration shuffle carries one (node, contribution) row per edge
+  group — map-side combined;
+- lineage is truncated with localCheckpoint every few iterations so
+  the plan doesn't grow unboundedly (the classic iterative-Spark
+  failure mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e12 fixed-point
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping_pct: int = 85,
+    iterations: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank with exact fixed-point arithmetic.
+
+    rank'(v) = (100-d)%·SCALE/N  +  d%·Σ_{u→v} rank(u)·w(u,v) ÷ W(u)
+
+    (all ·/÷ integer; Σ exact BIGINT). Dangling mass is dropped (the
+    standard simplification; documents the leak rather than hiding it).
+    Returns (node, rank_scaled BIGINT, rank DOUBLE).
+    """
+    w_col = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
+    )
+    # Pre-aggregate parallel edges, pre-compute out-weights, and pin the
+    # partitioning on src so every iteration's join is co-partitioned.
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).repartition("src")
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src").persist()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # one small action; also materializes caches
+    base = ((100 - damping_pct) * SCALE // 100) // n_nodes
+
+    ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n_nodes))
+    for it in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # integer contribution: rank·w ÷ out_w (floor). rank ≤
+                # SCALE and w ≤ out_w keep the product well inside
+                # BIGINT range for damping_pct < 100.
+                F.expr("rank_scaled * w div out_w").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_pct} * coalesce(in_sum, 0) div 100"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    out = ranks.select(
+        "node",
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )
+    return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source_nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Minimum-hop distance from any source node, by frontier
+    expansion (≤ ``max_hops``). Returns (node, hops INT).
+
+    Each round joins the frontier to the (src-partitioned) edge list
+    and anti-joins already-visited nodes — state is the visited set,
+    frontier shuffles are frontier-sized, not graph-sized.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.repartition("src").persist()
+    visited = source_nodes.select(F.col(source_nodes.columns[0]).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("int").alias("hops"))

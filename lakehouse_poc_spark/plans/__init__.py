@@ -52,7 +52,9 @@ def _load_all() -> None:
         dqops,
         eventops,
         etlops,
+        graphops,
         multimodal,
+        searchops,
         simops,
         streamops,
         textops,

@@ -1,0 +1,109 @@
+"""Graph query surface: exact fixed-point PageRank over the event-type
+transition graph.
+
+The graph: nodes = event types, edge (u, v, w) = "users produced v
+immediately after u, w times" (same sequence extraction as
+event_transition_matrix, plans/analytics.py). PageRank over it ranks
+event types by steady-state visit probability — the graph-derived
+signal a curation pipeline would compute over, e.g., a domain link
+graph to weight documents.
+
+Determinism: ranks are fixed-point BIGINTs (operators/graph.py,
+scale 1e12); every update is integer multiply / floor-div / exact sum.
+The oracle UNROLLS the same ten integer iterations as chained CTEs —
+recursive CTEs disallow aggregation in the recursive term, and
+unrolling keeps both sides trivially identical.
+
+Scale: see operators/graph.py — edges partitioned once on src and
+reused every iteration; per-iteration shuffle is edge-group-sized;
+lineage truncated via localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.graph import SCALE, pagerank_int
+from ..sources.readers import read_parquet_table
+from . import query
+
+_ITERATIONS = 10
+_DAMPING_PCT = 85
+
+
+def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("w"))
+
+
+def _pagerank_oracle() -> str:
+    base_expr = f"({(100 - _DAMPING_PCT) * SCALE} // 100)"
+    header = f"""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT prev_type AS src, event_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    e AS (
+        SELECT edges.src, edges.dst, edges.w, outw.out_w
+        FROM edges JOIN outw USING (src)
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    params AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {base_expr} // CAST(COUNT(*) AS BIGINT) AS base,
+               {SCALE} // CAST(COUNT(*) AS BIGINT) AS r_init
+        FROM nodes
+    ),
+    r0 AS (
+        SELECT node, (SELECT r_init FROM params) AS rs FROM nodes
+    )"""
+    iters = []
+    for k in range(1, _ITERATIONS + 1):
+        iters.append(f""",
+    r{k} AS (
+        SELECT nd.node,
+               p.base + ({_DAMPING_PCT} * COALESCE(c.in_sum, 0)) // 100 AS rs
+        FROM nodes nd CROSS JOIN params p
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM((r.rs * e.w) // e.out_w) AS in_sum
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+            GROUP BY e.dst
+        ) c ON nd.node = c.node
+    )""")
+    footer = f"""
+    SELECT node, CAST(rs AS BIGINT) AS rank_scaled,
+           CAST(CAST(rs AS BIGINT) AS DOUBLE) / {float(SCALE)} AS rank
+    FROM r{_ITERATIONS}
+    ORDER BY node
+    """
+    return header + "".join(iters) + footer
+
+
+# ---------------------------------------------------------------------------
+@query("pagerank_event_types", oracle=_pagerank_oracle())
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _transition_edges(spark, sf_dir)
+    return pagerank_int(
+        edges,
+        weight="w",
+        damping_pct=_DAMPING_PCT,
+        iterations=_ITERATIONS,
+    ).orderBy("node")

@@ -1,0 +1,222 @@
+r"""Keyword-search & corpus-LM query surface: inverted index, BM25
+retrieval, phrase search, and unigram-LM document scoring.
+
+Part of the LLM-data-pipeline extension (SURVEY.md §7): lexical
+retrieval over the corpus is how decontamination audits, eval-mining,
+and quality spot-checks are actually run at training-data scale.
+
+Determinism: ``ln`` is the only libm-variable op; every ln-derived
+per-term value is rounded to a micro-int BIGINT before any sum, so
+cross-engine results are bit-identical (tfidf convention,
+plans/corpus.py).
+
+Scale notes (100 TB corpus):
+- bm25_topk_docs: query-term filter sits UNDER the aggregation —
+  only matching tokens shuffle; df/N/avgdl are tiny broadcasts; the
+  only corpus-sized shuffle is the (doc, term) tf count, which is the
+  index-build cost itself.
+- inverted_index_tokens: vocabulary-sized output; posting lists are
+  capped in real deployments (operators/search.py max_postings).
+- unigram_logprob_docs: vocab logprobs are vocabulary-sized and
+  broadcast back onto per-doc term counts — one corpus shuffle total.
+- phrase_search_docs: pure map-side scan expression, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.search import bm25_topk, inverted_index, phrase_match, term_counts
+from ..sources.readers import read_parquet_table
+from . import query
+
+BM25_TERMS = ("spark", "merge", "window")
+PHRASE = "fast merge"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: posting lists for the core vocabulary (df ≥ 100).
+@query(
+    "inverted_index_tokens",
+    oracle=r"""
+    WITH tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents
+        ) GROUP BY doc_id, token
+    )
+    SELECT token,
+           list(doc_id ORDER BY doc_id) AS postings,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM tc
+    GROUP BY token
+    HAVING COUNT(*) >= 100
+    ORDER BY token
+    """,
+)
+def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=100).orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-10 for a fixed conjunctive query. k1=1.2, b=0.75 (the
+# standard defaults); idf is the Lucene ln(1 + (N-df+.5)/(df+.5))
+# form. Per-term scores are micro-rounded then BIGINT-summed.
+@query(
+    "bm25_topk_docs",
+    oracle=rf"""
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl
+        FROM lens
+    ),
+    tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents
+        ) WHERE token IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY token
+    ),
+    scored AS (
+        SELECT tc.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                            / (CAST(d.df AS DOUBLE) + 0.5))
+                   * CAST(tc.tf AS DOUBLE) * 2.2
+                   / (CAST(tc.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                               / (CAST(s.total_dl AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE))))
+                   * 1000000.0) AS BIGINT) AS term_micro
+        FROM tc
+        JOIN dfreq d USING (token)
+        JOIN lens l USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM(term_micro) AS BIGINT) AS score_micro
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, score_micro,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS score, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+        FROM per_doc
+    )
+    WHERE rank <= 10
+    ORDER BY rank
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=10).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Exact-phrase search: substring containment with first position and
+# occurrence count — a pure map-side scan expression.
+@query(
+    "phrase_search_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strpos(text, '{PHRASE}') AS BIGINT) AS first_pos,
+           CAST((length(text) - length(replace(text, '{PHRASE}', '')))
+                / {len(PHRASE)} AS BIGINT) AS n_occurrences
+    FROM documents
+    WHERE strpos(text, '{PHRASE}') > 0
+    ORDER BY doc_id
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_match(docs, PHRASE).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring: mean log p(token) under the corpus's own
+# unigram distribution — the cheap perplexity proxy used to rank
+# documents for curation (out-of-distribution docs score low). Vocab
+# logprobs are micro-rounded; the per-doc sum Σ tf·logp_micro is exact
+# BIGINT; the mean divides twice in a fixed order.
+@query(
+    "unigram_logprob_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lp AS (
+        SELECT token,
+               CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS logp_micro
+        FROM vocab CROSS JOIN tot t
+    ),
+    tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tok,
+           CAST(SUM(tf * logp_micro) AS BIGINT) AS logp_sum_micro,
+           CAST(SUM(tf * logp_micro) AS DOUBLE) / 1000000.0
+               / CAST(SUM(tf) AS DOUBLE) AS mean_logprob
+    FROM tc JOIN lp USING (token)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tc = term_counts(docs)
+    vocab = tc.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("logp_micro"),
+    )
+    return (
+        tc.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("logp_micro")).alias("logp_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "logp_sum_micro",
+            (
+                F.col("logp_sum_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_tok").cast("double")
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,152 @@
+"""Unit tests: keyword-search operators (inverted index, BM25, phrase
+match) and graph operators (fixed-point PageRank, BFS hops)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.operators.graph import SCALE, bfs_hops, pagerank_int
+from lakehouse_poc_spark.operators.search import (
+    bm25_topk,
+    inverted_index,
+    phrase_match,
+    term_counts,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, "cat cat cat"),
+        (3, "a completely different document entirely"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_term_counts(spark):
+    tc = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in term_counts(_docs(spark)).collect()
+    }
+    assert tc[(0, "the")] == 2
+    assert tc[(2, "cat")] == 3
+    assert (1, "cat") not in tc
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    idx = {r["token"]: r for r in inverted_index(_docs(spark)).collect()}
+    assert idx["cat"]["postings"] == [0, 2]
+    assert idx["cat"]["doc_freq"] == 2
+    assert idx["cat"]["total_tf"] == 4
+    assert idx["sat"]["postings"] == [0, 1]
+    capped = {
+        r["token"]: r["postings"]
+        for r in inverted_index(_docs(spark), max_postings=1).collect()
+    }
+    assert capped["cat"] == [0]
+
+
+def test_bm25_ranks_rare_term_matches_higher(spark):
+    # "mat" appears only in doc 0; "sat" in two docs. A doc matching
+    # the rare term should outrank one matching only the common term.
+    out = bm25_topk(_docs(spark), ["mat", "sat"], k=10).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[0]["n_terms_hit"] == 2
+    assert by_doc[0]["rank"] == 1
+    assert by_doc[1]["n_terms_hit"] == 1
+    assert 3 not in by_doc  # no query term → not retrieved
+    # ranks are dense 1..n and scores non-increasing
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_matches_reference_formula(spark):
+    # Hand-computed BM25 for doc 2 / term "cat": N=4, df=2, tf=3, dl=3,
+    # avgdl = 17/4 (6+3+3+5 tokens), k1=1.2, b=0.75.
+    out = {r["doc_id"]: r for r in bm25_topk(_docs(spark), ["cat"], k=10).collect()}
+    idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    dl_norm = 0.25 + 0.75 * 3 / (17 / 4)
+    expected = idf * 3 * 2.2 / (3 + 1.2 * dl_norm)
+    assert abs(out[2]["score"] - expected) < 1e-5
+
+
+def test_phrase_match_positions_and_counts(spark):
+    out = {r["doc_id"]: r for r in phrase_match(_docs(spark), "cat").collect()}
+    assert out[0]["first_pos"] == 5  # "the cat..." — 1-based instr
+    assert out[2]["n_occurrences"] == 3
+    assert 1 not in out
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, ["src", "dst", "w"])
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # 3-cycle: symmetric → uniform ranks, and total mass ≈ SCALE.
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    out = {r["node"]: r for r in pagerank_int(e, weight="w", iterations=5).collect()}
+    vals = {r["rank_scaled"] for r in out.values()}
+    assert len(vals) == 1  # exactly equal by symmetry (integer math)
+    total = sum(r["rank_scaled"] for r in out.values())
+    assert abs(total - SCALE) <= 3 * 5  # floor-div loss ≤ nodes·iters
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # a→c, b→c: c must outrank a and b. The a↔c 2-cycle makes finite
+    # iteration counts oscillate around the fixed point, so run enough
+    # iterations (damping^2 decay per round trip) to settle ordering.
+    e = _edges(spark, [("a", "c", 1), ("b", "c", 1), ("c", "a", 1)])
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int(e, weight="w", iterations=40).collect()
+    }
+    assert out["c"] > out["a"]
+    assert out["c"] > out["b"]
+    assert out["a"] > out["b"]
+
+
+def test_pagerank_weights_matter(spark):
+    # a sends 9/10 of its mass to b, 1/10 to c → b outranks c.
+    e = _edges(
+        spark,
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+    )
+    out = {r["node"]: r["rank_scaled"] for r in pagerank_int(e, weight="w").collect()}
+    assert out["b"] > out["c"]
+
+
+def test_bfs_hops_levels_and_unreachable(spark):
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("x", "y", 1)])
+    src = spark.createDataFrame([("a",)], ["node"])
+    out = {r["node"]: r["hops"] for r in bfs_hops(e, src, max_hops=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}  # d beyond max_hops; x,y unreachable
+
+
+def test_bfs_hops_takes_shortest_path(spark):
+    # two routes to d: a→d (1 hop) and a→b→c→d — must report 1.
+    e = _edges(
+        spark,
+        [("a", "d", 1), ("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+    )
+    src = spark.createDataFrame([("a",)], ["node"])
+    out = {r["node"]: r["hops"] for r in bfs_hops(e, src).collect()}
+    assert out["d"] == 1
+
+
+def test_query_registration():
+    from lakehouse_poc_spark import plans
+
+    for name in (
+        "inverted_index_tokens",
+        "bm25_topk_docs",
+        "phrase_search_docs",
+        "unigram_logprob_docs",
+        "pagerank_event_types",
+    ):
+        assert name in plans.QUERIES
+        assert name in plans.ORACLES
