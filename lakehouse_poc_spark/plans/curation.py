@@ -23,7 +23,7 @@ notebooks/pipeline_core.py:160,210).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import read_parquet_table
@@ -374,4 +374,84 @@ def group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("source", split.alias("split"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (the multinomial-sampling-with-
+# temperature recipe from multilingual/multi-domain LM training, e.g.
+# mC4/XLM-R: sample source s with probability ∝ n_s^α, α=0.5). Target
+# counts are computed in exact integer micro-weights (sqrt is
+# correctly-rounded IEEE, so both engines produce the identical
+# double; the ROUND→BIGINT→floor-div chain is then exact), and the
+# per-source sample itself is the deterministic md5-rank prefix —
+# append-stable and engine-independent.
+#
+# Scale: one vocabulary-small aggregate for the weights (broadcast
+# back), one window rank per source partition — a single shuffle on
+# source; the budget arithmetic never touches the driver.
+_MIX_BUDGET = 200
+_MIX_SALT = "t1:"
+
+
+@query(
+    "temperature_mix_docs",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY source
+    ),
+    weights AS (
+        SELECT source, n_total,
+               CAST(ROUND(sqrt(CAST(n_total AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS w_micro
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS total_w FROM weights),
+    targets AS (
+        SELECT w.source, w.n_total, w.w_micro,
+               ({_MIX_BUDGET} * w.w_micro) // t.total_w AS keep_n
+        FROM weights w CROSS JOIN tot t
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rk, tg.keep_n
+    FROM ranked r JOIN targets tg ON r.source = tg.source
+    WHERE r.rk <= tg.keep_n
+    ORDER BY r.source, r.rk
+    """,
+)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    weights = counts.select(
+        "source",
+        "n_total",
+        F.round(F.sqrt(F.col("n_total").cast("double")) * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    tot = weights.agg(F.sum("w_micro").alias("total_w"))
+    targets = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"{_MIX_BUDGET} * w_micro div total_w").alias("keep_n"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rk") <= F.col("keep_n"))
+        .select("doc_id", "source", "rk", "keep_n")
+        .orderBy("source", "rk")
     )

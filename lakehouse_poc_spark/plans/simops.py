@@ -594,3 +594,109 @@ def similarity_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         cands, emb, vec_col="embedding", id_col="vec_id", k=5
     ).orderBy("query_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@5 of the IVF index against the exact
+# brute-force ground truth, per query. The standard acceptance gate
+# before swapping an approximate index into a retrieval pipeline —
+# measured IN the engine, over the same data, with both sides
+# oracle-reproducible (IVF's quantizer here is the deterministic
+# lowest-id variant, so the whole evaluation is plain arithmetic).
+_RECALL_BRUTE_CTE = f"""
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) t WHERE rank <= 5
+    )"""
+
+_RECALL_IVF_CTE = f"""
+    cents AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    corpus_cells AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+        ) t WHERE crank <= 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 8
+        ) t WHERE crank <= 2
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sql_cosine('q.qv', 'c.nv')} DESC, c.neighbor_id
+                   ) AS INTEGER) AS rank
+            FROM query_cells q JOIN corpus_cells c ON q.cid = c.cid
+            WHERE c.neighbor_id <> q.query_id
+        ) t WHERE rank <= 5
+    )"""
+
+
+@query(
+    "ann_recall_ivf",
+    oracle=f"""
+    WITH {_RECALL_BRUTE_CTE.strip()},
+    {_RECALL_IVF_CTE.strip()}
+    SELECT b.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_centroids=16, nprobe=2,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -341,3 +341,94 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule-set (Rae et al. 2021 §A1.1, public paper):
+# hard per-document filters with one boolean per rule plus the
+# composite keep flag. All ratio thresholds are evaluated in exact
+# integer micro-units (value·1e6 floor-divided) so both engines make
+# identical keep/drop decisions — no float comparisons at the
+# decision boundary.
+@query(
+    "gopher_quality_flags",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(text, '\s+') AS w,
+               length(text) AS n_chars_raw
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+                   AS sum_word_len,
+               CAST(len(list_filter(w, x -> regexp_full_match(x, '[A-Za-z]+')))
+                    AS BIGINT) AS n_alpha_words,
+               CAST(len(list_filter(w, x -> x IN ({_STOPLIST_SQL})))
+                    AS BIGINT) AS n_stop,
+               CAST(n_chars_raw AS BIGINT) AS n_chars
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           (sum_word_len * 1000000) // greatest(n_words, 1)
+               AS mean_word_len_micro,
+           (n_alpha_words * 1000000) // greatest(n_words, 1)
+               AS alpha_frac_micro,
+           n_stop >= 2 AS has_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS ok_length,
+           ((sum_word_len * 1000000) // greatest(n_words, 1)
+                BETWEEN 3000000 AND 10000000) AS ok_word_len,
+           ((n_alpha_words * 1000000) // greatest(n_words, 1) >= 800000)
+               AS ok_alpha,
+           ((n_words BETWEEN 50 AND 100000)
+            AND ((sum_word_len * 1000000) // greatest(n_words, 1)
+                 BETWEEN 3000000 AND 10000000)
+            AND ((n_alpha_words * 1000000) // greatest(n_words, 1) >= 800000)
+            AND n_stop >= 2) AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+
+    w = tokens("text")
+    n_words = F.size(w).cast("bigint")
+    sum_word_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(
+        F.filter(w, lambda x: x.rlike(r"^[A-Za-z]+$"))
+    ).cast("bigint")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    g1 = F.greatest(n_words, F.lit(1).cast("bigint"))
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_word_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop"),
+        g1.alias("g1"),
+    )
+    mwl = F.expr("sum_word_len * 1000000 div g1")
+    afr = F.expr("n_alpha_words * 1000000 div g1")
+    ok_length = F.col("n_words").between(50, 100000)
+    ok_word_len = mwl.between(3000000, 10000000)
+    ok_alpha = afr >= 800000
+    has_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len_micro"),
+        afr.alias("alpha_frac_micro"),
+        has_stop.alias("has_stopwords"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_length & ok_word_len & ok_alpha & has_stop).alias("keep"),
+    ).orderBy("doc_id")
