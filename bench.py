@@ -68,6 +68,14 @@ HEADLINE = [
     "token_cooccurrence_pmi",
     "winsorize_event_values",
     "gap_fill_hourly_events",
+    # keyword search / corpus LM / quality / mixing / ANN eval / graph
+    "inverted_index_tokens",
+    "bm25_topk_docs",
+    "unigram_logprob_docs",
+    "gopher_quality_flags",
+    "temperature_mix_docs",
+    "ann_recall_ivf",
+    "pagerank_event_types",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]
