@@ -586,3 +586,104 @@ def stream_dq_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     return rejected.unionByName(valid_n).orderBy("reason")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: every click, matched to the
+# same user's purchases in the following 15 minutes — and, unlike the
+# inner join above, clicks with NO purchase are emitted too (with
+# nulls) once the watermark passes their join window.
+#
+# Outer stream-stream joins only release unmatched rows when the
+# watermark moves past them, so a bounded replay must FLUSH the tail:
+# a sentinel row far past the data's max event time is staged as a
+# second file (later mtime, maxFilesPerTrigger=1 → its own
+# micro-batch), advancing the watermark over every real row; no-data
+# micro-batches (on by default) then evict and emit the remaining
+# unmatched state. The sentinel user (-1) is filtered from results.
+# This is the standard "close the books" pattern for replaying
+# bounded history through an unbounded-stream operator.
+@query(
+    "stream_stream_left_outer",
+    oracle=f"""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           {sql_dsum('p.value', 'purchase_value')}
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = Path(tempfile.mkdtemp(prefix="stream_sslo_"))
+    src = work / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
+    ensure_session_confs(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw.schema
+    # Sentinel: one click + one purchase 10 days past max event time,
+    # written in the RAW fixture schema so the stream reader accepts it.
+    max_ts_row = raw.agg(F.max("ts").alias("m")).first()
+    flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "click", 0.0, None),
+            (-2, flush_ts, -1, "purchase", 0.0, None),
+        ],
+        schema,
+    )
+    sent_dir = work / "sentinel"
+    sentinel.coalesce(1).write.parquet(str(sent_dir))
+    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
+    target = src / "01_flush.parquet"
+    shutil.copy(part, target)
+    # Strictly later mtime than the data file → second micro-batch.
+    st = os.stat(src / "00_events.parquet")
+    os.utime(target, (st.st_atime + 10, st.st_mtime + 10))
+
+    stream = normalize_event_ts(
+        stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
+        "left_outer",
+    )
+    sunk = run_append_to_parquet(joined, str(work / "out"), str(work / "ckpt"))
+    return (
+        sunk.filter(F.col("c_user") >= 0)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            dsum(F.col("p_value"), "purchase_value"),
+        )
+        .orderBy("user_id")
+    )
