@@ -181,3 +181,50 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_filters_terms_below_aggregation(spark):
+    plan = _formatted(QUERIES["bm25_topk_docs"](spark, SF))
+    # The query-term filter must sit under the tf aggregation so only
+    # matching tokens ever shuffle...
+    assert "IN (spark,merge,window)" in plan
+    filter_pos = plan.index("IN (spark,merge,window)")
+    agg_pos = plan.index("partial_count")
+    assert filter_pos < agg_pos or "Filter" in plan[:agg_pos]
+    # ...and document frequencies broadcast back (never a shuffle join
+    # on the term-filtered side).
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_plans_as_take_ordered(spark):
+    # The global k-row window should resolve to TakeOrderedAndProject
+    # (per-partition top-k + driver merge), not a single-partition sort
+    # of all scored docs.
+    plan = _formatted(QUERIES["bm25_topk_docs"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_search_is_map_only(spark):
+    plan = _formatted(QUERIES["phrase_search_docs"](spark, SF))
+    # pure scan → filter → project: the final orderBy of a tiny result
+    # is the only allowed exchange ("Exchange (" counts tree nodes only)
+    assert plan.count("Exchange (") <= 1
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    plan = _formatted(QUERIES["unigram_logprob_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pagerank_reuses_cached_edges(spark):
+    plan = _formatted(QUERIES["pagerank_event_types"](spark, SF))
+    # edges/nodes are persisted and re-joined every iteration — the
+    # final plan must read them from cache, not recompute the event
+    # scan per iteration
+    assert "InMemoryTableScan" in plan
+
+
+def test_gopher_flags_map_only_scan(spark):
+    plan = _formatted(QUERIES["gopher_quality_flags"](spark, SF))
+    assert plan.count("Exchange (") <= 1  # only the final orderBy
