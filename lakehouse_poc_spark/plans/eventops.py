@@ -475,3 +475,59 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(
         events, "user_id", phi_denominator=1000, capacity=1024
     ).orderBy(F.col("n_rows").desc(), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average of event values per user:
+# s_0 = x_0, s_i = λ·s_{i-1} + (1-λ)·x_i over the user's events in
+# (ts, event_id) order. EWMA is inherently order-recursive, so both
+# engines evaluate the SAME left fold over the SAME pinned-order
+# array — float results are bit-identical with no rounding tricks
+# (fold order is part of the operator's contract, not an accident).
+#
+# Scale: one shuffle on user_id; each user's history materializes as
+# one array, so this fits bounded per-key histories (the per-user /
+# per-device case). For unbounded keys the streaming twin is
+# applyInPandasWithState with the same recurrence.
+_EWMA_LAMBDA = 0.9
+
+
+@query(
+    "ewma_event_values",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           vals[1] AS first_value,
+           list_reduce(vals,
+                       (acc, x) -> {_EWMA_LAMBDA} * acc
+                                   + {1.0 - _EWMA_LAMBDA} * x) AS ewma
+    FROM seq
+    ORDER BY user_id
+    """,
+)
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda e: e["value"])
+    # DuckDB's list_reduce seeds the fold with the first element;
+    # mirror that exactly: fold the tail with vals[0] as the seed.
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(_EWMA_LAMBDA) * acc + F.lit(1.0 - _EWMA_LAMBDA) * x,
+    )
+    return seq.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.element_at(vals, 1).alias("first_value"),
+        ewma.alias("ewma"),
+    ).orderBy("user_id")
