@@ -28,6 +28,7 @@ from lakehouse_poc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from lakehouse_poc_spark.operators.search import bm25_topk, inverted_index
 from lakehouse_poc_spark.session import get_spark
 from lakehouse_poc_spark.sources.readers import read_parquet_table
 
@@ -72,6 +73,11 @@ def main() -> None:
                 c, "text", "doc_id", num_perm=32, bands=8
             ),
             "simhash": lambda c: simhash_near_pairs(c, "text", "doc_id", max_hamming=3),
+            # index build + retrieval: should scale ~linearly with the
+            # corpus (one (doc, token) shuffle; query terms filtered
+            # under the agg)
+            "bm25_topk": lambda c: bm25_topk(c, ["spark", "merge", "window"], k=10),
+            "inverted_index": lambda c: inverted_index(c, min_df=100),
         }
         if with_brute and factor <= 2:  # O(n²): 20k docs = 200M pairs, skip
             ops["brute_jaccard"] = lambda c: ngram_jaccard_pairs(c, "text", "doc_id")
