@@ -455,3 +455,63 @@ def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rk", "keep_n")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII match SPANS via the Python UDTF surface (SURVEY.md §2.12,
+# operators/udtfs.py): one row per match with exact 1-based character
+# offsets — what an audit needs to verify a redaction pass, and what
+# built-in regexp functions cannot produce (no positions).
+#
+# The oracle never runs a regex: the PII augmentation is deterministic
+# (same suffix layout as pii_redaction_docs), so every span position
+# is *derived arithmetically* from length(text) and the doc_id's digit
+# count — a stronger check than re-running the same regex twice.
+@query(
+    "pii_spans_docs",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS L,
+               CAST(length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS D,
+               'user' || CAST(doc_id AS VARCHAR) || '@example.com' AS email,
+               '+555-726-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ph1,
+               '212-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS ph2
+        FROM documents
+    )
+    SELECT doc_id, kind, match, start, "end" FROM (
+        SELECT doc_id, 'email' AS kind, email AS match,
+               CAST(L + 11 AS INTEGER) AS start,
+               CAST(L + D + 26 AS INTEGER) AS "end"
+        FROM aug
+        UNION ALL
+        SELECT doc_id, 'phone', ph1,
+               CAST(L + D + 31 AS INTEGER), CAST(L + D + 43 AS INTEGER)
+        FROM aug
+        UNION ALL
+        SELECT doc_id, 'phone', ph2,
+               CAST(L + D + 52 AS INTEGER), CAST(L + D + 63 AS INTEGER)
+        FROM aug
+    ) t
+    ORDER BY doc_id, start
+    """,
+)
+def pii_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.udtfs import regex_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +555-726-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" office 212-555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return regex_spans(
+        aug, "t", {"email": _EMAIL_RE, "phone": _PHONE_RE}
+    ).orderBy("doc_id", "start")

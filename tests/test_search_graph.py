@@ -150,3 +150,29 @@ def test_query_registration():
     ):
         assert name in plans.QUERIES
         assert name in plans.ORACLES
+
+
+def test_regex_spans_udtf_offsets(spark):
+    from lakehouse_poc_spark.operators.udtfs import regex_spans
+
+    df = spark.createDataFrame(
+        [(0, "mail a@b.com and c@d.org x"), (1, "no matches")], ["doc_id", "t"]
+    )
+    out = regex_spans(
+        df, "t", {"email": r"[a-z]+@[a-z.]+[a-z]"}
+    ).collect()
+    spans = sorted((r["start"], r["end"], r["match"]) for r in out)
+    assert spans == [(6, 12, "a@b.com"), (18, 24, "c@d.org")]
+    assert all(r["kind"] == "email" for r in out)
+    assert all(r["doc_id"] == 0 for r in out)
+
+
+def test_regex_spans_udtf_multi_pattern_union(spark):
+    from lakehouse_poc_spark.operators.udtfs import regex_spans
+
+    df = spark.createDataFrame([(7, "id 123 code ab-9")], ["doc_id", "t"])
+    out = regex_spans(
+        df, "t", {"num": r"[0-9]+", "code": r"[a-z]+-[0-9]"}
+    ).collect()
+    kinds = sorted((r["kind"], r["match"]) for r in out)
+    assert kinds == [("code", "ab-9"), ("num", "123"), ("num", "9")]
