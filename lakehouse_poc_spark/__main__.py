@@ -1,0 +1,73 @@
+"""Command-line entry point: run config-driven pipelines without a
+notebook — the standalone-repo equivalent of the reference's Databricks
+job surface (a reference user schedules `python -m lakehouse_poc_spark`
+where they previously scheduled a notebook task).
+
+Config file: JSON — either one pipeline object or
+``{"defaults": {...}, "tables": [{...}, ...]}`` (the Mini-ETL
+defaults-merge shape, config.py::merge_defaults).
+
+Example:
+    python -m lakehouse_poc_spark \\
+        --config pipelines.json --warehouse /data/wh \\
+        --run-ts 2026-01-01T00:00:00
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime, timezone
+
+from .config import config_from_dict, merge_defaults
+from .pipeline import run_many
+from .session import get_spark
+from .sinks.warehouse import Warehouse
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lakehouse_poc_spark")
+    p.add_argument("--config", required=True, help="pipeline config JSON")
+    p.add_argument("--warehouse", required=True, help="warehouse root dir")
+    p.add_argument(
+        "--run-ts",
+        default=None,
+        help="deterministic run timestamp (ISO-8601); defaults to now UTC",
+    )
+    p.add_argument("--cpus", default=None, help="local parallelism override")
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        raw = json.load(f)
+    if "tables" in raw:
+        entries = merge_defaults(raw.get("defaults", {}), raw["tables"])
+    else:
+        entries = [raw]
+    configs = [config_from_dict(e) for e in entries]
+
+    run_ts = args.run_ts or datetime.now(timezone.utc).replace(
+        tzinfo=None
+    ).isoformat(sep=" ", timespec="seconds")
+
+    spark = get_spark("lakehouse_poc_spark_cli", cpus=args.cpus)
+    wh = Warehouse(spark, args.warehouse)
+    stats = run_many(spark, wh, configs, run_ts)
+    print(
+        json.dumps(
+            {
+                name: {
+                    "unchanged": s.unchanged,
+                    "new_keys": s.new_keys,
+                    "updated_keys": s.updated_keys,
+                }
+                for name, s in stats.items()
+            },
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -103,3 +103,54 @@ def test_multi_table_csv_fanout_mirrors_mini_etl(spark, wh, tmp_path):
     dim = wh.read("l1.dim_kosten")
     k2 = {(r.Bereich, r.is_current) for r in dim.filter("Kostenstelle = 'K2'").collect()}
     assert k2 == {("Süd", False), ("West", True)}
+
+
+def test_cli_main_runs_config_driven_pipeline(tmp_path):
+    """python -m lakehouse_poc_spark: JSON config → CSV → raw → SCD2 dim."""
+    import json
+    import io
+    from contextlib import redirect_stdout
+
+    from lakehouse_poc_spark.__main__ import main
+
+    src = tmp_path / "kunden.csv"
+    src.write_text("Kundennr;Name;Ort\n1;Alpha;Berlin\n2;Beta;Kiel\n")
+    cfg = {
+        "defaults": {"dialect": {"sep": ";", "encoding": "utf-8"}},
+        "tables": [
+            {
+                "name": "kunden",
+                "raw_table": "raw.kunden",
+                "dim_table": "dim.kunden",
+                "key_columns": ["Kundennr"],
+                "compare_columns": ["Name", "Ort"],
+                "source_path": str(src),
+            }
+        ],
+    }
+    cfg_path = tmp_path / "pipelines.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "--config", str(cfg_path),
+                "--warehouse", str(tmp_path / "wh"),
+                "--run-ts", "2026-01-01 00:00:00",
+                "--cpus", "4",
+            ]
+        )
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats == {
+        "kunden": {"unchanged": 0, "new_keys": 2, "updated_keys": 0}
+    }
+    # dim table exists with both keys current
+    from lakehouse_poc_spark.session import get_spark
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(get_spark("t", cpus=4), str(tmp_path / "wh"))
+    dim = wh.read("dim.kunden")
+    assert dim.count() == 2
+    assert dim.filter("is_current").count() == 2
