@@ -627,3 +627,65 @@ def incremental_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_stats(tgt, "3_final_table"))
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table reconciliation (operators/diff.py): diff the orders table
+# against a deterministically perturbed copy — dropped keys (%97),
+# added keys (%101 re-keyed +10M), changed prices (%13) — and report
+# per-status key counts. The migration-validation primitive: one
+# full-outer shuffle join on the key, null-safe value compare.
+@query(
+    "table_diff_orders",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    r AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS k,
+               CASE WHEN r.o_orderkey IS NULL THEN 'only_left'
+                    WHEN l.o_orderkey IS NULL THEN 'only_right'
+                    WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice
+                      OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                        THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM l FULL JOIN r ON l.o_orderkey = r.o_orderkey
+    ) t
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import diff_summary
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    right = (
+        left.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            left.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    return (
+        diff_summary(
+            left, right, keys=["o_orderkey"],
+            compare_cols=["o_totalprice", "o_orderstatus"],
+        )
+        .orderBy("status")
+    )

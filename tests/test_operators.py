@@ -179,3 +179,34 @@ def test_pandas_bridge_arrow_roundtrip(spark):
     assert list(back["k"]) == ["a", "b", "c"]
     assert back["n"].tolist() == [1, 2, 3]
     assert pd.isna(back["v"][2]) and back["v"][1] == 2.5
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    from lakehouse_poc_spark.operators.diff import diff_summary, table_diff
+
+    l = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, None, None)],
+        "k long, v1 string, v2 string",
+    )
+    r = spark.createDataFrame(
+        [(2, "b", "x"), (3, "CHANGED", "y"), (4, None, "now-set"), (5, "new", None)],
+        "k long, v1 string, v2 string",
+    )
+    rows = {
+        row["k"]: row["status"]
+        for row in table_diff(l, r, ["k"], ["v1", "v2"]).collect()
+    }
+    # null-safe compare: 4's NULL→"now-set" is a CHANGE (the reference's
+    # != would miss it); 2's exact match incl. nulls is same
+    assert rows == {
+        1: "only_left",
+        2: "same",
+        3: "changed",
+        4: "changed",
+        5: "only_right",
+    }
+    summary = {
+        row["status"]: row["n"]
+        for row in diff_summary(l, r, ["k"], ["v1", "v2"]).collect()
+    }
+    assert summary == {"only_left": 1, "same": 1, "changed": 2, "only_right": 1}
