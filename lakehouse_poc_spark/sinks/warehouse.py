@@ -452,6 +452,39 @@ class Warehouse:
             return
         self.overwrite_from_plan(self.read(table).filter(~pred), table)
 
+    # -- idempotent-writer transaction registry -------------------------
+    # The parquet emulation of Delta's txnAppId/txnVersion: a writer
+    # identifies itself with an app id and records each applied batch
+    # id; re-delivered batches (lost/rebuilt streaming checkpoint, job
+    # retry) are detected and skipped. On Delta the registry rides the
+    # same commit as the data (transactional); here it is written
+    # AFTER the data apply, so the one non-atomic window is crash
+    # *between* apply and record — a re-delivery then re-applies that
+    # single batch (at-least-once), which the SCD2 merge absorbs
+    # (content-idempotent) and a rollup would double-count; Delta
+    # closes exactly that window. Standard caveat applies to both:
+    # batch ids must be deterministic (same source → same batches).
+
+    def _txn_table(self, app_id: str) -> str:
+        return f"_txn.{app_id}"
+
+    def txn_applied(self, app_id: str, batch_id: int) -> bool:
+        """Has (app_id, batch_id) already been committed?"""
+        t = self._txn_table(app_id)
+        if not self.table_exists(t):
+            return False
+        return (
+            self.read(t).filter(F.col("batch_id") == int(batch_id)).limit(1).count()
+            > 0
+        )
+
+    def txn_commit(self, app_id: str, batch_id: int) -> None:
+        """Record (app_id, batch_id) as applied."""
+        row = self.spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        )
+        self.append(row, self._txn_table(app_id))
+
     def vacuum(self, retain_versions: int | None = None) -> int:
         """Remove leftover ``__staging``/``__old`` dirs that a crash
         between the write and the swap in ``overwrite_from_plan`` can

@@ -121,21 +121,32 @@ def rollup_stream(
     dims: list[str] | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
+    txn_app_id: str | None = None,
 ) -> None:
     """foreachBatch → incremental hourly rollup: each micro-batch is
     merged into the rollup with operators/rollup.py (partial aggregate
     + affected-partition rewrite). The streaming form of continuous
     aggregate maintenance: state lives in the rollup table itself, so
     no streaming state store is needed and restarts resume from the
-    checkpoint. Exactly-once to the same standard as the batch op:
-    mergeable decimal aggregates + each batch applied once."""
+    checkpoint.
+
+    ``txn_app_id`` arms the warehouse transaction registry
+    (Delta txnAppId/txnVersion emulation): a rollup upsert is NOT
+    content-idempotent (re-applying a batch double-counts), so
+    re-delivered batch ids — a lost or rebuilt checkpoint, a job
+    retry — are detected and skipped instead of re-applied. See
+    ``Warehouse.txn_applied`` for the atomicity fine print."""
     from ..operators.rollup import upsert_hourly_rollup
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if txn_app_id is not None and wh.txn_applied(txn_app_id, batch_id):
+            return
         upsert_hourly_rollup(
             wh, table, batch_df, ts_col=ts_col, dims=dims, value_col=value_col
         )
+        if txn_app_id is not None:
+            wh.txn_commit(txn_app_id, batch_id)
 
     run_foreach_batch(events, apply, checkpoint_dir)
