@@ -22,7 +22,7 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, word_shingles
@@ -601,3 +601,95 @@ def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
     """Distinct normalized-content fingerprints of a corpus — the
     compact historical state `incremental_dedup` joins against."""
     return df.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+
+
+def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin candidate generation over a (did, sh, sz) shingle-set
+    relation: (id_a, id_b) pairs sharing ≥1 prefix shingle under the
+    rarest-first global order, size-ratio pruned. Exposed separately so
+    tests (and capacity planning) can measure the candidate count
+    against the n·(n−1)/2 all-pairs space."""
+    flat = sh.select("did", "sz", F.explode("sh").alias("g"))
+    # Global order: rarest shingle first (ties by text).
+    freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.orderBy("df", "g")
+    order = freq.withColumn("pos", F.row_number().over(w_rank)).select("g", "pos")
+    ranked = flat.join(order, "g")
+    # Per-doc prefix: first (sz − ceil(t·sz) + 1) shingles in global order.
+    w_doc = Window.partitionBy("did").orderBy("pos")
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    ).cast("int")
+    prefix = (
+        ranked.withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") <= prefix_len)
+        .select("did", "sz", "g")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    sa, sb = F.col("pa.sz").cast("double"), F.col("pb.sz").cast("double")
+    return (
+        pa.join(
+            pb,
+            (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa.did") < F.col("pb.did"))
+            & (sa >= F.lit(threshold) * sb)
+            & (sb >= F.lit(threshold) * sa),
+        )
+        .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING
+    (Chaudhuri et al. 2006 / Xiao et al. 2008, public papers) —
+    result-identical to :func:`ngram_jaccard_pairs`, sub-quadratic
+    candidate generation.
+
+    Under a single global shingle order (ascending document frequency,
+    ties by shingle text — rarest first), a document's *prefix* is its
+    first ``|s| − ⌈t·|s|⌉ + 1`` ordered shingles. Any pair with
+    J ≥ t has ``|a∩b| ≥ ⌈t·max(|a|,|b|)⌉`` (since ``|a∪b| ≥ max``), so
+    at least one common shingle must fall inside BOTH prefixes —
+    blocking on prefix-shingle equality therefore loses no qualifying
+    pair, and candidates are verified with the exact intersection.
+
+    Scale shape vs the brute path: the self-join touches only the
+    prefix relation (≈ (1−t)·shingle volume), keyed on rare-first
+    shingles — candidate counts collapse because frequent shingles
+    rarely appear in prefixes. Shuffles: one vocabulary-sized count,
+    one prefix-relation join, one id-keyed shingle re-join for
+    verification. The verification joins carry shingle sets only for
+    candidate pairs, not all pairs.
+    """
+    sh = fan_out(df).select(
+        F.col(id_col).alias("did"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    sh = sh.withColumn("sz", F.size("sh")).persist()
+    cands = prefix_candidates(sh, threshold)
+    a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    try:
+        return (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a", "id_b", (inter / union).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    finally:
+        # lazily-built plan holds the persisted sh; release on GC via
+        # Spark's cache manager — explicit unpersist here would drop it
+        # before execution. Callers running many corpora should call
+        # spark.catalog.clearCache() between runs.
+        pass

@@ -774,3 +774,41 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, m=8, n_codes=16,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered exact Jaccard: result-identical to
+# ngram_jaccard_pairs_docs (deliberately shares its oracle — the
+# entire claim is "same results, sub-quadratic candidates"), with
+# candidate generation restricted to rare-first prefix shingles.
+# The exact-similarity scale path that doesn't trade recall like LSH.
+@query(
+    "jaccard_prefix_pairs_docs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               )) AS s
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id
+         AND len(a.s) >= 0.5 * len(b.s) AND len(b.s) >= 0.5 * len(a.s)
+    ) t
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")

@@ -309,3 +309,46 @@ def test_mmr_rerank_matches_reference_and_diversifies(spark):
         .collect()
     ]
     assert again == picked
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    """PPJoin prefix filtering must be result-identical to the brute
+    path at the same threshold — on the fixture AND on an adversarial
+    near-dup pair that only just clears the threshold."""
+    from lakehouse_poc_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),             # high-overlap near-dup
+        (3, "totally different words here entirely now ok fine yes"),
+        (4, base.replace("delta", "DELTA")),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.8):
+        brute = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=t)
+        pref = jaccard_prefix_pairs(docs, "text", "doc_id", threshold=t)
+        assert brute.exceptAll(pref).isEmpty()
+        assert pref.exceptAll(brute).isEmpty()
+
+
+def test_prefix_jaccard_candidate_reduction(spark):
+    """The prefix join must generate FAR fewer candidate pairs than
+    all-pairs — the whole point. Measured on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.text import word_shingles
+    from lakehouse_poc_spark.operators.dedup import prefix_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    sh = docs.select(
+        F.col("doc_id").alias("did"),
+        F.array_distinct(word_shingles("text", 3)).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    n_cands = prefix_candidates(sh, threshold=0.5).count()
+    all_pairs = n * (n - 1) / 2
+    assert n_cands < 0.05 * all_pairs, (n_cands, all_pairs)
