@@ -610,13 +610,15 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     tests (and capacity planning) can measure the candidate count
     against the n·(n−1)/2 all-pairs space."""
     flat = sh.select("did", "sz", F.explode("sh").alias("g"))
-    # Global order: rarest shingle first (ties by text).
+    # Global order: rarest shingle first (ties by text). The ORDER is
+    # all that matters, so each doc ranks its shingles by the (df, g)
+    # tuple directly — materializing global positions would need a
+    # vocabulary-wide single-partition row_number (the classic
+    # no-partition-window scale hole; it also measured 2× slower here).
     freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w_rank = Window.orderBy("df", "g")
-    order = freq.withColumn("pos", F.row_number().over(w_rank)).select("g", "pos")
-    ranked = flat.join(order, "g")
-    # Per-doc prefix: first (sz − ceil(t·sz) + 1) shingles in global order.
-    w_doc = Window.partitionBy("did").orderBy("pos")
+    ranked = flat.join(freq, "g")
+    # Per-doc prefix: first (sz − ⌈t·sz⌉ + 1) shingles in global order.
+    w_doc = Window.partitionBy("did").orderBy("df", "g")
     prefix_len = (
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
     ).cast("int")
