@@ -537,26 +537,47 @@ def pq_topk(
     (queries × m × n_codes rows) broadcasts; the only corpus-sized
     shuffle is the (query, neighbor) partial-sum aggregation — and the
     encoded relation it aggregates carries codes, not vectors."""
+    import numpy as np
+    import pandas as pd
+
     codebooks = pq_codebooks(corpus, vec_col, id_col, m=m, n_codes=n_codes)
     ds = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, vec_col, id_col)
 
-    lut_entries = []
-    for j in range(m):
-        for ci, code in enumerate(codebooks[j]):
-            lut_entries.append(
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.lit(ci).alias("code"),
-                    F.round(_sub_l2sq(vec_col, j, ds, code) * F.lit(1_000_000.0))
-                    .cast("bigint")
-                    .alias("d_micro"),
-                )
+    # Per-query LUT via the same numpy kernel as the encode. (An
+    # expression formulation spent ~8 s per call just BUILDING the
+    # m×n_codes HOF Column objects — py4j chatter, before any data
+    # moved.) d_micro rounds half-away-from-zero on non-negative
+    # distances — floor(x+0.5) — matching Spark round()/DuckDB ROUND.
+    cb = np.array(codebooks, dtype=np.float64)  # (m, n_codes, ds)
+    n_codes_ = cb.shape[1]
+
+    def build_lut(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-    lut = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(F.array(*lut_entries)).alias("e"),
-    ).select("query_id", "e.j", "e.code", "e.d_micro")
+            n = len(pdf)
+            subs = vecs.reshape(n, m, ds)
+            diffs = subs[:, :, None, :] - cb[None, :, :, :]
+            dists = np.add.reduce(diffs * diffs, axis=-1)  # (n, m, n_codes)
+            d_micro = np.floor(dists.reshape(-1) * 1_000_000.0 + 0.5).astype(
+                "int64"
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[query_id_col].to_numpy(), m * n_codes_),
+                    "j": np.tile(
+                        np.repeat(np.arange(m, dtype=np.int32), n_codes_), n
+                    ),
+                    "code": np.tile(np.arange(n_codes_, dtype=np.int32), n * m),
+                    "d_micro": d_micro,
+                }
+            )
+
+    lut = queries.select(query_id_col, vec_col).mapInPandas(
+        build_lut, "query_id long, j int, code int, d_micro long"
+    )
 
     adc = (
         enc.join(F.broadcast(lut), ["j", "code"])
