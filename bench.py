@@ -76,6 +76,10 @@ HEADLINE = [
     "temperature_mix_docs",
     "ann_recall_ivf",
     "pagerank_event_types",
+    "similarity_topk_pq",
+    "jaccard_prefix_pairs_docs",
+    "table_diff_orders",
+    "ewma_event_values",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]
