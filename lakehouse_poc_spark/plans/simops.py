@@ -812,3 +812,128 @@ def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(
         docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# PQ quality gate: recall@5 of the PQ/ADC index against the EXACT
+# squared-L2 ground truth (PQ approximates L2 — cosine would be the
+# wrong yardstick for unnormalized vectors). Completes the eval pair
+# with ann_recall_ivf. Ground-truth cost is queries × corpus, not
+# corpus²: at scale you recall-check a fixed query sample.
+def _sql_l2sq(a: str, b: str) -> str:
+    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIM}), i -> {t} * {t})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@query(
+    "ann_recall_pq",
+    oracle=f"""
+    WITH brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_l2sq('q.embedding', 'c.embedding')} ASC,
+                                c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) t WHERE rank <= 5
+    ),
+    cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 7) g(j)),
+    enc AS (
+        SELECT vec_id, j, cid AS code FROM (
+            SELECT e.vec_id, s.j, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, s.j
+                       ORDER BY {_sql_subdist('e.embedding', 'c.cv', 's.j')}, c.cid
+                   ) AS rk
+            FROM embeddings e CROSS JOIN subs s CROSS JOIN cents c
+        ) t WHERE rk = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, s.j, c.cid AS code,
+               CAST(ROUND({_sql_subdist('q.embedding', 'c.cv', 's.j')}
+                          * 1000000.0) AS BIGINT) AS d_micro
+        FROM embeddings q CROSS JOIN subs s CROSS JOIN cents c
+        WHERE q.vec_id < 8
+    ),
+    pq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY l.query_id
+                       ORDER BY SUM(l.d_micro), e.vec_id) AS INTEGER) AS rank
+            FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.code
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id
+        ) t WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(p.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN pq p
+      ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import l2_dist_sq
+    from ..operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    c = emb.select(F.col("vec_id").alias("__nid"), F.col("embedding").alias("__nv"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            l2_dist_sq(F.col("__qv"), F.col("__nv")).alias("d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    brute = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, m=8, n_codes=16,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
