@@ -937,3 +937,73 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality gate: recall@5 of hyperplane-LSH vs exact cosine ground
+# truth — completes the acceptance-gate triad (IVF, PQ, LSH). An LSH
+# bucket can hold fewer than 5 candidates, so per-query recall
+# directly exposes bucket-starvation (the multiprobe trigger).
+@query(
+    "ann_recall_lsh",
+    oracle=f"""
+    WITH {_RECALL_BRUTE_CTE.strip()},
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings WHERE vec_id < 8
+    ),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sql_cosine('q.qv', 'c.nv')} DESC, c.neighbor_id
+                   ) AS INTEGER) AS rank
+            FROM q JOIN c ON q.bucket = c.bucket AND c.neighbor_id <> q.query_id
+        ) t WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN lsh l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = lsh_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_planes=8,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
