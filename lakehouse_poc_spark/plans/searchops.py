@@ -51,7 +51,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ) GROUP BY doc_id, token
     )
     SELECT token,
-           list(doc_id ORDER BY doc_id) AS postings,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
            CAST(SUM(tf) AS BIGINT) AS total_tf
     FROM tc
@@ -62,7 +62,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return inverted_index(docs, min_df=100).orderBy("token")
+    # The operator returns real array<long> posting lists; the gated
+    # query projects them to a CSV string because the driver's value
+    # hash is only proven on scalar columns.
+    return (
+        inverted_index(docs, min_df=100)
+        .withColumn("postings", F.array_join(F.col("postings"), ","))
+        .orderBy("token")
+    )
 
 
 # ---------------------------------------------------------------------------
