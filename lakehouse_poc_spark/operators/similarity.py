@@ -163,9 +163,21 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    multiprobe: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine ranking. Deterministic for a fixed seed.
+
+    ``multiprobe=p`` additionally probes the p single-bit-flip
+    neighbor buckets obtained by flipping the query's p
+    LOWEST-CONFIDENCE sign bits (smallest |plane·q| — the planes the
+    query sits closest to, hence the flips most likely to recover true
+    neighbors). The standard recall lever for bucket starvation:
+    candidate volume grows ~(p+1)×, recall approaches exact, and the
+    corpus side is untouched (still one bucket per vector, still
+    partition-prunable at rest). Probe order ties break on plane
+    index, so the probe set is engine-exact.
 
     ``dim`` defaults to the observed vector length (one-row peek at the
     corpus). A plane/vector length mismatch would silently zero the
@@ -177,7 +189,6 @@ def lsh_topk(
         if probe is None:
             raise ValueError("lsh_topk: empty corpus, pass dim explicitly")
         dim = probe["d"]
-    planes = hyperplanes(dim, n_planes, seed)
     guard = lambda v: F.when(  # noqa: E731
         F.size(v) != F.lit(dim),
         F.raise_error(
@@ -190,14 +201,62 @@ def lsh_topk(
     corpus = corpus.withColumn(vec_col, guard(F.col(vec_col)))
     queries = queries.withColumn(vec_col, guard(F.col(vec_col)))
     c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
-    c = c.withColumn("__bucket", lsh_bucket_expr("__nv", planes))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__bucket", lsh_bucket_expr("__qv", planes))
-    scored = (
-        c.join(F.broadcast(q), "__bucket")
+    )
+
+    def side_keys(vec: str, with_probes: bool):
+        """(table, bucket) struct array for one vector column."""
+        entries = []
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed + t)
+            bucket = lsh_bucket_expr(vec, planes)
+            entries.append(
+                F.struct(F.lit(t).alias("t"), bucket.alias("b"))
+            )
+            if with_probes and multiprobe > 0:
+                # Rank planes by |plane·q| ascending (ties by plane
+                # index); flip one lowest-confidence bit per probe.
+                confid = F.array(
+                    *[
+                        F.struct(
+                            F.abs(
+                                dot(F.col(vec), F.array(*[F.lit(x) for x in p]))
+                            ).alias("a"),
+                            F.lit(i).alias("i"),
+                        )
+                        for i, p in enumerate(planes)
+                    ]
+                )
+                idx_sorted = F.transform(F.array_sort(confid), lambda s: s["i"])
+                masks = F.array(
+                    *[F.lit(1 << bit).cast("long") for bit in range(n_planes)]
+                )
+                for r in range(multiprobe):
+                    flipped = bucket.bitwiseXOR(
+                        F.element_at(masks, F.element_at(idx_sorted, r + 1) + 1)
+                    )
+                    entries.append(
+                        F.struct(F.lit(t).alias("t"), flipped.alias("b"))
+                    )
+        return F.explode(F.array(*entries)).alias("__tb")
+
+    c = c.select("neighbor_id", "__nv", side_keys("__nv", False)).select(
+        "neighbor_id", "__nv", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket")
+    )
+    q = q.select("query_id", "__qv", side_keys("__qv", True)).select(
+        "query_id", "__qv", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket")
+    )
+    cand = (
+        c.join(F.broadcast(q), ["__t", "__bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "__qv", "__nv")
+    )
+    if n_tables > 1 or multiprobe > 0:
+        # a pair can meet in several tables/probes — score each once
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

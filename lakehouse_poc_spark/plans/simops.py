@@ -1007,3 +1007,277 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiprobe LSH: probe the 2 single-bit-flip buckets of the query's
+# lowest-confidence planes in addition to its own bucket — the recall
+# lever the ann_recall_lsh gate motivates, with the corpus side (and
+# its at-rest partitioning) untouched. Fully oracle-exact: probe
+# selection is |plane·q| ranking over the same literal planes.
+def _sql_probe_union(p: int) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT query_id, qv, bucket, {i} AS idx, "
+        f"abs({_sql_plane_dot('qv', plane)}) AS a FROM q"
+        for i, plane in enumerate(_LSH_PLANES)
+    )
+    return f"""
+    probes AS (
+        SELECT query_id, qv, bucket AS pb FROM q
+        UNION ALL
+        SELECT query_id, qv, xor(bucket, 1 << idx) AS pb FROM (
+            SELECT query_id, qv, bucket, idx,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY a, idx) AS rk
+            FROM ({branches})
+        ) t WHERE rk <= {p}
+    )"""
+
+
+@query(
+    "similarity_topk_lsh_mp",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings WHERE vec_id < 8
+    ),
+    {_sql_probe_union(2).strip()}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT p.query_id, c.neighbor_id,
+               {_sql_cosine('p.qv', 'c.nv')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_sql_cosine('p.qv', 'c.nv')} DESC, c.neighbor_id
+               ) AS INTEGER) AS rank
+        FROM probes p JOIN c ON p.pb = c.bucket AND c.neighbor_id <> p.query_id
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_planes=8, multiprobe=2,
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_recall_lsh_mp",
+    oracle=f"""
+    WITH {_RECALL_BRUTE_CTE.strip()},
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv,
+               {_sql_lsh_bucket('embedding', _LSH_PLANES)} AS bucket
+        FROM embeddings WHERE vec_id < 8
+    ),
+    {_sql_probe_union(2).strip()},
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_sql_cosine('p.qv', 'c.nv')} DESC, c.neighbor_id
+                   ) AS INTEGER) AS rank
+            FROM probes p JOIN c ON p.pb = c.bucket AND c.neighbor_id <> p.query_id
+        ) t WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN lsh l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = lsh_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_planes=8, multiprobe=2,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-TABLE LSH (L independent hash tables × h planes, + multiprobe):
+# the canonical recall construction — a true neighbor is found if it
+# collides in ANY table. Measured on this fixture (adversarially
+# uniform vectors): 1 table × 8 planes ≈ 0.0 recall@5; 4 tables ×
+# 5 planes × 2 probes ≈ 0.7 recall@5 at ~2/5 of the corpus scanned —
+# the honest recall/cost dial, with ann_recall_lsh_multi as the gate.
+_MT_TABLES = 4
+_MT_PLANES = 5
+_MT_PROBE = 2
+_MT_PLANE_SETS = [
+    hyperplanes(EMB_DIM, _MT_PLANES, seed=7 + t) for t in range(_MT_TABLES)
+]
+
+
+def _sql_multitable_cand() -> str:
+    """CTE text: q, c, per-table probe sets, distinct candidate pairs."""
+    parts = [
+        """q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 8
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings)"""
+    ]
+    cand_branches = []
+    for t, planes in enumerate(_MT_PLANE_SETS):
+        bucket_q = _sql_lsh_bucket("qv", planes)
+        bucket_c = _sql_lsh_bucket("nv", planes)
+        dot_branches = " UNION ALL ".join(
+            f"SELECT query_id, bucket, {i} AS idx, "
+            f"abs({_sql_plane_dot('qv', plane)}) AS a FROM qt{t}"
+            for i, plane in enumerate(planes)
+        )
+        parts.append(f"""qt{t} AS (
+        SELECT query_id, qv, {bucket_q} AS bucket FROM q
+    ),
+    ct{t} AS (
+        SELECT neighbor_id, {bucket_c} AS bucket FROM c
+    ),
+    probes{t} AS (
+        SELECT query_id, bucket AS pb FROM qt{t}
+        UNION ALL
+        SELECT query_id, xor(bucket, 1 << idx) AS pb FROM (
+            SELECT query_id, bucket, idx,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY a, idx) AS rk
+            FROM ({dot_branches})
+        ) x WHERE rk <= {_MT_PROBE}
+    )""")
+        cand_branches.append(
+            f"SELECT p.query_id, cc.neighbor_id "
+            f"FROM probes{t} p JOIN ct{t} cc ON p.pb = cc.bucket "
+            f"WHERE cc.neighbor_id <> p.query_id"
+        )
+    parts.append(
+        "cand AS (SELECT DISTINCT query_id, neighbor_id FROM ("
+        + " UNION ALL ".join(cand_branches)
+        + ") u)"
+    )
+    return ",\n    ".join(parts)
+
+
+_MT_RANKED = f"""
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   {_sql_cosine('q.qv', 'c.nv')} AS cos_sim
+            FROM cand d
+            JOIN q ON q.query_id = d.query_id
+            JOIN c ON c.neighbor_id = d.neighbor_id
+        ) s
+    )"""
+
+
+@query(
+    "similarity_topk_lsh_multi",
+    oracle=f"""
+    WITH {_sql_multitable_cand()},
+    {_MT_RANKED.strip()}
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+        n_planes=_MT_PLANES, n_tables=_MT_TABLES, multiprobe=_MT_PROBE,
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_recall_lsh_multi",
+    oracle=f"""
+    WITH {_RECALL_BRUTE_CTE.strip()},
+    {_sql_multitable_cand()},
+    {_MT_RANKED.strip()},
+    lshm AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
+    SELECT b.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN lshm l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = lsh_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+        n_planes=_MT_PLANES, n_tables=_MT_TABLES, multiprobe=_MT_PROBE,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
