@@ -658,3 +658,124 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def lsh_build_index(
+    corpus: DataFrame,
+    wh,
+    table: str,
+    vec_col: str,
+    id_col: str,
+    n_planes: int = 5,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """Materialize the multi-table LSH index AT REST: the corpus
+    written once per hash table, partitioned by (t, bucket) — the
+    100 TB form of LSH, where a query's probed buckets become literal
+    partition filters and unprobed buckets are never read. Same plane
+    construction as lsh_topk (seed + t per table), so at-rest results
+    match the in-flight operator exactly."""
+    if dim is None:
+        probe = corpus.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("lsh_build_index: empty corpus, pass dim")
+        dim = probe["d"]
+    entries = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket_expr(vec_col, planes).alias("bucket"),
+            )
+        )
+    indexed = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*entries)).alias("__tb")
+    ).select(
+        id_col, vec_col, F.col("__tb.t").alias("t"), F.col("__tb.bucket").alias("bucket")
+    )
+    wh.overwrite(indexed, table, partition_by=["t", "bucket"])
+
+
+def lsh_query_at_rest(
+    wh,
+    table: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    n_planes: int = 5,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Query the at-rest LSH index: compute each query's (table,
+    bucket) probe set, scan ONLY those partitions (file-listing
+    pruning), dedup candidate pairs across tables, rank exactly.
+    Mirrors lsh_topk's semantics over the materialized index."""
+    if dim is None:
+        probe = queries.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("lsh_query_at_rest: no queries, pass dim")
+        dim = probe["d"]
+    entries = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        bucket = lsh_bucket_expr(vec_col, planes)
+        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+        if multiprobe > 0:
+            confid = F.array(
+                *[
+                    F.struct(
+                        F.abs(
+                            dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]))
+                        ).alias("a"),
+                        F.lit(i).alias("i"),
+                    )
+                    for i, p in enumerate(planes)
+                ]
+            )
+            idx_sorted = F.transform(F.array_sort(confid), lambda s: s["i"])
+            masks = F.array(
+                *[F.lit(1 << bit).cast("long") for bit in range(n_planes)]
+            )
+            for r in range(multiprobe):
+                entries.append(
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        bucket.bitwiseXOR(
+                            F.element_at(
+                                masks, F.element_at(idx_sorted, r + 1) + 1
+                            )
+                        ).alias("b"),
+                    )
+                )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.array(*entries)).alias("__tb"),
+    ).select(
+        "query_id", "__qv", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("bucket")
+    )
+    # probed (t, bucket) pairs: bounded driver-side list → literal
+    # partition filter → file-listing pruning on the index table
+    probed = [(r["t"], r["bucket"]) for r in q.select("t", "bucket").distinct().collect()]
+    pred = F.lit(False)
+    for t, b in probed:
+        pred = pred | ((F.col("t") == t) & (F.col("bucket") == b))
+    corpus = wh.read(table).filter(pred)
+    cand = (
+        corpus.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "__qv", F.col(vec_col))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -222,3 +222,71 @@ def test_pq_topk_contract(spark):
         dists = [r["adc_micro"] for r in rows]
         assert dists == sorted(dists)  # ascending reconstruction distance
         assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_lsh_recall_levers_are_monotonic(spark):
+    """Multi-table + multiprobe candidates strictly contain the plain
+    bucket's, so recall vs brute force can only improve."""
+    from lakehouse_poc_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 6")
+    brute = brute_force_topk(
+        emb, q, "embedding", "vec_id", "vec_id", 5
+    ).select("query_id", "neighbor_id")
+
+    def recall(**kw):
+        ap = lsh_topk(
+            emb, q, "embedding", "vec_id", "vec_id", 5, **kw
+        ).select("query_id", "neighbor_id")
+        return brute.join(ap, ["query_id", "neighbor_id"]).count()
+
+    plain = recall(n_planes=5)
+    multi = recall(n_planes=5, n_tables=4, multiprobe=2)
+    assert multi >= plain
+
+
+def test_lsh_at_rest_matches_in_flight(spark, wh):
+    """The materialized (t, bucket)-partitioned index must return
+    exactly what the in-flight operator returns, and its scan must be
+    partition-pruned to the probed buckets."""
+    from lakehouse_poc_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_query_at_rest,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 6")
+    kw = dict(n_planes=5, n_tables=4, multiprobe=1)
+    lsh_build_index(
+        emb, wh, "idx.lsh", "embedding", "vec_id",
+        n_planes=5, n_tables=4,
+    )
+    at_rest = lsh_query_at_rest(
+        wh, "idx.lsh", q, "embedding", "vec_id", "vec_id", 5, **kw
+    )
+    in_flight = lsh_topk(emb, q, "embedding", "vec_id", "vec_id", 5, **kw)
+    a = at_rest.select("query_id", "neighbor_id", "rank")
+    b = in_flight.select("query_id", "neighbor_id", "rank")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # pruning: the probed-bucket read carries PARTITION filters (file-
+    # listing pruning), not data filters — (t, bucket) are partition
+    # columns, so the predicate never reads unprobed buckets' files.
+    from pyspark.sql import functions as F
+
+    full = wh.read("idx.lsh")
+    some = full.select("t", "bucket").first()
+    pruned = full.filter(
+        (F.col("t") == some["t"]) & (F.col("bucket") == some["bucket"])
+    )
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    scan = plan[plan.index("(1) Scan parquet"):].split("\n\n")[0]
+    pf_line = scan.split("PartitionFilters")[1].split("\n")[0]
+    assert "bucket" in pf_line  # pruning happens at the file listing
+    assert full.select("t", "bucket").distinct().count() > 4  # real fan-out
