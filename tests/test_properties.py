@@ -175,3 +175,133 @@ def test_chunk_windows_rebuild_any_text(spark, texts, chunk_chars, data):
         )
         assert rebuilt == text
         assert all(c["chunk_len"] == chunk_chars for c in chunks[:-1])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "sat", "mat", "ran", "big"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    terms=st.lists(
+        st.sampled_from(["cat", "dog", "sat"]), min_size=1, max_size=2, unique=True
+    ),
+)
+def test_bm25_matches_python_reference(spark, docs, terms):
+    """BM25 scores match an independent Python implementation of the
+    same formula (micro-rounded per term, summed exactly)."""
+    import math
+
+    from lakehouse_poc_spark.operators.search import bm25_topk
+
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_topk(df, terms, k=100).collect()
+    }
+
+    n_docs = len(texts)
+    dls = [len(t.split()) for t in texts]
+    avgdl = sum(dls) / n_docs
+    dfreq = {
+        t: sum(1 for words in docs if t in words) for t in terms
+    }
+    expected: dict[int, int] = {}
+    for i, words in enumerate(docs):
+        total = 0
+        hit = False
+        for t in terms:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+            # Spark round() is HALF_UP on the exact decimal expansion;
+            # Python round() is half-even — emulate HALF_UP.
+            micro = s * 1_000_000.0
+            total += math.floor(micro + 0.5)
+        if hit:
+            expected[i] = total
+    assert out == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pagerank_mass_bound_any_graph(spark, edges):
+    """Total fixed-point mass never exceeds SCALE and the floor-div
+    loss is bounded by nodes x iterations; every rank >= the base."""
+    from lakehouse_poc_spark.operators.graph import SCALE, pagerank_int
+
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    iters = 4
+    out = pagerank_int(e, weight="w", iterations=iters).collect()
+    n = len(out)
+    base = ((100 - 85) * SCALE // 100) // n
+    total = sum(r["rank_scaled"] for r in out)
+    assert total <= SCALE
+    for r in out:
+        assert r["rank_scaled"] >= base
+    # dangling nodes leak mass; without dangling nodes the loss is
+    # only integer-floor crumbs
+    has_dangling = {d for _, d, _ in edges} - {s for s, _, _ in edges}
+    if not has_dangling:
+        assert total >= SCALE - n * (iters + 1) * 100
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_parity_any_corpus(spark, docs, threshold):
+    """PPJoin prefix filtering is result-identical to brute force on
+    arbitrary corpora and thresholds (the no-lost-pairs guarantee)."""
+    from lakehouse_poc_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], ["doc_id", "text"]
+    )
+    brute = ngram_jaccard_pairs(df, "text", "doc_id", threshold=threshold)
+    pref = jaccard_prefix_pairs(df, "text", "doc_id", threshold=threshold)
+    assert brute.exceptAll(pref).isEmpty()
+    assert pref.exceptAll(brute).isEmpty()
