@@ -1013,7 +1013,8 @@ def time_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name, n.n_name
     )
     SELECT region, nation, revenue,
-           revenue / SUM(revenue) OVER (PARTITION BY region) AS region_share
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
+                          OVER (PARTITION BY region) AS DOUBLE) AS region_share
     FROM nat
     ORDER BY region, nation
     """,
@@ -1035,7 +1036,14 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         "nation",
         "revenue",
-        (F.col("revenue") / F.sum("revenue").over(w)).alias("region_share"),
+        # the window total accumulates in decimal: a double SUM OVER
+        # sums in partition-row order, which is engine- and
+        # partitioning-dependent in the last bits (bit us in r4 when
+        # the fixtures regenerated)
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(30,6)")).over(w).cast("double")
+        ).alias("region_share"),
     ).orderBy("region", "nation")
 
 
