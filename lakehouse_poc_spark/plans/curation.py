@@ -515,3 +515,54 @@ def pii_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regex_spans(
         aug, "t", {"email": _EMAIL_RE, "phone": _PHONE_RE}
     ).orderBy("doc_id", "start")
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment (k=5): the same map-only salted
+# md5-range idiom as hash_split — reproducible, append-stable, no RNG.
+# Fold boundaries split the 256 two-nibble buckets 51/51/51/51/52, so
+# folds are balanced to within 0.4% by construction.
+_KFOLD_SALT = "cv:"
+_KFOLD_EDGES = ("33", "66", "99", "cc")  # 0x33=51, 0x66=102, ...
+
+
+def kfold_column(key: F.Column | str) -> F.Column:
+    b = _bucket(key, _KFOLD_SALT)
+    expr = F.when(b < _KFOLD_EDGES[0], F.lit(0))
+    for i, hi in enumerate(_KFOLD_EDGES[1:], start=1):
+        expr = expr.when(b < hi, F.lit(i))
+    return expr.otherwise(F.lit(len(_KFOLD_EDGES))).cast("int")
+
+
+@query(
+    "kfold_split_docs",
+    oracle=f"""
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM (
+        SELECT doc_id, source,
+               CASE WHEN substr(md5('{_KFOLD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 0
+                    WHEN substr(md5('{_KFOLD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '66' THEN 1
+                    WHEN substr(md5('{_KFOLD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < '99' THEN 2
+                    WHEN substr(md5('{_KFOLD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 3
+                    ELSE 4 END AS fold
+        FROM documents
+    ) t
+    GROUP BY fold
+    ORDER BY fold
+    """,
+)
+def kfold_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", kfold_column("doc_id").alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("fold")
+    )
