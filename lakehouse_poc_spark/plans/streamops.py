@@ -687,3 +687,80 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (streaming/stateful.py::running_ewma): the stream is
+# split into TWO time-ordered micro-batches (earlier half / later half
+# by (ts, event_id) rank, mtimes forced so file order = time order),
+# and the per-user fold carries across the batch boundary through the
+# state store. Because batch boundaries respect event time and rows
+# fold in (ts, event_id) order, the result is bit-identical to the
+# batch EWMA — so this query REUSES ewma_event_values' oracle
+# verbatim (plans/eventops.py), proving stream == batch exactly.
+@query(
+    "stream_ewma_users",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           vals[1] AS first_value,
+           list_reduce(vals,
+                       (acc, x) -> 0.9 * acc
+                                   + {1.0 - 0.9} * x) AS ewma
+    FROM seq
+    ORDER BY user_id
+    """,
+)
+def stream_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import running_ewma
+
+    work = Path(tempfile.mkdtemp(prefix="stream_ewma_"))
+    src = work / "in"
+    src.mkdir()
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w_all = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("__rn", F.row_number().over(w_all))
+    half = ev.count() // 2
+    ranked.filter(F.col("__rn") <= half).drop("__rn").coalesce(1).write.parquet(
+        str(src / "t0")
+    )
+    ranked.filter(F.col("__rn") > half).drop("__rn").coalesce(1).write.parquet(
+        str(src / "t1")
+    )
+    # file order = event-time order (the operator's contract)
+    for i, d in enumerate(("t0", "t1")):
+        for p in (src / d).glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    out = str(work / "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_foreach_batch(
+        running_ewma(stream, lam=0.9), sink, str(work / "ckpt"),
+        output_mode="update",
+    )
+    snapshots = spark.read.parquet(out)
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snapshots.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("user_id", "n_events", "first_value", "ewma")
+        .orderBy("user_id")
+    )

@@ -89,3 +89,82 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-DEPENDENT stateful operator: streaming EWMA. The docstring
+# above restricts the stats operator to order-independent aggregates;
+# EWMA is the controlled exception — it is well-defined on a stream
+# PRECISELY when micro-batch boundaries respect event-time order
+# (batch k holds only events later than batch k-1) and rows fold in
+# (ts, event_id) order within each batch. Under that contract the
+# cross-batch fold is bit-identical to the batch operator
+# (plans/eventops.py ewma_event_values), because Python floats and
+# JVM doubles run the same IEEE ops on the same values.
+
+EWMA_STATE = StructType(
+    [
+        StructField("first_value", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("first_value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def make_ewma_update(lam: float):
+    """Build the per-key EWMA state-update function for λ=``lam``
+    (the (1−λ) complement is computed once here, exactly as the batch
+    operator's ``F.lit(1.0 - lam)``)."""
+    one_m = 1.0 - lam
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            first, s, n = state.get
+        else:
+            first, s, n = None, None, 0
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            rows = pd.concat(batch).sort_values(["ts", "event_id"])
+            for x in rows["value"]:
+                x = float(x)
+                n += 1
+                if s is None:
+                    first = s = x
+                else:
+                    s = lam * s + one_m * x
+            state.update((first, s, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_value": [first],
+                "ewma": [s],
+            }
+        )
+
+    return update
+
+
+def running_ewma(events: DataFrame, lam: float = 0.9) -> DataFrame:
+    """Per-user streaming EWMA; emits the refreshed snapshot each
+    micro-batch the key appears in. Caller contract: micro-batches
+    must arrive in event-time order (see module note)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_ewma_update(lam),
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
