@@ -357,22 +357,45 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# HyperLogLog++ approximate distinct counts (rows-only: the sketch
-# estimate is engine-specific by nature; tests/test_operators.py bounds
-# the relative error against the exact count). At 100 TB this is the
-# only sane distinct-cardinality path — the sketch merges map-side in
+# HyperLogLog++ approximate distinct counts. At 100 TB the sketch is
+# the only sane distinct-cardinality path — it merges map-side in
 # constant memory while exact COUNT DISTINCT shuffles every key.
-@query("approx_distinct_users")
+#
+# Oracle strategy: the raw HLL estimate is engine-specific, so the
+# checked surface emits (a) the exact count — a 1:1 DuckDB twin — and
+# (b) a boolean asserting the HLL estimate landed within 5% of it
+# (DuckDB side: literal TRUE). Spark's HLL++ is deterministic for a
+# given input, so the boolean is stable run-to-run; the estimate's
+# numeric value is additionally bounded in tests/test_operators.py.
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

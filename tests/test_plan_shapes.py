@@ -44,13 +44,22 @@ def test_q4_semi_join_stays_semi(spark):
 
 
 def test_fan_out_never_shrinks(spark):
+    """Contract: only narrow file-backed scans widen; everything else
+    (including already-wide plans) passes through byte-identical."""
     wide = spark.range(0, 1000).repartition(64)
-    assert fan_out(wide).rdd.getNumPartitions() == 64
+    assert fan_out(wide).rdd.getNumPartitions() == 64  # never shrinks
     narrow = spark.range(0, 10).coalesce(1)
-    assert (
-        fan_out(narrow).rdd.getNumPartitions()
-        == spark.sparkContext.defaultParallelism
-    )
+    assert fan_out(narrow).rdd.getNumPartitions() == 1  # non-file: no-op
+
+
+def test_fan_out_widens_single_file_scan(spark):
+    """The operator's raison d'être: a one-file parquet scan arrives as
+    one split and must widen to the session's shuffle parallelism so
+    per-row-expensive operators use every core."""
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert len(docs.inputFiles()) < target
+    assert fan_out(docs).rdd.getNumPartitions() == target
 
 
 def test_bucketed_join_has_no_shuffle(spark):
