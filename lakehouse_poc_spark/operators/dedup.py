@@ -603,12 +603,33 @@ def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(fingerprint_md5(text_col).alias("__fp")).distinct()
 
 
-def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+def prefix_candidates(
+    sh: DataFrame, threshold: float, positional: bool = True
+) -> DataFrame:
     """PPJoin candidate generation over a (did, sh, sz) shingle-set
     relation: (id_a, id_b) pairs sharing ≥1 prefix shingle under the
-    rarest-first global order, size-ratio pruned. Exposed separately so
-    tests (and capacity planning) can measure the candidate count
-    against the n·(n−1)/2 all-pairs space."""
+    rarest-first global order, size-ratio pruned and (by default)
+    positional-filter pruned. Exposed separately so tests (and
+    capacity planning) can measure the candidate count against the
+    n·(n−1)/2 all-pairs space and the prefix-only variant.
+
+    All threshold arithmetic is EXACT: the threshold is snapped to
+    micro-units (t = tm/1e6, the repo convention) and every bound is
+    an integer expression — a float ``ceil(t·sz)`` can land one above
+    the true bound when the double product grazes an integer (e.g.
+    t=0.07, sz=100), silently shortening the prefix below the
+    no-lost-pairs length.
+
+    Positional filter (Xiao et al. 2008, public paper): a qualifying
+    pair needs overlap ≥ α = ⌈t·(|a|+|b|)/(1+t)⌉. For a prefix match
+    at 1-based global-order positions (i, j), every further common
+    shingle sits strictly after i in a AND after j in b (both docs
+    rank by the same global order), so overlap ≤ 1 + min(|a|−i,
+    |b|−j). Rows whose bound can't reach α are pruned; a qualifying
+    pair always survives via its FIRST common shingle, whose
+    positions give the loosest bound — so the filter is lossless.
+    """
+    tm = int(round(threshold * 1_000_000))
     flat = sh.select("did", "sz", F.explode("sh").alias("g"))
     # Global order: rarest shingle first (ties by text). The ORDER is
     # all that matters, so each doc ranks its shingles by the (df, g)
@@ -618,25 +639,35 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ranked = flat.join(freq, "g")
     # Per-doc prefix: first (sz − ⌈t·sz⌉ + 1) shingles in global order.
+    # ⌈t·sz⌉ = (sz·tm + 999999) div 1e6 — exact integer ceiling.
     w_doc = Window.partitionBy("did").orderBy("df", "g")
-    prefix_len = (
-        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
-    ).cast("int")
+    ceil_t_sz = F.expr(f"(sz * {tm}L + 999999L) div 1000000L")
+    prefix_len = (F.col("sz") - ceil_t_sz + F.lit(1)).cast("int")
     prefix = (
         ranked.withColumn("rk", F.row_number().over(w_doc))
         .filter(F.col("rk") <= prefix_len)
-        .select("did", "sz", "g")
+        .select("did", "sz", "rk", "g")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    sa, sb = F.col("pa.sz").cast("double"), F.col("pb.sz").cast("double")
-    return (
-        pa.join(
-            pb,
-            (F.col("pa.g") == F.col("pb.g"))
-            & (F.col("pa.did") < F.col("pb.did"))
-            & (sa >= F.lit(threshold) * sb)
-            & (sb >= F.lit(threshold) * sa),
+    sa, sb = F.col("pa.sz").cast("long"), F.col("pb.sz").cast("long")
+    # Size-ratio pruning, exact: |a| ≥ t·|b| ⟺ 1e6·|a| ≥ tm·|b|.
+    cond = (
+        (F.col("pa.g") == F.col("pb.g"))
+        & (F.col("pa.did") < F.col("pb.did"))
+        & (sa * 1_000_000 >= F.lit(tm) * sb)
+        & (sb * 1_000_000 >= F.lit(tm) * sa)
+    )
+    if positional:
+        # α = ⌈tm·(sa+sb)/(1e6+tm)⌉, exact integer ceiling.
+        denom = 1_000_000 + tm
+        alpha = (F.lit(tm) * (sa + sb) + F.lit(denom - 1)) / F.lit(denom)
+        alpha = F.floor(alpha).cast("long")
+        ubound = F.lit(1) + F.least(
+            sa - F.col("pa.rk").cast("long"), sb - F.col("pb.rk").cast("long")
         )
+        cond = cond & (ubound >= alpha)
+    return (
+        pa.join(pb, cond)
         .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
         .distinct()
     )
@@ -675,23 +706,23 @@ def jaccard_prefix_pairs(
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
     )
     sh = sh.withColumn("sz", F.size("sh")).persist()
-    cands = prefix_candidates(sh, threshold)
-    a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     try:
-        return (
+        cands = prefix_candidates(sh, threshold)
+        a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        out = (
             cands.join(a, "id_a")
             .join(b, "id_b")
-            .select(
-                "id_a", "id_b", (inter / union).alias("jaccard")
-            )
+            .select("id_a", "id_b", (inter / union).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
+            .persist()
         )
+        # Materialize the (small) pair set into its own cache so the
+        # shingle cache can be released before returning (same pattern
+        # as minhash_lsh_pairs) — no cache lives past this call.
+        out.count()
+        return out
     finally:
-        # lazily-built plan holds the persisted sh; release on GC via
-        # Spark's cache manager — explicit unpersist here would drop it
-        # before execution. Callers running many corpora should call
-        # spark.catalog.clearCache() between runs.
-        pass
+        sh.unpersist()

@@ -66,6 +66,8 @@ def pagerank_int(
         .persist()
     )
     n_nodes = nodes.count()  # one small action; also materializes caches
+    if n_nodes == 0:
+        raise ValueError("pagerank_int: empty edge set (no nodes)")
     base = ((100 - damping_pct) * SCALE // 100) // n_nodes
 
     ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n_nodes))

@@ -503,6 +503,8 @@ def pq_codebooks(
     """codebooks[j][c] = subspace-j subvector of the c-th lowest-id
     corpus vector (driver-side literals, like ``hyperplanes``)."""
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
     dim = len(rows[0][vec_col])
     ds = dim // m
     return [

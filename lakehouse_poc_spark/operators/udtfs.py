@@ -19,6 +19,7 @@ mechanical, as with the multimodal codecs).
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,9 @@ class RegexSpans:
             yield kind, m.group(0), m.start() + 1, m.end()
 
 
+_VIEW_COUNTER = itertools.count()
+
+
 def register_udtfs(spark: SparkSession) -> None:
     """Idempotently register the UDTF surface for SQL callers."""
     spark.udtf.register("regex_spans", RegexSpans)
@@ -56,7 +60,10 @@ def regex_spans(
     register_udtfs(spark)
     # Patterns ride as literal COLUMNS (F.lit), never through SQL text —
     # SQL string literals would re-interpret regex backslashes.
-    view = f"__regex_spans_{abs(hash((text_col, tuple(patterns)))) % 10**8}"
+    # View names come from a monotonic counter: a content hash collides
+    # across calls whose pattern BODIES differ (dict keys hash equal)
+    # and str hashes are per-process randomized anyway.
+    view = f"__regex_spans_{next(_VIEW_COUNTER)}"
     parts = []
     for i, (kind, pat) in enumerate(patterns.items()):
         vname = f"{view}_{i}"

@@ -633,7 +633,13 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sentinel: one click + one purchase 10 days past max event time,
     # written in the RAW fixture schema so the stream reader accepts it.
     max_ts_row = raw.agg(F.max("ts").alias("m")).first()
-    flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
+    # The raw fixture may encode ts as TIMESTAMP (datetime) or as
+    # nanos-as-long (see normalize_event_ts) — advance 10 days in
+    # whichever domain the raw schema uses.
+    if isinstance(max_ts_row["m"], int):
+        flush_ts = max_ts_row["m"] + 10 * 24 * 3600 * 1_000_000_000
+    else:
+        flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
     sentinel = spark.createDataFrame(
         [
             (-1, flush_ts, -1, "click", 0.0, None),

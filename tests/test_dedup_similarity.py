@@ -352,3 +352,59 @@ def test_prefix_jaccard_candidate_reduction(spark):
     n_cands = prefix_candidates(sh, threshold=0.5).count()
     all_pairs = n * (n - 1) / 2
     assert n_cands < 0.05 * all_pairs, (n_cands, all_pairs)
+
+
+def test_positional_filter_shrinks_candidates_losslessly(spark):
+    """The PPJoin positional filter must strictly shrink the candidate
+    set vs prefix-only on the fixture corpus, while the final result
+    stays brute-identical (the lossless guarantee)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.text import word_shingles
+    from lakehouse_poc_spark.operators.dedup import prefix_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = docs.select(
+        F.col("doc_id").alias("did"),
+        F.array_distinct(word_shingles("text", 3)).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    with_pos = prefix_candidates(sh, threshold=0.5, positional=True)
+    without = prefix_candidates(sh, threshold=0.5, positional=False)
+    n_pos, n_plain = with_pos.count(), without.count()
+    assert n_pos < n_plain, (n_pos, n_plain)
+    # lossless: positional candidates are a subset of prefix-only ones
+    assert with_pos.exceptAll(without).isEmpty()
+
+
+def test_prefix_bound_exact_integer_arithmetic(spark):
+    """ADVICE r4: float ceil(t*sz) can overshoot the exact ceiling
+    (t=0.07, sz=100 → float gives 8, exact is 7), shortening the
+    prefix below the no-lost-pairs bound. With exact micro-int
+    arithmetic the awkward threshold must still be brute-identical."""
+    from lakehouse_poc_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(102)]
+    rows = [
+        (1, " ".join(words[:102])),           # 100 3-shingles
+        (2, " ".join(words[2:102] + ["x", "y"])),  # sz=100, small overlap
+        (3, " ".join(reversed(words))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.07, 0.5):
+        brute = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=t)
+        pref = jaccard_prefix_pairs(docs, "text", "doc_id", threshold=t)
+        assert brute.exceptAll(pref).isEmpty(), t
+        assert pref.exceptAll(brute).isEmpty(), t
+
+
+def test_pq_codebooks_empty_corpus_raises(spark):
+    import pytest as _pt
+
+    from lakehouse_poc_spark.operators.similarity import pq_codebooks
+
+    empty = spark.createDataFrame([], "id long, emb array<float>")
+    with _pt.raises(ValueError, match="empty corpus"):
+        pq_codebooks(empty, "emb", "id")

@@ -290,3 +290,13 @@ def test_lsh_at_rest_matches_in_flight(spark, wh):
     pf_line = scan.split("PartitionFilters")[1].split("\n")[0]
     assert "bucket" in pf_line  # pruning happens at the file listing
     assert full.select("t", "bucket").distinct().count() > 4  # real fan-out
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest as _pt
+
+    from lakehouse_poc_spark.operators.graph import pagerank_int
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pt.raises(ValueError, match="empty edge set"):
+        pagerank_int(empty)
