@@ -136,18 +136,24 @@ def main() -> None:
     # extra attempt keeps the ±20% round-over-round wobble of the
     # sub-second entries out of regression comparisons (VERDICT r2 §6).
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES.get(name)
         if fn is None:
             continue
-        best = float("inf")
-        attempts = 0
-        while attempts < 2 or (best < 4.0 and attempts < 3):
+        attempts: list[float] = []
+        while len(attempts) < 2 or (min(attempts) < 4.0 and len(attempts) < 3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-            attempts += 1
-        timings[name] = round(best, 3)
+            attempts.append(time.perf_counter() - t0)
+        timings[name] = round(min(attempts), 3)
+        # median exposes contention/GC scatter that min hides — a real
+        # regression moves BOTH; machine noise moves only the median
+        # (r4 VERDICT task 3: the six-query "regression" cluster
+        # reproduced at r3 levels in isolation, and re-shuffled to
+        # different queries under deliberate CPU contention at r5 —
+        # suite-position noise, not plan changes).
+        medians[name] = round(sorted(attempts)[len(attempts) // 2], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -156,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_med": medians,
                 "sf": sf,
             }
         )

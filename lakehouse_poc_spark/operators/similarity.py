@@ -343,17 +343,118 @@ def ivf_query_at_rest(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    oversample: int | None = None,
+    rounds: int = 3,
+) -> list[list[float]]:
+    """k-means|| (Bahmani et al., VLDB 2012 — public paper) seeding:
+    better spread than min-id init on skewed corpora, fully
+    distributed, and DETERMINISTIC (the usual coin flips are replaced
+    by a per-(id, round) xxhash64 uniform, so the same corpus always
+    yields the same seeds — the repo's reproducibility convention).
+
+    Per round: broadcast the candidate set, score every point's
+    distance-to-nearest-candidate (1 − max cosine), one tiny agg for
+    the total cost, then keep points where hash-uniform(id, round) <
+    l·dist/cost — expected ``l = oversample`` new candidates per
+    round, never a driver-side pass over the corpus. The O(k·rounds)
+    candidate pool is reduced to ``k`` on the driver by weighted
+    farthest-point traversal (greedy k-center on the candidates,
+    weights = corpus points assigned), which is itself deterministic.
+
+    Scale shape: each round is one broadcast-join map pass + one
+    scalar agg; candidates live on the driver only (≤ l·rounds + 1
+    vectors). At 100 TB this is the textbook init — log(cost) rounds
+    of map-only sampling instead of k sequential k-means++ passes.
+    """
+    l = oversample or 2 * k
+    base = corpus.select(
+        F.col(id_col).alias("__kid"), F.col(vec_col).cast("array<double>").alias("__kv")
+    )
+    first = base.orderBy("__kid").limit(1).collect()
+    if not first:
+        raise ValueError("kmeans_parallel_init: empty corpus")
+    cands: list[list[float]] = [list(first[0]["__kv"])]
+    spark = corpus.sparkSession
+    for r in range(rounds):
+        cdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cands)], "cand_id int, cand_vec array<double>"
+        )
+        dist = (
+            base.crossJoin(F.broadcast(cdf))
+            .withColumn("__sim", cosine(F.col("__kv"), F.col("cand_vec")))
+            .groupBy("__kid")
+            .agg(
+                F.first("__kv").alias("__kv"),
+                (F.lit(1.0) - F.max("__sim")).alias("__d"),
+            )
+        )
+        dist = dist.withColumn("__d", F.greatest(F.col("__d"), F.lit(0.0)))
+        total = dist.agg(F.sum("__d")).collect()[0][0] or 0.0
+        if total <= 0.0:  # every point coincides with a candidate
+            break
+        # deterministic uniform in [0,1): pmod(xxhash64(id, round), 1e6)/1e6
+        u = (
+            F.pmod(F.xxhash64(F.col("__kid"), F.lit(r)), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
+        p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("__d") / F.lit(float(total)))
+        picked = dist.filter(u < p).select("__kid", "__kv").orderBy("__kid").collect()
+        cands.extend(list(row["__kv"]) for row in picked)
+    # Weight candidates by assigned corpus mass (one broadcast pass).
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cands)], "cand_id int, cand_vec array<double>"
+    )
+    w_assign = Window.partitionBy("__kid").orderBy(F.desc("__sim"), F.asc("cand_id"))
+    weights_rows = (
+        base.crossJoin(F.broadcast(cdf))
+        .withColumn("__sim", cosine(F.col("__kv"), F.col("cand_vec")))
+        .withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .groupBy("cand_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = {r["cand_id"]: int(r["w"]) for r in weights_rows}
+    # Driver-side deterministic reduction to k: start from the
+    # heaviest candidate (ties → lowest index), then greedily add the
+    # candidate maximizing weight·(1 − max cos to chosen), ties by
+    # index — weighted farthest-point, the deterministic stand-in for
+    # weighted k-means++ over the tiny candidate pool.
+    import numpy as np
+
+    mat = np.asarray(cands, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    wvec = np.asarray([weights.get(i, 0) for i in range(len(cands))], dtype=np.float64)
+    chosen = [int(np.lexsort((np.arange(len(cands)), -wvec))[0])]
+    while len(chosen) < min(k, len(cands)):
+        sims = unit @ unit[chosen].T  # |cands| × |chosen|
+        score = wvec * np.maximum(1.0 - sims.max(axis=1), 0.0)
+        score[chosen] = -1.0
+        chosen.append(int(score.argmax()))
+    return [[float(x) for x in mat[i]] for i in chosen]
+
+
 def kmeans_train(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 16,
     iters: int = 5,
+    init: str = "minid",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means for the IVF coarse quantizer, distributed and
-    deterministic: init = the k min-id corpus vectors (reproducible —
-    a k-means|| sampling pass would slot in here), then ``iters``
-    rounds of (assign by max cosine, recompute elementwise means).
+    deterministic: init = the k min-id corpus vectors (``init="minid"``,
+    the oracle-reproducible default) or k-means|| sampling
+    (``init="parallel"`` → :func:`kmeans_parallel_init` — better
+    convergence on skewed corpora), then ``iters`` rounds of (assign
+    by max cosine, recompute elementwise means).
 
     Per round: one map-only broadcast assignment pass + one shuffle of
     (cell, position, value) triples for the means — O(N·k·d) compute,
@@ -365,15 +466,19 @@ def kmeans_train(
     :func:`ivf_build_index` ``centroids=``.
     """
     spark = corpus.sparkSession
-    init = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(F.col(vec_col).cast("array<double>"))
-        .collect()
-    )
-    cents: list[tuple[int, list[float]]] = [
-        (i, list(r[0])) for i, r in enumerate(init)
-    ]
+    if init == "parallel":
+        seeds = kmeans_parallel_init(corpus, vec_col, id_col, k)
+    elif init == "minid":
+        rows = (
+            corpus.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+        seeds = [list(r[0]) for r in rows]
+    else:
+        raise ValueError(f"init must be 'minid' or 'parallel', got {init!r}")
+    cents: list[tuple[int, list[float]]] = list(enumerate(seeds))
     base = fan_out(corpus).select(F.col(id_col), F.col(vec_col))
     for _ in range(iters):
         cent_df = spark.createDataFrame(

@@ -408,3 +408,60 @@ def test_pq_codebooks_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "id long, emb array<float>")
     with _pt.raises(ValueError, match="empty corpus"):
         pq_codebooks(empty, "emb", "id")
+
+
+def _kmeans_objective(spark, cents, emb):
+    """Mean max-cosine of each corpus vector to its nearest centroid —
+    higher is better."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.vectors import cosine
+
+    cdf = spark.createDataFrame(
+        [(cid, v) for cid, v in cents], "cent_id int, cent_vec array<double>"
+    )
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "__s", cosine(F.col("embedding").cast("array<double>"), F.col("cent_vec"))
+        )
+        .groupBy("vec_id")
+        .agg(F.max("__s").alias("best"))
+        .agg(F.avg("best"))
+        .collect()[0][0]
+    )
+
+
+def test_kmeans_parallel_init_deterministic_and_no_worse(spark):
+    """k-means|| init (VERDICT r4 task 7): hash-based sampling must be
+    run-to-run deterministic, and the trained quantizer's objective
+    must be at least as good as Lloyd's from min-id init on the
+    fixture (the skew-robustness claim, measured not asserted blind)."""
+    from lakehouse_poc_spark.operators.similarity import (
+        kmeans_parallel_init,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    s1 = kmeans_parallel_init(emb, "embedding", "vec_id", k=8)
+    s2 = kmeans_parallel_init(emb, "embedding", "vec_id", k=8)
+    assert s1 == s2
+    assert len(s1) == 8
+
+    c_min = kmeans_train(emb, "embedding", "vec_id", k=8, iters=3, init="minid")
+    c_par = kmeans_train(emb, "embedding", "vec_id", k=8, iters=3, init="parallel")
+    obj_min = _kmeans_objective(spark, c_min, emb)
+    obj_par = _kmeans_objective(spark, c_par, emb)
+    # parallel seeding spreads centers; after the same 3 Lloyd's rounds
+    # it must not be worse than min-id (allow float wiggle)
+    assert obj_par >= obj_min - 1e-9, (obj_par, obj_min)
+
+
+def test_kmeans_train_rejects_unknown_init(spark):
+    import pytest as _pt
+
+    from lakehouse_poc_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pt.raises(ValueError, match="init"):
+        kmeans_train(emb, "embedding", "vec_id", init="random")
