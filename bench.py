@@ -80,6 +80,13 @@ HEADLINE = [
     "jaccard_prefix_pairs_docs",
     "table_diff_orders",
     "ewma_event_values",
+    # r5: bitmap exact-NDV, bloom-pruned join, blocked global rank /
+    # sorted-neighborhood linkage, SCD1 upsert, quantile binning
+    "bitmap_distinct_users",
+    "bloom_join_event_revenue",
+    "sorted_neighborhood_parts",
+    "scd1_customer_current",
+    "quantile_bins_events",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

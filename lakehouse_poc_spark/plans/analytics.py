@@ -399,6 +399,43 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXACT distinct counts at scale via RoaringBitmap-style aggregation
+# (Spark 3.5+ bitmap functions). The 100 TB exact-NDV path when the
+# HLL estimate above isn't acceptable: map each key to (bucket, bit),
+# build per-(group, bucket) bitmaps with map-side partial aggregation,
+# OR-merge, and count bits. Unlike COUNT(DISTINCT) — which shuffles
+# every raw key to a single per-group reducer — this shuffles only
+# bitmap segments (≤ 4 KB per bucket regardless of row count), is
+# fully mergeable (two-level agg), and parallelizes within a group
+# across buckets, so one hot group cannot straggle a reducer.
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew-safe two-phase (salted) aggregation — identical result to the
 # direct groupBy, but a hot key splits across n_salts reducers.
 @query(
@@ -450,6 +487,50 @@ def salted_join_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: a selective customer slice joins the
+# events fact; the Bloom prefilter drops non-matching fact rows at
+# the scan, BEFORE the join shuffle (operators/bloomjoin.py — the
+# explicit twin of Spark's runtime row-level filtering). False
+# positives are removed by the exact join, so the result is
+# bit-identical to the plain join the oracle runs.
+@query(
+    "bloom_join_event_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 'total_value')}
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'MACHINERY' AND c.c_acctbal > 5000
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def bloom_join_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloomjoin import bloom_prefilter
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") > 5000))
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pruned = bloom_prefilter(ev, cust, "user_id", "user_id")
+    return (
+        pruned.join(F.broadcast(cust), "user_id")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("n_name")
     )
 
 

@@ -112,6 +112,51 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD1 upsert (Warehouse.upsert — last-write-wins, no history): the
+# MERGE-family twin of the SCD2 scenario above. Batch 1 seeds the even
+# keys; batch 2 upserts the %10==0 keys with a changed segment AND
+# inserts the odd keys. Final state: untouched evens keep their
+# original segment, matched keys take batch 2's values, odds insert.
+@query(
+    "scd1_customer_current",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key
+    """,
+)
+def scd1_customer_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    wh = _fresh_wh(spark, f"scd1_{Path(sf_dir).name}")
+    wh.upsert(batch1, "layer0150.dim_customer_scd1", keys=["c_custkey"])
+    wh.upsert(batch2, "layer0150.dim_customer_scd1", keys=["c_custkey"])
+    return (
+        wh.read("layer0150.dim_customer_scd1")
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Merge stats contract ({unchanged,new_keys,updated_keys},
 # reference pipeline_core.py:255-259) for the second merge.
 @query(

@@ -18,7 +18,7 @@ reference has no event surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import read_parquet_table
@@ -531,3 +531,44 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vals, 1).alias("first_value"),
         ewma.alias("ewma"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency quantile binning (ML feature prep): per event_type,
+# NTILE(10) over (value, event_id) — the deterministic tie-break the
+# repo convention requires — then per-bin edges and counts. The
+# window sorts WITHIN each event_type group (partitioned, no global
+# sort); the bin summary is a partial-aggregable groupBy. At 100 TB
+# the per-group sort is the standard equal-frequency formulation;
+# the approx path (winsorize's approx_percentile edges) trades rank
+# exactness for a map-only pass.
+@query(
+    "quantile_bins_events",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM binned
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def quantile_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("event_type", F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -1281,3 +1281,64 @@ def ann_recall_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalable global rank (two-phase block-offset row_number — the fix
+# for the single-reducer global-window scale hole) and
+# sorted-neighborhood record-linkage blocking built on it. The oracle
+# runs the textbook single-window formulation; the Spark side must be
+# bit-identical blockwise.
+@query(
+    "global_rank_parts",
+    oracle="""
+    SELECT p_partkey,
+           CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rank
+    FROM part
+    ORDER BY rank
+    """,
+)
+def global_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import global_rank
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        global_rank(
+            part,
+            sort_cols=["p_name", "p_partkey"],
+            block=F.substring("p_name", 1, 2),
+        )
+        .select("p_partkey", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("rank")
+    )
+
+
+@query(
+    "sorted_neighborhood_parts",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_partkey, row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn - a.rn <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        sorted_neighborhood_pairs(
+            part,
+            sort_cols=["p_name", "p_partkey"],
+            block=F.substring("p_name", 1, 2),
+            id_col="p_partkey",
+            window=3,
+        )
+        .select("id_a", "id_b", F.col("rank_dist").cast("bigint").alias("rank_dist"))
+        .orderBy("id_a", "id_b")
+    )

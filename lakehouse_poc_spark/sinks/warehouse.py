@@ -452,6 +452,42 @@ class Warehouse:
             return
         self.overwrite_from_plan(self.read(table).filter(~pred), table)
 
+    def upsert(self, batch: DataFrame, table: str, keys: list[str]) -> None:
+        """SCD1 merge (last-write-wins, no history): batch rows replace
+        current rows on matching keys; unmatched batch rows insert.
+        ``batch`` must be unique per key (pre-dedup with dedup_latest
+        when it isn't — same contract as Delta's MERGE, which throws on
+        multiple source matches).
+
+        parquet: anti-join keeps the untouched current rows, then one
+        staged-swap rewrite — the fallback cost is a key-partitioned
+        co-shuffle of (current, batch), batch side broadcast when
+        small. Delta: a native ``whenMatchedUpdateAll /
+        whenNotMatchedInsertAll`` MERGE, rewriting only files holding
+        matched keys — the 100 TB path (an hourly dim upsert touches
+        MB, not the dimension). Mirrors the reference's MERGE INTO
+        sink shape (pipeline_core.py:219-227) minus history tracking.
+        """
+        if not self.table_exists(table):
+            self.overwrite(batch, table)
+            return
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            from delta.tables import DeltaTable
+
+            dt = DeltaTable.forPath(self.spark, str(self.path(table)))
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            (
+                dt.alias("t")
+                .merge(batch.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        current = self.read(table)
+        kept = current.join(batch.select(*keys), keys, "left_anti")
+        self.overwrite_from_plan(kept.unionByName(batch), table)
+
     # -- idempotent-writer transaction registry -------------------------
     # The parquet emulation of Delta's txnAppId/txnVersion: a writer
     # identifies itself with an app id and records each applied batch

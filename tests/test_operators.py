@@ -223,3 +223,44 @@ def test_table_diff_classifies_all_statuses(spark):
         for row in diff_summary(l, r, ["k"], ["v1", "v2"]).collect()
     }
     assert summary == {"only_left": 1, "same": 1, "changed": 2, "only_right": 1}
+
+
+def test_global_rank_matches_single_window_with_tiny_blocks(spark):
+    """Blocks smaller than the neighborhood window are the dangerous
+    case (pairs straddle >2 blocks in rank space) — the two-phase rank
+    and the pair generator must still match the single-sort truth."""
+    from pyspark.sql import Window
+
+    from lakehouse_poc_spark.operators.linkage import (
+        global_rank,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, f"{chr(97 + i % 13)}{i:03d}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    # block = first char → 13 blocks of ~3 rows, window=5 > block size
+    two_phase = {
+        (r.id, r.rank)
+        for r in global_rank(
+            df, ["name", "id"], F.substring("name", 1, 1)
+        ).collect()
+    }
+    w = Window.orderBy("name", "id")
+    truth = {
+        (r.id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert two_phase == truth
+
+    pairs = sorted_neighborhood_pairs(
+        df, ["name", "id"], F.substring("name", 1, 1), "id", window=5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    rank_of = dict((i, rk) for i, rk in truth)
+    want = {
+        (a, b)
+        for a in rank_of
+        for b in rank_of
+        if 0 < rank_of[b] - rank_of[a] <= 5
+    }
+    assert got == want

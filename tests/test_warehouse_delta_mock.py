@@ -31,6 +31,10 @@ class FakeMergeBuilder:
         self.log.append(("whenMatchedUpdate", set, condition))
         return self
 
+    def whenMatchedUpdateAll(self):
+        self.log.append(("whenMatchedUpdateAll",))
+        return self
+
     def whenNotMatchedInsertAll(self):
         self.log.append(("whenNotMatchedInsertAll",))
         return self
@@ -245,3 +249,27 @@ def test_parquet_and_delta_share_changeset_contract(spark, tmp_path):
         full_rewrite=full,
     )
     assert [r.val for r in wh.read("dim.t").collect()] == ["b"]
+
+
+def test_upsert_delta_uses_merge_update_insert_all(
+    fake_delta, spark, tmp_path, monkeypatch
+):
+    wh = Warehouse(spark, str(tmp_path), format="delta")
+    monkeypatch.setattr(wh, "table_exists", lambda t: True)
+    batch = spark.createDataFrame([(1, "a")], "id long, val string")
+    wh.upsert(batch, "dim.t", keys=["id"])
+    (dt,) = FakeDeltaTable.instances
+    ops = [entry[0] for entry in dt.log]
+    assert ops == ["alias", "merge", "whenMatchedUpdateAll",
+                   "whenNotMatchedInsertAll", "execute"]
+    assert dt.log[1][2] == "t.id = s.id"
+
+
+def test_upsert_parquet_last_write_wins(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string")
+    wh.upsert(b1, "dim.t", keys=["id"])
+    wh.upsert(b2, "dim.t", keys=["id"])
+    got = {(r.id, r.val) for r in wh.read("dim.t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
