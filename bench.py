@@ -87,6 +87,8 @@ HEADLINE = [
     "sorted_neighborhood_parts",
     "scd1_customer_current",
     "quantile_bins_events",
+    "repeated_passages_docs",
+    "triangle_count_coparts",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

@@ -472,3 +472,50 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "token_a", "token_b")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage detection (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — public paper): verbatim 8-gram
+# spans appearing in MORE THAN ONE document are the memorization
+# hazard sub-document dedup targets. One (doc, gram) explode + one
+# groupBy — the same shuffle shape as decontaminate_docs but
+# corpus-vs-itself. Output: each cross-doc repeated gram with its
+# occurrence and document counts (the removal worklist).
+_PASSAGE_N = 8
+
+
+@query(
+    "repeated_passages_docs",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               array_to_string(w[i.i:i.i + {_PASSAGE_N - 1}], ' ') AS gram
+        FROM d, LATERAL unnest(range(1, len(w) - {_PASSAGE_N - 2})) AS i(i)
+    )
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY gram
+    """,
+)
+def repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", _PASSAGE_N)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("gram")
+    )

@@ -107,3 +107,57 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_pct=_DAMPING_PCT,
         iterations=_ITERATIONS,
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Exact triangle count over the co-purchase graph (parts sharing an
+# urgent order — the market-basket edge set). Spark runs the
+# degree-ordered orientation (operators/graph.py::triangle_count,
+# wedge explosion capped at O(√E) out-degree); the oracle counts the
+# same triangles with the textbook a<b<c three-way self-join. Both
+# count every triangle exactly once, so the single output row must
+# hash-match.
+@query(
+    "triangle_count_coparts",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes AS (
+        SELECT u AS node FROM e UNION SELECT v FROM e
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return triangle_count(edges)

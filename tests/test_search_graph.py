@@ -300,3 +300,26 @@ def test_pagerank_empty_edges_raises(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with _pt.raises(ValueError, match="empty edge set"):
         pagerank_int(empty)
+
+
+def test_triangle_count_known_graphs(spark):
+    from lakehouse_poc_spark.operators.graph import triangle_count
+
+    # K4: 4 triangles; duplicate/reversed/self-loop edges must not count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 += [(0, 0), (1, 1), (2, 1)]  # self-loops + duplicate
+    df = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+    # star (hub + 5 leaves): 0 triangles
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    row = triangle_count(star).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (6, 5, 0)
+
+    # triangle + pendant edge: exactly 1
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    row = triangle_count(tri).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 4, 1)
