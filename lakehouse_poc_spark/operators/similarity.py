@@ -886,3 +886,45 @@ def lsh_query_at_rest(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors whose LABEL DIFFERS from the
+    query's (the classic in-batch-negatives upgrade — negatives that
+    are hard because they're close in embedding space but semantically
+    wrong). Same broadcast-queries shape as brute_force_topk; the
+    label test rides the same scored pass, no extra join."""
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nv"),
+        F.col(label_col).alias("__nlab"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlab"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("__nid") != F.col("query_id")) & (F.col("__nlab") != F.col("__qlab")))
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            F.col("__nlab").alias("neighbor_label"),
+            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -566,3 +566,112 @@ def kfold_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT-proportion stratified split: hash_split above is proportional
+# only in expectation (each row flips its own md5 coin); this variant
+# ranks rows within each stratum by md5 and cuts at exact integer
+# boundaries — ⌊0.8n⌋ train / ⌊0.1n⌋ val / rest test PER SOURCE,
+# guaranteed. The window partitions on the stratum (never global), so
+# the sort is per-source — the scalable shape. Integer boundary math
+# is exact ((n*8) div 10 — no float proportions).
+@query(
+    "exact_split_documents",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+                WHEN rn <= (n * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def exact_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("rn") <= F.expr("(n * 8) div 10"), F.lit("train"))
+            .when(F.col("rn") <= F.expr("(n * 9) div 10"), F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uniform negative sampling (contrastive-training prep): for each
+# query document, k=5 deterministic pseudo-random negatives from a
+# DIFFERENT source (the not-a-positive proxy), ranked by
+# md5(query‖candidate) — every engine draws the same "random"
+# negatives. Queries are a bounded set (broadcast); the corpus side
+# is one map pass + a per-query top-k window, the same shape as
+# brute-force retrieval. The hard-negative variant (similarity-
+# ranked) is hard_negatives_embeddings in simops.
+@query(
+    "negative_samples_docs",
+    oracle="""
+    SELECT query_id, neg_id, rank FROM (
+        SELECT q.doc_id AS query_id, c.doc_id AS neg_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.doc_id
+                   ORDER BY md5(CAST(q.doc_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)),
+                            c.doc_id
+               ) AS INTEGER) AS rank
+        FROM documents q JOIN documents c ON c.source <> q.source
+        WHERE q.doc_id % 50 = 0
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("__qsrc")
+    )
+    c = docs.select(F.col("doc_id").alias("neg_id"), "source")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("source") != F.col("__qsrc"))
+        .select(
+            "query_id",
+            "neg_id",
+            F.md5(
+                F.concat(
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ).alias("__r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("__r", "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neg_id", "rank")
+        .orderBy("query_id", "rank")
+    )

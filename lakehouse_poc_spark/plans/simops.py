@@ -1342,3 +1342,39 @@ def sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("rank_dist").cast("bigint").alias("rank_dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training prep): per query, the
+# top-k most-similar vectors with a DIFFERENT label — hard because
+# they are close in embedding space yet semantically wrong. Same
+# broadcast-queries brute pass as similarity_topk_brute with the
+# label exclusion fused into the scoring filter.
+@query(
+    "hard_negatives_embeddings",
+    oracle=f"""
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               c.label AS neighbor_label,
+               {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+               ) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c
+          ON c.vec_id <> q.vec_id AND c.label <> q.label
+        WHERE q.vec_id < 8
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return hard_negatives(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", label_col="label", k=5,
+    ).orderBy("query_id", "rank")
