@@ -89,6 +89,10 @@ HEADLINE = [
     "quantile_bins_events",
     "repeated_passages_docs",
     "triangle_count_coparts",
+    "ann_recall_matryoshka",
+    "file_skipping_zorder",
+    "hard_negatives_embeddings",
+    "exact_split_documents",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

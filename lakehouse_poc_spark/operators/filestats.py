@@ -78,3 +78,27 @@ def pruned_read(
     return spark.read.parquet(*files).filter(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
+
+
+def pruned_read_multi(
+    spark: SparkSession,
+    stats: DataFrame,
+    preds: list[tuple[str, object, object]],
+) -> DataFrame:
+    """Multi-column file skipping: keep files whose [min, max] overlaps
+    EVERY (col, lo, hi) predicate, then re-apply the exact predicates.
+    The payoff of z-order clustering: with interleaved-bit layout each
+    file is a small rectangle in (x, y) space, so a 2-D box predicate
+    prunes on BOTH dimensions — linear clustering only ever prunes on
+    the leading column."""
+    cond = F.lit(True)
+    for col, lo, hi in preds:
+        cond = cond & (F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi)
+    files = [r["file"] for r in stats.filter(cond).select("file").collect()]
+    row_pred = F.lit(True)
+    for col, lo, hi in preds:
+        row_pred = row_pred & (F.col(col) >= lo) & (F.col(col) <= hi)
+    if not files:
+        any_file = [r["file"] for r in stats.select("file").limit(1).collect()]
+        return spark.read.parquet(*any_file).filter(F.lit(False)).filter(row_pred)
+    return spark.read.parquet(*files).filter(row_pred)

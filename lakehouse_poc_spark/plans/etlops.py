@@ -734,3 +734,66 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDER file skipping: interleaved-bit clustering on (o_custkey,
+# o_totalprice) keeps every file a small rectangle in the 2-D key
+# space, so a box predicate on BOTH columns prunes files on both
+# dimensions — the Delta/Iceberg OPTIMIZE ZORDER mechanic from public
+# primitives (zorder_value: sinks/warehouse.py). Linear clustering by
+# o_totalprice (file_skipping_orders above) can only prune the
+# leading column. The oracle is the plain 2-D filter — pruning must
+# be a pure optimization.
+@query(
+    "file_skipping_zorder",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey >= 1000 AND o_custkey <= 3000
+      AND o_totalprice >= 50000 AND o_totalprice <= 200000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def file_skipping_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filestats import collect_file_stats, pruned_read_multi
+    from ..sinks.warehouse import zorder_value
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"fskipz_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    # Materialize the z-value as a layout column (what OPTIMIZE ZORDER
+    # does internally), cluster files by it, then prune on the two
+    # NATURAL columns' per-file min/max.
+    z = orders.withColumn(
+        "__z",
+        zorder_value(
+            F.col("o_custkey"),
+            (F.col("o_totalprice") / F.lit(1000)).cast("long"),
+            bits=16,
+        ),
+    )
+    wh.append(z.repartition(8), "raw.orders_z")
+    wh.compact("raw.orders_z", target_files=16, cluster_by=["__z"])
+    path = str(wh.path("raw.orders_z"))
+    stats = collect_file_stats(spark, path, ["o_custkey", "o_totalprice"])
+    pruned = pruned_read_multi(
+        spark,
+        stats,
+        [("o_custkey", 1000, 3000), ("o_totalprice", 50000.0, 200000.0)],
+    )
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -33,19 +33,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)
 
 
-def _sql_dot(a: str, b: str) -> str:
+def _sql_dot(a: str, b: str, dim: int | None = None) -> str:
     return (
-        f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"list_reduce(list_transform(generate_series(1, {dim or EMB_DIM}), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
     )
 
 
-def _sql_norm(a: str) -> str:
-    return f"sqrt({_sql_dot(a, a)})"
+def _sql_norm(a: str, dim: int | None = None) -> str:
+    return f"sqrt({_sql_dot(a, a, dim)})"
 
 
-def _sql_cosine(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+def _sql_cosine(a: str, b: str, dim: int | None = None) -> str:
+    return f"({_sql_dot(a, b, dim)} / ({_sql_norm(a, dim)} * {_sql_norm(b, dim)}))"
 
 
 # ---------------------------------------------------------------------------
@@ -1378,3 +1378,76 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", label_col="label", k=5,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval (Kusupati et al. 2022, public paper —
+# MRL-style prefix-truncated embeddings): recall@5 of exact retrieval
+# on the FIRST 16 of 64 dims vs exact retrieval on the full vector.
+# The quality gate before shipping truncated embeddings (4× smaller
+# index, same pipeline); both sides are plain exact retrieval, so the
+# whole measurement is oracle-reproducible — no sketch, no sampling.
+_MATRYOSHKA_DIMS = 16
+
+_RECALL_TRUNC_CTE = f"""
+    trunc AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding', _MATRYOSHKA_DIMS)} DESC,
+                                c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) t WHERE rank <= 5
+    )"""
+
+
+@query(
+    "ann_recall_matryoshka",
+    oracle=f"""
+    WITH {_RECALL_BRUTE_CTE.strip()},
+    {_RECALL_TRUNC_CTE.strip()}
+    SELECT b.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(t.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN trunc t
+      ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    sliced = emb.withColumn(
+        "embedding", F.slice("embedding", 1, _MATRYOSHKA_DIMS)
+    )
+    trunc = brute_force_topk(
+        sliced, sliced.filter(F.col("vec_id") < 8),
+        vec_col="embedding", id_col="vec_id", query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(trunc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

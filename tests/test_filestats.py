@@ -62,3 +62,38 @@ def test_empty_overlap_returns_typed_empty_frame(spark, tmp_path):
     out = pruned_read(spark, stats, "v", 50_000, 60_000)
     assert out.count() == 0
     assert set(out.columns) == {"id", "v"}
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order layout must let a 2-D box predicate skip files on BOTH
+    columns — and the count of surviving files must be a strict subset
+    of the clustered file set."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.filestats import (
+        collect_file_stats,
+        pruned_read_multi,
+    )
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse, zorder_value
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    wh = Warehouse(spark, str(tmp_path))
+    z = df.withColumn("__z", zorder_value(F.col("x"), F.col("y"), bits=8))
+    wh.append(z.repartition(4), "t.z")
+    wh.compact("t.z", target_files=16, cluster_by=["__z"])
+    stats = collect_file_stats(spark, str(wh.path("t.z")), ["x", "y"])
+    n_files = stats.count()
+    assert n_files >= 8
+    # box covering ~1/16 of the space
+    surviving = stats.filter(
+        (F.col("x_max") >= 0) & (F.col("x_min") <= 15)
+        & (F.col("y_max") >= 0) & (F.col("y_min") <= 15)
+    ).count()
+    assert surviving < n_files / 2, (surviving, n_files)
+    out = pruned_read_multi(spark, stats, [("x", 0, 15), ("y", 0, 15)])
+    assert out.count() == 16 * 16
