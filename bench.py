@@ -93,6 +93,7 @@ HEADLINE = [
     "file_skipping_zorder",
     "hard_negatives_embeddings",
     "exact_split_documents",
+    "incremental_neardup_docs",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

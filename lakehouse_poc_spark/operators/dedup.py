@@ -637,28 +637,43 @@ def prefix_candidates(
     # vocabulary-wide single-partition row_number (the classic
     # no-partition-window scale hole; it also measured 2× slower here).
     freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    prefix = _ppjoin_prefix(flat, freq, tm)
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cond = (F.col("pa.did") < F.col("pb.did")) & _ppjoin_cond(tm, positional)
+    return (
+        pa.join(pb, cond)
+        .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
+        .distinct()
+    )
+
+
+def _ppjoin_prefix(flat: DataFrame, freq: DataFrame, tm: int) -> DataFrame:
+    """(did, sz, rk, g) prefix relation: each doc's first
+    (sz − ⌈t·sz⌉ + 1) shingles under the global (df, g) order.
+    ⌈t·sz⌉ = (sz·tm + 999999) div 1e6 — exact integer ceiling."""
     ranked = flat.join(freq, "g")
-    # Per-doc prefix: first (sz − ⌈t·sz⌉ + 1) shingles in global order.
-    # ⌈t·sz⌉ = (sz·tm + 999999) div 1e6 — exact integer ceiling.
     w_doc = Window.partitionBy("did").orderBy("df", "g")
     ceil_t_sz = F.expr(f"(sz * {tm}L + 999999L) div 1000000L")
     prefix_len = (F.col("sz") - ceil_t_sz + F.lit(1)).cast("int")
-    prefix = (
+    return (
         ranked.withColumn("rk", F.row_number().over(w_doc))
         .filter(F.col("rk") <= prefix_len)
         .select("did", "sz", "rk", "g")
     )
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+
+
+def _ppjoin_cond(tm: int, positional: bool):
+    """Shared PPJoin join condition over pa/pb prefix aliases: shingle
+    equality, exact size-ratio pruning (|a| ≥ t·|b| ⟺ 1e6·|a| ≥
+    tm·|b|), and optionally the positional filter
+    (α = ⌈tm·(sa+sb)/(1e6+tm)⌉, exact integer ceiling)."""
     sa, sb = F.col("pa.sz").cast("long"), F.col("pb.sz").cast("long")
-    # Size-ratio pruning, exact: |a| ≥ t·|b| ⟺ 1e6·|a| ≥ tm·|b|.
     cond = (
         (F.col("pa.g") == F.col("pb.g"))
-        & (F.col("pa.did") < F.col("pb.did"))
         & (sa * 1_000_000 >= F.lit(tm) * sb)
         & (sb * 1_000_000 >= F.lit(tm) * sa)
     )
     if positional:
-        # α = ⌈tm·(sa+sb)/(1e6+tm)⌉, exact integer ceiling.
         denom = 1_000_000 + tm
         alpha = (F.lit(tm) * (sa + sb) + F.lit(denom - 1)) / F.lit(denom)
         alpha = F.floor(alpha).cast("long")
@@ -666,11 +681,7 @@ def prefix_candidates(
             sa - F.col("pa.rk").cast("long"), sb - F.col("pb.rk").cast("long")
         )
         cond = cond & (ubound >= alpha)
-    return (
-        pa.join(pb, cond)
-        .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
-        .distinct()
-    )
+    return cond
 
 
 def jaccard_prefix_pairs(
@@ -726,3 +737,81 @@ def jaccard_prefix_pairs(
         return out
     finally:
         sh.unpersist()
+
+
+def jaccard_prefix_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental EXACT near-dup: all (batch_id, corpus_id) pairs with
+    n-gram Jaccard ≥ threshold between a new batch and the historical
+    corpus — the continuous-ingest twin of :func:`jaccard_prefix_pairs`
+    (R-S PPJoin instead of self-join), and the exact counterpart of
+    the probabilistic LSH store (`incremental_dedup` covers exact
+    fingerprints; this covers NEAR duplicates with no recall loss).
+
+    The global rarest-first order comes from the COMBINED document
+    frequency of both sides — both relations must rank shingles
+    identically or the prefix/positional bounds break. Prefix lengths,
+    size-ratio and positional filters are the self-join ones
+    (lossless; see prefix_candidates). At 100 TB the corpus-side
+    prefix relation is the big operand; it shuffles once on the
+    prefix shingle key, and only candidate pairs re-join their full
+    shingle sets for exact verification. Ids may overlap between the
+    relations; self-pairs (same id both sides) are excluded.
+
+    Returns (id_a = batch id, id_b = corpus id, jaccard).
+    """
+    tm = int(round(threshold * 1_000_000))
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return (
+            fan_out(df)
+            .select(
+                F.col(id_col).alias("did"),
+                F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+            )
+            .withColumn("sz", F.size("sh"))
+        )
+
+    sh_b = _sh(batch).persist()
+    sh_c = _sh(corpus).persist()
+    try:
+        flat_b = sh_b.select("did", "sz", F.explode("sh").alias("g"))
+        flat_c = sh_c.select("did", "sz", F.explode("sh").alias("g"))
+        freq = (
+            flat_b.select("g")
+            .unionByName(flat_c.select("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        pa = _ppjoin_prefix(flat_b, freq, tm).alias("pa")
+        pb = _ppjoin_prefix(flat_c, freq, tm).alias("pb")
+        cond = (F.col("pa.did") != F.col("pb.did")) & _ppjoin_cond(
+            tm, positional=True
+        )
+        cands = (
+            pa.join(pb, cond)
+            .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
+            .distinct()
+        )
+        a = sh_b.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh_c.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        sh_b.unpersist()
+        sh_c.unpersist()

@@ -1451,3 +1451,45 @@ def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental EXACT near-dup: every (batch, corpus) pair with 3-gram
+# Jaccard ≥ 0.5 — the continuous-ingest admission test
+# (incremental_dedup covers exact fingerprints; this catches NEAR
+# duplicates with zero recall loss, unlike an LSH store). The Spark
+# side is the R-S PPJoin (combined-df global order, prefix +
+# size-ratio + positional filters, candidate-only verification); the
+# oracle is the brute batch×corpus cross — identical pairs by the
+# losslessness guarantee.
+@query(
+    "incremental_neardup_docs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               )) AS s
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ) t
+    WHERE jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_prefix_pairs_cross
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return jaccard_prefix_pairs_cross(
+        batch, corpus, text_col="text", id_col="doc_id",
+        shingle_n=3, threshold=0.5,
+    ).orderBy("id_a", "id_b")

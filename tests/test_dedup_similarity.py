@@ -465,3 +465,48 @@ def test_kmeans_train_rejects_unknown_init(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pt.raises(ValueError, match="init"):
         kmeans_train(emb, "embedding", "vec_id", init="random")
+
+
+def test_cross_ppjoin_matches_brute_cross(spark):
+    """R-S PPJoin (incremental near-dup) must equal the brute
+    batch×corpus cross at the same threshold, including a pair that
+    only just clears it and ids appearing on both sides."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.dedup import jaccard_prefix_pairs_cross
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "totally different words here entirely now ok fine yes"),
+        (4, base.replace("delta", "DELTA")),
+        (5, base),  # exact clone across the split
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = docs.filter(F.col("doc_id") % 2 == 1)   # 1, 3, 5
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)  # 2, 4
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b)
+            for r in jaccard_prefix_pairs_cross(
+                batch, corpus, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        # brute truth
+        sh = docs.select(
+            "doc_id",
+            F.array_distinct(
+                __import__(
+                    "lakehouse_poc_spark.functions.text", fromlist=["word_shingles"]
+                ).word_shingles("text", 3)
+            ).alias("s"),
+        ).collect()
+        sets = {r.doc_id: set(r.s) for r in sh}
+        want = {
+            (a, b)
+            for a in (1, 3, 5)
+            for b in (2, 4)
+            if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
+        }
+        assert got == want, (t, got, want)
