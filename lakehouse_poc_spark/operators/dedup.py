@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, word_shingles
+from ..functions.text import fingerprint_md5, tokens, word_shingles
 from ..functions.vectors import cosine
 from .partitioning import fan_out
 
@@ -815,3 +815,89 @@ def jaccard_prefix_pairs_cross(
     finally:
         sh_b.unpersist()
         sh_c.unpersist()
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Sparse bag-of-words cosine pairs via inverted-index join — the
+    SPARSE complement of the dense-embedding near-dup path. Documents
+    meet only through shared tokens (posting-list self-join), so the
+    pair space is Σ_token df(token)² instead of n², and every
+    arithmetic step is engine-exact: tf dot products are BIGINT sums,
+    norms are correctly-rounded sqrt of BIGINTs, so the cosine is
+    bit-identical on any engine (no log-idf — logs differ in the last
+    ulp across math libraries and would break the differential gate;
+    the idf-style damping lever here is ``max_df``).
+
+    The pair fan-out is Σ df(term)², so TERM CHOICE is the scale
+    lever: ``shingle_n`` switches terms from unigrams to n-gram
+    shingles (orders-of-magnitude larger vocabulary → shorter posting
+    lists — mandatory on low-diversity corpora, where every unigram
+    is effectively a stop word), and ``max_df`` drops terms appearing
+    in more than that many docs (the classic stop-term cap). The
+    threshold compare uses the same double literal on both engines
+    over bit-identical cosines.
+
+    Returns (id_a, id_b, cos_sim), id_a < id_b, cos_sim ≥ threshold.
+    """
+    term = (
+        F.explode(word_shingles(text_col, shingle_n))
+        if shingle_n
+        else F.explode(tokens(text_col))
+    )
+    tok = (
+        fan_out(df)
+        .select(F.col(id_col).alias("did"), term.alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("did", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_df is not None:
+        dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        tok = tok.join(dfreq.filter(F.col("df") <= max_df).select("t"), "t")
+    tok = tok.persist()
+    try:
+        norm = tok.groupBy("did").agg(
+            F.sum(F.col("tf") * F.col("tf")).alias("n2")
+        )
+        a, b = tok.alias("a"), tok.alias("b")
+        dots = (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.did") < F.col("b.did")),
+            )
+            .groupBy(
+                F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b")
+            )
+            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+        )
+        na = norm.select(F.col("did").alias("id_a"), F.col("n2").alias("n2_a"))
+        nb = norm.select(F.col("did").alias("id_b"), F.col("n2").alias("n2_b"))
+        out = (
+            dots.join(na, "id_a")
+            .join(nb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("n2_a").cast("double"))
+                        * F.sqrt(F.col("n2_b").cast("double"))
+                    )
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= F.lit(threshold))
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        tok.unpersist()

@@ -1493,3 +1493,52 @@ def incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, text_col="text", id_col="doc_id",
         shingle_n=3, threshold=0.5,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Sparse bag-of-words cosine near-dup (inverted-index join): documents
+# meet only through shared tokens, so the pair space is Σ df(token)²
+# not n². All-integer tf dot products + correctly-rounded sqrt make
+# the cosine bit-identical across engines — fully oracle-checked,
+# unlike log-idf weighting (last-ulp libm differences).
+@query(
+    "tf_cosine_pairs_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS did, t, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(w) - 2, 0)),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     )) AS t
+              FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                    FROM documents))
+        WHERE t <> ''
+        GROUP BY doc_id, t
+    ),
+    norm AS (SELECT did, SUM(tf * tf) AS n2 FROM tok GROUP BY did),
+    dots AS (
+        SELECT a.did AS id_a, b.did AS id_b, SUM(a.tf * b.tf) AS dot
+        FROM tok a JOIN tok b ON a.t = b.t AND a.did < b.did
+        GROUP BY a.did, b.did
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT id_a, id_b,
+               CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                 AS cos_sim
+        FROM dots
+        JOIN norm na ON na.did = id_a
+        JOIN norm nb ON nb.did = id_b
+    ) t
+    WHERE cos_sim >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def tf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_cosine_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.8, shingle_n=3
+    ).orderBy("id_a", "id_b")
