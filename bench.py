@@ -94,6 +94,8 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "exact_split_documents",
     "incremental_neardup_docs",
+    "concurrent_shipments_suppliers",
+    "incremental_join_view_revenue",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
 ]

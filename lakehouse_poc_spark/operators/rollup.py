@@ -79,3 +79,44 @@ def read_rollup(wh: Warehouse, table: str, dims: list[str] | None = None) -> Dat
         F.col("sum_value").cast("double").alias("sum_value"),
         (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
     )
+
+
+def upsert_join_agg(
+    wh: Warehouse,
+    table: str,
+    fact_batch: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    group_cols: list[str],
+    value_col: str,
+) -> None:
+    """Incremental maintenance of an AGG-OVER-JOIN materialized view
+    (the join-view extension of the hourly rollup above): for an
+    append-only fact stream, Δview = Δfact ⋈ dim, partially
+    aggregated, added into the stored mergeable state.
+
+    The standard delta-propagation identity (ΔA ⋈ B) — the dim side is
+    treated as stable for the batch (dim churn would add the symmetric
+    A ⋈ ΔB term plus retractions; SCD2 handles slowly-changing dims
+    upstream, so fact-append is the overwhelmingly common case).
+    Cost per batch is O(batch + view), never O(fact history); sums are
+    DECIMAL so incremental == full recompute bit-for-bit (the oracle
+    asserts exactly that).
+    """
+    delta = fact_batch.join(dim, join_key).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(30,6)"))
+        .cast("decimal(38,6)")
+        .alias("sum_value"),
+    )
+    if wh.table_exists(table):
+        delta = (
+            wh.read(table)
+            .unionByName(delta)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+            )
+        )
+    wh.overwrite_from_plan(delta, table)

@@ -1190,3 +1190,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval overlap join (operators/range_join.py::
+# interval_overlap_join — the third range-join member: band_join is
+# point×small, bucketed_range_join is point×big, this is big×big):
+# per supplier, how many pairs of its shipments were in flight
+# concurrently ([ship, receipt] ranges intersect). Both sides burst
+# into ~2 month-buckets per row, the join runs keyed on
+# (suppkey, bucket), each pair is emitted once via the lowest shared
+# bucket — never an unkeyed cross, never a distinct shuffle. The
+# oracle is the textbook inequality self-join.
+@query(
+    "concurrent_shipments_suppliers",
+    oracle="""
+    WITH it AS (
+        -- the fixture has no receiptdate; transit time is derived
+        -- deterministically from quantity (0-19 days) on BOTH engines
+        SELECT l_suppkey,
+               l_orderkey * 10 + l_linenumber AS iid,
+               date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
+               date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                 + (CAST(l_quantity AS INTEGER) % 20) AS e
+        FROM lineitem
+    )
+    SELECT a.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM it a JOIN it b
+      ON a.l_suppkey = b.l_suppkey AND a.iid < b.iid
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.l_suppkey
+    ORDER BY suppkey
+    """,
+)
+def concurrent_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import interval_overlap_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    items = li.select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+        s.alias("s"),
+        (s + (F.col("l_quantity").cast("int") % 20)).alias("e"),
+    )
+    a = items.select(
+        "l_suppkey",
+        F.col("iid").alias("iid_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = items.select(
+        "l_suppkey",
+        F.col("iid").alias("iid_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    joined = interval_overlap_join(
+        a, b, keys=["l_suppkey"], left_lo="s_a", left_hi="e_a",
+        right_lo="s_b", right_hi="e_b", bucket_width=30,
+    )
+    return (
+        joined.filter(F.col("iid_a") < F.col("iid_b"))
+        .groupBy(F.col("L.l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("suppkey")
+    )

@@ -797,3 +797,52 @@ def file_skipping_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-VIEW maintenance (operators/rollup.py::
+# upsert_join_agg): the revenue-by-segment view over orders⋈customer,
+# maintained across two order batches by delta propagation
+# (Δview = Δorders ⋈ customer, added into stored mergeable state —
+# decimal sums, so incremental == full recompute bit-for-bit, which
+# is exactly what the single-pass oracle asserts).
+@query(
+    "incremental_join_view_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def incremental_join_view_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import upsert_join_agg
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    wh = _fresh_wh(spark, f"ijv_{Path(sf_dir).name}")
+    for parity in (0, 1):
+        upsert_join_agg(
+            wh,
+            "agg.segment_revenue",
+            orders.filter(F.col("o_orderkey") % 2 == parity),
+            cust,
+            join_key="o_custkey",
+            group_cols=["c_mktsegment"],
+            value_col="o_totalprice",
+        )
+    return (
+        wh.read("agg.segment_revenue")
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            F.col("sum_value").cast("double").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
