@@ -770,3 +770,67 @@ def stream_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "first_value", "ewma")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time TIMEOUT surface (GroupStateTimeout.EventTimeTimeout —
+# the one stateful mechanic the NoTimeout operators above don't
+# exercise): a user "churns" when the watermark passes their last
+# event + 1 hour; the state store then times the key out, emits its
+# final (count, last-event) snapshot, and REMOVES the state — the
+# bounded-state requirement for user-keyed state at 100 TB. Replay
+# shape: batch 1 = all real events (watermark still at epoch, no
+# timeouts), batch 2 = the +10-day sentinel advancing the watermark
+# past everyone → each user emits exactly once. That makes the final
+# output SQL-expressible: per-user totals with their last event time.
+@query(
+    "stream_inactive_users",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT) AS last_ts_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.stateful import inactive_users
+
+    work = Path(tempfile.mkdtemp(prefix="stream_inactive_"))
+    src = work / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
+    ensure_session_confs(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw.schema
+    max_ts_row = raw.agg(F.max("ts").alias("m")).first()
+    if isinstance(max_ts_row["m"], int):
+        flush_ts = max_ts_row["m"] + 10 * 24 * 3600 * 1_000_000_000
+    else:
+        flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
+    sentinel = spark.createDataFrame(
+        [(-1, flush_ts, -1, "click", 0.0, None)], schema
+    )
+    sent_dir = work / "sentinel"
+    sentinel.coalesce(1).write.parquet(str(sent_dir))
+    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
+    target = src / "01_flush.parquet"
+    shutil.copy(part, target)
+    st = os.stat(src / "00_events.parquet")
+    os.utime(target, (st.st_atime + 10, st.st_mtime + 10))
+
+    stream = normalize_event_ts(
+        stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
+    ).withWatermark("ts", "30 minutes")
+    out = inactive_users(
+        stream.select("user_id", "ts"), gap="1 hour"
+    )
+    rows = run_to_memory(out, mode="append")
+    return (
+        rows.filter(F.col("user_id") >= 0)
+        .select("user_id", "n_events", "last_ts_us")
+        .orderBy("user_id")
+    )

@@ -168,3 +168,81 @@ def running_ewma(events: DataFrame, lam: float = 0.9) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+INACTIVITY_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+INACTIVITY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def make_inactivity_update(gap_ms: int):
+    """Event-time-timeout churn detector: a key emits exactly when the
+    WATERMARK passes its last event time + ``gap_ms`` — the state-store
+    timeout mechanic (GroupStateTimeout.EventTimeTimeout) that the
+    NoTimeout operators above deliberately avoid. State is removed on
+    emission, so an unbounded key space stays bounded by the active
+    window — the 100 TB requirement for user-keyed state."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "last_ts_us": [last_us],
+                }
+            )
+            return
+        if state.exists:
+            n, last_us = state.get
+        else:
+            n, last_us = 0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            batch_last = int(pd.Timestamp(pdf["ts"].max()).value // 1_000)
+            last_us = max(last_us, batch_last)
+        state.update((n, last_us))
+        state.setTimeoutTimestamp(last_us // 1_000 + gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [], "n_events": [], "last_ts_us": []}
+        ).astype({"user_id": "int64", "n_events": "int64", "last_ts_us": "int64"})
+
+    return update
+
+
+def inactive_users(events: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """(user_id, n_events, last_ts_us) rows emitted when a user has
+    been silent for ``gap`` of EVENT time (watermark-driven). The
+    stream must carry a watermark on ``ts``."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", gap.strip())
+    if not m:
+        raise ValueError(f"unsupported gap spec: {gap!r}")
+    unit_ms = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    gap_ms = int(m.group(1)) * unit_ms[m.group(2)]
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_inactivity_update(gap_ms),
+        outputStructType=INACTIVITY_OUTPUT_SCHEMA,
+        stateStructType=INACTIVITY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
