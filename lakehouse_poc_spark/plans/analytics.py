@@ -1207,13 +1207,18 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH it AS (
         -- the fixture has no receiptdate; transit time is derived
-        -- deterministically from quantity (0-19 days) on BOTH engines
+        -- deterministically from quantity (0-19 days) on BOTH engines.
+        -- Scoped to one ship-year: the pair count is quadratic in
+        -- items-per-(supplier, time-neighborhood), so the unscoped
+        -- 7-year self-pairing is deliberately out of the headline set.
         SELECT l_suppkey,
                l_orderkey * 10 + l_linenumber AS iid,
                date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
                date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
                  + (CAST(l_quantity AS INTEGER) % 20) AS e
         FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1996-01-01'
     )
     SELECT a.l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM it a JOIN it b
@@ -1226,7 +1231,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def concurrent_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.range_join import interval_overlap_join
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-01-01").cast("date"))
+    )
     s = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date"))
     items = li.select(
         "l_suppkey",
