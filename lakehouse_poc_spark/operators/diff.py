@@ -59,3 +59,30 @@ def diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def apply_changes(
+    snapshot: DataFrame, changes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """CDC replication apply — the consumer half of
+    ``Warehouse.table_changes`` (Delta CDF shape): roll a replica
+    snapshot forward by one version window.
+
+      replica' = (replica ⟕̸ (deletes ∪ update_preimages) on keys)
+                 ∪ inserts ∪ update_postimages
+
+    ``keys`` must identify a row within the snapshot (for an SCD2
+    dimension that's business key + valid_from). One anti-join (key
+    co-shuffle, change side broadcast when small) + one union — cost
+    is O(replica + changes), never a full diff. Applying the feed for
+    (v_from, v_to) to the v_from snapshot reproduces v_to exactly,
+    which is what the oracle asserts.
+    """
+    removed_keys = changes.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(*keys)
+    added = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    kept = snapshot.join(removed_keys, list(keys), "left_anti")
+    return kept.unionByName(added)

@@ -519,3 +519,21 @@ def repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("gram")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (operators/bpe.py): the learned merge table
+# over the corpus. Rows-only like the k-means quantizer (iterative —
+# not SQL-expressible); correctness is pinned by the exact
+# merge-table-equality test against the pure-Python textbook loop
+# (tests/test_corpus.py), determinism by the (count desc, pair asc)
+# tie-break.
+@query("bpe_train_docs")
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=20)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")

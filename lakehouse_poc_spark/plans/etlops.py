@@ -846,3 +846,48 @@ def incremental_join_view_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC replication apply (operators/diff.py::apply_changes — the
+# consumer half of table_changes): the version-0 snapshot plus the
+# (0→1) change feed must reproduce the version-1 dimension exactly.
+# The oracle states the expected v1 state directly from the customer
+# table (same derivation as scd2_customer_history).
+@query(
+    "cdc_apply_customers",
+    oracle=f"""
+    SELECT c_custkey AS key, c_mktsegment AS segment,
+           '{T1}' AS valid_from, '{T2}' AS valid_to, FALSE AS is_current
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '{T1}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, 'CHANGED', '{T2}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '{T2}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key, valid_from, is_current
+    """,
+)
+def cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import apply_changes
+
+    wh = _run_versioned_scenario(spark, sf_dir)
+    t = CUST_CFG.technical
+    v0 = wh.read_version(CUST_CFG.dim_table, 0)
+    changes = wh.table_changes(
+        CUST_CFG.dim_table, 0, 1, keys=["c_custkey", t.valid_from]
+    )
+    replica = apply_changes(v0, changes, keys=["c_custkey", t.valid_from])
+    return replica.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.date_format(t.valid_from, "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(t.valid_to, "yyyy-MM-dd HH:mm:ss"), F.lit("OPEN")
+        ).alias("valid_to"),
+        F.col(t.is_current).alias("is_current"),
+    ).orderBy("key", "valid_from", "is_current")

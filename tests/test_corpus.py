@@ -76,3 +76,40 @@ def test_global_shuffle_is_a_permutation(spark):
     again = {r["doc_id"]: r["shuffle_pos"] for r in QUERIES[
         "global_shuffle_documents"](spark, SF).collect()}
     assert all(again[r["doc_id"]] == r["shuffle_pos"] for r in rows)
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE must learn the EXACT merge table of the
+    textbook loop — same pairs, same order, same counts — including
+    the overlapping-run case (left-to-right non-overlap) and the
+    deterministic tie-break."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.text import tokens
+    from lakehouse_poc_spark.operators.bpe import bpe_train, bpe_train_reference
+
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest new new"),
+        (3, "aaaa aa aaa"),          # overlapping-run merge semantics
+        (4, "ab ab ba ba"),          # tie-break exercises lexicographic order
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bpe_train(docs, "text", n_merges=12)
+
+    wc = {}
+    for r in docs.select(F.explode(tokens("text")).alias("w")).collect():
+        wc[r.w] = wc.get(r.w, 0) + 1
+    want = bpe_train_reference(wc, 12)
+    assert got == want, (got, want)
+
+
+def test_bpe_train_deterministic_and_stops_on_singletons(spark):
+    from lakehouse_poc_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "xy xy zq")], ["doc_id", "text"])
+    a = bpe_train(docs, "text", n_merges=50)
+    b = bpe_train(docs, "text", n_merges=50)
+    assert a == b
+    # only 'xy' repeats; 'zq' pairs have count 1 -> training stops
+    assert [(m[1], m[2]) for m in a] == [("x", "y")]
