@@ -149,3 +149,86 @@ def bpe_train_reference(
                     i += 1
             vocab[w] = out
     return merges
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """(w, toks): encode each distinct word by applying the trained
+    merge table in rank order — k JVM-side folds over the vocab
+    relation, no Python in the loop. The vocab is the unit of work
+    (two-level trick, same as training): a 100 TB corpus re-encodes
+    its tens-of-millions-row vocab, not its trillions of tokens."""
+    syms = F.filter(F.split(F.col("w"), ""), lambda c: c != "")
+    out = words.select("w", syms.alias("toks"))
+    for i, (_rank, left, right, _cnt) in enumerate(merges):
+        fold = _merge_fold(left, right)
+        out = out.select("w", fold(F.col("toks")).alias("toks"))
+        # k nested folds would grow one expression tree of depth k;
+        # cut it periodically so analysis/codegen stays bounded
+        if (i + 1) % 8 == 0:
+            out = out.localCheckpoint(eager=False)
+    return out
+
+
+def bpe_encode(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """(id, toks, n_tokens): tokenize each document with a trained BPE
+    merge table. Word positions ride through the vocab join so each
+    document's token stream comes back in text order: posexplode →
+    join (word → token array) → re-assemble with an array_sort on
+    position → flatten. One explode shuffle + one vocab-sized join —
+    the join side is the distinct-word relation, which Spark
+    broadcast-plans when small and hash-joins when not."""
+    toks_by_word = bpe_encode_words(
+        fan_out(corpus)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct(),
+        merges,
+    )
+    pos = (
+        fan_out(corpus)
+        .select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
+        .filter(F.col("w") != "")
+    )
+    joined = pos.join(toks_by_word, "w")
+    per_doc = (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("toks")))
+            ).alias("parts")
+        )
+        .select(
+            F.col(id_col),
+            F.flatten(F.transform(F.col("parts"), lambda s: s["toks"])).alias("toks"),
+        )
+    )
+    return per_doc.withColumn("n_tokens", F.size("toks"))
+
+
+def bpe_encode_reference(
+    word_counts_text: str, merges: list[tuple[int, str, str, int]]
+) -> list[str]:
+    """Pure-Python twin: encode one whitespace-tokenized text with the
+    merge table in rank order (left-to-right non-overlapping per
+    merge) — what bpe_encode must reproduce exactly."""
+    out: list[str] = []
+    for w in word_counts_text.split():
+        syms = list(w)
+        for _rank, left, right, _cnt in merges:
+            nxt: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    nxt.append(left + right)
+                    i += 2
+                else:
+                    nxt.append(syms[i])
+                    i += 1
+            syms = nxt
+        out.extend(syms)
+    return out

@@ -53,6 +53,7 @@ def _load_all() -> None:
         eventops,
         etlops,
         graphops,
+        mlops,
         multimodal,
         searchops,
         simops,

@@ -537,3 +537,28 @@ def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION: encode the corpus with the trained merge
+# table — the other half of the tokenizer lifecycle (train once,
+# encode 100 TB). Rows-only (the merge table is data-derived, so the
+# encoding isn't expressible as a static SQL twin); exact per-token
+# parity with the pure-Python encoder is pinned in tests/test_corpus.py.
+# Output is one row per document with its token count and a prefix of
+# the token stream (deterministic).
+@query("bpe_encode_docs")
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=20)
+    return (
+        bpe_encode(docs, "text", "doc_id", merges)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.concat_ws(" ", F.slice("toks", 1, 8)).alias("head_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1542,3 +1542,47 @@ def tf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_cosine_pairs(
         docs, text_col="text", id_col="doc_id", threshold=0.8, shingle_n=3
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup semantic deduplication (Abbas et al.
+# 2023). Clusters are the sign pattern of the first 6 embedding dims
+# (training-free, SQL-expressible — the oracle stamps the identical
+# cluster ids); within a cluster a vector is dropped iff a lower-id
+# vector sits within the cosine threshold. The within-cluster join is
+# the whole point: O(sum(c_i^2)) instead of the all-pairs O(n^2) that
+# embedding_neardup_pairs (the brute oracle path above) pays.
+_SEMDEDUP_CLUSTER = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(6)
+)
+
+
+@query(
+    "semdedup_embeddings",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, embedding,
+               {_SEMDEDUP_CLUSTER} AS cluster
+        FROM embeddings
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id AS vid
+        FROM c a JOIN c b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+    )
+    SELECT c.vec_id, CAST(c.cluster AS INTEGER) AS cluster,
+           (d.vid IS NULL) AS kept
+    FROM c LEFT JOIN dups d ON c.vec_id = d.vid
+    ORDER BY c.vec_id
+    """,
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        semdedup(emb, vec_col="embedding", id_col="vec_id", threshold=0.3, bits=6)
+        .withColumn("cluster", F.col("cluster").cast("int"))
+        .orderBy("vec_id")
+    )

@@ -113,3 +113,32 @@ def test_bpe_train_deterministic_and_stops_on_singletons(spark):
     assert a == b
     # only 'xy' repeats; 'zq' pairs have count 1 -> training stops
     assert [(m[1], m[2]) for m in a] == [("x", "y")]
+
+
+def test_bpe_encode_matches_reference(spark):
+    from lakehouse_poc_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_reference,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(docs, "text", n_merges=12)
+    got = {
+        r.doc_id: list(r.toks)
+        for r in bpe_encode(docs, "text", "doc_id", merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        assert got[row.doc_id] == bpe_encode_reference(row.text, merges), row.doc_id
+
+
+def test_bpe_encode_empty_merge_table_is_chars(spark):
+    from lakehouse_poc_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
+    out = bpe_encode(docs, "text", "doc_id", []).collect()
+    chars = {
+        r.doc_id: sum(len(w) for w in r.text.split())
+        for r in docs.collect()
+    }
+    assert {r.doc_id: r.n_tokens for r in out} == chars

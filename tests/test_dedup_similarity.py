@@ -510,3 +510,43 @@ def test_cross_ppjoin_matches_brute_cross(spark):
             if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
         }
         assert got == want, (t, got, want)
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    from lakehouse_poc_spark.operators.semdedup import semdedup
+
+    rows = semdedup(emb(spark), "embedding", "vec_id", threshold=0.3, bits=6).collect()
+    got = {r.vec_id: (r.cluster, r.kept) for r in rows}
+
+    ref = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb(spark).collect()}
+    cluster = {
+        i: sum((1 << b) for b in range(6) if v[b] >= 0) for i, v in ref.items()
+    }
+    kept = {}
+    for i in sorted(ref):
+        vi = ref[i]
+        kept[i] = True
+        for j in sorted(ref):
+            if j >= i:
+                break
+            if cluster[j] != cluster[i]:
+                continue
+            vj = ref[j]
+            cos = float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj)))
+            if cos >= 0.3:
+                kept[i] = False
+                break
+    assert got == {i: (cluster[i], kept[i]) for i in ref}
+    # the fixture must exercise both branches
+    assert any(not k for _, k in got.values()) and any(k for _, k in got.values())
+
+
+def test_semdedup_custom_cluster_col(spark):
+    from lakehouse_poc_spark.operators.semdedup import semdedup
+
+    e = emb(spark).withColumn("cell", (F.col("vec_id") % 7).cast("int"))
+    rows = semdedup(
+        e, "embedding", "vec_id", threshold=0.3, cluster_col="cell"
+    ).collect()
+    assert {r.cluster for r in rows} <= set(range(7))
+    assert len(rows) == e.count()
