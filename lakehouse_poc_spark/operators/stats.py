@@ -61,3 +61,4 @@ def analyze_table(df: DataFrame, columns: list[str], approx: bool = False) -> Da
     return stacked.select(
         "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     ).orderBy("column")
+

@@ -891,3 +891,94 @@ def cdc_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.col(t.is_current).alias("is_current"),
     ).orderBy("key", "valid_from", "is_current")
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: an append-only parquet table whose later batches
+# grew a column (the standard lakehouse drift case — reference's Delta
+# sink gets this via mergeSchema; this is the parquet-dir form). Batch
+# 1 (even order keys) lacks o_totalprice; batch 2 (odd keys) carries
+# it. A mergeSchema read reconciles the footers and nulls the missing
+# column for old files; the aggregate proves both batches and the
+# null-backfill are read correctly. At 100 TB mergeSchema costs a
+# footer scan per file — pin the schema in the metastore once drift
+# stabilizes (SCALE.md).
+@query(
+    "schema_evolution_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END) AS n_priced,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(o_totalprice AS DECIMAL(30,6))
+                         ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+               AS priced_total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tpch import dsum
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"schema_evo_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "orders_evolving")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(path)
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_totalprice").alias("n_priced"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "priced_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Raw line-oriented text ingestion (Common-Crawl-WET-style): documents
+# serialized one-per-line as "id<TAB>text", written with the text
+# sink, read back with spark.read.text and parsed with codegen string
+# ops (no UDF). The line-per-record contract requires the payload to
+# be newline/tab-free (true for the whitespace-tokenized corpus; real
+# WET ingestion escapes first). Parse → token/char stats, verified
+# against the original table.
+@query(
+    "raw_text_ingest_docs",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars_parsed,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def raw_text_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = SCRATCH / f"rawtext_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "docs_txt")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    tab = F.instr(F.col("value"), "\t")
+    parsed = lines.select(
+        F.substring(F.col("value"), 1, tab - 1).cast("bigint").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.length("text").alias("n_chars_parsed"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+    ).orderBy("doc_id")

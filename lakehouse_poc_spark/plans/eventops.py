@@ -572,3 +572,51 @@ def quantile_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per event type via a GROUPED_AGG pandas UDF
+# (operators/stats.py) — synthetic integer weights (user_id % 5 + 1)
+# exercise true weighted semantics. The oracle is the streaming
+# SQL-window formulation of the identical definition: smallest value
+# whose doubled cumulative weight reaches the group total (ties broken
+# by event_id). The output value is copied from the data, not
+# computed, so the differential hash is exact.
+@query(
+    "weighted_median_event_values",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, value, event_id,
+               CAST(user_id % 5 + 1 AS BIGINT) AS wt
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, value, wt, event_id,
+               SUM(wt) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY event_type) AS tot
+        FROM w
+    )
+    SELECT event_type, MIN(value) AS wmedian
+    FROM c WHERE cw * 2 >= tot
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def weighted_median_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.udafs import weighted_median_udaf
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    wm = weighted_median_udaf()
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            (F.col("user_id") % 5 + 1).cast("bigint").alias("wt"),
+        )
+        .groupBy("event_type")
+        .agg(wm("value", "wt", "event_id").alias("wmedian"))
+        .orderBy("event_type")
+    )

@@ -264,3 +264,23 @@ def test_global_rank_matches_single_window_with_tiny_blocks(spark):
         if 0 < rank_of[b] - rank_of[a] <= 5
     }
     assert got == want
+
+
+def test_weighted_median_udaf_reference(spark):
+    from lakehouse_poc_spark.operators.udafs import weighted_median_udaf
+
+    rows = [
+        # group a: values 1..4 with weights 1,1,1,1 → cum*2>=4 at v=2
+        ("a", 1.0, 1, 1), ("a", 2.0, 1, 2), ("a", 3.0, 1, 3), ("a", 4.0, 1, 4),
+        # group b: heavy weight pins the median to 10.0
+        ("b", 10.0, 5, 1), ("b", 99.0, 1, 2), ("b", 100.0, 1, 3),
+        # group c: single row
+        ("c", 7.0, 3, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long, i long")
+    wm = weighted_median_udaf()
+    got = {
+        r.g: r.m
+        for r in df.groupBy("g").agg(wm("v", "w", "i").alias("m")).collect()
+    }
+    assert got == {"a": 2.0, "b": 10.0, "c": 7.0}
