@@ -675,3 +675,67 @@ def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neg_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed training batches: group documents into
+# similar-length buckets (bucket = n_tok div 32), order each bucket
+# deterministically, and cut fixed-size batches of 16 — the standard
+# padding-minimization layout for sequence-model training. Output is
+# per-batch padding accounting: a batch pads every member to its max
+# length, so waste = max_len*n - sum_len (all integers → exact).
+# Scale: the per-bucket row_number window shuffle-sorts each bucket;
+# buckets are narrow length ranges so skew is bounded by construction.
+# For a pathological single-length corpus, salt the bucket key (the
+# global_shuffle_documents idiom) before the window.
+@query(
+    "length_bucket_batches_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok, n_tok // 32 AS bucket,
+               (CAST(row_number() OVER (
+                   PARTITION BY n_tok // 32 ORDER BY n_tok, doc_id
+               ) AS BIGINT) - 1) // 16 AS batch
+        FROM t
+    )
+    SELECT bucket, batch,
+           COUNT(*) AS n_docs,
+           MAX(n_tok) AS max_len,
+           SUM(n_tok) AS sum_len,
+           MAX(n_tok) * COUNT(*) - SUM(n_tok) AS padding
+    FROM b
+    GROUP BY bucket, batch
+    ORDER BY bucket, batch
+    """,
+)
+def length_bucket_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count("text").alias("n_tok"))
+    bucket = (F.col("n_tok") / 32).cast("bigint")
+    w = Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
+    b = (
+        t.withColumn("bucket", bucket)
+        .withColumn(
+            "batch",
+            ((F.row_number().over(w).cast("bigint") - 1) / 16).cast("bigint"),
+        )
+    )
+    return (
+        b.groupBy("bucket", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("max_len"),
+            F.sum("n_tok").alias("sum_len"),
+            (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok")).alias("padding"),
+        )
+        .orderBy("bucket", "batch")
+    )

@@ -982,3 +982,55 @@ def raw_text_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_parsed"),
         F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregation: COUNT/MIN/MAX answered from parquet
+# FOOTER statistics via the v2 scan's aggregate pushdown
+# (spark.sql.parquet.aggregatePushdown) — zero data pages read. At
+# 100 TB this is the difference between an instant answer and a full
+# scan for table-profiling probes. The plan contract
+# (PushedAggregation: [COUNT(*), MIN(..), MAX(..)]) is pinned in
+# tests/test_plan_shapes.py. The v2 source + pushdown confs are scoped
+# to this function (collected eagerly, then restored) so the rest of
+# the session keeps the default v1 planning it was tuned on.
+@query(
+    "metadata_agg_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    """,
+)
+def metadata_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {
+        "spark.sql.parquet.aggregatePushdown": spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown", "false"
+        ),
+        "spark.sql.sources.useV1SourceList": spark.conf.get(
+            "spark.sql.sources.useV1SourceList", None
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        row = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .collect()[0]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [(row["n_rows"], row["min_key"], row["max_key"])],
+        "n_rows bigint, min_key bigint, max_key bigint",
+    )

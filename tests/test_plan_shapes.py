@@ -237,3 +237,30 @@ def test_pagerank_reuses_cached_edges(spark):
 def test_gopher_flags_map_only_scan(spark):
     plan = _formatted(QUERIES["gopher_quality_flags"](spark, SF))
     assert plan.count("Exchange (") <= 1  # only the final orderBy
+
+
+def test_metadata_agg_pushes_aggregate_to_footer(spark):
+    """metadata_agg_orders contract: COUNT/MIN/MAX answered from
+    parquet footer stats (v2 scan, PushedAggregation) — no data pages."""
+    saved = {
+        "spark.sql.parquet.aggregatePushdown": spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown", "false"
+        ),
+        "spark.sql.sources.useV1SourceList": spark.conf.get(
+            "spark.sql.sources.useV1SourceList", None
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{SF}/orders.parquet").agg(
+            F.count(F.lit(1)), F.min("o_orderkey"), F.max("o_orderkey")
+        )
+        plan = _formatted(df)
+        assert "PushedAggregation: [COUNT(*), MIN(o_orderkey), MAX(o_orderkey)]" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
