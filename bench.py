@@ -98,6 +98,16 @@ HEADLINE = [
     "incremental_join_view_revenue",
     # streaming (bounded availableNow run incl. checkpoint overhead)
     "stream_tumbling_hourly",
+    # r5 late additions: semantic dedup, model-based quality scoring,
+    # grouped-agg UDAF, schema evolution, raw-text source, padding
+    # accounting, footer-stats aggregation
+    "semdedup_embeddings",
+    "quality_classifier_score_docs",
+    "weighted_median_event_values",
+    "schema_evolution_orders",
+    "raw_text_ingest_docs",
+    "length_bucket_batches_docs",
+    "metadata_agg_orders",
 ]
 
 

@@ -160,6 +160,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Shuffles: degree agg, two joins keyed on node ids. Returns one row
     (n_nodes, n_edges, n_triangles).
     """
+    # und/deg feed three actions (orientation, edge count, node count);
+    # without caching, each action re-runs the upstream edge
+    # construction — for a derived edge set (e.g. a co-purchase
+    # self-join) that triples the most expensive stage of the query.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -167,12 +171,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     # orient by (deg, node): u → v iff (deg_u, u) < (deg_v, v)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
@@ -201,6 +207,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         n_nodes = deg.count()
     finally:
         oriented.unpersist()
+        deg.unpersist()
+        und.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame(
         [(n_nodes, n_edges, n_tri)], "n_nodes bigint, n_edges bigint, n_triangles bigint"

@@ -506,7 +506,11 @@ _PASSAGE_N = 8
     """,
 )
 def repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from ..operators.partitioning import fan_out
+
+    # fan_out: the corpus arrives as one small file = one input split;
+    # the 8-gram explode is the per-row-expensive step, so widen first.
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id", F.explode(word_shingles("text", _PASSAGE_N)).alias("gram")
     )
