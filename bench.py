@@ -108,6 +108,9 @@ HEADLINE = [
     "raw_text_ingest_docs",
     "length_bucket_batches_docs",
     "metadata_agg_orders",
+    "remove_repeated_passages_docs",
+    "k_anonymity_docs",
+    "vocab_coverage_docs",
 ]
 
 

@@ -901,3 +901,77 @@ def tf_cosine_pairs(
         return out
     finally:
         tok.unpersist()
+
+
+def remove_repeated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Sub-document dedup REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public paper): drop
+    every token covered by a verbatim ``n``-gram that also appears in
+    another document, and reassemble the surviving text.
+
+    Detection (`repeated_passages_docs`) produces the worklist; this
+    is the rewrite. Pipeline: positional n-grams → cross-doc repeated
+    grams (one groupBy) → each repeated occurrence expands to its n
+    covered token indices (bounded n× fan-out of the *repeated subset
+    only*, not the corpus) → distinct covered set → anti-join against
+    token positions → order-preserving reassembly. Every step is a
+    plain shuffle op; cost is O(corpus n-grams) + O(repeated spans·n).
+
+    Output: (id, n_tokens_before, n_removed, clean_text) with token
+    order preserved.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    grams = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(word_shingles(text_col, n)).alias("gpos", "gram"),
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(repeated, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + F.lit(n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    removed_counts = (
+        covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    before = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens_before"))
+    clean = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("parts")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform(F.col("parts"), lambda s: s["w"])
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        before.join(removed_counts, id_col, "left")
+        .join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens_before"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

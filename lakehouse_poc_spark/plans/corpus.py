@@ -566,3 +566,67 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage REMOVAL: the rewrite half of repeated_passages_docs
+# (Lee et al. sub-document dedup). Every token covered by a cross-doc
+# verbatim 8-gram is dropped and the survivors are reassembled in
+# order; output carries before/removed counts and the md5 of the
+# cleaned text so the differential hash pins the exact reassembly.
+@query(
+    "remove_repeated_passages_docs",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i.i - 1 AS gpos,
+               array_to_string(w[i.i:i.i + {_PASSAGE_N - 1}], ' ') AS gram
+        FROM d, LATERAL unnest(range(1, len(w) - {_PASSAGE_N - 2})) AS i(i)
+    ),
+    rep AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+        FROM g JOIN rep USING (gram),
+             LATERAL unnest(range(0, {_PASSAGE_N})) AS o(o)
+    ),
+    toks AS (
+        SELECT doc_id, i.i - 1 AS pos, w[i.i] AS tok
+        FROM d, LATERAL unnest(range(1, len(w) + 1)) AS i(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t ANTI JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+    )
+    SELECT d.doc_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM toks t
+             WHERE t.doc_id = d.doc_id) AS n_tokens_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cov c
+             WHERE c.doc_id = d.doc_id) AS n_removed,
+           md5(coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                          FROM kept k WHERE k.doc_id = d.doc_id), ''))
+               AS clean_md5
+    FROM d
+    ORDER BY d.doc_id
+    """,
+)
+def remove_repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_repeated_passages
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        remove_repeated_passages(docs, "text", "doc_id", n=_PASSAGE_N)
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            "n_removed",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -739,3 +739,110 @@ def length_bucket_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity suppression over quasi-identifiers: a released training
+# corpus must not contain documents whose (lang, source) combination
+# identifies fewer than k members — the group-size privacy floor that
+# complements row-level PII redaction (pii_redaction_docs). One
+# groupBy + one broadcast-back join; the suppressed flag drives the
+# downstream filter.
+@query(
+    "k_anonymity_docs",
+    oracle="""
+    WITH g AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT d.doc_id, d.lang, d.source, g.group_n,
+           g.group_n < 10 AS suppressed
+    FROM documents d JOIN g USING (lang, source)
+    ORDER BY d.doc_id
+    """,
+)
+def k_anonymity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("group_n"))
+    return (
+        docs.join(F.broadcast(g), ["lang", "source"])
+        .select(
+            "doc_id", "lang", "source", "group_n",
+            (F.col("group_n") < 10).alias("suppressed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage: the OOV-rate eval run before shipping
+# a vocab — top-100 corpus tokens by (count desc, token asc) form the
+# vocab; each document reports its out-of-vocabulary token count and
+# micro-int OOV rate. Corpus-side: one token groupBy + broadcast vocab
+# semi-check; per-doc side: one explode + groupBy. All integers.
+@query(
+    "vocab_coverage_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+            FROM documents)
+        WHERE t <> ''
+    ),
+    vocab AS (
+        SELECT t FROM (
+            SELECT t, row_number() OVER (ORDER BY COUNT(*) DESC, t) AS rk
+            FROM tok GROUP BY t) v
+        WHERE rk <= 100
+    ),
+    per_doc AS (
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+        FROM tok LEFT JOIN vocab v ON tok.t = v.t
+        GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tok, n_oov,
+           n_oov * 1000000 // greatest(n_tok, 1) AS oov_rate_micro
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import fan_out
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    # top-100 as TakeOrdered (orderBy+limit plans as a per-partition
+    # top-k + driver merge), not a no-partition row_number window — the
+    # window form sorts the whole token-type relation on one task.
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(100)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "n_oov",
+        F.floor(F.col("n_oov") * 1000000 / F.greatest(F.col("n_tok"), F.lit(1)))
+        .cast("bigint")
+        .alias("oov_rate_micro"),
+    ).orderBy("doc_id")

@@ -142,3 +142,27 @@ def test_bpe_encode_empty_merge_table_is_chars(spark):
         for r in docs.collect()
     }
     assert {r.doc_id: r.n_tokens for r in out} == chars
+
+
+def test_remove_repeated_passages_fixture(spark):
+    from lakehouse_poc_spark.operators.dedup import remove_repeated_passages
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"{shared} six seven eight nine ten"),
+        (3, "totally unrelated words that repeat nowhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_passages(df, "text", "doc_id", n=8).collect()
+    }
+    # the shared 8-gram is removed from BOTH carriers, nothing else
+    assert got[1].n_removed == 8 and got[1].n_tokens_before == 13
+    assert got[1].clean_text == "one two three four five"
+    assert got[2].n_removed == 8
+    assert got[2].clean_text == "six seven eight nine ten"
+    # untouched doc passes through verbatim
+    assert got[3].n_removed == 0
+    assert got[3].clean_text == rows[2][1]
