@@ -111,6 +111,7 @@ HEADLINE = [
     "remove_repeated_passages_docs",
     "k_anonymity_docs",
     "vocab_coverage_docs",
+    "dynamic_partition_pruning_events",
 ]
 
 

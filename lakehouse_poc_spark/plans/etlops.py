@@ -1034,3 +1034,55 @@ def metadata_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_rows"], row["min_key"], row["max_key"])],
         "n_rows bigint, min_key bigint, max_key bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# DYNAMIC partition pruning: the partition filter is not a literal —
+# it is discovered at runtime from the broadcast side of a join (a
+# date-dimension subset). Catalyst inserts a dynamicpruning subquery
+# into the fact scan's PartitionFilters, so only the joined dates'
+# directories are listed/read — THE mechanism that makes star-schema
+# joins over a date-partitioned 100 TB fact table read 3 partitions
+# instead of 3000 (plan contract in tests/test_plan_shapes.py).
+@query(
+    "dynamic_partition_pruning_events",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d')
+          IN ('2024-01-03', '2024-01-07', '2024-01-11')
+    GROUP BY 1
+    ORDER BY event_date
+    """,
+)
+def dynamic_partition_pruning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    root = SCRATCH / f"events_dpp_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "events_by_date")
+    ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(path)
+    fact = spark.read.parquet(path)
+    # join on the partition column's NATIVE read-back type (DATE): a
+    # cast on the partition key blocks DPP subquery insertion.
+    import datetime as _dt
+
+    # DPP also requires a SELECTIVE predicate on the build side (a
+    # filter beyond the join condition) — a pre-filtered literal list
+    # doesn't qualify; the dim carries a flag and is filtered here.
+    dim = spark.createDataFrame(
+        [
+            (_dt.date(2024, 1, d), 1 if d in (3, 7, 11) else 0)
+            for d in range(1, 15)
+        ],
+        "d date, picked int",
+    ).filter(F.col("picked") == 1)
+    joined = fact.join(F.broadcast(dim), fact.event_date == dim.d)
+    return (
+        joined.groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_date")
+    )

@@ -264,3 +264,11 @@ def test_metadata_agg_pushes_aggregate_to_footer(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """dynamic_partition_pruning_events contract: the fact scan's
+    PartitionFilters carry a runtime dynamicpruning subquery fed by
+    the filtered broadcast dim — not just static isnotnull."""
+    plan = _formatted(QUERIES["dynamic_partition_pruning_events"](spark, SF))
+    assert "dynamicpruningexpression" in plan
