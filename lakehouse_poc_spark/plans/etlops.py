@@ -1086,3 +1086,57 @@ def dynamic_partition_pruning_events(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom PYTHON DATA SOURCE scan (Spark 4 pyspark.sql.datasource): the
+# corpus serialized as id<TAB>lang<TAB>text lines is read back through
+# a registered DataSource that plans one input partition per file and
+# pushes the lang predicate into the Python reader
+# (sources/pydatasource.py; pushdown unit-tested in
+# tests/test_pydatasource.py). The engine-extensibility answer to the
+# reference's driver-side bespoke-blob parsing (SURVEY §2.1 S2/S3).
+@query(
+    "pydatasource_scan_docs",
+    oracle=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tok
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pydatasource_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_tsvcorpus
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = SCRATCH / f"pyds_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "docs_tsv")
+    docs.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+        ).alias("value")
+    ).repartition(8).write.mode("overwrite").text(path)
+    register_tsvcorpus(spark)
+    # pushdown gate for Python data sources; left enabled for the
+    # session — it only affects registered Python sources (ours), and
+    # the scan is lazy so the conf must still hold at action time.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    back = (
+        spark.read.format("tsvcorpus")
+        .option("path", path)
+        .load()
+        .filter(F.col("lang").isin("en", "de"))
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", r"\s+")).cast("bigint")).alias("n_tok"),
+        )
+        .orderBy("lang")
+    )
