@@ -604,21 +604,24 @@ def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def prefix_candidates(
-    sh: DataFrame, threshold: float, positional: bool = True
+    sh: DataFrame, threshold: float, positional: bool = True, accumulate: bool = True
 ) -> DataFrame:
     """PPJoin candidate generation over a (did, sh, sz) shingle-set
     relation: (id_a, id_b) pairs sharing ≥1 prefix shingle under the
-    rarest-first global order, size-ratio pruned and (by default)
-    positional-filter pruned. Exposed separately so tests (and
-    capacity planning) can measure the candidate count against the
-    n·(n−1)/2 all-pairs space and the prefix-only variant.
+    rarest-first global order, size-ratio pruned, (by default)
+    positional-filter pruned per match row, and (by default)
+    accumulated-overlap pruned per pair. Exposed separately so tests
+    (and capacity planning) can measure the candidate count against
+    the n·(n−1)/2 all-pairs space and the weaker filter tiers.
 
     All threshold arithmetic is EXACT: the threshold is snapped to
     micro-units (t = tm/1e6, the repo convention) and every bound is
     an integer expression — a float ``ceil(t·sz)`` can land one above
     the true bound when the double product grazes an integer (e.g.
     t=0.07, sz=100), silently shortening the prefix below the
-    no-lost-pairs length.
+    no-lost-pairs length. The α comparison is the multiplied-out form
+    ``bound·(1e6+tm) ≥ tm·(|a|+|b|)`` (⟺ bound ≥ ⌈tm·(|a|+|b|)/
+    (1e6+tm)⌉), so no division appears anywhere.
 
     Positional filter (Xiao et al. 2008, public paper): a qualifying
     pair needs overlap ≥ α = ⌈t·(|a|+|b|)/(1+t)⌉. For a prefix match
@@ -628,6 +631,18 @@ def prefix_candidates(
     |b|−j). Rows whose bound can't reach α are pruned; a qualifying
     pair always survives via its FIRST common shingle, whose
     positions give the loosest bound — so the filter is lossless.
+
+    Accumulated-overlap bound (PPJoin's pair-level tightening; the
+    relational stand-in for ppjoin+'s suffix probe): a pair may match
+    on SEVERAL prefix shingles. Both docs list their common shingles
+    in the same global order, so the matches align, and at the LAST
+    match (i*, j*) every common shingle NOT already matched ranks
+    strictly after i* in a and after j* in b — any common g with
+    rank_a(g) < i* must, by order alignment, also satisfy rank_b(g) <
+    j* ≤ prefix_len(b), i.e. it IS one of the counted matches. Hence
+    overlap ≤ matches + min(|a|−i*, |b|−j*): a per-pair bound computed
+    with a groupBy in place of the dedup DISTINCT (same shuffle), and
+    lossless by the same upper-bound argument.
     """
     tm = int(round(threshold * 1_000_000))
     flat = sh.select("did", "sz", F.explode("sh").alias("g"))
@@ -639,12 +654,24 @@ def prefix_candidates(
     freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     prefix = _ppjoin_prefix(flat, freq, tm)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    cond = (F.col("pa.did") < F.col("pb.did")) & _ppjoin_cond(tm, positional)
-    return (
-        pa.join(pb, cond)
-        .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
-        .distinct()
+    # The pairwise accumulated bound needs EVERY prefix match row to
+    # count pov and find the last positions — per-row positional
+    # pruning would drop exactly the late rows that tighten it (and is
+    # subsumed: positions strictly increase along aligned matches, so
+    # pov + min(sa−i*, sb−j*) ≤ 1 + min(sa−i1, sb−j1), the loosest
+    # per-row bound). So the join keeps positional OFF when
+    # accumulating and lets the group-level filter do strictly more.
+    cond = (F.col("pa.did") < F.col("pb.did")) & _ppjoin_cond(
+        tm, positional and not accumulate
     )
+    matched = pa.join(pb, cond)
+    if not accumulate:
+        return (
+            matched.select(
+                F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b")
+            ).distinct()
+        )
+    return _ppjoin_accumulate(matched, tm)
 
 
 def _ppjoin_prefix(flat: DataFrame, freq: DataFrame, tm: int) -> DataFrame:
@@ -665,8 +692,10 @@ def _ppjoin_prefix(flat: DataFrame, freq: DataFrame, tm: int) -> DataFrame:
 def _ppjoin_cond(tm: int, positional: bool):
     """Shared PPJoin join condition over pa/pb prefix aliases: shingle
     equality, exact size-ratio pruning (|a| ≥ t·|b| ⟺ 1e6·|a| ≥
-    tm·|b|), and optionally the positional filter
-    (α = ⌈tm·(sa+sb)/(1e6+tm)⌉, exact integer ceiling)."""
+    tm·|b|), and optionally the positional filter. The α test is the
+    multiplied-out integer form ``ubound·(1e6+tm) ≥ tm·(sa+sb)``
+    (⟺ ubound ≥ ⌈tm·(sa+sb)/(1e6+tm)⌉) — no float division whose
+    rounding could graze an integer boundary."""
     sa, sb = F.col("pa.sz").cast("long"), F.col("pb.sz").cast("long")
     cond = (
         (F.col("pa.g") == F.col("pb.g"))
@@ -674,14 +703,44 @@ def _ppjoin_cond(tm: int, positional: bool):
         & (sb * 1_000_000 >= F.lit(tm) * sa)
     )
     if positional:
-        denom = 1_000_000 + tm
-        alpha = (F.lit(tm) * (sa + sb) + F.lit(denom - 1)) / F.lit(denom)
-        alpha = F.floor(alpha).cast("long")
         ubound = F.lit(1) + F.least(
             sa - F.col("pa.rk").cast("long"), sb - F.col("pb.rk").cast("long")
         )
-        cond = cond & (ubound >= alpha)
+        cond = cond & (ubound * F.lit(1_000_000 + tm) >= F.lit(tm) * (sa + sb))
     return cond
+
+
+def _ppjoin_accumulate(matched: DataFrame, tm: int) -> DataFrame:
+    """Pair-level accumulated-overlap pruning over the raw prefix-join
+    match rows (one row per common prefix shingle): replaces the dedup
+    DISTINCT with a same-shuffle groupBy that counts the matches and
+    tracks the LAST matched 1-based positions, then keeps only pairs
+    whose bound ``matches + min(|a|−i*, |b|−j*)`` can still reach α
+    (integer multiplied-out test — see prefix_candidates docstring for
+    the lossless argument)."""
+    agg = (
+        matched.select(
+            F.col("pa.did").alias("id_a"),
+            F.col("pb.did").alias("id_b"),
+            F.col("pa.sz").cast("long").alias("sa"),
+            F.col("pb.sz").cast("long").alias("sb"),
+            F.col("pa.rk").cast("long").alias("rk_a"),
+            F.col("pb.rk").cast("long").alias("rk_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("pov"),
+            F.max("rk_a").alias("mi"),
+            F.max("rk_b").alias("mj"),
+            F.first("sa").alias("sa"),
+            F.first("sb").alias("sb"),
+        )
+    )
+    bound = F.col("pov") + F.least(
+        F.col("sa") - F.col("mi"), F.col("sb") - F.col("mj")
+    )
+    reach = bound * F.lit(1_000_000 + tm) >= F.lit(tm) * (F.col("sa") + F.col("sb"))
+    return agg.filter(reach).select("id_a", "id_b")
 
 
 def jaccard_prefix_pairs(
@@ -791,14 +850,16 @@ def jaccard_prefix_pairs_cross(
         )
         pa = _ppjoin_prefix(flat_b, freq, tm).alias("pa")
         pb = _ppjoin_prefix(flat_c, freq, tm).alias("pb")
+        # positional=False: the pairwise accumulated bound below needs
+        # all match rows and subsumes the per-row positional filter
+        # (see prefix_candidates).
         cond = (F.col("pa.did") != F.col("pb.did")) & _ppjoin_cond(
-            tm, positional=True
+            tm, positional=False
         )
-        cands = (
-            pa.join(pb, cond)
-            .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
-            .distinct()
-        )
+        # Same accumulated-overlap pruning as the self-join path — the
+        # order-alignment argument is side-agnostic (both relations
+        # rank by the combined-df global order).
+        cands = _ppjoin_accumulate(pa.join(pb, cond), tm)
         a = sh_b.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh_c.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -368,12 +368,42 @@ def test_positional_filter_shrinks_candidates_losslessly(spark):
         F.col("doc_id").alias("did"),
         F.array_distinct(word_shingles("text", 3)).alias("sh"),
     ).withColumn("sz", F.size("sh"))
-    with_pos = prefix_candidates(sh, threshold=0.5, positional=True)
-    without = prefix_candidates(sh, threshold=0.5, positional=False)
+    with_pos = prefix_candidates(sh, threshold=0.5, positional=True, accumulate=False)
+    without = prefix_candidates(sh, threshold=0.5, positional=False, accumulate=False)
     n_pos, n_plain = with_pos.count(), without.count()
     assert n_pos < n_plain, (n_pos, n_plain)
     # lossless: positional candidates are a subset of prefix-only ones
     assert with_pos.exceptAll(without).isEmpty()
+
+
+def test_accumulated_overlap_bound_shrinks_candidates_losslessly(spark):
+    """The PPJoin accumulated-overlap (pair-level) bound must shrink
+    the candidate set vs the per-row positional filter alone, remain a
+    subset of it, and keep the final pair results brute-identical."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.text import word_shingles
+    from lakehouse_poc_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+        prefix_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = docs.select(
+        F.col("doc_id").alias("did"),
+        F.array_distinct(word_shingles("text", 3)).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    acc = prefix_candidates(sh, threshold=0.5, accumulate=True)
+    pos_only = prefix_candidates(sh, threshold=0.5, accumulate=False)
+    n_acc, n_pos = acc.count(), pos_only.count()
+    assert n_acc < n_pos, (n_acc, n_pos)
+    assert acc.exceptAll(pos_only).isEmpty()
+    # end-to-end result identity through the accumulated path
+    brute = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    pref = jaccard_prefix_pairs(docs, "text", "doc_id", threshold=0.5)
+    assert brute.exceptAll(pref).isEmpty()
+    assert pref.exceptAll(brute).isEmpty()
 
 
 def test_prefix_bound_exact_integer_arithmetic(spark):
