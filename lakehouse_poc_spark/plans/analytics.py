@@ -1264,3 +1264,97 @@ def concurrent_shipments_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric column-profile: the Pearson correlation matrix of the
+# lineitem measures from ONE scan of exact sufficient statistics —
+# the data-profiling pass a feature-engineering / data-quality audit
+# runs before training (e.g. "is discount independent of quantity?").
+#
+# Determinism: built-in CORR() accumulates doubles in partition order
+# (non-deterministic across engines AND partition counts), so instead
+# every Σx, Σx², Σxy accumulates in DECIMAL(30,6) (exact, commutative;
+# the repo convention) and the correlation is derived from those exact
+# aggregates in one fixed-order double expression — bit-identical on
+# both engines.
+#
+# Scale shape: a single map-side-combined scan producing ONE 16-column
+# row (no shuffle beyond the 1-row final agg), then a driverless
+# explode to the 6 pair rows. At 100 TB this is the cheapest possible
+# profile: one pass, zero data-sized shuffles.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(30,6))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(30,6))) AS DOUBLE) AS ss_{c}"
+        )
+    for x, y in _CORR_PAIRS:
+        sums.append(
+            f"CAST(SUM(CAST({x} * {y} AS DECIMAL(30,6))) AS DOUBLE) AS sp_{x}_{y}"
+        )
+    arms = []
+    for x, y in _CORR_PAIRS:
+        arms.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+            f"(n * sp_{x}_{y} - s_{x} * s_{y}) "
+            f"/ sqrt((n * ss_{x} - s_{x} * s_{x}) * (n * ss_{y} - s_{y} * s_{y})) "
+            f"AS corr_r FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem) "
+        + " UNION ALL ".join(arms)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+@query("corr_profile_lineitem", oracle=_corr_oracle())
+def corr_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(30,6)")).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(30,6)"))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(x) * F.col(y)).cast("decimal(30,6)"))
+            .cast("double")
+            .alias(f"sp_{x}_{y}")
+        )
+    stats = li.agg(*aggs)
+    n = F.col("n")
+    pair_structs = []
+    for x, y in _CORR_PAIRS:
+        sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
+        ssx, ssy = F.col(f"ss_{x}"), F.col(f"ss_{y}")
+        sp = F.col(f"sp_{x}_{y}")
+        corr = (n * sp - sx * sy) / F.sqrt(
+            (n * ssx - sx * sx) * (n * ssy - sy * sy)
+        )
+        pair_structs.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                corr.alias("corr_r"),
+            )
+        )
+    return (
+        stats.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    )

@@ -227,3 +227,122 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring: mean log p(w2|w1) under an add-1-smoothed
+# bigram model trained on the corpus itself — the classic C4/CCNet-style
+# perplexity filter one notch above the unigram proxy (fluent text
+# scores high; shuffled/boilerplate text scores low even when its
+# unigram mix looks normal). Same determinism scheme: each conditional
+# logprob is micro-rounded to BIGINT, per-doc sums are exact integers,
+# the mean divides twice in a fixed order.
+#
+# Scale shape (100 TB corpus): two corpus-sized shuffles — the bigram
+# count (the model build itself) and the per-doc bigram count — plus a
+# bigram-vocabulary join that AQE sizes (NOT forced broadcast: bigram
+# vocab grows ~linearly with corpus token diversity, unlike the unigram
+# vocab). Context counts derive from the bigram counts (no extra pass),
+# and V is a one-row broadcast.
+@query(
+    "bigram_logprob_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok
+    ),
+    big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos
+    ),
+    cnt12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+    ),
+    cnt1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cnt12 GROUP BY w1),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS token FROM tok)
+    ),
+    lp AS (
+        SELECT w1, w2,
+               CAST(ROUND(ln((CAST(c12 AS DOUBLE) + 1.0)
+                             / (CAST(c1 AS DOUBLE) + CAST(vb.v AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS logp_micro
+        FROM cnt12 JOIN cnt1 USING (w1) CROSS JOIN vocab vb
+    ),
+    dbig AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM big GROUP BY doc_id, w1, w2
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf * logp_micro) AS BIGINT) AS logp_sum_micro,
+           CAST(SUM(tf * logp_micro) AS DOUBLE) / 1000000.0
+               / CAST(SUM(tf) AS DOUBLE) AS mean_logprob
+    FROM dbig JOIN lp USING (w1, w2)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+    # Guard size>=2 BEFORE sequence(): Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], not empty (DuckDB's range(1, 1) is empty).
+    big = (
+        tok.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    cnt12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cnt1 = cnt12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = tok.select(F.explode("toks").alias("token")).agg(
+        F.countDistinct("token").alias("v")
+    )
+    lp = (
+        cnt12.join(cnt1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") + F.lit(1.0))
+                    / (F.col("c1").cast("double") + F.col("v").cast("double"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    dbig = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        dbig.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("logp_micro")).alias("logp_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logp_sum_micro",
+            (
+                F.col("logp_sum_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -166,3 +166,54 @@ def test_remove_repeated_passages_fixture(spark):
     # untouched doc passes through verbatim
     assert got[3].n_removed == 0
     assert got[3].clean_text == rows[2][1]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-1-smoothed bigram LM on a 2-doc corpus, checked against the
+    hand-derived conditionals (micro-rounded, the engine convention)."""
+    import math
+
+    from lakehouse_poc_spark.plans.searchops import bigram_logprob_docs
+    import pyspark.sql.functions as F
+
+    rows = [(1, "a b a b"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; V = 3 (a, b, c)
+    # c1: a->3, b->2 ; p(b|a) = (3+1)/(3+3) ; p(a|b) = (1+1)/(2+3)
+    # p(c|b) = (1+1)/(2+3)
+    lp_ab = round(math.log(4 / 6) * 1e6)
+    lp_ba = round(math.log(2 / 5) * 1e6)
+    lp_bc = round(math.log(2 / 5) * 1e6)
+
+    # score through the registered query path on the in-memory fixture
+    import lakehouse_poc_spark.plans.searchops as so
+
+    old = so._t
+    so._t = lambda s, d, n: df
+    try:
+        got = {r.doc_id: r for r in bigram_logprob_docs(spark, "unused").collect()}
+    finally:
+        so._t = old
+    assert got[1].n_bigrams == 3
+    assert got[1].logp_sum_micro == 2 * lp_ab + lp_ba
+    assert got[2].n_bigrams == 2
+    assert got[2].logp_sum_micro == lp_ab + lp_bc
+
+
+def test_corr_profile_matches_numpy(spark):
+    """The exact-decimal sufficient-statistics Pearson matrix must
+    agree with numpy.corrcoef to float precision on the fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_poc_spark.plans.analytics import corr_profile_lineitem
+
+    got = {
+        (r.col_x, r.col_y): r.corr_r
+        for r in corr_profile_lineitem(spark, "/root/testdata/sf0.001").collect()
+    }
+    pdf = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for (x, y), v in got.items():
+        ref = np.corrcoef(pdf[x], pdf[y])[0, 1]
+        assert abs(v - ref) < 1e-6, (x, y, v, ref)
