@@ -1140,3 +1140,55 @@ def pydatasource_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-table LIFECYCLE (SCALE.md §6): a spec registry records how
+# the table was bucketed; a drift probe (pmod(hash(key), n) — the same
+# Murmur3 bucketing function bucketBy uses) measures the key
+# distribution against the spec's per-bucket sizing target; the table
+# re-buckets only when the probe says so. The query drives the whole
+# path end-to-end — deliberately starting from an under-bucketed spec
+# so the probe fires — and returns an aggregate computed FROM THE
+# RE-BUCKETED CATALOG TABLE, which the oracle checks against the raw
+# parquet (content invariance under re-bucketing). Drift metrics
+# themselves are Murmur3-dependent (not SQL-portable) and are
+# asserted in tests/test_warehouse.py.
+@query(
+    "bucket_lifecycle_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bucket_lifecycle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.bucketing import BucketSpec, bucket_drift, rebucket
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    tag = Path(sf_dir).name.replace(".", "_")
+    spec_root = SCRATCH / f"bucketspecs_{tag}"
+    name = f"blc_orders_{tag}"
+    spec = BucketSpec(
+        table=name, key="o_orderkey", n_buckets=2, target_rows_per_bucket=2000
+    )
+    spec.save(spec_root)
+    drift = bucket_drift(orders, BucketSpec.load(spec_root, name))
+    tbl = orders
+    if drift["rebucket"]:
+        tbl, spec = rebucket(
+            spark, orders, name, spec, drift["recommended_n"], spec_root
+        )
+    return (
+        tbl.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

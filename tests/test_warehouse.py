@@ -326,3 +326,53 @@ def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
     # tolerance: allow up to 4 invalid rows → publishes
     r3 = wh.write_audit_publish(bad, t, rules, max_invalid=4)
     assert r3["published"] and wh.read(t).count() == 5
+
+
+def test_bucket_drift_metrics_and_rebucket(spark, tmp_path):
+    """Drift probe: histogram sums to total, skewed keys trip the
+    skew>2 gate, sizing recommends a power of two, and re-bucketing
+    preserves content while updating the persisted spec."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.sinks.bucketing import (
+        BucketSpec,
+        bucket_drift,
+        bucket_histogram,
+        rebucket,
+    )
+
+    # uniform keys: 4 buckets of ~250 rows, skew ≈ 1, right-sized
+    uniform = spark.range(1000).select(F.col("id").alias("k"))
+    spec = BucketSpec(
+        table="t_uniform", key="k", n_buckets=4, target_rows_per_bucket=250
+    )
+    hist = bucket_histogram(uniform, "k", 4).collect()
+    assert sum(r.rows for r in hist) == 1000
+    d = bucket_drift(uniform, spec)
+    assert d["total_rows"] == 1000
+    assert d["recommended_n"] == 4
+    assert d["skew"] < 2.0 and not d["rebucket"]
+
+    # one hot key (90% of rows) must trip the skew gate at the same n
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    d_hot = bucket_drift(hot, spec)
+    assert d_hot["skew"] > 2.0 and d_hot["rebucket"]
+
+    # growth: 10x the rows at the same target → recommended_n is the
+    # next power of two ≥ total/target, and rebucket fires
+    grown = spark.range(10_000).select(F.col("id").alias("k"))
+    d_grown = bucket_drift(grown, spec)
+    assert d_grown["recommended_n"] == 64  # ceil(10000/250)=40 → 64
+    assert d_grown["rebucket"]
+
+    # rebucket: content invariant, spec persisted with the new n
+    tbl, new_spec = rebucket(
+        spark, grown, "blc_test_grown", spec, 64, tmp_path
+    )
+    assert tbl.count() == 10_000
+    assert new_spec.n_buckets == 64
+    reloaded = BucketSpec.load(tmp_path, "blc_test_grown")
+    assert reloaded.n_buckets == 64 and reloaded.key == "k"
+    spark.sql("DROP TABLE IF EXISTS blc_test_grown")
