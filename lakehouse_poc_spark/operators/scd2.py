@@ -154,3 +154,38 @@ def scd2_merge(
         new_keys=int(counts["new"] or 0),
         updated_keys=int(counts["chg"] or 0),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "dwh_valid_from",
+    valid_to: str = "dwh_valid_to",
+) -> DataFrame:
+    """Temporal (point-in-time) enrichment: left-join each fact row to
+    the dimension VERSION that was valid at the fact's own timestamp —
+    ``valid_from <= ts < valid_to`` with an open-ended (NULL valid_to)
+    current version. The PIT join is how an SCD2 dimension is actually
+    consumed: "what did this customer look like when the order was
+    placed", not "what does it look like now".
+
+    A well-formed SCD2 dimension has non-overlapping version intervals
+    per key (guaranteed by scd2_merge's close+insert discipline), so
+    at most one dim row matches each fact — the range predicate is a
+    join FILTER, not a multiplier. Scale shape: a plain equi-join on
+    the business key (AQE broadcasts a small dim); the interval
+    predicate evaluates join-side, no extra shuffle, no window. Facts
+    whose timestamp precedes the key's first version (or whose key is
+    absent) keep NULL dim columns, the left-join contract.
+    """
+    f, d = facts.alias("f"), dim.alias("d")
+    cond = [F.col(f"f.{k}") == F.col(f"d.{k}") for k in keys]
+    ts = F.col(f"f.{ts_col}")
+    cond.append(F.col(f"d.{valid_from}") <= ts)
+    cond.append(
+        F.col(f"d.{valid_to}").isNull() | (ts < F.col(f"d.{valid_to}"))
+    )
+    keep = [F.col(f"d.{c}").alias(c) for c in dim.columns if c not in keys]
+    return f.join(d, cond, "left").select("f.*", *keep)

@@ -846,3 +846,58 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("oov_rate_micro"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Next-token training-pair extraction: every stride-th position in each
+# document becomes a (context window, target token) example — the
+# sample-construction step between chunking (chunk_documents_windows)
+# and packing (pack_sequences_docs) when the objective needs explicit
+# (context, target) pairs (distillation, span-corruption targets,
+# evaluation probes). Map-only: one transform/explode per doc, no
+# shuffle at all — at 100 TB this is the cheapest possible pass, and
+# stride directly controls the output volume (stride=4 → len/4
+# examples per doc).
+_NTP_CTX = 8
+_NTP_STRIDE = 4
+
+
+@query(
+    "next_token_pairs_docs",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(range({_NTP_CTX} + 1, len(toks) + 1, {_NTP_STRIDE})) AS i
+        FROM tok
+        WHERE len(toks) >= {_NTP_CTX} + 1
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS pos,
+           array_to_string(toks[i - {_NTP_CTX} : i - 1], ' ') AS context,
+           toks[i] AS target
+    FROM pos
+    ORDER BY doc_id, pos
+    """,
+)
+def next_token_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    ctx, stride = _NTP_CTX, _NTP_STRIDE
+    tok = docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= ctx + 1)
+    # sequence() is inclusive of the stop when it lands on a step, like
+    # DuckDB range()'s exclusive stop at len+1 — same index set.
+    pairs = F.expr(
+        f"transform(sequence({ctx} + 1, size(toks), {stride}), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, "
+        f"array_join(slice(toks, i - {ctx}, {ctx}), ' ') AS context, "
+        f"element_at(toks, i) AS target))"
+    )
+    return (
+        tok.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.pos", "p.context", "p.target")
+        .orderBy("doc_id", "pos")
+    )

@@ -1192,3 +1192,60 @@ def bucket_lifecycle_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join: every order is enriched with the
+# customer-dimension VERSION valid at the order's own probe timestamp
+# — the consumption side of SCD2 (operators/scd2.py
+# point_in_time_join). Even order keys probe BETWEEN the two merges
+# (T1 < ts < T2): they must see the ORIGINAL segment for customers
+# already present at T1 (including the ones later changed) and no
+# version at all for the odd customer keys first inserted at T2.
+# Odd order keys probe AFTER T2: they see the post-merge state
+# (CHANGED for %10==0 keys, original otherwise, everything matched).
+# The oracle derives the same answer arithmetically from the raw
+# customer table.
+@query(
+    "pit_join_orders_customers",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'mid' ELSE 'late' END AS probe,
+           CASE
+             WHEN o_orderkey % 2 = 0 AND c_custkey % 2 = 0 THEN c_mktsegment
+             WHEN o_orderkey % 2 = 0 THEN 'NONE'
+             WHEN c_custkey % 10 = 0 THEN 'CHANGED'
+             ELSE c_mktsegment
+           END AS segment
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def pit_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import point_in_time_join
+
+    wh = _run_scd2_scenario(spark, sf_dir)
+    t = CUST_CFG.technical
+    dim = wh.read(CUST_CFG.dim_table)
+    facts = (
+        read_parquet_table(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
+        .withColumn(
+            "probe_ts",
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.lit("2024-01-01 12:00:00")
+            )
+            .otherwise(F.lit("2024-01-02 12:00:00"))
+            .cast("timestamp"),
+        )
+    )
+    enriched = point_in_time_join(
+        facts, dim, ["c_custkey"], "probe_ts", t.valid_from, t.valid_to
+    )
+    return enriched.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("mid"))
+        .otherwise(F.lit("late"))
+        .alias("probe"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("segment"),
+    ).orderBy("o_orderkey")

@@ -189,3 +189,40 @@ def test_run_many_fanout_and_skip(spark, wh):
     assert out["personal"].new_keys == 2
     assert not wh.table_exists(cfg_skip.dim_table)
     assert wh.read(cfg_b.dim_table).count() == 2
+
+
+def test_point_in_time_join_picks_single_valid_version(spark):
+    """PIT join semantics on a hand-built two-version dimension:
+    exactly one version per fact, NULLs before the first version and
+    for absent keys, open-ended current version matches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.scd2 import point_in_time_join
+
+    ts = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", ts(2024, 1, 1), ts(2024, 1, 10)),
+            (1, "v2", ts(2024, 1, 10), None),
+            (2, "only", ts(2024, 1, 5), None),
+        ],
+        "k long, val string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, ts(2024, 1, 2)),   # inside v1
+            (101, 1, ts(2024, 1, 10)),  # boundary: v1 closed, v2 open
+            (102, 1, ts(2023, 12, 31)), # before first version -> NULL
+            (103, 2, ts(2024, 1, 6)),   # open-ended match
+            (104, 3, ts(2024, 1, 6)),   # absent key -> NULL
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = point_in_time_join(
+        facts, dim, ["k"], "ts", "valid_from", "valid_to"
+    )
+    assert out.count() == 5  # no row multiplication
+    got = {r.fid: r.val for r in out.collect()}
+    assert got == {100: "v1", 101: "v2", 102: None, 103: "only", 104: None}
