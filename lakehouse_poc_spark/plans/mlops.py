@@ -164,3 +164,74 @@ def quality_classifier_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         + [("train_agreement", float(acc))]
     )
     return spark.createDataFrame(rows, "term string, value double").orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick", Weinberger et al. 2009, public
+# paper): categorical event features are projected into a fixed
+# D-dimensional signed-count vector without any vocabulary build —
+# dim = md5(feature) % D, sign = parity of the next md5 nibble. The
+# standard trick for unbounded-cardinality categoricals (ids, UA
+# strings, domains) at 100 TB: map-only feature extraction (explode of
+# a 2-element literal array), ONE shuffle on (user, dim), no dictionary
+# state to maintain or broadcast. Deterministic via md5 (the repo's
+# cross-engine hash), unlike murmur-based hashers that pin you to one
+# engine. Output is the long-form (user_id, dim, weight) sparse vector.
+_FH_D = 16
+_FH_SALT = "fh:"
+
+
+def _fh_dim_sql(feat: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{_FH_SALT}' || {feat}), 1, 6)) AS BIGINT) % {_FH_D}"
+    )
+
+
+def _fh_sign_sql(feat: str) -> str:
+    return (
+        f"CASE WHEN CAST(('0x' || substr(md5('{_FH_SALT}' || {feat}), 7, 1)) AS BIGINT) % 2 = 0 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+@query(
+    "feature_hash_events",
+    oracle=f"""
+    WITH feat AS (
+        SELECT user_id,
+               unnest(['et:' || event_type,
+                       'hr:' || CAST(hour(ts) AS VARCHAR)]) AS f
+        FROM events
+    )
+    SELECT user_id,
+           CAST({_fh_dim_sql('f')} AS BIGINT) AS dim,
+           CAST(SUM({_fh_sign_sql('f')}) AS BIGINT) AS weight
+    FROM feat
+    GROUP BY user_id, dim
+    ORDER BY user_id, dim
+    """,
+)
+def feature_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    feat = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("et:"), F.col("event_type")),
+                F.concat(F.lit("hr:"), F.hour("ts").cast("string")),
+            )
+        ).alias("f"),
+    )
+    h = F.md5(F.concat(F.lit(_FH_SALT), F.col("f")))
+    dim = (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % _FH_D).alias(
+        "dim"
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 7, 1), 16, 10).cast("bigint") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        feat.select("user_id", dim, sign.alias("s"))
+        .groupBy("user_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("weight"))
+        .orderBy("user_id", "dim")
+    )
