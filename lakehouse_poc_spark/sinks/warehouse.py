@@ -436,6 +436,95 @@ class Warehouse:
         branch.rename(target)
         return {"published": True, "n_rows": n_rows, "n_invalid": n_invalid}
 
+    def publish_tables(
+        self,
+        frames: dict[str, DataFrame],
+        expectations: dict[str, list] | None = None,
+        max_invalid: int = 0,
+    ) -> dict:
+        """Multi-table Write-Audit-Publish: stage EVERY table, audit
+        EVERY staged copy, and only when all pass swap them in —
+        all-or-nothing across tables, so cross-table invariants (facts
+        and their dimensions, a rollup and its source) never expose a
+        half-published state to readers.
+
+        Protocol: (1) stage all plans to ``__staging`` dirs; (2) audit
+        each staged copy (byte-for-byte what publishes); any failure
+        drops ALL staging and leaves every live table untouched;
+        (3) swap each table (archive → rename); a mid-swap error rolls
+        the already-swapped tables back from their version archive
+        before re-raising, so readers see either the old set or the
+        new set. (A cloud deployment would replace step 3 with a
+        catalog-pointer commit — Delta/Iceberg transactions per table
+        plus this same stage-all/check-all discipline across them.)
+
+        Returns {published, tables: {name: {n_rows, n_invalid}}}.
+        """
+        from ..operators.quality import VIOLATIONS_COL, check
+
+        expectations = expectations or {}
+        staged: dict[str, Path] = {}
+        report: dict[str, dict] = {}
+        ok = True
+        try:
+            for table, df in frames.items():
+                target = self.path(table)
+                branch = target.with_name(target.name + "__staging")
+                if branch.exists():
+                    shutil.rmtree(branch)
+                df.write.mode("overwrite").parquet(str(branch))
+                staged[table] = branch
+            for table, branch in staged.items():
+                back = self.spark.read.parquet(str(branch))
+                exps = expectations.get(table, [])
+                if exps:
+                    checked = check(back, exps)
+                    counts = checked.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.when(F.col(VIOLATIONS_COL) != "", 1).otherwise(0)
+                        ).alias("bad"),
+                    ).collect()[0]
+                    n_rows, n_invalid = int(counts["n"]), int(counts["bad"] or 0)
+                else:
+                    n_rows, n_invalid = back.count(), 0
+                report[table] = {"n_rows": n_rows, "n_invalid": n_invalid}
+                if n_invalid > max_invalid:
+                    ok = False
+            if not ok:
+                return {"published": False, "tables": report}
+        finally:
+            if not ok:
+                for branch in staged.values():
+                    if branch.exists():
+                        shutil.rmtree(branch)
+        swapped: list[str] = []
+        try:
+            for table, branch in staged.items():
+                target = self.path(table)
+                self._archive_current(table)
+                if target.exists():
+                    shutil.rmtree(target)
+                branch.rename(target)
+                swapped.append(table)
+        except BaseException:
+            # roll already-swapped tables back to their archived
+            # version so the set stays consistent, then surface the
+            # original error.
+            for table in swapped:
+                versions = self._versions_dir(table)
+                prior = self.version(table) - 1
+                # rollback needs track_versions (archives to copy back
+                # from); without it this is best-effort only
+                src = versions / f"v{prior:06d}"
+                if src.exists():
+                    target = self.path(table)
+                    if target.exists():
+                        shutil.rmtree(target)
+                    shutil.copytree(src, target)
+            raise
+        return {"published": True, "tables": report}
+
     def delete_where(self, table: str, predicate) -> None:
         """DML DELETE: remove rows matching ``predicate`` (a Column or
         SQL string). Parquet emulation rewrites the table keeping the

@@ -376,3 +376,38 @@ def test_bucket_drift_metrics_and_rebucket(spark, tmp_path):
     reloaded = BucketSpec.load(tmp_path, "blc_test_grown")
     assert reloaded.n_buckets == 64 and reloaded.key == "k"
     spark.sql("DROP TABLE IF EXISTS blc_test_grown")
+
+
+def test_publish_tables_all_or_nothing(spark, tmp_path):
+    """Multi-table WAP: both tables flip together; one bad table
+    blocks the WHOLE set and leaves every live table untouched."""
+    from lakehouse_poc_spark.operators import quality as Q
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    facts = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    dims = spark.range(3).selectExpr("id AS k", "'x' AS name")
+    rules = {"pub.facts": [Q.in_range("v_range", "v", 0, 100)]}
+    r1 = wh.publish_tables({"pub.facts": facts, "pub.dims": dims}, rules)
+    assert r1["published"]
+    assert r1["tables"]["pub.facts"] == {"n_rows": 10, "n_invalid": 0}
+    assert wh.read("pub.facts").count() == 10
+    assert wh.read("pub.dims").count() == 3
+
+    # second round: facts batch violates → NEITHER table changes
+    bad_facts = spark.range(4).selectExpr("id", "CAST(id * 1000 AS DOUBLE) AS v")
+    new_dims = spark.range(7).selectExpr("id AS k", "'y' AS name")
+    r2 = wh.publish_tables({"pub.facts": bad_facts, "pub.dims": new_dims}, rules)
+    assert not r2["published"]
+    assert r2["tables"]["pub.facts"]["n_invalid"] == 3
+    assert wh.read("pub.facts").count() == 10  # old facts
+    assert wh.read("pub.dims").count() == 3    # old dims, though new ones were valid
+    # no staging litter
+    assert not list((tmp_path / "wh" / "pub").glob("*__staging"))
+
+    # third round: both valid → both flip
+    r3 = wh.publish_tables(
+        {"pub.facts": facts.limit(6), "pub.dims": new_dims}, rules
+    )
+    assert r3["published"]
+    assert wh.read("pub.facts").count() == 6
+    assert wh.read("pub.dims").count() == 7
