@@ -173,6 +173,11 @@ def main() -> None:
             continue
         attempts: list[float] = []
         while len(attempts) < 2 or (min(attempts) < 4.0 and len(attempts) < 3):
+            # Drop caches between attempts: queries that persist their
+            # result (the dedup/similarity family) would otherwise be
+            # re-served from the plan-keyed cache on attempt 2+ and the
+            # min would measure a cache read, not query execution.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             attempts.append(time.perf_counter() - t0)

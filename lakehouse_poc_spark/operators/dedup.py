@@ -166,10 +166,14 @@ def minhash_lsh_pairs(
             .withColumnRenamed("__sh", "sh_b")
             .drop("__sid")
         )
+        # |a∪b| = |a|+|b|−|a∩b| (arrays are distinct) — skips
+        # materializing the union array, the costlier half of the
+        # verify expression; the double result is bit-identical.
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - F.col("__i")
         out = (
-            pairs.withColumn("jaccard", inter / union)
+            pairs.withColumn("__i", inter)
+            .withColumn("jaccard", F.col("__i") / union)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
             .persist()
@@ -200,20 +204,29 @@ def ngram_jaccard_pairs(
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
     # Size-ratio prefilter: J(A,B) >= t implies t*|B| <= |A| (and vice
     # versa), so the cheap size predicate prunes pairs BEFORE the
     # expensive array intersection without changing the result set.
     sa, sb = F.size("a.sh").cast("double"), F.size("b.sh").cast("double")
     size_compatible = (sa >= threshold * sb) & (sb >= threshold * sa)
+    # |a∪b| = |a|+|b|−|a∩b| (arrays are distinct): union via sizes,
+    # no union array built; bit-identical double.
     return (
         a.join(b, (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & size_compatible)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (inter / union).alias("jaccard"),
+            inter.alias("__i"),
+            F.size("a.sh").alias("__sa"),
+            F.size("b.sh").alias("__sb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__i")
+            / ((F.col("__sa") + F.col("__sb")).cast("double") - F.col("__i")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -604,12 +617,12 @@ def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def prefix_candidates(
-    sh: DataFrame, threshold: float, positional: bool = True, accumulate: bool = True
+    sh: DataFrame, threshold: float, positional: bool = True, accumulate: bool = False
 ) -> DataFrame:
     """PPJoin candidate generation over a (did, sh, sz) shingle-set
     relation: (id_a, id_b) pairs sharing ≥1 prefix shingle under the
     rarest-first global order, size-ratio pruned, (by default)
-    positional-filter pruned per match row, and (by default)
+    positional-filter pruned per match row, and (opt-in, see below)
     accumulated-overlap pruned per pair. Exposed separately so tests
     (and capacity planning) can measure the candidate count against
     the n·(n−1)/2 all-pairs space and the weaker filter tiers.
@@ -633,16 +646,32 @@ def prefix_candidates(
     positions give the loosest bound — so the filter is lossless.
 
     Accumulated-overlap bound (PPJoin's pair-level tightening; the
-    relational stand-in for ppjoin+'s suffix probe): a pair may match
-    on SEVERAL prefix shingles. Both docs list their common shingles
-    in the same global order, so the matches align, and at the LAST
-    match (i*, j*) every common shingle NOT already matched ranks
-    strictly after i* in a and after j* in b — any common g with
+    relational stand-in for ppjoin+'s suffix probe — OPT-IN): a pair
+    may match on SEVERAL prefix shingles. Both docs list their common
+    shingles in the same global order, so the matches align, and at
+    the LAST match (i*, j*) every common shingle NOT already matched
+    ranks strictly after i* in a and after j* in b — any common g with
     rank_a(g) < i* must, by order alignment, also satisfy rank_b(g) <
     j* ≤ prefix_len(b), i.e. it IS one of the counted matches. Hence
     overlap ≤ matches + min(|a|−i*, |b|−j*): a per-pair bound computed
     with a groupBy in place of the dedup DISTINCT (same shuffle), and
     lossless by the same upper-bound argument.
+
+    Why accumulate is NOT the default: the bound needs EVERY match row
+    (pov and the true last positions), so it must run on the join
+    WITHOUT the per-row positional filter — and combining the two is
+    provably useless: every row the positional filter keeps satisfies
+    1 + min(|a|−i, |b|−j) ≥ α, so pov + min(|a|−i*, |b|−j*) ≥
+    pov + α − 1 ≥ α always — accumulation over filtered rows can never
+    prune a pair. In the relational formulation the positional filter
+    prunes BEFORE the exchange (rows never shuffle), while
+    accumulation prunes AFTER an unfiltered exchange; measured at
+    sf0.1 the unfiltered prefix join costs ~15× the filtered one, so
+    accumulation only pays when downstream verification (the full
+    shingle re-join) dominates candidate generation — e.g. very long
+    documents where each candidate pair drags megabyte shingle sets
+    through the verify join. (ppjoin's sequential index scan gets both
+    for free; a distributed join must choose.)
     """
     tm = int(round(threshold * 1_000_000))
     flat = sh.select("did", "sz", F.explode("sh").alias("g"))
@@ -654,13 +683,8 @@ def prefix_candidates(
     freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     prefix = _ppjoin_prefix(flat, freq, tm)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    # The pairwise accumulated bound needs EVERY prefix match row to
-    # count pov and find the last positions — per-row positional
-    # pruning would drop exactly the late rows that tighten it (and is
-    # subsumed: positions strictly increase along aligned matches, so
-    # pov + min(sa−i*, sb−j*) ≤ 1 + min(sa−i1, sb−j1), the loosest
-    # per-row bound). So the join keeps positional OFF when
-    # accumulating and lets the group-level filter do strictly more.
+    # Accumulation needs the UNFILTERED match rows (see docstring);
+    # otherwise the per-row positional filter prunes pre-shuffle.
     cond = (F.col("pa.did") < F.col("pb.did")) & _ppjoin_cond(
         tm, positional and not accumulate
     )
@@ -780,13 +804,21 @@ def jaccard_prefix_pairs(
         cands = prefix_candidates(sh, threshold)
         a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+        # |a∪b| = |a|+|b|−|a∩b| (arrays are distinct) — no union array
+        # is built; the double jaccard is bit-identical.
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
         out = (
             cands.join(a, "id_a")
             .join(b, "id_b")
-            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .select("id_a", "id_b", inter.alias("__i"),
+                    F.size("sh_a").alias("__sa"), F.size("sh_b").alias("__sb"))
+            .withColumn(
+                "jaccard",
+                F.col("__i")
+                / ((F.col("__sa") + F.col("__sb")).cast("double") - F.col("__i")),
+            )
             .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
             .persist()
         )
         # Materialize the (small) pair set into its own cache so the
@@ -850,25 +882,29 @@ def jaccard_prefix_pairs_cross(
         )
         pa = _ppjoin_prefix(flat_b, freq, tm).alias("pa")
         pb = _ppjoin_prefix(flat_c, freq, tm).alias("pb")
-        # positional=False: the pairwise accumulated bound below needs
-        # all match rows and subsumes the per-row positional filter
-        # (see prefix_candidates).
         cond = (F.col("pa.did") != F.col("pb.did")) & _ppjoin_cond(
-            tm, positional=False
+            tm, positional=True
         )
-        # Same accumulated-overlap pruning as the self-join path — the
-        # order-alignment argument is side-agnostic (both relations
-        # rank by the combined-df global order).
-        cands = _ppjoin_accumulate(pa.join(pb, cond), tm)
+        cands = (
+            pa.join(pb, cond)
+            .select(F.col("pa.did").alias("id_a"), F.col("pb.did").alias("id_b"))
+            .distinct()
+        )
         a = sh_b.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
         b = sh_c.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
         out = (
             cands.join(a, "id_a")
             .join(b, "id_b")
-            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .select("id_a", "id_b", inter.alias("__i"),
+                    F.size("sh_a").alias("__sa"), F.size("sh_b").alias("__sb"))
+            .withColumn(
+                "jaccard",
+                F.col("__i")
+                / ((F.col("__sa") + F.col("__sb")).cast("double") - F.col("__i")),
+            )
             .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
             .persist()
         )
         out.count()
