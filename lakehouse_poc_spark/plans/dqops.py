@@ -261,3 +261,116 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = {n: _t(spark, sf_dir, n) for n in
               {e[0] for e in edges} | {e[2] for e in edges}}
     return fk_audit(tables, edges).orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style table checksum: an ORDER-INDEPENDENT per-bucket
+# fingerprint (bit_xor of row md5s, bucketed by key hash) that two
+# replicas compute locally and compare by exchanging 64 rows — the
+# anti-entropy pattern for verifying a 100 TB replication / migration
+# without moving data (cf. table_diff_orders, which finds WHICH rows
+# differ once a bucket mismatches: checksum first, diff the one bad
+# bucket). One map-side-combined pass; bit_xor is commutative/
+# associative so the result is partition-count independent, and every
+# value is formatted EXPLICITLY (decimal-cast price, formatted
+# timestamp) because raw float/timestamp→string casts are not
+# cross-engine stable.
+_CS_ROW = (
+    "CAST(o_orderkey AS {S}) || '|' || CAST(o_custkey AS {S}) || '|' || "
+    "o_orderstatus || '|' || o_orderpriority || '|' || "
+    "CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS {S}) || '|' || {TS}"
+)
+
+
+@query(
+    "table_checksum_orders",
+    oracle=f"""
+    SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) % 64
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+               {_CS_ROW.format(S="VARCHAR", TS="strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')")}
+           ), 1, 12)) AS BIGINT)) AS checksum
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    row = F.expr(
+        _CS_ROW.format(
+            S="STRING", TS="date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')"
+        )
+    )
+    fp = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("bigint")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 64
+    )
+    return (
+        orders.select(bucket.alias("bucket"), fp.alias("fp"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(fp)").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew report: the pre-flight diagnostic before keying a
+# join or aggregation on a column — per-key row counts summarized into
+# max / exact quartiles / skew ratio, plus the top heavy key. At
+# 100 TB this one cheap pass (map-side-combined count, then a
+# key-cardinality-sized exact percentile) decides whether the join
+# needs salting (operators/partitioning.py) or AQE skew handling
+# before the expensive run, instead of discovering the straggler at
+# hour three.
+@query(
+    "key_skew_report_events",
+    oracle="""
+    WITH kc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+           CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE) AS skew_ratio,
+           CAST(MIN(CASE WHEN n = (SELECT MAX(n) FROM kc) THEN user_id END) AS BIGINT)
+               AS heaviest_key
+    FROM kc
+    """,
+)
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    mx = kc.agg(F.max("n").alias("mx"))
+    return (
+        kc.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_key_rows"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+            .cast("bigint")
+            .alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n)")
+            .cast("bigint")
+            .alias("p90"),
+            (
+                F.max("n").cast("double")
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("skew_ratio"),
+            F.min(F.when(F.col("n") == F.col("mx"), F.col("user_id")))
+            .cast("bigint")
+            .alias("heaviest_key"),
+        )
+    )
