@@ -112,6 +112,17 @@ HEADLINE = [
     "k_anonymity_docs",
     "vocab_coverage_docs",
     "dynamic_partition_pruning_events",
+    # r5 continuation: bigram LM, correlation profile, bucket
+    # lifecycle, PIT join, hashing-trick features, table checksum,
+    # key-skew report, next-token pairs
+    "bigram_logprob_docs",
+    "corr_profile_lineitem",
+    "bucket_lifecycle_orders",
+    "pit_join_orders_customers",
+    "feature_hash_events",
+    "table_checksum_orders",
+    "key_skew_report_events",
+    "next_token_pairs_docs",
 ]
 
 
