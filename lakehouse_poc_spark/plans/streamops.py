@@ -834,3 +834,114 @@ def stream_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "last_ts_us")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream FULL OUTER interval join — the last cell of the
+# streaming join-mode matrix (inner: stream_stream_click_purchase;
+# left outer: stream_stream_left_outer). Clicks with no purchase in
+# the 15-minute window AND purchases preceded by no click both emit
+# (null-padded) once the watermark passes their join window. Same
+# close-the-books sentinel flush as the left-outer query; both
+# sentinel rows (click AND purchase) advance the watermark and are
+# filtered from results. The oracle is the identical FULL JOIN over
+# the batch table, grouped by the coalesced user key.
+@query(
+    "stream_stream_full_outer",
+    oracle=f"""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c.ts IS NOT NULL AND p.ts IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click_only,
+           CAST(SUM(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase_only,
+           {sql_dsum('p.value', 'purchase_value')}
+    FROM c FULL JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+    GROUP BY COALESCE(c.user_id, p.user_id)
+    ORDER BY user_id
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = Path(tempfile.mkdtemp(prefix="stream_ssfo_"))
+    src = work / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
+    ensure_session_confs(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw.schema
+    max_ts_row = raw.agg(F.max("ts").alias("m")).first()
+    if isinstance(max_ts_row["m"], int):
+        flush_ts = max_ts_row["m"] + 10 * 24 * 3600 * 1_000_000_000
+    else:
+        flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, flush_ts, -1, "click", 0.0, None),
+            (-2, flush_ts, -1, "purchase", 0.0, None),
+        ],
+        schema,
+    )
+    sent_dir = work / "sentinel"
+    sentinel.coalesce(1).write.parquet(str(sent_dir))
+    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
+    target = src / "01_flush.parquet"
+    shutil.copy(part, target)
+    st = os.stat(src / "00_events.parquet")
+    os.utime(target, (st.st_atime + 10, st.st_mtime + 10))
+
+    stream = normalize_event_ts(
+        stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
+        "full_outer",
+    )
+    sunk = run_append_to_parquet(joined, str(work / "out"), str(work / "ckpt"))
+    key = F.coalesce(F.col("c_user"), F.col("p_user"))
+    return (
+        sunk.filter(key >= 0)
+        .groupBy(key.alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_click_only"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchase_only"),
+            dsum(F.col("p_value"), "purchase_value"),
+        )
+        .orderBy("user_id")
+    )
