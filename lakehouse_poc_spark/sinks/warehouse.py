@@ -465,7 +465,7 @@ class Warehouse:
         expectations = expectations or {}
         staged: dict[str, Path] = {}
         report: dict[str, dict] = {}
-        ok = True
+        ok = False  # flipped only when every table stages AND audits
         try:
             for table, df in frames.items():
                 target = self.path(table)
@@ -474,6 +474,7 @@ class Warehouse:
                     shutil.rmtree(branch)
                 df.write.mode("overwrite").parquet(str(branch))
                 staged[table] = branch
+            ok = True
             for table, branch in staged.items():
                 back = self.spark.read.parquet(str(branch))
                 exps = expectations.get(table, [])
@@ -493,6 +494,9 @@ class Warehouse:
                     ok = False
             if not ok:
                 return {"published": False, "tables": report}
+        except BaseException:
+            ok = False  # mid-staging/audit error: drop all staging too
+            raise
         finally:
             if not ok:
                 for branch in staged.values():
