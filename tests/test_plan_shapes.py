@@ -272,3 +272,60 @@ def test_dynamic_partition_pruning_fires(spark):
     the filtered broadcast dim — not just static isnotnull."""
     plan = _formatted(QUERIES["dynamic_partition_pruning_events"](spark, SF))
     assert "dynamicpruningexpression" in plan
+
+
+def _n_scans(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def _n_hash_exchanges(plan: str) -> int:
+    # formatted mode prints the partitioning in the Exchange node's
+    # Arguments line, once per exchange
+    import re
+
+    return len(re.findall(r"Arguments: hashpartitioning", plan))
+
+
+def test_corr_profile_single_scan_partial_agg(spark):
+    """One lineitem scan, map-side partial aggregation, and only the
+    4 profiled columns survive pruning."""
+    plan = _formatted(QUERIES["corr_profile_lineitem"](spark, SF))
+    assert _n_scans(plan) == 1
+    assert "partial_" in plan  # partial sums before the 1-row exchange
+    scan = plan[plan.index("(1) Scan parquet") :].split("\n\n")[0]
+    assert "l_orderkey" not in scan and "l_shipdate" not in scan
+
+
+def test_next_token_pairs_zero_shuffle(spark):
+    """Map-only extraction: the only exchange is the presentation
+    orderBy's range partitioning — no hash (data) shuffle at all."""
+    from lakehouse_poc_spark.plans.curation import next_token_pairs_docs
+
+    plan = _formatted(next_token_pairs_docs(spark, SF))
+    assert _n_hash_exchanges(plan) == 0
+    assert "Arguments: rangepartitioning" in plan  # the output sort
+
+
+def test_feature_hash_single_shuffle(spark):
+    """One hash exchange for the (user, dim) aggregate, partial agg
+    before it, and the explode stays map-side."""
+    plan = _formatted(QUERIES["feature_hash_events"](spark, SF))
+    assert _n_hash_exchanges(plan) == 1, plan
+    assert "partial_" in plan
+
+
+def test_table_checksum_partial_agg_single_scan(spark):
+    plan = _formatted(QUERIES["table_checksum_orders"](spark, SF))
+    assert _n_scans(plan) == 1
+    assert "partial_" in plan
+
+
+def test_pit_join_no_row_multiplication_plan(spark):
+    """PIT join resolves as a single equi-join (broadcast at this SF)
+    with the interval predicate as join condition — no window, no
+    extra aggregation to pick a version."""
+    plan = _formatted(QUERIES["pit_join_orders_customers"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
