@@ -901,3 +901,65 @@ def next_token_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.pos", "p.context", "p.target")
         .orderBy("doc_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source interleaving (stride scheduling): give every
+# document a global TRAINING POSITION such that each source appears at
+# its target rate throughout the stream — weight-2 sources every ~0.5
+# units, weight-1 sources every ~1.0 — instead of in source-sized
+# blocks. The ordering half of mixture weighting (temperature_mix
+# decides HOW MUCH of each source; this decides WHERE it lands, so a
+# checkpoint-resumed run has seen sources in proportion no matter when
+# it stops). position = (rank_in_source − 0.5)/weight, the classic
+# stride/WFQ virtual-finish-time formula; ranks come from a salted md5
+# order so the within-source sequence is deterministic and
+# append-stable. One shuffle (the per-source window); the global sort
+# is the presentation order the trainer consumes.
+_IL_SALT = "il:"
+
+
+def _il_weight_sql(src: str) -> str:
+    return f"CASE WHEN CAST(substr({src}, 4) AS INTEGER) % 2 = 0 THEN 2.0 ELSE 1.0 END"
+
+
+@query(
+    "interleave_sources_docs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('{_IL_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk,
+               {_il_weight_sql('source')} AS w
+        FROM documents
+    )
+    SELECT doc_id, source, rk,
+           (CAST(rk AS DOUBLE) - 0.5) / w AS pos
+    FROM ranked
+    ORDER BY pos, doc_id
+    """,
+)
+def interleave_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    w = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    order_key = F.md5(F.concat(F.lit(_IL_SALT), F.col("doc_id").cast("string")))
+    win = Window.partitionBy("source").orderBy(order_key, "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(win).cast("bigint").alias("rk"),
+            w.alias("w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            ((F.col("rk").cast("double") - F.lit(0.5)) / F.col("w")).alias("pos"),
+        )
+        .orderBy("pos", "doc_id")
+    )
