@@ -1586,3 +1586,68 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster", F.col("cluster").cast("int"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination: the semantic twin of the 8-gram
+# decontaminate_docs — for every TRAIN vector (label <> 0), find its
+# closest EVAL vector (label = 0) and flag cosine >= threshold as
+# contamination. Catches paraphrased eval leakage that exact n-gram
+# overlap misses (the reason modern pipelines run BOTH). Scale shape:
+# the eval set is benchmark-sized (thousands), so it BROADCASTS and
+# scoring is map-only over the train corpus — one window per train
+# vector on a broadcast-joined frame, no corpus-sized shuffle. For
+# eval sets too big to broadcast, the LSH-bucketed path
+# (similarity_topk_lsh) is the prefilter, same as near-dup.
+_DECON_EMB_T = 0.5
+
+
+@query(
+    "decontaminate_embeddings",
+    oracle=f"""
+    SELECT vec_id, eval_id, cos_sim,
+           cos_sim >= {_DECON_EMB_T} AS contaminated
+    FROM (
+        SELECT t.vec_id AS vec_id, e.vec_id AS eval_id,
+               {_sql_cosine('t.embedding', 'e.embedding')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY {_sql_cosine('t.embedding', 'e.embedding')} DESC,
+                            e.vec_id
+               ) AS INTEGER) AS rank
+        FROM embeddings t JOIN embeddings e ON e.label = 0
+        WHERE t.label <> 0
+    ) s
+    WHERE rank = 1
+    ORDER BY vec_id
+    """,
+)
+def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("label") != 0).select(
+        "vec_id", F.col("embedding").alias("t_emb")
+    )
+    ev = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    scored = train.join(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        cosine(F.col("t_emb"), F.col("e_emb")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "eval_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(
+            "vec_id",
+            "eval_id",
+            "cos_sim",
+            (F.col("cos_sim") >= F.lit(_DECON_EMB_T)).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
