@@ -620,3 +620,81 @@ def weighted_median_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wm("value", "wt", "event_id").alias("wmedian"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (Page 1954, public method): the one-sided
+# upper CUSUM  s_i = max(0, s_{i-1} + x_i − allowance)  per user over
+# the (ts, event_id)-ordered value sequence, with an alarm when the
+# running maximum crosses h — the classic "has this meter drifted"
+# monitor over telemetry. Order-recursive like the EWMA fold (same
+# harness): per-user sequences collect into bounded arrays, the fold
+# is a codegen HOF with a struct accumulator, both engines fold the
+# identical (0-seeded) sequence, so the doubles are bit-identical.
+# One shuffle (the per-user collect); state is per-user-bounded.
+_CUSUM_ALLOW = 60.0
+_CUSUM_H = 200.0
+
+
+@query(
+    "cusum_event_values",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    ),
+    -- NB: DuckDB evaluates the lambda's struct fields sequentially and
+    -- REBINDS acc.<field> to the freshly computed value for later
+    -- fields (measured: s-then-mx folds mx over the NEW s). The 'mx'
+    -- field therefore comes FIRST so it sees the pre-update acc.s —
+    -- element structs use the same field order (list_reduce requires
+    -- acc and element types to match exactly).
+    folded AS (
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_events,
+               list_reduce(
+                   list_transform(list_prepend(0.0, vals),
+                                  v -> {{'mx': v, 's': v}}),
+                   (acc, x) -> {{
+                       'mx': greatest(acc.mx,
+                                      greatest(0.0, acc.s + x.s - {_CUSUM_ALLOW})),
+                       's': greatest(0.0, acc.s + x.s - {_CUSUM_ALLOW})
+                   }}
+               ) AS r
+        FROM seq
+    )
+    SELECT user_id, n_events,
+           r.s AS cusum_final,
+           r.mx AS cusum_max,
+           r.mx > {_CUSUM_H} AS alarm
+    FROM folded
+    ORDER BY user_id
+    """,
+)
+def cusum_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda e: e["value"])
+
+    def step(acc, v):
+        new_s = F.greatest(F.lit(0.0), acc["s"] + v - F.lit(_CUSUM_ALLOW))
+        return F.struct(
+            new_s.alias("s"), F.greatest(acc["mx"], new_s).alias("mx")
+        )
+
+    r = F.aggregate(
+        vals,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("mx")),
+        step,
+    )
+    return seq.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        r["s"].alias("cusum_final"),
+        r["mx"].alias("cusum_max"),
+        (r["mx"] > F.lit(_CUSUM_H)).alias("alarm"),
+    ).orderBy("user_id")
