@@ -123,6 +123,9 @@ HEADLINE = [
     "table_checksum_orders",
     "key_skew_report_events",
     "next_token_pairs_docs",
+    "interleave_sources_docs",
+    "decontaminate_embeddings",
+    "cusum_event_values",
 ]
 
 
