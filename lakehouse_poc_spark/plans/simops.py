@@ -1625,19 +1625,30 @@ _DECON_EMB_T = 0.5
 def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Precompute each side's norm ONCE — HOF lambdas are interpreted
+    # (SCALE.md §5 lesson 1), so folding the norm per PAIR would
+    # triple the dominant cost; dot/(na*nb) is the same expression
+    # order as cosine(), so the doubles are bit-identical.
     train = emb.filter(F.col("label") != 0).select(
-        "vec_id", F.col("embedding").alias("t_emb")
+        "vec_id",
+        F.col("embedding").alias("t_emb"),
+        norm(F.col("embedding")).alias("t_norm"),
     )
     ev = emb.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        norm(F.col("embedding")).alias("e_norm"),
     )
     scored = train.join(F.broadcast(ev)).select(
         "vec_id",
         "eval_id",
-        cosine(F.col("t_emb"), F.col("e_emb")).alias("cos_sim"),
+        (
+            dot(F.col("t_emb"), F.col("e_emb"))
+            / (F.col("t_norm") * F.col("e_norm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "eval_id")
     return (
