@@ -374,3 +374,73 @@ def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("heaviest_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen: the classic forensic DQ check — leading
+# digits of naturally-occurring amounts follow log10(1 + 1/d); a flat
+# or spiked distribution flags synthetic/defaulted/fabricated values.
+# One map-side-combined pass; the chi-square contribution per digit is
+# derived from exact counts in fixed-order double arithmetic (both
+# engines identical). Expected shares are micro-int literals so no
+# cross-engine log10 is evaluated at query time.
+_BENFORD_MICRO = {
+    d: round(__import__("math").log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+
+
+def _benford_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN first_digit = {d} THEN {m}" for d, m in _BENFORD_MICRO.items()
+    )
+    return f"CASE {arms} END"
+
+
+@query(
+    "benford_first_digit_orders",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS first_digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+        SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM digits GROUP BY first_digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT first_digit, n,
+           CAST({_benford_case_sql()} AS BIGINT) AS expected_micro,
+           (CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE)
+            - CAST({_benford_case_sql()} AS DOUBLE) / 1000000.0) AS deviation
+    FROM counts CROSS JOIN tot t
+    ORDER BY first_digit
+    """,
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    first_digit = F.substring(
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        orders.select(first_digit.alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for d, m in _BENFORD_MICRO.items() for x in (d, m)]
+    )[F.col("first_digit")].cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n",
+            expected.alias("expected_micro"),
+            (
+                F.col("n").cast("double") / F.col("total").cast("double")
+                - F.col("expected_micro").cast("double") / F.lit(1_000_000.0)
+            ).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )

@@ -698,3 +698,52 @@ def cusum_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["mx"].alias("cusum_max"),
         (r["mx"] > F.lit(_CUSUM_H)).alias("alarm"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Process-mining "eventually-follows" graph: for every ordered pair of
+# event types (a, b), how many users have SOME a-event strictly before
+# SOME b-event — the eventually-follows relation (the transition
+# matrix above is its directly-follows sibling). The pair test reduces
+# to per-user per-type (min_ts, max_ts): a eventually-follows b for a
+# user iff min_ts(a) < max_ts(b) — so the fact table aggregates ONCE
+# to user×type extremes (map-side combined) and the quadratic part
+# runs on the tiny type dimension only. Ties (identical timestamps)
+# count only when strictly before.
+@query(
+    "eventually_follows_events",
+    oracle="""
+    WITH ext AS (
+        SELECT user_id, event_type,
+               MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ext a JOIN ext b
+      ON a.user_id = b.user_id AND a.event_type <> b.event_type
+    WHERE a.min_ts < b.max_ts
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def eventually_follows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ext = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    a, b = ext.alias("a"), ext.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.min_ts") < F.col("b.max_ts")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
