@@ -189,3 +189,77 @@ def point_in_time_join(
     )
     keep = [F.col(f"d.{c}").alias(c) for c in dim.columns if c not in keys]
     return f.join(d, cond, "left").select("f.*", *keep)
+
+
+def assign_surrogate_keys(
+    dim: DataFrame | None,
+    batch: DataFrame,
+    business_keys: list[str],
+    surrogate_col: str = "sk",
+    block: "F.Column | None" = None,
+) -> DataFrame:
+    """Stable surrogate-key assignment for new dimension members: rows
+    of ``batch`` whose business key is absent from ``dim`` get keys
+    ``max(existing sk) + dense sequence``, ordered by business key —
+    the conformed-dimension idiom (facts join the immutable integer
+    ``sk``, so business-key renames/merges never rewrite facts).
+
+    Distributed without a global window: the new-key sequence comes
+    from :func:`operators.linkage.global_rank` (per-block row_number +
+    broadcast block offsets) when ``block`` is given, else a plain
+    row_number over a single-partition window on the NEW KEYS ONLY —
+    acceptable because per-batch new members are bounded (the
+    dimension churn rate), never fact-sized; pass ``block`` (e.g. a
+    hash-prefix of the key) when onboarding a whole dimension at once.
+    Existing members keep their sk forever (re-runs are no-ops).
+    """
+    from .linkage import global_rank
+
+    if dim is not None:
+        base_row = dim.agg(F.max(surrogate_col).alias("m")).collect()[0]
+        base = int(base_row["m"] or 0)
+        fresh = batch.join(
+            F.broadcast(dim.select(*business_keys).distinct()),
+            business_keys,
+            "left_anti",
+        ).dropDuplicates(business_keys)
+    else:
+        base = 0
+        fresh = batch.dropDuplicates(business_keys)
+    if block is not None:
+        ranked = global_rank(fresh, business_keys, block, rank_col="__rk")
+    else:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*business_keys)
+        ranked = fresh.withColumn("__rk", F.row_number().over(w))
+    return ranked.withColumn(
+        surrogate_col, (F.col("__rk") + F.lit(base)).cast("bigint")
+    ).drop("__rk")
+
+
+def inferred_members(
+    facts: DataFrame,
+    dim: DataFrame,
+    business_keys: list[str],
+    attr_defaults: dict,
+    inferred_col: str = "is_inferred",
+) -> DataFrame:
+    """Early-arriving facts: fact rows referencing business keys the
+    dimension has not seen yet get PLACEHOLDER dimension members
+    (default attributes, ``is_inferred = true``) so the fact load
+    never drops or orphans rows; the real attributes arrive later via
+    the normal SCD2 merge, which closes the placeholder like any other
+    change. Returns the placeholder rows to append. One anti-join on
+    the business key (broadcast when the dim is small); dedupe keeps
+    one placeholder per key regardless of fact fan-out.
+    """
+    missing = (
+        facts.select(*business_keys)
+        .dropDuplicates(business_keys)
+        .join(dim.select(*business_keys).distinct(), business_keys, "left_anti")
+    )
+    out = missing
+    for col, default in attr_defaults.items():
+        out = out.withColumn(col, F.lit(default))
+    return out.withColumn(inferred_col, F.lit(True))

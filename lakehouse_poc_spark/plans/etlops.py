@@ -1249,3 +1249,77 @@ def pit_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("probe"),
         F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("segment"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Surrogate-key assignment (conformed-dimension idiom): the dimension
+# is seeded from the even business keys (sk = dense sequence ordered
+# by key), then a full batch arrives — existing members keep their sk
+# untouched, the odd keys extend the sequence from max(sk). The
+# oracle derives both generations arithmetically (contiguous 1..N
+# custkeys: even k → sk = k/2; odd k → sk = n_even + (k+1)/2).
+@query(
+    "surrogate_keys_customers",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_even
+               FROM customer WHERE c_custkey % 2 = 0)
+    SELECT c_custkey AS key,
+           -- contiguous keys FROM 0: even k is the (k/2 + 1)-th even,
+           -- odd k is the ((k+1)/2)-th odd
+           CAST(CASE WHEN c_custkey % 2 = 0 THEN c_custkey / 2 + 1
+                     ELSE n.n_even + (c_custkey + 1) / 2 END AS BIGINT) AS sk,
+           c_custkey % 2 = 1 AS is_new
+    FROM customer CROSS JOIN n
+    ORDER BY key
+    """,
+)
+def surrogate_keys_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import assign_surrogate_keys
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select("c_custkey")
+    seed = assign_surrogate_keys(
+        None, cust.filter(F.col("c_custkey") % 2 == 0), ["c_custkey"]
+    ).select("c_custkey", "sk")
+    new = assign_surrogate_keys(seed, cust, ["c_custkey"]).select(
+        "c_custkey", "sk"
+    )
+    return (
+        seed.withColumn("is_new", F.lit(False))
+        .unionByName(new.withColumn("is_new", F.lit(True)))
+        .select(F.col("c_custkey").alias("key"), F.col("sk").cast("bigint"), "is_new")
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Early-arriving facts → inferred dimension members: orders referencing
+# customer keys the dimension hasn't loaded yet (the odd keys, in this
+# scenario) get placeholder members with default attributes and
+# is_inferred = true, so the fact load never orphans rows; the real
+# attributes later close the placeholder through the normal SCD2
+# merge. fk_orphan_audit is the read-side detector; this is the
+# write-side remedy.
+@query(
+    "inferred_members_orders",
+    oracle="""
+    SELECT DISTINCT o_custkey AS c_custkey,
+           'UNKNOWN' AS c_mktsegment,
+           TRUE AS is_inferred
+    FROM orders WHERE o_custkey % 2 = 1
+    ORDER BY c_custkey
+    """,
+)
+def inferred_members_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import inferred_members
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    dim = (
+        read_parquet_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return inferred_members(
+        orders, dim, ["c_custkey"], {"c_mktsegment": "UNKNOWN"}
+    ).orderBy("c_custkey")

@@ -650,6 +650,27 @@ class Warehouse:
         if vd.exists():
             shutil.rmtree(vd)
 
+    def restore(self, table: str, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — roll the live table
+        back to an archived snapshot. The restore itself is a NEW
+        version (the current state archives first, Delta semantics:
+        restore is an undoable, history-preserving operation, not a
+        rewind). File-copy only — no Spark job, no data decode.
+        Returns the new current version number."""
+        if not self.track_versions:
+            raise ValueError("restore requires track_versions=True")
+        src = self._versions_dir(table) / f"v{version:06d}"
+        if not src.exists():
+            raise ValueError(
+                f"version {version} of {table} not in archive (vacuumed?)"
+            )
+        target = self.path(table)
+        self._archive_current(table)
+        if target.exists():
+            shutil.rmtree(target)
+        shutil.copytree(src, target)
+        return self.version(table)
+
     def compact(
         self,
         table: str,

@@ -411,3 +411,59 @@ def test_publish_tables_all_or_nothing(spark, tmp_path):
     assert r3["published"]
     assert wh.read("pub.facts").count() == 6
     assert wh.read("pub.dims").count() == 7
+
+
+def test_restore_to_archived_version_is_new_version(spark, tmp_path):
+    """RESTORE rolls content back AND preserves history (the restore
+    is itself a new version, so it can be undone)."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), track_versions=True)
+    t = "fact.r"
+    wh.overwrite(spark.range(10).selectExpr("id"), t)            # v0
+    wh.overwrite(spark.range(100, 103).selectExpr("id"), t)      # v1 (v0 archived)
+    assert wh.read(t).count() == 3
+    new_v = wh.restore(t, 0)                                     # v2 = v0 content
+    assert new_v == 2
+    assert sorted(r.id for r in wh.read(t).collect()) == list(range(10))
+    # the pre-restore state survives as v1 — restore is undoable
+    assert wh.read_version(t, 1).count() == 3
+    with pytest.raises(ValueError):
+        wh.restore(t, 99)
+    wh_nt = Warehouse(spark, str(tmp_path / "wh2"))
+    wh_nt.append(spark.range(1), "x.t")
+    with pytest.raises(ValueError):
+        wh_nt.restore("x.t", 0)
+
+
+def test_surrogate_keys_stable_and_inferred_members(spark):
+    """Surrogate keys: re-running assignment is a no-op for existing
+    members; new members extend from max(sk). Inferred members: one
+    placeholder per missing key, defaults + flag set."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.scd2 import (
+        assign_surrogate_keys,
+        inferred_members,
+    )
+
+    batch1 = spark.createDataFrame([("b",), ("a",), ("c",)], ["k"])
+    dim = assign_surrogate_keys(None, batch1, ["k"])
+    got = {r.k: r.sk for r in dim.collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}  # ordered by business key
+    # re-run with overlap + new members: only d/e get keys, from 4
+    batch2 = spark.createDataFrame([("c",), ("e",), ("d",), ("e",)], ["k"])
+    new = assign_surrogate_keys(dim, batch2, ["k"])
+    got2 = {r.k: r.sk for r in new.collect()}
+    assert got2 == {"d": 4, "e": 5}
+    # blocked variant agrees with the plain one
+    blocked = assign_surrogate_keys(
+        dim, batch2, ["k"], block=F.substring("k", 1, 1)
+    )
+    assert {r.k: r.sk for r in blocked.collect()} == got2
+
+    facts = spark.createDataFrame([("a", 1), ("z", 2), ("z", 3)], ["k", "v"])
+    ph = inferred_members(facts, dim, ["k"], {"name": "UNKNOWN"})
+    rows = ph.collect()
+    assert len(rows) == 1 and rows[0].k == "z"
+    assert rows[0].name == "UNKNOWN" and rows[0].is_inferred
