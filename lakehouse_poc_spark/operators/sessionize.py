@@ -41,3 +41,36 @@ def sessionize(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def sessionize_capped(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap: int,
+    cap: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessions that ALSO split when they exceed ``cap``
+    units from the session start — the "no infinite sessions" rule
+    every analytics warehouse applies to bot/idle-refresh traffic.
+
+    Split boundaries are anchored at the gap-session's start
+    (segments ``[start + k·cap, start + (k+1)·cap)``), the
+    deterministic window-expressible variant of the cap rule; the
+    order-recursive "reset the clock at each split" variant needs a
+    stateful fold (see streaming/stateful.py for that machinery).
+    Adds ``session_id`` (the gap session) and ``capped_session_id``
+    (1-based, dense per key). Cost: the sessionize windows plus one
+    min-over-session and one dense_rank — all on the SAME key
+    partitioning, so still one shuffle.
+    """
+    out = sessionize(df, keys, ts_col, gap, tiebreak)
+    w_sess = Window.partitionBy(*keys, "session_id")
+    start = F.min(F.col(ts_col).cast("long")).over(w_sess)
+    sub = ((F.col(ts_col).cast("long") - start) / F.lit(cap)).cast("long")
+    out = out.withColumn("__sub", sub)
+    w_key = Window.partitionBy(*keys).orderBy("session_id", "__sub")
+    return out.withColumn(
+        "capped_session_id", F.dense_rank().over(w_key)
+    ).drop("__sub")

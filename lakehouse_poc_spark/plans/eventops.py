@@ -747,3 +747,118 @@ def eventually_follows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped sessionization: gap sessions (30 min) that also split at a
+# 1-hour duration cap anchored at session start — the bot/idle-refresh
+# guard. Summarized per capped session. The oracle replays the same
+# lag→flag→cumsum → min-over-session → dense_rank chain in SQL.
+_SES_GAP = 1800
+_SES_CAP = 3600
+
+
+@query(
+    "sessionize_capped_events",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > {_SES_GAP}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    sub AS (
+        SELECT user_id, ts, event_id, session_id,
+               CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                     (PARTITION BY user_id, session_id)) // {_SES_CAP} AS BIGINT)
+                   AS sub_id
+        FROM sess
+    ),
+    capped AS (
+        SELECT user_id, ts, session_id,
+               CAST(dense_rank() OVER (PARTITION BY user_id
+                                       ORDER BY session_id, sub_id) AS BIGINT)
+                   AS capped_session_id
+        FROM sub
+    )
+    SELECT user_id, capped_session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM capped
+    GROUP BY user_id, capped_session_id
+    ORDER BY user_id, capped_session_id
+    """,
+)
+def sessionize_capped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize_capped
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_capped(
+        ev, ["user_id"], "ts", gap=_SES_GAP, cap=_SES_CAP, tiebreak=["event_id"]
+    )
+    return (
+        s.groupBy("user_id", F.col("capped_session_id").cast("bigint").alias("capped_session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "capped_session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive residuals: each hour's event count per type vs the
+# SAME hour one day earlier (self-join on hour − 24 h, robust to gap
+# hours, unlike a row-lag over existing hours) — the baseline anomaly
+# monitor for traffic telemetry. One rollup shuffle + one small
+# self-join on the hourly frame (hours × types sized, never events).
+@query(
+    "seasonal_residuals_events",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY h, event_type
+    )
+    SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           a.event_type AS event_type,
+           a.n,
+           b.n AS n_prev_day,
+           CAST(a.n AS BIGINT) - CAST(COALESCE(b.n, 0) AS BIGINT) AS residual
+    FROM hourly a LEFT JOIN hourly b
+      ON b.event_type = a.event_type AND b.h = a.h - INTERVAL 24 HOUR
+    ORDER BY hour, event_type
+    """,
+)
+def seasonal_residuals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = hourly.alias("a"), hourly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.h") == F.col("a.h") - F.expr("INTERVAL 24 HOURS")),
+            "left",
+        )
+        .select(
+            F.date_format("a.h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n"),
+            F.col("b.n").alias("n_prev_day"),
+            (F.col("a.n") - F.coalesce(F.col("b.n"), F.lit(0))).cast("bigint").alias("residual"),
+        )
+        .orderBy("hour", "event_type")
+    )
