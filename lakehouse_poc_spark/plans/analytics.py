@@ -1366,3 +1366,40 @@ def corr_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("col_x", "col_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dialect-portable SQL surface: ONE SQL string (CTEs, join, decimal-
+# exact aggregate, ranked window, top-N filter) executed VERBATIM by
+# both engines — Spark runs it through spark.sql over the registered
+# temp views (reference K4 surface), DuckDB runs the identical text as
+# the oracle. The proof that a SQL-first user can bring existing
+# ANSI-SQL to this engine unchanged when they stay on the portable
+# subset the determinism conventions define (plans/__init__.py).
+_SQL_SHOWCASE = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT c.c_mktsegment, r.o_custkey AS custkey, r.spend, r.n_orders,
+           CAST(row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY r.spend DESC, r.o_custkey
+           ) AS BIGINT) AS rnk
+    FROM rev r JOIN customer c ON c.c_custkey = r.o_custkey
+)
+SELECT c_mktsegment, custkey, spend, n_orders, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY c_mktsegment, rnk
+"""
+
+
+@query("sql_surface_top_spenders", oracle=_SQL_SHOWCASE)
+def sql_surface_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SHOWCASE)

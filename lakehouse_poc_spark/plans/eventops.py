@@ -862,3 +862,94 @@ def seasonal_residuals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based feature normalization: percent_rank of value within each
+# event type — the distribution-free scaling ML pipelines use when
+# values are heavy-tailed (maps to [0,1], robust to outliers by
+# construction). Deterministic: ties in value break on event_id for
+# the row order, but percent_rank itself is tie-stable (equal values
+# share a rank), so the output is engine-exact. One key shuffle.
+@query(
+    "percent_rank_events",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+               AS value_pctl
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def percent_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("value_pctl"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence profile: is event TYPE independent of HOUR
+# OF DAY? Observed vs expected cell counts from one contingency pass —
+# expected = row_total·col_total/n derived in fixed-order double
+# arithmetic from exact integer marginals, the corr_profile pattern
+# applied to categorical×categorical. Cells are (types × 24)-sized;
+# the only corpus shuffle is the contingency count itself.
+@query(
+    "chisq_type_hour_events",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, hr
+    ),
+    rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY event_type),
+    ct AS (SELECT hr, CAST(SUM(n) AS BIGINT) AS col_n FROM cells GROUP BY hr),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+    SELECT c.event_type, c.hr, c.n,
+           CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+               / CAST(t.total AS DOUBLE) AS expected,
+           (CAST(c.n AS DOUBLE)
+            - CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+              / CAST(t.total AS DOUBLE))
+           * (CAST(c.n AS DOUBLE)
+              - CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+                / CAST(t.total AS DOUBLE))
+           / (CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+              / CAST(t.total AS DOUBLE)) AS chi2_contrib
+    FROM cells c
+    JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN tot t
+    ORDER BY event_type, hr
+    """,
+)
+def chisq_type_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    ct = cells.groupBy("hr").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    diff = F.col("n").cast("double") - expected
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            expected.alias("expected"),
+            (diff * diff / expected).alias("chi2_contrib"),
+        )
+        .orderBy("event_type", "hr")
+    )
