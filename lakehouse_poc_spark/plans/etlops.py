@@ -1323,3 +1323,86 @@ def inferred_members_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inferred_members(
         orders, dim, ["c_custkey"], {"c_mktsegment": "UNKNOWN"}
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Federated multi-format union: the same logical table served from
+# THREE physical formats at once — parquet (keys ≡ 0 mod 3), CSV with
+# an explicit schema (≡ 1), and JSON-lines (≡ 2) — unioned by name
+# and aggregated as one relation. The lakehouse migration reality:
+# history lands in whatever format the era produced, and the engine
+# must present one table while formats converge. Slices partition the
+# key space, so the oracle is a plain aggregate over the whole orders
+# table. Explicit read schemas everywhere (inference double-scans and
+# can DRIFT types between formats — the bug this query would catch).
+@query(
+    "federated_formats_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def federated_formats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"fedfmt_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    pq, csv, js = str(root / "pq"), str(root / "csv"), str(root / "jsonl")
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.parquet(pq)
+    orders.filter(F.col("o_orderkey") % 3 == 1).write.option(
+        "header", True
+    ).csv(csv)
+    orders.filter(F.col("o_orderkey") % 3 == 2).write.json(js)
+    schema = orders.schema
+    federated = (
+        spark.read.parquet(pq)
+        .unionByName(
+            spark.read.schema(schema).option("header", True).csv(csv)
+        )
+        .unionByName(spark.read.schema(schema).json(js))
+    )
+    return (
+        federated.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-masking governance view: the role-restricted projection an
+# analyst tier gets — names truncated to a prefix, account balances
+# coarsened to 1000-unit bands, address/phone-class columns dropped
+# entirely (complement of row-level pii_redaction_docs and group-size
+# k_anonymity_docs: this is COLUMN-level minimization). Pure
+# projection — zero shuffle, zero UDF; the masked view pushes column
+# pruning to the scan like any other projection.
+@query(
+    "masked_customer_view",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 9) || '***' AS name_masked,
+           CAST(FLOOR(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat(F.substring("c_name", 1, 9), F.lit("***")).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000)
+        .cast("bigint")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")

@@ -945,3 +945,72 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming point-in-time enrichment: each micro-batch of the event
+# stream joins the SCD2 customer dimension AS OF a per-event probe
+# timestamp (foreachBatch → operators/scd2.point_in_time_join) — the
+# composition every CDC-fed lakehouse runs: facts stream in, the
+# dimension is versioned, every fact sees the version that was true at
+# its own event time, and a re-run after dim churn reproduces history
+# instead of leaking today's attributes into yesterday's facts. Even
+# event ids probe BETWEEN the two merges, odd ids probe after the
+# second — same validity arithmetic as pit_join_orders_customers.
+@query(
+    "stream_pit_enrich_customers",
+    oracle="""
+    SELECT CASE WHEN e.event_id % 2 = 0 THEN 'mid' ELSE 'late' END AS probe,
+           CASE
+             WHEN e.event_id % 2 = 0 AND c.c_custkey % 2 = 0 THEN c.c_mktsegment
+             WHEN e.event_id % 2 = 0 THEN 'NONE'
+             WHEN c.c_custkey % 10 = 0 THEN 'CHANGED'
+             ELSE c.c_mktsegment
+           END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY probe, segment
+    ORDER BY probe, segment
+    """,
+)
+def stream_pit_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import point_in_time_join
+    from ..streaming.runner import run_foreach_batch
+    from .etlops import CUST_CFG, _run_scd2_scenario
+
+    wh = _run_scd2_scenario(spark, sf_dir)
+    t = CUST_CFG.technical
+    dim = wh.read(CUST_CFG.dim_table)
+
+    work = Path(tempfile.mkdtemp(prefix="stream_pit_"))
+    out = str(work / "out")
+    stream = stream_events(spark, sf_dir)
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        facts = batch_df.select(
+            "event_id",
+            F.col("user_id").alias("c_custkey"),
+            F.when(
+                F.col("event_id") % 2 == 0, F.lit("2024-01-01 12:00:00")
+            )
+            .otherwise(F.lit("2024-01-02 12:00:00"))
+            .cast("timestamp")
+            .alias("probe_ts"),
+        )
+        point_in_time_join(
+            facts, dim, ["c_custkey"], "probe_ts", t.valid_from, t.valid_to
+        ).select("event_id", "c_mktsegment").write.mode("append").parquet(out)
+
+    run_foreach_batch(stream, enrich, str(work / "ckpt"))
+    sunk = spark.read.parquet(out)
+    return (
+        sunk.select(
+            F.when(F.col("event_id") % 2 == 0, F.lit("mid"))
+            .otherwise(F.lit("late"))
+            .alias("probe"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("segment"),
+        )
+        .groupBy("probe", "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("probe", "segment")
+    )
