@@ -1406,3 +1406,52 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal_band"),
         "c_mktsegment",
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data source WRITE path: the documents table flows out
+# through the tsvcorpus WRITER (task temp files → driver-side commit
+# rename + _SUCCESS stamp — the Spark 4 DataSource two-phase commit
+# protocol, sources/pydatasource.py) and back in through the reader —
+# full custom-format roundtrip, counted per lang. Commit/abort
+# semantics are unit-tested in tests/test_pydatasource.py; text
+# sanitization (tab/newline → space) keeps doc_id/lang exact, so the
+# oracle aggregates those.
+@query(
+    "pydatasource_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def pydatasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_tsvcorpus
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    root = SCRATCH / f"pydsw_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "docs_out")
+    Path(path).mkdir(parents=True)
+    register_tsvcorpus(spark)
+    (
+        docs.select("doc_id", "lang", "text")
+        .repartition(8)
+        .write.format("tsvcorpus")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("tsvcorpus").option("path", path).load()
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )

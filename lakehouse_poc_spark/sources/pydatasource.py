@@ -26,9 +26,11 @@ from pathlib import Path
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -74,8 +76,82 @@ class TsvCorpusReader(DataSourceReader):
                 yield int(doc_id), lang, text
 
 
+class _PartMsg(WriterCommitMessage):
+    def __init__(self, temp: str, rows: int):
+        self.temp = temp
+        self.rows = rows
+
+
+class TsvCorpusWriter(DataSourceWriter):
+    """Writer half of the bespoke format, implementing the Spark 4
+    two-phase COMMIT PROTOCOL: each task writes to a private temp file
+    under ``_temporary/`` and returns a :class:`WriterCommitMessage`;
+    only the DRIVER-side ``commit`` (called when every task succeeded)
+    renames temps into place and stamps ``_SUCCESS`` with the row
+    total — so readers never observe a torn write, and a failed job
+    leaves the target untouched (``abort`` removes the temps). The
+    same job-commit discipline Spark's own FileCommitProtocol applies,
+    expressed at the Python DataSource layer; temp and final dirs must
+    share a filesystem (rename-based publish), as with any
+    file-committing sink.
+
+    Tabs/newlines in ``text`` are replaced with spaces — the
+    line-oriented format cannot represent them (documented contract,
+    same as the reader's split discipline).
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tsvcorpus: 'path' option is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        tmpdir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmpdir, exist_ok=True)
+        temp = os.path.join(tmpdir, f"part-{uuid.uuid4().hex}.tsv.tmp")
+        n = 0
+        with open(temp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                text = (
+                    (row.text or "")
+                    .replace("\t", " ")
+                    .replace("\n", " ")
+                    .replace("\r", " ")
+                )
+                fh.write(f"{row.doc_id}\t{row.lang}\t{text}\n")
+                n += 1
+        return _PartMsg(temp=temp, rows=n)
+
+    def commit(self, messages):
+        import os
+        import shutil as _sh
+
+        if self.overwrite:
+            for old in Path(self.path).glob("part-*"):
+                old.unlink()
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.tsv")
+            os.replace(m.temp, final)
+            total += m.rows
+        Path(self.path, "_SUCCESS").write_text(str(total))
+        _sh.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil as _sh
+
+        _sh.rmtree(
+            str(Path(self.path) / "_temporary"), ignore_errors=True
+        )
+
+
 class TsvCorpusDataSource(DataSource):
-    """``spark.read.format("tsvcorpus").option("path", dir)``."""
+    """``spark.read.format("tsvcorpus").option("path", dir)`` /
+    ``df.write.format("tsvcorpus").option("path", dir).save()``."""
 
     @classmethod
     def name(cls) -> str:
@@ -87,8 +163,15 @@ class TsvCorpusDataSource(DataSource):
     def reader(self, schema):
         return TsvCorpusReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return TsvCorpusWriter(self.options, overwrite)
+
 
 def register_tsvcorpus(spark) -> None:
     """Idempotent registration (re-registering overwrites, which is
-    safe — the class is stateless)."""
+    safe — the class is stateless). Also enables the Python-source
+    filter-pushdown gate: a reader that implements ``pushFilters``
+    REFUSES to plan while the conf is false (Spark 4 contract), so
+    registration without it would hand every consumer a trap."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TsvCorpusDataSource)

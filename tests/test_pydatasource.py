@@ -71,3 +71,69 @@ def test_pushed_filter_matches_source_of_truth(spark, tmp_path):
     pushed = base.filter(F.col("lang") == "en").count()
     want = docs.filter(F.col("lang") == "en").count()
     assert pushed == want and pushed > 0
+
+
+def test_writer_commit_protocol_and_roundtrip(spark, tmp_path):
+    """Two-phase commit: rows written via the custom writer land only
+    through commit (temps renamed, _SUCCESS stamped with the row
+    total); abort leaves the target untouched; roundtrip preserves
+    rows; tabs in text are sanitized per the format contract."""
+    from pathlib import Path
+
+    from lakehouse_poc_spark.sources.pydatasource import (
+        TsvCorpusWriter,
+        register_tsvcorpus,
+    )
+
+    register_tsvcorpus(spark)
+    out = tmp_path / "sink"
+    out.mkdir()
+    df = spark.createDataFrame(
+        [(1, "en", "hello\tworld"), (2, "de", "hallo")],
+        "doc_id long, lang string, text string",
+    )
+    df.repartition(2).write.format("tsvcorpus").option(
+        "path", str(out)
+    ).mode("append").save()
+    assert (out / "_SUCCESS").read_text() == "2"
+    assert not (out / "_temporary").exists()
+    parts = sorted(out.glob("part-*.tsv"))
+    assert len(parts) == 2
+    back = (
+        spark.read.format("tsvcorpus")
+        .option("path", str(out))
+        .option("glob", "part-*.tsv")
+        .load()
+    )
+    rows = {r.doc_id: r for r in back.collect()}
+    assert len(rows) == 2
+    assert rows[1].text == "hello world"  # tab sanitized
+
+    # abort: temps are removed, committed files untouched
+    w = TsvCorpusWriter({"path": str(out)}, overwrite=False)
+
+    class _FakeRow:
+        def __init__(self, i):
+            self.doc_id, self.lang, self.text = i, "en", "x"
+
+    msg = w.write(iter([_FakeRow(9)]))
+    assert Path(msg.temp).exists()
+    w.abort([msg])
+    assert not (out / "_temporary").exists()
+    assert sorted(out.glob("part-*.tsv")) == parts  # nothing new published
+
+    # overwrite mode replaces previously committed parts
+    df2 = spark.createDataFrame(
+        [(7, "fr", "bonjour")], "doc_id long, lang string, text string"
+    )
+    df2.coalesce(1).write.format("tsvcorpus").option("path", str(out)).mode(
+        "overwrite"
+    ).save()
+    back2 = (
+        spark.read.format("tsvcorpus")
+        .option("path", str(out))
+        .option("glob", "part-*.tsv")
+        .load()
+        .collect()
+    )
+    assert len(back2) == 1 and back2[0].doc_id == 7
