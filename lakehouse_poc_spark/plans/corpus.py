@@ -630,3 +630,60 @@ def remove_repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary that ships WITH a training
+# dataset (docs/tokens/chars, language & source breadth, exact-dup
+# rate via content fingerprints) — the datasheet headline numbers,
+# computed in two passes (one over docs, one distinct over
+# fingerprints) and joined as literals. Every figure is integer or
+# micro-int; nothing engine-variable.
+@query(
+    "dataset_card_docs",
+    oracle=r"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+    ),
+    uniq AS (
+        SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        FROM documents
+    )
+    SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_unique,
+           CAST(ROUND((1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS dup_rate_micro
+    FROM base CROSS JOIN uniq
+    """,
+)
+def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), r"\s+"))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    uniq = docs.agg(F.countDistinct(F.md5("text")).alias("n_unique"))
+    return base.crossJoin(F.broadcast(uniq)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        "n_unique",
+        F.round(
+            (
+                F.lit(1.0)
+                - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("dup_rate_micro"),
+    )

@@ -953,3 +953,119 @@ def chisq_type_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly p95 trend: per (hour, event_type) exact 95th percentile of
+# value — the latency/metric SLA trend panel. percentile_disc (exact,
+# rank-based) keeps both engines identical where interpolating
+# percentile_cont could differ in float math; the per-group sort is
+# partitioned by (hour, type), never global. At 100 TB the exact
+# per-group percentile is the reporting-tier shape; the streaming tier
+# would use approx_percentile (accuracy bound pinned in
+# tests/test_sketches.py).
+@query(
+    "hourly_p95_events",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(value, 0.95) AS p95_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY hour, event_type
+    """,
+)
+def hourly_p95_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias(
+                "p95_value"
+            ),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution: every purchase attributed to the same user's
+# clicks — LAST-touch (the most recent click before the purchase,
+# within 7 days) and FIRST-touch (the user's earliest click overall,
+# if before the purchase). The marketing-analytics classic, built on
+# the as-of machinery: last-touch IS an as-of backward join with
+# tolerance (operators/asof.py semantics expressed per purchase);
+# first-touch is a per-user min. Output: per event_type... summarized
+# as attribution coverage counts (purchases with last/first/none).
+@query(
+    "attribution_events",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    last_touch AS (
+        SELECT p.event_id, MAX(c.ts) AS lt
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+        GROUP BY p.event_id
+    ),
+    first_click AS (SELECT user_id, MIN(ts) AS fc FROM c GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN lt.lt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last_touch,
+           CAST(SUM(CASE WHEN f.fc IS NOT NULL AND f.fc <= p.ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_first_touch,
+           CAST(SUM(CASE WHEN lt.lt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unattributed
+    FROM p
+    JOIN last_touch lt ON lt.event_id = p.event_id
+    LEFT JOIN first_click f ON f.user_id = p.user_id
+    """,
+)
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    last_touch = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("ts"))
+            & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.max("c_ts").alias("lt"))
+    )
+    first_click = c.groupBy("c_user").agg(F.min("c_ts").alias("fc"))
+    joined = (
+        p.join(last_touch, "event_id")
+        .join(first_click, F.col("c_user") == F.col("user_id"), "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("lt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_last_touch"),
+        F.sum(
+            F.when(F.col("fc").isNotNull() & (F.col("fc") <= F.col("ts")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_first_touch"),
+        F.sum(F.when(F.col("lt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unattributed"),
+    )
