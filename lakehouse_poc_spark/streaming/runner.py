@@ -150,3 +150,44 @@ def rollup_stream(
             wh.txn_commit(txn_app_id, batch_id)
 
     run_foreach_batch(events, apply, checkpoint_dir)
+
+
+def run_with_metrics(
+    sdf: DataFrame, sink_dir: str, checkpoint_dir: str
+) -> tuple[DataFrame, list[dict]]:
+    """Run an append stream to completion AND collect per-micro-batch
+    progress telemetry from the engine's own StreamingQueryProgress
+    (batch id, input rows, processed-rows/sec, batch duration, state
+    rows when stateful, watermark) — the observability surface an
+    operator dashboards: lag shows up as rising inputRows with flat
+    processedRowsPerSecond; state leaks as monotonically growing
+    numRowsTotal. Returns (sink contents, progress dicts). Progress
+    objects are driver-side metadata (one small dict per micro-batch),
+    never data-sized.
+    """
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = []
+    for p in q.recentProgress:
+        state = p.get("stateOperators") or []
+        metrics.append(
+            {
+                "batch_id": p.get("batchId"),
+                "num_input_rows": p.get("numInputRows"),
+                "batch_duration_ms": (p.get("durationMs") or {}).get(
+                    "triggerExecution"
+                ),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "state_rows_total": (
+                    state[0].get("numRowsTotal") if state else None
+                ),
+            }
+        )
+    return sdf.sparkSession.read.parquet(sink_dir), metrics

@@ -431,3 +431,43 @@ def test_event_time_timeout_emits_and_resets_state(spark, tmp_path):
     # state may stay open (watermark never passes its last + gap)
     assert (7, 1) in emits and (7, 2) in emits and (8, 1) in emits, emits
     assert emits.count((7, 3)) == 0, emits  # never cumulative across reset
+
+
+def test_run_with_metrics_reports_per_batch_progress(spark, tmp_path):
+    """The observability runner surfaces engine progress: one metrics
+    row per micro-batch, input rows summing to the source size, batch
+    durations present."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.sources.readers import normalize_event_ts
+    from lakehouse_poc_spark.streaming.runner import run_with_metrics
+    from lakehouse_poc_spark.streaming.windows import stream_parquet
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n = ev.count()
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    stream = normalize_event_ts(
+        stream_parquet(
+            spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+        )
+    )
+    sunk, metrics = run_with_metrics(
+        stream.filter(F.col("value") >= 0),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    assert sunk.count() == n
+    data_batches = [m for m in metrics if (m["num_input_rows"] or 0) > 0]
+    assert len(data_batches) == 2  # one per file
+    assert sum(m["num_input_rows"] for m in data_batches) == n
+    assert all(
+        m["batch_duration_ms"] is not None and m["batch_duration_ms"] > 0
+        for m in data_batches
+    )
