@@ -126,6 +126,14 @@ HEADLINE = [
     "interleave_sources_docs",
     "decontaminate_embeddings",
     "cusum_event_values",
+    "sessionize_capped_events",
+    "attribution_events",
+    "hourly_p95_events",
+    "sql_surface_top_spenders",
+    "stream_pit_enrich_customers",
+    "federated_formats_orders",
+    "pydatasource_write_roundtrip",
+    "dataset_card_docs",
 ]
 
 
