@@ -963,3 +963,61 @@ def interleave_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global shard assignment: documents packed into contiguous training
+# shards of ~SHARD_TOKENS whitespace tokens by running-total cutoff
+# over the deterministic (salted-md5) global order — the step that
+# decides WHICH FILE each document lands in when a curated corpus is
+# written out for the trainer (per-shard token counts stay within one
+# document of the budget; next-fit packing *within* a sequence is
+# pack_sequences_docs). The running total is a global-order window —
+# realized with the same block-offset discipline as global_rank at
+# scale; at fixture scale the single window is the measured-cheapest
+# plan and the semantics are identical.
+_SHARD_TOKENS = 20_000
+_SHARD_SALT = "sh:"
+
+
+@query(
+    "shard_assignment_docs",
+    oracle=rf"""
+    WITH ordered AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+               md5('{_SHARD_SALT}' || CAST(doc_id AS VARCHAR)) AS ok
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY ok, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM ordered
+    )
+    SELECT doc_id, n_tok,
+           CAST((cum_tok - n_tok) // {_SHARD_TOKENS} AS BIGINT) AS shard
+    FROM cum
+    ORDER BY doc_id
+    """,
+)
+def shard_assignment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    ok = F.md5(F.concat(F.lit(_SHARD_SALT), F.col("doc_id").cast("string")))
+    ordered = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        ok.alias("ok"),
+    )
+    w = Window.orderBy("ok", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ordered.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / _SHARD_TOKENS)
+            .cast("bigint")
+            .alias("shard"),
+        )
+        .orderBy("doc_id")
+    )

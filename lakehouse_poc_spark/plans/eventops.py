@@ -1069,3 +1069,54 @@ def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unattributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day: every day's active users split by
+# whether this is their first-ever active day — the daily growth
+# panel. Two aggregates on user_id (first-day + daily activity), both
+# map-side combined; the daily frame is days×users-sized only after
+# the distinct, and the comparison is a broadcast-back join.
+@query(
+    "new_vs_returning_events",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+    FROM daily d JOIN firsts f ON f.user_id = d.user_id
+    GROUP BY d.day
+    ORDER BY day
+    """,
+)
+def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("first_day")
+    )
+    daily = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    return (
+        daily.join(F.broadcast(firsts), "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users", "returning_users")
+        .orderBy("day")
+    )
