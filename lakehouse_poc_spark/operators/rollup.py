@@ -120,3 +120,102 @@ def upsert_join_agg(
             )
         )
     wh.overwrite_from_plan(delta, table)
+
+
+def cascade_upsert(
+    wh: Warehouse,
+    batch: DataFrame,
+    ts_col: str,
+    value_col: str,
+    daily_table: str = "agg.daily",
+    weekly_table: str = "agg.weekly",
+    monthly_table: str = "agg.monthly",
+) -> dict:
+    """Derived-table DAG maintenance: one fact batch propagates
+    day → week → month, each level refreshed ONLY for the buckets the
+    batch touched (the medallion rollup cascade). Per batch:
+
+    1. the batch partially aggregates to (day, n, sum) and upserts by
+       adding into the daily table (mergeable decimal state);
+    2. the touched DAYS name the touched WEEKS; those weeks recompute
+       FROM THE DAILY TABLE (days-per-week rows, never facts) and
+       replace their weekly rows;
+    3. months ALSO recompute from the daily table (days nest cleanly
+       in months; weeks straddle month boundaries, so deriving months
+       from weeks would mis-attribute straddling weeks).
+
+    Cost per batch: O(batch) + O(touched-day rows) + O(touched-week
+    rows) — table history is never rescanned, and every level is exact
+    (decimal sums) so the cascade equals a full recompute bit-for-bit.
+    Returns {touched_days, touched_weeks, touched_months} counts
+    (bounded metadata, the observability a scheduler wants).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    delta = batch.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(30,6)"))
+        .cast("decimal(38,6)")
+        .alias("sum_value"),
+    )
+    if wh.table_exists(daily_table):
+        merged = (
+            wh.read(daily_table)
+            .unionByName(delta)
+            .groupBy("day")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+            )
+        )
+    else:
+        merged = delta
+    wh.overwrite_from_plan(merged, daily_table)
+
+    touched_days = [r["day"] for r in delta.select("day").distinct().collect()]
+    touched_weeks = sorted(
+        {r["w"] for r in delta.select(
+            F.date_trunc("week", "day").alias("w")).distinct().collect()}
+    )
+    daily = wh.read(daily_table)
+    week_rows = (
+        daily.withColumn("week", F.date_trunc("week", "day"))
+        .filter(F.col("week").isin(touched_weeks))
+        .groupBy("week")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        )
+    )
+    if wh.table_exists(weekly_table):
+        kept = wh.read(weekly_table).filter(~F.col("week").isin(touched_weeks))
+        week_all = kept.unionByName(week_rows)
+    else:
+        week_all = week_rows
+    wh.overwrite_from_plan(week_all, weekly_table)
+
+    touched_months = sorted(
+        {r["m"] for r in delta.select(
+            F.date_trunc("month", "day").alias("m")).distinct().collect()}
+    )
+    month_rows = (
+        daily.withColumn("month", F.date_trunc("month", "day"))
+        .filter(F.col("month").isin(touched_months))
+        .groupBy("month")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        )
+    )
+    if wh.table_exists(monthly_table):
+        keptm = wh.read(monthly_table).filter(
+            ~F.col("month").isin(touched_months)
+        )
+        month_all = keptm.unionByName(month_rows)
+    else:
+        month_all = month_rows
+    wh.overwrite_from_plan(month_all, monthly_table)
+    return {
+        "touched_days": len(touched_days),
+        "touched_weeks": len(touched_weeks),
+        "touched_months": len(touched_months),
+    }

@@ -1455,3 +1455,40 @@ def pydatasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived-table DAG (rollup cascade): two fact batches propagate
+# day → week → month with each level refreshed only for touched
+# buckets (operators/rollup.py::cascade_upsert). The oracle is the
+# full recompute at month grain — incremental cascade == full rebuild
+# bit-for-bit because every level carries mergeable decimal state.
+@query(
+    "rollup_cascade_events",
+    oracle="""
+    SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('month', ts)
+    ORDER BY month
+    """,
+)
+def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import cascade_upsert
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    wh = _fresh_wh(spark, f"cascade_{Path(sf_dir).name}")
+    for parity in (0, 1):
+        cascade_upsert(
+            wh, ev.filter(F.col("event_id") % 2 == parity), "ts", "value"
+        )
+    return (
+        wh.read("agg.monthly")
+        .select(
+            F.date_format("month", "yyyy-MM-dd").alias("month"),
+            F.col("n").cast("bigint"),
+            F.col("sum_value").cast("double").alias("total_value"),
+        )
+        .orderBy("month")
+    )

@@ -63,3 +63,54 @@ def test_upsert_touches_only_affected_partitions(spark, tmp_path):
         .count()
         == 2
     )
+
+
+def test_cascade_all_levels_equal_full_recompute(spark, tmp_path):
+    """Every cascade level (day/week/month) must equal a full
+    recompute from the facts, and per-batch touched-bucket counts are
+    bounded by the batch's time span (never the table's)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.rollup import cascade_upsert
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = []
+    for parity in (0, 1):
+        stats.append(
+            cascade_upsert(
+                wh, ev.filter(F.col("event_id") % 2 == parity), "ts", "value"
+            )
+        )
+
+    def full(grain):
+        return {
+            (r.g, r.n, float(r.s))
+            for r in ev.groupBy(F.date_trunc(grain, "ts").alias("g"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                .cast("decimal(38,6)")
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+        }
+
+    for grain, table, col in (
+        ("day", "agg.daily", "day"),
+        ("week", "agg.weekly", "week"),
+        ("month", "agg.monthly", "month"),
+    ):
+        got = {
+            (r[col], r.n, float(r.sum_value))
+            for r in wh.read(table).collect()
+        }
+        assert got == full(grain), grain
+    # touched buckets reflect the batch's span: both batches cover the
+    # same ~month of fixture data
+    for s in stats:
+        assert s["touched_months"] >= 1
+        assert s["touched_weeks"] >= s["touched_months"]
+        assert s["touched_days"] >= s["touched_weeks"]
