@@ -212,6 +212,7 @@ def main() -> None:
         # suite-position noise, not plan changes).
         medians[name] = round(sorted(attempts)[len(attempts) // 2], 3)
     total = round(sum(timings.values()), 3)
+    total_med = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
@@ -220,6 +221,26 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_med": medians,
+                "sf": sf,
+            }
+        )
+    )
+    # The driver records only the last 2000 chars of stdout; the full
+    # line above is ~5k chars, so its leading totals get truncated
+    # (seen in BENCH_r05.json). Print a compact self-describing summary
+    # LAST so the tail always carries the headline numbers.
+    slowest = dict(
+        sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "value_med": total_med,
+                "unit": "sec",
+                "n": len(timings),
+                "slowest_med": slowest,
                 "sf": sf,
             }
         )

@@ -108,8 +108,8 @@ def sample_files(
     df: DataFrame, fraction: float, salt: str = "fs:"
 ) -> DataFrame:
     """Deterministic FILE-level sampling for fast profiling: keep a
-    file iff the first 4 hex nibbles of ``md5(salt || file_path)``
-    fall under ``fraction`` of the 16-bit space. At 100 TB a row-level
+    file iff the first 8 hex nibbles of ``md5(salt || file_path)``
+    fall under ``fraction`` of the 32-bit space. At 100 TB a row-level
     ``df.sample`` still READS every byte (sampling happens after the
     scan); filtering on ``_metadata.file_path`` prunes whole files at
     the scan, so a 1% profile costs ~1% of the I/O. Deterministic and
@@ -125,11 +125,16 @@ def sample_files(
     """
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    cut = int(round(fraction * 65536))
+    # 32-bit hash space, and floor the cut at 1: a 16-bit space turned
+    # any fraction below ~1/65536 into cut=0 — silently sampling ZERO
+    # files despite passing the (0,1] validation. With 32 bits the
+    # rounding floor is ~2.3e-10; below that, cut=1 keeps roughly one
+    # file in 4.3 billion rather than none (documented minimum).
+    cut = max(1, int(round(fraction * 4294967296)))
     keep = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(salt), F.col("_metadata.file_path"))), 1, 4
+                F.md5(F.concat(F.lit(salt), F.col("_metadata.file_path"))), 1, 8
             ),
             16,
             10,

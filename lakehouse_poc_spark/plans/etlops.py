@@ -1349,14 +1349,23 @@ def inferred_members_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def federated_formats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     root = SCRATCH / f"fedfmt_{Path(sf_dir).name}"
-    if root.exists():
-        shutil.rmtree(root)
     pq, csv, js = str(root / "pq"), str(root / "csv"), str(root / "jsonl")
-    orders.filter(F.col("o_orderkey") % 3 == 0).write.parquet(pq)
-    orders.filter(F.col("o_orderkey") % 3 == 1).write.option(
-        "header", True
-    ).csv(csv)
-    orders.filter(F.col("o_orderkey") % 3 == 2).write.json(js)
+    # The three format slices are a per-sf FIXTURE, not part of the
+    # federated-read shape this query demonstrates — write them once
+    # and reuse across attempts so the bench times the read+union+agg,
+    # not the setup (VERDICT r5 task 6). The marker file commits the
+    # fixture only after all three writes land, so a crashed half-write
+    # is rebuilt rather than read.
+    done = root / "_FIXTURE_DONE"
+    if not done.exists():
+        if root.exists():
+            shutil.rmtree(root)
+        orders.filter(F.col("o_orderkey") % 3 == 0).write.parquet(pq)
+        orders.filter(F.col("o_orderkey") % 3 == 1).write.option(
+            "header", True
+        ).csv(csv)
+        orders.filter(F.col("o_orderkey") % 3 == 2).write.json(js)
+        done.touch()
     schema = orders.schema
     federated = (
         spark.read.parquet(pq)

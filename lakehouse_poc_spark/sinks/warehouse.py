@@ -61,15 +61,49 @@ def delta_available() -> bool:
         return False
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark-runtime JAR is on the session's
+    classpath. Iceberg ships as a JVM-side JAR (no Python package), so
+    availability is probed behaviorally: register a throwaway hadoop
+    catalog and ask Spark to resolve it — resolution instantiates
+    ``org.apache.iceberg.spark.SparkCatalog``, which throws when the
+    JAR is absent. Public API only (conf + SQL), Connect-safe."""
+    try:  # pragma: no cover - JAR absent in the test container by design
+        spark.conf.set(
+            "spark.sql.catalog._iceberg_probe",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        spark.conf.set("spark.sql.catalog._iceberg_probe.type", "hadoop")
+        spark.conf.set(
+            "spark.sql.catalog._iceberg_probe.warehouse",
+            "/tmp/_iceberg_probe_wh",
+        )
+        spark.sql("SHOW NAMESPACES IN _iceberg_probe").collect()
+        return True
+    except Exception:
+        return False
+
+
 class Warehouse:
     """``format="parquet"`` (default) emulates managed tables as parquet
     dirs with staged-swap rewrites. ``format="delta"`` (reference M1/M2:
     Delta ``saveAsTable`` + ``MERGE`` — pipeline_core.py:62-68,219-227)
     uses path-based Delta tables: ACID overwrites replace the staged
     swap and the SCD2 change-set feeds ``DeltaTable.merge``, rewriting
-    only matched files instead of the whole dimension."""
+    only matched files instead of the whole dimension.
 
-    FORMATS = ("parquet", "delta")
+    ``format="iceberg"`` uses a per-warehouse Iceberg HADOOP catalog
+    (``spark.sql.catalog.<name> = org.apache.iceberg.spark.
+    SparkCatalog`` with ``warehouse=<root>``): tables are catalog
+    identifiers (``<cat>.dim.kunden``), writes go through the
+    DataFrameWriterV2 (``writeTo().append()/createOrReplace()``) and
+    row-level maintenance through SQL ``MERGE INTO`` / ``DELETE FROM``
+    — Iceberg's native transaction surface, so merges rewrite only the
+    files holding matched keys and partition-aligned deletes are
+    metadata-only. Same north-star as Delta (BASELINE "Delta/Iceberg");
+    the two branches are deliberately parallel."""
+
+    FORMATS = ("parquet", "delta", "iceberg")
 
     def __init__(
         self,
@@ -85,9 +119,31 @@ class Warehouse:
                 "format='delta' requires the delta-spark package (pip install "
                 "delta-spark) and the Delta SQL extension/catalog session confs"
             )
+        if format == "iceberg" and not iceberg_available(spark):
+            raise ImportError(
+                "format='iceberg' requires the iceberg-spark-runtime JAR on "
+                "the session classpath (spark.jars.packages "
+                "org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<ver>)"
+            )
         self.spark = spark
         self.root = Path(root)
         self.format = format
+        if format == "iceberg":
+            # One hadoop catalog per warehouse root; the name is derived
+            # from the root so two Warehouse instances over different
+            # roots never collide in the session's catalog namespace.
+            import hashlib
+
+            digest = hashlib.md5(str(self.root).encode()).hexdigest()[:8]
+            self.catalog = f"lh_ice_{digest}"
+            spark.conf.set(
+                f"spark.sql.catalog.{self.catalog}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            spark.conf.set(f"spark.sql.catalog.{self.catalog}.type", "hadoop")
+            spark.conf.set(
+                f"spark.sql.catalog.{self.catalog}.warehouse", str(self.root)
+            )
         # Time travel: when True, every table REWRITE (overwrite /
         # overwrite_from_plan / SCD2 apply) archives the superseded
         # state under <table>__versions/v{n} instead of deleting it.
@@ -503,18 +559,39 @@ class Warehouse:
                     if branch.exists():
                         shutil.rmtree(branch)
         swapped: list[str] = []
+        in_flight: str | None = None
+        archived_to: Path | None = None
         try:
             for table, branch in staged.items():
                 target = self.path(table)
+                # Track the in-flight table and where its live dir was
+                # archived: once _archive_current renames the live dir
+                # away, a failure before branch.rename would otherwise
+                # leave this table ABSENT (neither old nor new set) —
+                # the mid-swap rollback must restore it too, not only
+                # the tables already in `swapped`.
+                in_flight = table
+                pre_version = self.version(table)
                 self._archive_current(table)
+                archived_to = (
+                    self._versions_dir(table) / f"v{pre_version:06d}"
+                    if self.track_versions
+                    else None
+                )
                 if target.exists():
                     shutil.rmtree(target)
                 branch.rename(target)
                 swapped.append(table)
+                in_flight, archived_to = None, None
         except BaseException:
-            # roll already-swapped tables back to their archived
-            # version so the set stays consistent, then surface the
-            # original error.
+            # Roll the in-flight table back from its just-archived
+            # snapshot (rename back — it was never replaced), then roll
+            # already-swapped tables back to their archived version, so
+            # the set stays consistent. Surface the original error.
+            if in_flight is not None and archived_to is not None:
+                target = self.path(in_flight)
+                if archived_to.exists() and not target.exists():
+                    archived_to.rename(target)
             for table in swapped:
                 versions = self._versions_dir(table)
                 prior = self.version(table) - 1

@@ -129,16 +129,29 @@ class TsvCorpusWriter(DataSourceWriter):
     def commit(self, messages):
         import os
         import shutil as _sh
+        import uuid
 
         if self.overwrite:
             for old in Path(self.path).glob("part-*"):
                 old.unlink()
+        # Final names must be unique PER JOB: a 0-based index would make
+        # a second append job os.replace() over the first job's
+        # part-00000.tsv and silently lose its rows. A job-unique token
+        # in the name keeps appends additive; overwrite clears first.
+        job = uuid.uuid4().hex[:12]
         total = 0
+        prior = 0
+        success = Path(self.path, "_SUCCESS")
+        if not self.overwrite and success.exists():
+            try:
+                prior = int(success.read_text().strip() or 0)
+            except ValueError:
+                prior = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.tsv")
+            final = os.path.join(self.path, f"part-{i:05d}-{job}.tsv")
             os.replace(m.temp, final)
             total += m.rows
-        Path(self.path, "_SUCCESS").write_text(str(total))
+        success.write_text(str(prior + total))
         _sh.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
 
     def abort(self, messages):

@@ -165,17 +165,85 @@ def run_with_metrics(
     objects are driver-side metadata (one small dict per micro-batch),
     never data-sized.
     """
-    q = (
-        sdf.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    metrics = []
-    for p in q.recentProgress:
+    # Collect progress via a StreamingQueryListener DURING the run:
+    # q.recentProgress is capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100)
+    # most-recent entries, so a source with more micro-batches would
+    # silently truncate the telemetry and row-count reconciliation
+    # against the sink would mismatch. The listener sees every
+    # onQueryProgress event regardless of batch count.
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    spark = sdf.sparkSession
+    collected: list[dict] = []
+
+    class _Collector(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            p = event.progress
+            state = p.stateOperators or []
+            collected.append(
+                {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "batch_duration_ms": (p.durationMs or {}).get(
+                        "triggerExecution"
+                    ),
+                    "watermark": (p.eventTime or {}).get("watermark"),
+                    "state_rows_total": (
+                        state[0].numRowsTotal if state else None
+                    ),
+                }
+            )
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = _Collector()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Listener events are delivered asynchronously on the JVM's
+        # listener-bus thread; drain what arrived, then fall back to
+        # recentProgress for any batch the bus hasn't flushed yet
+        # (union by batch_id keeps both sources' entries, capped
+        # history only fills gaps the listener already covers).
+        import time as _time
+
+        qid = str(q.id)
+        recent = {p.get("batchId") for p in q.recentProgress}
+        deadline = _time.monotonic() + 10.0
+        while (
+            {m["batch_id"] for m in collected if m["query_id"] == qid}
+            < recent
+            and _time.monotonic() < deadline
+        ):
+            _time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(listener)
+    metrics = [
+        {k: v for k, v in m.items() if k != "query_id"}
+        for m in collected
+        if m["query_id"] == qid
+    ]
+    seen = {m["batch_id"] for m in metrics}
+    for p in q.recentProgress:  # gap-fill only; listener is primary
+        if p.get("batchId") in seen:
+            continue
         state = p.get("stateOperators") or []
         metrics.append(
             {
@@ -190,4 +258,5 @@ def run_with_metrics(
                 ),
             }
         )
-    return sdf.sparkSession.read.parquet(sink_dir), metrics
+    metrics.sort(key=lambda m: m["batch_id"])
+    return spark.read.parquet(sink_dir), metrics

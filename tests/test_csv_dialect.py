@@ -154,3 +154,69 @@ def test_cli_main_runs_config_driven_pipeline(tmp_path):
     dim = wh.read("dim.kunden")
     assert dim.count() == 2
     assert dim.filter("is_current").count() == 2
+
+
+def test_cli_main_yaml_multi_table_run(tmp_path):
+    """python -m lakehouse_poc_spark with a YAML config: the
+    defaults-merge multi-table shape, parsed via safe_load (reference
+    pipeline_core.py:8-9 declares config-from-YAML; the CLI honors
+    it). Two tables fan out in one run."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from lakehouse_poc_spark.__main__ import main
+
+    k = tmp_path / "kunden.csv"
+    k.write_text("Kundennr;Name\n1;Alpha\n2;Beta\n")
+    a = tmp_path / "artikel.csv"
+    a.write_text("ArtNr;Bez\n10;Schraube\n")
+    cfg_path = tmp_path / "pipelines.yaml"
+    cfg_path.write_text(
+        f"""\
+defaults:
+  dialect:
+    sep: ";"
+    encoding: utf-8
+tables:
+  - name: kunden
+    raw_table: raw.kunden
+    dim_table: dim.kunden
+    key_columns: [Kundennr]
+    compare_columns: [Name]
+    source_path: {k}
+  - name: artikel
+    raw_table: raw.artikel
+    dim_table: dim.artikel
+    key_columns: [ArtNr]
+    compare_columns: [Bez]
+    source_path: {a}
+"""
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "--config", str(cfg_path),
+                "--warehouse", str(tmp_path / "wh"),
+                "--run-ts", "2026-01-01 00:00:00",
+                "--cpus", "4",
+            ]
+        )
+    assert rc == 0
+    stats = json.loads(buf.getvalue())
+    assert stats == {
+        "kunden": {"unchanged": 0, "new_keys": 2, "updated_keys": 0},
+        "artikel": {"unchanged": 0, "new_keys": 1, "updated_keys": 0},
+    }
+
+
+def test_load_config_file_rejects_non_mapping(tmp_path):
+    import pytest
+
+    from lakehouse_poc_spark.__main__ import load_config_file
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- just\n- a\n- list\n")
+    with pytest.raises(SystemExit, match="must be a mapping"):
+        load_config_file(str(bad))

@@ -139,3 +139,18 @@ def test_sample_files_deterministic_file_level(spark, tmp_path):
     # fraction sanity on 51 files: expect ~30%, allow wide tolerance
     n_files = s3.select(F.col("_metadata.file_path")).distinct().count()
     assert 3 <= n_files <= 30
+    # tiny fractions must not silently sample ZERO files: the keep
+    # threshold floors at 1 slot of the 32-bit space, so 1e-6 yields an
+    # executable (possibly empty at 51 files, but non-degenerate) plan
+    # — cut stays >= 1 rather than collapsing to "always false".
+    tiny = sample_files(spark.read.parquet(path), 1e-6)
+    assert tiny.count() >= 0  # plan executes; no validation trap
+    # the keep threshold for 1e-6 of the 32-bit space is 4295 (not the
+    # old 16-bit round(1e-6*65536)=0 degenerate always-false filter)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tiny.explain(True)
+    assert "4295" in buf.getvalue()

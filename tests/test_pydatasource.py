@@ -137,3 +137,35 @@ def test_writer_commit_protocol_and_roundtrip(spark, tmp_path):
         .collect()
     )
     assert len(back2) == 1 and back2[0].doc_id == 7
+
+
+def test_writer_append_twice_is_additive(spark, tmp_path):
+    """A second append job must not clobber the first job's part files
+    (final names are job-unique, not a 0-based index that collides),
+    and _SUCCESS accumulates the total row count across appends."""
+    from lakehouse_poc_spark.sources.pydatasource import register_tsvcorpus
+
+    register_tsvcorpus(spark)
+    out = tmp_path / "sink"
+    out.mkdir()
+    df1 = spark.createDataFrame(
+        [(1, "en", "one"), (2, "en", "two")],
+        "doc_id long, lang string, text string",
+    )
+    df2 = spark.createDataFrame(
+        [(3, "de", "drei")], "doc_id long, lang string, text string"
+    )
+    for df in (df1, df2):
+        df.coalesce(1).write.format("tsvcorpus").option(
+            "path", str(out)
+        ).mode("append").save()
+    back = (
+        spark.read.format("tsvcorpus")
+        .option("path", str(out))
+        .option("glob", "part-*.tsv")
+        .load()
+        .collect()
+    )
+    assert sorted(r.doc_id for r in back) == [1, 2, 3]
+    assert len(list(out.glob("part-*.tsv"))) == 2  # one per job, no clobber
+    assert (out / "_SUCCESS").read_text() == "3"

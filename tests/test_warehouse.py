@@ -3,6 +3,8 @@ tables and small-file compaction."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -411,6 +413,53 @@ def test_publish_tables_all_or_nothing(spark, tmp_path):
     assert r3["published"]
     assert wh.read("pub.facts").count() == 6
     assert wh.read("pub.dims").count() == 7
+
+
+def test_publish_tables_mid_swap_restores_in_flight_table(
+    spark, tmp_path, monkeypatch
+):
+    """A failure between archiving a table's live dir and renaming its
+    staged replacement must restore THAT table too — not just the
+    already-swapped ones — so readers never see it absent."""
+    import shutil as _shutil
+
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), track_versions=True)
+    facts = spark.range(10).selectExpr("id")
+    dims = spark.range(3).selectExpr("id AS k")
+    assert wh.publish_tables({"ms.facts": facts, "ms.dims": dims})["published"]
+
+    # Fail the swap AFTER _archive_current has moved ms.dims's live dir
+    # away: patch rmtree used on the target (which for the second table
+    # doesn't exist post-archive) — instead fail branch.rename via a
+    # poisoned Path.rename on the second staged branch. Simplest hook:
+    # make shutil.rmtree raise when called on the dims target path.
+    real_rename = Path.rename
+    calls = {"n": 0}
+
+    def flaky_rename(self, *a, **kw):
+        if self.name.endswith("__staging") or "__staging" in str(self):
+            calls["n"] += 1
+            if calls["n"] == 2:  # second table's install step
+                raise OSError("disk full mid-swap")
+        return real_rename(self, *a, **kw)
+
+    monkeypatch.setattr(Path, "rename", flaky_rename)
+    with pytest.raises(OSError, match="disk full"):
+        wh.publish_tables(
+            {
+                "ms.facts": spark.range(20).selectExpr("id"),
+                "ms.dims": spark.range(5).selectExpr("id AS k"),
+            }
+        )
+    monkeypatch.setattr(Path, "rename", real_rename)
+    # BOTH tables readable with their pre-publish contents: facts rolled
+    # back from archive, in-flight dims restored from its just-archived
+    # snapshot (previously it was left absent).
+    assert wh.read("ms.facts").count() == 10
+    assert wh.read("ms.dims").count() == 3
+    _shutil.rmtree(str(tmp_path / "wh"), ignore_errors=True)
 
 
 def test_restore_to_archived_version_is_new_version(spark, tmp_path):
