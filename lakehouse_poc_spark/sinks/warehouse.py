@@ -157,6 +157,13 @@ class Warehouse:
         # "layer0100.kosten_raw" → <root>/layer0100/kosten_raw
         return self.root.joinpath(*table.split("."))
 
+    def _ice_id(self, table: str) -> str:
+        """Catalog identifier for the iceberg backend:
+        ``dim.kunden`` → ``<catalog>.`dim`.`kunden``` (parts quoted so
+        reference-style table names survive SQL)."""
+        parts = ".".join(f"`{p}`" for p in table.split("."))
+        return f"{self.catalog}.{parts}"
+
     def _versions_dir(self, table: str) -> Path:
         p = self.path(table)
         return p.with_name(p.name + "__versions")
@@ -165,7 +172,15 @@ class Warehouse:
         """Current version number: 0 for a freshly created table,
         +1 per archived rewrite (Delta-style monotone counter).
         Derived from the highest archived index — NOT the archive
-        count — so vacuumed history never causes index reuse."""
+        count — so vacuumed history never causes index reuse.
+        Iceberg: the current snapshot id (its native version handle —
+        what ``read_version``/``restore`` accept)."""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self._ice_id(table)}.history "
+                "ORDER BY made_current_at DESC LIMIT 1"
+            ).collect()
+            return int(rows[0][0]) if rows else 0
         vd = self._versions_dir(table)
         snaps = sorted(vd.glob("v*")) if vd.exists() else []
         return int(snaps[-1].name[1:]) + 1 if snaps else 0
@@ -213,6 +228,13 @@ class Warehouse:
                 self.spark.read.format("delta")
                 .option("versionAsOf", version)
                 .load(str(self.path(table)))
+            )
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            # Spark's time-travel option; for Iceberg the version is a
+            # snapshot id (surface history() to enumerate them).
+            return (
+                self.spark.read.option("versionAsOf", version)
+                .table(self._ice_id(table))
             )
         current = self.version(table)
         if version == current:
@@ -279,6 +301,8 @@ class Warehouse:
         p = self.path(table)
         if self.format == "delta":  # pragma: no cover - needs delta-spark
             return (p / "_delta_log").exists()
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            return self.spark.catalog.tableExists(self._ice_id(table))
         if not p.exists():
             return False
         # recursive: partitioned tables nest their files under
@@ -291,18 +315,40 @@ class Warehouse:
         with new columns reads back as the superset, old rows null).
         Delta resolves schema from its log, so the option is a no-op
         there."""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            # merge_schema is a no-op: Iceberg resolves schema from
+            # table metadata (same as Delta's log)
+            return self.spark.table(self._ice_id(table))
         reader = self.spark.read.format(self.format)
         if merge_schema and self.format == "parquet":
             reader = reader.option("mergeSchema", "true")
         return reader.load(str(self.path(table)))
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            ice = self._ice_id(table)
+            if not self.table_exists(table):
+                wt = df.writeTo(ice)
+                if partition_by:
+                    wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+                wt.create()
+            else:
+                df.writeTo(ice).append()
+            return
         w = df.write.format(self.format).mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(str(self.path(table)))
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            # REPLACE TABLE AS SELECT: one transaction, schema/layout
+            # changes included (no archive step — snapshots are native)
+            wt = df.writeTo(self._ice_id(table))
+            if partition_by:
+                wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+            wt.createOrReplace()
+            return
         self._archive_current(table)
         w = df.write.format(self.format).mode("overwrite")
         if partition_by:
@@ -321,9 +367,10 @@ class Warehouse:
         a sibling dir then atomically swap (rename). Delta/Iceberg make
         this a transaction; this is the parquet-dir equivalent.
         """
-        if self.format == "delta":  # pragma: no cover - needs delta-spark
-            # Delta overwrites are snapshot-isolated transactions: the
-            # plan reads the pre-overwrite snapshot, no staging needed.
+        if self.format in ("delta", "iceberg"):  # pragma: no cover - needs jar
+            # Delta/Iceberg overwrites are snapshot-isolated
+            # transactions: the plan reads the pre-overwrite snapshot,
+            # no staging needed.
             self.overwrite(df, table, partition_by=partition_by)
             return
         target = self.path(table)
@@ -379,16 +426,23 @@ class Warehouse:
         dropped."""
         if (before is None) == (values is None):
             raise ValueError("exactly one of before/values is required")
-        if self.format == "delta":  # pragma: no cover - needs delta-spark
-            from delta.tables import DeltaTable
-
-            dt = DeltaTable.forPath(self.spark, str(self.path(table)))
+        if self.format in ("delta", "iceberg"):  # pragma: no cover - needs jar
             if values is not None:
                 quoted = ", ".join(f"'{v}'" for v in values)
                 pred = f"{partition_col} IN ({quoted})"
             else:
                 pred = f"{partition_col} < '{before}'"
             n = len(values) if values is not None else -1
+            if self.format == "iceberg":
+                # partition-aligned DELETE FROM is metadata-only in
+                # Iceberg (drops whole data files, no rewrite)
+                self.spark.sql(
+                    f"DELETE FROM {self._ice_id(table)} WHERE {pred}"
+                )
+                return n
+            from delta.tables import DeltaTable
+
+            dt = DeltaTable.forPath(self.spark, str(self.path(table)))
             dt.delete(pred)
             return n
         dropped = 0
@@ -426,6 +480,27 @@ class Warehouse:
         path: a dimension merge touches MB, not the full table), then
         appends the new versions. Mirrors the reference's
         ``MERGE INTO``/Delta sink (pipeline_core.py:219-227,147-153)."""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            # Same two-effect shape as the Delta branch, via Iceberg's
+            # native MERGE INTO: close the open rows of changed keys
+            # (files holding them are the only rewrites), then append
+            # the new versions.
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            cond += f" AND t.`{is_current_col}` = true"
+            view = f"_scd2_changed_{abs(hash(table)) % 10**8}"
+            changed_keys.createOrReplaceTempView(view)
+            try:
+                self.spark.sql(
+                    f"MERGE INTO {self._ice_id(table)} t USING {view} s "
+                    f"ON {cond} "
+                    f"WHEN MATCHED THEN UPDATE SET "
+                    f"t.`{is_current_col}` = false, "
+                    f"t.`{valid_to_col}` = timestamp'{run_ts}'"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+            self.append(inserts, table)
+            return
         if self.format == "delta":  # pragma: no cover - needs delta-spark
             from delta.tables import DeltaTable
 
@@ -614,6 +689,16 @@ class Warehouse:
         the 100 TB path, where a keyed delete touches MB not the table.
         Completes the DML triad: append (INSERT), SCD2/merge (UPDATE),
         delete_where (DELETE)."""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            if not isinstance(predicate, str):
+                raise ValueError(
+                    "iceberg delete_where takes a SQL-string predicate "
+                    "(DELETE FROM is issued as SQL)"
+                )
+            self.spark.sql(
+                f"DELETE FROM {self._ice_id(table)} WHERE {predicate}"
+            )
+            return
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if self.format == "delta":  # pragma: no cover - needs delta-spark
             from delta.tables import DeltaTable
@@ -640,6 +725,20 @@ class Warehouse:
         """
         if not self.table_exists(table):
             self.overwrite(batch, table)
+            return
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            view = f"_upsert_src_{abs(hash(table)) % 10**8}"
+            batch.createOrReplaceTempView(view)
+            try:
+                self.spark.sql(
+                    f"MERGE INTO {self._ice_id(table)} t USING {view} s "
+                    f"ON {cond} "
+                    "WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN NOT MATCHED THEN INSERT *"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
             return
         if self.format == "delta":  # pragma: no cover - needs delta-spark
             from delta.tables import DeltaTable
@@ -734,6 +833,14 @@ class Warehouse:
         restore is an undoable, history-preserving operation, not a
         rewind). File-copy only — no Spark job, no data decode.
         Returns the new current version number."""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            # native, history-preserving rollback (version = snapshot id)
+            ns_tbl = ".".join(self._ice_id(table).split(".")[1:])
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rollback_to_snapshot"
+                f"('{ns_tbl}', {int(version)})"
+            )
+            return self.version(table)
         if not self.track_versions:
             raise ValueError("restore requires track_versions=True")
         src = self._versions_dir(table) / f"v{version:06d}"
