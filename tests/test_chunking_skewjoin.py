@@ -84,3 +84,98 @@ def test_group_split_is_leakage_safe(spark):
     sources = [r["source"] for r in out]
     assert len(sources) == len(set(sources))
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_skewed_join_three_way_identity_sf01(spark):
+    """VERDICT r6 task 8: a deliberately skewed join at sf0.1, run
+    three ways — plain sort-merge (AQE skew split OFF: the naive
+    shape), AQE skew-handled (split ON, thresholds scaled to fixture
+    bytes), and the explicit salted rewrite — must be row-for-row
+    identical. Alongside identity, this measures WHY each exists:
+    rows-per-reduce-key before salting (the hot key serializes ~90%
+    of the fact on one reducer) vs after (spread across n_salts).
+    Salting is still needed when AQE is unavailable (foreachBatch
+    micro-batches; runtime without AQE) or when a single KEY — not
+    partition — is hot enough that splitting shuffle blocks still
+    lands one key-group per reducer in a sort-merge aggregate.
+    Measured sizes recorded in SCALE.md §6.2."""
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet").select(
+        "event_id",
+        # ~90% of events collapse onto user 0: a hot key a real
+        # clickstream would produce (bot/anonymous traffic)
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "value",
+    ).repartition(32)
+    # ^ the sf0.1 events fixture is a single parquet file → one map
+    # task; AQE splits a skewed reduce partition at MAP-OUTPUT-BLOCK
+    # granularity, so a one-mapper shuffle is unsplittable no matter
+    # the thresholds. At 100 TB the fact always has thousands of map
+    # tasks; the repartition recreates that precondition at test scale.
+    dim = (
+        spark.range(1501)
+        .select(F.col("id").alias("user_id"), (F.col("id") % 7).alias("tier"))
+    )
+
+    n_salts = 8
+    confs = {
+        # force the shuffle join (broadcast would hide the skew story)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scale skew detection to fixture bytes (defaults are 256 MB)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", None
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain = ev.join(dim, "user_id")
+        plain_rows = plain.collect()
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe = ev.join(dim, "user_id")
+        aqe_rows = aqe.collect()
+        aqe_plan = aqe._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in aqe_plan, aqe_plan[:1500]
+
+        salted = salted_join(ev, dim, "user_id", "event_id", n_salts=n_salts)
+        salted_rows = salted.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    assert len(plain_rows) == len(aqe_rows) == len(salted_rows) == 100_000
+    assert sorted(map(key, plain_rows)) == sorted(map(key, aqe_rows))
+    assert sorted(map(key, plain_rows)) == sorted(map(key, salted_rows))
+
+    # measured spread: rows per shuffle KEY group (what a sort-merge
+    # reducer consumes for that key) before vs after salting
+    hot_before = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).first()["count"]
+    )
+    hot_after = (
+        ev.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(n_salts))
+        )
+        .groupBy("user_id", "__salt")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()["count"]
+    )
+    assert hot_before >= 85_000  # the hot key really is ~90% of the fact
+    # salting must spread the hot key across reducers: max group ≤ 2/n·hot
+    assert hot_after <= hot_before * 2 / n_salts
+    print(f"SKEW_MEASURE hot_before={hot_before} hot_after={hot_after}")
