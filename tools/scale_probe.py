@@ -24,10 +24,15 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import DataFrame, functions as F
 
 from lakehouse_poc_spark.operators.dedup import (
+    jaccard_prefix_pairs,
+    jaccard_prefix_pairs_cross,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_candidates,
     simhash_near_pairs,
+    tf_cosine_pairs,
 )
+from lakehouse_poc_spark.operators.semdedup import semdedup
 from lakehouse_poc_spark.operators.search import bm25_topk, inverted_index
 from lakehouse_poc_spark.session import get_spark
 from lakehouse_poc_spark.sources.readers import read_parquet_table
@@ -58,16 +63,53 @@ def scaled_corpus(docs: DataFrame, factor: int) -> DataFrame:
     return out
 
 
+def scaled_embeddings(emb: DataFrame, factor: int) -> DataFrame:
+    """factor× embedding corpus: copy i perturbs every vector's first
+    component by a small deterministic offset so copies are NEAR
+    neighbors of their source (semantic-dup structure preserved)."""
+    parts = [emb.select("vec_id", "embedding")]
+    for i in range(1, factor):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda v, j: F.when(j == 0, v + F.lit(0.001 * i)).otherwise(v),
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _shingle_relation(corpus: DataFrame) -> DataFrame:
+    from lakehouse_poc_spark.functions.text import word_shingles
+    from lakehouse_poc_spark.operators.partitioning import fan_out
+
+    return (
+        fan_out(corpus)
+        .select(
+            F.col("doc_id").alias("did"),
+            F.array_distinct(word_shingles("text", 3)).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     with_brute = "--with-brute" in sys.argv
     spark = get_spark("scale_probe")
     docs = read_parquet_table(spark, sf_dir, "documents")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
     spark.range(1).count()
 
     for factor in (1, 2, 4):
         corpus = scaled_corpus(docs, factor).persist()
         n = corpus.count()
+        all_pairs = n * (n - 1) // 2
         ops = {
             "minhash_lsh": lambda c: minhash_lsh_pairs(
                 c, "text", "doc_id", num_perm=32, bands=8
@@ -78,6 +120,22 @@ def main() -> None:
             # under the agg)
             "bm25_topk": lambda c: bm25_topk(c, ["spark", "merge", "window"], k=10),
             "inverted_index": lambda c: inverted_index(c, min_df=100),
+            # r6 (VERDICT task 5): the exact-at-scale paths
+            "jaccard_prefix": lambda c: jaccard_prefix_pairs(
+                c, "text", "doc_id", shingle_n=3, threshold=0.5
+            ),
+            "tf_cosine": lambda c: tf_cosine_pairs(
+                c, "text", "doc_id", threshold=0.8, shingle_n=3
+            ),
+            "incr_neardup": lambda c: jaccard_prefix_pairs_cross(
+                c.filter(F.col("doc_id") % 10 == 0),
+                c.filter(F.col("doc_id") % 10 != 0),
+                "text",
+                "doc_id",
+                shingle_n=3,
+                threshold=0.5,
+            ),
+            "bigram_logprob": lambda c: _bigram_logprob(c),
         }
         if with_brute and factor <= 2:  # O(n²): 20k docs = 200M pairs, skip
             ops["brute_jaccard"] = lambda c: ngram_jaccard_pairs(c, "text", "doc_id")
@@ -85,11 +143,71 @@ def main() -> None:
             t0 = time.perf_counter()
             pairs = fn(corpus).count()
             dt = time.perf_counter() - t0
+            extra = ""
+            if name == "jaccard_prefix":
+                # candidate-space fraction: PPJoin candidates vs n·(n−1)/2
+                cand = prefix_candidates(_shingle_relation(corpus), 0.5).count()
+                extra = f" cand={cand:8d} frac={cand / all_pairs:8.5f}"
             print(
-                f"{name:14s} docs={n:7d} pairs={pairs:7d} wall={dt:7.2f}s",
+                f"{name:14s} docs={n:7d} pairs={pairs:7d} wall={dt:7.2f}s{extra}",
                 flush=True,
             )
         corpus.unpersist()
+
+        # semdedup scales on the embeddings table (dense-vector family)
+        e = scaled_embeddings(emb, factor).persist()
+        ne = e.count()
+        t0 = time.perf_counter()
+        kept = semdedup(e, "embedding", "vec_id", threshold=0.995).count()
+        dt = time.perf_counter() - t0
+        # candidate fraction: within-cluster pairs Σ c·(c−1)/2 over all pairs
+        from lakehouse_poc_spark.operators.semdedup import signbit_cluster
+
+        sizes = (
+            e.select(signbit_cluster(F.col("embedding"), 6))
+            .groupBy("cluster")
+            .count()
+            .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("wp"))
+            .collect()[0]["wp"]
+        )
+        frac = float(sizes) / (ne * (ne - 1) / 2)
+        print(
+            f"{'semdedup':14s} vecs={ne:7d} rows={kept:7d} wall={dt:7.2f}s"
+            f" cand={int(sizes):8d} frac={frac:8.5f}",
+            flush=True,
+        )
+        e.unpersist()
+
+
+def _bigram_logprob(corpus: DataFrame):
+    """Inline twin of plans/searchops.bigram_logprob_docs over an
+    arbitrary corpus frame (the registered query is sf_dir-bound)."""
+    tok = corpus.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+    big = (
+        tok.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    cnt12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cnt1 = cnt12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = tok.select(F.explode("toks").alias("token")).agg(
+        F.countDistinct("token").alias("v")
+    )
+    dbig = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        dbig.join(cnt12.join(cnt1, "w1").crossJoin(F.broadcast(vocab)), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"))
+    )
 
 
 if __name__ == "__main__":
