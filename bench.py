@@ -134,6 +134,10 @@ HEADLINE = [
     "federated_formats_orders",
     "pydatasource_write_roundtrip",
     "dataset_card_docs",
+    # r6: cross-doc passage dedup, DSIR importance, curation funnel
+    "passage_dedup_docs",
+    "dsir_importance_docs",
+    "filter_funnel_docs",
 ]
 
 

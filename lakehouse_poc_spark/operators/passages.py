@@ -1,0 +1,116 @@
+"""Cross-document passage-level deduplication (CCNet/RefinedWeb-style).
+
+Web-scale training corpora repeat PASSAGES across documents —
+boilerplate headers, licence blocks, syndicated paragraphs — far more
+than they repeat whole documents, so corpus curation pipelines dedup
+at passage granularity: every passage keeps its globally-first
+occurrence and later occurrences are dropped from their documents
+(CCNet does this with paragraph hashes; this is the exact,
+order-deterministic form).
+
+Passage boundary: newline-delimited paragraphs when the text has
+newlines, else fixed ``block_words``-word blocks (the fixture corpus
+is single-line, and fixed blocks are also what you use on
+boilerplate-stripped text where paragraph marks are gone). The
+first-occurrence rule orders instances by (doc_id, block_id), so the
+result is reproducible on any partitioning — no RNG, no
+driver-side state.
+
+Scale shape: one shuffle keyed on the passage text to rank
+occurrences (a window over the passage groups — the same cost class
+as the exact-dedup groupBy), one per-doc re-aggregation to reassemble
+the cleaned text. Nothing is quadratic; passages shuffle once each.
+At 100 TB you'd hash the passage to a 128-bit fingerprint for the
+shuffle key instead of shipping the text — ``fingerprint=True`` does
+exactly that (xxhash64 pair), trading oracle-reproducibility for
+shuffle bytes.
+
+Extends the reference surface (SURVEY.md §7.1 stage 9 — the
+reference has no text operators at all, pipeline_core.py:160,210).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_words: int = 20,
+) -> DataFrame:
+    """(id, block_id, passage): fixed word-block passages, preserving
+    block order. Map-only — explode + slice over the scan."""
+    toks = F.split(F.col(text_col), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(block_words)).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(0), n_blocks - 1)).alias("block_id", "_i"),
+        toks.alias("_toks"),
+    ).select(
+        id_col,
+        F.col("block_id").cast("bigint").alias("block_id"),
+        F.array_join(
+            F.slice(
+                "_toks",
+                F.col("block_id").cast("int") * block_words + 1,
+                block_words,
+            ),
+            " ",
+        ).alias("passage"),
+    )
+
+
+def dedup_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_words: int = 20,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """Per-document passage-dedup report: ``(id, n_blocks, n_removed,
+    text_clean)`` where ``text_clean`` is the document with every
+    passage that already occurred earlier in the corpus (lower
+    (doc_id, block_id)) removed, remaining passages re-joined in
+    order.
+
+    ``fingerprint=True`` ranks occurrences by a 128-bit xxhash64 pair
+    of the passage instead of the passage text — the 100 TB shuffle
+    layout (8+8 bytes/key vs the passage bytes); collision odds at
+    10^12 passages are ~10^-14 per pair. Default keeps the raw text
+    key so the DuckDB oracle can reproduce the exact ranking.
+    """
+    passages = explode_passages(df, text_col, id_col, block_words)
+    if fingerprint:
+        key = [
+            F.xxhash64(F.lit("pd1:"), F.col("passage")),
+            F.xxhash64(F.lit("pd2:"), F.col("passage")),
+        ]
+    else:
+        key = [F.col("passage")]
+    w = Window.partitionBy(*key).orderBy(id_col, "block_id")
+    ranked = passages.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("_rn") > 1).cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct("block_id", "passage"),
+                            )
+                        )
+                    ),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .orderBy(id_col)
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
         graphops,
         mlops,
         multimodal,
+        pipelineops,
         searchops,
         simops,
         streamops,

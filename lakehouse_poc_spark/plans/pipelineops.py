@@ -1,0 +1,196 @@
+"""LLM-corpus pipeline queries, round 6: cross-document passage
+dedup (CCNet-style), DSIR importance weighting, and the curation
+filter funnel.
+
+These extend the training-data surface (SURVEY.md §7.1 stage 9) with
+three ops every web-scale corpus pipeline runs between "crawled" and
+"trainable": remove passages repeated ACROSS documents (boilerplate,
+licence blocks — document-level dedup misses them), score raw
+documents against a target domain (importance resampling), and report
+how many documents each quality gate of the curation cascade costs
+(the observability artifact reviewers ask for before a data freeze).
+
+All three are exact-oracle-gated: md5 bucket hashing, integer
+cross-multiplied ratio compares, and micro-rounded log-ratios keep
+every output column engine-portable (plans/__init__.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_parquet_table
+from . import query
+
+_PD_BLOCK = 20  # passage block size (words)
+_DSIR_B = 1024  # DSIR hashed-feature buckets
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document passage dedup: every 20-word passage keeps its
+# globally-first occurrence (ordered by doc_id, block_id); later
+# occurrences are dropped and the document re-assembled. One
+# passage-keyed shuffle + one per-doc agg — the CCNet paragraph-hash
+# shape, exact. At sf0.001 the fixture already contains 71 cross-doc
+# repeated passages, so the query exercises real removals.
+@query(
+    "passage_dedup_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id,
+             CAST(t.i AS BIGINT) AS block_id,
+             array_to_string(
+               list_slice(w, CAST(t.i AS BIGINT) * {_PD_BLOCK} + 1,
+                          CAST(t.i AS BIGINT) * {_PD_BLOCK} + {_PD_BLOCK}),
+               ' ') AS passage
+      FROM toks,
+           UNNEST(range(CAST(ceil(len(w) / {_PD_BLOCK}.0) AS BIGINT))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, block_id, passage,
+             row_number() OVER (PARTITION BY passage
+                                ORDER BY doc_id, block_id) AS rn
+      FROM blocks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END,
+                               ' ' ORDER BY block_id), '') AS text_clean
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.passages import dedup_passages
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_passages(docs, "text", "doc_id", block_words=_PD_BLOCK)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): per-doc
+# log p_target − log p_raw over hashed unigram features; target =
+# the 'src0' slice standing in for a curated in-domain set. Corpus
+# shuffles twice (bucket agg, doc agg); the 1024-bucket model table
+# broadcasts at any corpus size.
+@query(
+    "dsir_importance_docs",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t,
+             CAST(('0x' || substr(md5('dsir:' || tok), 1, 6)) AS BIGINT)
+               % {_DSIR_B} AS bucket
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+    ),
+    counts AS (
+      SELECT bucket, SUM(t) AS ct, COUNT(*) AS cr FROM feats GROUP BY bucket
+    ),
+    totals AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+    ratio AS (
+      SELECT bucket,
+             CAST(round((ln((ct + 1.0) / (nt + {_DSIR_B}.0))
+                         - ln((cr + 1.0) / (nr + {_DSIR_B}.0)))
+                        * 1000000.0) AS BIGINT) AS logratio_micro
+      FROM counts, totals
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(logratio_micro) AS BIGINT) AS importance_micro
+    FROM feats JOIN ratio USING (bucket)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, "text", "doc_id", F.col("source") == "src0", n_buckets=_DSIR_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation filter funnel: cumulative AND-cascade of quality gates with
+# per-stage survivor counts — the "how much did each rule cost us"
+# report that precedes every corpus freeze. One scan, per-doc booleans
+# folded into conditional sums, unpivoted to (stage, n_docs) rows.
+# All compares are integer cross-multiplied (no float thresholds).
+@query(
+    "filter_funnel_docs",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars,
+             len(string_split(text, ' ')) AS nw,
+             len(list_distinct(string_split(text, ' '))) AS uw
+      FROM documents
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN n_chars BETWEEN 100 AND 1000 THEN 1 ELSE 0 END AS s1
+      FROM d
+    ),
+    m2 AS (
+      SELECT *, CASE WHEN s1 = 1 AND nw >= 30 THEN 1 ELSE 0 END AS s2 FROM m
+    ),
+    m3 AS (
+      SELECT *,
+             CASE WHEN s2 = 1
+                   AND (n_chars - nw + 1) >= 2 * nw
+                   AND (n_chars - nw + 1) <= 10 * nw
+                  THEN 1 ELSE 0 END AS s3
+      FROM m2
+    ),
+    m4 AS (
+      SELECT *, CASE WHEN s3 = 1 AND 10 * uw >= 3 * nw THEN 1 ELSE 0 END AS s4
+      FROM m3
+    )
+    SELECT stage, n_docs FROM (
+      SELECT '0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM m4
+      UNION ALL SELECT '1_len', CAST(SUM(s1) AS BIGINT) FROM m4
+      UNION ALL SELECT '2_words', CAST(SUM(s2) AS BIGINT) FROM m4
+      UNION ALL SELECT '3_wordlen', CAST(SUM(s3) AS BIGINT) FROM m4
+      UNION ALL SELECT '4_unique', CAST(SUM(s4) AS BIGINT) FROM m4
+    ) ORDER BY stage
+    """,
+)
+def filter_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        F.col("n_chars"),
+        F.size(toks).alias("nw"),
+        F.size(F.array_distinct(toks)).alias("uw"),
+    )
+    s1 = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 1000)
+    s2 = s1 & (F.col("nw") >= 30)
+    wl = F.col("n_chars") - F.col("nw") + 1  # total word chars
+    s3 = s2 & (wl >= 2 * F.col("nw")) & (wl <= 10 * F.col("nw"))
+    s4 = s3 & (10 * F.col("uw") >= 3 * F.col("nw"))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("0_all"),
+        F.sum(s1.cast("bigint")).alias("1_len"),
+        F.sum(s2.cast("bigint")).alias("2_words"),
+        F.sum(s3.cast("bigint")).alias("3_wordlen"),
+        F.sum(s4.cast("bigint")).alias("4_unique"),
+    )
+    # unpivot the single row to (stage, n_docs) — stack stays JVM-side
+    return agg.select(
+        F.expr(
+            "stack(5, '0_all', `0_all`, '1_len', `1_len`, "
+            "'2_words', `2_words`, '3_wordlen', `3_wordlen`, "
+            "'4_unique', `4_unique`) AS (stage, n_docs)"
+        )
+    ).orderBy("stage")
