@@ -757,6 +757,147 @@ class Warehouse:
         kept = current.join(batch.select(*keys), keys, "left_anti")
         self.overwrite_from_plan(kept.unionByName(batch), table)
 
+    def upsert_file_pruned(
+        self, batch: DataFrame, table: str, keys: list[str]
+    ) -> dict:
+        """SCD1 merge that rewrites ONLY the parquet files containing
+        matched keys — the Delta MERGE file-pruning mechanic expressed
+        on a plain parquet directory. Same result contract as
+        :meth:`upsert`; radically different write amplification: a
+        batch whose keys cluster into k of N files rewrites k files
+        plus one insert file, not the table. On a key-clustered layout
+        (``compact(cluster_by=keys)``) k ≈ batch key range / file key
+        range; on a random layout every file matches and this degrades
+        to the full rewrite — measure with the returned stats.
+
+        Protocol: (1) semi-join current×batch on keys over
+        ``_metadata.file_path`` to list touched files (metadata-sized
+        collect — file paths, not rows); (2) write replacement data
+        (touched-file survivors + the whole batch) to a staging dir;
+        (3) move replacement files in under job-unique names; (4)
+        unlink the touched files. The (3)→(4) window shows duplicate
+        key versions to concurrent readers; crash inside it leaves
+        them until the next upsert or ``vacuum`` (the leftover
+        ``__upsert__staging`` marks it — vacuum() sweeps it). Delta/Iceberg close exactly
+        this window with a transactional manifest — on those formats
+        use :meth:`upsert`, which is already native. Single-writer
+        assumed, as with every parquet-dir rewrite here.
+
+        Returns {files_total, files_rewritten, rows_inserted_or_updated}.
+        """
+        if self.format != "parquet":
+            raise ValueError(
+                "upsert_file_pruned is the parquet-dir mechanic; "
+                "delta/iceberg upsert() is already file-pruned natively"
+            )
+        if not self.table_exists(table):
+            self.overwrite(batch, table)
+            n = batch.count()
+            return {
+                "files_total": len(list(self.path(table).glob("**/*.parquet"))),
+                "files_rewritten": 0,
+                "rows_inserted_or_updated": n,
+            }
+        target = self.path(table)
+        if any("=" in d.name for d in target.iterdir() if d.is_dir()):
+            raise ValueError(
+                "upsert_file_pruned does not support hive-partitioned "
+                "layouts (moved replacement files would lose their "
+                "partition-column values) — use overwrite_partitions "
+                "for partition-scoped rewrites"
+            )
+        files_total = len(list(target.glob("**/*.parquet")))
+        cur = self.read(table).withColumn("_f", F.col("_metadata.file_path"))
+        key_df = batch.select(*keys).dropDuplicates()
+        touched = [
+            r["_f"]
+            for r in cur.join(F.broadcast(key_df), keys, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        n_batch = batch.count()
+        if not touched:  # pure insert: nothing to rewrite
+            self.append(batch, table)
+            return {
+                "files_total": files_total,
+                "files_rewritten": 0,
+                "rows_inserted_or_updated": n_batch,
+            }
+        survivors = (
+            cur.filter(F.col("_f").isin(touched))
+            .drop("_f")
+            .join(batch.select(*keys), keys, "left_anti")
+        )
+        self._replace_files(table, touched, survivors.unionByName(batch))
+        return {
+            "files_total": files_total,
+            "files_rewritten": len(touched),
+            "rows_inserted_or_updated": n_batch,
+        }
+
+    def delete_where_file_pruned(self, table: str, predicate) -> dict:
+        """DML DELETE that rewrites only the parquet files containing
+        matching rows — the file-pruned twin of :meth:`delete_where`
+        (which rewrites the whole table on parquet). Same layout
+        contract, staging protocol, and crash window as
+        :meth:`upsert_file_pruned`; on a layout clustered by the
+        predicate columns a keyed delete touches k files, not N.
+        Returns {files_total, files_rewritten, rows_deleted}."""
+        if self.format != "parquet":
+            raise ValueError(
+                "delete_where_file_pruned is the parquet-dir mechanic; "
+                "delta/iceberg delete_where() is already file-pruned"
+            )
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        target = self.path(table)
+        if any("=" in d.name for d in target.iterdir() if d.is_dir()):
+            raise ValueError(
+                "delete_where_file_pruned does not support "
+                "hive-partitioned layouts — use drop_partitions for "
+                "partition-aligned retention"
+            )
+        files_total = len(list(target.glob("**/*.parquet")))
+        cur = self.read(table).withColumn("_f", F.col("_metadata.file_path"))
+        matches = cur.filter(pred)
+        touched_rows = (
+            matches.groupBy("_f").agg(F.count(F.lit(1)).alias("_n")).collect()
+        )
+        touched = [r["_f"] for r in touched_rows]
+        n_deleted = int(sum(r["_n"] for r in touched_rows))
+        if touched:
+            survivors = cur.filter(F.col("_f").isin(touched)).filter(~pred).drop("_f")
+            self._replace_files(table, touched, survivors)
+        return {
+            "files_total": files_total,
+            "files_rewritten": len(touched),
+            "rows_deleted": n_deleted,
+        }
+
+    def _replace_files(
+        self, table: str, touched: list[str], replacement: DataFrame
+    ) -> None:
+        """Swap a file subset: stage ``replacement``, move its parts in
+        under job-unique names, unlink the ``touched`` originals. The
+        move→unlink window shows duplicates to concurrent readers
+        (documented in upsert_file_pruned); single-writer assumed."""
+        import uuid
+
+        target = self.path(table)
+        staging = target.with_name(target.name + "__upsert__staging")
+        if staging.exists():
+            shutil.rmtree(staging)
+        replacement.write.parquet(str(staging))
+        job = uuid.uuid4().hex[:12]
+        for i, part in enumerate(sorted(staging.glob("*.parquet"))):
+            part.rename(target / f"part-{i:05d}-{job}.parquet")
+        # local paths may carry a file:// scheme in _metadata
+        for f in touched:
+            p = Path(f.removeprefix("file://").removeprefix("file:"))
+            if p.exists():
+                p.unlink()
+        shutil.rmtree(staging, ignore_errors=True)
+
     # -- idempotent-writer transaction registry -------------------------
     # The parquet emulation of Delta's txnAppId/txnVersion: a writer
     # identifies itself with an app id and records each applied batch

@@ -516,3 +516,83 @@ def test_surrogate_keys_stable_and_inferred_members(spark):
     rows = ph.collect()
     assert len(rows) == 1 and rows[0].k == "z"
     assert rows[0].name == "UNKNOWN" and rows[0].is_inferred
+
+
+def test_upsert_file_pruned_rewrites_only_matched_files(spark, tmp_path):
+    """The parquet twin of Delta's file-pruned MERGE: on a
+    key-clustered layout a narrow batch rewrites only the files
+    holding its keys; content equals the plain-upsert contract;
+    untouched files stay physically identical (same path, same
+    bytes)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "dim.c"
+    # key-clustered layout: 10 files of 100 keys each (repartitionByRange)
+    base = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    base.repartitionByRange(10, "k").write.parquet(str(wh.path(t)))
+    files_before = {
+        p.name: p.stat().st_mtime_ns
+        for p in wh.path(t).glob("*.parquet")
+    }
+    assert len(files_before) == 10
+
+    # batch touches keys 0-49 (one range file) + inserts 2000-2004
+    batch = spark.createDataFrame(
+        [(k, f"new{k}") for k in range(50)] + [(2000 + i, "ins") for i in range(5)],
+        "k long, v string",
+    )
+    stats = wh.upsert_file_pruned(batch, t, keys=["k"])
+    assert stats["files_total"] == 10
+    assert stats["files_rewritten"] == 1  # clustered: one file holds 0-49
+    assert stats["rows_inserted_or_updated"] == 55
+
+    got = {r.k: r.v for r in wh.read(t).collect()}
+    assert len(got) == 1005
+    assert got[0] == "new0" and got[49] == "new49" and got[50] == "50"
+    assert got[2004] == "ins"
+    # untouched files are bit-identical in place (same mtime):
+    files_after = {
+        p.name: p.stat().st_mtime_ns for p in wh.path(t).glob("*.parquet")
+    }
+    untouched = set(files_before) & set(files_after)
+    assert len(untouched) == 9
+    assert all(files_before[n] == files_after[n] for n in untouched)
+    assert not list(wh.root.glob("**/*__staging"))  # staging cleaned
+
+    # pure-insert batch rewrites nothing
+    stats2 = wh.upsert_file_pruned(
+        spark.createDataFrame([(3000, "x")], "k long, v string"), t, ["k"]
+    )
+    assert stats2["files_rewritten"] == 0
+    assert wh.read(t).count() == 1006
+
+    # partitioned layouts are rejected with guidance
+    wh.append(
+        spark.range(4).selectExpr("id", "CAST(id % 2 AS STRING) AS day"),
+        "fact.p",
+        partition_by=["day"],
+    )
+    with pytest.raises(ValueError, match="overwrite_partitions"):
+        wh.upsert_file_pruned(
+            spark.range(1).selectExpr("id", "'0' AS day"), "fact.p", ["id"]
+        )
+
+
+def test_delete_where_file_pruned_touches_only_matching_files(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "fact.d"
+    spark.range(1000).selectExpr("id AS k", "id % 7 AS v").repartitionByRange(
+        10, "k"
+    ).write.parquet(str(wh.path(t)))
+    before = {p.name: p.stat().st_mtime_ns for p in wh.path(t).glob("*.parquet")}
+    stats = wh.delete_where_file_pruned(t, "k >= 100 AND k < 150")
+    assert stats == {"files_total": 10, "files_rewritten": 1, "rows_deleted": 50}
+    assert wh.read(t).count() == 950
+    assert wh.read(t).filter("k >= 100 AND k < 150").count() == 0
+    after = {p.name: p.stat().st_mtime_ns for p in wh.path(t).glob("*.parquet")}
+    untouched = set(before) & set(after)
+    assert len(untouched) == 9
+    assert all(before[n] == after[n] for n in untouched)
+    # no-match delete touches nothing
+    stats2 = wh.delete_where_file_pruned(t, "k > 10000000")
+    assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0
+    assert wh.read(t).count() == 950
