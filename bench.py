@@ -134,10 +134,12 @@ HEADLINE = [
     "federated_formats_orders",
     "pydatasource_write_roundtrip",
     "dataset_card_docs",
-    # r6: cross-doc passage dedup, DSIR importance, curation funnel
+    # r6: cross-doc passage dedup, DSIR importance, curation funnel,
+    # file-pruned SCD1 DML
     "passage_dedup_docs",
     "dsir_importance_docs",
     "filter_funnel_docs",
+    "scd1_file_pruned_customers",
 ]
 
 

@@ -157,6 +157,55 @@ def scd1_customer_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The FILE-PRUNED SCD1 twin: identical scenario and oracle to
+# scd1_customer_current, executed via upsert_file_pruned on a
+# range-clustered layout — the Delta-MERGE-mechanic-on-parquet path
+# (rewrites only files holding matched keys). The oracle-hash identity
+# of the two queries IS the result-contract proof; the file-count
+# pruning itself is asserted in tests/test_warehouse.py.
+@query(
+    "scd1_file_pruned_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key
+    """,
+)
+def scd1_file_pruned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    wh = _fresh_wh(spark, f"scd1fp_{Path(sf_dir).name}")
+    t = "layer0150.dim_customer_fp"
+    # seed with a key-clustered layout so the second upsert's pruning
+    # has ranges to prune against (the 100 TB layout discipline)
+    batch1.repartitionByRange(8, "c_custkey").write.parquet(str(wh.path(t)))
+    wh.upsert_file_pruned(batch2, t, keys=["c_custkey"])
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Merge stats contract ({unchanged,new_keys,updated_keys},
 # reference pipeline_core.py:255-259) for the second merge.
 @query(
