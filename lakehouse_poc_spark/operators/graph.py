@@ -40,6 +40,7 @@ def pagerank_int(
     damping_pct: int = 85,
     iterations: int = 10,
     checkpoint_every: int = 4,
+    driver_threshold: int = 50_000,
 ) -> DataFrame:
     """Weighted PageRank with exact fixed-point arithmetic.
 
@@ -48,6 +49,14 @@ def pagerank_int(
     (all ·/÷ integer; Σ exact BIGINT). Dangling mass is dropped (the
     standard simplification; documents the leak rather than hiding it).
     Returns (node, rank_scaled BIGINT, rank DOUBLE).
+
+    Below ``driver_threshold`` edges the iteration runs on the driver
+    (the recurrence is pure integer arithmetic, so the result is
+    BIT-IDENTICAL to the distributed loop — Python ``//`` and Spark
+    ``div`` agree on non-negative ints): transition/metadata graphs
+    with a handful of nodes shouldn't pay 10 rounds of job scheduling.
+    Billion-edge graphs take the distributed loop unchanged;
+    ``driver_threshold=0`` forces it.
     """
     w_col = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
     e = edges.select(
@@ -69,6 +78,37 @@ def pagerank_int(
     if n_nodes == 0:
         raise ValueError("pagerank_int: empty edge set (no nodes)")
     base = ((100 - damping_pct) * SCALE // 100) // n_nodes
+
+    n_edges = e.count()  # cached; metadata-sized action
+    if n_edges <= driver_threshold:
+        erows = [(r["src"], r["dst"], r["w"], r["out_w"]) for r in e.collect()]
+        vlist = [r["node"] for r in nodes.collect()]
+        e.unpersist()
+        nodes.unpersist()
+        rank = {v: SCALE // n_nodes for v in vlist}
+        for _ in range(iterations):
+            in_sum = dict.fromkeys(vlist, 0)
+            for s, d, w, ow in erows:
+                in_sum[d] += rank[s] * w // ow
+            rank = {v: base + damping_pct * in_sum[v] // 100 for v in vlist}
+        node_t = edges.schema[src].dataType
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            [
+                StructField("node", node_t),
+                StructField("rank_scaled", LongType()),
+                StructField("rank", DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, rank[v], rank[v] / SCALE) for v in vlist], out_schema
+        )
 
     ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n_nodes))
     for it in range(iterations):
