@@ -140,6 +140,7 @@ HEADLINE = [
     "dsir_importance_docs",
     "filter_funnel_docs",
     "scd1_file_pruned_customers",
+    "epoch_upsample_docs",
 ]
 
 

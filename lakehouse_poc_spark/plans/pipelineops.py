@@ -194,3 +194,56 @@ def filter_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'4_unique', `4_unique`) AS (stage, n_docs)"
         )
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Epoch upsampling: the mixing move OPPOSITE to temperature_mix_docs
+# (which samples abundant sources DOWN) — rare sources repeat for
+# multiple epochs so the training stream approaches balance without
+# discarding abundant data (the "epochs per dataset" knob in LLM
+# pretraining mixes). epochs(source) = clamp(max_source_n // n, 1, 4),
+# integer-exact; each doc emits one row per epoch with a copy index.
+# Map-only after one broadcast of the per-source epoch table.
+@query(
+    "epoch_upsample_docs",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    mx AS (SELECT MAX(n) AS max_n FROM counts),
+    epochs AS (
+      SELECT source,
+             LEAST(4, GREATEST(1, CAST(max_n // n AS BIGINT))) AS n_epochs
+      FROM counts, mx
+    )
+    SELECT d.doc_id, CAST(t.i AS BIGINT) AS copy_id, d.source
+    FROM documents d
+    JOIN epochs e USING (source),
+    UNNEST(range(e.n_epochs)) AS t(i)
+    ORDER BY doc_id, copy_id
+    """,
+)
+def epoch_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("max_n"))
+    epochs = counts.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(4).cast("bigint"),
+            F.greatest(F.lit(1).cast("bigint"), F.expr("max_n div n")),
+        ).alias("n_epochs"),
+    )
+    return (
+        docs.join(F.broadcast(epochs), "source")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"), F.col("n_epochs") - 1
+                )
+            ).alias("copy_id"),
+            "source",
+        )
+        .orderBy("doc_id", "copy_id")
+    )

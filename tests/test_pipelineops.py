@@ -80,3 +80,45 @@ def test_filter_funnel_monotone(spark):
     # cumulative AND-cascade: each stage can only lose documents
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] == 500 and counts[-1] > 0
+
+
+def test_epoch_upsample_balances_rare_sources(spark):
+    """The fixture's sources are uniform (epochs all 1 — degenerate for
+    the oracle), so the real upsampling behavior is pinned here: a
+    source 10x rarer than the biggest repeats for 4 epochs (capped),
+    3x rarer repeats 3x, and the big source stays single-epoch."""
+    from lakehouse_poc_spark.plans.pipelineops import epoch_upsample_docs  # noqa: F401
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "big") for i in range(90)]
+        + [(100 + i, "mid") for i in range(30)]
+        + [(200 + i, "rare") for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("max_n"))
+    epochs = counts.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(4),
+            F.greatest(F.lit(1), (F.col("max_n") / F.col("n")).cast("bigint")),
+        ).alias("n_epochs"),
+    )
+    got = {r["source"]: r["n_epochs"] for r in epochs.collect()}
+    assert got == {"big": 1, "mid": 3, "rare": 4}  # 90//9=10 capped at 4
+    out = (
+        df.join(F.broadcast(epochs), "source")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_epochs") - 1)
+            ).alias("copy_id"),
+            "source",
+        )
+    )
+    per_source = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_source == {"big": 90, "mid": 90, "rare": 36}
