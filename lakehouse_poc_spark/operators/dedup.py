@@ -397,9 +397,16 @@ def connected_components(
     millions of dup pairs) the distributed loop runs unchanged. Set
     ``driver_threshold=0`` to force the distributed path.
     """
+    # Materialize the caller's pair plan ONCE before the symmetrize
+    # union: the union reads `pairs` twice, which would re-execute the
+    # (typically expensive — LSH banding, prefix joins) upstream pair
+    # pipeline a second time. The pair set itself is the small side,
+    # so this checkpoint is cheap and every later round reuses it.
+    p = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p.union(p.select(F.col("dst"), F.col("src")))
         .distinct()
         .localCheckpoint(eager=True)  # reused every round
     )
