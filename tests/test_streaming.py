@@ -471,3 +471,53 @@ def test_run_with_metrics_reports_per_batch_progress(spark, tmp_path):
         m["batch_duration_ms"] is not None and m["batch_duration_ms"] > 0
         for m in data_batches
     )
+
+
+def test_run_with_metrics_beyond_recent_progress_cap(spark, tmp_path):
+    """ADVICE r6: q.recentProgress caps at
+    spark.sql.streaming.numRecentProgressUpdates entries, silently
+    truncating per-batch telemetry for sources with more micro-batches.
+    The listener-based collector must see EVERY batch: with the cap
+    lowered to 5 and a 12-file maxFilesPerTrigger=1 source (12 data
+    batches), row-count reconciliation against the sink must hold —
+    impossible from the capped recentProgress alone."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.sources.readers import normalize_event_ts
+    from lakehouse_poc_spark.streaming.runner import run_with_metrics
+    from lakehouse_poc_spark.streaming.windows import stream_parquet
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_files = 12
+    for i in range(n_files):
+        ev.filter(F.col("event_id") % n_files == i).coalesce(1).write.parquet(
+            str(src / f"f{i:02d}")
+        )
+    n = ev.count()
+    saved = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", None)
+    try:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "5")
+        stream = normalize_event_ts(
+            stream_parquet(
+                spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+            )
+        )
+        sunk, metrics = run_with_metrics(
+            stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.numRecentProgressUpdates", saved
+            )
+    assert sunk.count() == n
+    data_batches = [m for m in metrics if (m["num_input_rows"] or 0) > 0]
+    assert len(data_batches) == n_files  # > the cap of 5: no truncation
+    assert sum(m["num_input_rows"] for m in data_batches) == n
+    # batch ids are dense and unique (no double-count from gap-fill)
+    ids = [m["batch_id"] for m in metrics]
+    assert len(ids) == len(set(ids))
