@@ -1014,3 +1014,115 @@ def stream_pit_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("probe", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (continuous-ingest) SemDeDup: embedding batches arrive in
+# vec_id order (4 range files, mtimes forced so file order = id
+# order); each micro-batch decides its keeps against the STORE of all
+# previously-ingested vectors plus its own lower-id rows — the exact
+# "dropped iff a lower-id vector in the same cluster is within the
+# cosine threshold" rule, applied incrementally. Because batch
+# boundaries respect id order, the incremental result is
+# ROW-IDENTICAL to the one-shot batch semdedup, so this query reuses
+# semdedup_embeddings' oracle semantics verbatim — stream == batch,
+# proven by hash. Store growth is the corpus itself (same as batch
+# input); each micro-batch's join cost is batch × same-cluster store,
+# not store × store.
+from .simops import _sql_cosine  # noqa: E402  (loaded before streamops)
+
+_SEMDEDUP_CLUSTER_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(6)
+)
+
+
+@query(
+    "stream_semdedup_embeddings",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, embedding,
+               {_SEMDEDUP_CLUSTER_SQL} AS cluster
+        FROM embeddings
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id AS vid
+        FROM c a JOIN c b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+    )
+    SELECT c.vec_id, CAST(c.cluster AS INTEGER) AS cluster,
+           (d.vid IS NULL) AS kept
+    FROM c LEFT JOIN dups d ON c.vec_id = d.vid
+    ORDER BY c.vec_id
+    """,
+)
+def stream_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions.vectors import cosine
+    from ..operators.semdedup import signbit_cluster
+
+    work = Path(tempfile.mkdtemp(prefix="stream_semdedup_"))
+    src = work / "in"
+    src.mkdir()
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cuts = [ids[len(ids) * i // 4] for i in range(1, 4)] + [ids[-1] + 1]
+    lo = None
+    for i, hi in enumerate(cuts):
+        part = emb.filter(F.col("vec_id") < hi)
+        if lo is not None:
+            part = part.filter(F.col("vec_id") >= lo)
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+        lo = hi
+    for i in range(4):  # file order = id order (the operator's contract)
+        for p in (src / f"b{i}").glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", emb.schema, max_files_per_trigger=1
+    )
+    store = str(work / "store")
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            "vec_id", "embedding", signbit_cluster(F.col("embedding"), 6)
+        )
+        # within-batch lower-id dups ∪ store dups (store ids are all
+        # lower by ingest-order contract)
+        a = batch.alias("a")
+        b = batch.alias("b")
+        dups = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+            .select(F.col("b.vec_id").alias("vid"))
+        )
+        if Path(store).exists():
+            s = spark.read.parquet(store).alias("s")
+            dups = dups.unionByName(
+                s.join(b, F.col("s.cluster") == F.col("b.cluster"))
+                .filter(
+                    cosine(F.col("s.embedding"), F.col("b.embedding")) >= 0.3
+                )
+                .select(F.col("b.vec_id").alias("vid"))
+            )
+        dups = dups.distinct()
+        out = batch.join(dups, batch.vec_id == dups.vid, "left").select(
+            "vec_id", "embedding", "cluster", F.col("vid").isNull().alias("kept")
+        )
+        out.write.mode("append").parquet(store)
+
+    run_foreach_batch(stream, dedup_batch, str(work / "ckpt"))
+    return (
+        spark.read.parquet(store)
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "kept")
+        .orderBy("vec_id")
+    )
