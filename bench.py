@@ -141,6 +141,8 @@ HEADLINE = [
     "filter_funnel_docs",
     "scd1_file_pruned_customers",
     "epoch_upsample_docs",
+    "char_entropy_docs",
+    "stream_semdedup_embeddings",
 ]
 
 

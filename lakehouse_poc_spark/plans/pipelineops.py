@@ -247,3 +247,61 @@ def epoch_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "copy_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: Shannon entropy of each document's
+# character distribution — the cheap stand-in for compression-ratio
+# screens (Gopher/RefinedWeb drop low-entropy boilerplate and
+# high-entropy binary junk; natural text sits in a band). Exactness
+# idiom: each -p·ln(p) term is micro-rounded to BIGINT BEFORE the sum,
+# so the per-doc total is order-independent integer addition — engine
+# identical (the bigram-LM convention). Two shuffles: (doc, char)
+# count, per-doc sum.
+@query(
+    "char_entropy_docs",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, c
+      FROM documents, UNNEST(string_split(text, '')) AS u(c)
+    ),
+    freq AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+    ),
+    tot AS (
+      SELECT doc_id, SUM(n) AS nt FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(t.nt AS BIGINT) AS n_chars_counted,
+           CAST(SUM(CAST(round(-(n / CAST(nt AS DOUBLE))
+                                * ln(n / CAST(nt AS DOUBLE))
+                                * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS entropy_micro
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.nt
+    ORDER BY f.doc_id
+    """,
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt").cast("double")
+    term = F.round(-p * F.log(p) * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "nt")
+        .agg(F.sum(term).alias("entropy_micro"))
+        .select(
+            "doc_id",
+            F.col("nt").cast("bigint").alias("n_chars_counted"),
+            "entropy_micro",
+        )
+        .orderBy("doc_id")
+    )

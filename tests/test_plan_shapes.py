@@ -98,7 +98,10 @@ def test_text_functions_stay_jvm_side(spark):
     """No Python evaluation nodes in the text/dedup query plans — the
     expressions must stay in the JVM (mapInPandas appears only in the
     multimodal codecs, by design)."""
-    for name in ("text_quality_scores", "ngram_jaccard_pairs_docs"):
+    for name in ("text_quality_scores", "ngram_jaccard_pairs_docs",
+                 "passage_dedup_docs", "dsir_importance_docs",
+                 "char_entropy_docs", "epoch_upsample_docs",
+                 "filter_funnel_docs"):
         plan = _formatted(QUERIES[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
