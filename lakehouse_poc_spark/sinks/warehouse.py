@@ -68,20 +68,29 @@ def iceberg_available(spark: SparkSession) -> bool:
     catalog and ask Spark to resolve it — resolution instantiates
     ``org.apache.iceberg.spark.SparkCatalog``, which throws when the
     JAR is absent. Public API only (conf + SQL), Connect-safe."""
+    confs = {
+        "spark.sql.catalog._iceberg_probe": (
+            "org.apache.iceberg.spark.SparkCatalog"
+        ),
+        "spark.sql.catalog._iceberg_probe.type": "hadoop",
+        "spark.sql.catalog._iceberg_probe.warehouse": "/tmp/_iceberg_probe_wh",
+    }
     try:  # pragma: no cover - JAR absent in the test container by design
-        spark.conf.set(
-            "spark.sql.catalog._iceberg_probe",
-            "org.apache.iceberg.spark.SparkCatalog",
-        )
-        spark.conf.set("spark.sql.catalog._iceberg_probe.type", "hadoop")
-        spark.conf.set(
-            "spark.sql.catalog._iceberg_probe.warehouse",
-            "/tmp/_iceberg_probe_wh",
-        )
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         spark.sql("SHOW NAMESPACES IN _iceberg_probe").collect()
         return True
     except Exception:
         return False
+    finally:
+        # don't leave the throwaway catalog registered — a later SHOW
+        # CATALOGS / catalog listing would trip over it when the JAR
+        # is absent
+        for k in confs:
+            try:  # pragma: no cover - unset unsupported on some builds
+                spark.conf.unset(k)
+            except Exception:
+                pass
 
 
 class Warehouse:

@@ -305,3 +305,55 @@ def test_prefix_jaccard_parity_any_corpus(spark, docs, threshold):
     pref = jaccard_prefix_pairs(df, "text", "doc_id", threshold=threshold)
     assert brute.exceptAll(pref).isEmpty()
     assert pref.exceptAll(brute).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Passage dedup invariants under arbitrary tiny corpora: a Python
+# reference implements the same keep-first rule; the operator must
+# match it exactly, and block accounting must conserve inputs.
+words_strategy = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=9
+)
+corpus_strategy = st.lists(words_strategy, min_size=1, max_size=5)
+
+
+def _ref_passage_dedup(texts: list[str], block: int):
+    seen: set[str] = set()
+    out = []
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        kept, removed, total = [], 0, 0
+        for i in range(0, len(toks), block):
+            p = " ".join(toks[i : i + block])
+            total += 1
+            if p in seen:
+                removed += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        out.append((doc_id, total, removed, " ".join(kept)))
+    return out
+
+
+@given(corpus_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_passage_dedup_matches_python_reference(spark, corpus):
+    from lakehouse_poc_spark.operators.passages import dedup_passages
+
+    texts = [" ".join(ws) for ws in corpus]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["doc_id"], r["n_blocks"], r["n_removed"], r["text_clean"])
+        for r in dedup_passages(df, "text", "doc_id", block_words=3).collect()
+    ]
+    assert got == _ref_passage_dedup(texts, 3)
+    # conservation: blocks kept + removed == blocks in
+    assert sum(g[1] for g in got) == sum(
+        -(-len(ws) // 3) for ws in corpus
+    )
