@@ -143,6 +143,7 @@ HEADLINE = [
     "epoch_upsample_docs",
     "char_entropy_docs",
     "stream_semdedup_embeddings",
+    "holt_trend_event_values",
 ]
 
 

@@ -1120,3 +1120,86 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "new_users", "returning_users")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend (double-exponential) smoothing per user — the
+# level+trend forecasting primitive one notch above ewma (level only):
+# l_t = α·x_t + (1−α)·(l_{t−1}+b_{t−1});
+# b_t = β·(l_t−l_{t−1}) + (1−β)·b_{t−1}; forecast_1 = l+b. Zero-seeded
+# fold over the (ts, event_id)-pinned value order (the ewma/cusum
+# determinism idiom). DuckDB's list_reduce rebinds struct fields
+# sequentially, so the accumulator carries the previous level in a
+# field computed BEFORE 'l' ('pl' sees the old acc.l; 'b' then reads
+# the rebound new l and the old level from pl) — same quirk the cusum
+# oracle documents. Spark computes the identical expressions with
+# explicit locals, so every double matches bit-for-bit.
+_HOLT_A = 0.5
+_HOLT_B = 0.3
+
+
+@query(
+    "holt_trend_event_values",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+               CAST(len(list(value)) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    -- recursive CTE instead of list_reduce: DuckDB's struct-field
+    -- lambda folds rebind interdependent fields in
+    -- version-dependent order (measured three different behaviors),
+    -- while the CTE's step expressions are unambiguous. The trend
+    -- update inlines the new-level expression, matching Spark's
+    -- expression tree op-for-op, so doubles are bit-identical.
+    rec AS (
+        SELECT user_id, 0 AS t, 0.0::DOUBLE AS l, 0.0::DOUBLE AS b, n, vs
+        FROM seq
+        UNION ALL
+        SELECT user_id, t + 1,
+               {_HOLT_A} * vs[t + 1] + {1.0 - _HOLT_A} * (l + b),
+               {_HOLT_B} * (({_HOLT_A} * vs[t + 1]
+                             + {1.0 - _HOLT_A} * (l + b)) - l)
+                   + {1.0 - _HOLT_B} * b,
+               n, vs
+        FROM rec WHERE t < n
+    )
+    SELECT user_id, n AS n_events, l AS level, b AS trend,
+           l + b AS forecast_1
+    FROM rec WHERE t = n
+    ORDER BY user_id
+    """,
+)
+def holt_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda e: e["value"])
+
+    def step(acc, v):
+        # identical expressions to the oracle: new level from OLD
+        # (l, b); trend from (new level − old level) with the new
+        # level inlined — every double op matches the SQL fold
+        new_l = F.lit(_HOLT_A) * v + F.lit(1.0 - _HOLT_A) * (
+            acc["l"] + acc["b"]
+        )
+        new_b = F.lit(_HOLT_B) * (new_l - acc["l"]) + F.lit(
+            1.0 - _HOLT_B
+        ) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    r = F.aggregate(
+        vals,
+        F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b")),
+        step,
+    )
+    return seq.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        r["l"].alias("level"),
+        r["b"].alias("trend"),
+        (r["l"] + r["b"]).alias("forecast_1"),
+    ).orderBy("user_id")
