@@ -144,6 +144,7 @@ HEADLINE = [
     "char_entropy_docs",
     "stream_semdedup_embeddings",
     "holt_trend_event_values",
+    "multimodal_dedup_payloads",
 ]
 
 

@@ -196,3 +196,51 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return audio_features(synthesize_audio(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-hash dedup over BINARY payloads — the media twin of
+# dedup_exact_documents: identical images/audio re-crawled under
+# different ids collapse on their byte fingerprint (what production
+# media pipelines do before any decode). md5 runs JVM-side over the
+# binary column; one fingerprint shuffle, keep = min id per digest.
+# The fixture's payload is the text bytes, which carry real duplicate
+# structure; exactness rides DuckDB's identical md5-over-BLOB.
+@query(
+    "multimodal_dedup_payloads",
+    oracle="""
+    WITH p AS (
+      -- DuckDB's md5(VARCHAR) hashes the string's UTF-8 bytes — the
+      -- same bytes Spark's md5(encode(text,'UTF-8')) sees
+      SELECT doc_id, md5(text) AS digest,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    firsts AS (
+      SELECT digest, MIN(doc_id) AS keeper FROM p GROUP BY digest
+    )
+    SELECT p.doc_id, p.digest,
+           CAST(p.n_bytes AS BIGINT) AS n_bytes,
+           (p.doc_id = f.keeper) AS kept
+    FROM p JOIN firsts f USING (digest)
+    ORDER BY p.doc_id
+    """,
+)
+def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _payload(_t(spark, sf_dir, "documents"))
+    p = docs.select(
+        "doc_id",
+        F.md5(F.col("payload")).alias("digest"),
+        F.length(F.col("payload")).cast("bigint").alias("n_bytes"),
+    )
+    firsts = p.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    return (
+        p.join(firsts, "digest")
+        .select(
+            "doc_id",
+            "digest",
+            "n_bytes",
+            (F.col("doc_id") == F.col("keeper")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
