@@ -145,6 +145,8 @@ HEADLINE = [
     "stream_semdedup_embeddings",
     "holt_trend_event_values",
     "multimodal_dedup_payloads",
+    "source_overlap_matrix",
+    "ngram_novelty_docs",
 ]
 
 

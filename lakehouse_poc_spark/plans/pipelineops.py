@@ -305,3 +305,119 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix: for every source pair, how many distinct
+# PASSAGES (20-word blocks, the passage-dedup unit) they share — the
+# "which crawls duplicate each other" panel that decides which source
+# to drop when budgets bind. Whole-document digests are too coarse
+# (cross-source exact-doc dups are rare; shared boilerplate passages
+# are the real overlap). The join runs on distinct (source, passage)
+# fingerprints — one shuffle, never document×document.
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               list_slice(w, CAST(t.i AS BIGINT) * {_PD_BLOCK} + 1,
+                          CAST(t.i AS BIGINT) * {_PD_BLOCK} + {_PD_BLOCK}),
+               ' ')) AS p
+      FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+           UNNEST(range(CAST(ceil(len(w) / {_PD_BLOCK}.0) AS BIGINT))) AS t(i)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_passages
+    FROM blocks a JOIN blocks b
+      ON a.p = b.p AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.passages import explode_passages
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = (
+        explode_passages(
+            docs.select(F.col("source").alias("sid"), "text"),
+            "text",
+            "sid",
+            block_words=_PD_BLOCK,
+        )
+        .select(F.col("sid").alias("source"), F.md5("passage").alias("p"))
+        .distinct()
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_passages"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve: per document (in doc_id ingest order), the
+# fraction of its 3-gram shingles never seen in ANY earlier document —
+# the marginal-new-content metric behind "this source has stopped
+# adding anything" decisions. First-occurrence rule via one
+# shingle-keyed min(doc_id) agg (the passage-dedup shape on the gram
+# level); novelty is micro-int exact.
+@query(
+    "ngram_novelty_docs",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    firsts AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM grams g JOIN firsts f USING (g)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_grams").alias("novelty_micro"),
+        )
+        .orderBy("doc_id")
+    )
