@@ -147,6 +147,7 @@ HEADLINE = [
     "multimodal_dedup_payloads",
     "source_overlap_matrix",
     "ngram_novelty_docs",
+    "mrr_eval_docs",
 ]
 
 

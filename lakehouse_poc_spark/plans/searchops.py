@@ -346,3 +346,89 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: reciprocal rank @10 per query — the
+# metric loop that closes the search family (index → rank → EVALUATE).
+# Deterministic setup: queries are five fixed terms; relevance label =
+# "document's first token equals the term" (a synthetic but exact
+# label); ranking = tf DESC, doc_id ASC (tie-stable). rr_micro =
+# 1e6 // first_relevant_rank, 0 when no relevant doc ranks in the top
+# 10. One tf shuffle + one per-term window; query set broadcasts at
+# any corpus size.
+_MRR_TERMS = ("spark", "merge", "window", "table", "key")
+
+
+@query(
+    "mrr_eval_docs",
+    oracle=rf"""
+    WITH q AS (SELECT unnest({list(_MRR_TERMS)!r}) AS term),
+    first_tok AS (
+      SELECT doc_id, string_split_regex(text, '\s+')[1] AS ft FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+      ) WHERE token IN {tuple(_MRR_TERMS)!r}
+      GROUP BY doc_id, token
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rnk
+      FROM tf
+    ),
+    rel AS (
+      SELECT r.term, MIN(r.rnk) AS first_rel_rank
+      FROM ranked r JOIN first_tok f USING (doc_id)
+      WHERE f.ft = r.term AND r.rnk <= 10
+      GROUP BY r.term
+    )
+    SELECT q.term,
+           CAST(COALESCE(first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN first_rel_rank IS NULL THEN 0
+                     ELSE 1000000 // first_rel_rank END AS BIGINT) AS rr_micro
+    FROM q LEFT JOIN rel USING (term)
+    ORDER BY term
+    """,
+)
+def mrr_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    first_tok = docs.select(
+        "doc_id", F.element_at(toks, 1).alias("ft")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*_MRR_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    rel = (
+        ranked.join(first_tok, "doc_id")
+        .filter((F.col("ft") == F.col("term")) & (F.col("rnk") <= 10))
+        .groupBy("term")
+        .agg(F.min("rnk").alias("first_rel_rank"))
+    )
+    q = spark.createDataFrame([(t,) for t in _MRR_TERMS], ["term"])
+    return (
+        q.join(rel, "term", "left")
+        .select(
+            "term",
+            F.coalesce("first_rel_rank", F.lit(0))
+            .cast("bigint")
+            .alias("first_rel_rank"),
+            F.when(
+                F.col("first_rel_rank").isNull(), F.lit(0).cast("bigint")
+            )
+            .otherwise(F.expr("1000000 div first_rel_rank"))
+            .alias("rr_micro"),
+        )
+        .orderBy("term")
+    )

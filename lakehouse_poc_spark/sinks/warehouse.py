@@ -1008,10 +1008,11 @@ class Warehouse:
     def compact(
         self,
         table: str,
-        target_files: int,
+        target_files: int | None = None,
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         zorder_by: tuple[str, str] | None = None,
+        target_file_bytes: int | None = None,
     ) -> int:
         """Small-file compaction: rewrite the table into
         ``target_files`` files per partition (atomic staged swap). The
@@ -1030,8 +1031,23 @@ class Warehouse:
         narrow value range, so parquet row-group min/max statistics
         skip whole files for selective filters on those columns — at
         100 TB, clustering the fact table on its hottest filter column
-        turns full scans into a handful of file reads."""
-        before = len(list(self.path(table).glob("**/*.parquet")))
+        turns full scans into a handful of file reads.
+
+        Pass ``target_file_bytes`` instead of ``target_files`` to size
+        by bytes (OPTIMIZE's actual knob — e.g. 128 MB targets):
+        target_files = ceil(current on-disk bytes / target), from a
+        metadata-only directory stat. Bytes are COMPRESSED parquet
+        bytes, so the rewrite lands near the target regardless of row
+        width; exactly one of the two knobs must be given."""
+        data_files = list(self.path(table).glob("**/*.parquet"))
+        before = len(data_files)
+        if (target_files is None) == (target_file_bytes is None):
+            raise ValueError(
+                "exactly one of target_files/target_file_bytes is required"
+            )
+        if target_file_bytes is not None:
+            total = sum(f.stat().st_size for f in data_files)
+            target_files = max(1, -(-total // int(target_file_bytes)))
         df = self.read(table, merge_schema=True)
         if zorder_by:
             if partition_by or cluster_by:

@@ -596,3 +596,26 @@ def test_delete_where_file_pruned_touches_only_matching_files(spark, tmp_path):
     stats2 = wh.delete_where_file_pruned(t, "k > 10000000")
     assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0
     assert wh.read(t).count() == 950
+
+
+def test_compaction_by_target_bytes(spark, tmp_path):
+    """target_file_bytes sizes the rewrite from on-disk bytes: a table
+    of N compressed bytes compacted at ~N/3 per file lands near 3
+    files; the two sizing knobs are mutually exclusive."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(8):
+        wh.append(
+            spark.range(i * 500, (i + 1) * 500).selectExpr(
+                "id", "CAST(id AS STRING) AS s"
+            ),
+            "raw.b",
+        )
+    total = sum(f.stat().st_size for f in wh.path("raw.b").glob("**/*.parquet"))
+    wh.compact("raw.b", target_file_bytes=total // 3)
+    n = len(list(wh.path("raw.b").glob("*.parquet")))
+    assert 2 <= n <= 4, n
+    assert wh.read("raw.b").count() == 4000
+    with pytest.raises(ValueError, match="exactly one"):
+        wh.compact("raw.b", target_files=2, target_file_bytes=1)
+    with pytest.raises(ValueError, match="exactly one"):
+        wh.compact("raw.b")
