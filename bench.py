@@ -148,6 +148,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "ngram_novelty_docs",
     "mrr_eval_docs",
+    "stream_scd1_file_pruned",
 ]
 
 

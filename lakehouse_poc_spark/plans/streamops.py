@@ -1126,3 +1126,73 @@ def stream_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "kept")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply → FILE-PRUNED upsert: each micro-batch of
+# last-write-wins changes lands via upsert_file_pruned, rewriting only
+# the files whose keys the batch touched — the streaming twin of
+# scd1_file_pruned_customers and the shape a 100 TB CDC consumer
+# needs (an hourly batch touches MB of a key-clustered dimension, not
+# the dimension). Two mtime-ordered micro-batches; final state is the
+# plain SCD1 oracle.
+@query(
+    "stream_scd1_file_pruned",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key
+    """,
+)
+def stream_scd1_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = Path(tempfile.mkdtemp(prefix="stream_scd1fp_"))
+    src = work / "in"
+    src.mkdir()
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    # batch 0: the %10==0 updates; batch 1: the odd-key inserts
+    cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_mktsegment", F.lit("CHANGED")
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    for i in range(2):
+        for p in (src / f"b{i}").glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    wh = Warehouse(spark, str(work / "wh"))
+    t = "dim.customer_fp"
+    # key-clustered base of the even keys — the layout the pruning
+    # works against
+    cust.filter(F.col("c_custkey") % 2 == 0).repartitionByRange(
+        8, "c_custkey"
+    ).write.parquet(str(wh.path(t)))
+
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", cust.schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wh.upsert_file_pruned(batch_df, t, keys=["c_custkey"])
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )
