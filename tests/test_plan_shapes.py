@@ -230,7 +230,25 @@ def test_unigram_logprob_broadcasts_vocab(spark):
 
 
 def test_pagerank_reuses_cached_edges(spark):
-    plan = _formatted(QUERIES["pagerank_event_types"](spark, SF))
+    # The registered query takes the driver fast path on the tiny
+    # transition graph (bit-identical by integer arithmetic — its own
+    # parity test); the cached-edge property belongs to the
+    # DISTRIBUTED loop, so pin it with the threshold forced off.
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.graph import pagerank_int
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.xxhash64("event_type").alias("dst"),
+        )
+        .limit(2000)
+    )
+    plan = _formatted(
+        pagerank_int(edges, iterations=3, driver_threshold=0)
+    )
     # edges/nodes are persisted and re-joined every iteration — the
     # final plan must read them from cache, not recompute the event
     # scan per iteration
