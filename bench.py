@@ -149,6 +149,7 @@ HEADLINE = [
     "ngram_novelty_docs",
     "mrr_eval_docs",
     "stream_scd1_file_pruned",
+    "drift_psi_orders",
 ]
 
 

@@ -444,3 +444,89 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift report (PSI): compare the order-value
+# distribution of the current period against the historical base
+# period in fixed bins — the standard pre-retraining / DQ gate
+# (population stability index; PSI > 0.2 conventionally means "the
+# feature moved, investigate"). Laplace-smoothed shares so empty bins
+# stay finite; each bin's PSI term is micro-rounded after one double
+# expression, so the report is engine-exact. One conditional-agg pass
+# over the fact table — two snapshots never join row-to-row.
+_PSI_SPLIT = "1998-01-01"
+_PSI_BIN_W = 60000.0
+_PSI_BINS = 10
+
+
+@query(
+    "drift_psi_orders",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}'
+                  THEN 'base' ELSE 'cur' END AS period,
+             LEAST({_PSI_BINS - 1}, GREATEST(0,
+                 CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT))) AS bin
+      FROM orders
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM labeled GROUP BY bin
+    ),
+    tot AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM counts)
+    SELECT bin,
+           CAST(nb AS BIGINT) AS n_base,
+           CAST(nc AS BIGINT) AS n_cur,
+           CAST(round((
+              ((nc + 1.0) / (tc + {float(_PSI_BINS)}))
+              - ((nb + 1.0) / (tb + {float(_PSI_BINS)}))
+            ) * ln(((nc + 1.0) / (tc + {float(_PSI_BINS)}))
+                   / ((nb + 1.0) / (tb + {float(_PSI_BINS)})))
+            * 1000000.0) AS BIGINT) AS psi_term_micro
+    FROM counts, tot
+    ORDER BY bin
+    """,
+)
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("date"), "base"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.col("o_totalprice") / F.lit(_PSI_BIN_W)).cast("bigint"),
+            ),
+        ).alias("bin"),
+    )
+    counts = labeled.groupBy("bin").agg(
+        F.sum((F.col("period") == "base").cast("bigint")).alias("nb"),
+        F.sum((F.col("period") == "cur").cast("bigint")).alias("nc"),
+    )
+    tot = counts.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    k = float(_PSI_BINS)
+    pc = (F.col("nc").cast("double") + F.lit(1.0)) / (
+        F.col("tc").cast("double") + F.lit(k)
+    )
+    pb = (F.col("nb").cast("double") + F.lit(1.0)) / (
+        F.col("tb").cast("double") + F.lit(k)
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("nb").cast("bigint").alias("n_base"),
+            F.col("nc").cast("bigint").alias("n_cur"),
+            F.round((pc - pb) * F.log(pc / pb) * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("psi_term_micro"),
+        )
+        .orderBy("bin")
+    )
