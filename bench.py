@@ -150,6 +150,8 @@ HEADLINE = [
     "mrr_eval_docs",
     "stream_scd1_file_pruned",
     "drift_psi_orders",
+    "drift_ks_orders",
+    "join_cardinality_audit",
 ]
 
 

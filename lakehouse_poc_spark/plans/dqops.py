@@ -530,3 +530,138 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS statistic over the same binning as drift_psi_orders:
+# max |CDF_base − CDF_cur| — PSI weights every bin's move, KS catches
+# a concentrated shift PSI smooths over; drift gates run both. The
+# cumulative shares come from one window over the 10-bin aggregate
+# (window input = bins, not rows), and the statistic is exact integer
+# arithmetic: |nb_cum·tc − nc_cum·tb| avoids share division entirely,
+# with the final KS reported in micro-units via one integer division.
+@query(
+    "drift_ks_orders",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CASE WHEN o_orderdate < DATE '{_PSI_SPLIT}'
+                  THEN 'base' ELSE 'cur' END AS period,
+             LEAST({_PSI_BINS - 1}, GREATEST(0,
+                 CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT))) AS bin
+      FROM orders
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM labeled GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin,
+             SUM(nb) OVER (ORDER BY bin) AS nb_cum,
+             SUM(nc) OVER (ORDER BY bin) AS nc_cum,
+             SUM(nb) OVER () AS tb,
+             SUM(nc) OVER () AS tc
+      FROM counts
+    )
+    SELECT CAST(MAX(abs(nb_cum * tc - nc_cum * tb)) * 1000000
+                // (MAX(tb) * MAX(tc)) AS BIGINT) AS ks_micro,
+           CAST(MAX(tb) AS BIGINT) AS n_base,
+           CAST(MAX(tc) AS BIGINT) AS n_cur
+    FROM cum
+    """,
+)
+def drift_ks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("date"), "base"
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.col("o_totalprice") / F.lit(_PSI_BIN_W)).cast(
+                    "bigint"
+                ),
+            ),
+        ).alias("bin"),
+    )
+    counts = labeled.groupBy("bin").agg(
+        F.sum((F.col("period") == "base").cast("bigint")).alias("nb"),
+        F.sum((F.col("period") == "cur").cast("bigint")).alias("nc"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        F.sum("nb").over(w_cum).alias("nb_cum"),
+        F.sum("nc").over(w_cum).alias("nc_cum"),
+        F.sum("nb").over(w_all).alias("tb"),
+        F.sum("nc").over(w_all).alias("tc"),
+    )
+    return cum.agg(
+        F.expr(
+            "CAST(MAX(abs(nb_cum * tc - nc_cum * tb)) * 1000000 "
+            "div (MAX(tb) * MAX(tc)) AS BIGINT)"
+        ).alias("ks_micro"),
+        F.max("tb").cast("bigint").alias("n_base"),
+        F.max("tc").cast("bigint").alias("n_cur"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality pre-flight: BEFORE running an expensive join,
+# profile both sides' key multiplicity and predict the output size —
+# Σ_k |L_k|·|R_k| — plus each side's hottest key. The "why did my
+# join explode" audit: a surprise 10^12 prediction means a missing
+# dedup or a wrong key, caught for the cost of two key aggregates and
+# a (groups-sized) combine instead of the runaway join itself.
+@query(
+    "join_cardinality_audit",
+    oracle="""
+    WITH l AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nl
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nr
+      FROM customer GROUP BY c_custkey
+    ),
+    j AS (SELECT l.k, nl, nr FROM l JOIN r USING (k))
+    SELECT CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS left_keys,
+           CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS right_keys,
+           CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS matched_keys,
+           CAST(COALESCE(SUM(nl * nr), 0) AS BIGINT) AS predicted_rows,
+           CAST(COALESCE(MAX(nl), 0) AS BIGINT) AS left_max_per_key,
+           CAST(COALESCE(MAX(nr), 0) AS BIGINT) AS right_max_per_key
+    FROM j
+    """,
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    left = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    right = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    j = left.join(right, "k")
+    lk = left.count()
+    rk = right.count()
+    return j.agg(
+        F.lit(lk).cast("bigint").alias("left_keys"),
+        F.lit(rk).cast("bigint").alias("right_keys"),
+        F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+        F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0))
+        .cast("bigint")
+        .alias("predicted_rows"),
+        F.coalesce(F.max("nl"), F.lit(0)).cast("bigint").alias("left_max_per_key"),
+        F.coalesce(F.max("nr"), F.lit(0)).cast("bigint").alias("right_max_per_key"),
+    )
