@@ -619,3 +619,18 @@ def test_compaction_by_target_bytes(spark, tmp_path):
         wh.compact("raw.b", target_files=2, target_file_bytes=1)
     with pytest.raises(ValueError, match="exactly one"):
         wh.compact("raw.b")
+
+
+def test_vacuum_sweeps_upsert_staging_leftovers(spark, tmp_path):
+    """A crash between staging and publish in upsert_file_pruned leaves
+    <table>__upsert__staging behind; vacuum() must sweep it like the
+    other staging suffixes."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(10).selectExpr("id"), "dim.v")
+    leftover = wh.path("dim.v").with_name("v__upsert__staging")
+    leftover.mkdir(parents=True)
+    (leftover / "part-junk.parquet").write_bytes(b"x")
+    removed = wh.vacuum()
+    assert removed >= 1
+    assert not leftover.exists()
+    assert wh.read("dim.v").count() == 10  # live table untouched
