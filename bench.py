@@ -152,6 +152,7 @@ HEADLINE = [
     "drift_psi_orders",
     "drift_ks_orders",
     "join_cardinality_audit",
+    "incremental_passage_dedup_docs",
 ]
 
 

@@ -114,3 +114,69 @@ def dedup_passages(
         )
         .orderBy(id_col)
     )
+
+
+def dedup_passages_incremental(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_words: int = 20,
+) -> DataFrame:
+    """Continuous-ingest passage dedup: clean a NEW batch against the
+    historical corpus plus itself. A batch passage is removed iff its
+    text appears anywhere in ``store`` (all historical passages rank
+    earlier by definition) or earlier within the batch (lower
+    (id, block_id)). Returns the per-batch-doc report of
+    :func:`dedup_passages` — and because the ordering contract is
+    "store precedes batch", cleaning batches in id order reproduces
+    the one-shot corpus dedup exactly (the stream==batch argument of
+    stream_semdedup).
+
+    Scale shape: the store side reduces to DISTINCT passage
+    fingerprints once (at 100 TB you PERSIST that fingerprint relation
+    and append each admitted batch's new fingerprints — 16 bytes per
+    passage, the dedup_incremental_docs store discipline); the join
+    keys are fingerprints, batch-sized on the probe side.
+    """
+    b = explode_passages(batch, text_col, id_col, block_words)
+    s_fp = (
+        explode_passages(store, text_col, id_col, block_words)
+        .select(F.md5("passage").alias("fp"))
+        .distinct()
+    )
+    w = Window.partitionBy("passage").orderBy(id_col, "block_id")
+    ranked = b.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "fp", F.md5("passage")
+    )
+    hit = ranked.join(s_fp, "fp", "left_semi").select(
+        id_col, "block_id"
+    ).withColumn("_in_store", F.lit(True))
+    flagged = ranked.join(hit, [id_col, "block_id"], "left").select(
+        id_col,
+        "block_id",
+        "passage",
+        ((F.col("_rn") > 1) | F.col("_in_store").isNotNull()).alias("_dup"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("_dup").cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_dup"),
+                                F.struct("block_id", "passage"),
+                            )
+                        )
+                    ),
+                    lambda st: st["passage"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .orderBy(id_col)
+    )

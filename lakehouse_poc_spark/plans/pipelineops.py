@@ -421,3 +421,58 @@ def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental passage dedup (the continuous-ingest form): a new batch
+# (doc_id % 10 == 0) is cleaned against the historical corpus (the
+# rest) AND itself. The store side reduces to distinct passage
+# fingerprints — the persisted 16-byte-per-passage relation at 100 TB
+# (dedup_incremental_docs discipline); in id order this reproduces
+# the one-shot corpus dedup exactly.
+@query(
+    "incremental_passage_dedup_docs",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT doc_id, (doc_id % 10 = 0) AS is_batch,
+             CAST(t.i AS BIGINT) AS block_id,
+             array_to_string(
+               list_slice(w, CAST(t.i AS BIGINT) * {_PD_BLOCK} + 1,
+                          CAST(t.i AS BIGINT) * {_PD_BLOCK} + {_PD_BLOCK}),
+               ' ') AS passage
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(range(CAST(ceil(len(w) / {_PD_BLOCK}.0) AS BIGINT))) AS t(i)
+    ),
+    store_fp AS (
+      SELECT DISTINCT passage FROM blocks WHERE NOT is_batch
+    ),
+    ranked AS (
+      SELECT doc_id, block_id, passage,
+             row_number() OVER (PARTITION BY passage
+                                ORDER BY doc_id, block_id) AS rn,
+             passage IN (SELECT passage FROM store_fp) AS in_store
+      FROM blocks WHERE is_batch
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN rn > 1 OR in_store THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           COALESCE(string_agg(
+               CASE WHEN rn = 1 AND NOT in_store THEN passage END,
+               ' ' ORDER BY block_id), '') AS text_clean
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def incremental_passage_dedup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.passages import dedup_passages_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup_passages_incremental(
+        batch, store, "text", "doc_id", block_words=_PD_BLOCK
+    )
