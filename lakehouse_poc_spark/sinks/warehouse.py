@@ -24,7 +24,10 @@ bucketed by business key when they grow.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import shutil
+import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -766,6 +769,55 @@ class Warehouse:
         kept = current.join(batch.select(*keys), keys, "left_anti")
         self.overwrite_from_plan(kept.unionByName(batch), table)
 
+    @contextlib.contextmanager
+    def _writer_lock(self, table: str, timeout: float = 120.0, ttl: float = 900.0):
+        """Advisory per-table writer lock for the parquet-dir DML
+        mechanics: an atomic ``mkdir`` next to the table dir (POSIX
+        mkdir is create-exclusive, so exactly one contender wins).
+        Closes the multi-writer window of ``upsert_file_pruned`` /
+        ``delete_where_file_pruned``: two concurrent upserts could both
+        list the same touched file, both rewrite it from their own
+        snapshot, and the second move would silently drop the first
+        writer's rows. With the lock, writers serialize; readers are
+        never blocked (they keep the documented move→unlink duplicate
+        window instead).
+
+        A crashed holder is recovered by age: a lock older than ``ttl``
+        seconds is presumed dead and broken (the stale-breaker re-races
+        through mkdir, so two breakers cannot both win). This is the
+        filesystem analogue of what a Delta/Iceberg transactional
+        manifest provides natively — on those formats ``upsert()`` is
+        already safe and this lock is not used. Driver-side only:
+        lock acquisition is a metadata op, never per-row."""
+        lock = self.path(table).with_name(self.path(table).name + "__lock")
+        lock.parent.mkdir(parents=True, exist_ok=True)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                lock.mkdir()
+                (lock / "owner").write_text(f"{os.getpid()} {time.time()}")
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - lock.stat().st_mtime
+                except OSError:
+                    continue  # holder released between mkdir and stat
+                if age > ttl:
+                    # presumed-dead holder: remove and re-race (mkdir
+                    # stays the single atomic arbiter)
+                    shutil.rmtree(lock, ignore_errors=True)
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"writer lock on {table!r} held for {age:.0f}s "
+                        f"(< ttl {ttl:.0f}s); gave up after {timeout:.0f}s"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            shutil.rmtree(lock, ignore_errors=True)
+
     def upsert_file_pruned(
         self, batch: DataFrame, table: str, keys: list[str]
     ) -> dict:
@@ -789,8 +841,10 @@ class Warehouse:
         them until the next upsert or ``vacuum`` (the leftover
         ``__upsert__staging`` marks it — vacuum() sweeps it). Delta/Iceberg close exactly
         this window with a transactional manifest — on those formats
-        use :meth:`upsert`, which is already native. Single-writer
-        assumed, as with every parquet-dir rewrite here.
+        use :meth:`upsert`, which is already native. Concurrent
+        *writers* serialize on the per-table advisory lock
+        (:meth:`_writer_lock`); the duplicate window applies to
+        concurrent readers only.
 
         Returns {files_total, files_rewritten, rows_inserted_or_updated}.
         """
@@ -799,6 +853,12 @@ class Warehouse:
                 "upsert_file_pruned is the parquet-dir mechanic; "
                 "delta/iceberg upsert() is already file-pruned natively"
             )
+        with self._writer_lock(table):
+            return self._upsert_file_pruned(batch, table, keys)
+
+    def _upsert_file_pruned(
+        self, batch: DataFrame, table: str, keys: list[str]
+    ) -> dict:
         if not self.table_exists(table):
             self.overwrite(batch, table)
             n = batch.count()
@@ -858,6 +918,10 @@ class Warehouse:
                 "delete_where_file_pruned is the parquet-dir mechanic; "
                 "delta/iceberg delete_where() is already file-pruned"
             )
+        with self._writer_lock(table):
+            return self._delete_where_file_pruned(table, predicate)
+
+    def _delete_where_file_pruned(self, table: str, predicate) -> dict:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         target = self.path(table)
         if any("=" in d.name for d in target.iterdir() if d.is_dir()):
@@ -889,7 +953,8 @@ class Warehouse:
         """Swap a file subset: stage ``replacement``, move its parts in
         under job-unique names, unlink the ``touched`` originals. The
         move→unlink window shows duplicates to concurrent readers
-        (documented in upsert_file_pruned); single-writer assumed."""
+        (documented in upsert_file_pruned); callers hold the per-table
+        writer lock, so writer/writer races cannot lose rows."""
         import uuid
 
         target = self.path(table)
@@ -958,6 +1023,12 @@ class Warehouse:
                 removed += 1
         for d in self.root.glob("**/*__old"):
             if d.is_dir():
+                shutil.rmtree(d)
+                removed += 1
+        # stale writer locks (crashed holder): same ttl the lock's own
+        # stale-breaker uses; younger locks may be live — leave them
+        for d in self.root.glob("**/*__lock"):
+            if d.is_dir() and time.time() - d.stat().st_mtime > 900.0:
                 shutil.rmtree(d)
                 removed += 1
         if retain_versions is not None:

@@ -634,3 +634,86 @@ def test_vacuum_sweeps_upsert_staging_leftovers(spark, tmp_path):
     assert removed >= 1
     assert not leftover.exists()
     assert wh.read("dim.v").count() == 10  # live table untouched
+
+
+def test_writer_lock_serializes_concurrent_file_pruned_upserts(spark, tmp_path):
+    """Multi-writer file-pruned DML: two unsynchronized upserts racing
+    on the same table could both rewrite a shared file from their own
+    snapshot and the later move would drop the earlier writer's rows.
+    The per-table advisory lock serializes them — after N concurrent
+    upserts from T threads, every batch's rows must be present."""
+    import threading
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "dim.race"
+    spark.range(1000).selectExpr("id AS k", "'base' AS v").repartitionByRange(
+        4, "k"
+    ).write.parquet(str(wh.path(t)))
+
+    errors: list[Exception] = []
+
+    def writer(tid: int) -> None:
+        try:
+            for round_ in range(3):
+                # each (thread, round) updates a distinct 20-key slice
+                lo = tid * 300 + round_ * 100
+                batch = spark.createDataFrame(
+                    [(lo + i, f"w{tid}r{round_}") for i in range(20)],
+                    "k long, v string",
+                )
+                wh.upsert_file_pruned(batch, t, keys=["k"])
+        except Exception as exc:  # surfaced below — don't swallow
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(tid,)) for tid in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    got = {r.k: r.v for r in wh.read(t).collect()}
+    assert len(got) == 1000  # no duplicates, no lost rows
+    for tid in range(3):
+        for round_ in range(3):
+            lo = tid * 300 + round_ * 100
+            for i in range(20):
+                assert got[lo + i] == f"w{tid}r{round_}", (tid, round_, i)
+    # lock released: dir gone
+    assert not wh.path(t).with_name("race__lock").exists()
+
+
+def test_writer_lock_timeout_and_stale_breaker(spark, tmp_path):
+    import os as _os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "dim.locked"
+    wh.overwrite(spark.range(10).selectExpr("id AS k", "'a' AS v"), t)
+    lock = wh.path(t).with_name("locked__lock")
+
+    # live lock (fresh mtime) → contender times out
+    lock.mkdir()
+    with pytest.raises(TimeoutError, match="writer lock"):
+        with wh._writer_lock(t, timeout=0.3):
+            pass
+    # stale lock (older than ttl) → broken and acquired
+    old = 1_000_000.0
+    _os.utime(lock, (old, old))
+    with wh._writer_lock(t, timeout=0.3):
+        assert lock.exists()  # re-created by the winner
+    assert not lock.exists()
+
+
+def test_vacuum_sweeps_stale_writer_locks_only(spark, tmp_path):
+    import os as _os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(5).selectExpr("id"), "dim.w")
+    stale = wh.path("dim.w").with_name("w__lock")
+    stale.mkdir()
+    _os.utime(stale, (1_000_000.0, 1_000_000.0))
+    fresh = wh.path("dim.w").parent / "other__lock"
+    fresh.mkdir()
+    wh.vacuum()
+    assert not stale.exists()
+    assert fresh.exists()  # young lock may be live — must survive
