@@ -153,6 +153,7 @@ HEADLINE = [
     "drift_ks_orders",
     "join_cardinality_audit",
     "incremental_passage_dedup_docs",
+    "containment_pairs_docs",
 ]
 
 

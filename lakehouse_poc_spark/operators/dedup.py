@@ -964,6 +964,102 @@ def jaccard_prefix_pairs_cross(
         sh_c.unpersist()
 
 
+def jaccard_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment join: all ordered pairs (a, b),
+    a ≠ b, with C(a→b) = |A∩B| / |A| ≥ threshold over n-gram shingle
+    sets — "a is mostly contained in b". The asymmetric twin of
+    :func:`jaccard_prefix_pairs`: Jaccard misses a short quote buried
+    in a long document (the union is huge), containment is exactly the
+    quote/subset/boilerplate-extraction detector a training-data
+    pipeline needs (SSJoin-style set joins with containment
+    predicates, Chaudhuri et al. 2006 — public paper).
+
+    Prefix filtering is one-sided here: C ≥ t bounds the overlap by
+    ⌈t·|A|⌉ against |A| only, so A keeps its rare-first prefix
+    (|A| − ⌈t·|A|⌉ + 1 shingles) but must probe B's FULL shingle
+    relation — there is no order constraint on B. Lossless by the
+    usual pigeonhole: if no common shingle fell in A's prefix, the
+    overlap would fit in A's suffix (⌈t·|A|⌉ − 1 shingles) and miss
+    the bound. Two prunes still apply pre-shuffle: size
+    (|B| ≥ overlap ≥ ⌈t·|A|⌉ ⟹ 1e6·|B| ≥ tm·|A|) and positional
+    (at A-prefix rank i, overlap ≤ 1 + |A| − i, so
+    (1 + |A| − i)·1e6 ≥ tm·|A|). All threshold tests are integer
+    micro-arithmetic; the final verify is the exact intersection over
+    candidate pairs only. Zero-shingle docs are excluded (containment
+    undefined).
+
+    Scale shape: the join is A-prefix (≈(1−t)·volume, rare-first keys)
+    against the flat shingle relation — the relational form of
+    probe-prefix-vs-indexed-set. Shuffles: one vocabulary count, one
+    prefix×flat join, one id-keyed re-join to verify candidates.
+    """
+    tm = int(round(threshold * 1_000_000))
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("did"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+        .persist()
+    )
+    try:
+        flat = sh.select("did", "sz", F.explode("sh").alias("g"))
+        freq = flat.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        pa = _ppjoin_prefix(flat, freq, tm).alias("pa")
+        fb = flat.alias("fb")
+        sa = F.col("pa.sz").cast("long")
+        sb = F.col("fb.sz").cast("long")
+        cond = (
+            (F.col("pa.g") == F.col("fb.g"))
+            & (F.col("pa.did") != F.col("fb.did"))
+            & (sb * 1_000_000 >= F.lit(tm) * sa)
+            & (
+                (F.lit(1) + sa - F.col("pa.rk").cast("long")) * 1_000_000
+                >= F.lit(tm) * sa
+            )
+        )
+        cands = (
+            pa.join(fb, cond)
+            .select(F.col("pa.did").alias("id_a"), F.col("fb.did").alias("id_b"))
+            .distinct()
+        )
+        a = sh.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                inter.alias("__i"),
+                F.size("sh_a").cast("long").alias("__sa"),
+            )
+            # integer threshold test; the double is output-only
+            .filter(F.col("__i") * 1_000_000 >= F.lit(tm) * F.col("__sa"))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("__i").cast("double") / F.col("__sa").cast("double")).alias(
+                    "containment"
+                ),
+            )
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        sh.unpersist()
+
+
 def tf_cosine_pairs(
     df: DataFrame,
     text_col: str,

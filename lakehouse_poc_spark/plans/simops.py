@@ -814,6 +814,47 @@ def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Asymmetric containment: C(a→b) = |A∩B|/|A| — the quote/subset
+# detector Jaccard structurally misses (a short doc quoted inside a
+# long one has tiny union, high containment). Oracle is the full
+# O(n²) ordered-pair join with the SAME integer threshold test the
+# Spark side uses (no float-boundary grazing); the Spark path earns
+# its keep by generating candidates from A-side rare-first prefixes
+# probing the flat shingle relation.
+@query(
+    "containment_pairs_docs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   )) AS s
+            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents)
+        ) WHERE len(s) > 0
+    )
+    SELECT id_a, id_b, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) AS DOUBLE) AS containment,
+               len(list_intersect(a.s, b.s)) AS i, len(a.s) AS sa
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    ) t
+    WHERE i * 1000000 >= 800000 * sa
+    ORDER BY id_a, id_b
+    """,
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_containment_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_n=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # PQ quality gate: recall@5 of the PQ/ADC index against the EXACT
 # squared-L2 ground truth (PQ approximates L2 — cosine would be the

@@ -580,3 +580,62 @@ def test_semdedup_custom_cluster_col(spark):
     ).collect()
     assert {r.cluster for r in rows} <= set(range(7))
     assert len(rows) == e.count()
+
+
+def test_containment_matches_brute_and_catches_quotes(spark):
+    """Asymmetric containment must (a) equal the brute all-ordered-pairs
+    computation and (b) catch a short doc quoted inside a long one —
+    the case symmetric Jaccard structurally misses."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.text import word_shingles
+    from lakehouse_poc_spark.operators.dedup import (
+        jaccard_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "to be or not to be that is the question"
+    rows = [
+        (1, quote),
+        (2, "the prince said " + quote + " and then walked slowly away "
+            "across the old stone bridge toward the castle gates at dawn"),
+        (3, "completely unrelated text about spark shuffles and parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in jaccard_containment_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    # doc 1 is fully quoted in doc 2 → containment 1.0; reverse is low
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got and (1, 3) not in got
+
+    # Jaccard misses it at the same threshold (union is dominated by 2)
+    j = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    assert j.filter("id_a = 1 AND id_b = 2").isEmpty()
+
+    # brute parity across thresholds
+    sh = docs.select(
+        F.col("doc_id").alias("did"),
+        F.array_distinct(word_shingles("text", 3)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    brute_all = (
+        a.join(b, F.col("a.did") != F.col("b.did"))
+        .select(
+            F.col("a.did").alias("id_a"),
+            F.col("b.did").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size("a.sh").cast("double")
+            ).alias("containment"),
+        )
+    )
+    for t in (0.3, 0.8, 1.0):
+        brute = brute_all.filter(F.col("containment") >= t)
+        fast = jaccard_containment_pairs(docs, "text", "doc_id", threshold=t)
+        assert brute.exceptAll(fast).isEmpty(), t
+        assert fast.exceptAll(brute).isEmpty(), t

@@ -176,6 +176,45 @@ def main() -> None:
             f" cand={int(sizes):8d} frac={frac:8.5f}",
             flush=True,
         )
+
+        # trained-cell SemDeDup (the paper's configuration: k-means
+        # cells, not sign-bit slices) — same within-cell pair count
+        # gives the candidate fraction the trained quantizer achieves.
+        # k scales with the corpus so cells stay ~constant-occupancy.
+        from pyspark.sql import Window
+        from lakehouse_poc_spark.operators.similarity import cosine, kmeans_train
+
+        k = 16 * factor
+        t0 = time.perf_counter()
+        cents = kmeans_train(e, "embedding", "vec_id", k=k, iters=2)
+        cent_df = e.sparkSession.createDataFrame(
+            cents, "cent_id int, cent_vec array<double>"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("cent_id"))
+        assigned = (
+            e.crossJoin(F.broadcast(cent_df))
+            .withColumn("__csim", cosine(F.col("embedding"), F.col("cent_vec")))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
+        ).persist()
+        kept_t = semdedup(
+            assigned, "embedding", "vec_id", threshold=0.995, cluster_col="cluster"
+        ).count()
+        dt = time.perf_counter() - t0
+        sizes_t = (
+            assigned.groupBy("cluster")
+            .count()
+            .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("wp"))
+            .collect()[0]["wp"]
+        )
+        frac_t = float(sizes_t) / (ne * (ne - 1) / 2)
+        print(
+            f"{'semdedup_km':14s} vecs={ne:7d} rows={kept_t:7d} wall={dt:7.2f}s"
+            f" cand={int(sizes_t):8d} frac={frac_t:8.5f} k={k}",
+            flush=True,
+        )
+        assigned.unpersist()
         e.unpersist()
 
 
