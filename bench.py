@@ -154,6 +154,8 @@ HEADLINE = [
     "join_cardinality_audit",
     "incremental_passage_dedup_docs",
     "containment_pairs_docs",
+    "winnow_pairs_docs",
+    "skyline_parts",
 ]
 
 

@@ -1403,3 +1403,41 @@ def sql_surface_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SHOWCASE)
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier: parts that are not dominated on
+# (cheapest retail price, largest size). The oracle is the textbook
+# quadratic NOT-EXISTS dominance join; the Spark path computes the
+# identical frontier with the 2D sweep in operators/skyline.py —
+# one x-group agg + block-offset prefix max, no pair blowup.
+@query(
+    "skyline_parts",
+    oracle=r"""
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    return skyline_2d(
+        part,
+        x_col="p_retailprice",
+        y_col="p_size",
+        block=F.floor(F.col("p_retailprice") / F.lit(10.0)).cast("long"),
+    ).select("p_partkey", "p_retailprice", "p_size").orderBy("p_partkey")

@@ -855,6 +855,53 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Winnowing (MOSS) fingerprint match: k=3 word grams, window w=4,
+# pairs sharing >= 2 selected fingerprints. The md5-substring hash +
+# zero-padded position tie-break makes the window minimum a total
+# order both engines compute identically; the oracle replays the
+# full algorithm in SQL (grams -> window min -> distinct -> join).
+@query(
+    "winnow_pairs_docs",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS wt FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i.i AS p,
+               substr(md5(wt[i.i] || ' ' || wt[i.i+1] || ' ' || wt[i.i+2]), 1, 8)
+                 || '|' || lpad(CAST(i.i AS VARCHAR), 7, '0') AS hp
+        FROM d, LATERAL unnest(range(1, len(wt) - 1)) AS i(i)
+    ),
+    wmin AS (
+        SELECT doc_id, p,
+               min(hp) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, substr(m, 1, 8) AS fingerprint
+        FROM wmin
+        WHERE p <= n - 3 OR (p = 1 AND n < 4)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, text_col="text", id_col="doc_id", k=3, w=4, min_shared=2
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # PQ quality gate: recall@5 of the PQ/ADC index against the EXACT
 # squared-L2 ground truth (PQ approximates L2 — cosine would be the

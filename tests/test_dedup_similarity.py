@@ -639,3 +639,105 @@ def test_containment_matches_brute_and_catches_quotes(spark):
         fast = jaccard_containment_pairs(docs, "text", "doc_id", threshold=t)
         assert brute.exceptAll(fast).isEmpty(), t
         assert fast.exceptAll(brute).isEmpty(), t
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing's contract (Schleimer et al. 2003): any shared word
+    run of >= w+k-1 words yields at least one identical selected
+    fingerprint; and selection keeps ~2/(w+1) of the grams, not all
+    of them."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.text import word_shingles
+    from lakehouse_poc_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared_run = "one two three four five six"  # w+k-1 = 6 words
+    rows = [
+        (1, "alpha beta " + shared_run + " gamma delta epsilon zeta"),
+        (2, "omicron pi rho " + shared_run + " sigma tau upsilon"),
+        (3, "entirely different words with no overlap at all here"),
+        (4, "tiny doc"),  # < k words: zero grams, zero fingerprints
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    by_doc = {
+        r.did: r.n for r in fps.groupBy("did").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_doc.get(4) is None  # no grams -> no fingerprints
+
+    # guarantee: docs 1 and 2 share a fingerprint despite the run
+    # sitting at different positions (position is selection tie-break
+    # only; the emitted fingerprint is the position-free hash)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(
+            docs, "text", "doc_id", k=3, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # density: far fewer fingerprints than grams
+    n_grams = docs.select(
+        F.explode(word_shingles("text", 3))
+    ).count()
+    n_fps = fps.count()
+    assert n_fps < n_grams, (n_fps, n_grams)
+
+
+def test_skyline_sweep_matches_quadratic_dominance(spark):
+    """The block-offset sweep must equal the O(n²) NOT-EXISTS
+    dominance semantics on crafted edges: duplicate frontier points
+    (both kept), same-x dominated rows, equal-y-cheaper-x dominance,
+    and single-point blocks."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, 1.0, 10),   # frontier
+        (2, 1.0, 10),   # duplicate of 1 — both kept
+        (3, 1.0, 9),    # same x, smaller y — dominated by 1
+        (4, 2.0, 10),   # y ties 1 at higher x — dominated
+        (5, 2.0, 11),   # frontier
+        (6, 5.0, 11),   # dominated by 5 (equal y, higher x)
+        (7, 5.0, 12),   # frontier
+        (8, 9.0, 1),    # dominated by everything above
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = {
+        r.id
+        for r in skyline_2d(
+            df, "x", "y", block=F.floor(F.col("x")).cast("long")
+        ).collect()
+    }
+    assert got == {1, 2, 5, 7}
+
+    # brute parity on a pseudo-random cloud (hash-derived, no RNG)
+    cloud = spark.range(200).select(
+        F.col("id"),
+        (F.pmod(F.hash("id"), 97)).cast("double").alias("x"),
+        (F.pmod(F.hash("id", F.lit(1)), 89)).cast("long").alias("y"),
+    )
+    a, b = cloud.alias("a"), cloud.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("b.x") <= F.col("a.x"))
+            & (F.col("b.y") >= F.col("a.y"))
+            & ((F.col("b.x") < F.col("a.x")) | (F.col("b.y") > F.col("a.y"))),
+            "left_semi",
+        ).select("a.id")
+    )
+    brute = {r.id for r in cloud.join(dominated, "id", "left_anti").collect()}
+    fast = {
+        r.id
+        for r in skyline_2d(
+            cloud, "x", "y", block=F.floor(F.col("x") / 8).cast("long")
+        ).collect()
+    }
+    assert fast == brute
