@@ -156,6 +156,7 @@ HEADLINE = [
     "containment_pairs_docs",
     "winnow_pairs_docs",
     "skyline_parts",
+    "exact_quantiles_order_price",
 ]
 
 

@@ -1441,3 +1441,37 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         y_col="p_size",
         block=F.floor(F.col("p_retailprice") / F.lit(10.0)).cast("long"),
     ).select("p_partkey", "p_retailprice", "p_size").orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact GLOBAL quantiles via two-pass blocked selection — the scale
+# answer to "percentile_disc funnels the table through one task".
+# The oracle spells out the percentile_disc rank rule (smallest v
+# with rank ceil(q*n), 1-based) so both engines compute the same
+# double-precision rank arithmetic.
+@query(
+    "exact_quantiles_order_price",
+    oracle=r"""
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               row_number() OVER (ORDER BY o_totalprice) AS rn
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    c AS (SELECT COUNT(*) AS n FROM s)
+    SELECT CAST(t.q AS DOUBLE) AS q, CAST(s.v AS DOUBLE) AS value
+    FROM (VALUES (0.25), (0.5), (0.75), (0.99)) AS t(q)
+    CROSS JOIN c
+    JOIN s ON s.rn = greatest(1, CAST(ceil(CAST(t.q AS DOUBLE) * c.n) AS BIGINT))
+    ORDER BY q
+    """,
+)
+def exact_quantiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import exact_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders.select(F.col("o_totalprice").cast("double").alias("o_totalprice")),
+        "o_totalprice",
+        qs=[0.25, 0.5, 0.75, 0.99],
+        block=F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long"),
+    ).orderBy("q")

@@ -284,3 +284,29 @@ def test_weighted_median_udaf_reference(spark):
         for r in df.groupBy("g").agg(wm("v", "w", "i").alias("m")).collect()
     }
     assert got == {"a": 2.0, "b": 10.0, "c": 7.0}
+
+
+def test_exact_quantiles_match_percentile_disc(spark):
+    """Blocked two-pass selection must reproduce Spark's own
+    percentile_disc on ties, duplicates, nulls, and q edge cases —
+    without the global sort percentile_disc implies."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.stats import exact_quantiles
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, None, 5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = {
+        r.q: r.value
+        for r in exact_quantiles(
+            df, "v", qs, block=F.floor(F.col("v") / 2).cast("long")
+        ).collect()
+    }
+    df.createOrReplaceTempView("__eq_t")
+    for q in qs:
+        expect = spark.sql(
+            f"SELECT percentile_disc({q}) WITHIN GROUP (ORDER BY v) AS p "
+            "FROM __eq_t"
+        ).collect()[0]["p"]
+        assert got[q] == expect, (q, got[q], expect)
