@@ -157,6 +157,7 @@ HEADLINE = [
     "winnow_pairs_docs",
     "skyline_parts",
     "exact_quantiles_order_price",
+    "bloom_file_index_orders",
 ]
 
 

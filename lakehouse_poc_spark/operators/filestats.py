@@ -142,3 +142,92 @@ def sample_files(
         < cut
     )
     return df.filter(keep)
+
+
+# -- per-file Bloom filter index (point-lookup file skipping) -----------
+
+def build_file_bloom(
+    spark: SparkSession, path: str, key_col: str, m_bits: int = 65536, k: int = 3
+) -> DataFrame:
+    """Per-file Bloom filter over ``key_col`` — the Delta bloom-filter
+    index mechanic on a plain parquet directory. Min/max skipping
+    (:func:`collect_file_stats`) answers RANGE predicates but is
+    useless for point lookups on a column the files are not clustered
+    by; a per-file bloom answers ``key = v`` with no false negatives
+    and fpp ≈ (1−e^(−k·n/m))^k.
+
+    Representation: one row per file, ``bits`` = the DISTINCT set bit
+    positions (sorted array) of ``k`` seeded xxhash64 probes per key —
+    a sparse bloom that stays exact-membership-testable with ordinary
+    array ops and degrades gracefully (saturation only wastes space,
+    never drops a key). Built distributedly: explode k positions,
+    one (file)-keyed agg; no driver-side footer loop.
+    """
+    base = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file"),
+        # hash the canonical STRING rendering: xxhash64 is type-
+        # sensitive, and the lookup literal (e.g. a Python int for a
+        # BIGINT key) would otherwise hash differently than the column
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    pos = F.array(
+        *[
+            F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(m_bits)).cast("int")
+            for i in range(k)
+        ]
+    )
+    return (
+        base.select("file", F.explode(pos).alias("p"))
+        .groupBy("file")
+        .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    )
+
+
+def bloom_probe_positions(spark: SparkSession, value, m_bits: int = 65536, k: int = 3):
+    """The k probe positions for ``value`` — computed with the SAME
+    engine hash used at build time (a one-row job; hashing driver-side
+    in Python would silently diverge from xxhash64)."""
+    row = spark.range(1).select(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(value).cast("string"), F.lit(i)), F.lit(m_bits)
+            )
+            .cast("int")
+            .alias(f"p{i}")
+            for i in range(k)
+        ]
+    ).collect()[0]
+    return [row[f"p{i}"] for i in range(k)]
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    blooms: DataFrame,
+    key_col: str,
+    value,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """Point lookup ``key_col = value`` reading ONLY files whose bloom
+    contains all k probe positions (no false negatives ⇒ result equals
+    the full-scan filter; false positives only cost extra file reads).
+    When every file prunes away, one file is read schema-only to
+    return an empty-but-typed frame."""
+    probes = bloom_probe_positions(spark, value, m_bits, k)
+    lit_probes = F.array(*[F.lit(p) for p in probes])
+    surviving = [
+        r["file"]
+        for r in blooms.filter(
+            F.size(F.array_except(lit_probes, F.col("bits"))) == 0
+        )
+        .select("file")
+        .collect()
+    ]
+    if not surviving:
+        any_file = [r["file"] for r in blooms.select("file").limit(1).collect()]
+        return (
+            spark.read.parquet(*any_file)
+            .filter(F.lit(False))
+            .filter(F.col(key_col) == value)
+        )
+    return spark.read.parquet(*surviving).filter(F.col(key_col) == value)

@@ -367,6 +367,47 @@ def file_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-file Bloom index: orders clustered by DATE (so min/max stats on
+# o_custkey are useless — every file spans the key space), bloom built
+# on o_custkey, point lookup reads only bloom-surviving files. Result
+# must equal the plain full-scan predicate (no false negatives).
+@query(
+    "bloom_file_index_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey = 7
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def bloom_file_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filestats import bloom_pruned_read, build_file_bloom
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"fbloom_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    wh.append(orders.repartition(8), "raw.orders")
+    wh.compact("raw.orders", target_files=8, cluster_by=["o_orderdate"])
+    path = str(wh.path("raw.orders"))
+    blooms = build_file_bloom(spark, path, "o_custkey")
+    hit = bloom_pruned_read(spark, blooms, "o_custkey", 7)
+    return (
+        hit.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
     from .tpch import dsum
 

@@ -717,3 +717,45 @@ def test_vacuum_sweeps_stale_writer_locks_only(spark, tmp_path):
     wh.vacuum()
     assert not stale.exists()
     assert fresh.exists()  # young lock may be live — must survive
+
+
+def test_file_bloom_prunes_without_false_negatives(spark, tmp_path):
+    """On a date-clustered layout (min/max on the key is useless) the
+    per-file bloom must skip most files for a point lookup while the
+    surviving set still contains EVERY real match; and an absent key
+    prunes everything (empty typed frame, no error)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.filestats import (
+        bloom_probe_positions,
+        bloom_pruned_read,
+        build_file_bloom,
+    )
+
+    # 8 files clustered by ts; key appears in exactly 2 files
+    df = spark.range(4000).select(
+        F.col("id").alias("ts"),
+        (F.pmod(F.col("id") * 37, 997)).alias("key"),
+    )
+    path = str(tmp_path / "t")
+    df.repartitionByRange(8, "ts").write.parquet(path)
+    blooms = build_file_bloom(spark, path, "key")
+    assert blooms.count() == 8
+
+    expect = {r.ts for r in df.filter("key = 5").collect()}
+    got_df = bloom_pruned_read(spark, blooms, "key", 5)
+    got = {r.ts for r in got_df.collect()}
+    assert got == expect and expect  # no false negatives, non-trivial
+
+    # pruning actually skipped files: survivors < total
+    probes = bloom_probe_positions(spark, 5)
+    lit_probes = F.array(*[F.lit(p) for p in probes])
+    n_surv = blooms.filter(
+        F.size(F.array_except(lit_probes, F.col("bits"))) == 0
+    ).count()
+    assert n_surv < 8, n_surv
+
+    # absent key: empty but typed
+    missing = bloom_pruned_read(spark, blooms, "key", 10_000_000)
+    assert missing.count() == 0
+    assert set(missing.columns) == {"ts", "key"}
