@@ -1100,10 +1100,13 @@ def winnow_fingerprints(
         .select(
             "did",
             (F.col("p0") + 1).alias("p"),
+            # 12-digit pad: lpad TRUNCATES beyond its width, which
+            # would corrupt the tie-break ordering past 10^12 grams —
+            # no single document gets there
             F.concat(
                 F.substring(F.md5("g"), 1, 8),
                 F.lit("|"),
-                F.lpad((F.col("p0") + 1).cast("string"), 7, "0"),
+                F.lpad((F.col("p0") + 1).cast("string"), 12, "0"),
             ).alias("hp"),
         )
     )

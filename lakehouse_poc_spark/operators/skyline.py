@@ -46,6 +46,9 @@ def skyline_2d(
     computation and never changes the result.
     """
     spark = df.sparkSession
+    # dominance is undefined on missing coordinates: rows with a null
+    # x or y are excluded (SQL aggregate-null convention)
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     g = (
         df.groupBy(x_col)
         .agg(F.max(y_col).alias("__gy"))

@@ -869,7 +869,7 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT doc_id, i.i AS p,
                substr(md5(wt[i.i] || ' ' || wt[i.i+1] || ' ' || wt[i.i+2]), 1, 8)
-                 || '|' || lpad(CAST(i.i AS VARCHAR), 7, '0') AS hp
+                 || '|' || lpad(CAST(i.i AS VARCHAR), 12, '0') AS hp
         FROM d, LATERAL unnest(range(1, len(wt) - 1)) AS i(i)
     ),
     wmin AS (
