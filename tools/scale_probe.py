@@ -24,6 +24,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import DataFrame, functions as F
 
 from lakehouse_poc_spark.operators.dedup import (
+    jaccard_containment_pairs,
     jaccard_prefix_pairs,
     jaccard_prefix_pairs_cross,
     minhash_lsh_pairs,
@@ -31,6 +32,7 @@ from lakehouse_poc_spark.operators.dedup import (
     prefix_candidates,
     simhash_near_pairs,
     tf_cosine_pairs,
+    winnow_pairs,
 )
 from lakehouse_poc_spark.operators.semdedup import semdedup
 from lakehouse_poc_spark.operators.search import bm25_topk, inverted_index
@@ -136,6 +138,14 @@ def main() -> None:
                 threshold=0.5,
             ),
             "bigram_logprob": lambda c: _bigram_logprob(c),
+            # r6 additions: asymmetric containment (A-prefix × full
+            # flat relation) and winnowing fingerprint match
+            "containment": lambda c: jaccard_containment_pairs(
+                c, "text", "doc_id", shingle_n=3, threshold=0.8
+            ),
+            "winnow_pairs": lambda c: winnow_pairs(
+                c, "text", "doc_id", k=3, w=4, min_shared=2
+            ),
         }
         if with_brute and factor <= 2:  # O(n²): 20k docs = 200M pairs, skip
             ops["brute_jaccard"] = lambda c: ngram_jaccard_pairs(c, "text", "doc_id")
