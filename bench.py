@@ -158,6 +158,7 @@ HEADLINE = [
     "skyline_parts",
     "exact_quantiles_order_price",
     "bloom_file_index_orders",
+    "label_propagation_coparts",
 ]
 
 

@@ -253,3 +253,58 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return spark.createDataFrame(
         [(n_nodes, n_edges, n_tri)], "n_nodes bigint, n_edges bigint, n_triangles bigint"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (Raghavan et al. 2007, public
+    paper) made deterministic: every node starts labeled with its own
+    id; each round every node simultaneously adopts the neighbor label
+    with the largest total edge weight, ties broken toward the
+    SMALLEST label (the paper's random tie-break is replaced so the
+    result is engine-reproducible and oracle-checkable). ``iters``
+    fixed sync rounds — communities usually stabilize in a handful;
+    a fixed count keeps the operator a finite unrolled dataflow on
+    BOTH engines rather than a convergence loop with float/ordering
+    hazards.
+
+    Edges are treated as undirected (symmetrized internally);
+    ``weight`` defaults to 1 per edge row. Returns (node, community).
+
+    Scale shape per round: one (dst-keyed) join label→neighbor, one
+    (node, label) aggregation, one per-node window for the argmax —
+    all hash-partitioned by node id; labels are ids (longs), never
+    collections. Skewed hubs salt like any hot groupBy key.
+    """
+    w_col = F.col(weight) if weight else F.lit(1).cast("long")
+    p = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
+    )
+    und = p.unionByName(
+        p.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    labels = (
+        und.select(F.col("u").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+    for _ in range(iters):
+        nb = und.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label", "w")
+        labels = (
+            nb.groupBy("node", "label")
+            .agg(F.sum("w").alias("wt"))
+            .withColumn("__r", F.row_number().over(rk))
+            .filter(F.col("__r") == 1)
+            .select("node", "label")
+        )
+    return labels.withColumnRenamed("label", "community")

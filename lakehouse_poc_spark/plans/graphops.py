@@ -161,3 +161,100 @@ def triangle_count_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Community detection: deterministic synchronous label propagation on
+# the weighted co-purchase graph (parts co-occurring in urgent
+# orders). The oracle unrolls the 3 sync rounds as CTE chains with
+# the identical (weight DESC, label ASC) argmax — no randomness, no
+# convergence loop, hash-equal across engines.
+@query(
+    "label_propagation_coparts",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    p AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT u, v, w FROM p UNION ALL SELECT v AS u, u AS v, w FROM p
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+    a1 AS (
+        SELECT e.u AS node, lb.label, SUM(e.w) AS wt
+        FROM e JOIN l0 lb ON lb.node = e.v GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY wt DESC, label ASC) AS r
+            FROM a1
+        ) t WHERE r = 1
+    ),
+    a2 AS (
+        SELECT e.u AS node, lb.label, SUM(e.w) AS wt
+        FROM e JOIN l1 lb ON lb.node = e.v GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY wt DESC, label ASC) AS r
+            FROM a2
+        ) t WHERE r = 1
+    ),
+    a3 AS (
+        SELECT e.u AS node, lb.label, SUM(e.w) AS wt
+        FROM e JOIN l2 lb ON lb.node = e.v GROUP BY 1, 2
+    ),
+    l3 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY wt DESC, label ASC) AS r
+            FROM a3
+        ) t WHERE r = 1
+    )
+    SELECT node AS partkey, label AS community FROM l3 ORDER BY partkey
+    """,
+)
+def label_propagation_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return (
+        label_propagation(edges, iters=3, weight="w")
+        .select(F.col("node").alias("partkey"), "community")
+        .orderBy("partkey")
+    )

@@ -323,3 +323,33 @@ def test_triangle_count_known_graphs(spark):
     )
     row = triangle_count(tri).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 4, 1)
+
+
+def test_label_propagation_two_communities_weak_bridge(spark):
+    """Two weight-3 triangles joined by a weight-1 bridge must settle
+    into two communities labeled by each triangle's min node id; the
+    hand-computed 3-round sync trace is asserted exactly (the
+    deterministic min-tie-break contract)."""
+    from lakehouse_poc_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 3), (1, 3, 3), (2, 3, 3),     # triangle A
+            (10, 11, 3), (10, 12, 3), (11, 12, 3),  # triangle B
+            (3, 10, 1),                            # weak bridge
+        ],
+        "src long, dst long, w long",
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=3, weight="w").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    # unweighted default: every edge counts 1; still two communities
+    got_unw = {
+        r.node: r.community for r in label_propagation(edges, iters=3).collect()
+    }
+    assert len({got_unw[1], got_unw[2], got_unw[3]}) == 1
+    assert len({got_unw[10], got_unw[11], got_unw[12]}) == 1
+    assert got_unw[1] != got_unw[10]
