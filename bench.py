@@ -159,6 +159,7 @@ HEADLINE = [
     "exact_quantiles_order_price",
     "bloom_file_index_orders",
     "label_propagation_coparts",
+    "incremental_containment_docs",
 ]
 
 

@@ -1060,6 +1060,103 @@ def jaccard_containment_pairs(
         sh.unpersist()
 
 
+def jaccard_containment_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental EXACT containment: all (batch_id, corpus_id) pairs
+    with C(batch→corpus) = |A∩B|/|A| ≥ threshold — the ingest-time
+    "is this new document mostly a copy of something already in the
+    corpus" gate, R-S twin of :func:`jaccard_containment_pairs` the
+    way :func:`jaccard_prefix_pairs_cross` is of the symmetric join.
+
+    Only the BATCH side carries a prefix (the threshold bounds overlap
+    against |A| alone); the corpus side is probed as the full flat
+    shingle relation. Shingle rarity ranks come from the COMBINED
+    document frequency so batch prefixes prefer shingles rare in the
+    whole collection, not just the batch. Same integer size
+    (1e6·|B| ≥ tm·|A|) and batch-positional prunes as the self-join;
+    exact intersect verification over candidates only.
+
+    Scale shape: per batch, the corpus contributes one flat relation
+    (re-usable at rest keyed by shingle) and the join touches
+    batch-prefix × matching shingles — corpus text never re-shuffles
+    per batch.
+    """
+    tm = int(round(threshold * 1_000_000))
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return (
+            fan_out(df)
+            .select(
+                F.col(id_col).alias("did"),
+                F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+            )
+            .withColumn("sz", F.size("sh"))
+            .filter(F.col("sz") > 0)
+        )
+
+    sh_b = _sh(batch).persist()
+    sh_c = _sh(corpus).persist()
+    try:
+        flat_b = sh_b.select("did", "sz", F.explode("sh").alias("g"))
+        flat_c = sh_c.select("did", "sz", F.explode("sh").alias("g"))
+        freq = (
+            flat_b.select("g")
+            .unionByName(flat_c.select("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        pa = _ppjoin_prefix(flat_b, freq, tm).alias("pa")
+        fb = flat_c.alias("fb")
+        sa = F.col("pa.sz").cast("long")
+        sb = F.col("fb.sz").cast("long")
+        cond = (
+            (F.col("pa.g") == F.col("fb.g"))
+            & (sb * 1_000_000 >= F.lit(tm) * sa)
+            & (
+                (F.lit(1) + sa - F.col("pa.rk").cast("long")) * 1_000_000
+                >= F.lit(tm) * sa
+            )
+        )
+        cands = (
+            pa.join(fb, cond)
+            .select(F.col("pa.did").alias("id_a"), F.col("fb.did").alias("id_b"))
+            .distinct()
+        )
+        a = sh_b.select(F.col("did").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh_c.select(F.col("did").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        out = (
+            cands.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                inter.alias("__i"),
+                F.size("sh_a").cast("long").alias("__sa"),
+            )
+            .filter(F.col("__i") * 1_000_000 >= F.lit(tm) * F.col("__sa"))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("__i").cast("double") / F.col("__sa").cast("double")).alias(
+                    "containment"
+                ),
+            )
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        sh_b.unpersist()
+        sh_c.unpersist()
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

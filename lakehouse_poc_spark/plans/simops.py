@@ -855,6 +855,49 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Incremental containment: new docs (doc_id % 10 = 0 plays the
+# arriving batch) checked for ≥0.8 containment in the historical
+# corpus (the rest) — the ingest-time near-copy gate. Oracle is the
+# full batch×corpus ordered-pair join with the same integer test.
+@query(
+    "incremental_containment_docs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   )) AS s
+            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents)
+        ) WHERE len(s) > 0
+    ),
+    b AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    c AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+    SELECT id_a, id_b, containment FROM (
+        SELECT b.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                 / CAST(len(b.s) AS DOUBLE) AS containment,
+               len(list_intersect(b.s, c.s)) AS i, len(b.s) AS sa
+        FROM b, c
+    ) t
+    WHERE i * 1000000 >= 800000 * sa
+    ORDER BY id_a, id_b
+    """,
+)
+def incremental_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_containment_pairs_cross
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return jaccard_containment_pairs_cross(
+        batch, corpus, text_col="text", id_col="doc_id",
+        shingle_n=3, threshold=0.8,
+    ).orderBy("id_a", "id_b")
+
+
 # Winnowing (MOSS) fingerprint match: k=3 word grams, window w=4,
 # pairs sharing >= 2 selected fingerprints. The md5-substring hash +
 # zero-padded position tie-break makes the window minimum a total

@@ -741,3 +741,60 @@ def test_skyline_sweep_matches_quadratic_dominance(spark):
         ).collect()
     }
     assert fast == brute
+
+
+def test_incremental_containment_matches_brute_cross(spark):
+    """R-S containment must equal the brute batch×corpus computation,
+    including a batch quote contained in a corpus doc but not vice
+    versa, at several thresholds."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.functions.text import word_shingles
+    from lakehouse_poc_spark.operators.dedup import (
+        jaccard_containment_pairs_cross,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog today"
+    batch = spark.createDataFrame(
+        [(100, quote), (101, "nothing like anything else in the corpus")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "chapter one begins " + quote + " and continues with many "
+                "more words about entirely other topics for a while"),
+            (2, "an unrelated corpus document about distributed joins"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def _sh(df):
+        return df.select(
+            F.col("doc_id").alias("did"),
+            F.array_distinct(word_shingles("text", 3)).alias("sh"),
+        ).filter(F.size("sh") > 0)
+
+    a, b = _sh(batch).alias("a"), _sh(corpus).alias("b")
+    brute_all = a.join(b, F.lit(True)).select(
+        F.col("a.did").alias("id_a"),
+        F.col("b.did").alias("id_b"),
+        (
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+            / F.size("a.sh").cast("double")
+        ).alias("containment"),
+    )
+    for t in (0.3, 0.8, 1.0):
+        brute = brute_all.filter(F.col("containment") >= t)
+        fast = jaccard_containment_pairs_cross(
+            batch, corpus, "text", "doc_id", threshold=t
+        )
+        assert brute.exceptAll(fast).isEmpty(), t
+        assert fast.exceptAll(brute).isEmpty(), t
+
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in jaccard_containment_pairs_cross(
+            batch, corpus, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert got.get((100, 1)) == 1.0 and (101, 2) not in got
