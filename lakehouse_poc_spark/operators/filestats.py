@@ -47,6 +47,23 @@ def collect_file_stats(
     return df.groupBy("file").agg(*aggs)
 
 
+def _schema_probe_file(index: DataFrame, what: str) -> list[str]:
+    """One arbitrary data file from a pruning index, used to read the
+    table schema when every file prunes away. An EMPTY index (indexed
+    table had no files) cannot yield a schema — ``spark.read.parquet()``
+    with no paths raises an opaque error, so fail fast with a clear
+    one instead (ADVICE r6)."""
+    probe = [r["file"] for r in index.select("file").limit(1).collect()]
+    if not probe:
+        raise ValueError(
+            f"{what} index is empty (indexed table has no data files); "
+            "cannot derive a result schema — build the index over a "
+            "non-empty table or construct the empty frame from an "
+            "explicit schema"
+        )
+    return probe
+
+
 def prune_files(
     stats: DataFrame, col: str, lo, hi
 ) -> list[str]:
@@ -72,7 +89,7 @@ def pruned_read(
     Returns an empty-but-typed frame when nothing survives."""
     files = prune_files(stats, col, lo, hi)
     if not files:
-        any_file = [r["file"] for r in stats.select("file").limit(1).collect()]
+        any_file = _schema_probe_file(stats, "file-stats")
         empty = spark.read.parquet(*any_file).filter(F.lit(False))
         return empty.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     return spark.read.parquet(*files).filter(
@@ -99,7 +116,7 @@ def pruned_read_multi(
     for col, lo, hi in preds:
         row_pred = row_pred & (F.col(col) >= lo) & (F.col(col) <= hi)
     if not files:
-        any_file = [r["file"] for r in stats.select("file").limit(1).collect()]
+        any_file = _schema_probe_file(stats, "file-stats")
         return spark.read.parquet(*any_file).filter(F.lit(False)).filter(row_pred)
     return spark.read.parquet(*files).filter(row_pred)
 
@@ -224,7 +241,7 @@ def bloom_pruned_read(
         .collect()
     ]
     if not surviving:
-        any_file = [r["file"] for r in blooms.select("file").limit(1).collect()]
+        any_file = _schema_probe_file(blooms, "bloom")
         return (
             spark.read.parquet(*any_file)
             .filter(F.lit(False))

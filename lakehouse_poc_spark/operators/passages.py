@@ -122,6 +122,7 @@ def dedup_passages_incremental(
     text_col: str,
     id_col: str,
     block_words: int = 20,
+    verify_text: bool = False,
 ) -> DataFrame:
     """Continuous-ingest passage dedup: clean a NEW batch against the
     historical corpus plus itself. A batch passage is removed iff its
@@ -138,20 +139,43 @@ def dedup_passages_incremental(
     and append each admitted batch's new fingerprints — 16 bytes per
     passage, the dedup_incremental_docs store discipline); the join
     keys are fingerprints, batch-sized on the probe side.
+
+    Fingerprint approximation (default): store membership is decided
+    by md5(passage) equality, so the "reproduces the one-shot corpus
+    dedup exactly" contract holds up to md5 collisions — a collision
+    would remove a non-duplicate batch passage (same declared
+    approximation as ``dedup_passages(fingerprint=True)``; the
+    within-batch ``_rn`` ranking always compares raw text).
+    ``verify_text=True`` removes the approximation: store hits are
+    re-verified by joining on (fingerprint, raw passage text), at the
+    cost of shipping store passage text through the join instead of
+    16-byte fingerprints — use it when the store is small enough or
+    collisions are contractually unacceptable.
     """
     b = explode_passages(batch, text_col, id_col, block_words)
-    s_fp = (
-        explode_passages(store, text_col, id_col, block_words)
-        .select(F.md5("passage").alias("fp"))
-        .distinct()
-    )
+    s_exploded = explode_passages(store, text_col, id_col, block_words)
     w = Window.partitionBy("passage").orderBy(id_col, "block_id")
     ranked = b.withColumn("_rn", F.row_number().over(w)).withColumn(
         "fp", F.md5("passage")
     )
-    hit = ranked.join(s_fp, "fp", "left_semi").select(
-        id_col, "block_id"
-    ).withColumn("_in_store", F.lit(True))
+    if verify_text:
+        s_fp = (
+            s_exploded.select(
+                F.md5("passage").alias("fp"), F.col("passage").alias("_s_txt")
+            )
+            .distinct()
+        )
+        hit = ranked.join(
+            s_fp,
+            (ranked["fp"] == s_fp["fp"])
+            & (ranked["passage"] == s_fp["_s_txt"]),
+            "left_semi",
+        ).select(id_col, "block_id").withColumn("_in_store", F.lit(True))
+    else:
+        s_fp = s_exploded.select(F.md5("passage").alias("fp")).distinct()
+        hit = ranked.join(s_fp, "fp", "left_semi").select(
+            id_col, "block_id"
+        ).withColumn("_in_store", F.lit(True))
     flagged = ranked.join(hit, [id_col, "block_id"], "left").select(
         id_col,
         "block_id",

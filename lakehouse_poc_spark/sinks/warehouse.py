@@ -413,9 +413,19 @@ class Warehouse:
         present in ``df``, leaving all others untouched. The physical
         primitive behind incremental rollup maintenance — at 100 TB an
         hourly upsert rewrites a handful of day partitions, not the
-        table. (Delta's ``replaceWhere``; this is the datasource
-        ``partitionOverwriteMode=dynamic`` form, which works for both
-        backends.)"""
+        table. (Delta's ``replaceWhere``; parquet/delta use the
+        datasource ``partitionOverwriteMode=dynamic`` form; Iceberg
+        uses its native V2 ``overwritePartitions()`` — the V1 path
+        save would bypass the catalog and corrupt table metadata.)"""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            ident = self._ice_id(table)
+            if not self.table_exists(table):
+                df.writeTo(ident).partitionedBy(
+                    *[F.col(c) for c in partition_by]
+                ).create()
+                return
+            df.writeTo(ident).overwritePartitions()
+            return
         (
             df.write.format(self.format)
             .mode("overwrite")
@@ -550,7 +560,20 @@ class Warehouse:
 
         The audit runs on the STAGED files (not the input plan), so
         what is validated is byte-for-byte what gets published.
-        Returns {published, n_rows, n_invalid}."""
+        Returns {published, n_rows, n_invalid}.
+
+        Parquet-dir mechanic only: staging plain parquet and
+        rename-swapping over a Delta/Iceberg table directory would
+        corrupt its transaction log/catalog metadata, so those formats
+        fail fast — use Iceberg's native WAP (snapshot branch +
+        ``cherrypick_snapshot``) or a Delta staging table there."""
+        if self.format != "parquet":
+            raise NotImplementedError(
+                "write_audit_publish stages parquet files and "
+                "rename-swaps directories — on "
+                f"format={self.format!r} that bypasses the transaction "
+                "log; use the native WAP mechanism instead"
+            )
         from ..operators.quality import VIOLATIONS_COL, check
 
         target = self.path(table)
@@ -602,7 +625,18 @@ class Warehouse:
         plus this same stage-all/check-all discipline across them.)
 
         Returns {published, tables: {name: {n_rows, n_invalid}}}.
+
+        Parquet-dir mechanic only (same reason as
+        :meth:`write_audit_publish`): Delta/Iceberg fail fast rather
+        than have their table metadata rename-swapped away.
         """
+        if self.format != "parquet":
+            raise NotImplementedError(
+                "publish_tables stages parquet files and rename-swaps "
+                f"directories — on format={self.format!r} that "
+                "bypasses the transaction log; use native per-table "
+                "transactions plus a catalog-pointer commit instead"
+            )
         from ..operators.quality import VIOLATIONS_COL, check
 
         expectations = expectations or {}
@@ -700,7 +734,13 @@ class Warehouse:
         a native DELETE that rewrites only files containing matches —
         the 100 TB path, where a keyed delete touches MB not the table.
         Completes the DML triad: append (INSERT), SCD2/merge (UPDATE),
-        delete_where (DELETE)."""
+        delete_where (DELETE).
+
+        SQL DELETE semantics: a row is deleted iff the predicate is
+        TRUE; FALSE *and NULL* rows survive (Delta/Iceberg DELETE
+        behave this way natively). The parquet rewrite therefore keeps
+        the null-safe complement ``NOT coalesce(pred, false)`` — a
+        plain ``~pred`` would silently drop NULL-predicate rows."""
         if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
             if not isinstance(predicate, str):
                 raise ValueError(
@@ -717,7 +757,9 @@ class Warehouse:
 
             DeltaTable.forPath(self.spark, str(self.path(table))).delete(pred)
             return
-        self.overwrite_from_plan(self.read(table).filter(~pred), table)
+        self.overwrite_from_plan(
+            self.read(table).filter(~F.coalesce(pred, F.lit(False))), table
+        )
 
     def upsert(self, batch: DataFrame, table: str, keys: list[str]) -> None:
         """SCD1 merge (last-write-wins, no history): batch rows replace
@@ -783,19 +825,30 @@ class Warehouse:
         window instead).
 
         A crashed holder is recovered by age: a lock older than ``ttl``
-        seconds is presumed dead and broken (the stale-breaker re-races
-        through mkdir, so two breakers cannot both win). This is the
+        seconds is presumed dead. Breaking it is a two-step atomic
+        claim: the breaker first RENAMES the stale lock dir to a
+        unique tombstone (rename is create-exclusive on the source, so
+        exactly one contender wins the claim), deletes the tombstone,
+        then re-races through mkdir — two breakers can never interleave
+        rmtree→mkdir and both hold the lock. Release verifies
+        ownership: each acquire writes a unique token into the owner
+        file and only removes the lock if the token still matches, so
+        a slow-but-alive holder whose lock was ttl-broken cannot
+        delete the NEW holder's lock on its way out. This is the
         filesystem analogue of what a Delta/Iceberg transactional
         manifest provides natively — on those formats ``upsert()`` is
         already safe and this lock is not used. Driver-side only:
         lock acquisition is a metadata op, never per-row."""
+        import uuid
+
         lock = self.path(table).with_name(self.path(table).name + "__lock")
         lock.parent.mkdir(parents=True, exist_ok=True)
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.monotonic() + timeout
         while True:
             try:
                 lock.mkdir()
-                (lock / "owner").write_text(f"{os.getpid()} {time.time()}")
+                (lock / "owner").write_text(token)
                 break
             except FileExistsError:
                 try:
@@ -803,9 +856,17 @@ class Warehouse:
                 except OSError:
                     continue  # holder released between mkdir and stat
                 if age > ttl:
-                    # presumed-dead holder: remove and re-race (mkdir
-                    # stays the single atomic arbiter)
-                    shutil.rmtree(lock, ignore_errors=True)
+                    # presumed-dead holder: claim atomically via rename
+                    # to a unique tombstone; only the winning renamer
+                    # deletes it, everyone re-races through mkdir
+                    tomb = lock.with_name(
+                        lock.name + f".tomb.{uuid.uuid4().hex[:12]}"
+                    )
+                    try:
+                        lock.rename(tomb)
+                    except OSError:
+                        continue  # another contender claimed it first
+                    shutil.rmtree(tomb, ignore_errors=True)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -816,7 +877,12 @@ class Warehouse:
         try:
             yield
         finally:
-            shutil.rmtree(lock, ignore_errors=True)
+            # release only what we still own (owner token unchanged)
+            try:
+                if (lock / "owner").read_text() == token:
+                    shutil.rmtree(lock, ignore_errors=True)
+            except OSError:
+                pass  # lock was ttl-broken by a contender: not ours
 
     def upsert_file_pruned(
         self, batch: DataFrame, table: str, keys: list[str]
@@ -939,7 +1005,15 @@ class Warehouse:
         touched = [r["_f"] for r in touched_rows]
         n_deleted = int(sum(r["_n"] for r in touched_rows))
         if touched:
-            survivors = cur.filter(F.col("_f").isin(touched)).filter(~pred).drop("_f")
+            # Null-safe complement: only pred==TRUE rows are deleted;
+            # NULL-predicate rows in touched files must survive the
+            # rewrite (matching SQL DELETE and the Delta/Iceberg
+            # branches — a plain ~pred drops them uncounted).
+            survivors = (
+                cur.filter(F.col("_f").isin(touched))
+                .filter(~F.coalesce(pred, F.lit(False)))
+                .drop("_f")
+            )
             self._replace_files(table, touched, survivors)
         return {
             "files_total": files_total,
@@ -1040,6 +1114,13 @@ class Warehouse:
         return removed
 
     def drop(self, table: str) -> None:
+        """DROP TABLE. Iceberg goes through the catalog (``DROP TABLE
+        ... PURGE`` — an rmtree of the table dir would strand the
+        catalog's metadata pointer); parquet and path-based Delta are
+        directory-rooted, so removing the directory IS the drop."""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ice_id(table)} PURGE")
+            return
         p = self.path(table)
         if p.exists():
             shutil.rmtree(p)
@@ -1109,7 +1190,40 @@ class Warehouse:
         target_files = ceil(current on-disk bytes / target), from a
         metadata-only directory stat. Bytes are COMPRESSED parquet
         bytes, so the rewrite lands near the target regardless of row
-        width; exactly one of the two knobs must be given."""
+        width; exactly one of the two knobs must be given.
+
+        Iceberg routes to the native ``rewrite_data_files`` procedure
+        (file counts and sizing from the ``.files`` metadata table —
+        a directory glob would count every snapshot's files); Delta
+        would use ``OPTIMIZE``, unimplemented here."""
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            if cluster_by or zorder_by or partition_by:
+                raise NotImplementedError(
+                    "iceberg compact supports plain bin-packing only; "
+                    "use rewrite_data_files(strategy => 'sort') for "
+                    "clustered layouts"
+                )
+            before_ice = self.spark.sql(
+                f"SELECT count(*) AS n FROM {self._ice_id(table)}.files"
+            ).collect()[0]["n"]
+            ns_tbl = ".".join(self._ice_id(table).split(".")[1:])
+            opts = ""
+            if target_file_bytes is not None:
+                opts = (
+                    ", options => map('target-file-size-bytes', "
+                    f"'{int(target_file_bytes)}')"
+                )
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files"
+                f"(table => '{ns_tbl}'{opts})"
+            )
+            return int(before_ice)
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            raise NotImplementedError(
+                "delta compact is native OPTIMIZE "
+                "(DeltaTable.optimize().executeCompaction()); the "
+                "parquet-dir glob/rewrite mechanic does not apply"
+            )
         data_files = list(self.path(table).glob("**/*.parquet"))
         before = len(data_files)
         if (target_files is None) == (target_file_bytes is None):

@@ -154,3 +154,28 @@ def test_sample_files_deterministic_file_level(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         tiny.explain(True)
     assert "4295" in buf.getvalue()
+
+
+def test_empty_index_fails_fast_with_clear_error(spark):
+    """An EMPTY stats/bloom index cannot yield a schema probe file —
+    the pruned readers must raise a clear ValueError instead of the
+    opaque spark.read.parquet() no-paths crash (ADVICE r6)."""
+    import pytest
+
+    from lakehouse_poc_spark.operators.filestats import (
+        bloom_pruned_read,
+        pruned_read_multi,
+    )
+
+    empty_stats = spark.createDataFrame(
+        [], "file string, n_rows long, v_min long, v_max long"
+    )
+    with pytest.raises(ValueError, match="index is empty"):
+        pruned_read(spark, empty_stats, "v", 0, 10)
+    with pytest.raises(ValueError, match="index is empty"):
+        pruned_read_multi(spark, empty_stats, [("v", 0, 10)])
+    empty_blooms = spark.createDataFrame(
+        [], "file string, bits array<int>"
+    )
+    with pytest.raises(ValueError, match="index is empty"):
+        bloom_pruned_read(spark, empty_blooms, "k", 42)

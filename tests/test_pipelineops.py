@@ -122,3 +122,44 @@ def test_epoch_upsample_balances_rare_sources(spark):
         for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_source == {"big": 90, "mid": 90, "rare": 36}
+
+
+def test_dedup_passages_incremental_verify_text_parity(spark):
+    """verify_text=True re-verifies fingerprint hits on raw passage
+    text (closing the md5-collision approximation, ADVICE r6); on
+    collision-free data both modes must agree exactly."""
+    from lakehouse_poc_spark.operators.passages import (
+        dedup_passages_incremental,
+    )
+
+    store = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " * 3),
+            (2, "epsilon zeta eta theta unique old text here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta " * 3),  # fully in store
+            (11, "totally fresh words that nobody wrote before today"),
+            (12, "totally fresh words that nobody wrote before today"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in dedup_passages_incremental(
+            batch, store, "text", "doc_id", block_words=4
+        ).collect()
+    }
+    vt = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in dedup_passages_incremental(
+            batch, store, "text", "doc_id", block_words=4, verify_text=True
+        ).collect()
+    }
+    assert fp == vt
+    assert fp[10][1] == ""  # store duplicate removed entirely
+    assert fp[11][0] == 0  # fresh text untouched
+    assert vt[12][0] > 0  # within-batch duplicate of 11 still removed

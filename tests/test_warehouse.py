@@ -759,3 +759,102 @@ def test_file_bloom_prunes_without_false_negatives(spark, tmp_path):
     missing = bloom_pruned_read(spark, blooms, "key", 10_000_000)
     assert missing.count() == 0
     assert set(missing.columns) == {"ts", "key"}
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: only pred==TRUE rows are removed;
+    NULL-predicate rows survive, matching the Delta/Iceberg native
+    DELETE branches (ADVICE r6 — a plain ~pred silently dropped them)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "fact.nulls"
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, None), (3, 7.0), (4, None), (5, -1.0)],
+        "id long, value double",
+    )
+    wh.overwrite(df, t)
+    wh.delete_where(t, "value < 0")
+    assert sorted(r["id"] for r in wh.read(t).collect()) == [2, 3, 4]
+
+
+def test_delete_where_file_pruned_null_predicate_rows_survive(spark, tmp_path):
+    """File-pruned DELETE twin of the null-safety contract: NULL rows
+    in touched files must be rewritten as survivors, and rows_deleted
+    counts pred==TRUE rows only."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "fact.nullsfp"
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, None), (3, 7.0), (4, None), (5, -1.0)],
+        "id long, value double",
+    )
+    df.coalesce(1).write.parquet(str(wh.path(t)))
+    stats = wh.delete_where_file_pruned(t, "value < 0")
+    assert stats["rows_deleted"] == 2  # TRUE matches only
+    assert sorted(r["id"] for r in wh.read(t).collect()) == [2, 3, 4]
+
+
+def test_writer_lock_release_verifies_ownership(spark, tmp_path):
+    """A past-ttl-but-alive holder whose lock was broken by a
+    contender must NOT delete the new holder's lock on its way out
+    (ADVICE r6: release checks the owner token)."""
+    import os as _os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "dim.own"
+    wh.overwrite(spark.range(3).selectExpr("id"), t)
+    lock = wh.path(t).with_name("own__lock")
+
+    slow = wh._writer_lock(t)
+    slow.__enter__()
+    _os.utime(lock, (1_000_000.0, 1_000_000.0))  # holder overran the ttl
+    fast = wh._writer_lock(t, timeout=1.0)
+    fast.__enter__()  # breaks the stale lock, acquires its own
+    assert lock.exists()
+    slow.__exit__(None, None, None)  # slow holder exits late
+    assert lock.exists()  # fast holder's lock untouched
+    fast.__exit__(None, None, None)
+    assert not lock.exists()
+
+
+def test_stale_lock_break_has_single_winner(spark, tmp_path):
+    """N threads racing to break ONE stale lock: the tombstone-rename
+    claim admits exactly one contender into the critical section at a
+    time (the pre-fix rmtree→mkdir interleave let two break-and-hold)."""
+    import os as _os
+    import threading
+    import time as _time
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "dim.stale"
+    wh.overwrite(spark.range(3).selectExpr("id"), t)
+    lock = wh.path(t).with_name("stale__lock")
+    lock.mkdir()
+    _os.utime(lock, (1_000_000.0, 1_000_000.0))
+
+    inside: list[int] = []
+    overlap: list[int] = []
+    gate = threading.Lock()
+    errors: list[Exception] = []
+
+    def contender(i: int) -> None:
+        try:
+            with wh._writer_lock(t, timeout=15.0):
+                with gate:
+                    if inside:
+                        overlap.append(i)
+                    inside.append(i)
+                _time.sleep(0.02)
+                with gate:
+                    inside.remove(i)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=contender, args=(i,)) for i in range(6)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert not overlap, f"double-held by {overlap}"
+    assert not lock.exists()

@@ -215,3 +215,64 @@ def test_parquet_backend_selection_unchanged(spark, tmp_path):
     assert wh.read("dim.t").count() == 3
     with pytest.raises(ValueError, match="format must be one of"):
         Warehouse(spark, str(tmp_path), format="orc")
+
+
+def test_overwrite_partitions_uses_native_overwritePartitions(ice_ok, tmp_path):
+    """Dynamic partition overwrite must go through the V2 writeTo API
+    — the V1 path save would bypass the catalog and corrupt table
+    metadata (ADVICE r6)."""
+    wh, spark = _wh(tmp_path)
+    spark.catalog.tableExists.return_value = True
+    df = MagicMock()
+    wh.overwrite_partitions(df, "agg.daily", partition_by=["day"])
+    df.writeTo.assert_called_once_with(wh._ice_id("agg.daily"))
+    df.writeTo.return_value.overwritePartitions.assert_called_once()
+    df.write.format.assert_not_called()  # no V1 path save
+    # first write: create partitioned, through the catalog
+    spark.catalog.tableExists.return_value = False
+    df2 = MagicMock()
+    wh.overwrite_partitions(df2, "agg.daily", partition_by=["day"])
+    df2.writeTo.return_value.partitionedBy.return_value.create.assert_called_once()
+
+
+def test_wap_and_publish_fail_fast_on_iceberg(ice_ok, tmp_path):
+    """Staging plain parquet and rename-swapping over an Iceberg table
+    dir corrupts its metadata — both WAP entry points must fail fast
+    instead of silently applying parquet-dir mechanics (ADVICE r6)."""
+    wh, _ = _wh(tmp_path)
+    with pytest.raises(NotImplementedError, match="write_audit_publish"):
+        wh.write_audit_publish(MagicMock(), "pub.t", [])
+    with pytest.raises(NotImplementedError, match="publish_tables"):
+        wh.publish_tables({"pub.t": MagicMock()})
+
+
+def test_drop_goes_through_catalog_not_rmtree(ice_ok, tmp_path):
+    wh, spark = _wh(tmp_path)
+    d = wh.path("dim.t")
+    d.mkdir(parents=True)
+    wh.drop("dim.t")
+    spark.sql.assert_called_once_with(
+        f"DROP TABLE IF EXISTS {wh._ice_id('dim.t')} PURGE"
+    )
+    assert d.exists()  # path mechanics bypassed; the catalog owns files
+
+
+def test_compact_routes_to_rewrite_data_files(ice_ok, tmp_path):
+    """Compaction is the native rewrite_data_files procedure; the
+    before-count comes from the .files metadata table (a directory
+    glob would count every snapshot's files)."""
+    wh, spark = _wh(tmp_path)
+    row = MagicMock()
+    row.__getitem__ = lambda self, k: 37
+    spark.sql.return_value.collect.return_value = [row]
+    before = wh.compact("fact.t", target_file_bytes=128 * 1024 * 1024)
+    assert before == 37
+    calls = [c.args[0] for c in spark.sql.call_args_list]
+    assert any(f"FROM {wh._ice_id('fact.t')}.files" in c for c in calls)
+    assert any(
+        c.startswith(f"CALL {wh.catalog}.system.rewrite_data_files")
+        and "'134217728'" in c
+        for c in calls
+    )
+    with pytest.raises(NotImplementedError, match="sort"):
+        wh.compact("fact.t", target_files=4, cluster_by=["k"])
