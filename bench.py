@@ -251,13 +251,36 @@ def main() -> None:
             }
         )
     )
+    # Isolated re-timing of the slowest queries (VERDICT r6 task 1):
+    # suite-position contention (page-cache state, JVM GC pressure from
+    # the 100+ preceding queries) swings the heavy dedup/similarity
+    # family's suite-recorded numbers by up to ±4× — r6 recorded
+    # incremental_neardup_docs at 24.3 s in-suite vs ~4 s honest — and
+    # every round that manufactures a phantom regression. Re-run the
+    # slowest 10 AFTER the sweep, fresh cache, median-of-3, and publish
+    # THOSE medians as `slowest_med` (the number a regression
+    # comparison should use); the raw suite medians stay alongside,
+    # labeled `slowest_suite_med`.
+    slowest_names = [
+        k
+        for k, _ in sorted(
+            medians.items(), key=lambda kv: kv[1], reverse=True
+        )[:10]
+    ]
+    isolated: dict[str, float] = {}
+    for name in slowest_names:
+        fn = plans.QUERIES[name]
+        runs: list[float] = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        isolated[name] = round(sorted(runs)[1], 3)
     # The driver records only the last 2000 chars of stdout; the full
     # line above is ~5k chars, so its leading totals get truncated
     # (seen in BENCH_r05.json). Print a compact self-describing summary
     # LAST so the tail always carries the headline numbers.
-    slowest = dict(
-        sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:8]
-    )
     print(
         json.dumps(
             {
@@ -266,7 +289,8 @@ def main() -> None:
                 "value_med": total_med,
                 "unit": "sec",
                 "n": len(timings),
-                "slowest_med": slowest,
+                "slowest_med": isolated,
+                "slowest_suite_med": {k: medians[k] for k in slowest_names},
                 "sf": sf,
             }
         )

@@ -261,6 +261,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    converge: bool = False,
 ) -> DataFrame:
     """SYNCHRONOUS label propagation (Raghavan et al. 2007, public
     paper) made deterministic: every node starts labeled with its own
@@ -280,6 +281,21 @@ def label_propagation(
     (node, label) aggregation, one per-node window for the argmax —
     all hash-partitioned by node id; labels are ids (longs), never
     collections. Skewed hubs salt like any hot groupBy key.
+
+    Iteration hygiene (VERDICT r6 task 3, matching ``pagerank``'s
+    cached-edge discipline): the symmetrized edge relation is
+    PERSISTED once — without it every round re-derives it from the
+    scan — and each round's labels are ``localCheckpoint``-ed, so
+    plan depth stays constant instead of nesting one
+    join+agg+window per round (at iters=10+ on a big graph, nested
+    lineage means quadratic planning cost and a full-history
+    recompute on executor loss).
+
+    ``converge=True`` adds a deterministic early stop: after each
+    round, count the nodes whose label changed (an exact join on the
+    checkpointed label sets — cheap, node-keyed) and stop when zero.
+    ``iters`` then bounds the worst case. Synchronous LPA can
+    oscillate on bipartite-ish structures, so the bound still matters.
     """
     w_col = F.col(weight) if weight else F.lit(1).cast("long")
     p = edges.select(
@@ -287,24 +303,41 @@ def label_propagation(
     )
     und = p.unionByName(
         p.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    )
-    labels = (
-        und.select(F.col("u").alias("node")).distinct().withColumn(
-            "label", F.col("node")
-        )
-    )
-    from pyspark.sql import Window
-
-    rk = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
-    for _ in range(iters):
-        nb = und.join(
-            labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "label", "w")
+    ).persist()
+    try:
         labels = (
-            nb.groupBy("node", "label")
-            .agg(F.sum("w").alias("wt"))
-            .withColumn("__r", F.row_number().over(rk))
-            .filter(F.col("__r") == 1)
-            .select("node", "label")
+            und.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
         )
+        from pyspark.sql import Window
+
+        rk = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+        for _ in range(iters):
+            nb = und.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            ).select(F.col("u").alias("node"), "label", "w")
+            new_labels = (
+                nb.groupBy("node", "label")
+                .agg(F.sum("w").alias("wt"))
+                .withColumn("__r", F.row_number().over(rk))
+                .filter(F.col("__r") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+            if converge:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    break
+            else:
+                labels = new_labels
+    finally:
+        und.unpersist()
     return labels.withColumnRenamed("label", "community")

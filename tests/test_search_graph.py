@@ -353,3 +353,30 @@ def test_label_propagation_two_communities_weak_bridge(spark):
     assert len({got_unw[1], got_unw[2], got_unw[3]}) == 1
     assert len({got_unw[10], got_unw[11], got_unw[12]}) == 1
     assert got_unw[1] != got_unw[10]
+
+
+def test_label_propagation_converge_matches_fixed_iters(spark):
+    """converge=True stops once no label changes; the result must
+    equal the fixed-iteration run that ran to (past) the fixpoint,
+    and a high iters bound must not change it (early stop fired)."""
+    import time as _time
+
+    from lakehouse_poc_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: converges in <= 3 rounds
+    e = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    fixed = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=6).collect()
+    }
+    conv = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=50, converge=True).collect()
+    }
+    assert fixed == conv
+    # the early stop actually fires: 50 bounded rounds at ~0.5 s+ per
+    # round would take far longer than the handful it needs
+    t0 = _time.perf_counter()
+    label_propagation(edges, iters=50, converge=True).count()
+    assert _time.perf_counter() - t0 < 30.0

@@ -100,10 +100,118 @@ def _shingle_relation(corpus: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_graph(spark, m_edges: int) -> DataFrame:
+    """Deterministic uniform-random graph: ~m edges over n = m/4 nodes
+    (average degree ~8 after symmetrization); endpoints derived from
+    xxhash64 so the probe is reproducible run-to-run with no RNG
+    state. Self-loops dropped."""
+    n = max(2, m_edges // 4)
+    return (
+        spark.range(m_edges)
+        .select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def graph_probe(spark) -> None:
+    """Iterative-graph scaling (VERDICT r6 task 3): 20k/80k/320k-edge
+    synthetic graphs; wall time for LPA (3 fixed rounds and the
+    converge-early variant), triangle counting, and distributed
+    connected components, plus the MEASURED per-round LPA shuffle
+    (Exchange records of one round's join+agg+window)."""
+    from pyspark.sql import Window
+
+    from lakehouse_poc_spark.operators.dedup import connected_components
+    from lakehouse_poc_spark.operators.graph import (
+        label_propagation,
+        triangle_count,
+    )
+    from tools.shuffle_audit import exchange_metrics
+
+    for m in (20_000, 80_000, 320_000):
+        edges = synthetic_graph(spark, m).persist()
+        ne = edges.count()
+
+        t0 = time.perf_counter()
+        n_comm = (
+            label_propagation(edges, iters=3)
+            .select("community")
+            .distinct()
+            .count()
+        )
+        t_lpa = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        label_propagation(edges, iters=10, converge=True).count()
+        t_conv = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tri = triangle_count(edges).collect()[0]["n_triangles"]
+        t_tri = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_cc = (
+            connected_components(
+                edges.selectExpr("src AS id_a", "dst AS id_b"),
+                driver_threshold=0,  # force the distributed loop
+            )
+            .select("component")
+            .distinct()
+            .count()
+        )
+        t_cc = time.perf_counter() - t0
+
+        # measured per-round LPA shuffle: one round's join+agg+window
+        # at initial labels, Exchange records from the executed plan
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        labels0 = (
+            und.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+        rk = Window.partitionBy("node").orderBy(
+            F.desc("wt"), F.asc("label")
+        )
+        one_round = (
+            und.join(labels0.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("wt"))
+            .withColumn("__r", F.row_number().over(rk))
+            .filter(F.col("__r") == 1)
+            .select("node", "label")
+        )
+        # collect() executes THIS frame's queryExecution (a count()
+        # would execute a different, aggregated plan with no metrics
+        # on one_round's own exchanges); the result is node-sized
+        one_round.collect()
+        exes = exchange_metrics(
+            one_round._jdf.queryExecution().executedPlan()
+        )
+        rec = sum(e["records"] for e in exes)
+        print(
+            f"{'graph':14s} edges={ne:7d} lpa3={t_lpa:6.2f}s "
+            f"lpa_conv={t_conv:6.2f}s tri={t_tri:6.2f}s ({tri} tris) "
+            f"cc={t_cc:6.2f}s comms={n_comm} comps={n_cc} "
+            f"round_shuffle_rows={rec}",
+            flush=True,
+        )
+        edges.unpersist()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     with_brute = "--with-brute" in sys.argv
     spark = get_spark("scale_probe")
+    if "--graph" in sys.argv:
+        spark.range(1).count()
+        graph_probe(spark)
+        return
     docs = read_parquet_table(spark, sf_dir, "documents")
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     spark.range(1).count()
