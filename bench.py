@@ -160,6 +160,8 @@ HEADLINE = [
     "bloom_file_index_orders",
     "label_propagation_coparts",
     "incremental_containment_docs",
+    # r7: manifest-commit storage backend (atomic file-pruned DML)
+    "scd1_manifest_customers",
 ]
 
 

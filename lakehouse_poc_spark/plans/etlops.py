@@ -206,6 +206,61 @@ def scd1_file_pruned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The MANIFEST-COMMIT SCD1 twin (r7): identical scenario and oracle,
+# executed on a ManifestWarehouse — the versioned file-manifest
+# backend where DML commits are a single atomic manifest rename and
+# readers resolve the committed file list instead of globbing (the
+# move→unlink duplicate window of the plain backend does not exist;
+# proven by tests/test_warehouse_manifest.py's concurrent-reader
+# test). Oracle-hash identity across all three SCD1 twins is the
+# result-contract proof that the storage mechanics never leak into
+# query semantics.
+@query(
+    "scd1_manifest_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key
+    """,
+)
+def scd1_manifest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.warehouse import ManifestWarehouse
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    root = SCRATCH / f"scd1mf_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = ManifestWarehouse(spark, str(root))
+    t = "layer0150.dim_customer_mf"
+    wh.overwrite(batch1.repartitionByRange(8, "c_custkey"), t)
+    wh.upsert_file_pruned(batch2, t, keys=["c_custkey"])
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Merge stats contract ({unchanged,new_keys,updated_keys},
 # reference pipeline_core.py:255-259) for the second merge.
 @query(

@@ -164,6 +164,17 @@ class Warehouse:
         # append-only logs whose history IS the table.
         self.track_versions = track_versions and format == "parquet"
         self.root.mkdir(parents=True, exist_ok=True)
+        # per-thread reentrancy state for _writer_lock (a DML op that
+        # holds the lock may call append/overwrite internally)
+        import threading
+
+        self._lock_depth = threading.local()
+
+    def _data_files(self, table: str) -> list[Path]:
+        """The table's LIVE data files. Directory-rooted backends glob;
+        the manifest backend overrides this to resolve the committed
+        manifest instead (superseded files may still be on disk)."""
+        return list(self.path(table).glob("**/*.parquet"))
 
     def path(self, table: str) -> Path:
         # "layer0100.kosten_raw" → <root>/layer0100/kosten_raw
@@ -841,6 +852,21 @@ class Warehouse:
         lock acquisition is a metadata op, never per-row."""
         import uuid
 
+        # Reentrant per (instance, thread, table): a DML op holding the
+        # lock may call append/overwrite internally (the manifest
+        # backend locks those too) — re-entry is a no-op, not a
+        # self-deadlock. Cross-instance/-process exclusion still goes
+        # through the mkdir below.
+        held: dict[str, int] = getattr(self._lock_depth, "held", None) or {}
+        self._lock_depth.held = held
+        if held.get(table, 0) > 0:
+            held[table] += 1
+            try:
+                yield
+            finally:
+                held[table] -= 1
+            return
+
         lock = self.path(table).with_name(self.path(table).name + "__lock")
         lock.parent.mkdir(parents=True, exist_ok=True)
         token = f"{os.getpid()}:{uuid.uuid4().hex}"
@@ -874,9 +900,11 @@ class Warehouse:
                         f"(< ttl {ttl:.0f}s); gave up after {timeout:.0f}s"
                     )
                 time.sleep(0.05)
+        held[table] = 1
         try:
             yield
         finally:
+            held[table] = 0
             # release only what we still own (owner token unchanged)
             try:
                 if (lock / "owner").read_text() == token:
@@ -929,7 +957,7 @@ class Warehouse:
             self.overwrite(batch, table)
             n = batch.count()
             return {
-                "files_total": len(list(self.path(table).glob("**/*.parquet"))),
+                "files_total": len(self._data_files(table)),
                 "files_rewritten": 0,
                 "rows_inserted_or_updated": n,
             }
@@ -941,7 +969,7 @@ class Warehouse:
                 "partition-column values) — use overwrite_partitions "
                 "for partition-scoped rewrites"
             )
-        files_total = len(list(target.glob("**/*.parquet")))
+        files_total = len(self._data_files(table))
         cur = self.read(table).withColumn("_f", F.col("_metadata.file_path"))
         key_df = batch.select(*keys).dropDuplicates()
         touched = [
@@ -996,7 +1024,7 @@ class Warehouse:
                 "hive-partitioned layouts — use drop_partitions for "
                 "partition-aligned retention"
             )
-        files_total = len(list(target.glob("**/*.parquet")))
+        files_total = len(self._data_files(table))
         cur = self.read(table).withColumn("_f", F.col("_metadata.file_path"))
         matches = cur.filter(pred)
         touched_rows = (
@@ -1224,7 +1252,7 @@ class Warehouse:
                 "(DeltaTable.optimize().executeCompaction()); the "
                 "parquet-dir glob/rewrite mechanic does not apply"
             )
-        data_files = list(self.path(table).glob("**/*.parquet"))
+        data_files = self._data_files(table)
         before = len(data_files)
         if (target_files is None) == (target_file_bytes is None):
             raise ValueError(
@@ -1299,3 +1327,404 @@ class Warehouse:
             df = df.coalesce(target_files)
         self.overwrite_from_plan(df, table, partition_by=partition_by)
         return before
+
+
+class ManifestWarehouse(Warehouse):
+    """Parquet warehouse with a VERSIONED FILE MANIFEST commit — the
+    minimal transaction-log mechanic (VERDICT r6 task 2) that makes
+    every table state change atomic to concurrent readers, closing
+    the one semantic gap the plain parquet backend had vs the
+    reference's real Delta MERGE (pipeline_core.py:219-227).
+
+    Protocol (Delta/Iceberg's core idea on plain parquet):
+
+    - the live state of a table is the FILE LIST in the newest
+      manifest (``<table>__manifest/m{N}.json``), not the directory
+      listing;
+    - writers stage new parquet files INTO the table directory under
+      job-unique names (invisible — readers resolve the manifest, not
+      the glob), then commit by writing manifest N+1 via
+      write-tmp + atomic single-file rename;
+    - superseded files are never unlinked at commit time; a reader
+      that resolved manifest N keeps a consistent snapshot until
+      ``vacuum(retain_versions=k)`` sweeps files unreferenced by the
+      kept manifests — exactly Delta's tombstone-retention model;
+    - old manifests ARE time travel: ``read_version(t, n)`` reads
+      manifest n's file list (no copytree archive), ``restore``
+      re-commits an old list as a NEW version (history-preserving),
+      and ``write_audit_publish`` stages + audits uncommitted files
+      and publishes by committing — the Iceberg WAP mechanic for free.
+
+    Consequences for concurrency: ``upsert_file_pruned`` /
+    ``delete_where_file_pruned`` lose their move→unlink duplicate
+    window entirely (a concurrent reader sees either the old or the
+    new manifest, each internally consistent); writers still
+    serialize on the per-table advisory lock.
+
+    Scope: unpartitioned tables (hive-style dir partitioning trades
+    against file-list reads; Delta/Iceberg put partition values in
+    the log — at that point, use them). Partitioned writes,
+    ``overwrite_partitions`` and ``drop_partitions`` raise.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root, format="parquet", track_versions=False)
+
+    # -- manifest mechanics ---------------------------------------------
+
+    def _manifest_dir(self, table: str) -> Path:
+        p = self.path(table)
+        return p.with_name(p.name + "__manifest")
+
+    def _manifests(self, table: str) -> list[Path]:
+        md = self._manifest_dir(table)
+        return sorted(md.glob("m*.json")) if md.exists() else []
+
+    def _latest(self, table: str) -> dict | None:
+        import json
+
+        ms = self._manifests(table)
+        if not ms:
+            return None
+        return json.loads(ms[-1].read_text())
+
+    def _live_names(self, table: str) -> list[str]:
+        m = self._latest(table)
+        if m is None:
+            raise ValueError(
+                f"table {table!r} has no committed manifest "
+                "(never written, or not a manifest-mode table)"
+            )
+        return list(m["files"])
+
+    def _commit(self, table: str, names: list[str], op: str) -> int:
+        """Write manifest version N+1 (atomic tmp→rename). Callers
+        hold the per-table writer lock; the rename is the commit
+        point — a reader listing the manifest dir sees either N or
+        N+1, never a partial file."""
+        import json
+        import uuid
+
+        md = self._manifest_dir(table)
+        md.mkdir(parents=True, exist_ok=True)
+        prev = self._latest(table)
+        version = (prev["version"] + 1) if prev is not None else 0
+        body = {"version": version, "op": op, "files": sorted(names)}
+        tmp = md / f".m{version:06d}.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(body))
+        tmp.rename(md / f"m{version:06d}.json")
+        return version
+
+    def _stage_in(self, df: DataFrame, table: str) -> list[str]:
+        """Write ``df`` to a staging dir, move the parts into the
+        table dir under job-unique names, return the names. The files
+        are INVISIBLE until a manifest commit references them."""
+        import uuid
+
+        target = self.path(table)
+        target.mkdir(parents=True, exist_ok=True)
+        staging = target.with_name(target.name + "__staging")
+        if staging.exists():
+            shutil.rmtree(staging)
+        df.write.parquet(str(staging))
+        job = uuid.uuid4().hex[:12]
+        names: list[str] = []
+        for i, part in enumerate(sorted(staging.glob("*.parquet"))):
+            name = f"part-{i:05d}-{job}.parquet"
+            part.rename(target / name)
+            names.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return names
+
+    # -- reads ----------------------------------------------------------
+
+    def _data_files(self, table: str) -> list[Path]:
+        return [self.path(table) / n for n in self._live_names(table)]
+
+    def table_exists(self, table: str) -> bool:
+        return bool(self._manifests(table))
+
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        files = [str(p) for p in self._data_files(table)]
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
+
+    def version(self, table: str) -> int:
+        m = self._latest(table)
+        return m["version"] if m is not None else 0
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        import json
+
+        mf = self._manifest_dir(table) / f"m{version:06d}.json"
+        if not mf.exists():
+            raise ValueError(
+                f"version {version} of {table!r} not found "
+                f"(current={self.version(table)}; vacuumed?)"
+            )
+        names = json.loads(mf.read_text())["files"]
+        missing = [n for n in names if not (self.path(table) / n).exists()]
+        if missing:
+            raise ValueError(
+                f"version {version} of {table!r} references vacuumed "
+                f"files: {missing[:3]}..."
+            )
+        return self.spark.read.parquet(
+            *[str(self.path(table) / n) for n in names]
+        )
+
+    def history(self, table: str) -> list[dict]:
+        import json
+
+        current = self.version(table)
+        out = []
+        for mf in self._manifests(table):
+            d = json.loads(mf.read_text())
+            out.append(
+                {
+                    "version": d["version"],
+                    "n_files": len(d["files"]),
+                    "op": d.get("op"),
+                    "current": d["version"] == current,
+                }
+            )
+        return out
+
+    # -- writes ---------------------------------------------------------
+
+    def _no_partitions(self, partition_by) -> None:
+        if partition_by:
+            raise NotImplementedError(
+                "manifest-mode tables are unpartitioned (the manifest "
+                "IS the pruning index; hive dir layouts conflict with "
+                "file-list reads)"
+            )
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        self._no_partitions(partition_by)
+        with self._writer_lock(table):
+            live = self._live_names(table) if self.table_exists(table) else []
+            names = self._stage_in(df, table)
+            self._commit(table, live + names, "append")
+
+    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        self._no_partitions(partition_by)
+        with self._writer_lock(table):
+            names = self._stage_in(df, table)
+            self._commit(table, names, "overwrite")
+
+    def overwrite_from_plan(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        # The input plan pinned its file list when it was built (reads
+        # resolve the manifest, and committed files are never moved),
+        # so a self-referencing overwrite can never clobber its own
+        # input — no sibling-dir swap needed, just a normal commit.
+        self.overwrite(df, table, partition_by)
+
+    def overwrite_partitions(self, df, table, partition_by):
+        raise NotImplementedError(
+            "manifest-mode tables are unpartitioned; use "
+            "upsert_file_pruned / overwrite for scoped rewrites"
+        )
+
+    def drop_partitions(self, table, partition_col, before=None, values=None):
+        raise NotImplementedError(
+            "manifest-mode tables are unpartitioned; use "
+            "delete_where_file_pruned for retention"
+        )
+
+    def _replace_files(
+        self, table: str, touched: list[str], replacement: DataFrame
+    ) -> None:
+        """Manifest twin of the base file swap: stage the replacement,
+        move it in, commit a manifest that EXCLUDES the touched files.
+        Nothing is unlinked — a concurrent reader resolves either the
+        old or the new manifest and sees one consistent file set; the
+        move→unlink duplicate window of the base backend does not
+        exist here. Superseded files wait for vacuum()."""
+        touched_names = {
+            Path(f.removeprefix("file://").removeprefix("file:")).name
+            for f in touched
+        }
+        live = [n for n in self._live_names(table) if n not in touched_names]
+        names = self._stage_in(replacement, table)
+        self._commit(table, live + names, "replace_files")
+
+    def restore(self, table: str, version: int) -> int:
+        """RESTORE: re-commit an archived manifest's file list as a
+        NEW version (history-preserving, Delta semantics). Metadata
+        only — no data files move."""
+        import json
+
+        with self._writer_lock(table):
+            mf = self._manifest_dir(table) / f"m{version:06d}.json"
+            if not mf.exists():
+                raise ValueError(
+                    f"version {version} of {table!r} not in manifest "
+                    "history (vacuumed?)"
+                )
+            names = json.loads(mf.read_text())["files"]
+            missing = [
+                n for n in names if not (self.path(table) / n).exists()
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore {table!r} to v{version}: files "
+                    f"vacuumed: {missing[:3]}..."
+                )
+            return self._commit(table, names, f"restore({version})")
+
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        table: str,
+        expectations: list,
+        partition_by: list[str] | None = None,
+        max_invalid: int = 0,
+    ) -> dict:
+        """WAP, the Iceberg way: stage files into the table dir
+        (uncommitted = invisible to every reader), audit the staged
+        bytes, publish by COMMITTING a manifest — or unlink the staged
+        files on failure. The live table is never in a half state."""
+        self._no_partitions(partition_by)
+        from ..operators.quality import VIOLATIONS_COL, check
+
+        with self._writer_lock(table):
+            names = self._stage_in(df, table)
+            staged = self.spark.read.parquet(
+                *[str(self.path(table) / n) for n in names]
+            )
+            checked = check(staged, expectations)
+            counts = checked.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col(VIOLATIONS_COL) != "", 1).otherwise(0)
+                ).alias("bad"),
+            ).collect()[0]
+            n_rows, n_invalid = int(counts["n"]), int(counts["bad"] or 0)
+            if n_invalid > max_invalid:
+                for n in names:
+                    (self.path(table) / n).unlink(missing_ok=True)
+                return {
+                    "published": False,
+                    "n_rows": n_rows,
+                    "n_invalid": n_invalid,
+                }
+            self._commit(table, names, "write_audit_publish")
+            return {
+                "published": True,
+                "n_rows": n_rows,
+                "n_invalid": n_invalid,
+            }
+
+    def publish_tables(
+        self,
+        frames: dict[str, DataFrame],
+        expectations: dict[str, list] | None = None,
+        max_invalid: int = 0,
+    ) -> dict:
+        """Multi-table WAP via manifests: stage every table's files
+        (uncommitted), audit every staged copy, then commit each
+        table's manifest. Any audit failure unlinks ALL staged files
+        and commits nothing. A mid-commit crash rolls already-
+        committed tables back by re-committing their prior file lists
+        (restore is metadata-only here). Per-table commits are atomic;
+        the cross-table sequence is a few metadata renames."""
+        from ..operators.quality import VIOLATIONS_COL, check
+
+        expectations = expectations or {}
+        staged: dict[str, list[str]] = {}
+        report: dict[str, dict] = {}
+        ok = True
+        try:
+            for table, df in frames.items():
+                staged[table] = self._stage_in(df, table)
+            for table, names in staged.items():
+                back = self.spark.read.parquet(
+                    *[str(self.path(table) / n) for n in names]
+                )
+                exps = expectations.get(table, [])
+                if exps:
+                    checked = check(back, exps)
+                    counts = checked.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.when(
+                                F.col(VIOLATIONS_COL) != "", 1
+                            ).otherwise(0)
+                        ).alias("bad"),
+                    ).collect()[0]
+                    n_rows = int(counts["n"])
+                    n_invalid = int(counts["bad"] or 0)
+                else:
+                    n_rows, n_invalid = back.count(), 0
+                report[table] = {"n_rows": n_rows, "n_invalid": n_invalid}
+                if n_invalid > max_invalid:
+                    ok = False
+        except BaseException:
+            ok = False
+            raise
+        finally:
+            if not ok:
+                for table, names in staged.items():
+                    for n in names:
+                        (self.path(table) / n).unlink(missing_ok=True)
+        if not ok:
+            return {"published": False, "tables": report}
+        committed: list[tuple[str, int]] = []
+        try:
+            for table, names in staged.items():
+                with self._writer_lock(table):
+                    pre = (
+                        self.version(table)
+                        if self.table_exists(table)
+                        else None
+                    )
+                    self._commit(table, names, "publish_tables")
+                    committed.append((table, pre))
+        except BaseException:
+            for table, pre in reversed(committed):
+                if pre is not None:
+                    with self._writer_lock(table):
+                        self.restore(table, pre)
+            raise
+        return {"published": True, "tables": report}
+
+    # -- maintenance ----------------------------------------------------
+
+    def vacuum(self, retain_versions: int | None = None) -> int:
+        """Sweep staging leftovers and stale locks (base behavior);
+        with ``retain_versions=k``, additionally drop all but the
+        newest k manifests per table and unlink data files no kept
+        manifest references — Delta's VACUUM retention. Readers of a
+        vacuumed version fail fast with a clear error."""
+        import json
+
+        removed = super().vacuum(retain_versions=None)
+        if retain_versions is not None:
+            for md in self.root.glob("**/*__manifest"):
+                manifests = sorted(md.glob("m*.json"))
+                cut = max(0, len(manifests) - retain_versions)
+                drop, keep = manifests[:cut], manifests[cut:]
+                referenced: set[str] = set()
+                for mf in keep:
+                    referenced.update(json.loads(mf.read_text())["files"])
+                table_dir = md.with_name(md.name[: -len("__manifest")])
+                for mf in drop:
+                    mf.unlink()
+                    removed += 1
+                if table_dir.exists():
+                    for f in table_dir.glob("*.parquet"):
+                        if f.name not in referenced:
+                            f.unlink()
+                            removed += 1
+        return removed
+
+    def drop(self, table: str) -> None:
+        super().drop(table)
+        md = self._manifest_dir(table)
+        if md.exists():
+            shutil.rmtree(md)

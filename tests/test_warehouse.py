@@ -806,7 +806,10 @@ def test_writer_lock_release_verifies_ownership(spark, tmp_path):
     slow = wh._writer_lock(t)
     slow.__enter__()
     _os.utime(lock, (1_000_000.0, 1_000_000.0))  # holder overran the ttl
-    fast = wh._writer_lock(t, timeout=1.0)
+    # contender is a DIFFERENT warehouse instance (same-instance
+    # same-thread acquisition is reentrant by design)
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    fast = wh2._writer_lock(t, timeout=1.0)
     fast.__enter__()  # breaks the stale lock, acquires its own
     assert lock.exists()
     slow.__exit__(None, None, None)  # slow holder exits late

@@ -1,0 +1,225 @@
+"""ManifestWarehouse: the versioned file-manifest commit protocol
+(VERDICT r6 task 2). The headline property: file-pruned DML is atomic
+to concurrent readers — the move→unlink duplicate window of the plain
+parquet backend cannot be observed, because readers resolve the
+committed manifest (either version N or N+1, never a mix) and commit
+is a single atomic rename."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark.sinks.warehouse import ManifestWarehouse
+
+
+def test_manifest_roundtrip_append_overwrite_versions(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.t"
+    assert not wh.table_exists(t)
+    wh.overwrite(spark.range(5).selectExpr("id"), t)
+    assert wh.table_exists(t)
+    assert wh.version(t) == 0
+    assert wh.read(t).count() == 5
+    wh.append(spark.range(5, 8).selectExpr("id"), t)
+    assert wh.version(t) == 1
+    assert sorted(r.id for r in wh.read(t).collect()) == list(range(8))
+    # every version readable; history reflects ops
+    assert wh.read_version(t, 0).count() == 5
+    assert wh.read_version(t, 1).count() == 8
+    ops = [h["op"] for h in wh.history(t)]
+    assert ops == ["overwrite", "append"]
+    assert [h["current"] for h in wh.history(t)] == [False, True]
+
+
+def test_manifest_overwrite_from_plan_self_reference(spark, tmp_path):
+    """A plan that reads the table it overwrites: the manifest pins
+    the input file list at plan-build time and committed files never
+    move, so no staged-swap dance is needed."""
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.self"
+    wh.overwrite(spark.range(10).selectExpr("id"), t)
+    wh.overwrite_from_plan(wh.read(t).filter(F.col("id") % 2 == 0), t)
+    assert sorted(r.id for r in wh.read(t).collect()) == [0, 2, 4, 6, 8]
+    assert wh.read_version(t, 0).count() == 10  # old version intact
+
+
+def test_manifest_file_pruned_upsert_no_unlink_until_vacuum(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.k"
+    wh.overwrite(
+        spark.range(1000)
+        .selectExpr("id AS k", "'base' AS v")
+        .repartitionByRange(4, "k"),
+        t,
+    )
+    n_files_v0 = len(wh._data_files(t))
+    batch = spark.createDataFrame(
+        [(i, "new") for i in range(100, 120)], "k long, v string"
+    )
+    stats = wh.upsert_file_pruned(batch, t, keys=["k"])
+    assert stats["files_rewritten"] < n_files_v0  # pruned, not full
+    got = {r.k: r.v for r in wh.read(t).collect()}
+    assert len(got) == 1000
+    assert all(got[i] == "new" for i in range(100, 120))
+    # superseded files still on disk (old readers / time travel)...
+    on_disk = len(list(wh.path(t).glob("*.parquet")))
+    assert on_disk > len(wh._data_files(t))
+    assert wh.read_version(t, 0).filter("v = 'new'").count() == 0
+    # ...until vacuum retention sweeps them
+    removed = wh.vacuum(retain_versions=1)
+    assert removed > 0
+    assert len(list(wh.path(t).glob("*.parquet"))) == len(wh._data_files(t))
+    with pytest.raises(ValueError, match="not found|vacuumed"):
+        wh.read_version(t, 0)
+    # live state unaffected by the sweep
+    assert wh.read(t).count() == 1000
+
+
+def test_manifest_restore_is_new_version(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.r"
+    wh.overwrite(spark.range(4).selectExpr("id"), t)
+    wh.overwrite(spark.range(9).selectExpr("id"), t)
+    new_v = wh.restore(t, 0)
+    assert new_v == 2  # history-preserving: restore commits forward
+    assert wh.read(t).count() == 4
+    assert wh.read_version(t, 1).count() == 9  # undo-able
+
+
+def test_manifest_delete_where_file_pruned_null_safe(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "fact.n"
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, -5.0), (2, None), (3, 7.0)], "id long, value double"
+        ),
+        t,
+    )
+    stats = wh.delete_where_file_pruned(t, "value < 0")
+    assert stats["rows_deleted"] == 1
+    assert sorted(r.id for r in wh.read(t).collect()) == [2, 3]
+
+
+def test_manifest_wap_stages_invisibly(spark, tmp_path):
+    from lakehouse_poc_spark.operators import quality as Q
+
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "pub.t"
+    rules = [Q.in_range("v_range", "v", 0, 100)]
+    good = spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    r1 = wh.write_audit_publish(good, t, rules)
+    assert r1 == {"published": True, "n_rows": 10, "n_invalid": 0}
+    # bad batch: audited files are unlinked, live manifest untouched
+    bad = spark.range(5).selectExpr("id", "CAST(id * 1000 AS DOUBLE) AS v")
+    r2 = wh.write_audit_publish(bad, t, rules)
+    assert not r2["published"] and r2["n_invalid"] == 4
+    assert wh.read(t).count() == 10
+    assert wh.version(t) == 0  # no commit happened
+    # on-disk: only the committed files remain (staged ones unlinked)
+    assert len(list(wh.path(t).glob("*.parquet"))) == len(wh._data_files(t))
+
+
+def test_manifest_publish_tables_all_or_nothing(spark, tmp_path):
+    from lakehouse_poc_spark.operators import quality as Q
+
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(3).selectExpr("id AS k"), "s.a")
+    wh.overwrite(spark.range(3).selectExpr("id AS k"), "s.b")
+    frames = {
+        "s.a": spark.range(5).selectExpr("id AS k"),
+        "s.b": spark.range(9).selectExpr("id AS k", "id * 100 AS v"),
+    }
+    bad = wh.publish_tables(
+        frames, expectations={"s.b": [Q.in_range("r", "v", 0, 10)]}
+    )
+    assert not bad["published"]
+    assert wh.read("s.a").count() == 3 and wh.read("s.b").count() == 3
+    ok = wh.publish_tables(frames)
+    assert ok["published"]
+    assert wh.read("s.a").count() == 5 and wh.read("s.b").count() == 9
+
+
+def test_manifest_rejects_partitioned_writes(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        wh.append(spark.range(3), "raw.t", partition_by=["id"])
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        wh.overwrite_partitions(spark.range(3), "raw.t", ["id"])
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        wh.drop_partitions("raw.t", "id", before="5")
+
+
+def test_manifest_concurrent_reader_never_sees_duplicates(spark, tmp_path):
+    """THE property this backend exists for (VERDICT r6 task 2): while
+    a writer loops file-pruned upserts over a fixed key set, a
+    concurrent reader must NEVER observe duplicate keys or a wrong
+    row count. On the plain parquet backend the move→unlink window
+    makes that observable; here every read resolves one committed
+    manifest — a consistent snapshot by construction."""
+    import threading
+
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.race"
+    wh.overwrite(
+        spark.range(1000)
+        .selectExpr("id AS k", "'base' AS v")
+        .repartitionByRange(4, "k"),
+        t,
+    )
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+    anomalies: list[tuple[int, int]] = []
+    reads = [0]
+
+    def writer() -> None:
+        try:
+            for i in range(8):
+                lo = (i * 97) % 900
+                batch = spark.createDataFrame(
+                    [(lo + j, f"w{i}") for j in range(50)],
+                    "k long, v string",
+                )
+                wh.upsert_file_pruned(batch, t, keys=["k"])
+        except Exception as exc:
+            errors.append(exc)
+        finally:
+            stop.set()
+
+    def reader() -> None:
+        try:
+            while not stop.is_set():
+                snap = wh.read(t)
+                n, nd = (
+                    snap.agg(
+                        F.count(F.lit(1)), F.countDistinct("k")
+                    ).collect()[0]
+                )
+                reads[0] += 1
+                if n != 1000 or nd != 1000:
+                    anomalies.append((n, nd))
+        except Exception as exc:
+            errors.append(exc)
+
+    wt = threading.Thread(target=writer)
+    rt = threading.Thread(target=reader)
+    rt.start()
+    wt.start()
+    wt.join()
+    rt.join()
+    assert not errors, errors
+    assert reads[0] > 0
+    assert not anomalies, f"reader saw inconsistent snapshots: {anomalies}"
+    # final state correct too
+    got = {r.k: r.v for r in wh.read(t).collect()}
+    assert len(got) == 1000
+
+
+def test_manifest_drop_removes_log(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(3), "dim.d")
+    wh.drop("dim.d")
+    assert not wh.table_exists("dim.d")
+    assert not wh._manifest_dir("dim.d").exists()
