@@ -162,6 +162,7 @@ HEADLINE = [
     "incremental_containment_docs",
     # r7: manifest-commit storage backend (atomic file-pruned DML)
     "scd1_manifest_customers",
+    "substring_dedup_docs",
 ]
 
 

@@ -1412,3 +1412,118 @@ def remove_repeated_passages(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def _substring_covered(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos) token positions covered by SOME repeated substring of
+    length >= ``min_len`` tokens. Exactness rests on a suffix-array
+    equivalence: a span of length m >= k repeats verbatim iff each of
+    its length-k windows repeats (any repeated span contains a
+    repeated k-gram through every one of its positions, and a
+    repeated k-gram IS a length-k repeated span) — so the suffix-sort
+    + LCP-extension of Lee et al. reduces, for coverage purposes, to
+    counting positional k-gram occurrences. Occurrences are counted
+    over ALL (doc, pos) sites, so within-document repetition counts
+    (unlike the cross-doc-only passage detector)."""
+    grams = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(word_shingles(text_col, min_len)).alias("gpos", "gram"),
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    return (
+        grams.join(repeated, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(min_len - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 20
+) -> DataFrame:
+    """MAXIMAL repeated-substring spans per document (Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr — public paper; arXiv:2107.06499): every maximal run
+    of token positions covered by a verbatim repeat of >= ``min_len``
+    tokens. Returns (id, span_start, span_len), span_start 0-based.
+
+    The suffix-array step of the paper is replaced by the sorted
+    k-gram-run equivalence (see ``_substring_covered``); the
+    LCP-extension step becomes covered-position RUN MERGING: adjacent
+    covered positions group by (pos - row_number) — a per-document
+    window, never a global sort (the block-offset discipline).
+
+    Scale shape: one gram-keyed shuffle (corpus grams), one bounded
+    fan-out of repeated occurrences (min_len x repeated subset), one
+    doc-keyed window. No driver-side state."""
+    covered = _substring_covered(df, text_col, id_col, min_len)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        covered.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.count(F.lit(1)).cast("bigint").alias("span_len"),
+        )
+        .drop("_grp")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 20
+) -> DataFrame:
+    """Exact substring REMOVAL (Lee et al. 2021 ExactSubstr): drop
+    every token covered by a verbatim repeated substring of
+    >= ``min_len`` tokens (all copies removed, matching
+    ``remove_repeated_passages``'s declared simplification of the
+    paper's keep-one policy) and reassemble survivors in order.
+    Output: (id, n_tokens_before, n_removed, clean_text).
+
+    Completes the sub-document dedup family: fixed-block passage
+    dedup (``operators/passages.py``), cross-doc 8-gram span removal
+    (``remove_repeated_passages``), and now length-thresholded exact
+    repeats including within-document ones."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    covered = _substring_covered(df, text_col, id_col, min_len)
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    removed_counts = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    before = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens_before")
+    )
+    clean = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("parts"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform(F.col("parts"), lambda s: s["w"])
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        before.join(removed_counts, id_col, "left")
+        .join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens_before"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

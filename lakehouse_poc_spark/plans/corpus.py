@@ -633,6 +633,75 @@ def remove_repeated_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021 ExactSubstr, r7 — VERDICT r6
+# task 4): remove every token covered by a verbatim repeated substring
+# of >= _SUBSTR_K tokens, counting ALL occurrence sites (within-doc
+# repeats included — the passage detector above is cross-doc only).
+# Suffix-array semantics via the k-gram coverage equivalence; brute
+# suffix-LCP parity proven in tests/test_corpus.py. md5-pinned like
+# remove_repeated_passages_docs so the hash check pins the reassembly.
+_SUBSTR_K = 12
+
+
+@query(
+    "substring_dedup_docs",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i.i - 1 AS gpos,
+               array_to_string(w[i.i:i.i + {_SUBSTR_K - 1}], ' ') AS gram
+        FROM d, LATERAL unnest(range(1, len(w) - {_SUBSTR_K - 2})) AS i(i)
+    ),
+    rep AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+        FROM g JOIN rep USING (gram),
+             LATERAL unnest(range(0, {_SUBSTR_K})) AS o(o)
+    ),
+    toks AS (
+        SELECT doc_id, i.i - 1 AS pos, w[i.i] AS tok
+        FROM d, LATERAL unnest(range(1, len(w) + 1)) AS i(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t ANTI JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+    )
+    SELECT d.doc_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM toks t
+             WHERE t.doc_id = d.doc_id) AS n_tokens_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cov c
+             WHERE c.doc_id = d.doc_id) AS n_removed,
+           md5(coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                          FROM kept k WHERE k.doc_id = d.doc_id), ''))
+               AS clean_md5
+    FROM d
+    ORDER BY d.doc_id
+    """,
+)
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_substring_dedup(docs, "text", "doc_id", min_len=_SUBSTR_K)
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            "n_removed",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dataset card: the one-row corpus summary that ships WITH a training
 # dataset (docs/tokens/chars, language & source breadth, exact-dup
 # rate via content fingerprints) — the datasheet headline numbers,

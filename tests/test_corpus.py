@@ -217,3 +217,67 @@ def test_corr_profile_matches_numpy(spark):
     for (x, y), v in got.items():
         ref = np.corrcoef(pdf[x], pdf[y])[0, 1]
         assert abs(v - ref) < 1e-6, (x, y, v, ref)
+
+
+def test_exact_substring_dedup_brute_parity(spark):
+    """Operator vs the DEFINITION: brute-force all pairs of suffix
+    sites, extend their common prefix, mark covered positions where
+    the match length >= k (the suffix-array semantics of Lee et al.
+    ExactSubstr) — clean text and maximal spans must match exactly,
+    including the within-document repeat the passage detector misses."""
+    import itertools
+
+    from lakehouse_poc_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_spans,
+    )
+
+    k = 4
+    raw = [
+        (1, "a b c d e f g h unique one two three"),
+        (2, "z y a b c d e f w q r s"),  # shares a 6-token run with 1
+        (3, "m n o p q m n o p q tail words"),  # within-doc repeat
+        (4, "totally different words here only five"),
+        (5, "short doc"),  # shorter than k: no grams at all
+    ]
+    toks = {i: t.split() for i, t in raw}
+    covered: dict[int, set[int]] = {i: set() for i in toks}
+    sites = [(d, p) for d, ws in toks.items() for p in range(len(ws))]
+    for (d1, p1), (d2, p2) in itertools.combinations(sites, 2):
+        w1, w2 = toks[d1], toks[d2]
+        n = 0
+        while (
+            p1 + n < len(w1) and p2 + n < len(w2) and w1[p1 + n] == w2[p2 + n]
+        ):
+            n += 1
+        if n >= k:
+            covered[d1].update(range(p1, p1 + n))
+            covered[d2].update(range(p2, p2 + n))
+    expect_clean = {
+        d: " ".join(w for p, w in enumerate(ws) if p not in covered[d])
+        for d, ws in toks.items()
+    }
+    expect_spans: dict[int, set[tuple[int, int]]] = {}
+    for d, pos in covered.items():
+        spans = set()
+        for p in sorted(pos):
+            if (p - 1) not in pos:
+                q = p
+                while (q + 1) in pos:
+                    q += 1
+                spans.add((p, q - p + 1))
+        expect_spans[d] = spans
+
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_removed, r.clean_text)
+        for r in exact_substring_dedup(df, "text", "doc_id", min_len=k).collect()
+    }
+    for d, ws in toks.items():
+        assert got[d][0] == len(ws), d
+        assert got[d][1] == len(covered[d]), d
+        assert got[d][2] == expect_clean[d], d
+    got_spans: dict[int, set[tuple[int, int]]] = {}
+    for r in exact_substring_spans(df, "text", "doc_id", min_len=k).collect():
+        got_spans.setdefault(r.doc_id, set()).add((r.span_start, r.span_len))
+    assert got_spans == {d: s for d, s in expect_spans.items() if s}
