@@ -22,7 +22,6 @@ Determinism notes:
 from __future__ import annotations
 
 import shutil
-import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,10 +41,12 @@ from ..streaming.runner import (
     scd2_stream,
 )
 from ..streaming.windows import (
+    cached_fixture,
     dedup_within_watermark,
     session_agg,
     stream_events,
     stream_parquet,
+    stream_scratch,
     windowed_agg,
 )
 from . import query
@@ -173,7 +174,7 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
+    work = stream_scratch("stream_dedup_")
     src = work / "in"
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "copy_a.parquet")
@@ -214,7 +215,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = Path(tempfile.mkdtemp(prefix="stream_ss_"))
+    work = stream_scratch("stream_ss_")
     clicks = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -264,7 +265,7 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_static_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = Path(tempfile.mkdtemp(prefix="stream_join_"))
+    work = stream_scratch("stream_join_")
     cust = read_parquet_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
@@ -306,7 +307,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.runner import run_foreach_batch
     from ..streaming.stateful import running_user_stats
 
-    work = Path(tempfile.mkdtemp(prefix="stream_state_"))
+    work = stream_scratch("stream_state_")
     src = work / "in"
     src.mkdir()
     ev = read_parquet_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
@@ -352,7 +353,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = Path(tempfile.mkdtemp(prefix="stream_scd2_"))
+    work = stream_scratch("stream_scd2_")
     src = work / "in"
     src.mkdir()
     cfg = PipelineConfig(
@@ -416,7 +417,7 @@ def stream_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.runner import rollup_stream
 
-    work = Path(tempfile.mkdtemp(prefix="stream_rollup_"))
+    work = stream_scratch("stream_rollup_")
     src = work / "in"
     src.mkdir()
     wh = Warehouse(spark, str(work / "wh"))
@@ -472,7 +473,7 @@ def stream_asof_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
     from ..streaming.runner import run_foreach_batch
 
-    work = Path(tempfile.mkdtemp(prefix="stream_asof_"))
+    work = stream_scratch("stream_asof_")
     src = work / "in"
     sink = work / "out"
     src.mkdir()
@@ -546,7 +547,7 @@ def stream_asof_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dq_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import quality as Q
 
-    work = Path(tempfile.mkdtemp(prefix="stream_dq_"))
+    work = stream_scratch("stream_dq_")
     src = work / "in"
     src.mkdir()
     ensure_session_confs(spark)
@@ -623,7 +624,7 @@ def stream_dq_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    work = Path(tempfile.mkdtemp(prefix="stream_sslo_"))
+    work = stream_scratch("stream_sslo_")
     src = work / "in"
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
@@ -729,7 +730,7 @@ def stream_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.stateful import running_ewma
 
-    work = Path(tempfile.mkdtemp(prefix="stream_ewma_"))
+    work = stream_scratch("stream_ewma_")
     src = work / "in"
     src.mkdir()
     ev = read_parquet_table(spark, sf_dir, "events").select(
@@ -799,7 +800,7 @@ def stream_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.stateful import inactive_users
 
-    work = Path(tempfile.mkdtemp(prefix="stream_inactive_"))
+    work = stream_scratch("stream_inactive_")
     src = work / "in"
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
@@ -870,7 +871,7 @@ def stream_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    work = Path(tempfile.mkdtemp(prefix="stream_ssfo_"))
+    work = stream_scratch("stream_ssfo_")
     src = work / "in"
     src.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
@@ -982,7 +983,7 @@ def stream_pit_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = CUST_CFG.technical
     dim = wh.read(CUST_CFG.dim_table)
 
-    work = Path(tempfile.mkdtemp(prefix="stream_pit_"))
+    work = stream_scratch("stream_pit_")
     out = str(work / "out")
     stream = stream_events(spark, sf_dir)
 
@@ -1063,25 +1064,38 @@ def stream_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
     from ..operators.semdedup import signbit_cluster
 
-    work = Path(tempfile.mkdtemp(prefix="stream_semdedup_"))
-    src = work / "in"
-    src.mkdir()
+    work = stream_scratch("stream_semdedup_")
     emb = read_parquet_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
-    cuts = [ids[len(ids) * i // 4] for i in range(1, 4)] + [ids[-1] + 1]
-    lo = None
-    for i, hi in enumerate(cuts):
-        part = emb.filter(F.col("vec_id") < hi)
-        if lo is not None:
-            part = part.filter(F.col("vec_id") >= lo)
-        part.coalesce(1).write.parquet(str(src / f"b{i}"))
-        lo = hi
-    for i in range(4):  # file order = id order (the operator's contract)
-        for p in (src / f"b{i}").glob("part-*"):
-            st = os.stat(p)
-            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    # Batch cuts via approxQuantile + one max agg — NEVER a full
+    # vec_id collect (VERDICT r6 task 6): the fixture idiom must
+    # itself be 100 TB-shaped. Cut positions only set micro-batch
+    # boundaries; the operator's ingest-order contract makes the
+    # final store identical for ANY id-ordered batching, so the
+    # quantile approximation cannot affect the oracle. The staged
+    # batches are deterministic per scale factor, so they build once
+    # and are shared across runs (VERDICT r6 task 7).
+    def _build(d: Path) -> None:
+        qs = emb.approxQuantile("vec_id", [0.25, 0.5, 0.75], 0.001)
+        max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+        cuts = sorted({int(q) for q in qs if q is not None}) + [
+            int(max_id) + 1
+        ]
+        lo = None
+        for i, hi in enumerate(cuts):
+            part = emb.filter(F.col("vec_id") < hi)
+            if lo is not None:
+                part = part.filter(F.col("vec_id") >= lo)
+            part.coalesce(1).write.parquet(str(d / f"b{i}"))
+            lo = hi
+        for i in range(len(cuts)):  # file order = id order (contract)
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(f"semdedup_batches_{Path(sf_dir).name}", _build)
 
     stream = stream_parquet(
         spark, str(src) + "/*/part-*", emb.schema, max_files_per_trigger=1
@@ -1151,23 +1165,27 @@ def stream_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_scd1_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    work = Path(tempfile.mkdtemp(prefix="stream_scd1fp_"))
-    src = work / "in"
-    src.mkdir()
+    work = stream_scratch("stream_scd1fp_")
     cust = read_parquet_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
-    # batch 0: the %10==0 updates; batch 1: the odd-key inserts
-    cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
-        "c_mktsegment", F.lit("CHANGED")
-    ).coalesce(1).write.parquet(str(src / "b0"))
-    cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.parquet(
-        str(src / "b1")
-    )
-    for i in range(2):
-        for p in (src / f"b{i}").glob("part-*"):
-            st = os.stat(p)
-            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    # batch 0: the %10==0 updates; batch 1: the odd-key inserts —
+    # deterministic per scale factor, staged once and shared (r6
+    # task 7; mtime ordering survives the cache)
+    def _build(d: Path) -> None:
+        cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_mktsegment", F.lit("CHANGED")
+        ).coalesce(1).write.parquet(str(d / "b0"))
+        cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.parquet(
+            str(d / "b1")
+        )
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(f"scd1fp_batches_{Path(sf_dir).name}", _build)
 
     wh = Warehouse(spark, str(work / "wh"))
     t = "dim.customer_fp"

@@ -24,6 +24,7 @@ Scale notes (1000-executor / 100 TB view):
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from collections.abc import Sequence
@@ -31,6 +32,55 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Consolidated streaming scratch (VERDICT r6 task 7): checkpoint dirs
+# and staged micro-batch fixtures live under ONE root, on tmpfs when
+# the host has one — checkpoint commits are fsync-heavy tiny-file
+# traffic that dominates bounded-run wall time on spinning/virtio
+# disks, and none of it needs durability (each run starts a fresh
+# checkpoint by design).
+_SCRATCH = Path(
+    os.environ.get(
+        "SPARK_GRAFT_STREAM_SCRATCH",
+        "/dev/shm/lakehouse_stream"
+        if Path("/dev/shm").is_dir()
+        else tempfile.gettempdir() + "/lakehouse_stream",
+    )
+)
+
+
+def stream_scratch(prefix: str) -> Path:
+    """Fresh per-run work dir (checkpoints, sinks) under the
+    consolidated scratch root. Never cached — a reused checkpoint
+    would skip micro-batches and turn the query into a cache read."""
+    root = _SCRATCH / "runs"
+    root.mkdir(parents=True, exist_ok=True)
+    return Path(tempfile.mkdtemp(prefix=prefix, dir=str(root)))
+
+
+def cached_fixture(key: str, build) -> Path:
+    """Build-once staged SOURCE fixture, reused across bench attempts
+    and queries (the federated-formats discipline of r5 task 6):
+    ``build(dir)`` populates a temp dir which is published by atomic
+    rename, so concurrent builders race harmlessly (one rename wins,
+    losers discard). Only deterministic source-file stagings belong
+    here — checkpoints and sinks go through :func:`stream_scratch`.
+    File mtimes survive caching, so mtime-ordered micro-batch
+    fixtures keep their ordering contract."""
+    d = _SCRATCH / "fixtures" / key
+    if (d / "_done").exists():
+        return d
+    tmp = d.with_name(d.name + f".build{os.getpid()}")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    build(tmp)
+    (tmp / "_done").touch()
+    try:
+        tmp.rename(d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return d
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,11 +95,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     # The file source needs a directory (single-file paths fail batch
     # reconstruction: "Option 'basePath' must be a directory") — stage
-    # the fixture into a fresh temp dir.
-    staged = Path(tempfile.mkdtemp(prefix="stream_events_")) / "in"
-    staged.mkdir()
-    shutil.copy(path, staged / "events.parquet")
-    raw = spark.readStream.schema(schema).parquet(str(staged))
+    # the fixture once per scale factor and share it across runs and
+    # queries (the copy itself is pure setup, not query cost).
+    base = cached_fixture(
+        f"events_{Path(sf_dir).name}",
+        lambda d: shutil.copy(path, d / "events.parquet"),
+    )
+    raw = spark.readStream.schema(schema).parquet(str(base))
     return normalize_event_ts(raw)
 
 
