@@ -163,6 +163,7 @@ HEADLINE = [
     # r7: manifest-commit storage backend (atomic file-pruned DML)
     "scd1_manifest_customers",
     "substring_dedup_docs",
+    "bloom_index_maintained_orders",
 ]
 
 

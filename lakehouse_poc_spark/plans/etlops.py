@@ -463,6 +463,65 @@ def bloom_file_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PERSISTED bloom index (r7, SCALE.md §6.3): the index lives as a
+# _bloom.<table> side table and is refreshed incrementally inside
+# upsert_file_pruned (only rewritten files rebuild). The query runs
+# the full lifecycle — build, key-changing DML, two point lookups
+# through the maintained index — and the oracle states the post-DML
+# truth, so a stale or false-negative index cannot hash-match.
+@query(
+    "bloom_index_maintained_orders",
+    oracle="""
+    SELECT probe, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM (
+        SELECT 'updated' AS probe, 'X' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_custkey = 7
+        UNION ALL
+        SELECT 'untouched', o_orderstatus, o_totalprice
+        FROM orders WHERE o_custkey = 11
+    ) t
+    GROUP BY probe, o_orderstatus
+    ORDER BY probe, o_orderstatus
+    """,
+)
+def bloom_index_maintained_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    root = SCRATCH / f"bloomidx_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    t = "raw.orders_b"
+    # custkey-clustered layout: the batch's keys land in few files
+    orders.repartitionByRange(8, "o_custkey").write.parquet(str(wh.path(t)))
+    wh.build_bloom_index(t, "o_custkey")
+    batch = orders.filter(F.col("o_custkey") == 7).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    wh.upsert_file_pruned(batch, t, keys=["o_orderkey"])
+    upd = wh.bloom_lookup(t, "o_custkey", 7).withColumn(
+        "probe", F.lit("updated")
+    )
+    same = wh.bloom_lookup(t, "o_custkey", 11).withColumn(
+        "probe", F.lit("untouched")
+    )
+    return (
+        upd.unionByName(same)
+        .groupBy("probe", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("probe", "o_orderstatus")
+    )
+
+
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
     from .tpch import dsum
 

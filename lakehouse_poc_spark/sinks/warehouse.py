@@ -993,6 +993,7 @@ class Warehouse:
             .join(batch.select(*keys), keys, "left_anti")
         )
         self._replace_files(table, touched, survivors.unionByName(batch))
+        self.refresh_bloom_index(table)  # only changed files rebuild
         return {
             "files_total": files_total,
             "files_rewritten": len(touched),
@@ -1043,6 +1044,7 @@ class Warehouse:
                 .drop("_f")
             )
             self._replace_files(table, touched, survivors)
+            self.refresh_bloom_index(table)
         return {
             "files_total": files_total,
             "files_rewritten": len(touched),
@@ -1073,6 +1075,170 @@ class Warehouse:
             if p.exists():
                 p.unlink()
         shutil.rmtree(staging, ignore_errors=True)
+
+    # -- persisted per-file Bloom index (point-lookup file skipping) ----
+    # SCALE.md §6.3: the in-flight build_file_bloom index, promoted to
+    # a maintained side table — the Delta bloom-filter-index mechanic.
+    # Safety invariant: bloom_lookup treats live-but-unindexed files
+    # as "maybe contains" and always reads them, so a stale index can
+    # only cost extra file reads, NEVER a false negative. The
+    # file-pruned DML ops and compact() refresh the index
+    # incrementally (only changed files rebuild).
+
+    def _bloom_table(self, table: str) -> str:
+        return f"_bloom.{table}"
+
+    def _bloom_rows(
+        self, files: list[str], key_col: str, m_bits: int, k: int
+    ) -> DataFrame:
+        base = self.spark.read.parquet(*files).select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("file"),
+            # hash the canonical STRING rendering (type-stable probes)
+            F.col(key_col).cast("string").alias("__k"),
+        )
+        pos = F.array(
+            *[
+                F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(m_bits)).cast("int")
+                for i in range(k)
+            ]
+        )
+        built = (
+            base.select("file", F.explode(pos).alias("p"))
+            .groupBy("file")
+            .agg(F.array_sort(F.collect_set("p")).alias("bits"))
+        )
+        # a ZERO-ROW data file contributes no agg group — give it an
+        # explicit empty-bits row so the index stays 1:1 with the live
+        # file set (empty bits admit nothing: correct, the file holds
+        # no keys); the name list is manifest-sized metadata
+        names_df = self.spark.createDataFrame(
+            [(Path(f).name,) for f in files], "file string"
+        )
+        return names_df.join(built, "file", "left").select(
+            "file",
+            F.coalesce("bits", F.array().cast("array<int>")).alias("bits"),
+            F.lit(key_col).alias("key_col"),
+            F.lit(int(m_bits)).alias("m_bits"),
+            F.lit(int(k)).alias("k"),
+        )
+
+    def build_bloom_index(
+        self, table: str, key_col: str, m_bits: int = 65536, k: int = 3
+    ) -> int:
+        """Build and persist the per-file Bloom index of ``table`` on
+        ``key_col`` as the ``_bloom.<table>`` side table (one row per
+        live data file: basename, sorted set-bit positions, and the
+        build parameters). Built distributedly — explode k probe
+        positions, one file-keyed agg; no driver-side footer loop.
+        Flat (unpartitioned) layouts only, matching the file-pruned
+        DML contract. Returns the number of files indexed."""
+        if self.format != "parquet":
+            raise ValueError(
+                "the persisted bloom index is the parquet-dir "
+                "mechanic; Delta has a native bloom filter index"
+            )
+        files = [str(p) for p in self._data_files(table)]
+        if not files:
+            raise ValueError(f"table {table!r} has no data files to index")
+        self.overwrite(
+            self._bloom_rows(files, key_col, m_bits, k),
+            self._bloom_table(table),
+        )
+        return len(files)
+
+    def refresh_bloom_index(self, table: str) -> dict | None:
+        """Incrementally reconcile the bloom index with the live file
+        set: drop rows of files no longer live, build rows for live
+        files not yet indexed (cost ∝ changed files, the Delta
+        index-maintenance shape). No-op (None) when the table has no
+        index. File lists are manifest-sized metadata — the same
+        driver-side scale as any table-format planner."""
+        bt = self._bloom_table(table)
+        if not self.table_exists(bt):
+            return None
+        idx = self.read(bt)
+        cfg = idx.select("key_col", "m_bits", "k").limit(1).collect()
+        if not cfg:
+            return None
+        key_col = cfg[0]["key_col"]
+        m_bits, k = int(cfg[0]["m_bits"]), int(cfg[0]["k"])
+        live = {p.name: p for p in self._data_files(table)}
+        indexed = {r["file"] for r in idx.select("file").collect()}
+        removed = sorted(indexed - set(live))
+        added = sorted(n for n in live if n not in indexed)
+        if not removed and not added:
+            return {
+                "files_added": 0,
+                "files_removed": 0,
+                "files_total": len(live),
+            }
+        keep_names = self.spark.createDataFrame(
+            [(n,) for n in sorted(set(live) & indexed)] or [("",)],
+            "file string",
+        )
+        kept = idx.join(keep_names, "file", "left_semi")
+        out = kept
+        if added:
+            out = kept.unionByName(
+                self._bloom_rows(
+                    [str(live[n]) for n in added], key_col, m_bits, k
+                )
+            )
+        self.overwrite_from_plan(out, bt)
+        return {
+            "files_added": len(added),
+            "files_removed": len(removed),
+            "files_total": len(live),
+        }
+
+    def bloom_lookup(self, table: str, key_col: str, value) -> DataFrame:
+        """Point lookup ``key_col = value`` through the persisted
+        bloom index: read indexed files only when their bloom admits
+        all probe positions, PLUS every live file the index has not
+        seen yet (a stale index costs reads, never results). Result
+        is identical to the full-scan filter."""
+        bt = self._bloom_table(table)
+        idx = self.read(bt)
+        cfg = idx.select("key_col", "m_bits", "k").limit(1).collect()
+        if not cfg or cfg[0]["key_col"] != key_col:
+            raise ValueError(
+                f"bloom index of {table!r} is not built on {key_col!r} "
+                f"(indexed: {cfg[0]['key_col'] if cfg else None!r})"
+            )
+        m_bits, k = int(cfg[0]["m_bits"]), int(cfg[0]["k"])
+        from ..operators.filestats import bloom_probe_positions
+
+        probes = bloom_probe_positions(self.spark, value, m_bits, k)
+        lit_probes = F.array(*[F.lit(p) for p in probes])
+        admitted = {
+            r["file"]
+            for r in idx.filter(
+                F.size(F.array_except(lit_probes, F.col("bits"))) == 0
+            )
+            .select("file")
+            .collect()
+        }
+        indexed = {r["file"] for r in idx.select("file").collect()}
+        live = {p.name: p for p in self._data_files(table)}
+        to_read = [
+            str(p)
+            for n, p in sorted(live.items())
+            if n in admitted or n not in indexed  # unindexed ⇒ maybe
+        ]
+        if not to_read:
+            any_live = sorted(live.values())
+            if not any_live:
+                raise ValueError(f"table {table!r} has no data files")
+            return (
+                self.spark.read.parquet(str(any_live[0]))
+                .filter(F.lit(False))
+                .filter(F.col(key_col) == value)
+            )
+        return self.spark.read.parquet(*to_read).filter(
+            F.col(key_col) == value
+        )
 
     # -- idempotent-writer transaction registry -------------------------
     # The parquet emulation of Delta's txnAppId/txnVersion: a writer
@@ -1286,6 +1452,7 @@ class Warehouse:
                 .drop("__z")
             )
             self.overwrite_from_plan(df, table, partition_by=None)
+            self.refresh_bloom_index(table)
             return before
         if cluster_by:
             if partition_by:
@@ -1297,6 +1464,7 @@ class Warehouse:
                 target_files, *[F.col(c) for c in cluster_by]
             ).sortWithinPartitions(*cluster_by)
             self.overwrite_from_plan(df, table, partition_by=None)
+            self.refresh_bloom_index(table)
             return before
         if partition_by:
             if target_files <= 1:
@@ -1326,6 +1494,7 @@ class Warehouse:
         else:
             df = df.coalesce(target_files)
         self.overwrite_from_plan(df, table, partition_by=partition_by)
+        self.refresh_bloom_index(table)
         return before
 
 

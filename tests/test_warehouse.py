@@ -861,3 +861,71 @@ def test_stale_lock_break_has_single_winner(spark, tmp_path):
     assert not errors, errors
     assert not overlap, f"double-held by {overlap}"
     assert not lock.exists()
+
+
+def test_persisted_bloom_index_maintained_through_dml(spark, tmp_path):
+    """SCALE.md 6.3: the bloom index lives as a _bloom.<table> side
+    table, refreshes INCREMENTALLY inside file-pruned DML (only
+    rewritten files rebuild), and bloom_lookup through it equals the
+    full-scan filter before and after every mutation."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "raw.k"
+    spark.range(2000).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS v"
+    ).repartitionByRange(8, "k").write.parquet(str(wh.path(t)))
+    n_files = wh.build_bloom_index(t, "k")
+    assert n_files == 8
+    assert wh.table_exists("_bloom.raw.k")
+
+    def full_scan(key):
+        return sorted(
+            (r.k, r.v) for r in wh.read(t).filter(F.col("k") == key).collect()
+        )
+
+    assert sorted(
+        (r.k, r.v) for r in wh.bloom_lookup(t, "k", 42).collect()
+    ) == full_scan(42)
+
+    # upsert: changed keys + a brand-new key; auto-refresh keeps the
+    # lookup exact and only the touched file rows rebuilt
+    batch = spark.createDataFrame(
+        [(42, "NEW"), (43, "NEW"), (5000, "INS")], "k long, v string"
+    )
+    stats = wh.upsert_file_pruned(batch, t, keys=["k"])
+    assert 0 < stats["files_rewritten"] < 8
+    assert [r.v for r in wh.bloom_lookup(t, "k", 42).collect()] == ["NEW"]
+    assert [r.v for r in wh.bloom_lookup(t, "k", 5000).collect()] == ["INS"]
+    # index row count == live file count (stale rows dropped)
+    live = len(wh._data_files(t))
+    assert wh.read("_bloom.raw.k").count() == live
+
+    # delete: survivors rewritten, lookup of the deleted key is empty
+    wh.delete_where_file_pruned(t, "k = 43")
+    assert wh.bloom_lookup(t, "k", 43).count() == 0
+    assert wh.read("_bloom.raw.k").count() == len(wh._data_files(t))
+
+    # refresh stats on a clean index: no work
+    assert wh.refresh_bloom_index(t)["files_added"] == 0
+
+
+def test_bloom_lookup_survives_stale_index_without_false_negatives(
+    spark, tmp_path
+):
+    """An append the index has not seen yet: its files count as
+    'maybe contains' and are always read, so staleness can never drop
+    a result row."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "raw.s"
+    spark.range(100).selectExpr("id AS k", "'old' AS v").coalesce(
+        2
+    ).write.parquet(str(wh.path(t)))
+    wh.build_bloom_index(t, "k")
+    # append OUTSIDE the hooked DML paths: index is now stale
+    wh.append(
+        spark.createDataFrame([(999, "fresh")], "k long, v string"), t
+    )
+    assert [r.v for r in wh.bloom_lookup(t, "k", 999).collect()] == ["fresh"]
+    # explicit refresh reconciles; lookup result unchanged
+    st = wh.refresh_bloom_index(t)
+    assert st["files_added"] >= 1
+    assert [r.v for r in wh.bloom_lookup(t, "k", 999).collect()] == ["fresh"]

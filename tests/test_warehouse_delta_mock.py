@@ -273,3 +273,17 @@ def test_upsert_parquet_last_write_wins(spark, tmp_path):
     wh.upsert(b2, "dim.t", keys=["id"])
     got = {(r.id, r.val) for r in wh.read("dim.t").collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_delta_path_mechanics_fail_fast(fake_delta, spark, tmp_path):
+    """The parquet-dir mechanics (WAP staging swaps, glob-based
+    compaction) bypass Delta's transaction log — on format='delta'
+    they must fail fast instead of silently corrupting the table
+    (ADVICE r6, the delta twin of the iceberg guards)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), format="delta")
+    with pytest.raises(NotImplementedError, match="write_audit_publish"):
+        wh.write_audit_publish(MagicMock(), "pub.t", [])
+    with pytest.raises(NotImplementedError, match="publish_tables"):
+        wh.publish_tables({"pub.t": MagicMock()})
+    with pytest.raises(NotImplementedError, match="OPTIMIZE"):
+        wh.compact("fact.t", target_files=4)
