@@ -164,6 +164,7 @@ HEADLINE = [
     "scd1_manifest_customers",
     "substring_dedup_docs",
     "bloom_index_maintained_orders",
+    "skyline3_parts",
 ]
 
 

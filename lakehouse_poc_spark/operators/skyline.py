@@ -86,3 +86,119 @@ def skyline_2d(
         .filter(F.col(y_col) == F.col("__gy"))
         .drop("__gy")
     )
+
+
+def skyline_nd(
+    df: DataFrame,
+    cols: list[str],
+    buckets: int = 16,
+    shell_budget: int = 2_000_000,
+) -> DataFrame:
+    """d-dimensional skyline, every column MINIMIZED (negate a column
+    upstream to maximize it): rows for which no other row is <= in all
+    ``cols`` and < in at least one. Exact — the grid only prunes.
+
+    The 2D sweep does not generalize; this is the block-grid dominance
+    filter of the MapReduce-skyline literature (grid partition → cell
+    pruning → local skylines → merge):
+
+    A. assign each row a grid cell per dimension (approxQuantile cut
+       points — cut placement affects pruning power only, never the
+       result);
+    B. drop every cell for which some NON-EMPTY cell has a strictly
+       smaller index in ALL dimensions (bucket boundaries are
+       monotone, so any point there strictly dominates every point
+       here) — the non-empty cell list is metadata-sized (<=
+       buckets^d), so the pruning relation is computed driver-side
+       and broadcast, exactly like the 2D block offsets;
+    C. per-cell local skyline: an Arrow-batched numpy dominance
+       kernel over each surviving cell (cell-bounded input);
+    D. merge: the skyline of the union of local skylines, one final
+       kernel call over the candidate SHELL. The shell is the thin
+       Pareto boundary region — ``shell_budget`` guards the
+       single-group merge with a clear error instead of a silent
+       executor OOM (raise the bucket count to thin the shell).
+
+    Shuffles: one cell-keyed exchange (C) and one single-key exchange
+    of the shell (D); no pair blowup reaches the cluster. Rows with a
+    null coordinate are excluded (dominance undefined — 2D rule).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    d = len(cols)
+    if d < 2:
+        raise ValueError("skyline needs >= 2 dimensions")
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond)
+
+    # A. grid cells from quantile cuts (per-dim, metadata-sized)
+    probs = [i / buckets for i in range(1, buckets)]
+    cuts = {c: sorted(set(base.approxQuantile(c, probs, 0.01))) for c in cols}
+    cell_cols = []
+    for c in cols:
+        expr = F.lit(0)
+        for cut in cuts[c]:
+            expr = expr + (F.col(c).cast("double") > F.lit(float(cut))).cast(
+                "int"
+            )
+        cell_cols.append(expr.alias(f"__c_{c}"))
+    g = base.select("*", *cell_cols)
+    cnames = [f"__c_{c}" for c in cols]
+
+    # B. driver-side cell pruning (non-empty cells <= buckets^d)
+    cells = [tuple(r) for r in g.select(*cnames).distinct().collect()]
+    keep_cells = [
+        a
+        for a in cells
+        if not any(all(b[i] < a[i] for i in range(d)) for b in cells)
+    ]
+    keep_df = F.broadcast(
+        spark.createDataFrame(
+            keep_cells, ", ".join(f"{n} int" for n in cnames)
+        )
+    )
+    surv = g.join(keep_df, cnames, "left_semi")
+
+    # C+D. numpy dominance kernel, per cell then over the shell
+    out_schema = surv.drop(*cnames).schema
+
+    def _local_skyline(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        v = pdf[cols].to_numpy(dtype=float)
+        m = len(v)
+        keep = np.ones(m, dtype=bool)
+        # vectorized pairwise dominance, row-chunked to bound memory
+        for i in range(m):
+            if not keep[i]:
+                continue
+            le = (v <= v[i]).all(axis=1)
+            lt = (v < v[i]).any(axis=1)
+            dominators = le & lt
+            if dominators.any():
+                keep[i] = False
+        return pdf.loc[keep, [f.name for f in out_schema.fields]]
+
+    local = surv.groupBy(*cnames).applyInPandas(
+        lambda pdf: _local_skyline(pdf).assign(
+            **{n: pdf[n].iloc[0] for n in cnames}
+        )
+        if len(pdf)
+        else pdf,
+        surv.schema,
+    )
+    n_shell = local.count()
+    if n_shell > shell_budget:
+        raise ValueError(
+            f"candidate shell has {n_shell} rows (> budget "
+            f"{shell_budget}); raise `buckets` to thin it"
+        )
+    return (
+        local.drop(*cnames)
+        .withColumn("__one", F.lit(0))
+        .groupBy("__one")
+        .applyInPandas(lambda pdf: _local_skyline(pdf), out_schema)
+    )

@@ -1444,6 +1444,57 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3D skyline (r7, SCALE.md §6.3: "the 2D sweep doesn't generalize"):
+# parts undominated on (cheapest price, largest size, longest
+# name). Same textbook NOT-EXISTS oracle, three dominance
+# conditions; the Spark path is the block-grid dominance filter of
+# operators/skyline.py::skyline_nd — grid cells from quantile cuts,
+# driver-side cell pruning (strictly-smaller non-empty cell in every
+# dim kills a cell), per-cell numpy local skylines, one shell merge.
+@query(
+    "skyline3_parts",
+    oracle=r"""
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           CAST(p_size AS BIGINT) AS p_size,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND length(b.p_name) >= length(a.p_name)
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size
+               OR length(b.p_name) > length(a.p_name))
+    )
+    ORDER BY p_partkey
+    """,
+)
+def skyline3_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_nd
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        # skyline_nd minimizes every dim: negate the maximized ones
+        (-F.col("p_size")).cast("bigint").alias("__neg_size"),
+        (-F.length("p_name")).cast("bigint").alias("__neg_nlen"),
+    )
+    return (
+        skyline_nd(
+            part,
+            cols=["p_retailprice", "__neg_size", "__neg_nlen"],
+            buckets=8,
+        )
+        .select("p_partkey", "p_retailprice", "p_size", "name_len")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact GLOBAL quantiles via two-pass blocked selection — the scale
 # answer to "percentile_disc funnels the table through one task".
 # The oracle spells out the percentile_disc rank rule (smallest v

@@ -798,3 +798,49 @@ def test_incremental_containment_matches_brute_cross(spark):
         ).collect()
     }
     assert got.get((100, 1)) == 1.0 and (101, 2) not in got
+
+
+def test_skyline_nd_matches_quadratic_dominance(spark):
+    """Grid-pruned d=3 skyline vs brute quadratic dominance on
+    deterministic pseudo-random points, including duplicate points
+    (kept — neither strictly dominates) and null coordinates
+    (excluded). Also checks the shell-budget guard."""
+    import pytest
+
+    from lakehouse_poc_spark.operators.skyline import skyline_nd
+
+    pts = [
+        (
+            i,
+            float((i * 73) % 97),
+            float((i * 131) % 89),
+            float((i * 17) % 101),
+        )
+        for i in range(300)
+    ]
+    pts.append((300, pts[5][1], pts[5][2], pts[5][3]))  # duplicate coords
+    rows = [(i, x, y, z) for i, x, y, z in pts] + [(999, None, 1.0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "pid long, x double, y double, z double"
+    )
+
+    def dominated(a, b):  # b dominates a (all minimized)
+        return (
+            b[1] <= a[1]
+            and b[2] <= a[2]
+            and b[3] <= a[3]
+            and (b[1] < a[1] or b[2] < a[2] or b[3] < a[3])
+        )
+
+    expect = {
+        a[0]
+        for a in pts
+        if not any(dominated(a, b) for b in pts if b[0] != a[0])
+    }
+    got = {
+        r.pid
+        for r in skyline_nd(df, ["x", "y", "z"], buckets=4).collect()
+    }
+    assert got == expect
+    with pytest.raises(ValueError, match="shell"):
+        skyline_nd(df, ["x", "y", "z"], buckets=2, shell_budget=1)
