@@ -165,6 +165,7 @@ HEADLINE = [
     "substring_dedup_docs",
     "bloom_index_maintained_orders",
     "skyline3_parts",
+    "stream_minhash_dedup_docs",
 ]
 
 

@@ -94,6 +94,79 @@ def minhash_signature(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH band relation (id, band, bhash): each doc's signature cut
+    into ``bands`` slices, each slice folded to one 64-bit hash. Two
+    docs are LSH CANDIDATES iff they share a (band, bhash) bucket.
+    Carries only ids + band hashes — never shingle arrays — so it is
+    the persistable at-rest form of the index (the incremental dedup
+    store appends exactly these rows per admitted batch)."""
+    rows = num_perm // bands
+    sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed)
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("__sig", b * rows + 1, rows)
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.bhash")
+
+
+def lsh_dedup_keep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot LSH bucket dedup decision: (id, kept) where a doc is
+    DROPPED iff any lower-id doc (kept or dropped) shares at least
+    one LSH band bucket with it. Counting dropped docs as blockers
+    makes the rule prefix-closed: cleaning id-ordered batches against
+    a store of ALL previously seen band rows reproduces this one-shot
+    result exactly — the stream==batch contract the streaming twin
+    (plans/streamops.py::stream_minhash_dedup_docs) is tested against.
+    One banded self-join on (band, bhash); no shingle arrays move."""
+    banded = minhash_bands(
+        df, text_col, id_col, num_perm, bands, shingle_n, seed
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias("__dropped"))
+        .distinct()
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(
+        dropped, ids[id_col] == dropped["__dropped"], "left"
+    ).select(id_col, F.col("__dropped").isNull().alias("kept"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

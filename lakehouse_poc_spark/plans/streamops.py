@@ -1214,3 +1214,91 @@ def stream_scd1_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (continuous-ingest) MinHash-LSH near-dup dedup (r7): doc
+# batches arrive in id order; each micro-batch drops a doc iff it
+# shares an LSH band bucket with any previously-ingested doc (the
+# band STORE — ids + band hashes only, never text or shingles) or a
+# lower-id doc in its own batch. The store records EVERY seen doc's
+# bands (dropped docs block too), which makes the rule prefix-closed:
+# the incremental result is ROW-IDENTICAL to the one-shot
+# lsh_dedup_keep over the whole corpus (tests/test_streaming.py
+# asserts the equality). Rows-only gate by declared design — DuckDB
+# cannot reproduce xxhash64 band hashes (same reason the
+# minhash_lsh_pairs_docs family is rows-only).
+@query("stream_minhash_dedup_docs")
+def stream_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.dedup import minhash_bands
+
+    work = stream_scratch("stream_lshdedup_")
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    def _build(d: Path) -> None:
+        qs = docs.approxQuantile("doc_id", [0.34, 0.67], 0.001)
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        cuts = sorted({int(q) for q in qs if q is not None}) + [
+            int(max_id) + 1
+        ]
+        lo = None
+        for i, hi in enumerate(cuts):
+            part = docs.filter(F.col("doc_id") < hi)
+            if lo is not None:
+                part = part.filter(F.col("doc_id") >= lo)
+            part.coalesce(1).write.parquet(str(d / f"b{i}"))
+            lo = hi
+        for i in range(len(cuts)):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(f"lshdedup_batches_{Path(sf_dir).name}", _build)
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", docs.schema, max_files_per_trigger=1
+    )
+    band_store = str(work / "bands")
+    out_store = str(work / "out")
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bands = minhash_bands(batch_df, "text", "doc_id").persist()
+        a = bands.alias("a")
+        b = bands.alias("b")
+        dropped = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bhash") == F.col("b.bhash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("vid"))
+        )
+        if Path(band_store).exists():
+            s = spark.read.parquet(band_store).alias("s")
+            dropped = dropped.unionByName(
+                s.join(
+                    b,
+                    (F.col("s.band") == F.col("b.band"))
+                    & (F.col("s.bhash") == F.col("b.bhash")),
+                    # store ids are all lower by ingest-order contract
+                ).select(F.col("b.doc_id").alias("vid"))
+            )
+        dropped = dropped.distinct()
+        ids = batch_df.select("doc_id")
+        out = ids.join(
+            dropped, ids.doc_id == dropped.vid, "left"
+        ).select("doc_id", F.col("vid").isNull().alias("kept"))
+        out.write.mode("append").parquet(out_store)
+        bands.write.mode("append").parquet(band_store)
+        bands.unpersist()
+
+    run_foreach_batch(stream, dedup_batch, str(work / "ckpt"))
+    return (
+        spark.read.parquet(out_store)
+        .select("doc_id", "kept")
+        .orderBy("doc_id")
+    )

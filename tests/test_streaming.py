@@ -521,3 +521,30 @@ def test_run_with_metrics_beyond_recent_progress_cap(spark, tmp_path):
     # batch ids are dense and unique (no double-count from gap-fill)
     ids = [m["batch_id"] for m in metrics]
     assert len(ids) == len(set(ids))
+
+
+def test_stream_minhash_dedup_equals_one_shot(spark):
+    """The streaming LSH dedup's prefix-closure contract: because the
+    band store records EVERY seen doc (dropped docs block too),
+    cleaning id-ordered micro-batches reproduces the one-shot
+    lsh_dedup_keep over the whole corpus row-for-row."""
+    from lakehouse_poc_spark.operators.dedup import lsh_dedup_keep
+    from lakehouse_poc_spark.plans import QUERIES
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        r.doc_id: r.kept
+        for r in QUERIES["stream_minhash_dedup_docs"](spark, sf_dir).collect()
+    }
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    oneshot = {
+        r.doc_id: r.kept
+        for r in lsh_dedup_keep(docs, "text", "doc_id").collect()
+    }
+    assert streamed == oneshot
+    assert len(streamed) == docs.count()
+    # fixture must actually drop something, or the test is vacuous
+    assert any(not k for k in streamed.values())
