@@ -166,6 +166,7 @@ HEADLINE = [
     "bloom_index_maintained_orders",
     "skyline3_parts",
     "stream_minhash_dedup_docs",
+    "similarity_topk_ivfpq",
 ]
 
 

@@ -767,6 +767,173 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS ``IndexIVFPQ`` combination
+    (public: Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): a coarse inverted-file quantizer (L2) assigns
+    every corpus vector to one cell, product quantization encodes the
+    RESIDUAL (vector − cell centroid), and a query ADC-scans only its
+    ``nprobe`` nearest cells. Residual encoding is what separates
+    this from :func:`pq_topk`: residuals are centered near zero, so
+    the same code budget quantizes them far more finely than raw
+    vectors, and the cell restriction caps candidates at
+    ~nprobe/n_centroids of the corpus.
+
+    Deterministic-by-construction (the differential-oracle
+    discipline): centroids = the ``n_centroids`` lowest-id corpus
+    vectors (0-based dense cid in id order); residual codebooks = the
+    residuals of the ``n_codes`` lowest-id corpus vectors; all ties
+    break on the lower id/cid/code; ADC distances accumulate in
+    rounded micro-units (exact integer sums).
+
+    Scale shape: centroid list and per-(query, probed-cell) LUT
+    (queries × nprobe × m × n_codes rows) broadcast; the corpus pass
+    is map-only assign + residual + encode, and what persists/joins
+    is (cell, j, code) — codes, never vectors. The only corpus-sized
+    shuffle is the (query, neighbor) partial-sum agg, already
+    restricted to probed cells by the (cell, j, code) join key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import l2_dist_sq
+
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    if not cent_rows:
+        raise ValueError("ivfpq_topk: empty corpus")
+    cents_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in r[vec_col]])
+                for i, r in enumerate(cent_rows)
+            ],
+            "__cid int, __cv array<double>",
+        )
+    )
+
+    def assign(df: DataFrame, vid: str, probes: int) -> DataFrame:
+        w = Window.partitionBy(vid).orderBy(F.asc("__d"), F.asc("__cid"))
+        return (
+            df.crossJoin(cents_df)
+            .withColumn("__d", l2_dist_sq(F.col("__v"), F.col("__cv")))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= probes)
+            .drop("__d", "__r")
+        )
+
+    residual = F.zip_with(
+        F.transform("__v", lambda x: x.cast("double")),
+        F.col("__cv"),
+        lambda x, y: x - y,
+    )
+    c = (
+        assign(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+            ),
+            "vec_id",
+            1,
+        )
+        .withColumn("__res", residual)
+        .select("vec_id", "__cid", "__res")
+    )
+    res_rows = c.orderBy("vec_id").limit(n_codes).collect()
+    dim = len(res_rows[0]["__res"])
+    ds = dim // m
+    codebooks = [
+        [
+            [float(res_rows[ci]["__res"][j * ds + t]) for t in range(ds)]
+            for ci in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+    enc = pq_encode(
+        c.select("vec_id", "__res"), codebooks, "__res", "vec_id"
+    ).join(c.select("vec_id", "__cid"), "vec_id")
+
+    q = (
+        assign(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("__v"),
+            ),
+            "query_id",
+            nprobe,
+        )
+        .withColumn("__res", residual)
+        .select("query_id", "__cid", "__res")
+    )
+    cb = np.array(codebooks, dtype=np.float64)  # (m, n_codes, ds)
+
+    def build_lut(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__res"]]
+            )
+            n = len(pdf)
+            subs = vecs.reshape(n, m, ds)
+            diffs = subs[:, :, None, :] - cb[None, :, :, :]
+            dists = np.add.reduce(diffs * diffs, axis=-1)
+            d_micro = np.floor(
+                dists.reshape(-1) * 1_000_000.0 + 0.5
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), m * n_codes
+                    ),
+                    "__cid": np.repeat(
+                        pdf["__cid"].to_numpy(), m * n_codes
+                    ),
+                    "j": np.tile(
+                        np.repeat(np.arange(m, dtype=np.int32), n_codes), n
+                    ),
+                    "code": np.tile(
+                        np.arange(n_codes, dtype=np.int32), n * m
+                    ),
+                    "d_micro": d_micro,
+                }
+            )
+
+    lut = q.mapInPandas(
+        build_lut, "query_id long, __cid int, j int, code int, d_micro long"
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["__cid", "j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro",
+            (F.col("adc_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "adc_dist"
+            ),
+            "rank",
+        )
+    )
+
+
 def lsh_build_index(
     corpus: DataFrame,
     wh,

@@ -708,6 +708,15 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranking by ascending reconstruction distance. The oracle re-derives
 # the codebook, the per-(vector, subspace) argmin encoding, the
 # per-query LUT, and the integer ADC sum — all plain arithmetic.
+def _sql_l2sq(a: str, b: str) -> str:
+    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIM}), i -> {t} * {t})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 def _sql_subdist(vec: str, cv: str, j: str) -> str:
     """Σ over the 8 dims of subspace j of (vec−cv)², left fold."""
     t = (
@@ -773,6 +782,102 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, m=8, n_codes=16,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (r7): the FAISS IndexIVFPQ combination — coarse L2 cells +
+# product quantization of the RESIDUAL (vector − cell centroid), ADC
+# over only each query's nprobe=2 probed cells. The oracle reproduces
+# the whole index in SQL: centroid assignment, residual lists,
+# residual codebooks (residuals of the 16 lowest-id vectors), per-
+# subspace argmin encode, per-(query, probed-cell) LUT, and the
+# integer micro-unit ADC sums — so the hash match pins every tie rule
+# and every float op of the index, not just its recall.
+@query(
+    "similarity_topk_ivfpq",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assign AS (
+        SELECT vec_id, cid, res FROM (
+            SELECT e.vec_id, c.cid,
+                   list_transform(generate_series(1, {EMB_DIM}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS res,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_l2sq('e.embedding', 'c.cv')}, c.cid
+                   ) AS rk
+            FROM embeddings e CROSS JOIN cents c
+        ) t WHERE rk = 1
+    ),
+    cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+               res
+        FROM (SELECT vec_id, res FROM assign ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 7) g(j)),
+    enc AS (
+        SELECT vec_id, cid, j, code FROM (
+            SELECT a.vec_id, a.cid, s.j, b.code,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id, s.j
+                       ORDER BY {_sql_subdist('a.res', 'b.res', 's.j')}, b.code
+                   ) AS rk
+            FROM assign a CROSS JOIN subs s CROSS JOIN cb b
+        ) t WHERE rk = 1
+    ),
+    qprobe AS (
+        SELECT query_id, cid, qres FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   list_transform(generate_series(1, {EMB_DIM}),
+                       i -> CAST(q.embedding[i] AS DOUBLE) - c.cv[i]) AS qres,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_l2sq('q.embedding', 'c.cv')}, c.cid
+                   ) AS rk
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 8
+        ) t WHERE rk <= 2
+    ),
+    lut AS (
+        SELECT p.query_id, p.cid, s.j, b.code,
+               CAST(ROUND({_sql_subdist('p.qres', 'b.res', 's.j')}
+                          * 1000000.0) AS BIGINT) AS d_micro
+        FROM qprobe p CROSS JOIN subs s CROSS JOIN cb b
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(l.d_micro) AS BIGINT) AS adc_micro
+        FROM enc e
+        JOIN lut l ON e.cid = l.cid AND e.j = l.j AND e.code = l.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_micro,
+           CAST(adc_micro AS DOUBLE) / 1000000.0 AS adc_dist, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+        FROM adc
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_centroids=16, nprobe=2,
+        m=8, n_codes=16,
     ).orderBy("query_id", "rank")
 
 
@@ -951,15 +1056,6 @@ def winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wrong yardstick for unnormalized vectors). Completes the eval pair
 # with ann_recall_ivf. Ground-truth cost is queries × corpus, not
 # corpus²: at scale you recall-check a fixed query sample.
-def _sql_l2sq(a: str, b: str) -> str:
-    t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {EMB_DIM}), i -> {t} * {t})), "
-        f"(acc, x) -> acc + x)"
-    )
-
-
 @query(
     "ann_recall_pq",
     oracle=f"""
