@@ -167,6 +167,7 @@ HEADLINE = [
     "skyline3_parts",
     "stream_minhash_dedup_docs",
     "similarity_topk_ivfpq",
+    "star_components_coparts",
 ]
 
 

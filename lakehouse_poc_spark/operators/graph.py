@@ -341,3 +341,105 @@ def label_propagation(
     finally:
         und.unpersist()
     return labels.withColumnRenamed("label", "community")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — public paper): returns (node, component), component =
+    the minimum node id of the node's component.
+
+    The complement to ``operators/dedup.py::connected_components``
+    (min-label propagation, O(component diameter) rounds — the right
+    choice for dense, shallow near-dup clusters): star contraction
+    converges in O(log^2 n) rounds REGARDLESS of diameter, so it is
+    the scale path for adversarial chain/path-shaped graphs where
+    label propagation would need O(n) rounds.
+
+    Per round: Large-Star hangs every neighbor LARGER than u onto
+    m(u) = min(N(u) ∪ {u}); Small-Star re-hangs the smaller neighbors
+    and u itself onto m(u). Each is one node-keyed min-agg plus one
+    join — two shuffles per round, edge-relation sized. Fixpoint is
+    detected by an order-independent edge-set fingerprint (count +
+    sum of pair hashes — one tiny action per round); lineage is cut
+    per round with localCheckpoint (the iterative-plan discipline of
+    label_propagation/pagerank).
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a sum of 64-bit hashes overflows
+            # BIGINT under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mv"))
+            .select("u", F.least("__mv", "u").alias("m"))
+        )
+        joined = sym.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.filter(F.col("v") < F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionByName(
+                mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return (
+            out.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    e = e0
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        e = star(star(e, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        nfp = fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged star forest: every edge is (child, root); roots and
+    # isolated nodes map to themselves
+    mapping = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    return (
+        nodes.join(mapping, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )

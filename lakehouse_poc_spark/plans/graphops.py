@@ -258,3 +258,68 @@ def label_propagation_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("partkey"), "community")
         .orderBy("partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components via large-star/small-star contraction (r7):
+# the O(log^2 n)-round MapReduce-CC of Kiveris et al. 2014, on the
+# urgent-order co-purchase graph. The oracle computes the identical
+# min-id components by recursive-CTE reachability closure (finite:
+# UNION dedups (node, label) pairs), so the hash pins every node's
+# component id. The min-label-propagation twin lives in
+# operators/dedup.py::connected_components; star contraction is the
+# diameter-independent scale path (see the 120-node-path parity test).
+@query(
+    "star_components_coparts",
+    oracle="""
+    WITH RECURSIVE li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach AS (
+        SELECT node, node AS lbl FROM nodes
+        UNION
+        SELECT s.v AS node, reach.lbl
+        FROM reach JOIN sym s ON s.u = reach.node
+    )
+    SELECT node, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach
+    GROUP BY node
+    ORDER BY node
+    """,
+)
+def star_components_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(
+            orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return connected_components_star(edges).orderBy("node")

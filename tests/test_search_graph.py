@@ -380,3 +380,39 @@ def test_label_propagation_converge_matches_fixed_iters(spark):
     t0 = _time.perf_counter()
     label_propagation(edges, iters=50, converge=True).count()
     assert _time.perf_counter() - t0 < 30.0
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star contraction vs the union-find ground
+    truth, on (a) a random multi-component graph and (b) the
+    adversarial PATH graph where min-label propagation needs
+    O(diameter) rounds but star contraction needs O(log^2 n)."""
+    from lakehouse_poc_spark.operators.dedup import connected_components
+    from lakehouse_poc_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # (a) pseudo-random graph, several components + isolated-ish bits
+    edges_a = [(i, (i * 37 + 11) % 50) for i in range(0, 50, 2)] + [
+        (100, 101),
+        (101, 102),
+        (200, 200),  # self-loop: node exists, no edge effect
+    ]
+    # (b) a 120-node path: 0-1-2-...-119
+    edges_b = [(i, i + 1) for i in range(119)]
+
+    for edges in (edges_a, edges_b):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        star = {
+            r.node: r.component
+            for r in connected_components_star(df).collect()
+        }
+        truth = {
+            r.id: r.component
+            for r in connected_components(
+                df.selectExpr("src AS id_a", "dst AS id_b")
+            ).collect()
+        }
+        # union-find path returns (id, component); node sets may
+        # differ in naming only
+        assert star == {k: v for k, v in truth.items()}, len(edges)
