@@ -223,3 +223,41 @@ def test_manifest_drop_removes_log(spark, tmp_path):
     wh.drop("dim.d")
     assert not wh.table_exists("dim.d")
     assert not wh._manifest_dir("dim.d").exists()
+
+
+def test_manifest_inherits_cdc_and_bloom(spark, tmp_path):
+    """The inherited surfaces work over manifest resolution:
+    table_changes diffs two manifest versions, and the persisted
+    bloom index (built over live files, refreshed through DML)
+    ignores superseded files still on disk."""
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.c"
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        ),
+        t,
+    )
+    wh.upsert_file_pruned(
+        spark.createDataFrame([(2, "B2"), (4, "d")], "k long, v string"),
+        t,
+        keys=["k"],
+    )
+    ch = {
+        (r.k, r._change_type)
+        for r in wh.table_changes(t, 0, 1, keys=["k"]).collect()
+    }
+    assert (4, "insert") in ch
+    assert (2, "update_preimage") in ch and (2, "update_postimage") in ch
+    assert not any(c == "delete" for _, c in ch)
+
+    wh.build_bloom_index(t, "k")
+    wh.upsert_file_pruned(
+        spark.createDataFrame([(2, "B3")], "k long, v string"), t, keys=["k"]
+    )
+    assert [r.v for r in wh.bloom_lookup(t, "k", 2).collect()] == ["B3"]
+    # index rows track LIVE manifest files, not the on-disk glob
+    live = len(wh._data_files(t))
+    on_disk = len(list(wh.path(t).glob("*.parquet")))
+    assert on_disk > live
+    assert wh.read(wh._bloom_table(t)).count() == live

@@ -126,6 +126,7 @@ def graph_probe(spark) -> None:
 
     from lakehouse_poc_spark.operators.dedup import connected_components
     from lakehouse_poc_spark.operators.graph import (
+        connected_components_star,
         label_propagation,
         triangle_count,
     )
@@ -164,6 +165,15 @@ def graph_probe(spark) -> None:
         )
         t_cc = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        n_star = (
+            connected_components_star(edges)
+            .select("component")
+            .distinct()
+            .count()
+        )
+        t_star = time.perf_counter() - t0
+
         # measured per-round LPA shuffle: one round's join+agg+window
         # at initial labels, Exchange records from the executed plan
         und = edges.unionByName(
@@ -197,8 +207,8 @@ def graph_probe(spark) -> None:
         print(
             f"{'graph':14s} edges={ne:7d} lpa3={t_lpa:6.2f}s "
             f"lpa_conv={t_conv:6.2f}s tri={t_tri:6.2f}s ({tri} tris) "
-            f"cc={t_cc:6.2f}s comms={n_comm} comps={n_cc} "
-            f"round_shuffle_rows={rec}",
+            f"cc={t_cc:6.2f}s star={t_star:6.2f}s comms={n_comm} "
+            f"comps={n_cc}/{n_star} round_shuffle_rows={rec}",
             flush=True,
         )
         edges.unpersist()
