@@ -168,6 +168,7 @@ HEADLINE = [
     "stream_minhash_dedup_docs",
     "similarity_topk_ivfpq",
     "star_components_coparts",
+    "hybrid_rrf_docs",
 ]
 
 

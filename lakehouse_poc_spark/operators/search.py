@@ -173,3 +173,51 @@ def phrase_match(
         )
         .filter(F.col("first_pos") > 0)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 —
+    public paper): fused score = Σ over input lists of 1/(k + rank).
+    The standard way to combine a lexical (BM25) and a dense (ANN)
+    ranking without score calibration — only ranks matter.
+
+    Scores are exact nano-units (floor(1e9/(k+rank) + 0.5), BIGINT
+    sum), so the fused ordering is engine-stable; ties break on the
+    lower id. Output: (id, n_lists, rrf_nano, rank).
+
+    Scale shape: the inputs are top-k lists — already tiny — so the
+    union + groupBy + final ordering window all operate on at most
+    Σ|list| rows; the bare global window is result-sized by
+    construction, not corpus-sized."""
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.floor(
+                F.lit(1_000_000_000.0)
+                / (F.lit(float(k)) + F.col("rank").cast("double"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("__c").alias("rrf_nano"),
+    )
+    w = Window.orderBy(F.desc("rrf_nano"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )

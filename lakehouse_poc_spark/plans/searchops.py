@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..operators.search import bm25_topk, inverted_index, phrase_match, term_counts
 from ..sources.readers import read_parquet_table
 from . import query
+from .simops import _sql_cosine
 
 BM25_TERMS = ("spark", "merge", "window")
 PHRASE = "fast merge"
@@ -432,3 +433,105 @@ def mrr_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion (r7; Cormack et al.
+# 2009): fuse the BM25 top-20 for the fixed term query with the dense
+# cosine top-20 around document 0's embedding (documents and
+# embeddings share the 0..N-1 id space). RRF needs no score
+# calibration — only ranks — which is why it is the standard lexical
+# × dense combiner. Both rankers and the fusion arithmetic are
+# reproduced in the oracle (nano-unit reciprocal ranks, BIGINT sums),
+# so the hash pins the full hybrid pipeline.
+@query(
+    "hybrid_rrf_docs",
+    oracle=rf"""
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_dl
+        FROM lens
+    ),
+    tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents
+        ) WHERE token IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY token
+    ),
+    scored AS (
+        SELECT tc.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                            / (CAST(d.df AS DOUBLE) + 0.5))
+                   * CAST(tc.tf AS DOUBLE) * 2.2
+                   / (CAST(tc.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                               / (CAST(s.total_dl AS DOUBLE)
+                                  / CAST(s.n_docs AS DOUBLE))))
+                   * 1000000.0) AS BIGINT) AS term_micro
+        FROM tc
+        JOIN dfreq d USING (token)
+        JOIN lens l USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    sparse AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY SUM(term_micro) DESC, doc_id) AS INTEGER) AS rank
+            FROM scored GROUP BY doc_id
+        ) WHERE rank <= 20
+    ),
+    dense AS (
+        SELECT doc_id, rank FROM (
+            SELECT c.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY {_sql_cosine('c.embedding', 'q.embedding')} DESC, c.vec_id) AS INTEGER) AS rank
+            FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+            WHERE c.vec_id <> 0
+        ) WHERE rank <= 20
+    ),
+    fused AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lists,
+               CAST(SUM(c) AS BIGINT) AS rrf_nano
+        FROM (
+            SELECT doc_id,
+                   CAST(ROUND(1000000000.0 / (60 + rank)) AS BIGINT) AS c
+            FROM sparse
+            UNION ALL
+            SELECT doc_id,
+                   CAST(ROUND(1000000000.0 / (60 + rank)) AS BIGINT)
+            FROM dense
+        ) GROUP BY doc_id
+    )
+    SELECT doc_id, n_lists, rrf_nano, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                      ORDER BY rrf_nano DESC, doc_id) AS INTEGER) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    ORDER BY rank
+    """,
+)
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, BM25_TERMS, k=20).select("doc_id", "rank")
+    q0 = emb.filter(F.col("vec_id") == 0)
+    dense = brute_force_topk(
+        emb, q0, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=20,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([sparse, dense], "doc_id", k=60, topk=10).orderBy("rank")
