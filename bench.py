@@ -169,6 +169,7 @@ HEADLINE = [
     "similarity_topk_ivfpq",
     "star_components_coparts",
     "hybrid_rrf_docs",
+    "stupid_backoff_logprob_docs",
 ]
 
 

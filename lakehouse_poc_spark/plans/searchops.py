@@ -535,3 +535,167 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id_col="vec_id", k=20,
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([sparse, dense], "doc_id", k=60, topk=10).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff LM scoring (r7; Brants et al. 2007, "Large Language
+# Models in Machine Translation" — public paper): S(w2|w1) = c12/c1
+# when the bigram was seen in TRAINING, else 0.4 · unigram backoff.
+# Unlike bigram_logprob_docs (model == corpus, so every scored bigram
+# is in-model), the model here trains on the EVEN doc ids and scores
+# ALL docs — held-out scoring, so the backoff path genuinely fires on
+# odd docs' unseen bigrams. The terminal unigram uses add-1 over the
+# training mass ((c(w2)+1)/(N+V)) so unseen words stay finite — a
+# documented deviation from the paper's raw c(w)/N, which is log(0)
+# for OOV. Same determinism scheme as the other LM scores:
+# micro-rounded per-step logs, exact BIGINT doc sums, fixed-order
+# double division at the end.
+#
+# Scale shape: two train-half shuffles build the model (bigram +
+# unigram counts); scoring is one doc-bigram shuffle plus two
+# vocab-keyed LEFT joins that AQE sizes. The 0.4 factor is a literal;
+# nothing iterates.
+@query(
+    "stupid_backoff_logprob_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+    ),
+    tbig AS (SELECT w1, w2 FROM big WHERE doc_id % 2 = 0),
+    cnt12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tbig GROUP BY w1, w2
+    ),
+    cnt1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cnt12 GROUP BY w1),
+    tuni AS (
+        SELECT token AS w2, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+            SELECT unnest(toks) AS token FROM tok WHERE doc_id % 2 = 0
+        ) GROUP BY token
+    ),
+    tstats AS (
+        SELECT CAST(SUM(cw) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tuni
+    ),
+    dbig AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM big GROUP BY doc_id, w1, w2
+    ),
+    lp AS (
+        SELECT d.doc_id, d.tf,
+               (c12.c12 IS NULL) AS backed_off,
+               CAST(ROUND(CASE
+                   WHEN c12.c12 IS NOT NULL THEN
+                       ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                   ELSE
+                       ln(0.4 * (CAST(coalesce(u.cw, 0) AS DOUBLE) + 1.0)
+                          / (CAST(s.n AS DOUBLE) + CAST(s.v AS DOUBLE)))
+               END * 1000000.0) AS BIGINT) AS logp_micro
+        FROM dbig d
+        LEFT JOIN cnt12 c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+        LEFT JOIN cnt1 c1 ON d.w1 = c1.w1
+        LEFT JOIN tuni u ON d.w2 = u.w2
+        CROSS JOIN tstats s
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN backed_off THEN tf ELSE 0 END) AS BIGINT)
+               AS n_backoff,
+           CAST(SUM(tf * logp_micro) AS BIGINT) AS logp_sum_micro,
+           CAST(SUM(tf * logp_micro) AS DOUBLE) / 1000000.0
+               / CAST(SUM(tf) AS DOUBLE) AS mean_logprob
+    FROM lp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def stupid_backoff_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+    big = (
+        tok.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    tbig = big.filter(F.col("doc_id") % 2 == 0)
+    cnt12 = tbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cnt1 = cnt12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    tuni = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode("toks").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    tstats = tuni.agg(
+        F.sum("cw").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    dbig = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lp = (
+        dbig.join(cnt12, ["w1", "w2"], "left")
+        .join(cnt1, "w1", "left")
+        .join(tuni, "w2", "left")
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            "doc_id",
+            "tf",
+            F.col("c12").isNull().alias("backed_off"),
+            F.round(
+                F.when(
+                    F.col("c12").isNotNull(),
+                    F.log(
+                        F.col("c12").cast("double")
+                        / F.col("c1").cast("double")
+                    ),
+                ).otherwise(
+                    F.log(
+                        F.lit(0.4)
+                        * (
+                            F.coalesce(F.col("cw"), F.lit(0)).cast("double")
+                            + F.lit(1.0)
+                        )
+                        / (
+                            F.col("n").cast("double")
+                            + F.col("v").cast("double")
+                        )
+                    )
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("backed_off"), F.col("tf")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_backoff"),
+            F.sum(F.col("tf") * F.col("logp_micro"))
+            .cast("bigint")
+            .alias("logp_sum_micro"),
+            (
+                F.sum(F.col("tf") * F.col("logp_micro")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.sum("tf").cast("double")
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
