@@ -357,3 +357,104 @@ def test_passage_dedup_matches_python_reference(spark, corpus):
     assert sum(g[1] for g in got) == sum(
         -(-len(ws) // 3) for ws in corpus
     )
+
+
+def test_skyline_nd_invariants(spark):
+    """Postconditions on pseudo-random 3D points at several grid
+    resolutions: (1) frontier is a subset of the input; (2) no
+    frontier member dominates another; (3) every dropped point is
+    dominated by some frontier member; (4) the result is independent
+    of the bucket count (grid placement prunes, never changes)."""
+    from lakehouse_poc_spark.operators.skyline import skyline_nd
+
+    pts = [
+        (i, float((i * 61) % 53), float((i * 89) % 47), float((i * 29) % 59))
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(pts, "pid long, x double, y double, z double")
+
+    def dom(b, a):  # b dominates a
+        return all(b[j] <= a[j] for j in (1, 2, 3)) and any(
+            b[j] < a[j] for j in (1, 2, 3)
+        )
+
+    results = {}
+    for buckets in (3, 8, 16):
+        got = sorted(
+            (r.pid, r.x, r.y, r.z)
+            for r in skyline_nd(df, ["x", "y", "z"], buckets=buckets).collect()
+        )
+        results[buckets] = got
+        ids = {g[0] for g in got}
+        assert ids <= {p[0] for p in pts}
+        for a in got:
+            assert not any(dom(b, a) for b in got if b[0] != a[0])
+        frontier = got
+        for p in pts:
+            if p[0] not in ids:
+                assert any(dom(b, p) for b in frontier), p
+    assert results[3] == results[8] == results[16]
+
+
+def test_exact_substring_dedup_postconditions(spark):
+    """After removal at min_len=k, no k-gram of any cleaned doc occurs
+    at two distinct sites of the cleaned corpus that were ALSO both
+    present in the original corpus... weaker but checkable form: the
+    cleaned corpus of the fixture has strictly fewer repeated k-grams
+    than the original, counts are consistent, and a corpus with no
+    k-repeats round-trips unchanged."""
+    from lakehouse_poc_spark.operators.dedup import exact_substring_dedup
+
+    k = 3
+    dup = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{dup} one two"),
+        (2, f"start words {dup} end"),
+        (3, "completely unrelated text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(df, "text", "doc_id", min_len=k).collect()
+    }
+    # consistency: removed + len(clean tokens) == before
+    for d, r in out.items():
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert r.n_tokens_before == r.n_removed + n_clean, d
+    # the shared 5-token run is gone from both docs
+    assert dup not in out[1].clean_text and dup not in out[2].clean_text
+    assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]
+    # idempotence: cleaning the cleaned corpus removes nothing more
+    clean_df = spark.createDataFrame(
+        [(d, r.clean_text) for d, r in out.items()], "doc_id long, text string"
+    )
+    again = exact_substring_dedup(clean_df, "text", "doc_id", min_len=k)
+    assert again.agg({"n_removed": "sum"}).collect()[0][0] == 0
+
+
+def test_rrf_fuse_rank_arithmetic(spark):
+    """RRF on two hand-built lists: scores are the exact nano sums,
+    a doc in both lists beats docs in one, ties break on lower id."""
+    from lakehouse_poc_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (31, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r.doc_id: (r.n_lists, r.rrf_nano, r.rank)
+        for r in rrf_fuse([a, b], "doc_id", k=60, topk=10).collect()
+    }
+
+    def nano(rank):
+        import math
+
+        return math.floor(1_000_000_000.0 / (60 + rank) + 0.5)
+
+    assert got[20] == (2, nano(2) + nano(1), 1)  # in both: wins
+    assert got[10][1] == nano(1)
+    # 30 and 31 both rank 3 in their lists -> equal score; lower id first
+    assert got[30][1] == got[31][1] == nano(3)
+    assert got[30][2] < got[31][2]

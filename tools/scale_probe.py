@@ -24,6 +24,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import DataFrame, functions as F
 
 from lakehouse_poc_spark.operators.dedup import (
+    exact_substring_dedup,
     jaccard_containment_pairs,
     jaccard_prefix_pairs,
     jaccard_prefix_pairs_cross,
@@ -263,6 +264,11 @@ def main() -> None:
             ),
             "winnow_pairs": lambda c: winnow_pairs(
                 c, "text", "doc_id", k=3, w=4, min_shared=2
+            ),
+            # r7: ExactSubstr removal — wall should track corpus grams
+            # (linear), the covered-expansion only the repeated subset
+            "substr_dedup": lambda c: exact_substring_dedup(
+                c, "text", "doc_id", min_len=12
             ),
         }
         if with_brute and factor <= 2:  # O(n²): 20k docs = 200M pairs, skip
