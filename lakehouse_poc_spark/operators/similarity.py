@@ -767,6 +767,127 @@ def pq_topk(
     )
 
 
+def _ivfpq_cents(corpus, vec_col, id_col, n_centroids):
+    """Deterministic coarse quantizer: the n_centroids lowest-id
+    corpus vectors as a broadcastable (cid, cv) frame (0-based dense
+    cid in id order)."""
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError("ivfpq: empty corpus")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)],
+        "__cid int, __cv array<double>",
+    )
+
+
+def _ivfpq_assign(cents_df, df, vid, probes):
+    """L2 cell assignment (ties to lower cid) + double residual."""
+    from ..functions.vectors import l2_dist_sq
+
+    w = Window.partitionBy(vid).orderBy(F.asc("__d"), F.asc("__cid"))
+    residual = F.zip_with(
+        F.transform("__v", lambda x: x.cast("double")),
+        F.col("__cv"),
+        lambda x, y: x - y,
+    )
+    return (
+        df.crossJoin(F.broadcast(cents_df))
+        .withColumn("__d", l2_dist_sq(F.col("__v"), F.col("__cv")))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= probes)
+        .withColumn("__res", residual)
+        .select(vid, "__cid", "__res")
+    )
+
+
+def _ivfpq_codebooks(c, m, n_codes):
+    """Residual codebooks: subvectors of the n_codes lowest-id
+    assigned residuals. Returns (codebooks, ds)."""
+    res_rows = c.orderBy("vec_id").limit(n_codes).collect()
+    dim = len(res_rows[0]["__res"])
+    ds = dim // m
+    codebooks = [
+        [
+            [float(res_rows[ci]["__res"][j * ds + t]) for t in range(ds)]
+            for ci in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+    return codebooks, ds
+
+
+def _ivfpq_lut(q, codebooks, m, n_codes, ds):
+    """Per-(query, probed-cell) ADC lookup table via the same numpy
+    kernel as the encode (micro-rounded, identical float order)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, n_codes, ds)
+
+    def build_lut(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__res"]]
+            )
+            n = len(pdf)
+            subs = vecs.reshape(n, m, ds)
+            diffs = subs[:, :, None, :] - cb[None, :, :, :]
+            dists = np.add.reduce(diffs * diffs, axis=-1)
+            d_micro = np.floor(
+                dists.reshape(-1) * 1_000_000.0 + 0.5
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), m * n_codes
+                    ),
+                    "__cid": np.repeat(
+                        pdf["__cid"].to_numpy(), m * n_codes
+                    ),
+                    "j": np.tile(
+                        np.repeat(np.arange(m, dtype=np.int32), n_codes), n
+                    ),
+                    "code": np.tile(
+                        np.arange(n_codes, dtype=np.int32), n * m
+                    ),
+                    "d_micro": d_micro,
+                }
+            )
+
+    return q.mapInPandas(
+        build_lut, "query_id long, __cid int, j int, code int, d_micro long"
+    )
+
+
+def _ivfpq_adc_rank(enc, lut, k):
+    adc = (
+        enc.join(F.broadcast(lut), ["__cid", "j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro",
+            (F.col("adc_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "adc_dist"
+            ),
+            "rank",
+        )
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -804,134 +925,30 @@ def ivfpq_topk(
     shuffle is the (query, neighbor) partial-sum agg, already
     restricted to probed cells by the (cell, j, code) join key.
     """
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.vectors import l2_dist_sq
-
-    spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    cents_df = _ivfpq_cents(corpus, vec_col, id_col, n_centroids)
+    c = _ivfpq_assign(
+        cents_df,
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+        ),
+        "vec_id",
+        1,
     )
-    if not cent_rows:
-        raise ValueError("ivfpq_topk: empty corpus")
-    cents_df = F.broadcast(
-        spark.createDataFrame(
-            [
-                (i, [float(x) for x in r[vec_col]])
-                for i, r in enumerate(cent_rows)
-            ],
-            "__cid int, __cv array<double>",
-        )
-    )
-
-    def assign(df: DataFrame, vid: str, probes: int) -> DataFrame:
-        w = Window.partitionBy(vid).orderBy(F.asc("__d"), F.asc("__cid"))
-        return (
-            df.crossJoin(cents_df)
-            .withColumn("__d", l2_dist_sq(F.col("__v"), F.col("__cv")))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= probes)
-            .drop("__d", "__r")
-        )
-
-    residual = F.zip_with(
-        F.transform("__v", lambda x: x.cast("double")),
-        F.col("__cv"),
-        lambda x, y: x - y,
-    )
-    c = (
-        assign(
-            corpus.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
-            ),
-            "vec_id",
-            1,
-        )
-        .withColumn("__res", residual)
-        .select("vec_id", "__cid", "__res")
-    )
-    res_rows = c.orderBy("vec_id").limit(n_codes).collect()
-    dim = len(res_rows[0]["__res"])
-    ds = dim // m
-    codebooks = [
-        [
-            [float(res_rows[ci]["__res"][j * ds + t]) for t in range(ds)]
-            for ci in range(n_codes)
-        ]
-        for j in range(m)
-    ]
+    codebooks, ds = _ivfpq_codebooks(c, m, n_codes)
     enc = pq_encode(
         c.select("vec_id", "__res"), codebooks, "__res", "vec_id"
     ).join(c.select("vec_id", "__cid"), "vec_id")
-
-    q = (
-        assign(
-            queries.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(vec_col).alias("__v"),
-            ),
-            "query_id",
-            nprobe,
-        )
-        .withColumn("__res", residual)
-        .select("query_id", "__cid", "__res")
+    q = _ivfpq_assign(
+        cents_df,
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__v"),
+        ),
+        "query_id",
+        nprobe,
     )
-    cb = np.array(codebooks, dtype=np.float64)  # (m, n_codes, ds)
-
-    def build_lut(batches):
-        for pdf in batches:
-            vecs = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["__res"]]
-            )
-            n = len(pdf)
-            subs = vecs.reshape(n, m, ds)
-            diffs = subs[:, :, None, :] - cb[None, :, :, :]
-            dists = np.add.reduce(diffs * diffs, axis=-1)
-            d_micro = np.floor(
-                dists.reshape(-1) * 1_000_000.0 + 0.5
-            ).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(
-                        pdf["query_id"].to_numpy(), m * n_codes
-                    ),
-                    "__cid": np.repeat(
-                        pdf["__cid"].to_numpy(), m * n_codes
-                    ),
-                    "j": np.tile(
-                        np.repeat(np.arange(m, dtype=np.int32), n_codes), n
-                    ),
-                    "code": np.tile(
-                        np.arange(n_codes, dtype=np.int32), n * m
-                    ),
-                    "d_micro": d_micro,
-                }
-            )
-
-    lut = q.mapInPandas(
-        build_lut, "query_id long, __cid int, j int, code int, d_micro long"
-    )
-    adc = (
-        enc.join(F.broadcast(lut), ["__cid", "j", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d_micro").alias("adc_micro"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
-    return (
-        adc.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "adc_micro",
-            (F.col("adc_micro").cast("double") / F.lit(1_000_000.0)).alias(
-                "adc_dist"
-            ),
-            "rank",
-        )
-    )
+    lut = _ivfpq_lut(q, codebooks, m, n_codes, ds)
+    return _ivfpq_adc_rank(enc, lut, k)
 
 
 def lsh_build_index(
@@ -1095,3 +1112,101 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    wh,
+    table: str,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+) -> None:
+    """Materialize the IVF-PQ index AT REST — the 100 TB form: the
+    corpus is reduced to its CODES relation (vec_id, j, code) written
+    partitioned by cell id (m small ints per vector instead of the
+    vector — the ~32x storage compression that makes a billion-vector
+    index fit), with the centroids and residual codebooks in side
+    tables. A query then reads only its probed cells' partition dirs
+    and never touches a raw vector (pure ADC). Same deterministic
+    construction as :func:`ivfpq_topk`, so at-rest results match the
+    in-flight operator exactly (asserted in tests)."""
+    cents_df = _ivfpq_cents(corpus, vec_col, id_col, n_centroids)
+    c = _ivfpq_assign(
+        cents_df,
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+        ),
+        "vec_id",
+        1,
+    )
+    codebooks, ds = _ivfpq_codebooks(c, m, n_codes)
+    enc = pq_encode(
+        c.select("vec_id", "__res"), codebooks, "__res", "vec_id"
+    ).join(
+        c.select("vec_id", F.col("__cid").alias("cell")), "vec_id"
+    )
+    wh.overwrite(enc, table, partition_by=["cell"])
+    wh.overwrite(
+        cents_df.select(
+            F.col("__cid").alias("cent_id"), F.col("__cv").alias("cent_vec")
+        ),
+        f"{table}_centroids",
+    )
+    spark = corpus.sparkSession
+    cb_rows = [
+        (j, ci, codebooks[j][ci])
+        for j in range(m)
+        for ci in range(n_codes)
+    ]
+    wh.overwrite(
+        spark.createDataFrame(cb_rows, "j int, code int, sub array<double>"),
+        f"{table}_codebooks",
+    )
+
+
+def ivfpq_query_at_rest(
+    wh,
+    table: str,
+    queries: DataFrame,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query the at-rest IVF-PQ index: assign each query to its
+    nprobe nearest cells from the centroid side table, build the ADC
+    LUT from the codebook side table (both tiny, collected once), and
+    scan ONLY the probed cells' code partitions — the isin filter on
+    the partition column prunes at the file listing, and what is read
+    is codes, never vectors."""
+    cents_df = wh.read(f"{table}_centroids").select(
+        F.col("cent_id").alias("__cid"), F.col("cent_vec").alias("__cv")
+    )
+    cb_rows = wh.read(f"{table}_codebooks").collect()
+    m = 1 + max(r["j"] for r in cb_rows)
+    n_codes = 1 + max(r["code"] for r in cb_rows)
+    codebooks = [[None] * n_codes for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["j"]][r["code"]] = [float(x) for x in r["sub"]]
+    ds = len(codebooks[0][0])
+    q = _ivfpq_assign(
+        cents_df,
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__v"),
+        ),
+        "query_id",
+        nprobe,
+    )
+    lut = _ivfpq_lut(q, codebooks, m, n_codes, ds)
+    # probed cells: a bounded driver-side list -> partition pruning
+    cells = [r["__cid"] for r in q.select("__cid").distinct().collect()]
+    enc = (
+        wh.read(table)
+        .filter(F.col("cell").isin(cells))
+        .select("vec_id", F.col("cell").alias("__cid"), "j", "code")
+    )
+    return _ivfpq_adc_rank(enc, lut, k)
