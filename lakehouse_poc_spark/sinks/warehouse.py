@@ -1299,6 +1299,13 @@ class Warehouse:
             if d.is_dir() and time.time() - d.stat().st_mtime > 900.0:
                 shutil.rmtree(d)
                 removed += 1
+        # lock-break tombstones stranded by a crash between the claim
+        # rename and the rmtree (_writer_lock's stale-break path):
+        # already-claimed, never live — safe to sweep at any age
+        for d in self.root.glob("**/*__lock.tomb.*"):
+            if d.is_dir():
+                shutil.rmtree(d)
+                removed += 1
         if retain_versions is not None:
             for vd in self.root.glob("**/*__versions"):
                 snaps = sorted(vd.glob("v*"))

@@ -929,3 +929,15 @@ def test_bloom_lookup_survives_stale_index_without_false_negatives(
     st = wh.refresh_bloom_index(t)
     assert st["files_added"] >= 1
     assert [r.v for r in wh.bloom_lookup(t, "k", 999).collect()] == ["fresh"]
+
+
+def test_vacuum_sweeps_stranded_lock_tombstones(spark, tmp_path):
+    """A crash between the stale-break claim rename and its rmtree
+    strands a <table>__lock.tomb.* dir; vacuum removes it at any age
+    (claimed tombstones are never live locks)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(3).selectExpr("id"), "dim.t")
+    tomb = wh.path("dim.t").with_name("t__lock.tomb.deadbeef")
+    tomb.mkdir()
+    assert wh.vacuum() >= 1
+    assert not tomb.exists()
