@@ -170,6 +170,7 @@ HEADLINE = [
     "star_components_coparts",
     "hybrid_rrf_docs",
     "stupid_backoff_logprob_docs",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -343,3 +343,106 @@ def audio_features(audio: DataFrame) -> DataFrame:
         "doc_id long, sample_rate int, n_samples int, duration_s double, "
         "energy double, peak int, zero_crossings long",
     )
+
+
+def dhash_images(images: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash — Krawetz's public
+    "Kind of Like That" algorithm): nearest-sample the decoded
+    grayscale payload to a 9×8 grid (xs(c) = c·w//9, ys(r) = r·h//8)
+    and set bit r·8+c iff grid[r][c] < grid[r][c+1]. Near-duplicate
+    images (small pixel perturbations, re-encodes, minor crops) land
+    within a few Hamming bits of each other — the image twin of
+    SimHash for text. The 64 bits are returned as two exact 32-bit
+    halves (``dhash_hi``/``dhash_lo``) so both engines stay in signed
+    BIGINT arithmetic.
+
+    Map-only Arrow pass over payload bytes; payloads never reach the
+    driver. Output: (doc_id, width, height, dhash_hi, dhash_lo)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, his, los = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = struct.unpack_from(HEADER_FMT, payload, 0)
+                px = np.frombuffer(
+                    payload, dtype=np.uint8, offset=HEADER_SIZE
+                ).astype(np.int64)
+                xs = (np.arange(9, dtype=np.int64) * w) // 9
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                grid = px[ys[:, None] * w + xs[None, :]]  # (8, 9)
+                bits = (grid[:, :-1] < grid[:, 1:]).reshape(-1)  # b = r*8+c
+                weights = 1 << (np.arange(64, dtype=np.int64) % 32)
+                lo = int((bits[:32] * weights[:32]).sum())
+                hi = int((bits[32:] * weights[:32]).sum())
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "dhash_hi": his,
+                    "dhash_lo": los,
+                }
+            )
+
+    return fan_out(images).mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, dhash_hi long, dhash_lo long",
+    )
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance, via the
+    4-chunk pigeonhole blocking of the SimHash text path: distance
+    <= 3 over 64 bits guarantees at least one identical 16-bit chunk,
+    so candidates join on (chunk index, chunk value) and pairs
+    sharing no chunk never meet. Output (id_a, id_b, hamming),
+    id_a < id_b, hamming <= max_hamming (<= 3 for lossless blocking
+    with 4 chunks)."""
+    from pyspark.sql import functions as F
+
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking is lossless only for "
+            "max_hamming <= 3; use more chunks for larger radii"
+        )
+    chunks = F.array(
+        F.shiftright("dhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("dhash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("dhash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("dhash_lo").bitwiseAND(F.lit(0xFFFF)),
+    )
+    blocked = hashes.select(
+        F.col(id_col), "dhash_hi", "dhash_lo",
+        F.posexplode(chunks).alias("ci", "cv"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))
+                )
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand

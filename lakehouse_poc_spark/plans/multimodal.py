@@ -244,3 +244,64 @@ def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup pairs over the synthetic image corpus (r7):
+# dHash (9x8 nearest-sample grid, adjacent-comparison bits) with
+# 4-chunk pigeonhole blocking — the image twin of the SimHash text
+# path, catching re-encodes/perturbations that byte-level md5 dedup
+# (multimodal_dedup_payloads) misses. The oracle replays the fake
+# codec's pixel arithmetic, the exact grid/bit construction (two
+# signed 32-bit halves), and brute-force Hamming <= 3 pairing, so
+# the hash pins the whole perceptual pipeline.
+@query(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               16 + n_chars % 32 AS w,
+               8 + doc_id % 16 AS h
+        FROM documents
+    ),
+    g AS (
+        SELECT d.doc_id, r.r, c.c,
+               ((((r.r * d.h // 8) * d.w + (c.c * d.w // 9)) * 31
+                 + d.doc_id) % 256) AS px
+        FROM d, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+    ),
+    bits AS (
+        SELECT l.doc_id, l.r * 8 + l.c AS b
+        FROM g l JOIN g rt
+          ON rt.doc_id = l.doc_id AND rt.r = l.r AND rt.c = l.c + 1
+        WHERE l.c <= 7 AND l.px < rt.px
+    ),
+    hashes AS (
+        SELECT d.doc_id,
+               CAST(coalesce(SUM(CASE WHEN b >= 32
+                                      THEN (1::BIGINT << (b - 32)) END), 0)
+                    AS BIGINT) AS hi,
+               CAST(coalesce(SUM(CASE WHEN b < 32
+                                      THEN (1::BIGINT << b) END), 0)
+                    AS BIGINT) AS lo
+        FROM d LEFT JOIN bits USING (doc_id)
+        GROUP BY d.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    ) t
+    WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import dhash_images, dhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    imgs = synthesize_images(docs)
+    return dhash_neardup_pairs(dhash_images(imgs), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
