@@ -91,3 +91,52 @@ def test_resize_roundtrip_decodes_at_target_dims(spark, docs):
     expected_mean = px[np.ix_(ys, xs)].mean()
     got = {r.doc_id: r.mean_pixel for r in resized.collect()}
     assert got[0] == pytest.approx(expected_mean)
+
+
+def test_dhash_is_perceptual_not_byte_level(spark):
+    """The property that separates dHash from md5 payload dedup: a
+    small pixel perturbation leaves the hash within a few Hamming
+    bits (still a near-dup), while an unrelated image is far away.
+    Exact duplicates hash identically."""
+    import struct
+
+    import numpy as np
+
+    from lakehouse_poc_spark.operators.multimodal import (
+        HEADER_FMT,
+        dhash_images,
+        dhash_neardup_pairs,
+    )
+
+    w, h = 32, 16
+    base = np.arange(w * h, dtype=np.int64) * 7 % 256
+
+    def img(doc_id, px):
+        return (
+            doc_id,
+            struct.pack(HEADER_FMT, w, h) + bytes(px.astype(np.uint8)),
+            w,
+            h,
+            "fake",
+        )
+
+    perturbed = base.copy()
+    perturbed[5] = (perturbed[5] + 3) % 256  # one pixel nudged
+    unrelated = (np.arange(w * h, dtype=np.int64) * 131 + 17) % 256
+    df = spark.createDataFrame(
+        [img(1, base), img(2, base), img(3, perturbed), img(4, unrelated)],
+        "doc_id long, payload binary, width int, height int, format string",
+    )
+    hs = {r.doc_id: (r.dhash_hi, r.dhash_lo) for r in dhash_images(df).collect()}
+    assert hs[1] == hs[2]  # exact dup: identical hash
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(hs[1], hs[3]) <= 3  # perturbation: near
+    assert ham(hs[1], hs[4]) > 10  # unrelated: far
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(dhash_images(df)).collect()
+    }
+    assert pairs[(1, 2)] == 0 and (1, 3) in pairs and (1, 4) not in pairs
