@@ -171,6 +171,7 @@ HEADLINE = [
     "hybrid_rrf_docs",
     "stupid_backoff_logprob_docs",
     "multimodal_phash_neardup",
+    "multimodal_video_neardup",
 ]
 
 

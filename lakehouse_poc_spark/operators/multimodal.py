@@ -446,3 +446,103 @@ def dhash_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand
+
+
+def frame_signatures(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Per-frame 8-bit perceptual signature for video-shaped payloads
+    (fixed-size frames, trailing partial counts): sample 9 byte
+    positions p(c) = c·L//9 within the frame (L = frame length) and
+    set bit c iff byte[p(c)] < byte[p(c+1)] — the 1-D dHash. Output
+    (id, frame_idx, sig) — one small int per frame, the persistable
+    video fingerprint stream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, sigs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n_frames = -(-len(px) // frame_bytes)
+                for f in range(n_frames):
+                    fr = px[f * frame_bytes : (f + 1) * frame_bytes]
+                    L = len(fr)
+                    pos = (np.arange(9, dtype=np.int64) * L) // 9
+                    samp = fr[pos]
+                    bits = (samp[:-1] < samp[1:]).astype(np.int64)
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    sigs.append(int((bits << np.arange(8)).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "sig": sigs}
+            )
+
+    return fan_out(df).select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, frame_idx long, sig int"
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_bytes: int = 64,
+    gram: int = 3,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Video near-duplicate pairs by TEMPORAL fingerprint matching:
+    consecutive frame signatures form ``gram``-length shingles (the
+    sequence structure is what distinguishes a re-encoded copy from
+    coincidentally similar stills); two videos pair when they share
+    at least ``min_shared`` distinct shingle values. Shingles seen in
+    more than ``max_df`` videos are dropped as stop-grams (the same
+    frequency discipline as text winnowing — a ubiquitous pattern
+    carries no identity and would quadratify the join). One
+    gram-keyed shuffle; candidates only."""
+    sigs = frame_signatures(df, id_col, payload_col, frame_bytes)
+    from pyspark.sql import functions as F
+
+    seq = sigs.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("frame_idx", "sig"))
+        ).alias("__fs")
+    )
+    grams = (
+        # size guard BEFORE sequence(): Spark's sequence(1, 0) yields a
+        # DESCENDING [1, 0], not empty (the bigram-op pitfall), and
+        # slice() rejects start 0
+        seq.filter(F.size("__fs") >= gram)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__fs) - {gram - 1}), "
+                    f"i -> array_join(transform(slice(__fs, i, {gram}), "
+                    "s -> CAST(s.sig AS STRING)), ','))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    kept = grams.join(
+        dfreq.filter(F.col("__df") <= max_df).select("g"), "g"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )

@@ -305,3 +305,63 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(dhash_images(imgs), max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup by TEMPORAL fingerprint matching (r7): per-frame
+# 1-D dHash signatures (9 sampled bytes, adjacent comparisons),
+# 3-frame shingles, stop-gram frequency cap, pairs sharing >= 2
+# distinct shingles. Sequence structure — not per-frame similarity —
+# is what identifies a re-encoded copy; the oracle replays frame
+# slicing, position sampling, bit packing, the document-frequency
+# cap, and the pair count byte-for-byte on the text-bytes payloads.
+@query(
+    "multimodal_video_neardup",
+    oracle="""
+    WITH f AS (
+        SELECT d.doc_id, d.text, g.f AS fidx, g.f * 64 AS f0,
+               least(64, length(d.text) - g.f * 64) AS L
+        FROM documents d,
+             LATERAL unnest(range(0,
+                 CAST(ceil(length(d.text) / 64.0) AS BIGINT))) AS g(f)
+    ),
+    sig AS (
+        SELECT doc_id, fidx,
+               CAST(list_sum(list_transform(generate_series(0, 7),
+                   c -> CASE WHEN ascii(substr(text, f0 + (c * L) // 9 + 1, 1))
+                              < ascii(substr(text, f0 + ((c + 1) * L) // 9 + 1, 1))
+                        THEN (1 << c) ELSE 0 END)) AS INTEGER) AS s
+        FROM f
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT a.doc_id,
+                   CAST(a.s AS VARCHAR) || ',' || CAST(b.s AS VARCHAR)
+                       || ',' || CAST(c.s AS VARCHAR) AS g
+            FROM sig a
+            JOIN sig b ON b.doc_id = a.doc_id AND b.fidx = a.fidx + 1
+            JOIN sig c ON c.doc_id = a.doc_id AND c.fidx = a.fidx + 2
+        ) t
+    ),
+    kept AS (
+        SELECT doc_id, g FROM grams
+        WHERE g IN (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 50)
+    )
+    SELECT id_a, id_b, shared_grams FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_grams
+        FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) t
+    WHERE shared_grams >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import video_neardup_pairs
+
+    docs = _payload(_t(spark, sf_dir, "documents"))
+    return video_neardup_pairs(
+        docs, "doc_id", "payload", frame_bytes=64, gram=3,
+        min_shared=2, max_df=50,
+    ).orderBy("id_a", "id_b")
