@@ -504,11 +504,30 @@ def video_neardup_pairs(
     carries no identity and would quadratify the join). One
     gram-keyed shuffle; candidates only."""
     sigs = frame_signatures(df, id_col, payload_col, frame_bytes)
+    return _sig_shingle_pairs(
+        sigs, id_col, "frame_idx", gram, min_shared, max_df
+    )
+
+
+def _sig_shingle_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    order_col: str,
+    gram: int,
+    min_shared: int,
+    max_df: int,
+) -> DataFrame:
+    """Shared core of the temporal near-dup matchers (video frames,
+    audio windows): order each item's signature stream, form
+    ``gram``-length shingles, drop shingles seen in more than
+    ``max_df`` items (stop-grams carry no identity and would
+    quadratify the join), and count distinct shared shingle values
+    per pair. One gram-keyed shuffle; candidates only."""
     from pyspark.sql import functions as F
 
     seq = sigs.groupBy(id_col).agg(
         F.array_sort(
-            F.collect_list(F.struct("frame_idx", "sig"))
+            F.collect_list(F.struct(order_col, "sig"))
         ).alias("__fs")
     )
     grams = (
@@ -545,4 +564,66 @@ def video_neardup_pairs(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
+def audio_signatures(
+    audio: DataFrame,
+    id_col: str,
+    payload_col: str,
+    window: int = 16,
+) -> DataFrame:
+    """Per-window 8-bit signature for PCM audio payloads (the audio
+    analogue of :func:`frame_signatures`): split each ``window``-
+    sample chunk into 9 energy segments (segment c = Σ|sample| over
+    [c·L//9, (c+1)·L//9)) and set bit c iff energy[c] < energy[c+1]
+    — a coarse envelope hash robust to amplitude-preserving
+    re-encodes. Integer arithmetic end-to-end. Output
+    (id, win_idx, sig)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, sigs = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples = np.frombuffer(
+                    payload, dtype="<i2", offset=AUDIO_HEADER_SIZE
+                ).astype(np.int64)
+                n_win = -(-len(samples) // window)
+                for k in range(n_win):
+                    w = np.abs(samples[k * window : (k + 1) * window])
+                    L = len(w)
+                    bounds = (np.arange(10, dtype=np.int64) * L) // 9
+                    e = np.add.reduceat(
+                        np.concatenate([w, [0]]), bounds[:-1]
+                    )
+                    # reduceat with equal adjacent bounds yields the
+                    # single element at that index; force empty
+                    # segments to 0 instead
+                    e = np.where(bounds[1:] > bounds[:-1], e, 0)
+                    bits = (e[:-1] < e[1:]).astype(np.int64)
+                    ids.append(doc_id)
+                    widx.append(k)
+                    sigs.append(int((bits << np.arange(8)).sum()))
+            yield pd.DataFrame({id_col: ids, "win_idx": widx, "sig": sigs})
+
+    return fan_out(audio).select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, win_idx long, sig int"
+    )
+
+
+def audio_neardup_pairs(
+    audio: DataFrame,
+    id_col: str,
+    payload_col: str,
+    window: int = 16,
+    gram: int = 3,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Audio near-duplicate pairs by temporal envelope-signature
+    shingle matching — same mechanics (and shared implementation) as
+    :func:`video_neardup_pairs`."""
+    sigs = audio_signatures(audio, id_col, payload_col, window)
+    return _sig_shingle_pairs(
+        sigs, id_col, "win_idx", gram, min_shared, max_df
     )

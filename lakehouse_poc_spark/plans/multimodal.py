@@ -365,3 +365,73 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "payload", frame_bytes=64, gram=3,
         min_shared=2, max_df=50,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup by temporal envelope-signature matching (r7): the
+# third modality of the perceptual family. Per 16-sample PCM window,
+# 9 segment |sample| energies -> 8 adjacent-comparison bits; 3-window
+# shingles with the shared stop-gram/pair machinery of the video
+# matcher. Oracle replays the synthetic PCM arithmetic, segment
+# boundaries, bit packing, df cap, and pair counts.
+@query(
+    "multimodal_audio_neardup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+    ),
+    w AS (
+        SELECT d.doc_id, g.k AS widx,
+               least(16, d.n - g.k * 16) AS L
+        FROM d,
+             LATERAL unnest(range(0, CAST(ceil(d.n / 16.0) AS BIGINT)))
+                 AS g(k)
+    ),
+    en AS (
+        SELECT doc_id, widx,
+               list_transform(generate_series(0, 8), c ->
+                   coalesce(list_sum(list_transform(
+                       range((c * L) // 9, ((c + 1) * L) // 9),
+                       j -> abs(((doc_id * 31 + (widx * 16 + j) * 17) % 256)
+                                - 128))), 0)) AS es
+        FROM w
+    ),
+    sig AS (
+        SELECT doc_id, widx,
+               CAST(list_sum(list_transform(generate_series(0, 7),
+                   c -> CASE WHEN es[c + 1] < es[c + 2]
+                             THEN (1 << c) ELSE 0 END)) AS INTEGER) AS s
+        FROM en
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT a.doc_id,
+                   CAST(a.s AS VARCHAR) || ',' || CAST(b.s AS VARCHAR)
+                       || ',' || CAST(c.s AS VARCHAR) AS g
+            FROM sig a
+            JOIN sig b ON b.doc_id = a.doc_id AND b.widx = a.widx + 1
+            JOIN sig c ON c.doc_id = a.doc_id AND c.widx = a.widx + 2
+        ) t
+    ),
+    kept AS (
+        SELECT doc_id, g FROM grams
+        WHERE g IN (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 50)
+    )
+    SELECT id_a, id_b, shared_grams FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_grams
+        FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) t
+    WHERE shared_grams >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_neardup_pairs, synthesize_audio
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_neardup_pairs(
+        synthesize_audio(docs), "doc_id", "payload", window=16,
+        gram=3, min_shared=2, max_df=50,
+    ).orderBy("id_a", "id_b")
