@@ -1889,3 +1889,155 @@ def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ quality gate (r7): recall@5 of the residual-quantized index
+# against the exact squared-L2 ground truth — completes the recall
+# family (lsh / lsh_mp / lsh_multi / ivf / pq / matryoshka / ivfpq).
+# The oracle composes the brute CTE of ann_recall_pq with the full
+# index reproduction of similarity_topk_ivfpq, so both the recall
+# NUMBER and the index behavior behind it are pinned.
+@query(
+    "ann_recall_ivfpq",
+    oracle=f"""
+    WITH brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_l2sq('q.embedding', 'c.embedding')} ASC,
+                                c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) t WHERE rank <= 5
+    ),
+    cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+               embedding AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    assign AS (
+        SELECT vec_id, cid, res FROM (
+            SELECT e.vec_id, c.cid,
+                   list_transform(generate_series(1, {EMB_DIM}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) AS res,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_l2sq('e.embedding', 'c.cv')}, c.cid
+                   ) AS rk
+            FROM embeddings e CROSS JOIN cents c
+        ) t WHERE rk = 1
+    ),
+    cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+               res
+        FROM (SELECT vec_id, res FROM assign ORDER BY vec_id LIMIT 16)
+    ),
+    subs AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 7) g(j)),
+    enc AS (
+        SELECT vec_id, cid, j, code FROM (
+            SELECT a.vec_id, a.cid, s.j, b.code,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id, s.j
+                       ORDER BY {_sql_subdist('a.res', 'b.res', 's.j')}, b.code
+                   ) AS rk
+            FROM assign a CROSS JOIN subs s CROSS JOIN cb b
+        ) t WHERE rk = 1
+    ),
+    qprobe AS (
+        SELECT query_id, cid, qres FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   list_transform(generate_series(1, {EMB_DIM}),
+                       i -> CAST(q.embedding[i] AS DOUBLE) - c.cv[i]) AS qres,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_l2sq('q.embedding', 'c.cv')}, c.cid
+                   ) AS rk
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < 8
+        ) t WHERE rk <= 2
+    ),
+    lut AS (
+        SELECT p.query_id, p.cid, s.j, b.code,
+               CAST(ROUND({_sql_subdist('p.qres', 'b.res', 's.j')}
+                          * 1000000.0) AS BIGINT) AS d_micro
+        FROM qprobe p CROSS JOIN subs s CROSS JOIN cb b
+    ),
+    ivfpq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT l.query_id, e.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY l.query_id
+                       ORDER BY SUM(l.d_micro), e.vec_id) AS INTEGER) AS rank
+            FROM enc e
+            JOIN lut l ON e.cid = l.cid AND e.j = l.j AND e.code = l.code
+            WHERE e.vec_id <> l.query_id
+            GROUP BY l.query_id, e.vec_id
+        ) t WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(p.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN ivfpq p
+      ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import l2_dist_sq
+    from ..operators.similarity import ivfpq_topk
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    c = emb.select(
+        F.col("vec_id").alias("__nid"), F.col("embedding").alias("__nv")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            l2_dist_sq(F.col("__qv"), F.col("__nv")).alias("d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    brute = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = ivfpq_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, n_centroids=16, nprobe=2,
+        m=8, n_codes=16,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
