@@ -48,7 +48,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     (O(words²) per doc). Here the token array appears only as lambda
     *children*, each evaluated once per row.
     """
-    toks = tokens(col)
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingles over a CALLER-SUPPLIED token array — use when the
+    token sequence must be pre-filtered (e.g. empty edge tokens from
+    whitespace-edged text) so gram positions and token positions
+    index the same sequence."""
     sz = F.size(toks)
     shingles = F.slice(toks, 1, sz)
     for j in range(1, n):

@@ -25,7 +25,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, tokens, word_shingles
+from ..functions.text import (
+    fingerprint_md5,
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
 from ..functions.vectors import cosine
 from .partitioning import fan_out
 
@@ -109,8 +114,24 @@ def minhash_bands(
     Carries only ids + band hashes — never shingle arrays — so it is
     the persistable at-rest form of the index (the incremental dedup
     store appends exactly these rows per admitted batch)."""
-    rows = num_perm // bands
     sigs = minhash_signature(df, text_col, id_col, num_perm, shingle_n, seed)
+    return bands_from_signatures(sigs, id_col, num_perm, bands)
+
+
+def bands_from_signatures(
+    sigs: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """Band relation from a PRECOMPUTED signature frame (``__sig``
+    column) — the single banding construction shared by
+    :func:`minhash_bands` and :func:`minhash_lsh_pairs` (which
+    persists its signatures for reuse across join sides)."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm={num_perm} must divide evenly into bands="
+            f"{bands} (trailing signature entries would be silently "
+            "dropped)"
+        )
+    rows = num_perm // bands
     return sigs.select(
         id_col,
         F.explode(
@@ -182,7 +203,6 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
     threshold, restricted to LSH candidates (same hash in >=1 band).
     """
-    rows = num_perm // bands
     # Both sides of the banding self-join (and both shingle re-joins
     # below) consume these subplans; without a materialization barrier
     # Spark evaluates the full shingle/signature pipeline once PER
@@ -196,20 +216,7 @@ def minhash_lsh_pairs(
     # Banded relation carries ONLY (id, band, bhash) — the shingle
     # arrays would otherwise be shuffled `bands`× per doc; they are
     # re-joined onto the (much smaller) candidate-pair set instead.
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("__sig", b * rows + 1, rows)).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.bhash")
+    banded = bands_from_signatures(sigs, id_col, num_perm, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1435,12 +1442,13 @@ def remove_repeated_passages(
     Output: (id, n_tokens_before, n_removed, clean_text) with token
     order preserved.
     """
+    ftoks = F.filter(tokens(text_col), lambda x: x != "")
     toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
-    ).filter(F.col("w") != "")
+        F.col(id_col), F.posexplode(ftoks).alias("pos", "w")
+    )
     grams = fan_out(df).select(
         F.col(id_col),
-        F.posexplode(word_shingles(text_col, n)).alias("gpos", "gram"),
+        F.posexplode(shingles_from_tokens(ftoks, n)).alias("gpos", "gram"),
     )
     repeated = (
         grams.groupBy("gram")
@@ -1500,9 +1508,17 @@ def _substring_covered(
     counting positional k-gram occurrences. Occurrences are counted
     over ALL (doc, pos) sites, so within-document repetition counts
     (unlike the cross-doc-only passage detector)."""
+    # grams and token positions must index the SAME sequence: build
+    # both from the whitespace-FILTERED token array (a doc with
+    # leading/trailing whitespace otherwise contributes empty edge
+    # tokens to the grams but not to the position relation —
+    # code-review r7 finding; the DuckDB oracles filter too)
+    ftoks = F.filter(tokens(text_col), lambda x: x != "")
     grams = fan_out(df).select(
         F.col(id_col),
-        F.posexplode(word_shingles(text_col, min_len)).alias("gpos", "gram"),
+        F.posexplode(shingles_from_tokens(ftoks, min_len)).alias(
+            "gpos", "gram"
+        ),
     )
     repeated = (
         grams.groupBy("gram")
@@ -1568,8 +1584,11 @@ def exact_substring_dedup(
     (``remove_repeated_passages``), and now length-thresholded exact
     repeats including within-document ones."""
     toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
-    ).filter(F.col("w") != "")
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(text_col), lambda x: x != "")
+        ).alias("pos", "w"),
+    )
     covered = _substring_covered(df, text_col, id_col, min_len)
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     removed_counts = covered.groupBy(id_col).agg(

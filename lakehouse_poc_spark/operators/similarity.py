@@ -810,7 +810,18 @@ def _ivfpq_codebooks(c, m, n_codes):
     """Residual codebooks: subvectors of the n_codes lowest-id
     assigned residuals. Returns (codebooks, ds)."""
     res_rows = c.orderBy("vec_id").limit(n_codes).collect()
+    if len(res_rows) < n_codes:
+        raise ValueError(
+            f"ivfpq: corpus has {len(res_rows)} vectors but "
+            f"n_codes={n_codes} codebook entries are required — "
+            "shrink n_codes or grow the corpus"
+        )
     dim = len(res_rows[0]["__res"])
+    if dim % m != 0:
+        raise ValueError(
+            f"ivfpq: embedding dim {dim} is not divisible by m={m} "
+            "subspaces"
+        )
     ds = dim // m
     codebooks = [
         [

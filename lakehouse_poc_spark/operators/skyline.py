@@ -189,7 +189,8 @@ def skyline_nd(
         if len(pdf)
         else pdf,
         surv.schema,
-    )
+    ).persist()  # the budget-guard count would otherwise re-run the
+    # whole grid + per-cell kernel plan for the final merge
     n_shell = local.count()
     if n_shell > shell_budget:
         raise ValueError(

@@ -1095,7 +1095,11 @@ def stream_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 st = os.stat(p)
                 os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
 
-    src = cached_fixture(f"semdedup_batches_{Path(sf_dir).name}", _build)
+    src = cached_fixture(
+        f"semdedup_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/embeddings.parquet").st_mtime,
+    )
 
     stream = stream_parquet(
         spark, str(src) + "/*/part-*", emb.schema, max_files_per_trigger=1
@@ -1185,7 +1189,11 @@ def stream_scd1_file_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 st = os.stat(p)
                 os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
 
-    src = cached_fixture(f"scd1fp_batches_{Path(sf_dir).name}", _build)
+    src = cached_fixture(
+        f"scd1fp_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/customer.parquet").st_mtime,
+    )
 
     wh = Warehouse(spark, str(work / "wh"))
     t = "dim.customer_fp"
@@ -1257,7 +1265,11 @@ def stream_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 st = os.stat(p)
                 os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
 
-    src = cached_fixture(f"lshdedup_batches_{Path(sf_dir).name}", _build)
+    src = cached_fixture(
+        f"lshdedup_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/documents.parquet").st_mtime,
+    )
     stream = stream_parquet(
         spark, str(src) + "/*/part-*", docs.schema, max_files_per_trigger=1
     )

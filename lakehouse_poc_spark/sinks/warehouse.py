@@ -1289,6 +1289,13 @@ class Warehouse:
             if d.is_dir():
                 shutil.rmtree(d)
                 removed += 1
+        # job-unique manifest staging dirs (crashed mid-stage): only
+        # sweep ones past the writer-lock ttl — a young one may be an
+        # in-flight stage about to move its parts in
+        for d in self.root.glob("**/*__staging.*"):
+            if d.is_dir() and time.time() - d.stat().st_mtime > 900.0:
+                shutil.rmtree(d)
+                removed += 1
         for d in self.root.glob("**/*__old"):
             if d.is_dir():
                 shutil.rmtree(d)
@@ -1592,18 +1599,20 @@ class ManifestWarehouse(Warehouse):
         return version
 
     def _stage_in(self, df: DataFrame, table: str) -> list[str]:
-        """Write ``df`` to a staging dir, move the parts into the
-        table dir under job-unique names, return the names. The files
-        are INVISIBLE until a manifest commit references them."""
+        """Write ``df`` to a JOB-UNIQUE staging dir, move the parts
+        into the table dir under job-unique names, return the names.
+        The files are INVISIBLE until a manifest commit references
+        them. Staging dirs are never shared, so concurrent stagings
+        (publish_tables stages before taking per-table locks) cannot
+        rmtree or interleave with each other — only the manifest
+        COMMIT needs the writer lock."""
         import uuid
 
+        job = uuid.uuid4().hex[:12]
         target = self.path(table)
         target.mkdir(parents=True, exist_ok=True)
-        staging = target.with_name(target.name + "__staging")
-        if staging.exists():
-            shutil.rmtree(staging)
+        staging = target.with_name(f"{target.name}__staging.{job}")
         df.write.parquet(str(staging))
-        job = uuid.uuid4().hex[:12]
         names: list[str] = []
         for i, part in enumerate(sorted(staging.glob("*.parquet"))):
             name = f"part-{i:05d}-{job}.parquet"
@@ -1871,16 +1880,27 @@ class ManifestWarehouse(Warehouse):
 
     # -- maintenance ----------------------------------------------------
 
-    def vacuum(self, retain_versions: int | None = None) -> int:
+    def vacuum(
+        self, retain_versions: int | None = None, min_age: float = 900.0
+    ) -> int:
         """Sweep staging leftovers and stale locks (base behavior);
         with ``retain_versions=k``, additionally drop all but the
         newest k manifests per table and unlink data files no kept
         manifest references — Delta's VACUUM retention. Readers of a
-        vacuumed version fail fast with a clear error."""
+        vacuumed version fail fast with a clear error.
+
+        Unreferenced data files younger than ``min_age`` seconds are
+        SPARED: a file staged into the table dir by an in-flight
+        write (WAP audit running, commit not yet issued) is
+        unreferenced by design until its commit, and deleting it
+        would let the commit publish a manifest pointing at nothing —
+        the same age discipline the lock sweeps use. Tests pass
+        ``min_age=0`` to force a full sweep."""
         import json
 
         removed = super().vacuum(retain_versions=None)
         if retain_versions is not None:
+            now = time.time()
             for md in self.root.glob("**/*__manifest"):
                 manifests = sorted(md.glob("m*.json"))
                 cut = max(0, len(manifests) - retain_versions)
@@ -1894,7 +1914,10 @@ class ManifestWarehouse(Warehouse):
                     removed += 1
                 if table_dir.exists():
                     for f in table_dir.glob("*.parquet"):
-                        if f.name not in referenced:
+                        if (
+                            f.name not in referenced
+                            and now - f.stat().st_mtime >= min_age
+                        ):
                             f.unlink()
                             removed += 1
         return removed

@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -49,16 +50,29 @@ _SCRATCH = Path(
 )
 
 
-def stream_scratch(prefix: str) -> Path:
+def stream_scratch(prefix: str, max_age: float = 7200.0) -> Path:
     """Fresh per-run work dir (checkpoints, sinks) under the
     consolidated scratch root. Never cached — a reused checkpoint
-    would skip micro-batches and turn the query into a cache read."""
+    would skip micro-batches and turn the query into a cache read.
+
+    The root is tmpfs (RAM) where available, so each call also sweeps
+    run dirs older than ``max_age`` seconds — without it, repeated
+    bench/test runs would leak RAM-backed checkpoint state until
+    reboot (code-review r7 finding). Live runs are hours younger than
+    the threshold."""
     root = _SCRATCH / "runs"
     root.mkdir(parents=True, exist_ok=True)
+    now = time.time()
+    for d in root.iterdir():
+        try:
+            if d.is_dir() and now - d.stat().st_mtime > max_age:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # racing another sweeper
     return Path(tempfile.mkdtemp(prefix=prefix, dir=str(root)))
 
 
-def cached_fixture(key: str, build) -> Path:
+def cached_fixture(key: str, build, token: object = None) -> Path:
     """Build-once staged SOURCE fixture, reused across bench attempts
     and queries (the federated-formats discipline of r5 task 6):
     ``build(dir)`` populates a temp dir which is published by atomic
@@ -66,7 +80,16 @@ def cached_fixture(key: str, build) -> Path:
     losers discard). Only deterministic source-file stagings belong
     here — checkpoints and sinks go through :func:`stream_scratch`.
     File mtimes survive caching, so mtime-ordered micro-batch
-    fixtures keep their ordering contract."""
+    fixtures keep their ordering contract.
+
+    ``token`` folds a cache-busting version into the key — pass the
+    SOURCE file's mtime (or a builder-version string) so regenerated
+    test data or changed staging logic invalidates the cache instead
+    of silently serving stale batches (code-review r7 finding)."""
+    if token is not None:
+        import hashlib
+
+        key = f"{key}.{hashlib.md5(str(token).encode()).hexdigest()[:10]}"
     d = _SCRATCH / "fixtures" / key
     if (d / "_done").exists():
         return d
@@ -100,6 +123,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cached_fixture(
         f"events_{Path(sf_dir).name}",
         lambda d: shutil.copy(path, d / "events.parquet"),
+        token=os.stat(path).st_mtime,
     )
     raw = spark.readStream.schema(schema).parquet(str(base))
     return normalize_event_ts(raw)

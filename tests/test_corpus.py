@@ -281,3 +281,28 @@ def test_exact_substring_dedup_brute_parity(spark):
     for r in exact_substring_spans(df, "text", "doc_id", min_len=k).collect():
         got_spans.setdefault(r.doc_id, set()).add((r.span_start, r.span_len))
     assert got_spans == {d: s for d, s in expect_spans.items() if s}
+
+
+def test_substring_dedup_whitespace_edged_docs(spark):
+    """Leading/trailing whitespace must not create phantom empty edge
+    tokens in the gram relation (code-review r7): grams and token
+    positions index the same FILTERED sequence, so the
+    before == removed + clean invariant holds and shared runs are
+    still detected across differently-padded copies."""
+    from lakehouse_poc_spark.operators.dedup import exact_substring_dedup
+
+    rows = [
+        (1, "  alpha beta gamma delta epsilon one two  "),
+        (2, "alpha beta gamma delta epsilon three four\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(df, "text", "doc_id", min_len=3).collect()
+    }
+    for d, r in out.items():
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert r.n_tokens_before == r.n_removed + n_clean, d
+        assert r.n_tokens_before == 7, d  # empties never counted
+    assert out[1].clean_text == "one two"
+    assert out[2].clean_text == "three four"

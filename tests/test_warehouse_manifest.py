@@ -67,8 +67,9 @@ def test_manifest_file_pruned_upsert_no_unlink_until_vacuum(spark, tmp_path):
     on_disk = len(list(wh.path(t).glob("*.parquet")))
     assert on_disk > len(wh._data_files(t))
     assert wh.read_version(t, 0).filter("v = 'new'").count() == 0
-    # ...until vacuum retention sweeps them
-    removed = wh.vacuum(retain_versions=1)
+    # ...until vacuum retention sweeps them (min_age=0: test override
+    # of the in-flight-stage age guard)
+    removed = wh.vacuum(retain_versions=1, min_age=0)
     assert removed > 0
     assert len(list(wh.path(t).glob("*.parquet"))) == len(wh._data_files(t))
     with pytest.raises(ValueError, match="not found|vacuumed"):
@@ -261,3 +262,37 @@ def test_manifest_inherits_cdc_and_bloom(spark, tmp_path):
     on_disk = len(list(wh.path(t).glob("*.parquet")))
     assert on_disk > live
     assert wh.read(wh._bloom_table(t)).count() == live
+
+
+def test_manifest_vacuum_spares_young_uncommitted_files(spark, tmp_path):
+    """A staged-but-uncommitted file (in-flight WAP) is unreferenced
+    by every manifest — default-retention vacuum must SPARE it (age
+    guard) so the pending commit cannot publish a dangling manifest."""
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "pub.y"
+    wh.overwrite(spark.range(4).selectExpr("id"), t)
+    staged = wh._stage_in(spark.range(2).selectExpr("id"), t)  # no commit
+    wh.vacuum(retain_versions=1)  # default min_age: young files spared
+    for n in staged:
+        assert (wh.path(t) / n).exists()
+    # the pending commit still works
+    wh._commit(t, staged, "late_wap")
+    assert wh.read(t).count() == 2
+
+
+def test_manifest_concurrent_staging_dirs_do_not_collide(spark, tmp_path):
+    """publish_tables stages BEFORE taking per-table locks; unique
+    staging dirs mean a concurrent locked append can never rmtree an
+    in-flight stage (code-review r7 finding). Two interleaved stages
+    for one table must both survive and commit their own files."""
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.s2"
+    a = wh._stage_in(spark.range(3).selectExpr("id"), t)
+    b = wh._stage_in(spark.range(5, 9).selectExpr("id"), t)
+    assert not (set(a) & set(b))
+    for n in a + b:
+        assert (wh.path(t) / n).exists()
+    wh._commit(t, a, "first")
+    assert wh.read(t).count() == 3
+    wh._commit(t, b, "second")
+    assert wh.read(t).count() == 4
