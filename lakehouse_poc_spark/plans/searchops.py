@@ -699,3 +699,152 @@ def stupid_backoff_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, public): score
+# every document under a language model trained on a REFERENCE corpus
+# (CCNet uses Wikipedia; here the deterministic doc_id%2==0 half — the
+# stupid-backoff train/score split), then cut the ranking into
+# head / middle / tail terciles. CCNet keeps "head" for pretraining and
+# drops or down-weights "tail"; the bucket label is the curation signal.
+#
+# Model: add-1-smoothed unigram LM — p(w) = (cnt(w)+1)/(N+V+1), unseen
+# tokens get 1/(N+V+1) — so scoring is total (never NULL) on the held
+# half. Determinism: each logprob micro-rounds to BIGINT before the
+# per-doc integer sum; the mean divides twice in a fixed order; the
+# tercile is cut on (mean_logprob DESC, doc_id).
+#
+# Scale: the LM is vocabulary-sized (broadcast); the only corpus
+# shuffle is the (doc, token) tf count. The tercile does NOT use a
+# global NTILE window (single-reducer hole) — it reuses the
+# block-offset exact global rank (operators/linkage.py::global_rank)
+# over a score-coarsened block key, then computes NTILE's bucket
+# boundaries arithmetically from the total count: bit-identical to the
+# window at any partitioning.
+@query(
+    "perplexity_buckets_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    train AS (
+        SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+        FROM tc WHERE doc_id % 2 = 0 GROUP BY token
+    ),
+    ts AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        FROM train
+    ),
+    lp AS (
+        SELECT t.doc_id, t.tf,
+               CAST(ROUND(ln(
+                   (CAST(COALESCE(tr.cnt, 0) AS DOUBLE) + 1.0)
+                   / (CAST(s.n AS DOUBLE) + CAST(s.v AS DOUBLE) + 1.0))
+                   * 1000000.0) AS BIGINT) AS logp_micro
+        FROM tc t LEFT JOIN train tr USING (token) CROSS JOIN ts s
+    ),
+    pd AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tok,
+               CAST(SUM(tf * logp_micro) AS BIGINT) AS logp_sum_micro,
+               CAST(SUM(tf * logp_micro) AS DOUBLE) / 1000000.0
+                   / CAST(SUM(tf) AS DOUBLE) AS mean_logprob
+        FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, logp_sum_micro, mean_logprob,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM (
+        SELECT *, ntile(3) OVER (ORDER BY mean_logprob DESC, doc_id) AS nt
+        FROM pd
+    ) t
+    ORDER BY doc_id
+    """,
+)
+def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = term_counts(docs)
+    train = (
+        tc.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("token")
+        .agg(F.sum("tf").cast("bigint").alias("cnt"))
+    )
+    ts = train.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    lp = (
+        tc.join(F.broadcast(train), "token", "left")
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("n").cast("double") + F.col("v").cast("double") + F.lit(1.0))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    pd_ = (
+        lp.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("logp_micro"))
+            .cast("bigint")
+            .alias("logp_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "logp_sum_micro",
+            (
+                F.col("logp_sum_micro").cast("double")
+                / F.lit(1_000_000.0)
+                / F.col("n_tok").cast("double")
+            ).alias("mean_logprob"),
+        )
+        .withColumn("__negmean", -F.col("mean_logprob"))
+        .persist()
+    )
+    n_docs = pd_.count()
+    q, r = divmod(n_docs, 3)
+    ranked = global_rank(
+        pd_,
+        ["__negmean", "doc_id"],
+        F.floor(F.col("__negmean") * F.lit(4.0)),
+        rank_col="__rk",
+    )
+    # NTILE(3) arithmetic: the first r buckets hold q+1 rows each.
+    cut = r * (q + 1)
+    nt = F.when(
+        F.col("__rk") <= F.lit(cut),
+        ((F.col("__rk") - 1) / F.lit(q + 1)).cast("long") + 1,
+    ).otherwise(
+        F.lit(r) + ((F.col("__rk") - F.lit(cut) - 1) / F.lit(q)).cast("long") + 1
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "n_tok",
+            "logp_sum_micro",
+            "mean_logprob",
+            F.when(nt == 1, F.lit("head"))
+            .when(nt == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -146,3 +146,23 @@ def test_observe_expectations_rides_the_write(spark, tmp_path):
     assert got["bad_value_present"] == 1
     # in_range fails nulls by design, so -5, null and 200 all violate
     assert got["bad_value_ok"] == 3
+
+
+def test_perplexity_buckets_terciles(spark):
+    """CCNet bucketing invariants: tercile sizes differ by <=1, every
+    doc is labeled, and the head tercile's mean logprob dominates the
+    tail's (higher logprob == lower perplexity == cleaner)."""
+    from lakehouse_poc_spark.plans.searchops import perplexity_buckets_docs
+
+    out = perplexity_buckets_docs(spark, "/root/testdata/sf0.001").collect()
+    sizes = {}
+    means = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+        means.setdefault(r.bucket, []).append(r.mean_logprob)
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == len(out)
+    head = sum(means["head"]) / len(means["head"])
+    tail = sum(means["tail"]) / len(means["tail"])
+    assert head > tail
