@@ -2041,3 +2041,163 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) ANN — the flat SQ tier of the ladder
+# (FAISS IndexScalarQuantizer QT_8bit, public): per-dimension min/max
+# train a 256-level grid, vectors store 1 byte/dim, queries rank the
+# whole corpus by ADC over a per-query (dim × 256) lookup table. The
+# oracle re-derives the trained grid, the rounded codes, the LUT and
+# the integer micro ADC sums — every float op and tie rule pinned.
+_SQ8_STATS_CTE = f"""
+    dims AS (SELECT CAST(i AS INTEGER) AS d FROM generate_series(1, {EMB_DIM}) g(i)),
+    stats AS (
+        SELECT d, MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
+               MAX(CAST(embedding[d] AS DOUBLE)) AS mx
+        FROM embeddings CROSS JOIN dims GROUP BY d
+    ),
+    enc AS (
+        SELECT e.vec_id, s.d,
+               CASE WHEN s.mx = s.mn THEN 0
+                    ELSE CAST(ROUND(((CAST(e.embedding[s.d] AS DOUBLE) - s.mn)
+                                     / (s.mx - s.mn)) * 255.0) AS INTEGER)
+               END AS code
+        FROM embeddings e CROSS JOIN stats s
+    ),
+    grid AS (SELECT CAST(c AS INTEGER) AS code FROM generate_series(0, 255) g(c)),
+    lut AS (
+        SELECT q.vec_id AS query_id, s.d, grid.code,
+               CAST(ROUND(
+                   (CAST(q.embedding[s.d] AS DOUBLE)
+                    - (s.mn + CAST(grid.code AS DOUBLE) * ((s.mx - s.mn) / 255.0)))
+                   * (CAST(q.embedding[s.d] AS DOUBLE)
+                    - (s.mn + CAST(grid.code AS DOUBLE) * ((s.mx - s.mn) / 255.0)))
+                   * 1000000.0) AS BIGINT) AS d_micro
+        FROM embeddings q CROSS JOIN stats s CROSS JOIN grid
+        WHERE q.vec_id < 8
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(l.d_micro) AS BIGINT) AS adc_micro
+        FROM enc e JOIN lut l ON e.d = l.d AND e.code = l.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id
+    )"""
+
+
+@query(
+    "similarity_topk_sq8",
+    oracle=f"""
+    WITH {_SQ8_STATS_CTE.strip()}
+    SELECT query_id, neighbor_id, adc_micro,
+           CAST(adc_micro AS DOUBLE) / 1000000.0 AS adc_dist, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+        FROM adc
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return sq8_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quality gate: recall@5 of the int8-quantized ranking vs exact
+# L2 ground truth. A well-trained per-dimension grid should be nearly
+# lossless at k=5 — this gate is what catches a mis-trained quantizer
+# (e.g. stats from a stale corpus snapshot) in production.
+@query(
+    "ann_recall_sq8",
+    oracle=f"""
+    WITH l2brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_l2sq('q.embedding', 'c.embedding')} ASC,
+                                c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) t WHERE rank <= 5
+    ),
+    {_SQ8_STATS_CTE.strip()},
+    sq AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, CAST(row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY adc_micro, neighbor_id) AS INTEGER) AS rank
+            FROM adc
+        ) t WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(s.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM l2brute b
+    LEFT JOIN sq s
+      ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import l2_dist_sq
+    from ..operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    c = emb.select(F.col("vec_id").alias("__nid"), F.col("embedding").alias("__nv"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            l2_dist_sq(F.col("__qv"), F.col("__nv")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    brute = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = sq8_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

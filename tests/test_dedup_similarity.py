@@ -882,3 +882,51 @@ def test_ivfpq_at_rest_matches_in_flight(spark, tmp_path):
     assert any(
         d.name.startswith("cell=") for d in wh.path("idx.pq").iterdir()
     )
+
+
+def test_sq8_quantization_bounds_and_recall(spark):
+    """SQ8 behavioral contract: codes live on the 0..255 grid, the
+    per-dimension reconstruction error is at most half a grid step,
+    and the quantized top-5 matches exact L2 top-5 on a small corpus
+    (per-dim 8-bit grids are nearly lossless at this k)."""
+    import numpy as np
+
+    from lakehouse_poc_spark.operators.similarity import (
+        sq8_encode,
+        sq8_stats,
+        sq8_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    mins, maxs = sq8_stats(df, "embedding")
+    assert len(mins) == 8
+    enc = sq8_encode(df, mins, maxs, "embedding", "vec_id")
+    codes = enc.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).first()
+    assert codes["lo"] >= 0 and codes["hi"] <= 255
+
+    # reconstruction error <= step/2 per dim (+ float32 slack)
+    mn = np.asarray(mins)
+    step = (np.asarray(maxs) - mn) / 255.0
+    got = {(r.vec_id, r.d): r.code for r in enc.collect()}
+    for i in range(10):
+        v = vecs[i].astype("float64")
+        for d in range(8):
+            rec = mn[d] + got[(i, d + 1)] * step[d]
+            assert abs(v[d] - rec) <= step[d] / 2 + 1e-9
+
+    qs = df.filter(F.col("vec_id") < 3)
+    top = sq8_topk(df, qs, "embedding", "vec_id", "vec_id", k=5)
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # exact L2 ground truth
+    for qid in range(3):
+        d2 = ((vecs.astype("float64") - vecs[qid].astype("float64")) ** 2).sum(1)
+        order = [i for i in np.argsort(d2, kind="stable") if i != qid][:5]
+        assert by_q[qid] == set(int(i) for i in order)
