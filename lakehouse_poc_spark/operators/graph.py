@@ -443,3 +443,72 @@ def connected_components_star(
             F.coalesce("component", F.col("node")).alias("component"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983, public): the
+    maximal subgraph in which every node has degree ≥ k, computed by
+    the textbook peel — repeatedly drop nodes whose degree within the
+    surviving subgraph is < k until a fixed point. Returns
+    (node, deg) for k-core members with their within-core degree.
+
+    The peel is a MONOTONE fixed-point iteration, so a converged run
+    and an ``max_rounds``-round unroll agree whenever the fixed point
+    is reached within the bound — rounds past convergence are no-ops.
+    The operator stops early (exact count of dropped nodes per round,
+    node-keyed) but never runs more than ``max_rounds`` rounds, so the
+    result is reproducible as a finite SQL unroll on any engine.
+
+    Edges are undirected (symmetrized + deduped internally); degree
+    counts DISTINCT neighbors.
+
+    Scale shape per round: two node-keyed joins (alive-filter each
+    endpoint) + one node-keyed count — no edge relation ever grows.
+    Iteration hygiene matches pagerank/label_propagation: the
+    symmetrized edge relation persists once, the alive set
+    localCheckpoints per round so plan depth stays constant.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v")).filter(
+                F.col(src) != F.col(dst)
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        alive = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("u").alias("node"), "deg")
+            .localCheckpoint(eager=True)
+        )
+        n_alive = alive.count()
+        for _ in range(max_rounds - 1):
+            nxt = (
+                und.join(alive.select(F.col("node").alias("u")), "u")
+                .join(alive.select(F.col("node").alias("v")), "v")
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select(F.col("u").alias("node"), "deg")
+                .localCheckpoint(eager=True)
+            )
+            n_nxt = nxt.count()
+            done = n_nxt == n_alive
+            alive, n_alive = nxt, n_nxt
+            if done:
+                break
+        return alive
+    finally:
+        und.unpersist()

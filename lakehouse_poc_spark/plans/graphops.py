@@ -323,3 +323,82 @@ def star_components_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return connected_components_star(edges).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (Seidman 1983) on the co-purchase graph: peel
+# nodes with fewer than K distinct-neighbor links until the maximal
+# subgraph where everyone has degree >= K remains — the standard
+# "dense backbone" extractor (spam/bot rings, strongly co-bought
+# assortments). K=12 peels a non-trivial shell at every test SF and
+# reaches the fixed point within 7 rounds at sf0.1; both engines run
+# the identical 10-round bound (rounds past the fixed point are
+# no-ops, so early stop and full unroll agree — operators/graph.py::
+# k_core docstring). The oracle unrolls the peel as a CTE chain with
+# the same full-graph first round.
+_KCORE_K = 12
+_KCORE_ROUNDS = 10
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "a1"
+    rounds.append(f"""
+    a1 AS MATERIALIZED (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+    )""")
+    for i in range(2, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    a{i} AS MATERIALIZED (
+        SELECT s.u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym s
+        JOIN {prev} x ON s.u = x.node
+        JOIN {prev} y ON s.v = y.node
+        GROUP BY s.u HAVING COUNT(*) >= {_KCORE_K}
+    )""")
+        prev = f"a{i}"
+    return f"""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS MATERIALIZED (
+        SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+    ),{",".join(rounds)}
+    SELECT node, deg FROM {prev} ORDER BY node
+    """
+
+
+@query("kcore_members_coparts", oracle=_kcore_oracle())
+def kcore_members_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(
+            orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS).orderBy("node")

@@ -416,3 +416,48 @@ def test_connected_components_star_matches_union_find(spark):
         # union-find path returns (id, component); node sets may
         # differ in naming only
         assert star == {k: v for k, v in truth.items()}, len(edges)
+
+
+def test_k_core_brute_parity_and_edges(spark):
+    """k_core == the brute python peel on a random graph; classic
+    shapes: a path has an empty 2-core, a cycle IS its 2-core, and a
+    clique survives any k < its size."""
+    import random as _random
+
+    from lakehouse_poc_spark.operators.graph import k_core
+
+    rng = _random.Random(5)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    edges = [(u, v) for u, v in edges if u != v]
+
+    def brute(es, k):
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        alive = set(adj)
+        while True:
+            nxt = {n for n in alive if sum(m in alive for m in adj[n]) >= k}
+            if nxt == alive:
+                return {n: sum(m in alive for m in adj[n]) for n in alive}
+            alive = nxt
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r.node: r.deg for r in k_core(df, k, max_rounds=30).collect()}
+        assert got == brute(edges, k), k
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    assert k_core(path, 2, max_rounds=15).count() == 0
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
+    )
+    assert k_core(cycle, 2).count() == 8
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)],
+        "src long, dst long",
+    )
+    out = {r.node: r.deg for r in k_core(clique, 4).collect()}
+    assert out == {i: 4 for i in range(5)}
