@@ -1526,3 +1526,52 @@ def exact_quantiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs=[0.25, 0.5, 0.75, 0.99],
         block=F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association mining: the A-Priori frequent-pair pass
+# (Agrawal & Srikant 1994) over order baskets — parts bought together
+# in at least 2 orders, scored by confidence P(b|a) and lift. The
+# item-support prune runs BEFORE the per-basket self-join (support is
+# monotone), so the join input is already frequent-item-only; pair
+# expansion is bounded by basket size. Confidence and lift divide in
+# a fixed order on exact BIGINT counts, so the doubles hash-match.
+@query(
+    "frequent_pairs_orders",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+    supp AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+        FROM b GROUP BY l_partkey HAVING COUNT(*) >= 2
+    ),
+    pruned AS (
+        SELECT b.l_orderkey, b.l_partkey
+        FROM b JOIN supp ON b.l_partkey = supp.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS item_a, c.l_partkey AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM pruned a JOIN pruned c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.pair_cnt,
+           sa.s AS supp_a, sb.s AS supp_b,
+           CAST(p.pair_cnt AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+           CAST(p.pair_cnt AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+               / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN supp sa ON p.item_a = sa.l_partkey
+    JOIN supp sb ON p.item_b = sb.l_partkey
+    CROSS JOIN n
+    ORDER BY item_a, item_b
+    """,
+)
+def frequent_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", minsup=2
+    ).orderBy("item_a", "item_b")

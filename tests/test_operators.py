@@ -310,3 +310,42 @@ def test_exact_quantiles_match_percentile_disc(spark):
             "FROM __eq_t"
         ).collect()[0]["p"]
         assert got[q] == expect, (q, got[q], expect)
+
+
+def test_frequent_pairs_apriori_and_mega_basket_cap(spark):
+    """A-Priori pair pass: counts match the brute enumeration, the
+    item prune never drops a frequent pair, and max_basket excludes
+    the mega-basket from all supports (signal-free by argument)."""
+    from lakehouse_poc_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "c"), (4, "d"),
+        (5, "a"),
+        # basket 6 is a mega-basket containing everything
+        (6, "a"), (6, "b"), (6, "c"), (6, "d"), (6, "e"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+
+    out = {
+        (r.item_a, r.item_b): r
+        for r in frequent_pairs(df, "bk", "item", minsup=2).collect()
+    }
+    # brute: ab appears in baskets 1,2,3,6 -> 4; ac in 1,6 -> 2 ...
+    assert out[("a", "b")].pair_cnt == 4
+    assert out[("a", "c")].pair_cnt == 2
+    assert out[("c", "d")].pair_cnt == 2
+    assert ("d", "e") not in out  # e has support 1 -> pruned
+    r = out[("a", "b")]
+    assert r.confidence == r.pair_cnt / r.supp_a
+    assert r.lift == (r.pair_cnt * 6.0) / (r.supp_a * r.supp_b)
+
+    capped = {
+        (r.item_a, r.item_b): r
+        for r in frequent_pairs(df, "bk", "item", minsup=2, max_basket=4).collect()
+    }
+    assert capped[("a", "b")].pair_cnt == 3  # basket 6 dropped
+    assert capped[("a", "b")].supp_a == 4  # a's support excludes it too
+    assert ("a", "c") not in capped  # ac only co-occurs via 1 and 6
