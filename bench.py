@@ -172,6 +172,10 @@ HEADLINE = [
     "stupid_backoff_logprob_docs",
     "multimodal_phash_neardup",
     "multimodal_video_neardup",
+    "perplexity_buckets_docs",
+    "similarity_topk_sq8",
+    "kcore_members_coparts",
+    "frequent_pairs_orders",
 ]
 
 
