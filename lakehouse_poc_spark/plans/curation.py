@@ -1021,3 +1021,45 @@ def shard_assignment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (Machanavajjhala et al. 2007, public): k-anonymity
+# alone fails when an equivalence class is uniform in its SENSITIVE
+# attribute — every member is re-identified semantically even at
+# group size k. Each (nation, segment) quasi-identifier group must
+# see >= l distinct sensitive values (banded account balance). One
+# two-level aggregation, group-keyed; the per-group distinct is over
+# the small band domain.
+@query(
+    "l_diversity_customers",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 2500.0) AS INTEGER))
+                AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT CAST(floor(c_acctbal / 2500.0) AS INTEGER)) < 3
+               AS violates_l3
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(2500.0)).cast("int")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_n"),
+            F.countDistinct(band).cast("bigint").alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            "n_sensitive",
+            (F.col("n_sensitive") < 3).alias("violates_l3"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -2201,3 +2201,82 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution on parts: sorted-neighborhood blocking
+# (the existing candidate generator) feeds Fellegi–Sunter fixed-weight
+# scoring — integer agreement/disagreement weights per field
+# (levenshtein-bounded name, exact brand/type, banded size/price) and
+# a two-threshold match / possible / non_match decision. Everything
+# is integer or exact-comparison work, so the oracle reproduces the
+# identical scores with SQL CASE arithmetic and DuckDB's levenshtein.
+@query(
+    "record_linkage_parts",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_partkey, row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    ),
+    cand AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn - a.rn <= 3
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+        CAST(
+          (CASE WHEN levenshtein(pa.p_name, pb.p_name) <= 4 THEN 6 ELSE -2 END)
+        + (CASE WHEN pa.p_brand = pb.p_brand THEN 4 ELSE -1 END)
+        + (CASE WHEN pa.p_type = pb.p_type THEN 3 ELSE -1 END)
+        + (CASE WHEN abs(pa.p_size - pb.p_size) <= 2 THEN 2 ELSE -1 END)
+        + (CASE WHEN abs(pa.p_retailprice - pb.p_retailprice) <= 1.0
+                THEN 2 ELSE -1 END) AS BIGINT) AS score
+      FROM cand c
+      JOIN part pa ON c.id_a = pa.p_partkey
+      JOIN part pb ON c.id_b = pb.p_partkey
+    )
+    SELECT id_a, id_b, score,
+           CASE WHEN score >= 12 THEN 'match'
+                WHEN score >= 6 THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM scored
+    ORDER BY id_a, id_b
+    """,
+)
+def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import linkage_score, sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    cand = sorted_neighborhood_pairs(
+        part.select("p_partkey", "p_name"),
+        sort_cols=["p_name", "p_partkey"],
+        block=F.substring("p_name", 1, 2),
+        id_col="p_partkey",
+        window=3,
+    )
+    rules = [
+        (
+            F.levenshtein(F.col("__a_p_name"), F.col("__b_p_name")) <= 4,
+            6,
+            -2,
+        ),
+        (F.col("__a_p_brand") == F.col("__b_p_brand"), 4, -1),
+        (F.col("__a_p_type") == F.col("__b_p_type"), 3, -1),
+        (
+            F.abs(F.col("__a_p_size") - F.col("__b_p_size")) <= 2,
+            2,
+            -1,
+        ),
+        (
+            F.abs(F.col("__a_p_retailprice") - F.col("__b_p_retailprice"))
+            <= 1.0,
+            2,
+            -1,
+        ),
+    ]
+    return linkage_score(
+        cand, part, part, "p_partkey", rules, match_at=12, possible_at=6
+    ).orderBy("id_a", "id_b")
