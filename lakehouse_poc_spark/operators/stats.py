@@ -132,3 +132,154 @@ def exact_quantiles(
         ranked.join(F.broadcast(tgt), ["__blk", "__lr"])
         .select("q", F.col("__v").alias("value"))
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    crit: float = 1.96,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (Welch 1947,
+    public) — the A/B-test workhorse: did treatment move the metric?
+
+    Returns ONE row: per-group n/mean/variance, the t statistic, the
+    Welch–Satterthwaite degrees of freedom, and a |t| > ``crit``
+    significance flag (1.96 ≈ two-sided 5% at large df).
+
+    Determinism: the only order-dependent quantities are the sums of
+    value and value² — both accumulate in DECIMAL(30,6) (exact,
+    commutative) and cast to double once; every downstream op
+    (±, ×, ÷, sqrt) is IEEE-correctly-rounded, so results are
+    bit-identical on any engine and any partitioning, with no
+    micro-rounding needed.
+
+    Scale shape: one map-side-combined aggregate over the scan, a
+    2-row intermediate, scalar arithmetic after. Nothing else moves.
+    """
+    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per = filt.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(30,6)")).alias("sx"),
+        F.sum(
+            (F.col(value_col) * F.col(value_col)).cast("decimal(30,6)")
+        ).alias("sx2"),
+    )
+
+    def side(g, tag):
+        return per.filter(F.col(group_col) == g).select(
+            F.col("n").alias(f"n_{tag}"),
+            F.col("sx").cast("double").alias(f"sx_{tag}"),
+            F.col("sx2").cast("double").alias(f"sx2_{tag}"),
+        )
+
+    j = side(group_a, "a").crossJoin(side(group_b, "b"))
+
+    def stats(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        mean = F.col(f"sx_{tag}") / n
+        var = (F.col(f"sx2_{tag}") - F.col(f"sx_{tag}") * mean) / (n - 1)
+        return mean, var
+
+    mean_a, var_a = stats("a")
+    mean_b, var_b = stats("b")
+    se_a = var_a / F.col("n_a").cast("double")
+    se_b = var_b / F.col("n_b").cast("double")
+    t = (mean_a - mean_b) / F.sqrt(se_a + se_b)
+    dof = (se_a + se_b) * (se_a + se_b) / (
+        se_a * se_a / (F.col("n_a").cast("double") - 1)
+        + se_b * se_b / (F.col("n_b").cast("double") - 1)
+    )
+    return j.select(
+        F.lit(str(group_a)).alias("group_a"),
+        F.lit(str(group_b)).alias("group_b"),
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        t.alias("t_stat"),
+        dof.alias("dof"),
+        (F.abs(t) > F.lit(crit)).alias("significant"),
+    )
+
+
+def km_survival(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "is_event",
+) -> DataFrame:
+    """Kaplan–Meier product-limit estimator (Kaplan & Meier 1958,
+    public) over right-censored durations: rows are observations with
+    an integer ``duration`` and ``is_event`` (true = the event
+    happened, false = censored at that duration).
+
+    Returns one row per distinct duration t: (t, n_risk, n_events,
+    n_censored, log_surv_micro, log_survival) where log_survival is
+    ln Ŝ(t) = Σ_{t_i ≤ t} ln(1 − d_i/n_i). Determinism: each step's
+    ln factor micro-rounds to BIGINT before the cumulative INTEGER
+    sum (the logp_micro convention), so the estimate hash-matches on
+    any engine; the survival curve itself is exp(log_survival) —
+    left to the caller because exp is libm-variable cross-engine.
+    If the risk set is absorbed (d_i == n_i, Ŝ hits exactly 0),
+    log_survival is NULL from that step on.
+
+    Scale shape: one duration-keyed aggregation collapses the
+    observation table to ≤ #distinct-durations rows; the cumulative
+    window runs over that tiny aggregate (duration grain bounds it —
+    hours/days — never the observation count).
+    """
+    per_t = durations.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(F.col(event_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.sum(F.when(F.col(event_col), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    w = Window.orderBy("t")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = durations.count()
+    out = per_t.withColumn(
+        "n_risk",
+        F.lit(total).cast("bigint")
+        - (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wcum)
+            - (F.col("n_events") + F.col("n_censored"))
+        ),
+    )
+    factor = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1_000_000.0)
+        ).cast("bigint"),
+    )
+    out = out.withColumn("__f", factor).withColumn(
+        "__absorbed",
+        F.max((F.col("n_events") >= F.col("n_risk")).cast("int")).over(wcum),
+    )
+    return (
+        out.withColumn("log_surv_micro", F.sum("__f").over(wcum))
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.when(F.col("__absorbed") == 0, F.col("log_surv_micro")).alias(
+                "log_surv_micro"
+            ),
+            F.when(
+                F.col("__absorbed") == 0,
+                F.col("log_surv_micro").cast("double") / F.lit(1_000_000.0),
+            ).alias("log_survival"),
+        )
+        .orderBy("t")
+    )

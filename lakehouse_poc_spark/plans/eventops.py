@@ -1203,3 +1203,147 @@ def holt_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["b"].alias("trend"),
         (r["l"] + r["b"]).alias("forecast_1"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# A/B test read-out: Welch's unequal-variance t-test between the
+# 'click' and 'purchase' arms' value metric. The only order-dependent
+# sums accumulate in DECIMAL(30,6); ±/×/÷/sqrt are IEEE-correctly-
+# rounded, so both engines produce bit-identical doubles with the
+# SAME expression tree — the oracle mirrors every parenthesis.
+@query(
+    "ab_test_events",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sx2
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ),
+    j AS (
+        SELECT a.n AS n_a, a.sx AS sx_a, a.sx2 AS sx2_a,
+               b.n AS n_b, b.sx AS sx_b, b.sx2 AS sx2_b
+        FROM (SELECT * FROM per WHERE event_type = 'click') a
+        CROSS JOIN (SELECT * FROM per WHERE event_type = 'purchase') b
+    ),
+    s AS (
+        SELECT 'click' AS group_a, 'purchase' AS group_b, n_a, n_b,
+               sx_a / CAST(n_a AS DOUBLE) AS mean_a,
+               sx_b / CAST(n_b AS DOUBLE) AS mean_b,
+               (sx2_a - sx_a * (sx_a / CAST(n_a AS DOUBLE)))
+                   / (CAST(n_a AS DOUBLE) - 1) AS var_a,
+               (sx2_b - sx_b * (sx_b / CAST(n_b AS DOUBLE)))
+                   / (CAST(n_b AS DOUBLE) - 1) AS var_b
+        FROM j
+    ),
+    e AS (
+        SELECT *, var_a / CAST(n_a AS DOUBLE) AS se_a,
+                  var_b / CAST(n_b AS DOUBLE) AS se_b
+        FROM s
+    )
+    SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b) / sqrt(se_a + se_b) AS t_stat,
+           (se_a + se_b) * (se_a + se_b)
+               / (se_a * se_a / (CAST(n_a AS DOUBLE) - 1)
+                  + se_b * se_b / (CAST(n_b AS DOUBLE) - 1)) AS dof,
+           abs((mean_a - mean_b) / sqrt(se_a + se_b)) > 1.96 AS significant
+    FROM e
+    """,
+)
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "event_type", "value", "click", "purchase")
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier time-to-next-engagement. Every
+# consecutive-event gap is an observed "death" (the user did return,
+# after t hours); each user's final gap to the observation-window end
+# is right-censored (they hadn't returned yet when the data stops) —
+# the textbook censoring KM exists to handle; naive averaging of only
+# observed gaps would bias engagement latency low. Durations are
+# exact integer hours from microsecond epochs (floor division, both
+# engines); the estimator follows the micro-rounded-ln convention.
+@query(
+    "km_survival_events",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS gmax FROM events),
+    seq AS (
+        SELECT user_id, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS nxt
+        FROM events
+    ),
+    obs AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN (epoch_us(nxt) - epoch_us(ts)) // 3600000000
+                    ELSE (epoch_us(gmax) - epoch_us(ts)) // 3600000000
+               END AS t,
+               nxt IS NOT NULL AS is_event
+        FROM seq CROSS JOIN m
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    per AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events,
+               CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_censored
+        FROM obs GROUP BY t
+    ),
+    risk AS (
+        SELECT per.*,
+               tot.n - (SUM(n_events + n_censored) OVER (
+                            ORDER BY t ROWS UNBOUNDED PRECEDING)
+                        - (n_events + n_censored)) AS n_risk
+        FROM per CROSS JOIN tot
+    ),
+    fac AS (
+        SELECT *,
+               CASE WHEN n_events < n_risk THEN
+                   CAST(ROUND(ln(1.0 - CAST(n_events AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE))
+                              * 1000000.0) AS BIGINT)
+               END AS f,
+               MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS absorbed
+        FROM risk
+    )
+    SELECT t, n_risk, n_events, n_censored,
+           CASE WHEN absorbed = 0 THEN
+               SUM(f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           END AS log_surv_micro,
+           CASE WHEN absorbed = 0 THEN
+               CAST(SUM(f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) / 1000000.0
+           END AS log_survival
+    FROM fac
+    ORDER BY t
+    """,
+)
+def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import km_survival
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    gmax = ev.agg(F.max("ts").alias("__gmax"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = (
+        ev.withColumn("__next", F.lead("ts").over(w))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.when(
+                F.col("__next").isNotNull(),
+                F.expr("(unix_micros(__next) - unix_micros(ts)) div 3600000000"),
+            )
+            .otherwise(
+                F.expr("(unix_micros(__gmax) - unix_micros(ts)) div 3600000000")
+            )
+            .alias("duration"),
+            F.col("__next").isNotNull().alias("is_event"),
+        )
+    )
+    return km_survival(obs, "duration", "is_event")

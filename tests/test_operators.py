@@ -349,3 +349,43 @@ def test_frequent_pairs_apriori_and_mega_basket_cap(spark):
     assert capped[("a", "b")].pair_cnt == 3  # basket 6 dropped
     assert capped[("a", "b")].supp_a == 4  # a's support excludes it too
     assert ("a", "c") not in capped  # ac only co-occurs via 1 and 6
+
+
+def test_km_survival_textbook_example(spark):
+    """Hand-computed KM: durations 1,2†,3,3,4† († censored).
+    t=1: n=5 d=1 -> S=4/5; t=2: censor only, S unchanged;
+    t=3: n=3 d=2 -> S=4/5*1/3; t=4: censor only."""
+    import math
+
+    from lakehouse_poc_spark.operators.stats import km_survival
+
+    rows = [(1, True), (2, False), (3, True), (3, True), (4, False)]
+    df = spark.createDataFrame(rows, "duration long, is_event boolean")
+    out = {r.t: r for r in km_survival(df).collect()}
+    assert out[1].n_risk == 5 and out[1].n_events == 1
+    assert out[2].n_risk == 4 and out[2].n_censored == 1
+    assert out[3].n_risk == 3 and out[3].n_events == 2
+    assert out[4].n_risk == 1 and out[4].n_censored == 1
+
+    def micro(x):
+        return math.floor(x * 1e6 + 0.5) if x >= 0 else -math.floor(-x * 1e6 + 0.5)
+
+    s1 = micro(math.log(1 - 1 / 5))
+    s3 = s1 + micro(math.log(1 - 2 / 3))
+    assert out[1].log_surv_micro == s1
+    assert out[2].log_surv_micro == s1  # censoring never steps the curve
+    assert out[3].log_surv_micro == s3
+    assert out[4].log_surv_micro == s3
+    assert abs(math.exp(out[3].log_survival) - (4 / 5) * (1 / 3)) < 1e-5
+
+
+def test_km_survival_absorption_nulls_tail(spark):
+    """If every remaining subject dies at t (S hits exactly 0), the
+    log-survival is NULL from that step on, never -inf."""
+    from lakehouse_poc_spark.operators.stats import km_survival
+
+    rows = [(1, True), (2, True), (2, True)]
+    df = spark.createDataFrame(rows, "duration long, is_event boolean")
+    out = {r.t: r for r in km_survival(df).collect()}
+    assert out[1].log_surv_micro is not None
+    assert out[2].log_surv_micro is None and out[2].log_survival is None
