@@ -848,3 +848,134 @@ def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 (Järvelin & Kekäläinen 2002, public) for the same eval
+# harness as mrr_eval_docs: tf-ranked top-10 per term, graded
+# relevance (2 = doc's first token IS the term, 1 = tf >= 3, else 0),
+# gain (2^rel - 1), position discount 1/log2(r+1). The discount
+# micro-rounds to BIGINT per position (log2 is the only libm op);
+# DCG/IDCG are exact integer sums, the final normalization is one
+# double division. IDCG re-ranks the SAME retrieved@10 list by rel
+# desc (ideal-ordering-of-retrieved, the standard eval variant).
+@query(
+    "ndcg_eval_docs",
+    oracle=rf"""
+    WITH q AS (SELECT unnest({list(_MRR_TERMS)!r}) AS term),
+    first_tok AS (
+      SELECT doc_id, string_split_regex(text, '\s+')[1] AS ft FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+      ) WHERE token IN {tuple(_MRR_TERMS)!r}
+      GROUP BY doc_id, token
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rnk
+      FROM tf
+    ),
+    graded AS (
+      SELECT r.term, r.rnk,
+             CASE WHEN f.ft = r.term THEN 2
+                  WHEN r.tf >= 3 THEN 1 ELSE 0 END AS rel
+      FROM ranked r JOIN first_tok f USING (doc_id)
+      WHERE r.rnk <= 10
+    ),
+    dcg AS (
+      SELECT term,
+             CAST(SUM((POW(2, rel) - 1)
+                      * ROUND(1000000.0 / log2(rnk + 1))) AS BIGINT)
+                 AS dcg_micro
+      FROM graded GROUP BY term
+    ),
+    ideal AS (
+      SELECT term,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY rel DESC, rnk) AS irnk,
+             rel
+      FROM graded
+    ),
+    idcg AS (
+      SELECT term,
+             CAST(SUM((POW(2, rel) - 1)
+                      * ROUND(1000000.0 / log2(irnk + 1))) AS BIGINT)
+                 AS idcg_micro
+      FROM ideal GROUP BY term
+    )
+    SELECT q.term,
+           CAST(COALESCE(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           CAST(COALESCE(idcg_micro, 0) AS BIGINT) AS idcg_micro,
+           CASE WHEN COALESCE(idcg_micro, 0) = 0 THEN 0.0
+                ELSE CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+           END AS ndcg
+    FROM q LEFT JOIN dcg USING (term) LEFT JOIN idcg USING (term)
+    ORDER BY term
+    """,
+)
+def ndcg_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    first_tok = docs.select("doc_id", F.element_at(toks, 1).alias("ft"))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*_MRR_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    graded = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .join(first_tok, "doc_id")
+        .select(
+            "term",
+            "rnk",
+            F.when(F.col("ft") == F.col("term"), F.lit(2))
+            .when(F.col("tf") >= 3, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+
+    def dcg_sum(rank_col):
+        return (
+            F.sum(
+                (F.pow(F.lit(2), F.col("rel")) - F.lit(1))
+                * F.round(F.lit(1_000_000.0) / F.log2(F.col(rank_col) + 1))
+            )
+            .cast("bigint")
+        )
+
+    dcg = graded.groupBy("term").agg(dcg_sum("rnk").alias("dcg_micro"))
+    wi = Window.partitionBy("term").orderBy(F.desc("rel"), F.asc("rnk"))
+    idcg = (
+        graded.withColumn("irnk", F.row_number().over(wi))
+        .groupBy("term")
+        .agg(dcg_sum("irnk").alias("idcg_micro"))
+    )
+    q = spark.createDataFrame([(t,) for t in _MRR_TERMS], ["term"])
+    return (
+        q.join(dcg, "term", "left")
+        .join(idcg, "term", "left")
+        .select(
+            "term",
+            F.coalesce("dcg_micro", F.lit(0)).cast("bigint").alias("dcg_micro"),
+            F.coalesce("idcg_micro", F.lit(0))
+            .cast("bigint")
+            .alias("idcg_micro"),
+            F.when(F.coalesce("idcg_micro", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro").cast("double")
+            )
+            .alias("ndcg"),
+        )
+        .orderBy("term")
+    )
