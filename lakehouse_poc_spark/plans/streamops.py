@@ -1314,3 +1314,67 @@ def stream_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "kept")
         .orderBy("doc_id")
     )
+
+
+from .eventops import _CUSUM_ALLOW, _CUSUM_H  # noqa: E402  (loaded before streamops)
+from . import ORACLES as _ORACLES  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift detector (stream twin of cusum_event_values):
+# the same two-event-time-ordered-batch replay as stream_ewma_users,
+# with the per-user fold s ← max(0, s + x − allow) carried across the
+# batch boundary through the state store. The Python float ops
+# replicate the batch expression tree exactly (IEEE doubles, same
+# order), so this query REUSES the batch query's oracle verbatim —
+# stream == batch bit-for-bit.
+@query("stream_cusum_users", oracle=_ORACLES["cusum_event_values"])
+def stream_cusum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import running_cusum
+
+    work = stream_scratch("stream_cusum_")
+    src = work / "in"
+    src.mkdir()
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w_all = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("__rn", F.row_number().over(w_all))
+    half = ev.count() // 2
+    ranked.filter(F.col("__rn") <= half).drop("__rn").coalesce(1).write.parquet(
+        str(src / "t0")
+    )
+    ranked.filter(F.col("__rn") > half).drop("__rn").coalesce(1).write.parquet(
+        str(src / "t1")
+    )
+    for i, d in enumerate(("t0", "t1")):
+        for p in (src / d).glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    out = str(work / "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_foreach_batch(
+        running_cusum(stream, allow=_CUSUM_ALLOW, h=_CUSUM_H),
+        sink,
+        str(work / "ckpt"),
+        output_mode="update",
+    )
+    snapshots = spark.read.parquet(out)
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snapshots.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("user_id", "n_events", "cusum_final", "cusum_max", "alarm")
+        .orderBy("user_id")
+    )

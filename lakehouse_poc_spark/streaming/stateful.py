@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -245,4 +246,72 @@ def inactive_users(events: DataFrame, gap: str = "1 hour") -> DataFrame:
         stateStructType=INACTIVITY_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+CUSUM_STATE = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("mx", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cusum_final", DoubleType()),
+        StructField("cusum_max", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+
+def make_cusum_update(allow: float, h: float):
+    """Per-key one-sided CUSUM (Page 1954, public) state update:
+    s ← max(0, s + x − allow), mx ← max(mx, s), alarm when mx > h.
+    The float ops replicate the batch operator's expression tree
+    (greatest(0, s + x − allow)) literally — IEEE doubles in the same
+    order, so stream == batch bit-for-bit."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            s, mx, n = state.get
+        else:
+            s, mx, n = 0.0, 0.0, 0
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            rows = pd.concat(batch).sort_values(["ts", "event_id"])
+            for x in rows["value"]:
+                n += 1
+                s = max(0.0, s + float(x) - allow)
+                mx = max(mx, s)
+            state.update((s, mx, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "cusum_final": [s],
+                "cusum_max": [mx],
+                "alarm": [mx > h],
+            }
+        )
+
+    return update
+
+
+def running_cusum(events: DataFrame, allow: float, h: float) -> DataFrame:
+    """Per-user streaming CUSUM drift detector; emits the refreshed
+    snapshot each micro-batch the key appears in. Caller contract:
+    micro-batches arrive in event-time order (see module note)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_cusum_update(allow, h),
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

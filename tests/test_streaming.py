@@ -548,3 +548,23 @@ def test_stream_minhash_dedup_equals_one_shot(spark):
     assert len(streamed) == docs.count()
     # fixture must actually drop something, or the test is vacuous
     assert any(not k for k in streamed.values())
+
+
+def test_stream_cusum_matches_batch(spark):
+    """stream_cusum_users == cusum_event_values bit-for-bit: the
+    state-store fold replicates the batch expression tree exactly."""
+    from lakehouse_poc_spark.plans.eventops import cusum_event_values
+    from lakehouse_poc_spark.plans.streamops import stream_cusum_users
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.user_id: r for r in cusum_event_values(spark, sf).collect()}
+    stream = {r.user_id: r for r in stream_cusum_users(spark, sf).collect()}
+    assert set(batch) == set(stream)
+    for uid, b in batch.items():
+        s = stream[uid]
+        assert (b.n_events, b.cusum_final, b.cusum_max, b.alarm) == (
+            s.n_events,
+            s.cusum_final,
+            s.cusum_max,
+            s.alarm,
+        ), uid
