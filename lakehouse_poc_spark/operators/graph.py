@@ -512,3 +512,73 @@ def k_core(
         return alive
     finally:
         und.unpersist()
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths by synchronous Bellman–Ford
+    relaxation (Bellman 1958, public) over non-negative INTEGER edge
+    weights — the distributed SSSP that needs no priority queue: each
+    round every reached node offers dist+w to its neighbors and every
+    node keeps the minimum. Returns (node, dist) for REACHED nodes
+    only (the frontier relation stays sparse — unreached nodes never
+    materialize, unlike a dense INF-initialized table).
+
+    A fixed point is reached after at most diameter rounds; rounds
+    past it are no-ops, so the early-stopped run equals the
+    ``max_rounds`` unroll (same argument as k_core). Integer
+    distances make every min exact on any engine.
+
+    Scale shape per round: one dst-keyed join (distances → edges) and
+    one node-keyed min — both on the node id key; the edge relation
+    persists once; distances localCheckpoint per round. Early stop is
+    an exact (count, sum(dist)) fingerprint — monotone non-increasing
+    distances + non-decreasing reach make it a true fixed-point test.
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")
+            )
+        )
+        .persist()
+    )
+    try:
+        spark = edges.sparkSession
+        dist = spark.createDataFrame(
+            [(source, 0)], "node long, dist long"
+        ).localCheckpoint(eager=True)
+
+        def fp(d: DataFrame) -> tuple:
+            r = d.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            ).collect()[0]
+            return (r["n"], r["s"])
+
+        cur = fp(dist)
+        for _ in range(max_rounds - 1):
+            relaxed = (
+                und.join(dist.withColumnRenamed("node", "u"), "u")
+                .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            nxt = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            nfp = fp(nxt)
+            done = nfp == cur
+            dist, cur = nxt, nfp
+            if done:
+                break
+        return dist
+    finally:
+        und.unpersist()

@@ -402,3 +402,89 @@ def kcore_members_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths on the co-purchase graph:
+# integer edge weight 10//cnt + 1 (rarely co-bought = farther), source
+# = part 0, synchronous Bellman-Ford with an 8-round bound (measured
+# fixed point: 6 rounds at sf0.1). The oracle unrolls the identical
+# relaxation as a MATERIALIZED CTE chain (min over previous-round
+# distances union one-hop offers). Integer distances: every min is
+# exact on both engines.
+_SSSP_SOURCE = 0
+_SSSP_ROUNDS = 8
+
+
+def _sssp_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _SSSP_ROUNDS):
+        rounds.append(f"""
+    d{i} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT w.v AS node, p.dist + w.w AS dist
+            FROM {prev} p JOIN wsym w ON w.u = p.node
+        ) t GROUP BY node
+    )""")
+        prev = f"d{i}"
+    return f"""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    e AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(10 // COUNT(*) + 1 AS BIGINT) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    wsym AS MATERIALIZED (
+        SELECT u, v, w FROM e UNION ALL SELECT v AS u, u AS v, w FROM e
+    ),
+    d0 AS (SELECT CAST({_SSSP_SOURCE} AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist),{",".join(rounds)}
+    SELECT node, dist FROM {prev} ORDER BY node
+    """
+
+
+@query("sssp_coparts", oracle=_sssp_oracle())
+def sssp_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(
+            orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(
+            (F.floor(F.lit(10) / F.count(F.lit(1))) + 1)
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    return sssp(edges, source=_SSSP_SOURCE, max_rounds=_SSSP_ROUNDS).orderBy(
+        "node"
+    )

@@ -461,3 +461,40 @@ def test_k_core_brute_parity_and_edges(spark):
     )
     out = {r.node: r.deg for r in k_core(clique, 4).collect()}
     assert out == {i: 4 for i in range(5)}
+
+
+def test_sssp_dijkstra_parity(spark):
+    """Bellman-Ford sync relaxation == Dijkstra on a random weighted
+    graph; unreached nodes stay absent (sparse frontier contract)."""
+    import heapq
+    import random as _random
+
+    from lakehouse_poc_spark.operators.graph import sssp
+
+    rng = _random.Random(9)
+    edges = sorted(
+        {(rng.randrange(25), rng.randrange(25)) for _ in range(50)}
+    )
+    edges = [(u, v, rng.randrange(1, 9)) for u, v in edges if u != v]
+    # plus an unreachable island
+    edges.append((100, 101, 1))
+
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if d + w < dist.get(v, float("inf")):
+                dist[v] = d + w
+                heapq.heappush(pq, (d + w, v))
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.node: r.dist for r in sssp(df, source=0, max_rounds=40).collect()}
+    assert got == dist
+    assert 100 not in got and 101 not in got
