@@ -1347,3 +1347,92 @@ def km_survival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return km_survival(obs, "duration", "is_event")
+
+
+# ---------------------------------------------------------------------------
+# Mutual information I(event_type; value-band) — the feature-selection
+# score (Cover & Thomas, public): how much does knowing the event type
+# tell you about the value? Reported per event type as its additive
+# contribution Σ_y p(x,y)·ln(p(x,y)/(p(x)p(y))), so the ranking reads
+# off directly and Σ rows = I(X;Y). Counts are exact; each cell's ln
+# micro-rounds to BIGINT and is weighted by the exact cell count, so
+# the per-type sums are exact integers; the normalizing division runs
+# once, in a fixed order. One (x,y) aggregation + two marginal aggs,
+# all map-side combined; the cell table is |types|×|bands| — tiny.
+@query(
+    "mutual_info_events",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(floor(value / 10.0) AS INTEGER) AS band,
+               CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, CAST(SUM(c_xy) AS BIGINT) AS c_x
+           FROM cells GROUP BY event_type),
+    my AS (SELECT band, CAST(SUM(c_xy) AS BIGINT) AS c_y
+           FROM cells GROUP BY band),
+    n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS total FROM cells),
+    scored AS (
+        SELECT c.event_type,
+               c.c_xy,
+               CAST(ROUND(ln((CAST(c.c_xy AS DOUBLE) * CAST(n.total AS DOUBLE))
+                             / (CAST(mx.c_x AS DOUBLE) * CAST(my.c_y AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS pmi_micro
+        FROM cells c
+        JOIN mx USING (event_type) JOIN my USING (band) CROSS JOIN n
+    )
+    SELECT s.event_type,
+           CAST(SUM(s.c_xy) AS BIGINT) AS n_x,
+           CAST(SUM(s.c_xy * s.pmi_micro) AS BIGINT) AS mi_part_micro,
+           CAST(SUM(s.c_xy * s.pmi_micro) AS DOUBLE) / 1000000.0
+               / CAST(MAX(n.total) AS DOUBLE) AS mi_part
+    FROM scored s CROSS JOIN n
+    GROUP BY s.event_type
+    ORDER BY s.event_type
+    """,
+)
+def mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(10.0)).cast("int").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    mx = cells.groupBy("event_type").agg(
+        F.sum("c_xy").cast("bigint").alias("c_x")
+    )
+    my = cells.groupBy("band").agg(F.sum("c_xy").cast("bigint").alias("c_y"))
+    n = cells.agg(F.sum("c_xy").cast("bigint").alias("total"))
+    scored = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "band")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "c_xy",
+            "total",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("total").cast("double"))
+                    / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum("c_xy").cast("bigint").alias("n_x"),
+            F.sum(F.col("c_xy") * F.col("pmi_micro"))
+            .cast("bigint")
+            .alias("mi_part_micro"),
+            (
+                F.sum(F.col("c_xy") * F.col("pmi_micro")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.max("total").cast("double")
+            ).alias("mi_part"),
+        )
+        .orderBy("event_type")
+    )
