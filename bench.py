@@ -176,6 +176,10 @@ HEADLINE = [
     "similarity_topk_sq8",
     "kcore_members_coparts",
     "frequent_pairs_orders",
+    "record_linkage_parts",
+    "km_survival_events",
+    "sssp_coparts",
+    "stream_cusum_users",
 ]
 
 

@@ -128,7 +128,9 @@ def graph_probe(spark) -> None:
     from lakehouse_poc_spark.operators.dedup import connected_components
     from lakehouse_poc_spark.operators.graph import (
         connected_components_star,
+        k_core,
         label_propagation,
+        sssp,
         triangle_count,
     )
     from tools.shuffle_audit import exchange_metrics
@@ -175,6 +177,21 @@ def graph_probe(spark) -> None:
         )
         t_star = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        n_core = k_core(edges, k=8, max_rounds=30).count()
+        t_core = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        src0 = edges.select(F.least("src", "dst").alias("s")).agg(
+            F.min("s").alias("m")
+        ).collect()[0]["m"]
+        n_reach = sssp(
+            edges.withColumn("w", F.lit(1).cast("long")),
+            source=src0,
+            max_rounds=30,
+        ).count()
+        t_sssp = time.perf_counter() - t0
+
         # measured per-round LPA shuffle: one round's join+agg+window
         # at initial labels, Exchange records from the executed plan
         und = edges.unionByName(
@@ -208,7 +225,9 @@ def graph_probe(spark) -> None:
         print(
             f"{'graph':14s} edges={ne:7d} lpa3={t_lpa:6.2f}s "
             f"lpa_conv={t_conv:6.2f}s tri={t_tri:6.2f}s ({tri} tris) "
-            f"cc={t_cc:6.2f}s star={t_star:6.2f}s comms={n_comm} "
+            f"cc={t_cc:6.2f}s star={t_star:6.2f}s "
+            f"kcore8={t_core:6.2f}s ({n_core} in-core) "
+            f"sssp={t_sssp:6.2f}s ({n_reach} reached) comms={n_comm} "
             f"comps={n_cc}/{n_star} round_shuffle_rows={rec}",
             flush=True,
         )
