@@ -828,12 +828,17 @@ def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="__rk",
     )
     # NTILE(3) arithmetic: the first r buckets hold q+1 rows each.
+    # When n_docs < 3 (q == 0) every rank lands in the <= cut branch;
+    # the otherwise-divisor still must be non-zero under ANSI, and
+    # using max(q, 1) there is safe because that branch is unreachable.
     cut = r * (q + 1)
     nt = F.when(
         F.col("__rk") <= F.lit(cut),
         ((F.col("__rk") - 1) / F.lit(q + 1)).cast("long") + 1,
     ).otherwise(
-        F.lit(r) + ((F.col("__rk") - F.lit(cut) - 1) / F.lit(q)).cast("long") + 1
+        F.lit(r)
+        + ((F.col("__rk") - F.lit(cut) - 1) / F.lit(max(q, 1))).cast("long")
+        + 1
     )
     return (
         ranked.select(
