@@ -1705,3 +1705,41 @@ def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE via deletion vectors (Iceberg v2 positional
+# deletes / Delta deletion vectors, on plain parquet): two DELETEs
+# append (file, row-position) tombstones — zero data-file rewrites —
+# then read_mor anti-joins the broadcast vector. The oracle is plain
+# SQL DELETE semantics (rows where no predicate is TRUE survive;
+# NULL-predicate rows survive). compact_purge_dv is exercised by the
+# warehouse test suite; here the MOR read itself is the gate.
+@query(
+    "dv_delete_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    WHERE NOT COALESCE(c_custkey % 7 = 0, FALSE)
+      AND NOT COALESCE(c_acctbal < 0, FALSE)
+    ORDER BY key
+    """,
+)
+def dv_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    wh = _fresh_wh(spark, f"dv_{Path(sf_dir).name}")
+    t = "layer0150.customer_dv"
+    cust.repartitionByRange(8, "c_custkey").write.parquet(str(wh.path(t)))
+    wh.delete_where_dv(t, "c_custkey % 7 = 0")
+    wh.delete_where_dv(t, "c_acctbal < 0")
+    return (
+        wh.read_mor(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )

@@ -1076,6 +1076,112 @@ class Warehouse:
                 p.unlink()
         shutil.rmtree(staging, ignore_errors=True)
 
+    # -- merge-on-read deletion vectors ---------------------------------
+    # The Iceberg-v2 positional-delete / Delta deletion-vector mechanic
+    # on plain parquet: DELETE appends (file, row position) tombstones
+    # to a side table instead of rewriting data files; readers anti-join
+    # the (tiny, broadcast) vector; compaction purges. The write cost of
+    # a delete becomes O(matches), independent of file sizes — the
+    # merge-on-read half of the CoW/MOR tradeoff
+    # (delete_where_file_pruned is the copy-on-write half).
+
+    def _dv_table(self, table: str) -> str:
+        return f"_dv.{table}"
+
+    def delete_where_dv(self, table: str, predicate) -> dict:
+        """Merge-on-read DELETE: append the matching rows' (file,
+        row_index) positions to the deletion-vector side table; data
+        files are untouched. Matches are evaluated against the MOR
+        view (already-deleted rows can't match again), NULL-predicate
+        rows survive (SQL DELETE semantics), and only pred==TRUE rows
+        count in ``rows_deleted``. Returns {rows_deleted, dv_rows}."""
+        if self.format != "parquet":
+            raise ValueError(
+                "delete_where_dv is the parquet-dir mechanic; "
+                "delta/iceberg deletes are natively file-pruned"
+            )
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        with self._writer_lock(table):
+            new_dv = self._mor_base(table).filter(
+                F.coalesce(pred, F.lit(False))
+            ).select("__dv_file", "__dv_pos")
+            n = new_dv.count()
+            if n:
+                self.append(
+                    new_dv.select(
+                        F.col("__dv_file").alias("file"),
+                        F.col("__dv_pos").alias("pos"),
+                    ),
+                    self._dv_table(table),
+                )
+            dv_rows = (
+                self.read(self._dv_table(table)).count()
+                if self.table_exists(self._dv_table(table))
+                else 0
+            )
+            return {"rows_deleted": n, "dv_rows": dv_rows}
+
+    def _mor_base(self, table: str) -> DataFrame:
+        """The MOR view WITH its positional columns still attached:
+        live rows = all rows anti-joined against the deletion vector
+        on (file basename, row position)."""
+        cur = self.read(table).select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        if not self.table_exists(self._dv_table(table)):
+            return cur
+        dv = self.read(self._dv_table(table)).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        ).distinct()
+        return cur.join(
+            F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+        )
+
+    def read_mor(self, table: str) -> DataFrame:
+        """Merge-on-read scan: the table minus its deletion vector —
+        row-identical to what the copy-on-write delete would have left.
+        The vector is positions only (16 bytes/tombstone) and
+        broadcasts; at production scale the anti-join is pushed into
+        the scan per file (each task filters its own file's positions),
+        which this per-file-keyed join shape already expresses."""
+        return self._mor_base(table).drop("__dv_file", "__dv_pos")
+
+    def compact_purge_dv(self, table: str) -> dict:
+        """MOR → CoW compaction: rewrite ONLY the files that carry
+        tombstones (dropping deleted rows), then clear the deletion
+        vector. Untouched files stay bit-identical. Returns
+        {files_rewritten, rows_purged}."""
+        if not self.table_exists(self._dv_table(table)):
+            return {"files_rewritten": 0, "rows_purged": 0}
+        with self._writer_lock(table):
+            dv = self.read(self._dv_table(table)).select(
+                F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+            ).distinct()
+            n_purge = dv.count()
+            dv_files = [r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()]
+            cur = self.read(table).select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            ).filter(F.col("__dv_file").isin(dv_files))
+            touched = [
+                str(self.path(table) / f) for f in dv_files
+                if (self.path(table) / f).exists()
+            ]
+            survivors = cur.join(
+                F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
+            ).drop("__dv_file", "__dv_pos")
+            self._replace_files(table, touched, survivors)
+            self.drop(self._dv_table(table))
+            self.refresh_bloom_index(table)
+            return {"files_rewritten": len(touched), "rows_purged": int(n_purge)}
+
     # -- persisted per-file Bloom index (point-lookup file skipping) ----
     # SCALE.md §6.3: the in-flight build_file_bloom index, promoted to
     # a maintained side table — the Delta bloom-filter-index mechanic.

@@ -941,3 +941,61 @@ def test_vacuum_sweeps_stranded_lock_tombstones(spark, tmp_path):
     tomb.mkdir()
     assert wh.vacuum() >= 1
     assert not tomb.exists()
+
+
+def test_deletion_vector_delete_matches_cow(spark, tmp_path):
+    """MOR delete via deletion vectors: read_mor equals the
+    copy-on-write delete result; data files stay untouched until
+    compaction purges them."""
+    import hashlib
+
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = "fact.dv"
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 2 END AS v"
+    ).repartition(4)
+    wh.overwrite(df, t)
+    before_files = {
+        p.name: hashlib.md5(p.read_bytes()).hexdigest()
+        for p in wh.path(t).glob("*.parquet")
+    }
+
+    # NULL-predicate rows (v IS NULL) must SURVIVE and not be counted
+    stats = wh.delete_where_dv(t, "v < 40")
+    assert stats["rows_deleted"] == 18  # ids 1..19 minus the 1 null (id 10)
+    live = wh.read_mor(t)
+    assert live.count() == 82
+    assert live.filter("v IS NULL").count() == 10  # all nulls survive
+    # data files untouched (pure MOR)
+    after_files = {
+        p.name: hashlib.md5(p.read_bytes()).hexdigest()
+        for p in wh.path(t).glob("*.parquet")
+    }
+    assert after_files == before_files
+
+    # double delete with the same predicate is a no-op
+    stats2 = wh.delete_where_dv(t, "v < 40")
+    assert stats2["rows_deleted"] == 0
+    assert wh.read_mor(t).count() == 82
+
+    # a second, overlapping delete composes
+    stats3 = wh.delete_where_dv(t, "id < 30")
+    assert stats3["rows_deleted"] == 30 - 18  # 18 of them already dead
+    assert wh.read_mor(t).count() == 70
+
+    expect = sorted(
+        (r.id, r.v)
+        for r in df.filter(
+            "NOT coalesce(v < 40, false) AND NOT coalesce(id < 30, false)"
+        ).collect()
+    )
+    assert sorted((r.id, r.v) for r in wh.read_mor(t).collect()) == expect
+
+    # purge: only tombstoned files rewrite; result identical; DV gone
+    purged = wh.compact_purge_dv(t)
+    assert purged["rows_purged"] == 30
+    assert not wh.table_exists(wh._dv_table(t))
+    assert sorted((r.id, r.v) for r in wh.read(t).collect()) == expect
+    assert sorted((r.id, r.v) for r in wh.read_mor(t).collect()) == expect
