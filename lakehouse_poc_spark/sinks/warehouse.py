@@ -96,6 +96,13 @@ def iceberg_available(spark: SparkSession) -> bool:
                 pass
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: the table advanced past the
+    writer's snapshot version with commits the writer's operation
+    cannot serialize after (Delta/Iceberg conflict-matrix semantics on
+    the manifest backend)."""
+
+
 class Warehouse:
     """``format="parquet"`` (default) emulates managed tables as parquet
     dirs with staged-swap rewrites. ``format="delta"`` (reference M1/M2:
@@ -1686,11 +1693,26 @@ class ManifestWarehouse(Warehouse):
             )
         return list(m["files"])
 
-    def _commit(self, table: str, names: list[str], op: str) -> int:
+    def _commit(
+        self,
+        table: str,
+        names: list[str],
+        op: str,
+        expected_base: int | None = None,
+    ) -> int:
         """Write manifest version N+1 (atomic tmp→rename). Callers
         hold the per-table writer lock; the rename is the commit
         point — a reader listing the manifest dir sees either N or
-        N+1, never a partial file."""
+        N+1, never a partial file.
+
+        ``expected_base`` enables optimistic concurrency (the Delta
+        conflict check): the writer names the version its work was
+        based on; if the table has advanced since, the commit FAILS
+        with :class:`ConcurrentWriteError` — except that an append
+        may serialize after intervening appends (append∥append is
+        the one always-compatible cell of the conflict matrix, and
+        the append path re-reads the live list under the lock, so
+        the rebase is literal, not assumed)."""
         import json
         import uuid
 
@@ -1698,6 +1720,21 @@ class ManifestWarehouse(Warehouse):
         md.mkdir(parents=True, exist_ok=True)
         prev = self._latest(table)
         version = (prev["version"] + 1) if prev is not None else 0
+        if expected_base is not None:
+            latest_v = version - 1
+            if latest_v != expected_base:
+                intervening = [
+                    json.loads(m.read_text())["op"]
+                    for m in self._manifests(table)
+                    if int(m.stem[1:]) > expected_base
+                ]
+                if not (op == "append" and set(intervening) <= {"append"}):
+                    raise ConcurrentWriteError(
+                        f"{table}: snapshot v{expected_base} is stale — "
+                        f"table is at v{latest_v} with intervening ops "
+                        f"{intervening}; {op!r} cannot serialize after "
+                        "them (re-read and retry)"
+                    )
         body = {"version": version, "op": op, "files": sorted(names)}
         tmp = md / f".m{version:06d}.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(body))
@@ -1793,18 +1830,41 @@ class ManifestWarehouse(Warehouse):
                 "file-list reads)"
             )
 
-    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+    def current_version(self, table: str) -> int:
+        """Latest committed manifest version (-1 if never written) —
+        the snapshot id an optimistic writer passes back as
+        ``expected_version``."""
+        m = self._latest(table)
+        return -1 if m is None else int(m["version"])
+
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        expected_version: int | None = None,
+    ) -> None:
         self._no_partitions(partition_by)
         with self._writer_lock(table):
             live = self._live_names(table) if self.table_exists(table) else []
             names = self._stage_in(df, table)
-            self._commit(table, live + names, "append")
+            self._commit(
+                table, live + names, "append", expected_base=expected_version
+            )
 
-    def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        expected_version: int | None = None,
+    ) -> None:
         self._no_partitions(partition_by)
         with self._writer_lock(table):
             names = self._stage_in(df, table)
-            self._commit(table, names, "overwrite")
+            self._commit(
+                table, names, "overwrite", expected_base=expected_version
+            )
 
     def overwrite_from_plan(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None

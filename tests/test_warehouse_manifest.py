@@ -296,3 +296,47 @@ def test_manifest_concurrent_staging_dirs_do_not_collide(spark, tmp_path):
     assert wh.read(t).count() == 3
     wh._commit(t, b, "second")
     assert wh.read(t).count() == 4
+
+
+def test_optimistic_concurrency_conflicts(spark, tmp_path):
+    """Delta-style OCC on manifest commits: a stale overwrite fails,
+    append serializes after intervening appends (live list re-read
+    under the lock), and append after an intervening overwrite fails."""
+    import pytest
+
+    from lakehouse_poc_spark.sinks.warehouse import ConcurrentWriteError
+
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.occ"
+    wh.overwrite(spark.range(3).selectExpr("id"), t)
+    v0 = wh.current_version(t)
+
+    # writer B advances the table underneath writer A's snapshot
+    wh.overwrite(spark.range(10, 13).selectExpr("id"), t)
+    with pytest.raises(ConcurrentWriteError, match="stale"):
+        wh.overwrite(
+            spark.range(20, 23).selectExpr("id"), t, expected_version=v0
+        )
+    # A re-reads (new snapshot) and retries successfully
+    wh.overwrite(
+        spark.range(20, 23).selectExpr("id"),
+        t,
+        expected_version=wh.current_version(t),
+    )
+    assert sorted(r.id for r in wh.read(t).collect()) == [20, 21, 22]
+
+    # append || append: auto-rebase (the always-compatible cell)
+    v = wh.current_version(t)
+    wh.append(spark.range(30, 32).selectExpr("id"), t)  # intervening append
+    wh.append(spark.range(40, 42).selectExpr("id"), t, expected_version=v)
+    assert sorted(r.id for r in wh.read(t).collect()) == [
+        20, 21, 22, 30, 31, 40, 41,
+    ]
+
+    # append after an intervening OVERWRITE cannot serialize
+    v = wh.current_version(t)
+    wh.overwrite(spark.range(5).selectExpr("id"), t)
+    with pytest.raises(ConcurrentWriteError):
+        wh.append(spark.range(50, 52).selectExpr("id"), t, expected_version=v)
+    # failed commit left no visible rows
+    assert sorted(r.id for r in wh.read(t).collect()) == [0, 1, 2, 3, 4]
