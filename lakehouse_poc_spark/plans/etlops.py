@@ -1743,3 +1743,87 @@ def dv_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal corrections (valid time × transaction time): seed every
+# customer's segment as believed-true for [1995-01-01, open) at T0,
+# then retroactively correct every 5th customer's 2000-2010 window at
+# T1. The old belief closes (tx_to=T1) WITHOUT being destroyed, its
+# non-overlapped validity remainders re-insert under the new
+# knowledge period, and the correction becomes current belief for its
+# window — so both "valid at 2005 per current knowledge" and "valid
+# at 2005 as known before T1" remain answerable (operators/
+# bitemporal.py::as_of, unit-tested). The oracle reproduces the same
+# period algebra as plain unions.
+@query(
+    "bitemporal_customers",
+    oracle="""
+    WITH seed AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '1995-01-01' AS vf, DATE '9999-12-31' AS vt
+        FROM customer
+    ),
+    corr AS (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0)
+    SELECT c_custkey AS key, segment,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to,
+           tx_from, tx_to
+    FROM (
+        -- untouched current beliefs
+        SELECT s.c_custkey, s.segment, s.vf AS valid_from, s.vt AS valid_to,
+               '2024-01-01 00:00:00' AS tx_from, NULL AS tx_to
+        FROM seed s ANTI JOIN corr USING (c_custkey)
+        UNION ALL
+        -- superseded belief, closed at T1
+        SELECT s.c_custkey, s.segment, s.vf, s.vt,
+               '2024-01-01 00:00:00', '2024-06-01 00:00:00'
+        FROM seed s SEMI JOIN corr USING (c_custkey)
+        UNION ALL
+        -- left validity remainder under new knowledge
+        SELECT s.c_custkey, s.segment, s.vf, DATE '2000-01-01',
+               '2024-06-01 00:00:00', NULL
+        FROM seed s SEMI JOIN corr USING (c_custkey)
+        UNION ALL
+        -- right validity remainder
+        SELECT s.c_custkey, s.segment, DATE '2010-01-01', s.vt,
+               '2024-06-01 00:00:00', NULL
+        FROM seed s SEMI JOIN corr USING (c_custkey)
+        UNION ALL
+        -- the correction: current belief for its window
+        SELECT c.c_custkey, 'CORRECTED', DATE '2000-01-01',
+               DATE '2010-01-01', '2024-06-01 00:00:00', NULL
+        FROM corr c
+    ) t
+    ORDER BY key, valid_from, tx_from
+    """,
+)
+def bitemporal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bitemporal import bitemporal_correct
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("tx_from"),
+        F.lit(None).cast("timestamp").alias("tx_to"),
+    )
+    corr = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("CORRECTED").alias("segment"),
+        F.lit("2000-01-01").cast("date").alias("valid_from"),
+        F.lit("2010-01-01").cast("date").alias("valid_to"),
+    )
+    out = bitemporal_correct(
+        dim, corr, keys=["c_custkey"], run_ts="2024-06-01 00:00:00"
+    )
+    return out.select(
+        F.col("c_custkey").alias("key"),
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.date_format("tx_from", "yyyy-MM-dd HH:mm:ss").alias("tx_from"),
+        F.date_format("tx_to", "yyyy-MM-dd HH:mm:ss").alias("tx_to"),
+    ).orderBy("key", "valid_from", "tx_from")

@@ -226,3 +226,54 @@ def test_point_in_time_join_picks_single_valid_version(spark):
     assert out.count() == 5  # no row multiplication
     got = {r.fid: r.val for r in out.collect()}
     assert got == {100: "v1", 101: "v2", 102: None, 103: "only", 104: None}
+
+
+def test_bitemporal_correct_and_as_of(spark):
+    """Bitemporal algebra: a retroactive correction closes the old
+    belief (audit-preserved), re-inserts validity remainders, and
+    both time axes slice correctly afterwards."""
+    from lakehouse_poc_spark.operators.bitemporal import (
+        as_of,
+        bitemporal_correct,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "GOLD", "1995-01-01", "9999-12-31", "2024-01-01 00:00:00", None),
+         (2, "IRON", "1995-01-01", "9999-12-31", "2024-01-01 00:00:00", None)],
+        "k long, seg string, valid_from string, valid_to string, "
+        "tx_from string, tx_to string",
+    ).selectExpr(
+        "k", "seg",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+        "CAST(tx_from AS TIMESTAMP) AS tx_from",
+        "CAST(tx_to AS TIMESTAMP) AS tx_to",
+    )
+    corr = spark.createDataFrame(
+        [(1, "FIXED", "2000-01-01", "2010-01-01")],
+        "k long, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+    )
+    out = bitemporal_correct(dim, corr, ["k"], "2024-06-01 00:00:00")
+    rows = out.collect()
+    assert len(rows) == 5  # untouched k=2, superseded, left, right, new
+
+    # current belief at business date 2005: k=1 FIXED, k=2 IRON
+    cur = {r.k: r.seg for r in as_of(out, "2005-06-15").collect()}
+    assert cur == {1: "FIXED", 2: "IRON"}
+    # belief about 2005 as known BEFORE the correction: k=1 still GOLD
+    old = {
+        r.k: r.seg
+        for r in as_of(out, "2005-06-15", known_at="2024-03-01 00:00:00").collect()
+    }
+    assert old == {1: "GOLD", 2: "IRON"}
+    # outside the corrected window, current belief keeps the old value
+    edge = {r.k: r.seg for r in as_of(out, "1998-01-01").collect()}
+    assert edge == {1: "GOLD", 2: "IRON"}
+    # every (key, valid date, knowledge time) has exactly ONE row
+    assert as_of(out, "2005-06-15").groupBy("k").count().filter(
+        "count > 1"
+    ).count() == 0
