@@ -1607,12 +1607,20 @@ def exact_substring_dedup(
             ).alias("clean_text"),
         )
     )
+    # anchor on ALL documents, not the token relation — a doc with no
+    # non-empty tokens (empty / whitespace-only text) must still emit
+    # its (id, 0, 0, "") row, matching the SQL oracle's FROM documents
+    # (code-review r7 finding)
     return (
-        before.join(removed_counts, id_col, "left")
+        df.select(F.col(id_col))
+        .join(before, id_col, "left")
+        .join(removed_counts, id_col, "left")
         .join(clean, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("n_tokens_before"),
+            F.coalesce(F.col("n_tokens_before"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_before"),
             F.coalesce(F.col("n_removed"), F.lit(0))
             .cast("bigint")
             .alias("n_removed"),

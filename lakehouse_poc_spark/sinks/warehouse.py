@@ -380,6 +380,10 @@ class Warehouse:
             wt.createOrReplace()
             return
         self._archive_current(table)
+        if self.format == "parquet" and self._dv_active(table):
+            # a full replace discards the old contents; stale
+            # tombstones referencing vanished basenames must go too
+            self.drop(self._dv_table(table))
         w = df.write.format(self.format).mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -775,6 +779,7 @@ class Warehouse:
 
             DeltaTable.forPath(self.spark, str(self.path(table))).delete(pred)
             return
+        self._dv_cow_guard(table)
         self.overwrite_from_plan(
             self.read(table).filter(~F.coalesce(pred, F.lit(False))), table
         )
@@ -798,6 +803,7 @@ class Warehouse:
         if not self.table_exists(table):
             self.overwrite(batch, table)
             return
+        self._dv_cow_guard(table)
         if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
             cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
             view = f"_upsert_src_{abs(hash(table)) % 10**8}"
@@ -888,10 +894,25 @@ class Warehouse:
                     age = time.time() - lock.stat().st_mtime
                 except OSError:
                     continue  # holder released between mkdir and stat
+                try:
+                    stale_owner = (lock / "owner").read_text()
+                except OSError:
+                    # crashed between mkdir and owner write: breakable
+                    # once past the ttl like any other dead holder
+                    stale_owner = None
                 if age > ttl:
                     # presumed-dead holder: claim atomically via rename
                     # to a unique tombstone; only the winning renamer
-                    # deletes it, everyone re-races through mkdir
+                    # deletes it, everyone re-races through mkdir.
+                    # VERIFY after the rename that we renamed the lock
+                    # we stat'd (owner token unchanged) — between our
+                    # stat and our rename another breaker may have
+                    # broken the stale lock and re-acquired FRESH; if
+                    # so, restore it and keep waiting (the remaining
+                    # window — a third contender acquiring during the
+                    # rename/rename-back microseconds — needs a double
+                    # preemption inside one syscall gap and is the
+                    # residual filesystem-lock limitation, documented).
                     tomb = lock.with_name(
                         lock.name + f".tomb.{uuid.uuid4().hex[:12]}"
                     )
@@ -899,6 +920,21 @@ class Warehouse:
                         lock.rename(tomb)
                     except OSError:
                         continue  # another contender claimed it first
+                    try:
+                        tomb_owner = (tomb / "owner").read_text()
+                    except OSError:
+                        tomb_owner = None  # owner never written: dead
+                    still_stale = tomb_owner == stale_owner
+                    if not still_stale:
+                        try:
+                            tomb.rename(lock)
+                        except OSError:
+                            # a contender re-created the lock in the
+                            # gap; give the fresh holder's dir back by
+                            # leaving the tombstone for the vacuum
+                            # sweep and keep waiting
+                            pass
+                        continue
                     shutil.rmtree(tomb, ignore_errors=True)
                     continue
                 if time.monotonic() > deadline:
@@ -954,6 +990,7 @@ class Warehouse:
                 "upsert_file_pruned is the parquet-dir mechanic; "
                 "delta/iceberg upsert() is already file-pruned natively"
             )
+        self._dv_cow_guard(table)
         with self._writer_lock(table):
             return self._upsert_file_pruned(batch, table, keys)
 
@@ -1020,6 +1057,7 @@ class Warehouse:
                 "delete_where_file_pruned is the parquet-dir mechanic; "
                 "delta/iceberg delete_where() is already file-pruned"
             )
+        self._dv_cow_guard(table)
         with self._writer_lock(table):
             return self._delete_where_file_pruned(table, predicate)
 
@@ -1107,26 +1145,61 @@ class Warehouse:
                 "delete_where_dv is the parquet-dir mechanic; "
                 "delta/iceberg deletes are natively file-pruned"
             )
+        self._dv_layout_guard(table)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         with self._writer_lock(table):
-            new_dv = self._mor_base(table).filter(
-                F.coalesce(pred, F.lit(False))
-            ).select("__dv_file", "__dv_pos")
+            # localCheckpoint: the match plan (full scan + MOR
+            # anti-join) runs ONCE; count and the tombstone write both
+            # read the materialized positions
+            new_dv = (
+                self._mor_base(table)
+                .filter(F.coalesce(pred, F.lit(False)))
+                .select(
+                    F.col("__dv_file").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+                .localCheckpoint(eager=True)
+            )
             n = new_dv.count()
             if n:
-                self.append(
-                    new_dv.select(
-                        F.col("__dv_file").alias("file"),
-                        F.col("__dv_pos").alias("pos"),
-                    ),
-                    self._dv_table(table),
-                )
+                self.append(new_dv, self._dv_table(table))
             dv_rows = (
                 self.read(self._dv_table(table)).count()
                 if self.table_exists(self._dv_table(table))
                 else 0
             )
             return {"rows_deleted": n, "dv_rows": dv_rows}
+
+    def _dv_layout_guard(self, table: str) -> None:
+        """Deletion vectors key on file BASENAME + row position, which
+        is only unique in the flat single-dir layout — partitioned
+        layouts reuse basenames across partition dirs. Same guard as
+        the file-pruned CoW ops."""
+        target = self.path(table)
+        if target.exists() and any(
+            "=" in d.name for d in target.iterdir() if d.is_dir()
+        ):
+            raise ValueError(
+                "deletion vectors do not support hive-partitioned "
+                "layouts (file basenames repeat across partition "
+                "dirs) — use delete_where / drop_partitions"
+            )
+
+    def _dv_active(self, table: str) -> bool:
+        return self.table_exists(self._dv_table(table))
+
+    def _dv_cow_guard(self, table: str) -> None:
+        """Copy-on-write DML rewrites/unlinks data files by name; an
+        active deletion vector would dangle (tombstoned basenames
+        disappear) and deleted rows would resurrect through the
+        rewrite. Force an explicit compact_purge_dv first."""
+        if self._dv_active(table):
+            raise ValueError(
+                f"{table} has an active deletion vector "
+                f"({self._dv_table(table)}); run compact_purge_dv() "
+                "before copy-on-write DML — mixing MOR tombstones "
+                "with file rewrites would resurrect deleted rows"
+            )
 
     def _mor_base(self, table: str) -> DataFrame:
         """The MOR view WITH its positional columns still attached:
@@ -1155,6 +1228,7 @@ class Warehouse:
         broadcasts; at production scale the anti-join is pushed into
         the scan per file (each task filters its own file's positions),
         which this per-file-keyed join shape already expresses."""
+        self._dv_layout_guard(table)
         return self._mor_base(table).drop("__dv_file", "__dv_pos")
 
     def compact_purge_dv(self, table: str) -> dict:
@@ -1164,26 +1238,35 @@ class Warehouse:
         {files_rewritten, rows_purged}."""
         if not self.table_exists(self._dv_table(table)):
             return {"files_rewritten": 0, "rows_purged": 0}
+        self._dv_layout_guard(table)
         with self._writer_lock(table):
             dv = self.read(self._dv_table(table)).select(
                 F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
             ).distinct()
             n_purge = dv.count()
-            dv_files = [r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()]
-            cur = self.read(table).select(
-                "*",
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__dv_file"),
-                F.col("_metadata.row_index").alias("__dv_pos"),
-            ).filter(F.col("__dv_file").isin(dv_files))
+            dv_files = [
+                r["__dv_file"]
+                for r in dv.select("__dv_file").distinct().collect()
+            ]
+            # same positional construction + anti-join as every MOR
+            # read (_mor_base), narrowed to the tombstoned files
+            survivors = (
+                self._mor_base(table)
+                .filter(F.col("__dv_file").isin(dv_files))
+                .drop("__dv_file", "__dv_pos")
+            )
             touched = [
-                str(self.path(table) / f) for f in dv_files
+                str(self.path(table) / f)
+                for f in dv_files
                 if (self.path(table) / f).exists()
             ]
-            survivors = cur.join(
-                F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
-            ).drop("__dv_file", "__dv_pos")
+            if len(touched) != len(dv_files):
+                missing = sorted(set(dv_files) - {Path(t).name for t in touched})
+                raise ValueError(
+                    f"{table}: deletion vector references data files "
+                    f"not in the table dir ({missing[:3]}…) — layout "
+                    "changed underneath the vector; cannot purge safely"
+                )
             self._replace_files(table, touched, survivors)
             self.drop(self._dv_table(table))
             self.refresh_bloom_index(table)
@@ -1517,6 +1600,7 @@ class Warehouse:
         (file counts and sizing from the ``.files`` metadata table —
         a directory glob would count every snapshot's files); Delta
         would use ``OPTIMIZE``, unimplemented here."""
+        self._dv_cow_guard(table)
         if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
             if cluster_by or zorder_by or partition_by:
                 raise NotImplementedError(
@@ -1881,6 +1965,20 @@ class ManifestWarehouse(Warehouse):
             "upsert_file_pruned / overwrite for scoped rewrites"
         )
 
+    def delete_where_dv(self, table: str, predicate) -> dict:
+        raise NotImplementedError(
+            "manifest-mode tables version their file lists; DELETE "
+            "through delete_where_file_pruned — the manifest commit "
+            "already gives readers the atomicity deletion vectors "
+            "exist to emulate"
+        )
+
+    def compact_purge_dv(self, table: str) -> dict:
+        raise NotImplementedError(
+            "manifest-mode tables do not carry deletion vectors "
+            "(see delete_where_dv)"
+        )
+
     def drop_partitions(self, table, partition_col, before=None, values=None):
         raise NotImplementedError(
             "manifest-mode tables are unpartitioned; use "
@@ -2038,9 +2136,17 @@ class ManifestWarehouse(Warehouse):
                     committed.append((table, pre))
         except BaseException:
             for table, pre in reversed(committed):
-                if pre is not None:
-                    with self._writer_lock(table):
+                with self._writer_lock(table):
+                    if pre is not None:
                         self.restore(table, pre)
+                    else:
+                        # the table did not exist before this publish:
+                        # rolling back means un-creating it — remove
+                        # its manifests so readers see "no table", and
+                        # leave the data files to vacuum's age sweep
+                        md = self._manifest_dir(table)
+                        if md.exists():
+                            shutil.rmtree(md)
             raise
         return {"published": True, "tables": report}
 

@@ -306,3 +306,25 @@ def test_substring_dedup_whitespace_edged_docs(spark):
         assert r.n_tokens_before == 7, d  # empties never counted
     assert out[1].clean_text == "one two"
     assert out[2].clean_text == "three four"
+
+
+def test_substring_dedup_empty_docs_still_emit(spark):
+    """A doc with empty or whitespace-only text must still appear in
+    the output as (0, 0, '') — the SQL oracle anchors on FROM
+    documents, so dropping it would diverge (code-review r7)."""
+    from lakehouse_poc_spark.operators.dedup import exact_substring_dedup
+
+    rows = [(1, ""), (2, "   "), (3, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(df, "text", "doc_id", min_len=3).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    for d in (1, 2):
+        assert (out[d].n_tokens_before, out[d].n_removed, out[d].clean_text) == (
+            0,
+            0,
+            "",
+        )
+    assert out[3].n_tokens_before == 3

@@ -999,3 +999,49 @@ def test_deletion_vector_delete_matches_cow(spark, tmp_path):
     assert not wh.table_exists(wh._dv_table(t))
     assert sorted((r.id, r.v) for r in wh.read(t).collect()) == expect
     assert sorted((r.id, r.v) for r in wh.read_mor(t).collect()) == expect
+
+
+def test_dv_guards_partitioned_layout_and_cow_mixing(spark, tmp_path):
+    """Deletion vectors refuse hive-partitioned layouts (basenames
+    repeat across partition dirs) and CoW DML refuses to run over an
+    active vector (rewrites would resurrect deleted rows)."""
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    part = "fact.pdv"
+    spark.range(20).selectExpr("id", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(str(wh.path(part)))
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        wh.delete_where_dv(part, "id = 3")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        wh.read_mor(part)
+
+    flat = "fact.fdv"
+    wh.overwrite(spark.range(20).selectExpr("id", "id AS v"), flat)
+    wh.delete_where_dv(flat, "id < 5")
+    for op in (
+        lambda: wh.upsert_file_pruned(
+            spark.range(3).selectExpr("id", "id AS v"), flat, keys=["id"]
+        ),
+        lambda: wh.delete_where_file_pruned(flat, "id = 9"),
+        lambda: wh.delete_where(flat, "id = 9"),
+        lambda: wh.upsert(
+            spark.range(3).selectExpr("id", "id AS v"), flat, keys=["id"]
+        ),
+        lambda: wh.compact(flat, target_files=1),
+    ):
+        with pytest.raises(ValueError, match="active deletion vector"):
+            op()
+    # purge clears the way for CoW again
+    wh.compact_purge_dv(flat)
+    wh.delete_where_file_pruned(flat, "id = 9")
+    got = sorted(r.id for r in wh.read(flat).collect())
+    assert got == [i for i in range(5, 20) if i != 9]
+
+    # overwrite on a DV'd table drops the stale vector
+    wh.delete_where_dv(flat, "id = 10")
+    assert wh.table_exists(wh._dv_table(flat))
+    wh.overwrite(spark.range(3).selectExpr("id", "id AS v"), flat)
+    assert not wh.table_exists(wh._dv_table(flat))
+    assert wh.read_mor(flat).count() == 3
