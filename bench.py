@@ -180,6 +180,12 @@ HEADLINE = [
     "km_survival_events",
     "sssp_coparts",
     "stream_cusum_users",
+    "ab_test_events",
+    "mutual_info_events",
+    "ndcg_eval_docs",
+    "l_diversity_customers",
+    "dv_delete_customers",
+    "bitemporal_customers",
 ]
 
 
