@@ -458,3 +458,84 @@ def test_rrf_fuse_rank_arithmetic(spark):
     # 30 and 31 both rank 3 in their lists -> equal score; lower id first
     assert got[30][1] == got[31][1] == nano(3)
     assert got[30][2] < got[31][2]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # basket id
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    minsup=st.integers(min_value=1, max_value=3),
+)
+def test_frequent_pairs_matches_brute(spark, baskets, minsup):
+    """A-Priori pair pass == brute enumeration for arbitrary baskets
+    (dup rows collapse, prune is lossless, counts exact)."""
+    from collections import Counter
+
+    from lakehouse_poc_spark.operators.itemsets import frequent_pairs
+
+    df = spark.createDataFrame(baskets, "bk long, item string")
+    got = {
+        (r.item_a, r.item_b): r.pair_cnt
+        for r in frequent_pairs(df, "bk", "item", minsup=minsup).collect()
+    }
+    by_bk: dict[int, set] = {}
+    for bk, it in baskets:
+        by_bk.setdefault(bk, set()).add(it)
+    cnt = Counter()
+    for items in by_bk.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                cnt[(s[i], s[j])] += 1
+    expect = {p: c for p, c in cnt.items() if c >= minsup}
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_k_core_matches_brute_peel(spark, edges, k):
+    """k_core == the sequential peel for arbitrary graphs and k."""
+    from lakehouse_poc_spark.operators.graph import k_core
+
+    clean = [(u, v) for u, v in edges if u != v]
+    if not clean:
+        return
+    adj: dict[int, set] = {}
+    for u, v in clean:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        nxt = {n for n in alive if sum(m in alive for m in adj[n]) >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    expect = {n: sum(m in alive for m in adj[n]) for n in alive}
+
+    df = spark.createDataFrame(clean, "src long, dst long")
+    got = {r.node: r.deg for r in k_core(df, k, max_rounds=40).collect()}
+    assert got == expect
