@@ -1819,7 +1819,12 @@ class ManifestWarehouse(Warehouse):
                         f"{intervening}; {op!r} cannot serialize after "
                         "them (re-read and retry)"
                     )
-        body = {"version": version, "op": op, "files": sorted(names)}
+        body = {
+            "version": version,
+            "op": op,
+            "files": sorted(names),
+            "ts": time.time(),
+        }
         tmp = md / f".m{version:06d}.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(body))
         tmp.rename(md / f"m{version:06d}.json")
@@ -1886,6 +1891,44 @@ class ManifestWarehouse(Warehouse):
         return self.spark.read.parquet(
             *[str(self.path(table) / n) for n in names]
         )
+
+    def read_asof_timestamp(self, table: str, ts: float) -> DataFrame:
+        """Time travel by wall clock (Delta's TIMESTAMP AS OF): read
+        the newest version committed at or before ``ts`` (epoch
+        seconds). Commit times come from the manifest body; manifests
+        written before the ``ts`` field fall back to file mtime."""
+        import json
+
+        best = None
+        for mf in self._manifests(table):
+            body = json.loads(mf.read_text())
+            cts = body.get("ts", mf.stat().st_mtime)
+            if cts <= ts and (best is None or body["version"] > best):
+                best = body["version"]
+        if best is None:
+            raise ValueError(
+                f"no version of {table!r} existed at or before {ts}"
+            )
+        return self.read_version(table, best)
+
+    def clone(self, src: str, dst: str) -> int:
+        """SHALLOW CLONE (Delta's zero-copy clone): the new table's
+        manifest references the SOURCE's live data bytes via
+        hardlinks — no data copied, created in milliseconds at any
+        size. Divergence is free because committed files are
+        immutable (every writer stages under job-unique names) and
+        vacuum on either table only unlinks its own directory entry;
+        the shared bytes live until BOTH tables stop referencing
+        them."""
+        with self._writer_lock(dst):
+            names = self._live_names(src)
+            dst_dir = self.path(dst)
+            dst_dir.mkdir(parents=True, exist_ok=True)
+            for n in names:
+                target = dst_dir / n
+                if not target.exists():
+                    os.link(self.path(src) / n, target)
+            return self._commit(dst, names, f"clone:{src}")
 
     def history(self, table: str) -> list[dict]:
         import json

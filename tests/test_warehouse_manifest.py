@@ -340,3 +340,42 @@ def test_optimistic_concurrency_conflicts(spark, tmp_path):
         wh.append(spark.range(50, 52).selectExpr("id"), t, expected_version=v)
     # failed commit left no visible rows
     assert sorted(r.id for r in wh.read(t).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_shallow_clone_and_timestamp_travel(spark, tmp_path):
+    """Zero-copy clone: no data bytes copied (hardlinks), divergence
+    is independent, and TIMESTAMP AS OF resolves the version live at
+    a given wall clock."""
+    import os
+    import time as _time
+
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    src, dst = "dim.src", "dim.dst"
+    wh.overwrite(spark.range(5).selectExpr("id"), src)
+    t_v0 = _time.time()
+    _time.sleep(0.05)
+
+    wh.clone(src, dst)
+    # hardlinked, not copied: same inode
+    n0 = wh._live_names(src)[0]
+    assert os.stat(wh.path(src) / n0).st_ino == os.stat(
+        wh.path(dst) / n0
+    ).st_ino
+    assert sorted(r.id for r in wh.read(dst).collect()) == [0, 1, 2, 3, 4]
+
+    # divergence: writes to either side never affect the other
+    wh.append(spark.range(10, 12).selectExpr("id"), dst)
+    wh.overwrite(spark.range(100, 101).selectExpr("id"), src)
+    assert sorted(r.id for r in wh.read(dst).collect()) == [0, 1, 2, 3, 4, 10, 11]
+    assert [r.id for r in wh.read(src).collect()] == [100]
+
+    # timestamp travel on src: before the overwrite -> v0 contents
+    assert sorted(
+        r.id for r in wh.read_asof_timestamp(src, t_v0).collect()
+    ) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="no version"):
+        wh.read_asof_timestamp(src, 0.0)
+
+    # clone keeps reading the shared bytes even after src vacuums them
+    wh.vacuum(retain_versions=1, min_age=0)
+    assert sorted(r.id for r in wh.read(dst).collect()) == [0, 1, 2, 3, 4, 10, 11]
