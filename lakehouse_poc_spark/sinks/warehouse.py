@@ -1217,17 +1217,21 @@ class Warehouse:
         dv = self.read(self._dv_table(table)).select(
             F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
         ).distinct()
-        return cur.join(
-            F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti"
-        )
+        # no explicit broadcast hint: AQE broadcasts a small vector
+        # automatically, while a pathologically large one (mass
+        # delete nobody purged) falls back to a shuffled anti-join
+        # instead of OOMing the driver
+        return cur.join(dv, ["__dv_file", "__dv_pos"], "left_anti")
 
     def read_mor(self, table: str) -> DataFrame:
         """Merge-on-read scan: the table minus its deletion vector —
         row-identical to what the copy-on-write delete would have left.
-        The vector is positions only (16 bytes/tombstone) and
-        broadcasts; at production scale the anti-join is pushed into
-        the scan per file (each task filters its own file's positions),
-        which this per-file-keyed join shape already expresses."""
+        The vector is positions only (16 bytes/tombstone); AQE
+        broadcasts it while small and shuffles the anti-join if a
+        mass delete grew it. At production scale the anti-join is
+        pushed into the scan per file (each task filters its own
+        file's positions), which this per-file-keyed join shape
+        already expresses."""
         self._dv_layout_guard(table)
         return self._mor_base(table).drop("__dv_file", "__dv_pos")
 
