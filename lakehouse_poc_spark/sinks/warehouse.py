@@ -1125,7 +1125,8 @@ class Warehouse:
     # The Iceberg-v2 positional-delete / Delta deletion-vector mechanic
     # on plain parquet: DELETE appends (file, row position) tombstones
     # to a side table instead of rewriting data files; readers anti-join
-    # the (tiny, broadcast) vector; compaction purges. The write cost of
+    # the vector (AQE broadcasts it while small — see _mor_base for why
+    # the hint is deliberately NOT forced); compaction purges. The write cost of
     # a delete becomes O(matches), independent of file sizes — the
     # merge-on-read half of the CoW/MOR tradeoff
     # (delete_where_file_pruned is the copy-on-write half).
@@ -1186,6 +1187,11 @@ class Warehouse:
             )
 
     def _dv_active(self, table: str) -> bool:
+        # deletion vectors are a parquet-dir mechanic only; the
+        # delta/iceberg branches delete natively and must not probe
+        # the catalog for a _dv side table
+        if self.format != "parquet":
+            return False
         return self.table_exists(self._dv_table(table))
 
     def _dv_cow_guard(self, table: str) -> None:
@@ -1903,17 +1909,17 @@ class ManifestWarehouse(Warehouse):
         written before the ``ts`` field fall back to file mtime."""
         import json
 
-        best = None
-        for mf in self._manifests(table):
+        # commit ts is monotone per table (stamped under the writer
+        # lock), so walk newest-first and stop at the first commit
+        # old enough — O(1) expected manifest reads on a long history
+        for mf in reversed(self._manifests(table)):
             body = json.loads(mf.read_text())
             cts = body.get("ts", mf.stat().st_mtime)
-            if cts <= ts and (best is None or body["version"] > best):
-                best = body["version"]
-        if best is None:
-            raise ValueError(
-                f"no version of {table!r} existed at or before {ts}"
-            )
-        return self.read_version(table, best)
+            if cts <= ts:
+                return self.read_version(table, body["version"])
+        raise ValueError(
+            f"no version of {table!r} existed at or before {ts}"
+        )
 
     def clone(self, src: str, dst: str) -> int:
         """SHALLOW CLONE (Delta's zero-copy clone): the new table's
@@ -1928,10 +1934,19 @@ class ManifestWarehouse(Warehouse):
             names = self._live_names(src)
             dst_dir = self.path(dst)
             dst_dir.mkdir(parents=True, exist_ok=True)
+            now = time.time()
             for n in names:
                 target = dst_dir / n
                 if not target.exists():
                     os.link(self.path(src) / n, target)
+                    # hardlinks inherit the source inode's OLD mtime,
+                    # which would defeat vacuum's min_age guard for
+                    # the linked-but-not-yet-committed window (a
+                    # concurrent retention vacuum would see old
+                    # unreferenced files in dst and unlink them
+                    # before our commit) — freshen the shared inode
+                    # so the links age like any staged write
+                    os.utime(target, (now, now))
             return self._commit(dst, names, f"clone:{src}")
 
     def history(self, table: str) -> list[dict]:
