@@ -106,3 +106,68 @@ def frequent_pairs(
         return out.localCheckpoint(eager=True)
     finally:
         b.unpersist()
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    minsup: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """The A-Priori 3-itemset pass: candidate triples are generated
+    FROM the frequent pairs (every 2-subset of a frequent triple must
+    be frequent — the downward-closure property that makes A-Priori
+    A-Priori), then counted against the baskets. Returns
+    (item_a, item_b, item_c, triple_cnt) with item_a < item_b <
+    item_c and triple_cnt ≥ ``minsup``.
+
+    Scale shape: the per-basket triple enumeration is L2-pruned AT
+    EVERY JOIN STEP — the (basket, a, b) intermediate is semi-joined
+    on the frequent-pair set before the third item joins, so the
+    worst-case intermediate is (baskets × frequent-pairs-per-basket),
+    never basket-size³. The frequent-pair relation is minsup-pruned
+    and broadcast-eligible."""
+    l2 = frequent_pairs(
+        baskets, basket_col, item_col, minsup=minsup, max_basket=max_basket
+    ).select("item_a", "item_b")
+    b = baskets.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    if max_basket is not None:
+        sizes = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__sz"))
+        b = b.join(
+            sizes.filter(F.col("__sz") <= max_basket).select("__bk"), "__bk"
+        )
+    pa = b.select("__bk", F.col("__it").alias("item_a"))
+    pb = b.select("__bk", F.col("__it").alias("item_b"))
+    pc = b.select("__bk", F.col("__it").alias("item_c"))
+    ab = (
+        pa.join(pb, "__bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(F.broadcast(l2), ["item_a", "item_b"], "left_semi")
+    )
+    abc = (
+        ab.join(pc, "__bk")
+        .filter(F.col("item_b") < F.col("item_c"))
+        .join(
+            F.broadcast(l2.select(F.col("item_a"), F.col("item_b").alias("item_c"))),
+            ["item_a", "item_c"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                l2.select(
+                    F.col("item_a").alias("item_b"),
+                    F.col("item_b").alias("item_c"),
+                )
+            ),
+            ["item_b", "item_c"],
+            "left_semi",
+        )
+    )
+    return (
+        abc.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triple_cnt"))
+        .filter(F.col("triple_cnt") >= minsup)
+    )

@@ -1575,3 +1575,31 @@ def frequent_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(
         li, basket_col="l_orderkey", item_col="l_partkey", minsup=2
     ).orderBy("item_a", "item_b")
+
+
+# ---------------------------------------------------------------------------
+# The A-Priori 3-itemset pass: candidates generated from the frequent
+# pairs via downward closure (every 2-subset of a frequent triple is
+# frequent), per-basket enumeration L2-pruned at every join step. The
+# oracle is the brute 3-way self-join with HAVING — identical results
+# because the pruning is lossless.
+@query(
+    "frequent_triples_orders",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS item_a, c.l_partkey AS item_b,
+           d.l_partkey AS item_c, CAST(COUNT(*) AS BIGINT) AS triple_cnt
+    FROM b a
+    JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    JOIN b d ON a.l_orderkey = d.l_orderkey AND c.l_partkey < d.l_partkey
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ORDER BY item_a, item_b, item_c
+    """,
+)
+def frequent_triples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_triples(
+        li, basket_col="l_orderkey", item_col="l_partkey", minsup=2
+    ).orderBy("item_a", "item_b", "item_c")

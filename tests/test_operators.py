@@ -389,3 +389,37 @@ def test_km_survival_absorption_nulls_tail(spark):
     out = {r.t: r for r in km_survival(df).collect()}
     assert out[1].log_surv_micro is not None
     assert out[2].log_surv_micro is None and out[2].log_survival is None
+
+
+def test_frequent_triples_matches_brute(spark):
+    """Triple pass == brute enumeration; downward-closure prune is
+    lossless (a triple frequent => all its pairs frequent)."""
+    from collections import Counter
+
+    from lakehouse_poc_spark.operators.itemsets import frequent_triples
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "d"),
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "b"), (3, "c"),
+        (4, "b"), (4, "c"), (4, "d"),
+        (5, "a"), (5, "d"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.triple_cnt
+        for r in frequent_triples(df, "bk", "item", minsup=2).collect()
+    }
+    by_bk = {}
+    for bk, it in rows:
+        by_bk.setdefault(bk, set()).add(it)
+    cnt = Counter()
+    for items in by_bk.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                for k in range(j + 1, len(s)):
+                    cnt[(s[i], s[j], s[k])] += 1
+    expect = {t: c for t, c in cnt.items() if c >= 2}
+    assert got == expect
+    assert got[("a", "b", "c")] == 3
