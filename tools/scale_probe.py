@@ -234,6 +234,97 @@ def graph_probe(spark) -> None:
         edges.unpersist()
 
 
+def assoc_probe(spark) -> None:
+    """Association/linkage scaling (r7): synthetic basket corpora at
+    4× growth (baskets ~n, catalog ~n/8, basket size ~6) for the
+    A-Priori pair+triple passes, and part-table growth for the
+    sorted-neighborhood + Fellegi-Sunter linkage pipeline; wall time
+    plus MEASURED Exchange records of the pair pass."""
+    from lakehouse_poc_spark.operators.itemsets import (
+        frequent_pairs,
+        frequent_triples,
+    )
+
+    for n in (20_000, 80_000, 320_000):
+        cat = max(16, n // 8)
+        baskets = (
+            spark.range(n * 6)
+            .select(
+                (F.col("id") % n).alias("bk"),
+                F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(cat)).alias(
+                    "item"
+                ),
+            )
+            .persist()
+        )
+        baskets.count()
+        t0 = time.perf_counter()
+        pairs = frequent_pairs(baskets, "bk", "item", minsup=2)
+        np_ = pairs.count()
+        t_p = time.perf_counter() - t0
+        # NB: frequent_pairs returns a localCheckpoint'd frame, so its
+        # executed plan carries no Exchange metrics — wall + output
+        # cardinality are the probe signals here
+        t0 = time.perf_counter()
+        nt = frequent_triples(baskets, "bk", "item", minsup=2).count()
+        t_t = time.perf_counter() - t0
+        print(
+            f"{'assoc':14s} rows={n * 6:8d} pairs={np_:7d} ({t_p:5.2f}s) "
+            f"triples={nt:6d} ({t_t:5.2f}s)",
+            flush=True,
+        )
+        baskets.unpersist()
+
+    from lakehouse_poc_spark.operators.linkage import (
+        linkage_score,
+        sorted_neighborhood_pairs,
+    )
+
+    part = read_parquet_table(spark, "/root/testdata/sf0.1", "part")
+    for factor in (1, 2, 4):
+        p = part
+        for i in range(1, factor):
+            p = p.unionByName(
+                part.withColumn(
+                    "p_partkey", F.col("p_partkey") + F.lit(1_000_000 * i)
+                )
+            )
+        p = p.persist()
+        np_ = p.count()
+        t0 = time.perf_counter()
+        cand = sorted_neighborhood_pairs(
+            p.select("p_partkey", "p_name"),
+            sort_cols=["p_name", "p_partkey"],
+            block=F.substring("p_name", 1, 2),
+            id_col="p_partkey",
+            window=3,
+        )
+        scored = linkage_score(
+            cand,
+            p,
+            p,
+            "p_partkey",
+            [
+                (
+                    F.levenshtein(F.col("__a_p_name"), F.col("__b_p_name"))
+                    <= 4,
+                    6,
+                    -2,
+                ),
+                (F.col("__a_p_brand") == F.col("__b_p_brand"), 4, -1),
+            ],
+            match_at=8,
+            possible_at=4,
+        )
+        nm = scored.filter("decision = 'match'").count()
+        t_l = time.perf_counter() - t0
+        print(
+            f"{'linkage':14s} parts={np_:7d} matches={nm:6d} ({t_l:5.2f}s)",
+            flush=True,
+        )
+        p.unpersist()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     with_brute = "--with-brute" in sys.argv
@@ -241,6 +332,10 @@ def main() -> None:
     if "--graph" in sys.argv:
         spark.range(1).count()
         graph_probe(spark)
+        return
+    if "--assoc" in sys.argv:
+        spark.range(1).count()
+        assoc_probe(spark)
         return
     docs = read_parquet_table(spark, sf_dir, "documents")
     emb = read_parquet_table(spark, sf_dir, "embeddings")
