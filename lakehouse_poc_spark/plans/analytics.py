@@ -1603,3 +1603,85 @@ def frequent_triples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_triples(
         li, basket_col="l_orderkey", item_col="l_partkey", minsup=2
     ).orderBy("item_a", "item_b", "item_c")
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... RETURN):
+# the engine's SQL surface lets users package expressions as named
+# functions without leaving SQL — here net revenue and a price band,
+# composed inside a grouped aggregate. The oracle inlines the same
+# expressions (the function DEFINITION is the Spark-side feature
+# under test; the semantics are plain expression algebra).
+@query(
+    "sql_udf_revenue_bands",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice * 0.95 AS DECIMAL(30,6))) AS DOUBLE)
+               AS net_revenue
+    FROM orders
+    GROUP BY 1 ORDER BY band
+    """,
+)
+def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(amount DOUBLE) "
+        "RETURNS DOUBLE RETURN amount * 0.95"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(amount DOUBLE) "
+        "RETURNS INT RETURN CAST(floor(amount / 50000.0) AS INT)"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(net_rev(o_totalprice) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS net_revenue
+        FROM orders
+        GROUP BY price_band(o_totalprice)
+        ORDER BY band
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (Spark 4 / ANSI): per BUILDING-segment
+# customer, the top-2 orders by price — the "top-k per row" idiom
+# expressed as the optimizer's correlated-join form instead of a
+# window. DuckDB executes the identical LATERAL; ties break on
+# o_orderkey so LIMIT 2 is deterministic on both engines.
+@query(
+    "lateral_topk_customer_orders",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) l
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def lateral_topk_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) l
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
