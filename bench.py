@@ -186,6 +186,9 @@ HEADLINE = [
     "l_diversity_customers",
     "dv_delete_customers",
     "bitemporal_customers",
+    "frequent_triples_orders",
+    "sql_udf_revenue_bands",
+    "lateral_topk_customer_orders",
 ]
 
 
