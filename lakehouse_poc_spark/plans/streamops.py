@@ -1378,3 +1378,71 @@ def stream_cusum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "cusum_final", "cusum_max", "alarm")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming merge-on-read deletes: a CDC feed of delete-key batches
+# applies through delete_where_dv per micro-batch — each batch
+# appends position tombstones (zero data-file rewrites while the
+# stream runs; compaction is a separate maintenance op). Final
+# read_mor state is plain SQL DELETE semantics — the MOR streaming
+# twin of stream_scd1_file_pruned's CoW path.
+@query(
+    "stream_dv_delete_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer
+    WHERE NOT (c_custkey % 7 = 0) AND NOT (c_custkey % 5 = 3)
+    ORDER BY key
+    """,
+)
+def stream_dv_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = stream_scratch("stream_dvdel_")
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+    def _build(d: Path) -> None:
+        keys0 = cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+        keys1 = cust.filter(F.col("c_custkey") % 5 == 3).select("c_custkey")
+        keys0.coalesce(1).write.parquet(str(d / "b0"))
+        keys1.coalesce(1).write.parquet(str(d / "b1"))
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"dvdel_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/customer.parquet").st_mtime,
+    )
+
+    wh = Warehouse(spark, str(work / "wh"))
+    t = "dim.customer_dv"
+    cust.repartitionByRange(8, "c_custkey").write.parquet(str(wh.path(t)))
+
+    key_schema = cust.select("c_custkey").schema
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", key_schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # distributed key semi-join — the CDC batch never visits the
+        # driver (delete_keys_dv, not an IN-list predicate)
+        wh.delete_keys_dv(t, batch_df, keys=["c_custkey"])
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    return (
+        wh.read_mor(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )

@@ -1171,6 +1171,40 @@ class Warehouse:
             )
             return {"rows_deleted": n, "dv_rows": dv_rows}
 
+    def delete_keys_dv(
+        self, table: str, keys_df: "DataFrame", keys: list[str]
+    ) -> dict:
+        """Merge-on-read DELETE by key set: tombstone every row whose
+        ``keys`` columns match a row of ``keys_df`` — the CDC-feed
+        form of :meth:`delete_where_dv`, expressed as a distributed
+        semi-join so the key batch never visits the driver (no IN
+        list). Same guards, same stats."""
+        if self.format != "parquet":
+            raise ValueError(
+                "delete_keys_dv is the parquet-dir mechanic; "
+                "delta/iceberg deletes are natively file-pruned"
+            )
+        self._dv_layout_guard(table)
+        with self._writer_lock(table):
+            new_dv = (
+                self._mor_base(table)
+                .join(keys_df.select(*keys).distinct(), keys, "left_semi")
+                .select(
+                    F.col("__dv_file").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n = new_dv.count()
+            if n:
+                self.append(new_dv, self._dv_table(table))
+            dv_rows = (
+                self.read(self._dv_table(table)).count()
+                if self.table_exists(self._dv_table(table))
+                else 0
+            )
+            return {"rows_deleted": n, "dv_rows": dv_rows}
+
     def _dv_layout_guard(self, table: str) -> None:
         """Deletion vectors key on file BASENAME + row position, which
         is only unique in the flat single-dir layout — partitioned
