@@ -189,6 +189,7 @@ HEADLINE = [
     "frequent_triples_orders",
     "sql_udf_revenue_bands",
     "lateral_topk_customer_orders",
+    "stream_dv_delete_customers",
 ]
 
 

@@ -1149,27 +1149,10 @@ class Warehouse:
         self._dv_layout_guard(table)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         with self._writer_lock(table):
-            # localCheckpoint: the match plan (full scan + MOR
-            # anti-join) runs ONCE; count and the tombstone write both
-            # read the materialized positions
-            new_dv = (
-                self._mor_base(table)
-                .filter(F.coalesce(pred, F.lit(False)))
-                .select(
-                    F.col("__dv_file").alias("file"),
-                    F.col("__dv_pos").alias("pos"),
-                )
-                .localCheckpoint(eager=True)
+            matches = self._mor_base(table).filter(
+                F.coalesce(pred, F.lit(False))
             )
-            n = new_dv.count()
-            if n:
-                self.append(new_dv, self._dv_table(table))
-            dv_rows = (
-                self.read(self._dv_table(table)).count()
-                if self.table_exists(self._dv_table(table))
-                else 0
-            )
-            return {"rows_deleted": n, "dv_rows": dv_rows}
+            return self._dv_append(table, matches)
 
     def delete_keys_dv(
         self, table: str, keys_df: "DataFrame", keys: list[str]
@@ -1186,24 +1169,28 @@ class Warehouse:
             )
         self._dv_layout_guard(table)
         with self._writer_lock(table):
-            new_dv = (
-                self._mor_base(table)
-                .join(keys_df.select(*keys).distinct(), keys, "left_semi")
-                .select(
-                    F.col("__dv_file").alias("file"),
-                    F.col("__dv_pos").alias("pos"),
-                )
-                .localCheckpoint(eager=True)
+            matches = self._mor_base(table).join(
+                keys_df.select(*keys).distinct(), keys, "left_semi"
             )
-            n = new_dv.count()
-            if n:
-                self.append(new_dv, self._dv_table(table))
-            dv_rows = (
-                self.read(self._dv_table(table)).count()
-                if self.table_exists(self._dv_table(table))
-                else 0
-            )
-            return {"rows_deleted": n, "dv_rows": dv_rows}
+            return self._dv_append(table, matches)
+
+    def _dv_append(self, table: str, matches: "DataFrame") -> dict:
+        """Materialize ``matches``' positions once and append them as
+        tombstones; shared tail of the two MOR delete forms. Caller
+        holds the writer lock."""
+        new_dv = matches.select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"),
+        ).localCheckpoint(eager=True)
+        n = new_dv.count()
+        if n:
+            self.append(new_dv, self._dv_table(table))
+        dv_rows = (
+            self.read(self._dv_table(table)).count()
+            if self.table_exists(self._dv_table(table))
+            else 0
+        )
+        return {"rows_deleted": n, "dv_rows": dv_rows}
 
     def _dv_layout_guard(self, table: str) -> None:
         """Deletion vectors key on file BASENAME + row position, which
