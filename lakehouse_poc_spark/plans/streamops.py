@@ -1446,3 +1446,121 @@ def stream_dv_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (incremental) market-basket mining: lineitem arrives in
+# two basket-complete micro-batches (split on orderkey parity —
+# baskets never straddle a batch), and three ADDITIVE state tables
+# (pair counts, item supports, basket count) merge per batch; the
+# final read assembles confidence/lift from the merged counts with
+# the batch operator's exact formulas. Support counting is additive,
+# so the minsup prune moves to the final read and the incremental
+# result is ROW-IDENTICAL to the one-shot pass — proven by reusing
+# frequent_pairs_orders' oracle verbatim. (Per-batch enumeration
+# skips the A-Priori item prune — global supports are unknowable
+# mid-stream — but stays bounded by basket size; the prune is a
+# final-read filter, not a correctness device.)
+@query(
+    "stream_frequent_pairs_orders",
+    oracle=_ORACLES["frequent_pairs_orders"],
+)
+def stream_frequent_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = stream_scratch("stream_fpairs_")
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def _build(d: Path) -> None:
+        li.filter(F.col("l_orderkey") % 2 == 1).coalesce(1).write.parquet(
+            str(d / "b0")
+        )
+        li.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.parquet(
+            str(d / "b1")
+        )
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"fpairs_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/lineitem.parquet").st_mtime,
+    )
+
+    wh = Warehouse(spark, str(work / "wh"))
+    pairs_t, items_t, meta_t = "agg.pairs", "agg.items", "agg.meta"
+
+    def _merge(table: str, part: DataFrame, keys: list[str]) -> None:
+        if wh.table_exists(table):
+            part = (
+                wh.read(table)
+                .unionByName(part)
+                .groupBy(*keys)
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        wh.overwrite_from_plan(part, table)
+
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", li.schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select(
+            F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+        ).distinct()
+        pa = b.select("bk", F.col("it").alias("item_a"))
+        pb = b.select("bk", F.col("it").alias("item_b"))
+        pair_part = (
+            pa.join(pb, "bk")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        item_part = b.groupBy(F.col("it").alias("item")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        meta_part = b.select("bk").distinct().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).select(F.lit("n_baskets").alias("k"), "n")
+        _merge(pairs_t, pair_part, ["item_a", "item_b"])
+        _merge(items_t, item_part, ["item"])
+        _merge(meta_t, meta_part, ["k"])
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+
+    n_baskets = wh.read(meta_t).collect()[0]["n"]
+    supp = wh.read(items_t).filter(F.col("n") >= 2)
+    sa = supp.select(F.col("item").alias("item_a"), F.col("n").alias("supp_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("n").alias("supp_b"))
+    return (
+        wh.read(pairs_t)
+        .filter(F.col("n") >= 2)
+        .withColumnRenamed("n", "pair_cnt")
+        .join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            "supp_a",
+            "supp_b",
+            (
+                F.col("pair_cnt").cast("double") / F.col("supp_a").cast("double")
+            ).alias("confidence"),
+            (
+                F.col("pair_cnt").cast("double")
+                * F.lit(float(n_baskets))
+                / (
+                    F.col("supp_a").cast("double")
+                    * F.col("supp_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )
