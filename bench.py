@@ -190,6 +190,7 @@ HEADLINE = [
     "sql_udf_revenue_bands",
     "lateral_topk_customer_orders",
     "stream_dv_delete_customers",
+    "stream_frequent_pairs_orders",
 ]
 
 
