@@ -2280,3 +2280,162 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage_score(
         cand, part, part, "p_partkey", rules, match_at=12, possible_at=6
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# ER survivorship — the last stage of the entity-resolution pipeline
+# (blocking → scoring → clustering → GOLDEN RECORD): match-decision
+# pairs from record_linkage_parts cluster via connected components,
+# and each cluster merges into one survivor row under deterministic
+# field rules (canonical id = min member; name = longest, ties
+# lexicographic; brand = most frequent, ties lexicographic; price =
+# min; size = max). Unmatched parts are their own golden record. The
+# oracle reproduces the identical pipeline: the scoring CTE, a
+# recursive-CTE closure for components, and windowed survivorship.
+@query(
+    "golden_record_parts",
+    oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT p_partkey, row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    ),
+    cand AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn - a.rn <= 3
+    ),
+    matches AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN part pa ON c.id_a = pa.p_partkey
+      JOIN part pb ON c.id_b = pb.p_partkey
+      WHERE (CASE WHEN levenshtein(pa.p_name, pb.p_name) <= 4 THEN 6 ELSE -2 END)
+          + (CASE WHEN pa.p_brand = pb.p_brand THEN 4 ELSE -1 END)
+          + (CASE WHEN pa.p_type = pb.p_type THEN 3 ELSE -1 END)
+          + (CASE WHEN abs(pa.p_size - pb.p_size) <= 2 THEN 2 ELSE -1 END)
+          + (CASE WHEN abs(pa.p_retailprice - pb.p_retailprice) <= 1.0
+                  THEN 2 ELSE -1 END) >= 12
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM matches
+      UNION ALL SELECT id_b, id_a FROM matches
+    ),
+    reach AS (
+      SELECT p_partkey AS node, p_partkey AS lbl FROM part
+      UNION
+      SELECT s.v AS node, reach.lbl
+      FROM reach JOIN sym s ON s.u = reach.node
+    ),
+    comp AS (
+      SELECT node, CAST(MIN(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    members AS (
+      SELECT c.component, p.* FROM part p JOIN comp c ON p.p_partkey = c.node
+    ),
+    name_pick AS (
+      SELECT component, p_name FROM (
+        SELECT component, p_name,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY length(p_name) DESC, p_name) AS rk
+        FROM members
+      ) t WHERE rk = 1
+    ),
+    brand_pick AS (
+      SELECT component, p_brand FROM (
+        SELECT component, p_brand,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY COUNT(*) DESC, p_brand) AS rk
+        FROM members GROUP BY component, p_brand
+      ) t WHERE rk = 1
+    )
+    SELECT m.component AS golden_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(np.p_name) AS name,
+           MAX(bp.p_brand) AS brand,
+           MIN(m.p_retailprice) AS min_price,
+           CAST(MAX(m.p_size) AS BIGINT) AS max_size
+    FROM members m
+    JOIN name_pick np USING (component)
+    JOIN brand_pick bp USING (component)
+    GROUP BY m.component
+    ORDER BY golden_id
+    """,
+)
+def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+    from ..operators.linkage import linkage_score, sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    cand = sorted_neighborhood_pairs(
+        part.select("p_partkey", "p_name"),
+        sort_cols=["p_name", "p_partkey"],
+        block=F.substring("p_name", 1, 2),
+        id_col="p_partkey",
+        window=3,
+    )
+    rules = [
+        (F.levenshtein(F.col("__a_p_name"), F.col("__b_p_name")) <= 4, 6, -2),
+        (F.col("__a_p_brand") == F.col("__b_p_brand"), 4, -1),
+        (F.col("__a_p_type") == F.col("__b_p_type"), 3, -1),
+        (F.abs(F.col("__a_p_size") - F.col("__b_p_size")) <= 2, 2, -1),
+        (
+            F.abs(F.col("__a_p_retailprice") - F.col("__b_p_retailprice"))
+            <= 1.0,
+            2,
+            -1,
+        ),
+    ]
+    matches = linkage_score(
+        cand, part, part, "p_partkey", rules, match_at=12, possible_at=6
+    ).filter(F.col("decision") == "match")
+    comp = connected_components(
+        matches.select(
+            F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+        )
+    ).withColumnRenamed("id", "p_partkey")
+    members = part.join(comp, "p_partkey", "left").withColumn(
+        "component",
+        F.coalesce(F.col("component"), F.col("p_partkey")),
+    )
+    wn = Window.partitionBy("component").orderBy(
+        F.length("p_name").desc(), F.asc("p_name")
+    )
+    name_pick = (
+        members.withColumn("__rk", F.row_number().over(wn))
+        .filter(F.col("__rk") == 1)
+        .select("component", F.col("p_name").alias("__name"))
+    )
+    wb = Window.partitionBy("component").orderBy(
+        F.desc("__cnt"), F.asc("p_brand")
+    )
+    brand_pick = (
+        members.groupBy("component", "p_brand")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") == 1)
+        .select("component", F.col("p_brand").alias("__brand"))
+    )
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_size").cast("bigint").alias("max_size"),
+        )
+        .join(name_pick, "component")
+        .join(brand_pick, "component")
+        .select(
+            F.col("component").alias("golden_id"),
+            "n_members",
+            F.col("__name").alias("name"),
+            F.col("__brand").alias("brand"),
+            "min_price",
+            "max_size",
+        )
+        .orderBy("golden_id")
+    )
