@@ -191,6 +191,7 @@ HEADLINE = [
     "lateral_topk_customer_orders",
     "stream_dv_delete_customers",
     "stream_frequent_pairs_orders",
+    "golden_record_parts",
 ]
 
 
