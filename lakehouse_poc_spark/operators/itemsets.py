@@ -30,6 +30,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _basket_relation(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None,
+) -> DataFrame:
+    """Deduped (__bk, __it) basket relation with the optional
+    mega-basket cap — the shared input prep of the pair and triple
+    passes."""
+    b = baskets.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    if max_basket is not None:
+        sizes = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__sz"))
+        b = b.join(
+            sizes.filter(F.col("__sz") <= max_basket).select("__bk"), "__bk"
+        )
+    return b
+
+
 def frequent_pairs(
     baskets: DataFrame,
     basket_col: str,
@@ -44,15 +64,7 @@ def frequent_pairs(
     confidence = pair_cnt / supp_a (P(b | a)),
     lift = pair_cnt · n_baskets / (supp_a · supp_b).
     """
-    b = baskets.select(
-        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
-    ).distinct()
-    if max_basket is not None:
-        sizes = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__sz"))
-        b = b.join(
-            sizes.filter(F.col("__sz") <= max_basket).select("__bk"), "__bk"
-        )
-    b = b.persist()
+    b = _basket_relation(baskets, basket_col, item_col, max_basket).persist()
     try:
         n_baskets = b.select("__bk").distinct().count()
         supp = (
@@ -131,14 +143,7 @@ def frequent_triples(
     l2 = frequent_pairs(
         baskets, basket_col, item_col, minsup=minsup, max_basket=max_basket
     ).select("item_a", "item_b")
-    b = baskets.select(
-        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
-    ).distinct()
-    if max_basket is not None:
-        sizes = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__sz"))
-        b = b.join(
-            sizes.filter(F.col("__sz") <= max_basket).select("__bk"), "__bk"
-        )
+    b = _basket_relation(baskets, basket_col, item_col, max_basket)
     pa = b.select("__bk", F.col("__it").alias("item_a"))
     pb = b.select("__bk", F.col("__it").alias("item_b"))
     pc = b.select("__bk", F.col("__it").alias("item_c"))

@@ -2203,6 +2203,52 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKAGE_MATCH_AT = 12
+_LINKAGE_POSSIBLE_AT = 6
+
+
+def _linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE linkage model both ER queries share (blocking window,
+    field rules, weights, thresholds): sorted-neighborhood candidates
+    scored with the Fellegi-Sunter fixed weights. record_linkage_parts
+    reports decisions; golden_record_parts clusters the matches —
+    both oracles hard-code the same weights, so the model lives in
+    exactly one Python place."""
+    from ..operators.linkage import linkage_score, sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    cand = sorted_neighborhood_pairs(
+        part.select("p_partkey", "p_name"),
+        sort_cols=["p_name", "p_partkey"],
+        block=F.substring("p_name", 1, 2),
+        id_col="p_partkey",
+        window=3,
+    )
+    rules = [
+        (F.levenshtein(F.col("__a_p_name"), F.col("__b_p_name")) <= 4, 6, -2),
+        (F.col("__a_p_brand") == F.col("__b_p_brand"), 4, -1),
+        (F.col("__a_p_type") == F.col("__b_p_type"), 3, -1),
+        (F.abs(F.col("__a_p_size") - F.col("__b_p_size")) <= 2, 2, -1),
+        (
+            F.abs(F.col("__a_p_retailprice") - F.col("__b_p_retailprice"))
+            <= 1.0,
+            2,
+            -1,
+        ),
+    ]
+    return linkage_score(
+        cand,
+        part,
+        part,
+        "p_partkey",
+        rules,
+        match_at=_LINKAGE_MATCH_AT,
+        possible_at=_LINKAGE_POSSIBLE_AT,
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end entity resolution on parts: sorted-neighborhood blocking
 # (the existing candidate generator) feeds Fellegi–Sunter fixed-weight
@@ -2245,41 +2291,7 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.linkage import linkage_score, sorted_neighborhood_pairs
-
-    part = _t(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
-    )
-    cand = sorted_neighborhood_pairs(
-        part.select("p_partkey", "p_name"),
-        sort_cols=["p_name", "p_partkey"],
-        block=F.substring("p_name", 1, 2),
-        id_col="p_partkey",
-        window=3,
-    )
-    rules = [
-        (
-            F.levenshtein(F.col("__a_p_name"), F.col("__b_p_name")) <= 4,
-            6,
-            -2,
-        ),
-        (F.col("__a_p_brand") == F.col("__b_p_brand"), 4, -1),
-        (F.col("__a_p_type") == F.col("__b_p_type"), 3, -1),
-        (
-            F.abs(F.col("__a_p_size") - F.col("__b_p_size")) <= 2,
-            2,
-            -1,
-        ),
-        (
-            F.abs(F.col("__a_p_retailprice") - F.col("__b_p_retailprice"))
-            <= 1.0,
-            2,
-            -1,
-        ),
-    ]
-    return linkage_score(
-        cand, part, part, "p_partkey", rules, match_at=12, possible_at=6
-    ).orderBy("id_a", "id_b")
+    return _linkage_scored(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -2366,33 +2378,13 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.dedup import connected_components
-    from ..operators.linkage import linkage_score, sorted_neighborhood_pairs
 
     part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
     )
-    cand = sorted_neighborhood_pairs(
-        part.select("p_partkey", "p_name"),
-        sort_cols=["p_name", "p_partkey"],
-        block=F.substring("p_name", 1, 2),
-        id_col="p_partkey",
-        window=3,
+    matches = _linkage_scored(spark, sf_dir).filter(
+        F.col("decision") == "match"
     )
-    rules = [
-        (F.levenshtein(F.col("__a_p_name"), F.col("__b_p_name")) <= 4, 6, -2),
-        (F.col("__a_p_brand") == F.col("__b_p_brand"), 4, -1),
-        (F.col("__a_p_type") == F.col("__b_p_type"), 3, -1),
-        (F.abs(F.col("__a_p_size") - F.col("__b_p_size")) <= 2, 2, -1),
-        (
-            F.abs(F.col("__a_p_retailprice") - F.col("__b_p_retailprice"))
-            <= 1.0,
-            2,
-            -1,
-        ),
-    ]
-    matches = linkage_score(
-        cand, part, part, "p_partkey", rules, match_at=12, possible_at=6
-    ).filter(F.col("decision") == "match")
     comp = connected_components(
         matches.select(
             F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")

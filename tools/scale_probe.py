@@ -234,7 +234,7 @@ def graph_probe(spark) -> None:
         edges.unpersist()
 
 
-def assoc_probe(spark) -> None:
+def assoc_probe(spark, sf_dir: str) -> None:
     """Association/linkage scaling (r7): synthetic basket corpora at
     4× growth (baskets ~n, catalog ~n/8, basket size ~6) for the
     A-Priori pair+triple passes, and part-table growth for the
@@ -280,7 +280,7 @@ def assoc_probe(spark) -> None:
         sorted_neighborhood_pairs,
     )
 
-    part = read_parquet_table(spark, "/root/testdata/sf0.1", "part")
+    part = read_parquet_table(spark, sf_dir, "part")
     for factor in (1, 2, 4):
         p = part
         for i in range(1, factor):
@@ -335,7 +335,7 @@ def main() -> None:
         return
     if "--assoc" in sys.argv:
         spark.range(1).count()
-        assoc_probe(spark)
+        assoc_probe(spark, sf_dir)
         return
     docs = read_parquet_table(spark, sf_dir, "documents")
     emb = read_parquet_table(spark, sf_dir, "embeddings")
