@@ -192,6 +192,8 @@ HEADLINE = [
     "stream_dv_delete_customers",
     "stream_frequent_pairs_orders",
     "golden_record_parts",
+    "auc_quality_classifier",
+    "score_reliability_docs",
 ]
 
 

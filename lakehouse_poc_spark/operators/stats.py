@@ -283,3 +283,93 @@ def km_survival(
         )
         .orderBy("t")
     )
+
+
+def blocked_cumsum(
+    df: DataFrame,
+    sort_col: str,
+    value_col: str,
+    block: "F.Column",
+    out_col: str = "cum",
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over ``sort_col`` order
+    WITHOUT a global window: per-block partial sums collect to the
+    driver (block cardinality is bounded by construction — it is a
+    coarsening of the sort key), and each row gets its block's offset
+    plus an in-block window sum. Bit-identical to the single-reducer
+    ``SUM() OVER (ORDER BY …)`` at any partitioning — the cumulative
+    twin of linkage.global_rank. ``block`` must coarsen ``sort_col``
+    (block boundaries respect the sort order)."""
+    b = df.withColumn("__blk", block)
+    sums = sorted(
+        (r["__blk"], r["s"])
+        for r in b.groupBy("__blk")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for blk, sv in sums:
+        offsets.append((blk, acc))
+        acc += sv
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, ["__blk", "__off"])
+    w = (
+        Window.partitionBy("__blk")
+        .orderBy(sort_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(off), "__blk")
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(value_col).over(w), F.lit(0)) + F.col("__off"),
+        )
+        .drop("__blk", "__off")
+    )
+
+
+def auc_exact(
+    scored: DataFrame, score_col: str, label_col: str, block: "F.Column"
+) -> DataFrame:
+    """Exact ROC AUC via the Mann–Whitney U statistic with midranks
+    (the tie-correct formulation): one row
+    (n_pos, n_neg, u2 = 2·U, auc). All rank arithmetic stays in
+    doubled integers (midrank·2 is always integral), so the only
+    float op is the final division — hash-exact on any engine.
+
+    Scale shape: one (score → count, positives) aggregation collapses
+    the corpus to distinct scores; the prefix sum over that relation
+    uses :func:`blocked_cumsum` (no global window); the rest is one
+    tiny aggregate."""
+    per = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col(label_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+    )
+    per = blocked_cumsum(per, "s", "c", block, out_col="cum_before")
+    # midrank·2 of a tie group at [cum_before+1 .. cum_before+c]
+    contrib = per.select(
+        (F.col("p") * (2 * F.col("cum_before") + F.col("c") + 1)).alias(
+            "pos_rank2"
+        ),
+        "p",
+        (F.col("c") - F.col("p")).alias("n"),
+    ).agg(
+        F.sum("pos_rank2").cast("bigint").alias("sum_rank2"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("n").cast("bigint").alias("n_neg"),
+    )
+    return contrib.select(
+        "n_pos",
+        "n_neg",
+        (F.col("sum_rank2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias(
+            "u2"
+        ),
+        (
+            (
+                F.col("sum_rank2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )

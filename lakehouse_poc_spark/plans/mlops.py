@@ -235,3 +235,115 @@ def feature_hash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("bigint").alias("weight"))
         .orderBy("user_id", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier eval: exact ROC AUC of the published quality model's
+# margin against the Gopher rule label — Mann-Whitney U with midranks
+# (tie-correct), all rank arithmetic in doubled integers, one final
+# division. The margin prefix sum uses the block-offset cumsum (no
+# global window; margin div 1e6 coarsens the sort). The oracle runs
+# the textbook single-window formulation — bit-identical.
+@query(
+    "auc_quality_classifier",
+    oracle=f"""
+    {_FEATURE_SQL},
+    scored AS (
+        SELECT CAST(floor(({_margin_sql()}) * 1000000) AS BIGINT) AS s,
+               rule_keep FROM f
+    ),
+    per AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM scored GROUP BY s
+    ),
+    cum AS (
+        SELECT *, COALESCE(SUM(c) OVER (
+                      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cum_before
+        FROM per
+    ),
+    agg AS (
+        SELECT CAST(SUM(p * (2 * cum_before + c + 1)) AS BIGINT) AS sum_rank2,
+               CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(c - p) AS BIGINT) AS n_neg
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST(sum_rank2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CAST(sum_rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM agg
+    """,
+)
+def auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import auc_exact
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = _feature_frame(docs).select(
+        F.floor(_margin() * F.lit(1_000_000)).cast("bigint").alias("s"),
+        "rule_keep",
+    )
+    return auc_exact(
+        scored,
+        "s",
+        "rule_keep",
+        block=F.floor(F.col("s") / F.lit(1_000_000)).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Score-binned reliability table: margin bands vs observed positive
+# rate — the calibration read-out that needs no sigmoid (exp is
+# libm-variable cross-engine; the band is monotone in the
+# probability, so monotonically increasing frac_pos IS the
+# calibration signal). One aggregation; mean margin decimal-exact.
+@query(
+    "score_reliability_docs",
+    oracle=f"""
+    {_FEATURE_SQL},
+    scored AS (
+        SELECT CAST(floor(({_margin_sql()}) * 1000000) AS BIGINT) AS s,
+               rule_keep FROM f
+    )
+    SELECT CAST(floor(CAST(s AS DOUBLE) / 2000000.0) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+           CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE)
+               / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_margin
+    FROM scored
+    GROUP BY 1 ORDER BY band
+    """,
+)
+def score_reliability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = _feature_frame(docs).select(
+        F.floor(_margin() * F.lit(1_000_000)).cast("bigint").alias("s"),
+        "rule_keep",
+    )
+    return (
+        scored.groupBy(
+            F.floor(F.col("s").cast("double") / F.lit(2_000_000.0))
+            .cast("bigint")
+            .alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("rule_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            (
+                F.sum(F.when(F.col("rule_keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("frac_pos"),
+            (
+                F.sum(F.col("s").cast("decimal(30,6)")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_margin"),
+        )
+        .orderBy("band")
+    )

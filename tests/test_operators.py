@@ -423,3 +423,52 @@ def test_frequent_triples_matches_brute(spark):
     expect = {t: c for t, c in cnt.items() if c >= 2}
     assert got == expect
     assert got[("a", "b", "c")] == 3
+
+
+def test_auc_exact_matches_brute_midranks(spark):
+    """auc_exact == the hand-computed tie-corrected Mann-Whitney AUC
+    on data with heavy ties, and blocked_cumsum == the global-window
+    prefix sum it replaces."""
+    import random as _random
+
+    from lakehouse_poc_spark.operators.stats import auc_exact, blocked_cumsum
+
+    rng = _random.Random(3)
+    rows = [(rng.randrange(0, 8), rng.random() < 0.4) for _ in range(200)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+
+    # brute: midranks over the sorted scores
+    xs = sorted(rows, key=lambda r: r[0])
+    ranks = {}
+    i = 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j][0] == xs[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2  # average of ranks i+1..j
+        ranks[xs[i][0]] = mid
+        i = j
+    n_pos = sum(1 for _, y in rows if y)
+    n_neg = len(rows) - n_pos
+    u = sum(ranks[s] for s, y in rows if y) - n_pos * (n_pos + 1) / 2
+    expect_auc = u / (n_pos * n_neg)
+
+    out = auc_exact(
+        df, "s", "y", block=F.floor(F.col("s") / F.lit(3)).cast("long")
+    ).collect()[0]
+    assert (out.n_pos, out.n_neg) == (n_pos, n_neg)
+    assert abs(out.auc - expect_auc) < 1e-12
+
+    # blocked cumsum parity vs a plain python prefix sum
+    per = [(s, sum(1 for x, _ in rows if x == s)) for s in sorted({s for s, _ in rows})]
+    pdf = spark.createDataFrame(per, "s long, c long")
+    got = {
+        r.s: r.cum
+        for r in blocked_cumsum(
+            pdf, "s", "c", F.floor(F.col("s") / F.lit(3)).cast("long")
+        ).collect()
+    }
+    acc = 0
+    for s, c in per:
+        assert got[s] == acc, s
+        acc += c
