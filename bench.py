@@ -194,6 +194,7 @@ HEADLINE = [
     "golden_record_parts",
     "auc_quality_classifier",
     "score_reliability_docs",
+    "ewma_backtest_users",
 ]
 
 

@@ -1436,3 +1436,78 @@ def mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: one-step-ahead EWMA walk-forward per user — at
+# each event, the previous EWMA state is the prediction and the
+# absolute error accrues BEFORE the state updates; MAE over the n−1
+# predictions is the model's honest backtest score (evaluating the
+# smoother on the points it already absorbed would leak). Same pinned
+# fold order as ewma/cusum, so doubles are engine-identical; the
+# struct field computing the error comes FIRST (it must read the
+# PRE-update state — DuckDB rebinds acc fields sequentially, the
+# documented cusum quirk).
+@query(
+    "ewma_backtest_users",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    ),
+    folded AS (
+        SELECT user_id,
+               CAST(len(vals) AS BIGINT) AS n_events,
+               list_reduce(
+                   list_prepend(
+                       {{'e': 0.0, 's': vals[1]}},
+                       list_transform(vals[2:], x -> {{'e': x, 's': x}})
+                   ),
+                   (acc, x) -> {{
+                       'e': acc.e + abs(x.s - acc.s),
+                       's': {_EWMA_LAMBDA} * acc.s
+                            + {1.0 - _EWMA_LAMBDA} * x.s
+                   }}
+               ) AS r
+        FROM seq
+    )
+    SELECT user_id, n_events,
+           CAST(n_events - 1 AS BIGINT) AS n_preds,
+           r.s AS ewma_final,
+           CASE WHEN n_events >= 2
+                THEN r.e / CAST(n_events - 1 AS DOUBLE) END AS mae
+    FROM folded
+    ORDER BY user_id
+    """,
+)
+def ewma_backtest_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda e: e["value"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(
+            F.lit(0.0).alias("e"), F.element_at(vals, 1).alias("s")
+        ),
+        lambda acc, x: F.struct(
+            (acc["e"] + F.abs(x - acc["s"])).alias("e"),
+            (
+                F.lit(_EWMA_LAMBDA) * acc["s"]
+                + F.lit(1.0 - _EWMA_LAMBDA) * x
+            ).alias("s"),
+        ),
+    )
+    n = F.size("evs").cast("bigint")
+    return seq.select(
+        "user_id",
+        n.alias("n_events"),
+        (n - 1).cast("bigint").alias("n_preds"),
+        folded["s"].alias("ewma_final"),
+        F.when(
+            n >= 2, folded["e"] / (n - 1).cast("double")
+        ).alias("mae"),
+    ).orderBy("user_id")
