@@ -195,6 +195,8 @@ HEADLINE = [
     "auc_quality_classifier",
     "score_reliability_docs",
     "ewma_backtest_users",
+    "dup_rate_by_source",
+    "token_budget_report",
 ]
 
 

@@ -756,3 +756,133 @@ def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_rate_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source exact-duplicate rate: the dataset-card dup metric sliced
+# by provenance — the first question after "the corpus is 4% dup" is
+# "WHICH crawl is doing it". One fingerprint aggregation; a doc is a
+# duplicate if its normalized-text md5 appeared under a lower doc_id
+# anywhere in the corpus (cross-source dups charge the later source).
+@query(
+    "dup_rate_by_source",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        FROM documents
+    ),
+    firsts AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f)
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fp.doc_id <> firsts.keeper THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN fp.doc_id <> firsts.keeper THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM fp JOIN firsts USING (f)
+    GROUP BY fp.source
+    ORDER BY fp.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint_md5
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", fingerprint_md5("text").alias("f")
+    )
+    firsts = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    return (
+        fp.join(firsts, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dups"),
+            (
+                F.sum(
+                    F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget concentration: sources ranked by token count with each
+# source's cumulative share — the "which sources fill 90% of the
+# training budget" read-out. The cumulative sum reuses the
+# block-offset cumsum (operators/stats.py::blocked_cumsum — no global
+# window even though the per-source relation is small; the discipline
+# is uniform). Share divisions run in a fixed order.
+@query(
+    "token_budget_report",
+    oracle=r"""
+    WITH per AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+    cum AS (
+        SELECT per.*, tot.total,
+               SUM(n_tokens) OVER (
+                   ORDER BY n_tokens DESC, source
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM per CROSS JOIN tot
+    )
+    SELECT source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cum_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM cum
+    ORDER BY n_tokens DESC, source
+    """,
+)
+def token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.stats import blocked_cumsum
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    # sort key: tokens DESC then source — encode as a single ascending
+    # key (negated count) so blocked_cumsum's coarsening block works
+    keyed = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "total",
+        (-F.col("n_tokens")).alias("__k"),
+    )
+    cum = blocked_cumsum(
+        keyed.withColumn("__sk", F.concat_ws("|", F.lpad(F.col("__k") + 10**12, 13, "0"), "source")),
+        "__sk",
+        "n_tokens",
+        F.floor(F.col("__k") / F.lit(1_000_000)).cast("long"),
+        out_col="cum_before",
+    )
+    return (
+        cum.select(
+            "source",
+            "n_tokens",
+            (F.col("cum_before") + F.col("n_tokens"))
+            .cast("bigint")
+            .alias("cum_tokens"),
+            (
+                F.col("n_tokens").cast("double") / F.col("total").cast("double")
+            ).alias("share"),
+            (
+                (F.col("cum_before") + F.col("n_tokens")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy(F.desc("n_tokens"), F.asc("source"))
+    )
