@@ -197,6 +197,7 @@ HEADLINE = [
     "ewma_backtest_users",
     "dup_rate_by_source",
     "token_budget_report",
+    "langid_confusion_docs",
 ]
 
 

@@ -432,3 +432,60 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_alpha.alias("ok_alpha"),
         (ok_length & ok_word_len & ok_alpha & has_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the n-gram classifier's predictions
+# against the ground-truth lang column — per (true, predicted) cell
+# counts plus per-true-language recall. The eval that turns
+# text_langid from a prediction into a measured component (its
+# overall accuracy is the sum of the diagonal over the total).
+@query(
+    "langid_confusion_docs",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_lang_sql_score(lang)} AS s_{lang}" for lang in LANG_MARKERS)}
+        FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)
+    ),
+    pred AS (
+        SELECT lang AS true_lang, {_langid_case_sql()} AS pred_lang
+        FROM scored
+    ),
+    cells AS (
+        SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY true_lang, pred_lang
+    ),
+    totals AS (
+        SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true
+        FROM cells GROUP BY true_lang
+    )
+    SELECT c.true_lang, c.pred_lang, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS frac_of_true
+    FROM cells c JOIN totals t USING (true_lang)
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def langid_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("true_lang"), lang_id("text").alias("pred_lang")
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return (
+        cells.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("n_true").cast("double")).alias(
+                "frac_of_true"
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
