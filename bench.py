@@ -198,6 +198,7 @@ HEADLINE = [
     "dup_rate_by_source",
     "token_budget_report",
     "langid_confusion_docs",
+    "quality_signal_agreement_docs",
 ]
 
 

@@ -36,9 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import STOPWORDS, tokens, word_shingles
 from ..sources.readers import read_parquet_table
 from . import query
+
+_TEXTOPS_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -885,4 +887,140 @@ def token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
         .orderBy(F.desc("n_tokens"), F.asc("source"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signal-agreement audit: Pearson correlation between the two cheap
+# quality signals this engine ships (the rule heuristic
+# quality_score and the unigram-LM mean logprob). Low agreement means
+# the gates disagree about which documents are good — the audit run
+# before trusting either as a solo filter. Determinism follows
+# corr_profile_lineitem: BOTH signals micro-round to BIGINT per doc
+# before any sum (Pearson is affine-invariant, so correlating the
+# micro-rounded signals IS the metric's definition here), the five
+# sufficient statistics accumulate as exact DECIMAL(38,0) integer
+# sums (per-doc products reach ~1e13), and the final correlation
+# derives in one fixed double expression.
+@query(
+    "quality_signal_agreement_docs",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    lp AS (
+        SELECT token,
+               CAST(ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS logp_micro
+        FROM vocab CROSS JOIN tot t
+    ),
+    tc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    lm AS (
+        SELECT doc_id,
+               CAST(ROUND(CAST(SUM(tf * logp_micro) AS DOUBLE) / 1000000.0
+                   / CAST(SUM(tf) AS DOUBLE) * 1000000.0) AS BIGINT) AS y
+        FROM tc JOIN lp USING (token) GROUP BY doc_id
+    ),
+    q AS (
+        SELECT doc_id,
+               0.5 * least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 200.0, 1.0)
+             + 0.3 * least(CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x IN ({_TEXTOPS_STOPLIST}))) AS DOUBLE)
+                           / greatest(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 1.0) * 3, 1.0)
+             + 0.2 * (1.0 - least(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                                  / CAST(greatest(length(text), 1) AS DOUBLE) * 10, 1.0))
+               AS xr
+        FROM documents
+    ),
+    qm AS (
+        SELECT doc_id, CAST(ROUND(xr * 1000000.0) AS BIGINT) AS x FROM q
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
+        FROM qm JOIN lm USING (doc_id)
+    )
+    SELECT n, sx, sy,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson_r
+    FROM s
+    """,
+)
+def quality_signal_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.search import term_counts
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tc = term_counts(docs)
+    vocab = tc.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("logp_micro"),
+    )
+    lm = (
+        tc.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.col("logp_micro")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.sum("tf").cast("double")
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    q = docs.select(
+        "doc_id",
+        F.round(quality_score("text") * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("x"),
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    s = (
+        q.join(lm, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec("x")).cast("double").alias("sx"),
+            F.sum(dec("y")).cast("double").alias("sy"),
+            F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("pearson_r"),
     )
