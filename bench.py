@@ -199,6 +199,17 @@ HEADLINE = [
     "token_budget_report",
     "langid_confusion_docs",
     "quality_signal_agreement_docs",
+    # r7 stats family: exact-sum regression/autocorr/moments and
+    # rank-derived segmentations on the block-offset idiom
+    "ols_trend_events",
+    "acf_hourly_events",
+    "moments_profile_events",
+    "rfm_segments_customers",
+    "abc_analysis_parts",
+    "node_jaccard_event_types",
+    "reachability_event_types",
+    "event_pattern_match_users",
+    "cms_heavy_hitters_users",
 ]
 
 

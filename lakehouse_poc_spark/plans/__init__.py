@@ -58,6 +58,7 @@ def _load_all() -> None:
         pipelineops,
         searchops,
         simops,
+        statops,
         streamops,
         textops,
         tpch,

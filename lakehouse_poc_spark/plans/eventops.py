@@ -1511,3 +1511,98 @@ def ewma_backtest_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             n >= 2, folded["e"] / (n - 1).cast("double")
         ).alias("mae"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Transitive closure of the event-type transition graph via a
+# RECURSIVE CTE (Spark 4 WITH RECURSIVE; DuckDB runs the identical
+# SQL text — shared constant below). min-hop reachability: seed with
+# the distinct 1-hop edges, expand frontier×edges with a hop bound
+# (the node domain is event types, so depth ≤ #types covers every
+# shortest path), then MIN(hops) per pair. Scale shape: the only
+# event-scale pass is the lag window deriving edges (same shape as
+# event_transition_matrix); the recursion runs on the TYPE graph —
+# a bounded dimension domain (#types² pairs), each round one
+# frontier-keyed join.
+_REACH_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    reach AS (
+        SELECT src, dst, 1 AS hops FROM edges
+        UNION ALL
+        SELECT r.src, e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.dst
+        WHERE r.hops < 5
+    )
+    SELECT src AS src_type, dst AS dst_type,
+           CAST(MIN(hops) AS INT) AS min_hops
+    FROM reach
+    GROUP BY src, dst
+    ORDER BY src_type, dst_type
+"""
+
+
+@query("reachability_event_types", oracle=_REACH_SQL)
+def reachability_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_REACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE-lite): per user, the
+# chronologically ordered string of event-type initials, scanned for
+# the funnel regex v+c+p (≥1 view, then ≥1 click, then a purchase —
+# greedy non-overlapping count, identical RE2/Java semantics for
+# this pattern class). The per-user sequence materializes as one
+# string — bounded per-key histories, the same contract as the EWMA
+# fold above; one user-keyed shuffle total.
+@query(
+    "event_pattern_match_users",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT) AS n_funnels,
+           len(regexp_extract_all(seq, 'v+c+p')) > 0 AS converted
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def event_pattern_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+        ).alias("seq")
+    )
+    n_funnels = F.regexp_count(F.col("seq"), F.lit("v+c+p"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        n_funnels.cast("bigint").alias("n_funnels"),
+        (n_funnels > 0).alias("converted"),
+    ).orderBy("user_id")

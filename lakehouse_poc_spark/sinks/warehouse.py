@@ -849,12 +849,12 @@ class Warehouse:
         window instead).
 
         A crashed holder is recovered by age: a lock older than ``ttl``
-        seconds is presumed dead. Breaking it is a two-step atomic
-        claim: the breaker first RENAMES the stale lock dir to a
-        unique tombstone (rename is create-exclusive on the source, so
-        exactly one contender wins the claim), deletes the tombstone,
-        then re-races through mkdir — two breakers can never interleave
-        rmtree→mkdir and both hold the lock. Release verifies
+        seconds is presumed dead. Breakers serialize through a
+        break-mutex (its own create-exclusive mkdir) and re-verify
+        staleness while holding it, then rename the stale dir to a
+        unique tombstone and delete it — a fresh holder's lock can
+        never be renamed away, and everyone re-races through mkdir
+        afterwards. Release verifies
         ownership: each acquire writes a unique token into the owner
         file and only removes the lock if the token still matches, so
         a slow-but-alive holder whose lock was ttl-broken cannot
@@ -894,48 +894,51 @@ class Warehouse:
                     age = time.time() - lock.stat().st_mtime
                 except OSError:
                     continue  # holder released between mkdir and stat
-                try:
-                    stale_owner = (lock / "owner").read_text()
-                except OSError:
-                    # crashed between mkdir and owner write: breakable
-                    # once past the ttl like any other dead holder
-                    stale_owner = None
                 if age > ttl:
-                    # presumed-dead holder: claim atomically via rename
-                    # to a unique tombstone; only the winning renamer
-                    # deletes it, everyone re-races through mkdir.
-                    # VERIFY after the rename that we renamed the lock
-                    # we stat'd (owner token unchanged) — between our
-                    # stat and our rename another breaker may have
-                    # broken the stale lock and re-acquired FRESH; if
-                    # so, restore it and keep waiting (the remaining
-                    # window — a third contender acquiring during the
-                    # rename/rename-back microseconds — needs a double
-                    # preemption inside one syscall gap and is the
-                    # residual filesystem-lock limitation, documented).
-                    tomb = lock.with_name(
-                        lock.name + f".tomb.{uuid.uuid4().hex[:12]}"
-                    )
+                    # Presumed-dead holder. Breaking must never touch a
+                    # FRESH lock, so breakers serialize through a
+                    # dedicated break-mutex (mkdir, create-exclusive)
+                    # and RE-verify staleness while holding it: only
+                    # the break-mutex holder may remove the lock dir,
+                    # and a normal acquirer can only mkdir once it is
+                    # removed — so between the re-stat and the rename
+                    # no one can swap in a live lock (the pre-fix
+                    # verify-AFTER-rename let a breaker rename a fresh
+                    # holder's lock away while a third contender
+                    # mkdir'd: two inside). The break-mutex critical
+                    # section is a handful of syscalls, so its own
+                    # crash-recovery ttl is short; that recovery rmtree
+                    # is the residual (syscall-length) window of a
+                    # filesystem lock, documented.
+                    brk = lock.with_name(lock.name + ".break")
                     try:
-                        lock.rename(tomb)
-                    except OSError:
-                        continue  # another contender claimed it first
-                    try:
-                        tomb_owner = (tomb / "owner").read_text()
-                    except OSError:
-                        tomb_owner = None  # owner never written: dead
-                    still_stale = tomb_owner == stale_owner
-                    if not still_stale:
+                        brk.mkdir()
+                    except FileExistsError:
                         try:
-                            tomb.rename(lock)
+                            b_age = time.time() - brk.stat().st_mtime
                         except OSError:
-                            # a contender re-created the lock in the
-                            # gap; give the fresh holder's dir back by
-                            # leaving the tombstone for the vacuum
-                            # sweep and keep waiting
-                            pass
+                            continue  # breaker just finished
+                        if b_age > 60.0:  # crashed breaker
+                            shutil.rmtree(brk, ignore_errors=True)
+                        time.sleep(0.05)
                         continue
-                    shutil.rmtree(tomb, ignore_errors=True)
+                    try:
+                        try:
+                            cur_age = time.time() - lock.stat().st_mtime
+                        except OSError:
+                            continue  # released meanwhile: re-race
+                        if cur_age <= ttl:
+                            continue  # fresh holder now: wait normally
+                        tomb = lock.with_name(
+                            lock.name + f".tomb.{uuid.uuid4().hex[:12]}"
+                        )
+                        try:
+                            lock.rename(tomb)
+                        except OSError:
+                            continue
+                        shutil.rmtree(tomb, ignore_errors=True)
+                    finally:
+                        shutil.rmtree(brk, ignore_errors=True)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(

@@ -1,0 +1,242 @@
+"""Stat-operator tests: brute-force (pandas/numpy) parity for the
+exact-sum formulations in plans/statops.py, plus invariants for the
+rank-derived segmentations and the block-offset prefix-sum helper."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_poc_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ols_trend_matches_numpy(spark):
+    out = plans.QUERIES["ols_trend_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["x"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 3600
+    for _, row in out.iterrows():
+        g = ev[ev["event_type"] == row["event_type"]]
+        slope, intercept = np.polyfit(g["x"].astype(float), g["value"], 1)
+        r = np.corrcoef(g["x"].astype(float), g["value"])[0, 1]
+        assert row["n"] == len(g)
+        assert row["slope"] == pytest.approx(slope, rel=1e-6, abs=1e-12)
+        assert row["intercept"] == pytest.approx(intercept, rel=1e-6)
+        assert row["r2"] == pytest.approx(r * r, rel=1e-6, abs=1e-12)
+
+
+def test_acf_matches_numpy(spark):
+    out = plans.QUERIES["acf_hourly_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    hours = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 3600
+    series = hours.value_counts().sort_index().to_numpy(dtype=float)
+    assert list(out["lag"]) == [1, 2, 3]
+    for _, row in out.iterrows():
+        lag = int(row["lag"])
+        x, y = series[lag:], series[:-lag]
+        assert row["n_pairs"] == len(x)
+        assert row["acf"] == pytest.approx(
+            np.corrcoef(x, y)[0, 1], rel=1e-9
+        )
+
+
+def test_moments_match_numpy(spark):
+    out = plans.QUERIES["moments_profile_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for _, row in out.iterrows():
+        v = ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy()
+        mu, m2 = v.mean(), ((v - v.mean()) ** 2).mean()
+        m3 = ((v - mu) ** 3).mean()
+        m4 = ((v - mu) ** 4).mean()
+        assert row["mean"] == pytest.approx(mu, rel=1e-9)
+        assert row["var_pop"] == pytest.approx(m2, rel=1e-9)
+        assert row["skewness"] == pytest.approx(m3 / m2**1.5, rel=1e-6)
+        assert row["kurtosis_excess"] == pytest.approx(
+            m4 / m2**2 - 3.0, rel=1e-6
+        )
+
+
+def test_rfm_scores_consistent(spark):
+    out = plans.QUERIES["rfm_segments_customers"](spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert len(out) == orders["o_custkey"].nunique()
+    for c in ("r_score", "f_score", "m_score"):
+        assert out[c].between(1, 4).all()
+    # segment string is exactly the three scores concatenated
+    seg = (
+        out["r_score"].astype(str)
+        + out["f_score"].astype(str)
+        + out["m_score"].astype(str)
+    )
+    assert (out["segment"] == seg).all()
+    # quartiles are balanced to within one rank-block each
+    n = len(out)
+    for c in ("r_score", "f_score", "m_score"):
+        counts = out[c].value_counts()
+        assert counts.max() - counts.min() <= n // 4 + 1
+    # monotonicity: strictly more frequent customer never scores lower
+    s = out.sort_values("frequency")
+    f_by_freq = s.groupby("frequency")["f_score"].agg(["min", "max"])
+    prev_max = 0
+    for _, r in f_by_freq.iterrows():
+        assert r["min"] >= prev_max - 0  # scores non-decreasing in frequency
+        prev_max = max(prev_max, r["min"])
+
+
+def test_abc_partitions_and_monotone_share(spark):
+    out = plans.QUERIES["abc_analysis_parts"](spark, SF).toPandas()
+    assert (out["cum_share".strip()].diff().fillna(1) > 0).all()
+    assert out["cum_share"].iloc[-1] == pytest.approx(1.0, abs=1e-12)
+    # classes follow the thresholds in rank order: A then B then C
+    classes = "".join(out["abc_class"])
+    assert classes == "A" * classes.count("A") + "B" * classes.count(
+        "B"
+    ) + "C" * classes.count("C")
+    assert (out.loc[out["abc_class"] == "A", "cum_share"] <= 0.70 + 1e-12).all()
+    # revenue matches a pandas recomputation
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    rev = li.groupby("l_partkey")["rev"].sum()
+    top = out.iloc[0]
+    assert top["revenue"] == pytest.approx(rev.max(), rel=1e-9)
+
+
+def test_node_jaccard_matches_brute(spark):
+    out = plans.QUERIES["node_jaccard_event_types"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    sets = {
+        t: set(g["user_id"]) for t, g in ev.groupby("event_type")
+    }
+    types = sorted(sets)
+    expect = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        for i, a in enumerate(types)
+        for b in types[i + 1 :]
+        if sets[a] & sets[b]
+    }
+    got = {
+        (r["type_a"], r["type_b"]): r["jaccard"] for _, r in out.iterrows()
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], rel=1e-12)
+
+
+def test_global_cumsum_matches_single_window(spark):
+    from lakehouse_poc_spark.operators.linkage import global_cumsum
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * F.lit(1.5)).cast("decimal(20,2)").alias("v"),
+    )
+    got = (
+        global_cumsum(df, ["id"], (F.col("id") / F.lit(10)).cast("long"), "v")
+        .orderBy("id")
+        .select("id", "cum")
+        .toPandas()
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        df.withColumn("cum", F.sum("v").over(w))
+        .orderBy("id")
+        .select("id", "cum")
+        .toPandas()
+    )
+    assert list(got["cum"]) == list(ref["cum"])
+
+
+def test_global_cumsum_rejects_non_decimal(spark):
+    from lakehouse_poc_spark.operators.linkage import global_cumsum
+
+    df = spark.range(10).select(F.col("id"), F.col("id").cast("double").alias("v"))
+    with pytest.raises(TypeError, match="DecimalType"):
+        global_cumsum(df, ["id"], F.lit(0), "v")
+
+
+def test_reachability_matches_bfs(spark):
+    out = plans.QUERIES["reachability_event_types"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    edges = set()
+    for _, g in ev.groupby("user_id"):
+        ts = list(g["event_type"])
+        edges |= {(a, b) for a, b in zip(ts, ts[1:]) if a != b}
+    # BFS min-hops per source
+    from collections import deque
+
+    adj: dict[str, list[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    expect = {}
+    for src in adj:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in dist or dist[u] + 1 < dist[v]:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for dst, d in dist.items():
+            if d > 0:
+                expect[(src, dst)] = d
+        # cycles back to src: shortest src→…→src loop
+        loop = min(
+            (dist[a] + 1 for a, b in edges if b == src and a in dist),
+            default=None,
+        )
+        if loop:
+            expect[(src, src)] = loop
+    got = {
+        (r["src_type"], r["dst_type"]): r["min_hops"] for _, r in out.iterrows()
+    }
+    assert got == expect
+
+
+def test_pattern_match_matches_re(spark):
+    import re
+
+    out = plans.QUERIES["event_pattern_match_users"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    seqs = (
+        ev.assign(c=ev["event_type"].str[0])
+        .groupby("user_id")["c"]
+        .agg("".join)
+    )
+    for _, r in out.iterrows():
+        seq = seqs[r["user_id"]]
+        hits = re.findall("v+c+p", seq)
+        assert r["n_events"] == len(seq)
+        assert r["n_funnels"] == len(hits)
+        assert r["converted"] == (len(hits) > 0)
+
+
+def test_cms_overestimates_never_undercount(spark):
+    out = plans.QUERIES["cms_heavy_hitters_users"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    exact = ev.groupby("user_id").size()
+    assert (out["overestimate"] >= 0).all()
+    for _, r in out.iterrows():
+        assert r["exact_count"] == exact[r["user_id"]]
+        assert r["cms_est"] >= r["exact_count"]
+    # top-20 selection really is the exact top by count (tie: user_id)
+    top = exact.reset_index().rename(columns={0: "c"}).sort_values(
+        ["c", "user_id"], ascending=[False, True]
+    )["user_id"].head(len(out))
+    assert list(out["user_id"]) == list(top)
