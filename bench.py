@@ -210,6 +210,8 @@ HEADLINE = [
     "reachability_event_types",
     "event_pattern_match_users",
     "cms_heavy_hitters_users",
+    "stream_pattern_match_users",
+    "stream_cms_users",
 ]
 
 

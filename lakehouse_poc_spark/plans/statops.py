@@ -657,20 +657,35 @@ _CMS_ROWS = [(1, 101, 17), (2, 2003, 89), (3, 40009, 251), (4, 700001, 733)]
 )
 def cms_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    return cms_report(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")),
+        cms_cells(ev),
+    )
+
+
+def _cms_bkt(uid: F.Column) -> F.Column:
+    return ((F.col("a") * uid + F.col("b")) % _CMS_P) % _CMS_W
+
+
+def cms_cells(ev: DataFrame) -> DataFrame:
+    """d×W CMS cell counts for a batch of events — additive, so cells
+    from disjoint batches MERGE by summing (the property the
+    streaming twin exercises)."""
     hs = ev.sparkSession.createDataFrame(_CMS_ROWS, ["i", "a", "b"])
-
-    def bkt(uid: F.Column) -> F.Column:
-        return ((F.col("a") * uid + F.col("b")) % _CMS_P) % _CMS_W
-
-    cells = (
+    return (
         ev.crossJoin(F.broadcast(hs))
-        .groupBy("i", bkt(F.col("user_id")).alias("bkt"))
+        .groupBy("i", _cms_bkt(F.col("user_id")).alias("bkt"))
         .agg(F.count(F.lit(1)).alias("bc"))
     )
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_report(counts: DataFrame, cells: DataFrame) -> DataFrame:
+    """Top-20 exact heavy hitters with their CMS estimate from the
+    given cell table (min over the d probed cells per user)."""
+    hs = counts.sparkSession.createDataFrame(_CMS_ROWS, ["i", "a", "b"])
     est = (
         counts.crossJoin(F.broadcast(hs))
-        .withColumn("bkt", bkt(F.col("user_id")))
+        .withColumn("bkt", _cms_bkt(F.col("user_id")))
         .join(F.broadcast(cells), ["i", "bkt"])
         .groupBy("user_id")
         .agg(F.min("bc").alias("cms_est"))

@@ -1564,3 +1564,130 @@ def stream_frequent_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence-pattern matcher (stream twin of
+# event_pattern_match_users): per-user event-initial strings carried
+# across micro-batches through the state store, re-scanned with the
+# funnel regex at each snapshot. Same two-event-time-ordered-batch
+# replay as stream_cusum_users; Python re and the batch engine's
+# regex agree on greedy non-overlapping v+c+p, so this query REUSES
+# the batch oracle verbatim — stream == batch by hash.
+@query(
+    "stream_pattern_match_users",
+    oracle=_ORACLES["event_pattern_match_users"],
+)
+def stream_pattern_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import running_sequence
+
+    work = stream_scratch("stream_seq_")
+    src = work / "in"
+    src.mkdir()
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w_all = Window.orderBy("ts", "event_id")
+    ranked = ev.withColumn("__rn", F.row_number().over(w_all))
+    half = ev.count() // 2
+    ranked.filter(F.col("__rn") <= half).drop("__rn").coalesce(1).write.parquet(
+        str(src / "t0")
+    )
+    ranked.filter(F.col("__rn") > half).drop("__rn").coalesce(1).write.parquet(
+        str(src / "t1")
+    )
+    for i, d in enumerate(("t0", "t1")):
+        for p in (src / d).glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    out = str(work / "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    run_foreach_batch(
+        running_sequence(stream, "v+c+p"),
+        sink,
+        str(work / "ckpt"),
+        output_mode="update",
+    )
+    snapshots = spark.read.parquet(out)
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snapshots.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select("user_id", "n_events", "n_funnels", "converted")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min sketch (stream twin of cms_heavy_hitters_users):
+# each micro-batch sketches ITS OWN events into d×W cells and appends
+# them; the final sketch is the cell-wise SUM — CMS mergeability, the
+# property that lets 1000 executors (or 1000 micro-batches) sketch
+# independently and combine. Exact per-user counts accumulate
+# additively alongside for the eval read-out. Batch order is
+# irrelevant by construction (addition commutes), so the fixture just
+# splits events in two; REUSES the batch oracle verbatim.
+@query(
+    "stream_cms_users",
+    oracle=_ORACLES["cms_heavy_hitters_users"],
+)
+def stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .statops import cms_cells, cms_report
+
+    work = stream_scratch("stream_cms_")
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+
+    def _build(d: Path) -> None:
+        h0 = ev.filter(F.col("event_id") % 2 == 0)
+        h1 = ev.filter(F.col("event_id") % 2 == 1)
+        h0.coalesce(1).write.parquet(str(d / "b0"))
+        h1.coalesce(1).write.parquet(str(d / "b1"))
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"cms_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/events.parquet").st_mtime,
+    )
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    cell_store = str(work / "cells")
+    count_store = str(work / "counts")
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_cells(batch_df).write.mode("append").parquet(cell_store)
+        batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("c")
+        ).write.mode("append").parquet(count_store)
+
+    run_foreach_batch(stream, sketch_batch, str(work / "ckpt"))
+    cells = (
+        spark.read.parquet(cell_store)
+        .groupBy("i", "bkt")
+        .agg(F.sum("bc").alias("bc"))
+    )
+    counts = (
+        spark.read.parquet(count_store)
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("c"))
+    )
+    return cms_report(counts, cells)

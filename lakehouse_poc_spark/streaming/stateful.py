@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -312,6 +313,66 @@ def running_cusum(events: DataFrame, allow: float, h: float) -> DataFrame:
         make_cusum_update(allow, h),
         outputStructType=CUSUM_OUTPUT,
         stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SEQ_STATE = StructType([StructField("seq", StringType())])
+
+SEQ_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_funnels", LongType()),
+        StructField("converted", BooleanType()),
+    ]
+)
+
+
+def make_sequence_update(pattern: str):
+    """Per-key event-sequence accumulator (MATCH_RECOGNIZE-lite): the
+    state is the user's chronological event-initial string; each
+    micro-batch appends its (event-time-sorted) initials and the
+    snapshot re-scans the sequence with the funnel regex. Python re
+    and Spark's Java regex agree for this pattern class (greedy
+    leftmost non-overlapping), so stream == batch by the shared
+    oracle. Same bounded-per-key-history contract as the EWMA fold."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        seq = state.get[0] if state.exists else ""
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            rows = pd.concat(batch).sort_values(["ts", "event_id"])
+            seq += "".join(t[0] for t in rows["event_type"])
+            state.update((seq,))
+        hits = rx.findall(seq)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [len(seq)],
+                "n_funnels": [len(hits)],
+                "converted": [len(hits) > 0],
+            }
+        )
+
+    return update
+
+
+def running_sequence(events: DataFrame, pattern: str) -> DataFrame:
+    """Streaming sequence-pattern matcher; emits the refreshed per-user
+    snapshot each micro-batch the key appears in. Caller contract:
+    micro-batches arrive in event-time order (see module note)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_sequence_update(pattern),
+        outputStructType=SEQ_OUTPUT,
+        stateStructType=SEQ_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -568,3 +568,34 @@ def test_stream_cusum_matches_batch(spark):
             s.cusum_max,
             s.alarm,
         ), uid
+
+
+def test_stream_pattern_match_matches_batch(spark):
+    """stream_pattern_match_users == event_pattern_match_users: the
+    state-store string accumulation replays the batch sequences."""
+    from lakehouse_poc_spark.plans.eventops import event_pattern_match_users
+    from lakehouse_poc_spark.plans.streamops import stream_pattern_match_users
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.user_id: r for r in event_pattern_match_users(spark, sf).collect()}
+    stream = {r.user_id: r for r in stream_pattern_match_users(spark, sf).collect()}
+    assert batch.keys() == stream.keys()
+    for uid, b in batch.items():
+        s = stream[uid]
+        assert (b.n_events, b.n_funnels, b.converted) == (
+            s.n_events,
+            s.n_funnels,
+            s.converted,
+        )
+
+
+def test_stream_cms_merges_to_batch_sketch(spark):
+    """stream_cms_users == cms_heavy_hitters_users: per-batch d×W
+    cells summed cell-wise equal the one-shot sketch (mergeability)."""
+    from lakehouse_poc_spark.plans.statops import cms_heavy_hitters_users
+    from lakehouse_poc_spark.plans.streamops import stream_cms_users
+
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in cms_heavy_hitters_users(spark, sf).collect()]
+    stream = [tuple(r) for r in stream_cms_users(spark, sf).collect()]
+    assert batch == stream
