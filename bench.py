@@ -212,6 +212,8 @@ HEADLINE = [
     "cms_heavy_hitters_users",
     "stream_pattern_match_users",
     "stream_cms_users",
+    "spatial_neighbor_pairs_customers",
+    "spatial_density_cells",
 ]
 
 

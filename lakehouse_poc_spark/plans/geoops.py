@@ -1,0 +1,158 @@
+"""Spatial operators: grid-bucketed neighbor self-join and cell
+density — the spatial-join family (SURVEY §7 extension scope).
+
+Coordinates are synthesized deterministically from integer keys
+(two-decimal degrees), so both engines hold bit-identical doubles.
+The metric is squared euclidean over degrees (flat): mul/add only —
+no trig, because libm sin/cos/asin are not correctly rounded and
+would diverge across engines in the last bits.
+
+100 TB shape: the classic spatial-join discipline — points shuffle
+keyed on grid cells sized to the query radius; one side explodes to
+its 3×3 cell neighborhood so every qualifying pair meets in exactly
+one cell (the probe side's exploded cell list is distinct, and the
+build side sits only in its own cell). Shuffle carries candidates,
+never the all-pairs space — the same bucketing story as LSH/IVF, in
+geometry. Density is one partial-combined groupBy on the cell key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_parquet_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# two-decimal synthetic degrees from the customer key — exact in
+# double on both engines (integer/100.0 is a single correctly-rounded
+# division of exactly representable operands)
+_LAT = "(CAST(c_custkey * 37 % 18000 AS DOUBLE) / 100.0 - 90.0)"
+_LON = "(CAST(c_custkey * 91 % 36000 AS DOUBLE) / 100.0 - 180.0)"
+_CELL = 3.0  # grid pitch == radius: neighbors live within one ring
+_R2 = 9.0  # radius 3 degrees, squared (sized to the fixture density)
+
+
+def _coords(cust: DataFrame) -> DataFrame:
+    lat = (
+        (F.col("c_custkey") * 37 % 18000).cast("double") / 100.0 - 90.0
+    ).alias("lat")
+    lon = (
+        (F.col("c_custkey") * 91 % 36000).cast("double") / 100.0 - 180.0
+    ).alias("lon")
+    return cust.select(F.col("c_custkey").alias("id"), lat, lon)
+
+
+# ---------------------------------------------------------------------------
+# Radius self-join: every customer pair within 3° (flat metric),
+# found via the 3×3 grid-neighborhood join — never an all-pairs
+# cross. The oracle runs the identical cell construction in SQL.
+@query(
+    "spatial_neighbor_pairs_customers",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    ),
+    cells AS (
+        SELECT id, lat, lon,
+               CAST(FLOOR(lat / {_CELL}) AS BIGINT) AS cx,
+               CAST(FLOOR(lon / {_CELL}) AS BIGINT) AS cy
+        FROM pts
+    ),
+    probe AS (
+        SELECT id, lat, lon, cx + dx.d AS cx, cy + dy.d AS cy
+        FROM cells,
+             (VALUES (-1), (0), (1)) AS dx(d),
+             (VALUES (-1), (0), (1)) AS dy(d)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+    FROM cells a JOIN probe b ON a.cx = b.cx AND a.cy = b.cy
+    WHERE a.id < b.id
+      AND (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) <= {_R2}
+    ORDER BY id_a, id_b
+    """,
+)
+def spatial_neighbor_pairs_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pts = _coords(_t(spark, sf_dir, "customer"))
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("lon") / _CELL).cast("bigint").alias("cy"),
+    )
+    d = F.array([F.lit(-1), F.lit(0), F.lit(1)])
+    probe = (
+        cells.withColumn("dx", F.explode(d))
+        .withColumn("dy", F.explode(d))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    dlat = F.col("lat") - F.col("lat_b")
+    dlon = F.col("lon") - F.col("lon_b")
+    dist2 = dlat * dlat + dlon * dlon
+    return (
+        cells.join(probe, ["cx", "cy"])
+        .filter((F.col("id") < F.col("id_b")) & (dist2 <= F.lit(_R2)))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            dist2.alias("dist2"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid density: points per occupied cell with the cell's bounding
+# box — the heatmap/level-0 index read-out; one partial-combined
+# groupBy on the cell key.
+@query(
+    "spatial_density_cells",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    )
+    SELECT CAST(FLOOR(lat / {_CELL}) AS BIGINT) AS cx,
+           CAST(FLOOR(lon / {_CELL}) AS BIGINT) AS cy,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+           MIN(lon) AS lon_min, MAX(lon) AS lon_max
+    FROM pts
+    GROUP BY 1, 2
+    ORDER BY cx, cy
+    """,
+)
+def spatial_density_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _coords(_t(spark, sf_dir, "customer"))
+    return (
+        pts.groupBy(
+            F.floor(F.col("lat") / _CELL).cast("bigint").alias("cx"),
+            F.floor(F.col("lon") / _CELL).cast("bigint").alias("cy"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("lat").alias("lat_min"),
+            F.max("lat").alias("lat_max"),
+            F.min("lon").alias("lon_min"),
+            F.max("lon").alias("lon_max"),
+        )
+        .orderBy("cx", "cy")
+    )

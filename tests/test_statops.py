@@ -240,3 +240,34 @@ def test_cms_overestimates_never_undercount(spark):
         ["c", "user_id"], ascending=[False, True]
     )["user_id"].head(len(out))
     assert list(out["user_id"]) == list(top)
+
+
+def test_spatial_pairs_match_brute(spark):
+    """Grid-neighborhood join finds EXACTLY the all-pairs-within-radius
+    set (cell pitch == radius ⇒ 3×3 ring covers every qualifying pair
+    once)."""
+    out = plans.QUERIES["spatial_neighbor_pairs_customers"](
+        spark, SF
+    ).toPandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    k = cust["c_custkey"].to_numpy()
+    lat = (k * 37 % 18000) / 100.0 - 90.0
+    lon = (k * 91 % 36000) / 100.0 - 180.0
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    ii, jj = np.where(d2 <= 9.0)
+    brute = {
+        (int(min(k[i], k[j])), int(max(k[i], k[j])))
+        for i, j in zip(ii, jj)
+        if k[i] < k[j]
+    }
+    got = {(int(r["id_a"]), int(r["id_b"])) for _, r in out.iterrows()}
+    assert got == brute
+
+
+def test_spatial_density_totals(spark):
+    out = plans.QUERIES["spatial_density_cells"](spark, SF).toPandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    assert out["n_points"].sum() == len(cust)
+    # bounding boxes live inside their cells
+    assert (out["lat_min"] >= out["cx"] * 3.0 - 1e-9).all()
+    assert (out["lat_max"] < (out["cx"] + 1) * 3.0 + 1e-9).all()
