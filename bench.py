@@ -214,6 +214,11 @@ HEADLINE = [
     "stream_cms_users",
     "spatial_neighbor_pairs_customers",
     "spatial_density_cells",
+    "percentile_cont_order_price",
+    "mode_event_values",
+    "null_semantics_customers",
+    "fim_transform_docs",
+    "date_functions_orders",
 ]
 
 

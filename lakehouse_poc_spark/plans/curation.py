@@ -1063,3 +1063,51 @@ def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform (Bavarian et al. 2022, public): the
+# PSM training format — split each document into deterministic
+# thirds by character offset and emit
+# <PRE>prefix<SUF>suffix<MID>middle. Pure row-local string
+# arithmetic (map-only, no shuffle beyond the output sort); the
+# split points derive from length(text) on BOTH engines, so the
+# transform is bit-identical.
+@query(
+    "fim_transform_docs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               CAST(FLOOR(length(text) / 3) AS BIGINT) AS p_end,
+               CAST(FLOOR(2 * length(text) / 3) AS BIGINT) AS m_end
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           '<PRE>' || substr(text, 1, p_end)
+             || '<SUF>' || substr(text, m_end + 1, n - m_end)
+             || '<MID>' || substr(text, p_end + 1, m_end - p_end) AS fim_text,
+           CAST(n + 15 AS BIGINT) AS fim_len
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    p_end = F.floor(n / 3).cast("bigint")
+    m_end = F.floor(2 * n / 3).cast("bigint")
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.substring(F.col("text"), F.lit(1), p_end),
+        F.lit("<SUF>"),
+        F.substring(F.col("text"), m_end + 1, n - m_end),
+        F.lit("<MID>"),
+        F.substring(F.col("text"), p_end + 1, m_end - p_end),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        fim.alias("fim_text"),
+        (n + 15).cast("bigint").alias("fim_len"),
+    ).orderBy("doc_id")

@@ -701,3 +701,254 @@ def cms_report(counts: DataFrame, cells: DataFrame) -> DataFrame:
         .orderBy(F.desc("exact_count"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (PERCENTILE_CONT semantics) per
+# order priority — the continuous twin of percentiles_order_price
+# (percentile_disc). Neither engine's built-in is trusted for the
+# interpolation's last bits; both sides select the two bracketing
+# ranked values and evaluate the IDENTICAL v0 + frac·(v1−v0)
+# expression (q ∈ {0.25, 0.5, 0.75} are binary-exact, so frac is
+# deterministic). Rank selection is a per-group window — partitioned
+# by the group key, never global.
+@query(
+    "percentile_cont_order_price",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) - 1 AS r,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    qs AS (
+        SELECT prio, q, n,
+               CAST(FLOOR((n - 1) * q) AS BIGINT) AS r0,
+               (n - 1) * q - FLOOR((n - 1) * q) AS frac
+        FROM (SELECT DISTINCT prio, n FROM ranked),
+             (VALUES (0.25), (0.5), (0.75)) AS t(q)
+    )
+    SELECT qs.prio AS prio, qs.q AS q,
+           v0.v + qs.frac * (v1.v - v0.v) AS pct_cont
+    FROM qs
+    JOIN ranked v0 ON v0.prio = qs.prio AND v0.r = qs.r0
+    JOIN ranked v1 ON v1.prio = qs.prio
+                  AND v1.r = LEAST(qs.r0 + 1, qs.n - 1)
+    ORDER BY qs.prio, qs.q
+    """,
+)
+def percentile_cont_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("v"),
+        (F.row_number().over(w) - 1).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    qdf = orders.sparkSession.createDataFrame(
+        [(0.25,), (0.5,), (0.75,)], ["q"]
+    )
+    groups = ranked.select("prio", "n").distinct().crossJoin(F.broadcast(qdf))
+    nq = (F.col("n") - 1) * F.col("q")
+    qs = groups.select(
+        "prio",
+        "q",
+        "n",
+        F.floor(nq).cast("bigint").alias("r0"),
+        (nq - F.floor(nq)).alias("frac"),
+    )
+    v0 = ranked.select(
+        F.col("prio").alias("p0"), F.col("r").alias("r_0"), F.col("v").alias("v0")
+    )
+    v1 = ranked.select(
+        F.col("prio").alias("p1"), F.col("r").alias("r_1"), F.col("v").alias("v1")
+    )
+    return (
+        qs.join(v0, (F.col("prio") == F.col("p0")) & (F.col("r0") == F.col("r_0")))
+        .join(
+            v1,
+            (F.col("prio") == F.col("p1"))
+            & (F.least(F.col("r0") + 1, F.col("n") - 1) == F.col("r_1")),
+        )
+        .select(
+            "prio",
+            "q",
+            (F.col("v0") + F.col("frac") * (F.col("v1") - F.col("v0"))).alias(
+                "pct_cont"
+            ),
+        )
+        .orderBy("prio", "q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode: most frequent value per event type,
+# ties broken by the smaller value — one count agg + one argmax
+# window on the (type, value) domain.
+@query(
+    "mode_event_values",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, value, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, value
+    ),
+    ranked AS (
+        SELECT event_type, value, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, value) AS rn
+        FROM c
+    )
+    SELECT event_type, value AS mode_value, CAST(cnt AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def mode_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("value").alias("mode_value"),
+            F.col("cnt").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-comparison semantics surface — the operator family behind the
+# reference's change detection (SURVEY §2 F4: `!=` with a null-guard,
+# notebooks/pipeline_core.py:167-183, and §7's decision to define
+# change as NOT null-safe-equal). Two null-bearing projections of
+# the same table are compared under (a) plain !=, (b) IS DISTINCT
+# FROM (Spark's <=> negated), (c) the reference's null-guarded !=,
+# counting TRUE rows of each — demonstrating exactly which NULL↔value
+# transitions every predicate catches.
+@query(
+    "null_semantics_customers",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS v
+        FROM customer
+    ),
+    b AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    WHEN c_custkey % 7 = 0 THEN lower(c_mktsegment)
+                    ELSE c_mktsegment END AS v
+        FROM customer
+    ),
+    j AS (
+        SELECT a.v AS va, b.v AS vb FROM a JOIN b USING (c_custkey)
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN va <> vb THEN 1 ELSE 0 END) AS BIGINT)
+            AS neq_true,
+        CAST(SUM(CASE WHEN va IS DISTINCT FROM vb THEN 1 ELSE 0 END) AS BIGINT)
+            AS distinct_from_true,
+        CAST(SUM(CASE WHEN (va <> vb) AND (va IS NOT NULL OR vb IS NOT NULL)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS reference_guard_true,
+        CAST(SUM(CASE WHEN va IS NULL AND vb IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS both_null
+    FROM j
+    """,
+)
+def null_semantics_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("va"),
+    )
+    b = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None))
+        .when(F.col("c_custkey") % 7 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("vb"),
+    )
+    j = a.join(b, "c_custkey")
+    va, vb = F.col("va"), F.col("vb")
+    as_long = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        as_long(va != vb).alias("neq_true"),
+        as_long(~va.eqNullSafe(vb)).alias("distinct_from_true"),
+        as_long((va != vb) & (va.isNotNull() | vb.isNotNull())).alias(
+            "reference_guard_true"
+        ),
+        as_long(va.isNull() & vb.isNull()).alias("both_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-function surface: quarter/week truncation, month-end
+# arithmetic — the date-dimension toolkit over orders, aggregated per
+# quarter. Exact: counts, integer day sums (avg = bigint sum / count
+# in one double division), dates emitted as formatted strings (repo
+# convention — raw DATE fetches as datetime64 from the oracle).
+@query(
+    "date_functions_orders",
+    oracle="""
+    WITH d AS (
+        SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+                   AS quarter,
+               strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         last_day(CAST(o_orderdate AS DATE)))
+                   AS days_to_month_end
+        FROM orders
+    )
+    SELECT quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(wk) AS first_week,
+           MAX(wk) AS last_week,
+           CAST(SUM(days_to_month_end) AS DOUBLE) / COUNT(*)
+               AS avg_days_to_month_end
+    FROM d
+    GROUP BY quarter
+    ORDER BY quarter
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.select(
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd")
+        .alias("quarter"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd")
+        .alias("wk"),
+        F.datediff(
+            F.last_day(F.col("o_orderdate").cast("date")),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days_to_month_end"),
+    )
+    return (
+        d.groupBy("quarter")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("wk").alias("first_week"),
+            F.max("wk").alias("last_week"),
+            (
+                F.sum("days_to_month_end").cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_days_to_month_end"),
+        )
+        .orderBy("quarter")
+    )

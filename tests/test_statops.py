@@ -271,3 +271,57 @@ def test_spatial_density_totals(spark):
     # bounding boxes live inside their cells
     assert (out["lat_min"] >= out["cx"] * 3.0 - 1e-9).all()
     assert (out["lat_max"] < (out["cx"] + 1) * 3.0 + 1e-9).all()
+
+
+def test_percentile_cont_matches_numpy(spark):
+    out = plans.QUERIES["percentile_cont_order_price"](spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    for _, r in out.iterrows():
+        vals = orders.loc[
+            orders["o_orderpriority"] == r["prio"], "o_totalprice"
+        ].to_numpy()
+        assert r["pct_cont"] == pytest.approx(
+            np.percentile(vals, r["q"] * 100, method="linear"), rel=1e-12
+        )
+
+
+def test_fim_transform_roundtrips(spark):
+    out = plans.QUERIES["fim_transform_docs"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")
+    for _, r in out.head(50).iterrows():
+        t = r["fim_text"]
+        assert t.startswith("<PRE>")
+        pre, rest = t[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == docs.loc[r["doc_id"], "text"]
+        assert r["fim_len"] == len(t)
+
+
+def test_mode_matches_pandas(spark):
+    out = plans.QUERIES["mode_event_values"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for _, r in out.iterrows():
+        vc = ev.loc[ev["event_type"] == r["event_type"], "value"].value_counts()
+        top = vc[vc == vc.max()]
+        assert r["n_occurrences"] == vc.max()
+        assert r["mode_value"] == min(top.index)
+
+
+def test_null_semantics_identities(spark):
+    row = plans.QUERIES["null_semantics_customers"](spark, SF).collect()[0]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    k = cust["c_custkey"]
+    a_null = (k % 5 == 0).to_numpy()
+    b_null = (k % 3 == 0).to_numpy()
+    changed = ((k % 7 == 0) & ~(k % 3 == 0)).to_numpy()  # real value edits
+    both_present_diff = (changed & ~a_null & ~b_null).sum()
+    # plain != only sees both-present differences; IS DISTINCT FROM
+    # additionally sees every NULL transition — the §7 semantics gap
+    assert row.neq_true == both_present_diff
+    assert row.reference_guard_true == both_present_diff
+    assert row.distinct_from_true == int(
+        ((a_null ^ b_null) | (changed & ~a_null & ~b_null)).sum()
+    )
+    assert row.both_null == int((a_null & b_null).sum())
+    assert row.n_rows == len(cust)
+    assert row.distinct_from_true > row.neq_true  # NULL transitions exist
