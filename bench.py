@@ -219,6 +219,8 @@ HEADLINE = [
     "null_semantics_customers",
     "fim_transform_docs",
     "date_functions_orders",
+    "incremental_agg_cdc_orders",
+    "stream_late_data_audit_events",
 ]
 
 

@@ -219,3 +219,41 @@ def cascade_upsert(
         "touched_weeks": len(touched_weeks),
         "touched_months": len(touched_months),
     }
+
+
+def apply_retraction_batch(
+    wh: Warehouse,
+    table: str,
+    batch: DataFrame,
+    dims: list[str],
+    value_col: str,
+    op_col: str = "op",
+) -> None:
+    """Retractable-aggregate maintenance (the Flink-style changelog
+    form): ``batch`` rows carry ``op`` ∈ {+1 insert, −1 delete}; the
+    grouped view stores the mergeable pieces (Σop, Σop·value) and a
+    delta batch applies ADDITIVELY — deletes subtract, no base-table
+    rescan. Decimal sums keep the merged state bit-identical to a
+    full recompute of the surviving rows at any batch split. Groups
+    whose row count reaches zero are dropped (a fully-retracted
+    group must disappear, not linger as a zero row). Cost per batch:
+    O(batch + view), never O(history)."""
+    delta = batch.groupBy(*[F.col(d) for d in dims]).agg(
+        F.sum(op_col).cast("long").alias("n_rows"),
+        F.sum(
+            F.col(op_col) * F.col(value_col).cast("decimal(30,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("sum_value"),
+    )
+    if wh.table_exists(table):
+        delta = (
+            wh.read(table)
+            .unionByName(delta)
+            .groupBy(*dims)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+            )
+        )
+    wh.overwrite(delta.filter(F.col("n_rows") > 0), table)

@@ -32,6 +32,7 @@ from ..pipeline import run_pipeline
 from ..sinks.warehouse import Warehouse
 from ..sources.readers import CsvDialect, read_csv, read_parquet_table
 from . import query
+from .tpch import sql_dsum
 
 T1 = "2024-01-01 00:00:00"
 T2 = "2024-01-02 00:00:00"
@@ -1827,3 +1828,77 @@ def bitemporal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("tx_from", "yyyy-MM-dd HH:mm:ss").alias("tx_from"),
         F.date_format("tx_to", "yyyy-MM-dd HH:mm:ss").alias("tx_to"),
     ).orderBy("key", "valid_from", "tx_from")
+
+
+# ---------------------------------------------------------------------------
+# Retractable incremental aggregate (Flink-style changelog view): a
+# per-priority (COUNT, SUM) view maintained under +I/-D delta
+# batches — inserts add, deletes SUBTRACT from the mergeable pieces;
+# no batch ever rescans the base table. Two delta rounds apply
+# disjoint-by-construction insert/delete sets; the oracle recomputes
+# the surviving-row membership in closed form, so additive
+# maintenance == full recompute is asserted bit-for-bit (decimal
+# sums). Completes the view-maintenance triad: append-only
+# (incremental_rollup_events), keyed upsert (cdc_apply_customers),
+# and retraction (this).
+@query(
+    "incremental_agg_cdc_orders",
+    oracle=f"""
+    SELECT o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "total_price")}
+    FROM orders
+    WHERE (o_orderkey % 3 = 0)
+       OR (o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+)
+def incremental_agg_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import apply_retraction_batch
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio"), "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    wh = _fresh_wh(spark, f"retract_{Path(sf_dir).name}")
+    t = "agg.prio"
+    ins = F.lit(1).alias("op")
+    dele = F.lit(-1).alias("op")
+    # batch 0: the initial state arrives as plain inserts
+    apply_retraction_batch(
+        wh, t, orders.filter(k % 3 != 0).select("prio", "o_totalprice", ins),
+        dims=["prio"], value_col="o_totalprice",
+    )
+    # batch 1: new keys (+I) and a retracted tranche (-D, initial-only
+    # keys so a row is never deleted before it was inserted)
+    apply_retraction_batch(
+        wh, t,
+        orders.filter((k % 3 == 0) & (k % 2 == 0))
+        .select("prio", "o_totalprice", ins)
+        .unionByName(
+            orders.filter((k % 5 == 0) & (k % 3 != 0))
+            .select("prio", "o_totalprice", dele)
+        ),
+        dims=["prio"], value_col="o_totalprice",
+    )
+    # batch 2: the remaining inserts and a second retraction wave
+    apply_retraction_batch(
+        wh, t,
+        orders.filter((k % 3 == 0) & (k % 2 == 1))
+        .select("prio", "o_totalprice", ins)
+        .unionByName(
+            orders.filter((k % 7 == 0) & (k % 3 != 0) & (k % 5 != 0))
+            .select("prio", "o_totalprice", dele)
+        ),
+        dims=["prio"], value_col="o_totalprice",
+    )
+    return (
+        wh.read(t)
+        .select(
+            "prio",
+            F.col("n_rows").cast("bigint").alias("n_orders"),
+            F.col("sum_value").cast("double").alias("total_price"),
+        )
+        .orderBy("prio")
+    )

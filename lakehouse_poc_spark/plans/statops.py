@@ -1,7 +1,9 @@
 """Exact statistical-modeling operators: OLS trend, autocorrelation,
-higher-moment profiles, RFM segmentation, ABC/Pareto analysis, and
-node-similarity (Jaccard) between event types (SURVEY §7 extension
-scope — the reference has no stats surface).
+higher-moment profiles, RFM segmentation, ABC/Pareto analysis,
+node-similarity (Jaccard) between event types, Count-Min sketch,
+exact PERCENTILE_CONT, per-group mode, NULL-comparison semantics,
+and the calendar-function surface (SURVEY §7 extension scope — the
+reference has no stats surface).
 
 Determinism: every operator reduces to EXACT sums first — BIGINT for
 integer series, DECIMAL for double series (repo convention:

@@ -1691,3 +1691,110 @@ def stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("c"))
     )
     return cms_report(counts, cells)
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data audit — Spark's REAL micro-batch drop semantics,
+# measured from the engine's own metrics and predicted by the oracle.
+# Empirically pinned behavior (Spark 4.1, availableNow file source,
+# asserted by test_streaming.py::test_watermark_drop_mechanics):
+#   - the late-input filter LAGS one batch: rows arriving in the very
+#     next batch after the watermark advanced are still ABSORBED into
+#     live state (the docs' "data delayed more than the threshold is
+#     not guaranteed to be dropped");
+#   - append mode emits+evicts a window at the end of the first batch
+#     whose watermark passes the window end — absorbed late rows are
+#     INCLUDED in the emitted count;
+#   - once evicted, later arrivals for that window ARE dropped, and
+#     ``numRowsDroppedByWatermark`` counts post-partial-agg GROUP rows
+#     (per input partition), not raw rows.
+# The fixture replays: b0 = every event (sets the watermark to
+# max−1h), b1 = duplicates of the first-quarter rows (absorbed),
+# b2 = duplicates of the second-quarter rows (dropped; the single
+# small file reads as one partition, so dropped groups == distinct
+# hours in b2). The oracle predicts all three outputs in closed form.
+@query(
+    "stream_late_data_audit_events",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS mn,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx
+        FROM events
+    ),
+    cuts AS (
+        SELECT mn + CAST(FLOOR((mx - mn) / 4.0) AS BIGINT) AS c1,
+               mn + CAST(FLOOR((mx - mn) / 2.0) AS BIGINT) AS c2,
+               mx - 3600 AS wm
+        FROM b
+    ),
+    e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS s FROM events),
+    base AS (
+        SELECT CAST(FLOOR(s / 3600.0) AS BIGINT) AS h, COUNT(*) AS n
+        FROM e GROUP BY 1
+    ),
+    dup_a AS (
+        SELECT CAST(FLOOR(s / 3600.0) AS BIGINT) AS h, COUNT(*) AS n
+        FROM e, cuts WHERE s < c1 GROUP BY 1
+    ),
+    emitted AS (
+        SELECT base.h, base.n + COALESCE(dup_a.n, 0) AS n
+        FROM base LEFT JOIN dup_a ON base.h = dup_a.h, cuts
+        WHERE (base.h + 1) * 3600 <= cuts.wm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_windows_emitted,
+           CAST(SUM(n) AS BIGINT) AS rows_emitted,
+           (SELECT CAST(COUNT(DISTINCT CAST(FLOOR(s / 3600.0) AS BIGINT))
+                        AS BIGINT)
+            FROM e, cuts WHERE s >= c1 AND s < c2) AS dropped_late_groups
+    FROM emitted
+    """,
+)
+def stream_late_data_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = stream_scratch("stream_late_")
+    src = work / "in"
+    src.mkdir()
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    mn, mx = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    c1 = mn + (mx - mn) // 4
+    c2 = mn + (mx - mn) // 2
+    s = F.unix_timestamp("ts")
+    ev.coalesce(1).write.parquet(str(src / "t0"))
+    ev.filter(s < c1).coalesce(1).write.parquet(str(src / "t1"))
+    ev.filter((s >= c1) & (s < c2)).coalesce(1).write.parquet(str(src / "t2"))
+    for i, d in enumerate(("t0", "t1", "t2")):
+        for p in (src / d).glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = str(work / "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = run_foreach_batch(agg, sink, str(work / "ckpt"), output_mode="append")
+    dropped = 0
+    for p in q.recentProgress:
+        for op in p["stateOperators"]:
+            dropped += int(op.get("numRowsDroppedByWatermark", 0))
+    emitted = spark.read.parquet(out)
+    return emitted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows_emitted"),
+        F.sum("n").cast("bigint").alias("rows_emitted"),
+    ).select(
+        "n_windows_emitted",
+        "rows_emitted",
+        F.lit(dropped).cast("bigint").alias("dropped_late_groups"),
+    )

@@ -75,6 +75,10 @@ def run_foreach_batch(
     ``output_mode`` matters even under foreachBatch: stateful operators
     validate it (applyInPandasWithState in update mode requires an
     update-mode sink).
+
+    Returns the terminated StreamingQuery so callers can read its
+    progress metrics (e.g. ``numRowsDroppedByWatermark`` for the
+    late-data audit); existing callers ignore the return value.
     """
     q = (
         sdf.writeStream.outputMode(output_mode)
@@ -84,6 +88,7 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def scd2_stream(

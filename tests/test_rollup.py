@@ -114,3 +114,27 @@ def test_cascade_all_levels_equal_full_recompute(spark, tmp_path):
         assert s["touched_months"] >= 1
         assert s["touched_weeks"] >= s["touched_months"]
         assert s["touched_days"] >= s["touched_weeks"]
+
+
+def test_retraction_batch_drops_empty_groups(spark, tmp_path):
+    """Fully-retracted groups disappear from the view (no zero rows),
+    and additive maintenance equals a recompute of the survivors."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.rollup import apply_retraction_batch
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], ["k", "v"]
+    )
+    apply_retraction_batch(
+        wh, "agg.t", rows.withColumn("op", F.lit(1)), dims=["k"], value_col="v"
+    )
+    # retract ALL of group b and one row of a
+    retract = spark.createDataFrame(
+        [("b", 5.0, -1), ("a", 10.0, -1)], ["k", "v", "op"]
+    )
+    apply_retraction_batch(wh, "agg.t", retract, dims=["k"], value_col="v")
+    got = {r["k"]: (r["n_rows"], float(r["sum_value"])) for r in wh.read("agg.t").collect()}
+    assert got == {"a": (1, 20.0)}

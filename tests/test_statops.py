@@ -92,7 +92,7 @@ def test_rfm_scores_consistent(spark):
 
 def test_abc_partitions_and_monotone_share(spark):
     out = plans.QUERIES["abc_analysis_parts"](spark, SF).toPandas()
-    assert (out["cum_share".strip()].diff().fillna(1) > 0).all()
+    assert (out["cum_share"].diff().fillna(1) > 0).all()
     assert out["cum_share"].iloc[-1] == pytest.approx(1.0, abs=1e-12)
     # classes follow the thresholds in rank order: A then B then C
     classes = "".join(out["abc_class"])

@@ -599,3 +599,79 @@ def test_stream_cms_merges_to_batch_sketch(spark):
     batch = [tuple(r) for r in cms_heavy_hitters_users(spark, sf).collect()]
     stream = [tuple(r) for r in stream_cms_users(spark, sf).collect()]
     assert batch == stream
+
+
+def test_watermark_drop_mechanics(spark, tmp_path):
+    """Pins the Spark 4.x micro-batch watermark behavior the
+    late-data audit relies on: (a) rows arriving ONE batch after the
+    watermark advanced are absorbed into live state and included in
+    the append-mode emission; (b) rows arriving after their window
+    was evicted are dropped, with numRowsDroppedByWatermark counting
+    post-partial-agg GROUP rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    both = (
+        spark.range(100)
+        .select((F.lit(1600000000) + F.col("id")).cast("timestamp").alias("ts"))
+        .union(
+            spark.range(100).select(
+                (F.lit(1700000000) + F.col("id")).cast("timestamp").alias("ts")
+            )
+        )
+    )
+    late1 = spark.range(50).select(
+        (F.lit(1600000000) + F.col("id")).cast("timestamp").alias("ts")
+    )
+    late2 = spark.range(30).select(
+        (F.lit(1600000000) + F.col("id")).cast("timestamp").alias("ts")
+    )
+    both.coalesce(1).write.parquet(str(src / "t0"))
+    late1.coalesce(1).write.parquet(str(src / "t1"))
+    late2.coalesce(1).write.parquet(str(src / "t2"))
+    for i, sub in enumerate(("t0", "t1", "t2")):
+        for p in (src / sub).glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+    stream = (
+        spark.readStream.schema(late1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/part-*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    rows = spark.read.parquet(out).collect()
+    # the old window emitted exactly once, late1 ABSORBED (150 = 100+50)
+    assert len(rows) == 1
+    assert rows[0]["count"] == 150
+    # late2 dropped as ONE group row (1 window x 1 partition), not 30
+    assert dropped == 1
+
+
+def test_stream_late_audit_consistency(spark):
+    from lakehouse_poc_spark.plans.streamops import stream_late_data_audit_events
+
+    row = stream_late_data_audit_events(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_windows_emitted > 0
+    assert row.rows_emitted > row.n_windows_emitted  # multi-row windows
+    assert row.dropped_late_groups > 0  # the second-quarter replay was dropped
