@@ -325,6 +325,55 @@ def assoc_probe(spark, sf_dir: str) -> None:
         p.unpersist()
 
 
+def spatial_probe(spark) -> None:
+    """Grid-bucketed radius self-join at growing point counts: the
+    scale claim is that candidate pairs (cell-join rows reaching the
+    distance filter) grow ~linearly with n at fixed density-per-cell
+    sizing, while the brute pair space grows n². Synthetic points use
+    the geoops coordinate formulas over 1..n."""
+    from pyspark.sql import functions as F
+
+    for n in (15_000, 60_000, 240_000):
+        pts = (
+            spark.range(1, n + 1)
+            .select(
+                F.col("id"),
+                ((F.col("id") * 37 % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+                ((F.col("id") * 91 % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+            )
+        )
+        cell = 3.0
+        cells = pts.select(
+            "id", "lat", "lon",
+            F.floor(F.col("lat") / cell).cast("bigint").alias("cx"),
+            F.floor(F.col("lon") / cell).cast("bigint").alias("cy"),
+        ).persist()
+        d = F.array([F.lit(-1), F.lit(0), F.lit(1)])
+        probe = (
+            cells.withColumn("dx", F.explode(d))
+            .withColumn("dy", F.explode(d))
+            .select(
+                F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
+                F.col("lon").alias("lon_b"),
+                (F.col("cx") + F.col("dx")).alias("cx"),
+                (F.col("cy") + F.col("dy")).alias("cy"),
+            )
+        )
+        joined = cells.join(probe, ["cx", "cy"]).filter(F.col("id") < F.col("id_b"))
+        t0 = time.time()
+        cand = joined.count()
+        dlat = F.col("lat") - F.col("lat_b")
+        dlon = F.col("lon") - F.col("lon_b")
+        pairs = joined.filter(dlat * dlat + dlon * dlon <= F.lit(9.0)).count()
+        dt = time.time() - t0
+        brute = n * (n - 1) // 2
+        print(
+            f"spatial n={n:7d} candidates={cand:10d} pairs={pairs:9d} "
+            f"cand_frac={cand / brute:.6f} wall={dt:5.1f}s"
+        )
+        cells.unpersist()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     with_brute = "--with-brute" in sys.argv
@@ -336,6 +385,10 @@ def main() -> None:
     if "--assoc" in sys.argv:
         spark.range(1).count()
         assoc_probe(spark, sf_dir)
+        return
+    if "--spatial" in sys.argv:
+        spark.range(1).count()
+        spatial_probe(spark)
         return
     docs = read_parquet_table(spark, sf_dir, "documents")
     emb = read_parquet_table(spark, sf_dir, "embeddings")
