@@ -221,6 +221,8 @@ HEADLINE = [
     "date_functions_orders",
     "incremental_agg_cdc_orders",
     "stream_late_data_audit_events",
+    "table_profile_orders",
+    "funnel_time_to_convert_events",
 ]
 
 

@@ -665,3 +665,114 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("nl"), F.lit(0)).cast("bigint").alias("left_max_per_key"),
         F.coalesce(F.max("nr"), F.lit(0)).cast("bigint").alias("right_max_per_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiler (the Deequ/Great-Expectations "profile"
+# read-out): per-column null count, exact distinct count, and typed
+# min/max for every column of orders, computed in a SINGLE aggregate
+# pass (Spark expands the multi-distinct into one plan) and emitted
+# one row per column via stack(). Typed min/max columns avoid
+# cross-engine double→string formatting (Spark's Double.toString vs
+# DuckDB's shortest-repr disagree): numerics report through
+# dsum-style double casts, timestamps as formatted strings.
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_numeric,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_numeric,
+               CAST(NULL AS VARCHAR) AS min_text,
+               CAST(NULL AS VARCHAR) AS max_text
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderstatus), NULL, NULL,
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_totalprice),
+               MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*), SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderdate), NULL, NULL,
+               strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderpriority), NULL, NULL,
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    )
+    ORDER BY column_name
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    ts_cols = ["o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in num_cols + str_cols + ts_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__mn"), F.max(c).alias(f"{c}__mx")]
+    for c in ts_cols:
+        aggs += [
+            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__mn"),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__mx"),
+        ]
+    one = orders.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_numeric"),
+                F.col(f"{c}__mx").alias("max_numeric"),
+                F.lit(None).cast("string").alias("min_text"),
+                F.lit(None).cast("string").alias("max_text"),
+            )
+        )
+    for c in str_cols + ts_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_numeric"),
+                F.lit(None).cast("double").alias("max_numeric"),
+                F.col(f"{c}__mn").alias("min_text"),
+                F.col(f"{c}__mx").alias("max_text"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )

@@ -1606,3 +1606,68 @@ def event_pattern_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_funnels.cast("bigint").alias("n_funnels"),
         (n_funnels > 0).alias("converted"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert: per user, seconds from the FIRST view to
+# the first STRICTLY-LATER purchase; distribution summary in exact
+# integer seconds (percentile_disc picks actual gap values — no
+# interpolation float risk). Same two-conditional-min shape as
+# funnel_conversion_events: both minima shuffle on user_id once.
+@query(
+    "funnel_time_to_convert_events",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT v.user_id,
+               CAST(FLOOR(epoch(MIN(e.ts))) AS BIGINT)
+                 - CAST(FLOOR(epoch(v.tv)) AS BIGINT) AS gap_s
+        FROM v JOIN events e
+          ON e.user_id = v.user_id
+         AND e.event_type = 'purchase' AND e.ts > v.tv
+        GROUP BY v.user_id, v.tv
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS median_gap_s,
+           CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM p
+    """,
+)
+def funnel_time_to_convert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    p = (
+        v.join(ev.filter(F.col("event_type") == "purchase"), "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts")) - F.unix_timestamp(F.col("tv"))
+            ).alias("gap_s")
+        )
+    )
+    p.createOrReplaceTempView("__ttc_gaps")
+    n_viewers = v.count()
+    return spark.sql(
+        f"""
+        SELECT CAST({n_viewers} AS BIGINT) AS n_viewers,
+               CAST(COUNT(*) AS BIGINT) AS n_converted,
+               CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s)
+                    AS BIGINT) AS median_gap_s,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s)
+                    AS BIGINT) AS p90_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM __ttc_gaps
+        """
+    )

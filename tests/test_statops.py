@@ -325,3 +325,37 @@ def test_null_semantics_identities(spark):
     assert row.both_null == int((a_null & b_null).sum())
     assert row.n_rows == len(cust)
     assert row.distinct_from_true > row.neq_true  # NULL transitions exist
+
+
+def test_table_profile_matches_pandas(spark):
+    out = plans.QUERIES["table_profile_orders"](spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    prof = out.set_index("column_name")
+    assert (out["n_rows"] == len(orders)).all()
+    for c in orders.columns:
+        assert prof.loc[c, "n_distinct"] == orders[c].nunique()
+        assert prof.loc[c, "n_nulls"] == orders[c].isna().sum()
+    assert prof.loc["o_totalprice", "max_numeric"] == orders["o_totalprice"].max()
+    assert prof.loc["o_orderstatus", "min_text"] == orders["o_orderstatus"].min()
+
+
+def test_funnel_ttc_matches_pandas(spark):
+    row = plans.QUERIES["funnel_time_to_convert_events"](spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["ts"] = ev["ts"].astype("datetime64[ns]")
+    views = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+    gaps = []
+    for uid, tv in views.items():
+        later = ev[(ev.event_type == "purchase") & (ev.user_id == uid) & (ev.ts > tv)]
+        if len(later):
+            # floor each epoch separately (unix_timestamp semantics),
+            # not the difference
+            tp = later["ts"].min()
+            gaps.append(tp.value // 10**9 - tv.value // 10**9)
+    gaps.sort()
+    assert row.n_viewers == len(views)
+    assert row.n_converted == len(gaps)
+    assert row.min_gap_s == gaps[0]
+    assert row.max_gap_s == gaps[-1]
+    import math
+    assert row.median_gap_s == gaps[math.ceil(0.5 * len(gaps)) - 1]
