@@ -223,6 +223,16 @@ HEADLINE = [
     "stream_late_data_audit_events",
     "table_profile_orders",
     "funnel_time_to_convert_events",
+    # r7 continuation: KN LM, OHLC/TWAP/stickiness downsamples,
+    # rank-sum test, changepoint, mergeable-sketch gate, FD discovery
+    "kneser_ney_logprob_docs",
+    "ohlc_hourly_events",
+    "stickiness_events",
+    "twap_event_values",
+    "mannwhitney_click_purchase",
+    "changepoint_event_values",
+    "sketch_quantile_gate_events",
+    "functional_deps_orders",
 ]
 
 

@@ -776,3 +776,93 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery (r7; Huhtala et al. 1999 "TANE",
+# public): for each candidate LHS → RHS over orders, the FD holds
+# iff COUNT(DISTINCT LHS) == COUNT(DISTINCT (LHS, RHS)); the
+# violation count (#extra (LHS,RHS) combinations) and the strength
+# ratio quantify near-FDs. Each candidate is two partial-combinable
+# distinct aggregates — at 100 TB each is one shuffle on the LHS
+# key, and all candidates scan the table once each (a production
+# TANE pass would share one scan via grouping sets; candidates here
+# are independent so the plans stay readable). Fixed candidate set
+# keeps the output deterministic.
+@query(
+    "functional_deps_orders",
+    oracle="""
+    WITH cand AS (
+        SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_lhs,
+               CAST(COUNT(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
+                   AS n_pairs
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', 'o_orderpriority',
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', 'o_orderstatus',
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               CAST(COUNT(DISTINCT (o_orderdate, o_orderstatus)) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', 'o_orderstatus',
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(COUNT(DISTINCT (o_orderpriority, o_orderstatus))
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', 'o_orderkey',
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(COUNT(DISTINCT (o_totalprice, o_orderkey)) AS BIGINT)
+        FROM orders
+    )
+    SELECT lhs, rhs, n_lhs, n_pairs,
+           n_pairs - n_lhs AS violations,
+           (n_pairs = n_lhs) AS holds,
+           CAST(n_lhs AS DOUBLE) / n_pairs AS strength
+    FROM cand
+    ORDER BY lhs, rhs
+    """,
+)
+def functional_deps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    orders = _t(spark, sf_dir, "orders")
+    cands = [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderdate", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_totalprice", "o_orderkey"),
+    ]
+    parts = []
+    for lhs, rhs in cands:
+        parts.append(
+            orders.agg(
+                F.countDistinct(F.col(lhs)).cast("bigint").alias("n_lhs"),
+                F.countDistinct(F.col(lhs), F.col(rhs))
+                .cast("bigint")
+                .alias("n_pairs"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_lhs",
+                "n_pairs",
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.select(
+        "lhs",
+        "rhs",
+        "n_lhs",
+        "n_pairs",
+        (F.col("n_pairs") - F.col("n_lhs")).alias("violations"),
+        (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+        (F.col("n_lhs").cast("double") / F.col("n_pairs")).alias(
+            "strength"
+        ),
+    ).orderBy("lhs", "rhs")

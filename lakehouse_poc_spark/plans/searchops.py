@@ -984,3 +984,188 @@ def ndcg_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM scoring (r7; Kneser & Ney 1995 /
+# Chen & Goodman 1999, public papers) — completes the LM triad
+# (MLE bigram, Stupid Backoff, KN). Fixed discount D = 0.75:
+#
+#   P_KN(w2|w1) = max(c12 - D, 0)/c1  +  (D * n1p_fw(w1) / c1) * Pc(w2)
+#   Pc(w2)      = (n1p_bw(w2) + 1) / (n_bigram_types + V)
+#
+# where n1p_fw(w1) = |{w2 : c(w1,w2)>0}| (distinct continuations of
+# w1), n1p_bw(w2) = |{w1 : c(w1,w2)>0}| (distinct histories of w2).
+# The +1/+V on the continuation distribution is a documented
+# deviation from the paper (same convention as this repo's Stupid
+# Backoff terminal): raw KN assigns P=0 to OOV w2, which is log(0)
+# on the held-out half. Unseen w1 (no history mass to discount)
+# backs off to the smoothed continuation distribution alone.
+#
+# Trains on doc_id%2==0 and scores ALL docs, so the discount,
+# interpolation, and OOV paths all genuinely fire. Determinism: all
+# counts are exact BIGINTs; each bigram's logprob is computed once in
+# fixed-order double arithmetic and micro-rounded to BIGINT before
+# the per-doc sum (order-independent across partitionings).
+#
+# Scale shape: the model is three vocab/bigram-type-sized aggregates
+# off ONE train-half shuffle; scoring is one (doc,bigram) tf shuffle
+# plus vocab-keyed LEFT joins AQE sizes (the model side is tiny
+# relative to the corpus, so they broadcast at any real scale).
+@query(
+    "kneser_ney_logprob_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+    ),
+    cnt12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM big WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    cnt1 AS (
+        SELECT w1,
+               CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1p_fw
+        FROM cnt12 GROUP BY w1
+    ),
+    contw AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bw
+        FROM cnt12 GROUP BY w2
+    ),
+    tstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+        FROM cnt12
+    ),
+    dbig AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM big GROUP BY doc_id, w1, w2
+    ),
+    lp AS (
+        SELECT d.doc_id, d.tf,
+               (c1.c1 IS NULL) AS oov_history,
+               CAST(ROUND(ln(CASE
+                   WHEN c1.c1 IS NOT NULL THEN
+                       GREATEST(CAST(coalesce(c12.c12, 0) AS DOUBLE) - 0.75,
+                                0.0) / CAST(c1.c1 AS DOUBLE)
+                       + (0.75 * CAST(c1.n1p_fw AS DOUBLE)
+                          / CAST(c1.c1 AS DOUBLE))
+                         * ((CAST(coalesce(cw.n1p_bw, 0) AS DOUBLE) + 1.0)
+                            / (CAST(s.n_types AS DOUBLE)
+                               + CAST(s.v AS DOUBLE)))
+                   ELSE
+                       (CAST(coalesce(cw.n1p_bw, 0) AS DOUBLE) + 1.0)
+                       / (CAST(s.n_types AS DOUBLE) + CAST(s.v AS DOUBLE))
+               END) * 1000000.0) AS BIGINT) AS logp_micro
+        FROM dbig d
+        LEFT JOIN cnt12 c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+        LEFT JOIN cnt1 c1 ON d.w1 = c1.w1
+        LEFT JOIN contw cw ON d.w2 = cw.w2
+        CROSS JOIN tstats s
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN oov_history THEN tf ELSE 0 END) AS BIGINT)
+               AS n_oov_history,
+           CAST(SUM(tf * logp_micro) AS BIGINT) AS logp_sum_micro,
+           CAST(SUM(tf * logp_micro) AS DOUBLE) / 1000000.0
+               / CAST(SUM(tf) AS DOUBLE) AS mean_logprob
+    FROM lp
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+    big = (
+        tok.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    cnt12 = (
+        big.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    cnt1 = cnt12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fw"),
+    )
+    contw = cnt12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bw")
+    )
+    tstats = cnt12.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.countDistinct("w2").cast("bigint").alias("v"),
+    )
+    dbig = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    pc = (
+        (F.coalesce(F.col("n1p_bw"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("n_types").cast("double") + F.col("v").cast("double"))
+    )
+    seen_p = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(0.75),
+            F.lit(0.0),
+        )
+        / F.col("c1").cast("double")
+        + (
+            F.lit(0.75)
+            * F.col("n1p_fw").cast("double")
+            / F.col("c1").cast("double")
+        )
+        * pc
+    )
+    lp = (
+        dbig.join(cnt12, ["w1", "w2"], "left")
+        .join(cnt1, "w1", "left")
+        .join(contw, "w2", "left")
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            "doc_id",
+            "tf",
+            F.col("c1").isNull().alias("oov_history"),
+            F.round(
+                F.log(F.when(F.col("c1").isNotNull(), seen_p).otherwise(pc))
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("oov_history"), F.col("tf")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_oov_history"),
+            F.sum(F.col("tf") * F.col("logp_micro"))
+            .cast("bigint")
+            .alias("logp_sum_micro"),
+            (
+                F.sum(F.col("tf") * F.col("logp_micro")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.sum("tf").cast("double")
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -954,3 +954,547 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quarter")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (r7): open/high/low/close + volume per (event_type, hour)
+# — the standard time-series downsample. Open/close are order
+# statistics, not aggregates, so determinism needs a total order:
+# both engines pick the row with the smallest/largest (ts, event_id).
+# One groupBy shuffle; open/close via min_by/max_by over a composite
+# key (no window, no second shuffle) — at 100 TB this is a single
+# partial-aggregable pass, the same shape as any hourly rollup.
+@query(
+    "ohlc_hourly_events",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, {_SQL_HOUR} AS hour_idx, value,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, hour_idx, value,
+               row_number() OVER (PARTITION BY event_type, hour_idx
+                   ORDER BY sec, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, hour_idx
+                   ORDER BY sec DESC, event_id DESC) AS rd
+        FROM s
+    )
+    SELECT event_type, hour_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN ra = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rd = 1 THEN value END) AS DOUBLE) AS close
+    FROM r
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    ORDER BY event_type, hour_idx
+    """,
+)
+def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(
+        F.unix_timestamp("ts").alias("t"), F.col("event_id").alias("i")
+    )
+    return (
+        ev.groupBy("event_type", _hour_idx().alias("hour_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min_by(F.col("value"), key).cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by(F.col("value"), key).cast("double").alias("close"),
+        )
+        .filter(F.col("n") >= 3)
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (r7): per month, the mean daily-active-user
+# count divided by the monthly-active-user count — the standard
+# product-engagement ratio. Two distinct-count aggregations (day
+# grain, month grain) joined on month; the division is one fixed-
+# order double op over exact BIGINTs. At 100 TB both aggs are
+# partial-combinable distinct counts on (period, user) — the month
+# join is month-cardinality metadata.
+@query(
+    "stickiness_events",
+    oracle="""
+    WITH dau AS (
+        SELECT date_trunc('month', ts) AS mo, CAST(ts AS DATE) AS d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT date_trunc('month', ts) AS mo,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(d.mo, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_sum,
+           m.mau,
+           CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau AS stickiness
+    FROM dau d JOIN mau m ON d.mo = m.mo
+    GROUP BY d.mo, m.mau
+    ORDER BY month
+    """,
+)
+def stickiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.col("ts").cast("date").alias("d"),
+        "user_id",
+    )
+    dau = ev.groupBy("month", "d").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    mau = ev.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        dau.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("dau_sum"),
+        )
+        .join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            "dau_sum",
+            "mau",
+            (
+                F.col("dau_sum").cast("double")
+                / F.col("n_days")
+                / F.col("mau")
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP, r7): per event_type, each value is
+# weighted by the seconds until the type's NEXT event (lead over
+# (ts, event_id) order); the final event has no forward interval and
+# drops. Weights are exact BIGINT seconds, the weighted sum is exact
+# DECIMAL, and the one division is fixed-order — so the double
+# hash-matches. The window partitions by event_type (parallel across
+# types); at 100 TB the same plan runs per (type, day) to bound
+# partition width.
+@query(
+    "twap_event_values",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, value,
+               lead(sec) OVER (
+                   PARTITION BY event_type ORDER BY sec, event_id
+               ) - sec AS dt
+        FROM (
+            SELECT event_type, value, event_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        )
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS total_secs,
+           CAST(SUM(CAST(value AS DECIMAL(24,6)) * dt) AS DOUBLE)
+               / CAST(SUM(dt) AS DOUBLE) AS twap,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+               / COUNT(*) AS plain_avg
+    FROM w WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def twap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    d = ev.withColumn(
+        "dt", (F.lead("sec").over(w) - F.col("sec")).cast("bigint")
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    vdec = F.col("value").cast("decimal(24,6)")
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("total_secs"),
+            (
+                F.sum(vdec * F.col("dt")).cast("double")
+                / F.sum("dt").cast("double")
+            ).alias("twap"),
+            (F.sum(vdec).cast("double") / F.count(F.lit(1))).alias(
+                "plain_avg"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (r7; Mann & Whitney 1947, public):
+# two-sided normal approximation with tie correction, comparing the
+# `value` distributions of 'click' vs 'purchase' events. Rank sums
+# are computed on the DISTINCT-VALUE domain (cumulative count window
+# over distinct values), never a per-row global window — per-row
+# rank over 100 TB funnels through one task; the distinct-value
+# relation is value-cardinality-sized. All rank arithmetic stays in
+# exact integers (average ranks carried as 2x to avoid .5), the
+# z-score combines them with fixed-order double ops + sqrt
+# (correctly rounded IEEE on both engines).
+@query(
+    "mannwhitney_click_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    dv AS (
+        SELECT v,
+               CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT c1, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cumbefore
+        FROM dv
+    ),
+    agg AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(cnt - c1) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * cumbefore + cnt + 1)) AS BIGINT) AS r1_2x,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+        FROM r
+    )
+    SELECT n1, n2, r1_2x,
+           CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           (CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2.0
+            - CAST(n1 AS DOUBLE) * n2 / 2.0)
+           / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                  * (CAST(n1 + n2 + 1 AS DOUBLE)
+                     - CAST(tie_sum AS DOUBLE)
+                       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))) AS z
+    FROM agg
+    """,
+)
+def mannwhitney_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    dv = ev.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = dv.select(
+        "c1",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cumbefore"),
+    )
+    agg = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cumbefore") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_2x"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1 = (F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / F.lit(2.0)
+    return agg.select(
+        "n1",
+        "n2",
+        "r1_2x",
+        u1.alias("u1"),
+        (
+            (u1 - n1d * n2d / F.lit(2.0))
+            / F.sqrt(
+                n1d
+                * n2d
+                / F.lit(12.0)
+                * (
+                    (F.col("n1") + F.col("n2") + 1).cast("double")
+                    - F.col("tie_sum").cast("double")
+                    / (nd * (F.col("n1") + F.col("n2") - 1))
+                )
+            )
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single changepoint detection (r7): per event_type, the hour-index
+# split that maximizes the between-segment sum-of-squares gain over
+# the HOURLY AGGREGATED series (binary segmentation's first step,
+# Scott & Knott 1974 / CUSUM-style public method). Everything
+# reduces to exact per-hour DECIMAL sums + BIGINT counts; prefix
+# sums run per-type over the hour domain (≤ #hours rows — tiny);
+# the objective L²/nL + R²/nR is fixed-order double arithmetic on
+# those exact sums, and the argmax tie-breaks on the earliest hour,
+# so both engines pick the identical split.
+@query(
+    "changepoint_event_values",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, {_SQL_HOUR} AS hr,
+               SUM(CAST(value AS DECIMAL(24,6))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type, hr,
+               SUM(s) OVER (PARTITION BY event_type ORDER BY hr) AS ls,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hr)
+                    AS BIGINT) AS ln,
+               SUM(s) OVER (PARTITION BY event_type) AS ts,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS nhours,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY hr) AS BIGINT) AS pos
+        FROM h
+    ),
+    g AS (
+        SELECT event_type, hr, ln AS n_left, tn - ln AS n_right,
+               CAST(ls AS DOUBLE) / ln AS mean_left,
+               CAST(ts - ls AS DOUBLE) / (tn - ln) AS mean_right,
+               CAST(ls AS DOUBLE) * CAST(ls AS DOUBLE) / ln
+               + CAST(ts - ls AS DOUBLE) * CAST(ts - ls AS DOUBLE)
+                 / (tn - ln)
+               - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / tn AS gain
+        FROM p WHERE pos < nhours
+    )
+    SELECT event_type, hr AS split_hour, n_left, n_right,
+           mean_left, mean_right, gain
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY gain DESC, hr) AS rk
+        FROM g
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def changepoint_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", _hour_idx().alias("hr")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(24,6)")).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("hr")
+    wall = Window.partitionBy("event_type")
+    p = h.select(
+        "event_type",
+        "hr",
+        F.sum("s").over(wcum).alias("ls"),
+        F.sum("n").over(wcum).cast("bigint").alias("ln"),
+        F.sum("s").over(wall).alias("ts"),
+        F.sum("n").over(wall).cast("bigint").alias("tn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("nhours"),
+        F.row_number().over(wcum).cast("bigint").alias("pos"),
+    ).filter(F.col("pos") < F.col("nhours"))
+    lsd = F.col("ls").cast("double")
+    rsd = (F.col("ts") - F.col("ls")).cast("double")
+    tsd = F.col("ts").cast("double")
+    g = p.select(
+        "event_type",
+        "hr",
+        F.col("ln").alias("n_left"),
+        (F.col("tn") - F.col("ln")).alias("n_right"),
+        (lsd / F.col("ln")).alias("mean_left"),
+        (rsd / (F.col("tn") - F.col("ln"))).alias("mean_right"),
+        (
+            lsd * lsd / F.col("ln")
+            + rsd * rsd / (F.col("tn") - F.col("ln"))
+            - tsd * tsd / F.col("tn")
+        ).alias("gain"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), F.col("hr")
+    )
+    return (
+        g.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("split_hour"),
+            "n_left",
+            "n_right",
+            "mean_left",
+            "mean_right",
+            "gain",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram-sketch quantiles with an exactness gate (r7):
+# a 64-bin equi-width histogram over events.value (bin vectors merge
+# by addition — the mergeable-summary property that lets every
+# executor sketch its partition and one reduce combine them), read
+# out at p25/p50/p75/p99 as the left edge of the bin where the
+# cumulative count crosses ceil(q·n). The gate joins each approx
+# value against the EXACT blocked-selection quantile and asserts the
+# error is within one bin width — the same acceptance-gate shape as
+# ann_recall_* (the sketch is deterministic, so the oracle recomputes
+# it bit-for-bit). Bin arithmetic is fixed-order IEEE on exact
+# min/max, so both engines bucket identically.
+@query(
+    "sketch_quantile_gate_events",
+    oracle="""
+    WITH mm AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+        SELECT LEAST(63, CAST(FLOOR((value - mm.mn)
+                   / ((mm.mx - mm.mn) / 64.0)) AS BIGINT)) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events, mm WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum
+        FROM binned
+    ),
+    qs AS (
+        SELECT CAST(q AS DOUBLE) AS q,
+               CAST(ceil(CAST(q AS DOUBLE) * mm.n) AS BIGINT) AS rk,
+               mm.mn, mm.mx, mm.n
+        FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(q), mm
+    ),
+    approx AS (
+        SELECT q, mn + CAST(MIN(bin) AS DOUBLE) * ((mx - mn) / 64.0)
+                   AS approx_value,
+               (mx - mn) / 64.0 AS bin_width
+        FROM qs JOIN cum ON cum.cum >= qs.rk
+        GROUP BY q, mn, mx
+    ),
+    s AS (
+        SELECT value AS v,
+               row_number() OVER (ORDER BY value) AS rn
+        FROM events WHERE value IS NOT NULL
+    ),
+    exact AS (
+        SELECT t.q, CAST(s.v AS DOUBLE) AS exact_value
+        FROM (SELECT q, rk FROM qs) t
+        JOIN s ON s.rn = greatest(1, t.rk)
+    )
+    SELECT a.q, a.approx_value, e.exact_value,
+           abs(a.approx_value - e.exact_value) AS abs_err,
+           (abs(a.approx_value - e.exact_value) <= a.bin_width)
+               AS within_one_bin
+    FROM approx a JOIN exact e ON a.q = e.q
+    ORDER BY a.q
+    """,
+)
+def sketch_quantile_gate_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.stats import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mm = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.lit(63),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(64.0))
+                ).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = binned.select(
+        "bin", F.sum("c").over(Window.orderBy("bin")).alias("cum")
+    )
+    qs = (
+        spark.createDataFrame(
+            [(0.25,), (0.5,), (0.75,), (0.99,)], ["q"]
+        )
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("q").cast("double").alias("q"),
+            F.ceil(F.col("q").cast("double") * F.col("n"))
+            .cast("bigint")
+            .alias("rk"),
+            "mn",
+            "mx",
+        )
+    )
+    approx = (
+        qs.join(cum, cum["cum"] >= qs["rk"])
+        .groupBy("q", "mn", "mx")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q",
+            (
+                F.col("mn")
+                + F.col("bin").cast("double")
+                * ((F.col("mx") - F.col("mn")) / F.lit(64.0))
+            ).alias("approx_value"),
+            ((F.col("mx") - F.col("mn")) / F.lit(64.0)).alias("bin_width"),
+        )
+    )
+    exact = exact_quantiles(
+        ev.select(F.col("value").cast("double").alias("value")),
+        "value",
+        qs=[0.25, 0.5, 0.75, 0.99],
+        block=F.floor(F.col("value") / F.lit(10.0)).cast("long"),
+    ).select("q", F.col("value").alias("exact_value"))
+    return (
+        approx.join(exact, "q")
+        .select(
+            "q",
+            "approx_value",
+            "exact_value",
+            F.abs(F.col("approx_value") - F.col("exact_value")).alias(
+                "abs_err"
+            ),
+            (
+                F.abs(F.col("approx_value") - F.col("exact_value"))
+                <= F.col("bin_width")
+            ).alias("within_one_bin"),
+        )
+        .orderBy("q")
+    )

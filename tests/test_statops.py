@@ -359,3 +359,222 @@ def test_funnel_ttc_matches_pandas(spark):
     assert row.max_gap_s == gaps[-1]
     import math
     assert row.median_gap_s == gaps[math.ceil(0.5 * len(gaps)) - 1]
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation batch: OHLC, stickiness, TWAP, Mann-Whitney,
+# changepoint, sketch-quantile gate, FD discovery, Kneser-Ney LM.
+
+
+def test_ohlc_matches_pandas(spark):
+    out = plans.QUERIES["ohlc_hourly_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["hr"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 3600
+    ev = ev.sort_values(["event_type", "hr", "ts", "event_id"])
+    ref = (
+        ev.groupby(["event_type", "hr"])
+        .agg(
+            n=("value", "size"),
+            open=("value", "first"),
+            high=("value", "max"),
+            low=("value", "min"),
+            close=("value", "last"),
+        )
+        .reset_index()
+    )
+    ref = ref[ref["n"] >= 3]
+    assert len(out) == len(ref)
+    m = out.merge(ref, left_on=["event_type", "hour_idx"],
+                  right_on=["event_type", "hr"], suffixes=("", "_ref"))
+    assert (m["open"] == m["open_ref"]).all()
+    assert (m["close"] == m["close_ref"]).all()
+    assert (m["high"] == m["high_ref"]).all()
+    assert (m["low"] == m["low_ref"]).all()
+
+
+def test_stickiness_bounds_and_counts(spark):
+    out = plans.QUERIES["stickiness_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["month"] = ev["ts"].dt.strftime("%Y-%m")
+    ev["d"] = ev["ts"].dt.date
+    for _, row in out.iterrows():
+        g = ev[ev["month"] == row["month"]]
+        mau = g["user_id"].nunique()
+        dau = g.groupby("d")["user_id"].nunique()
+        assert row["mau"] == mau
+        assert row["dau_sum"] == dau.sum()
+        assert row["n_days"] == len(dau)
+        assert 0 < row["stickiness"] <= 1.0
+        assert row["stickiness"] == pytest.approx(
+            dau.mean() / mau, rel=1e-12
+        )
+
+
+def test_twap_matches_pandas(spark):
+    out = plans.QUERIES["twap_event_values"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["sec"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    for _, row in out.iterrows():
+        g = ev[ev["event_type"] == row["event_type"]].sort_values(
+            ["sec", "event_id"]
+        )
+        dt = g["sec"].shift(-1) - g["sec"]
+        mask = dt.notna() & (dt > 0)
+        v, w = g["value"][mask], dt[mask]
+        assert row["n_intervals"] == int(mask.sum())
+        assert row["total_secs"] == int(w.sum())
+        assert row["twap"] == pytest.approx(
+            float((v * w).sum() / w.sum()), rel=1e-9
+        )
+
+
+def test_mannwhitney_matches_brute(spark):
+    out = plans.QUERIES["mannwhitney_click_purchase"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    a = ev[ev["event_type"] == "click"]["value"].to_numpy()
+    b = ev[ev["event_type"] == "purchase"]["value"].to_numpy()
+    both = np.concatenate([a, b])
+    # average ranks (ties) via scipy-free rankdata
+    order = both.argsort(kind="mergesort")
+    ranks = np.empty(len(both))
+    sorted_v = both[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j + 1 < len(sorted_v) and sorted_v[j + 1] == sorted_v[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    r1 = ranks[: len(a)].sum()
+    u1 = r1 - len(a) * (len(a) + 1) / 2
+    row = out.iloc[0]
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert row["u1"] == pytest.approx(u1, abs=1e-9)
+    n = len(a) + len(b)
+    _, counts = np.unique(both, return_counts=True)
+    tie = (counts**3 - counts).sum()
+    sigma2 = len(a) * len(b) / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - len(a) * len(b) / 2) / np.sqrt(sigma2)
+    assert row["z"] == pytest.approx(z, rel=1e-9)
+
+
+def test_changepoint_maximizes_gain(spark):
+    out = plans.QUERIES["changepoint_event_values"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["hr"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 3600
+    for _, row in out.iterrows():
+        g = (
+            ev[ev["event_type"] == row["event_type"]]
+            .groupby("hr")["value"]
+            .agg(["sum", "size"])
+            .sort_index()
+        )
+        s = g["sum"].to_numpy()
+        n = g["size"].to_numpy(dtype=float)
+        ls, ln = np.cumsum(s), np.cumsum(n)
+        ts_, tn = s.sum(), n.sum()
+        gains = (
+            ls[:-1] ** 2 / ln[:-1]
+            + (ts_ - ls[:-1]) ** 2 / (tn - ln[:-1])
+            - ts_**2 / tn
+        )
+        best = gains.max()
+        assert row["gain"] == pytest.approx(best, rel=1e-6)
+        # the reported split achieves the max
+        hrs = g.index.to_numpy()
+        k = np.where(hrs[:-1] == row["split_hour"])[0]
+        assert len(k) == 1 and gains[k[0]] == pytest.approx(best, rel=1e-9)
+
+
+def test_sketch_quantile_gate_within_bin(spark):
+    out = plans.QUERIES["sketch_quantile_gate_events"](spark, SF).toPandas()
+    assert list(out["q"]) == [0.25, 0.5, 0.75, 0.99]
+    assert out["within_one_bin"].all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")["value"].dropna()
+    for _, row in out.iterrows():
+        exact = ev.sort_values().iloc[
+            max(0, int(np.ceil(row["q"] * len(ev))) - 1)
+        ]
+        assert row["exact_value"] == pytest.approx(exact, rel=1e-12)
+
+
+def test_functional_deps_orders(spark):
+    out = plans.QUERIES["functional_deps_orders"](spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    byk = out.set_index(["lhs", "rhs"])
+    # key FD must hold; shippriority is constant so priority -> ship holds
+    assert bool(byk.loc[("o_orderkey", "o_custkey")]["holds"])
+    for (lhs, rhs), row in byk.iterrows():
+        nl = orders[lhs].nunique()
+        np_ = orders[[lhs, rhs]].drop_duplicates().shape[0]
+        assert row["n_lhs"] == nl and row["n_pairs"] == np_
+        assert row["holds"] == (nl == np_)
+        assert row["violations"] == np_ - nl
+
+
+def test_kneser_ney_probabilities_sum_to_one(spark):
+    # for a seen history w1, sum_w2 P_KN(w2|w1) over the TRAIN vocab
+    # (+1-smoothed continuation) must be <= 1 and close to 1 up to
+    # the smoothing deficit; spot-check the score pipeline end-to-end
+    out = plans.QUERIES["kneser_ney_logprob_docs"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(out) <= len(docs)
+    assert (out["mean_logprob"] < 0).all()
+    assert (out["n_oov_history"] <= out["n_bigrams"]).all()
+    # train-half docs score strictly better on average than held-out
+    even = out[out["doc_id"] % 2 == 0]["mean_logprob"].mean()
+    odd = out[out["doc_id"] % 2 == 1]["mean_logprob"].mean()
+    assert even > odd
+
+
+def test_kneser_ney_matches_brute(spark):
+    out = (
+        plans.QUERIES["kneser_ney_logprob_docs"](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    import re as _re
+
+    toks = {
+        r.doc_id: [t for t in _re.split(r"\s+", r.text) if True]
+        for r in docs.itertuples()
+    }
+    from collections import Counter, defaultdict
+
+    c12 = Counter()
+    for d, ts_ in toks.items():
+        if d % 2 == 0:
+            for w1, w2 in zip(ts_, ts_[1:]):
+                c12[(w1, w2)] += 1
+    c1, fw, bw = Counter(), defaultdict(set), defaultdict(set)
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        fw[w1].add(w2)
+        bw[w2].add(w1)
+    n_types = len(c12)
+    v = len({w2 for _, w2 in c12})
+    D = 0.75
+
+    def pkn(w1, w2):
+        pc = (len(bw.get(w2, ())) + 1.0) / (n_types + v)
+        if w1 not in c1:
+            return pc
+        cc = c12.get((w1, w2), 0)
+        return max(cc - D, 0.0) / c1[w1] + D * len(fw[w1]) / c1[w1] * pc
+
+    import math
+
+    for d in list(out.index)[:20]:
+        ts_ = toks[d]
+        micro = 0
+        nb = 0
+        for w1, w2 in zip(ts_, ts_[1:]):
+            micro += round(math.log(pkn(w1, w2)) * 1_000_000)
+            nb += 1
+        assert out.loc[d]["n_bigrams"] == nb
+        assert out.loc[d]["logp_sum_micro"] == micro
