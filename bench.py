@@ -233,6 +233,8 @@ HEADLINE = [
     "changepoint_event_values",
     "sketch_quantile_gate_events",
     "functional_deps_orders",
+    "ann_index_maintained_embeddings",
+    "stream_histogram_quantiles",
 ]
 
 

@@ -344,6 +344,42 @@ def ivf_query_at_rest(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_index_add(
+    new_vectors: DataFrame,
+    wh,
+    table: str,
+    vec_col: str,
+    id_col: str,
+) -> int:
+    """Incrementally add vectors to an at-rest IVF index built by
+    ivf_build_index, WITHOUT retraining: new vectors are assigned to
+    the FROZEN persisted centroids and appended to their cells'
+    partitions (the FAISS `add` contract — the quantizer never moves
+    after build, so an add touches only the new rows' cell
+    partitions, never the existing index). Because assignment depends
+    only on the centroids and the vector itself, build-then-add is
+    bit-identical to rebuilding over the union — the maintained-index
+    identity `ann_index_maintained_embeddings` gates on. Returns the
+    number of vectors added."""
+    cents = wh.read(f"{table}_centroids")
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
+    assigned = (
+        new_vectors.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine(F.col(vec_col), F.col("cent_vec")))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= 1)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    wh.append(assigned, table, partition_by=["cell"])
+    # assignment is 1:1 (rank<=1 keeps exactly one row per vector), so
+    # the cheap pre-join count equals the appended row count
+    return new_vectors.count()
+
+
 def kmeans_parallel_init(
     corpus: DataFrame,
     vec_col: str,

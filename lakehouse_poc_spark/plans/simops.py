@@ -2431,3 +2431,97 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("golden_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained at-rest ANN index (r7): build the cell-partitioned IVF
+# index over the initial corpus (vec_id % 3 != 2), then incrementally
+# ADD the later arrivals (vec_id % 3 == 2) against the FROZEN
+# centroids — the FAISS add contract, and the vector twin of
+# `bloom_index_maintained_orders`. Because cell assignment depends
+# only on (vector, centroids), build-then-add is bit-identical to a
+# full rebuild over the union; the oracle recomputes exactly that:
+# min-id centroids drawn from the BUILD subset, every corpus vector
+# assigned, nprobe=2 query — so an incremental-maintenance bug
+# (stale centroids, dropped cells, double-added rows) breaks the
+# hash. Query reads ONLY probed cells' partition dirs (partition
+# pruning does candidate selection; adds touch only new rows' cells).
+@query(
+    "ann_index_maintained_embeddings",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings WHERE vec_id % 3 <> 2 ORDER BY vec_id LIMIT 16
+    ),
+    corpus_cells AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+        ) t WHERE crank <= 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 8
+        ) t WHERE crank <= 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               {_sql_cosine('q.qv', 'c.nv')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_sql_cosine('q.qv', 'c.nv')} DESC, c.neighbor_id
+               ) AS INTEGER) AS rank
+        FROM query_cells q JOIN corpus_cells c ON q.cid = c.cid
+        WHERE c.neighbor_id <> q.query_id
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_index_maintained_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    from ..operators.similarity import (
+        ivf_build_index,
+        ivf_index_add,
+        ivf_query_at_rest,
+    )
+    from ..sinks.warehouse import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = Path("/root/repo/.scratch") / f"annidx_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    t = "ann.ivf_maintained"
+    ivf_build_index(
+        emb.filter(F.col("vec_id") % 3 != 2),
+        wh, t, "embedding", "vec_id", n_centroids=16,
+    )
+    # two later-arrival batches exercise repeated adds
+    ivf_index_add(
+        emb.filter((F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == 0)),
+        wh, t, "embedding", "vec_id",
+    )
+    ivf_index_add(
+        emb.filter((F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 2 == 1)),
+        wh, t, "embedding", "vec_id",
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_query_at_rest(
+        wh, t, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, nprobe=2,
+    ).orderBy("query_id", "rank")

@@ -1798,3 +1798,176 @@ def stream_late_data_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame
         "rows_emitted",
         F.lit(dropped).cast("bigint").alias("dropped_late_groups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming mergeable histogram sketch (r7): the stream twin of
+# `sketch_quantile_gate_events`. Bin edges are FROZEN from the first
+# arrivals (even event_ids — a real deployment fixes edges at design
+# time; later out-of-range values clamp into the edge bins), then
+# each micro-batch appends its own 64-bin partial counts — the
+# mergeable-summary property IS the streaming story: partials from
+# any number of batches/executors combine by one SUM per bin, so the
+# merged stream sketch is bit-identical to the one-shot batch sketch
+# with the same edges (that identity is what the oracle recomputes).
+# Read-out gates approx p25/50/75/99 against the EXACT full-data
+# quantile — within one bin width unless clamping moved mass.
+@query(
+    "stream_histogram_quantiles",
+    oracle="""
+    WITH mm AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx
+        FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+        WHERE value IS NOT NULL
+    ),
+    binned AS (
+        SELECT LEAST(63, GREATEST(0, CAST(FLOOR((value - mm.mn)
+                   / ((mm.mx - mm.mn) / 64.0)) AS BIGINT))) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events, mm WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM binned),
+    qs AS (
+        SELECT CAST(q AS DOUBLE) AS q,
+               CAST(ceil(CAST(q AS DOUBLE) * n.n) AS BIGINT) AS rk,
+               mm.mn, mm.mx
+        FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(q), mm, n
+    ),
+    approx AS (
+        SELECT q, mn + CAST(MIN(bin) AS DOUBLE) * ((mx - mn) / 64.0)
+                   AS approx_value,
+               (mx - mn) / 64.0 AS bin_width
+        FROM qs JOIN cum ON cum.cum >= qs.rk
+        GROUP BY q, mn, mx
+    ),
+    s AS (
+        SELECT value AS v, row_number() OVER (ORDER BY value) AS rn
+        FROM events WHERE value IS NOT NULL
+    ),
+    exact AS (
+        SELECT t.q, CAST(s.v AS DOUBLE) AS exact_value
+        FROM (SELECT q, rk FROM qs) t
+        JOIN s ON s.rn = greatest(1, t.rk)
+    )
+    SELECT a.q, a.approx_value, e.exact_value,
+           abs(a.approx_value - e.exact_value) AS abs_err,
+           (abs(a.approx_value - e.exact_value) <= a.bin_width)
+               AS within_one_bin
+    FROM approx a JOIN exact e ON a.q = e.q
+    ORDER BY a.q
+    """,
+)
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.stats import exact_quantiles
+
+    work = stream_scratch("stream_hist_")
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+
+    def _build(d: Path) -> None:
+        h0 = ev.filter(F.col("event_id") % 2 == 0)
+        h1 = ev.filter(F.col("event_id") % 2 == 1)
+        h0.coalesce(1).write.parquet(str(d / "b0"))
+        h1.coalesce(1).write.parquet(str(d / "b1"))
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"hist_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/events.parquet").st_mtime,
+    )
+    # edges frozen from the first arrivals (metadata-sized collect)
+    mm = (
+        ev.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull())
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()[0]
+    )
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    width = (mx - mn) / 64.0
+    bin_col = F.least(
+        F.lit(63),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.lit(mn)) / F.lit(width)).cast(
+                "bigint"
+            ),
+        ),
+    )
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    partials = str(work / "bins")
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.filter(F.col("value").isNotNull()).select(
+            bin_col.alias("bin")
+        ).groupBy("bin").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        ).write.mode("append").parquet(partials)
+
+    run_foreach_batch(stream, sketch_batch, str(work / "ckpt"))
+    bins = (
+        spark.read.parquet(partials)
+        .groupBy("bin")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    cum = bins.select(
+        "bin", F.sum("c").over(W.orderBy("bin")).alias("cum")
+    )
+    nrows = ev.filter(F.col("value").isNotNull()).count()
+    qs = spark.createDataFrame(
+        [(0.25,), (0.5,), (0.75,), (0.99,)], ["q"]
+    ).select(
+        F.col("q").cast("double").alias("q"),
+        F.ceil(F.col("q").cast("double") * F.lit(nrows))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    approx = (
+        qs.join(cum, cum["cum"] >= qs["rk"])
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q",
+            (F.lit(mn) + F.col("bin").cast("double") * F.lit(width)).alias(
+                "approx_value"
+            ),
+            F.lit(width).alias("bin_width"),
+        )
+    )
+    exact = exact_quantiles(
+        ev.filter(F.col("value").isNotNull()).select(
+            F.col("value").cast("double").alias("value")
+        ),
+        "value",
+        qs=[0.25, 0.5, 0.75, 0.99],
+        block=F.floor(F.col("value") / F.lit(10.0)).cast("long"),
+    ).select("q", F.col("value").alias("exact_value"))
+    return (
+        approx.join(exact, "q")
+        .select(
+            "q",
+            "approx_value",
+            "exact_value",
+            F.abs(F.col("approx_value") - F.col("exact_value")).alias(
+                "abs_err"
+            ),
+            (
+                F.abs(F.col("approx_value") - F.col("exact_value"))
+                <= F.col("bin_width")
+            ).alias("within_one_bin"),
+        )
+        .orderBy("q")
+    )

@@ -930,3 +930,49 @@ def test_sq8_quantization_bounds_and_recall(spark):
         d2 = ((vecs.astype("float64") - vecs[qid].astype("float64")) ** 2).sum(1)
         order = [i for i in np.argsort(d2, kind="stable") if i != qid][:5]
         assert by_q[qid] == set(int(i) for i in order)
+
+
+def test_ivf_index_add_matches_rebuild(spark, tmp_path):
+    """build-then-add over frozen centroids is bit-identical to a full
+    rebuild over the union (the maintained-index identity), and adds
+    only ever append — the pre-add rows are untouched."""
+    from lakehouse_poc_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_add,
+        ivf_query_at_rest,
+    )
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, SF, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 2)
+    late = emb.filter(F.col("vec_id") % 3 == 2)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    ivf_build_index(initial, wh, "ann.inc", "embedding", "vec_id", 16)
+    n_added = ivf_index_add(late, wh, "ann.inc", "embedding", "vec_id")
+    assert n_added == late.count()
+
+    # rebuild twin: same centroids (min-id over the INITIAL subset,
+    # which the incremental path froze), full corpus assigned at once
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    ivf_build_index(initial, wh2, "ann.full", "embedding", "vec_id", 16)
+    ivf_index_add(late, wh2, "ann.full", "embedding", "vec_id")
+
+    inc = {
+        (r.vec_id, r.cell)
+        for r in wh.read("ann.inc").select("vec_id", "cell").collect()
+    }
+    assert len(inc) == emb.count()
+    queries = emb.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "qid")
+    a = ivf_query_at_rest(
+        wh, "ann.inc", queries.select("qid", "embedding"),
+        "embedding", "vec_id", "qid", k=5, nprobe=2,
+    )
+    b = ivf_query_at_rest(
+        wh2, "ann.full", queries.select("qid", "embedding"),
+        "embedding", "vec_id", "qid", k=5, nprobe=2,
+    )
+    ra = {(r.query_id, r.rank): r.neighbor_id for r in a.collect()}
+    rb = {(r.query_id, r.rank): r.neighbor_id for r in b.collect()}
+    assert ra == rb and len(ra) > 0

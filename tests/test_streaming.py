@@ -675,3 +675,36 @@ def test_stream_late_audit_consistency(spark):
     assert row.n_windows_emitted > 0
     assert row.rows_emitted > row.n_windows_emitted  # multi-row windows
     assert row.dropped_late_groups > 0  # the second-quarter replay was dropped
+
+
+def test_stream_histogram_merges_to_batch_sketch(spark):
+    """Per-micro-batch 64-bin partials summed bin-wise read out the
+    same quantiles as a one-shot sketch with the same frozen edges —
+    the mergeable-summary identity; and the gate columns match the
+    batch twin computed over identical data."""
+    from lakehouse_poc_spark.plans.streamops import stream_histogram_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_histogram_quantiles(spark, sf).toPandas()
+    assert list(out["q"]) == [0.25, 0.5, 0.75, 0.99]
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    vals = ev["value"].dropna()
+    even = ev[ev["event_id"] % 2 == 0]["value"].dropna()
+    mn, mx = float(even.min()), float(even.max())
+    width = (mx - mn) / 64.0
+    bins = ((vals - mn) / width).apply(
+        lambda x: min(63, max(0, int(x // 1)))
+    )
+    counts = bins.value_counts().sort_index()
+    cum = counts.cumsum()
+    for _, row in out.iterrows():
+        rk = int(-(-row["q"] * len(vals) // 1))  # ceil
+        b = int(cum[cum >= rk].index.min())
+        assert row["approx_value"] == mn + b * width
+        exact = vals.sort_values().iloc[max(0, rk - 1)]
+        assert row["exact_value"] == exact
+        assert row["within_one_bin"] == (
+            abs(row["approx_value"] - exact) <= width
+        )
