@@ -235,6 +235,10 @@ HEADLINE = [
     "functional_deps_orders",
     "ann_index_maintained_embeddings",
     "stream_histogram_quantiles",
+    "t_closeness_customers",
+    "naive_bayes_lang_docs",
+    "budget_pack_docs",
+    "degree_assortativity_coparts",
 ]
 
 

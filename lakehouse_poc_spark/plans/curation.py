@@ -1111,3 +1111,172 @@ def fim_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fim.alias("fim_text"),
         (n + 15).cast("bigint").alias("fim_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (Li et al. 2007, public) — completes the privacy
+# triad (k-anonymity, l-diversity, t-closeness): an equivalence
+# class can be l-diverse yet still leak if its sensitive-value
+# DISTRIBUTION diverges from the table's. For the categorical
+# banded-balance attribute the distance is total variation
+# (equal-ground-distance EMD): ½·Σ_v |p_g(v) − p(v)|. Determinism:
+# the per-band term |c_gv·n − c_v·n_g| is an exact BIGINT (no
+# per-band float division, no order-dependent float sum); one
+# fixed-order double division at the end. The zero-count bands a
+# group is missing still contribute — the group×band grid is built
+# from the two tiny aggregate domains, never the raw table.
+@query(
+    "t_closeness_customers",
+    oracle="""
+    WITH s AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2500.0) AS INTEGER) AS band
+        FROM customer
+    ),
+    gv AS (
+        SELECT c_nationkey, c_mktsegment, band,
+               CAST(COUNT(*) AS BIGINT) AS c_gv
+        FROM s GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM s GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS c_v FROM s GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    terms AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.n_g, tot.n,
+               abs(COALESCE(gv.c_gv, 0) * tot.n - v.c_v * g.n_g) AS term
+        FROM g CROSS JOIN v CROSS JOIN tot
+        LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey
+                    AND gv.c_mktsegment = g.c_mktsegment
+                    AND gv.band = v.band
+    )
+    SELECT c_nationkey, c_mktsegment,
+           n_g AS group_n,
+           CAST(SUM(term) AS BIGINT) AS tvd_num,
+           CAST(SUM(term) AS DOUBLE) / 2.0
+               / CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE) AS tvd,
+           (CAST(SUM(term) AS DOUBLE) / 2.0
+               / CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)) > 0.2
+               AS violates_t02
+    FROM terms
+    GROUP BY c_nationkey, c_mktsegment, n_g, n
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(2500.0)).cast("int").alias("band"),
+    )
+    gv = s.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_gv")
+    )
+    g = s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    v = s.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("c_v"))
+    tot = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    terms = (
+        g.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(tot))
+        .join(gv, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_g",
+            "n",
+            F.abs(
+                F.coalesce(F.col("c_gv"), F.lit(0)) * F.col("n")
+                - F.col("c_v") * F.col("n_g")
+            ).alias("term"),
+        )
+    )
+    tvd = (
+        F.col("tvd_num").cast("double")
+        / F.lit(2.0)
+        / F.col("n_g").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        terms.groupBy("c_nationkey", "c_mktsegment", "n_g", "n")
+        .agg(F.sum("term").cast("bigint").alias("tvd_num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_g").alias("group_n"),
+            "tvd_num",
+            tvd.alias("tvd"),
+            (tvd > F.lit(0.2)).alias("violates_t02"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection (r7): fill a fixed token budget (25%
+# of the corpus) with the highest-quality documents — the standard
+# data-mixing primitive ("take the best N tokens", Gopher/LLaMA
+# curation recipes). Quality here is the alpha ratio (letters /
+# chars, both exact BIGINTs, one fixed-order double division);
+# selection takes docs in (score DESC, doc_id) order while the
+# running token total BEFORE the doc is under budget (the last doc
+# may overshoot — greedy fill, deterministic). The running total is
+# the block-offset global_cumsum (decimal, bit-identical to the
+# single-window oracle at any partitioning) — no single-reducer
+# global window touches the corpus.
+@query(
+    "budget_pack_docs",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                   AS n_tok,
+               CAST(length(text) - length(regexp_replace(
+                        text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS score
+        FROM documents WHERE length(text) > 0
+    ),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM d),
+    c AS (
+        SELECT doc_id, n_tok, score,
+               CAST(SUM(n_tok) OVER (
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, n_tok, score, cum_tokens
+    FROM c, tot
+    WHERE cum_tokens - n_tok < CAST(FLOOR(0.25 * t) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def budget_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import global_cumsum
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    nchars = F.length("text")
+    nalpha = nchars - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        (nalpha.cast("double") / nchars.cast("double")).alias("score"),
+    ).withColumn("neg_score", -F.col("score"))
+    d = d.withColumn("tok_dec", F.col("n_tok").cast("decimal(20,0)"))
+    blk = F.floor(F.col("neg_score") * F.lit(20.0))
+    c = global_cumsum(
+        d, ["neg_score", "doc_id"], blk, "tok_dec", "cum"
+    )
+    tot = d.agg(F.sum("n_tok").cast("bigint").alias("t"))
+    budget = F.floor(F.lit(0.25) * F.col("t")).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("cum_tokens", F.col("cum").cast("bigint"))
+        .filter(F.col("cum_tokens") - F.col("n_tok") < budget)
+        .select("doc_id", "n_tok", "score", "cum_tokens")
+        .orderBy("doc_id")
+    )

@@ -488,3 +488,114 @@ def sssp_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(edges, source=_SSSP_SOURCE, max_rounds=_SSSP_ROUNDS).orderBy(
         "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (r7; Newman 2002, public): the Pearson
+# correlation of endpoint degrees over all edge-END pairs of the
+# co-purchase graph (each undirected edge contributes both (du,dv)
+# and (dv,du), the standard convention — the symmetrized sums make
+# Σx == Σy by construction). Negative r = hubs attach to leaves
+# (disassortative), positive = hubs attach to hubs. Everything
+# reduces to exact BIGINT sums over the edge relation (degrees are
+# integers), then one mirrored double expression — the OLS/ACF
+# determinism scheme. Scale: one distinct-edge shuffle, one degree
+# agg, two node-keyed joins; sums are map-side combinable.
+@query(
+    "degree_assortativity_coparts",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ),
+    ends AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        UNION ALL
+        SELECT dv.d, du.d
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM ends
+    )
+    SELECT m2, sx, sxy,
+           (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity_coparts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "dx")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dy")
+    joined = e.join(du, "u").join(dv, "v")
+    ends = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    m2d = F.col("m2").cast("double")
+    sxd = F.col("sx").cast("double")
+    return s.select(
+        "m2",
+        "sx",
+        "sxy",
+        (
+            (m2d * F.col("sxy").cast("double") - sxd * sxd)
+            / (m2d * F.col("sxx").cast("double") - sxd * sxd)
+        ).alias("assortativity"),
+    )

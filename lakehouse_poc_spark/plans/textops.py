@@ -8,7 +8,7 @@ mirror the arithmetic term-by-term so doubles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -488,4 +488,158 @@ def langid_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("true_lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (r7; McCallum & Nigam
+# 1998, public) — unlike the gradient-trained quality classifier
+# (whose training is declared rows-only), NB training is pure
+# counting, so TRAIN AND SCORE are both oracle-exact end to end:
+# P(lang) and add-1-smoothed P(token|lang) come from exact BIGINT
+# counts on the even-doc_id half; held-out docs score
+# argmax_lang [log P(lang) + Σ tf·log P(token|lang)] with per-token
+# logs micro-rounded to BIGINT before the doc sum (the repo's LM
+# determinism scheme), ties to the lexicographically smaller lang.
+# Output: the confusion matrix over the held-out half.
+#
+# Scale shape: the model is (lang × vocab)-sized from one train-half
+# shuffle; scoring joins doc-token tfs to the model on the token key
+# and reduces per (doc, lang) — token-keyed shuffles, AQE broadcasts
+# the lang-prior side. Nothing iterates.
+@query(
+    "naive_bayes_lang_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    tcnt AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    lcnt AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tok FROM tcnt GROUP BY 1
+    ),
+    prior AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    ndocs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tcnt
+    ),
+    dtf AS (
+        SELECT doc_id, lang AS actual, token,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT d.doc_id, d.actual, l.lang AS cand,
+               CAST(ROUND(ln(CAST(p.n_docs AS DOUBLE)
+                             / CAST(nd.n AS DOUBLE)) * 1000000.0)
+                    AS BIGINT)
+               + CAST(SUM(d.tf * CAST(ROUND(ln(
+                     (CAST(COALESCE(t.c, 0) AS DOUBLE) + 1.0)
+                     / (CAST(l.n_tok AS DOUBLE) + CAST(vb.v AS DOUBLE))
+                 ) * 1000000.0) AS BIGINT)) AS BIGINT) AS score
+        FROM dtf d
+        CROSS JOIN lcnt l
+        JOIN prior p ON p.lang = l.lang
+        CROSS JOIN ndocs nd
+        CROSS JOIN vocab vb
+        LEFT JOIN tcnt t ON t.lang = l.lang AND t.token = d.token
+        GROUP BY d.doc_id, d.actual, l.lang, p.n_docs, nd.n
+    ),
+    pred AS (
+        SELECT doc_id, actual, cand AS predicted FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    ORDER BY actual, predicted
+    """,
+)
+def naive_bayes_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
+    )
+    tcnt = (
+        tok.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lcnt = tcnt.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tok")
+    )
+    prior = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    ndocs = docs.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    vocab = tcnt.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    dtf = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", F.col("lang").alias("actual"), "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    prior_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("n").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    tok_micro = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("n_tok").cast("double") + F.col("v").cast("double"))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    scored = (
+        dtf.crossJoin(F.broadcast(lcnt))
+        .join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(ndocs))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            tcnt.withColumnRenamed("lang", "__tl"),
+            (F.col("__tl") == F.col("lang"))
+            & (tcnt["token"] == dtf["token"]),
+            "left",
+        )
+        .groupBy(
+            "doc_id", "actual", F.col("lang").alias("cand"),
+            "n_docs", "n",
+        )
+        .agg(F.sum(F.col("tf") * tok_micro).cast("bigint").alias("tsum"))
+        .select(
+            "doc_id",
+            "actual",
+            "cand",
+            (prior_micro + F.col("tsum")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
     )

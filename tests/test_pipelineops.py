@@ -163,3 +163,128 @@ def test_dedup_passages_incremental_verify_text_parity(spark):
     assert fp[10][1] == ""  # store duplicate removed entirely
     assert fp[11][0] == 0  # fresh text untouched
     assert vt[12][0] > 0  # within-batch duplicate of 11 still removed
+
+
+def test_t_closeness_matches_pandas(spark):
+    import pandas as pd
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["t_closeness_customers"](spark, sf).toPandas()
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    cust["band"] = (cust["c_acctbal"] / 2500.0).apply(
+        lambda x: int(x // 1)
+    )
+    glob = cust["band"].value_counts()
+    n = len(cust)
+    for _, row in out.iterrows():
+        g = cust[
+            (cust["c_nationkey"] == row["c_nationkey"])
+            & (cust["c_mktsegment"] == row["c_mktsegment"])
+        ]
+        ng = len(g)
+        gc = g["band"].value_counts()
+        tvd = 0.5 * sum(
+            abs(gc.get(b, 0) / ng - glob[b] / n) for b in glob.index
+        )
+        assert row["group_n"] == ng
+        assert row["tvd"] == __import__("pytest").approx(tvd, rel=1e-9)
+        assert 0.0 <= row["tvd"] <= 1.0
+
+
+def test_naive_bayes_confusion_complete_and_brute(spark):
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["naive_bayes_lang_docs"](spark, sf).toPandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    held = docs[docs["doc_id"] % 2 == 1]
+    assert out["n"].sum() == len(held)
+    # brute NB on the same split
+    train = docs[docs["doc_id"] % 2 == 0]
+    tcnt: Counter = Counter()
+    for r in train.itertuples():
+        for t in re.split(r"\s+", r.text):
+            tcnt[(r.lang, t)] += 1
+    ntok = Counter()
+    for (lang, _), c in tcnt.items():
+        ntok[lang] += c
+    vocab = len({t for _, t in tcnt})
+    prior = train["lang"].value_counts()
+    langs = sorted(ntok)
+    pred_counts: Counter = Counter()
+    for r in held.itertuples():
+        tf = Counter(re.split(r"\s+", r.text))
+        best = None
+        for lang in langs:
+            s = round(math.log(prior[lang] / len(train)) * 1_000_000)
+            for t, f in tf.items():
+                p = (tcnt.get((lang, t), 0) + 1.0) / (ntok[lang] + vocab)
+                s += f * round(math.log(p) * 1_000_000)
+            if best is None or s > best[0]:
+                best = (s, lang)
+        pred_counts[(r.lang, best[1])] += 1
+    got = {(r.actual, r.predicted): r.n for r in out.itertuples()}
+    assert got == dict(pred_counts)
+
+
+def test_budget_pack_greedy_prefix(spark):
+    import pandas as pd
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["budget_pack_docs"](spark, sf).toPandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    docs = docs[docs["text"].str.len() > 0].copy()
+    docs["n_tok"] = docs["text"].str.split(r"\s+").str.len()
+    alpha = docs["text"].str.count(r"[A-Za-z]")
+    docs["score"] = alpha / docs["text"].str.len()
+    docs = docs.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    budget = int(0.25 * docs["n_tok"].sum() // 1)
+    cum = docs["n_tok"].cumsum()
+    expected = docs[(cum - docs["n_tok"]) < budget]["doc_id"]
+    assert sorted(out["doc_id"]) == sorted(expected)
+    # selected docs are exactly a prefix of the quality ordering
+    assert set(out["doc_id"]) == set(docs["doc_id"].iloc[: len(out)])
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["degree_assortativity_coparts"](spark, sf).toPandas()
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    urgent = orders[orders["o_orderpriority"] == "1-URGENT"]["o_orderkey"]
+    items = li[li["l_orderkey"].isin(urgent)][
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    m = items.merge(items, on="l_orderkey")
+    e = m[m["l_partkey_x"] < m["l_partkey_y"]][
+        ["l_partkey_x", "l_partkey_y"]
+    ].drop_duplicates()
+    deg = pd.concat([e["l_partkey_x"], e["l_partkey_y"]]).value_counts()
+    x = np.concatenate(
+        [deg[e["l_partkey_x"]].values, deg[e["l_partkey_y"]].values]
+    ).astype(float)
+    y = np.concatenate(
+        [deg[e["l_partkey_y"]].values, deg[e["l_partkey_x"]].values]
+    ).astype(float)
+    r = np.corrcoef(x, y)[0, 1]
+    row = out.iloc[0]
+    assert row["m2"] == 2 * len(e)
+    assert row["assortativity"] == pytest.approx(r, rel=1e-9)
