@@ -239,6 +239,10 @@ HEADLINE = [
     "naive_bayes_lang_docs",
     "budget_pack_docs",
     "degree_assortativity_coparts",
+    "theil_sen_daily_events",
+    "trimmed_mean_event_values",
+    "zipf_fit_tokens",
+    "kendall_tau_hourly",
 ]
 
 

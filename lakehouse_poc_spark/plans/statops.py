@@ -1498,3 +1498,295 @@ def sketch_quantile_gate_events(
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (r7; Theil 1950/Sen 1968, public): the
+# median of all pairwise slopes of the DAILY count series — the
+# rank-based alternative to ols_trend_events that one outlier day
+# cannot move. The pair expansion runs on the AGGREGATED daily
+# domain (the raw-events pass is one partial-combined groupBy; a
+# decade is 3.7k days → 6.6M pair slopes), and the median is the
+# blocked-selection percentile_disc (operators/stats.exact_quantiles)
+# — per-block sorts only, never a pair-table-sized global window.
+# The selected VALUE at rank ⌈n/2⌉ is tie-order-independent, so the
+# oracle's simple window form matches bit-for-bit.
+@query(
+    "theil_sen_daily_events",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    slopes AS (
+        SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                   AS slope
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+        SELECT slope,
+               row_number() OVER (ORDER BY slope) AS rn,
+               COUNT(*) OVER () AS n
+        FROM slopes
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, slope AS theil_sen_slope
+    FROM ranked
+    WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+    """,
+)
+def theil_sen_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import exact_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    # try_divide: the a.d < b.d join condition excludes the zero
+    # denominator logically, but the codegen'd BNLJ evaluates the
+    # projection before the condition filter under ANSI mode
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.try_divide(
+            (F.col("b.c") - F.col("a.c")).cast("double"),
+            (F.col("b.d") - F.col("a.d")).cast("double"),
+        ).alias("slope"),
+    )
+    n = slopes.count()
+    med = exact_quantiles(
+        slopes, "slope", qs=[0.5],
+        block=F.floor(F.col("slope") * F.lit(10.0)).cast("long"),
+    )
+    return med.select(
+        F.lit(n).cast("bigint").alias("n_pairs"),
+        F.col("value").alias("theil_sen_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group trimmed mean (r7): the 5%-trimmed mean of event values
+# per type — drop the lowest and highest ceil(0.05·n) ranked values,
+# average the rest in exact DECIMAL. Rank runs per group (parallel
+# across types — never a global window); the trim count is exact
+# integer arithmetic and the one division is fixed-order, so both
+# engines keep the identical middle set.
+@query(
+    "trimmed_mean_event_values",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    kept AS (
+        SELECT event_type, value, n
+        FROM r
+        WHERE rn > CAST(ceil(0.05 * n) AS BIGINT)
+          AND rn <= n - CAST(ceil(0.05 * n) AS BIGINT)
+    )
+    SELECT event_type,
+           CAST(MIN(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+               AS trimmed_mean
+    FROM kept
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def trimmed_mean_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    trim = F.ceil(F.lit(0.05) * F.col("n")).cast("bigint")
+    kept = r.filter(
+        (F.col("rn") > trim) & (F.col("rn") <= F.col("n") - trim)
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (
+                F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (r7): OLS slope of ln(freq) against ln(rank) over the
+# token frequency table — the classic corpus sanity check (natural
+# text ≈ −1). Rank is the fully-tie-broken (count DESC, token) order
+# on the VOCAB domain (bounded, window-safe); each ln is computed
+# once per vocab row and micro-rounded to BIGINT so the OLS sums
+# stay order-independent exact; the closed form mirrors
+# ols_trend_events.
+@query(
+    "zipf_fit_tokens",
+    oracle=r"""
+    WITH tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split_regex(text, '\s+')) AS token
+            FROM documents
+        ) GROUP BY token
+    ),
+    ranked AS (
+        SELECT CAST(ROUND(ln(CAST(row_number() OVER (
+                   ORDER BY c DESC, token) AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS lx,
+               CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS ly
+        FROM tf
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lx) AS BIGINT) AS sx,
+               CAST(SUM(lx * lx) AS HUGEINT) AS sxx,
+               CAST(SUM(ly) AS BIGINT) AS sy,
+               CAST(SUM(lx * ly) AS HUGEINT) AS sxy
+        FROM ranked
+    )
+    SELECT n AS vocab,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope
+    FROM s
+    """,
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    micro = lambda col: F.round(F.log(col) * F.lit(1_000_000.0)).cast(  # noqa: E731
+        "bigint"
+    )
+    ranked = tf.select(
+        micro(F.row_number().over(w).cast("double")).alias("lx"),
+        micro(F.col("c").cast("double")).alias("ly"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("lx")).alias("sxx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("ly")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    return s.select(
+        F.col("n").alias("vocab"),
+        (
+            (nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double") - sxd * sxd)
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (r7; Kendall 1938, public) between the hourly click
+# and purchase count series: concordant/discordant pair counts with
+# the tie-corrected denominator. The h² pair expansion runs on the
+# JOINED HOURLY domain (bounded — the raw pass is one groupBy);
+# every count is an exact BIGINT, the denominator combines them with
+# two correctly-rounded sqrts.
+@query(
+    "kendall_tau_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT {_SQL_HOUR} AS h,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM hourly a JOIN hourly b ON a.h < b.h
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(conc) AS BIGINT) AS nc,
+               CAST(SUM(disc) AS BIGINT) AS nd,
+               CAST(SUM(tx) AS BIGINT) AS ntx,
+               CAST(SUM(ty) AS BIGINT) AS nty
+        FROM pairs
+    )
+    SELECT n0, nc, nd,
+           CAST(nc - nd AS DOUBLE)
+           / (sqrt(CAST(n0 - ntx AS DOUBLE)) * sqrt(CAST(n0 - nty AS DOUBLE)))
+               AS tau_b
+    FROM s
+    """,
+)
+def kendall_tau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hourly = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(b, F.col("a.h") < F.col("b.h")).select(
+        F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(ay == by, 1).otherwise(0).alias("ty"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("conc").cast("bigint").alias("nc"),
+        F.sum("disc").cast("bigint").alias("nd"),
+        F.sum("tx").cast("bigint").alias("ntx"),
+        F.sum("ty").cast("bigint").alias("nty"),
+    )
+    return s.select(
+        "n0",
+        "nc",
+        "nd",
+        (
+            (F.col("nc") - F.col("nd")).cast("double")
+            / (
+                F.sqrt((F.col("n0") - F.col("ntx")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("nty")).cast("double"))
+            )
+        ).alias("tau_b"),
+    )

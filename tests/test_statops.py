@@ -578,3 +578,93 @@ def test_kneser_ney_matches_brute(spark):
             nb += 1
         assert out.loc[d]["n_bigrams"] == nb
         assert out.loc[d]["logp_sum_micro"] == micro
+
+
+def test_theil_sen_matches_numpy(spark):
+    out = plans.QUERIES["theil_sen_daily_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    days = (
+        (ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9)
+        // 86400
+    )
+    series = days.value_counts().sort_index()
+    d = series.index.to_numpy(dtype=float)
+    c = series.to_numpy(dtype=float)
+    slopes = []
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            slopes.append((c[j] - c[i]) / (d[j] - d[i]))
+    slopes.sort()
+    rank = max(1, int(np.ceil(0.5 * len(slopes))))
+    assert out.iloc[0]["n_pairs"] == len(slopes)
+    assert out.iloc[0]["theil_sen_slope"] == slopes[rank - 1]
+
+
+def test_trimmed_mean_matches_pandas(spark):
+    out = plans.QUERIES["trimmed_mean_event_values"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for _, row in out.iterrows():
+        g = ev[ev["event_type"] == row["event_type"]].sort_values(
+            ["value", "event_id"]
+        )
+        t = int(np.ceil(0.05 * len(g)))
+        mid = g["value"].iloc[t : len(g) - t]
+        assert row["n"] == len(g) and row["n_kept"] == len(mid)
+        assert row["trimmed_mean"] == pytest.approx(mid.mean(), rel=1e-9)
+        # trimmed mean is between min and max of the kept middle
+        assert mid.min() <= row["trimmed_mean"] <= mid.max()
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import re
+
+    out = plans.QUERIES["zipf_fit_tokens"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    tf = Counter()
+    for t in docs["text"]:
+        tf.update(re.split(r"\s+", t))
+    counts = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    lx = np.array(
+        [round(np.log(i + 1) * 1e6) for i in range(len(counts))]
+    )
+    ly = np.array([round(np.log(c) * 1e6) for _, c in counts])
+    slope = np.polyfit(lx.astype(float), ly.astype(float), 1)[0]
+    assert out.iloc[0]["vocab"] == len(counts)
+    assert out.iloc[0]["zipf_slope"] == pytest.approx(slope, rel=1e-6)
+    assert out.iloc[0]["zipf_slope"] < 0  # frequency falls with rank
+
+
+def test_kendall_tau_matches_brute(spark):
+    out = plans.QUERIES["kendall_tau_hourly"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["event_type"].isin(["click", "purchase"])].copy()
+    ev["h"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 3600
+    piv = (
+        ev.pivot_table(
+            index="h", columns="event_type", values="event_id",
+            aggfunc="count", fill_value=0,
+        )
+        .sort_index()
+    )
+    x = piv["click"].to_numpy()
+    y = piv["purchase"].to_numpy()
+    nc = nd = ntx = nty = 0
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            if x[i] == x[j]:
+                ntx += 1
+            if y[i] == y[j]:
+                nty += 1
+            if (x[i] < x[j] and y[i] < y[j]) or (x[i] > x[j] and y[i] > y[j]):
+                nc += 1
+            elif (x[i] < x[j] and y[i] > y[j]) or (x[i] > x[j] and y[i] < y[j]):
+                nd += 1
+    n0 = len(x) * (len(x) - 1) // 2
+    tau = (nc - nd) / (np.sqrt(n0 - ntx) * np.sqrt(n0 - nty))
+    row = out.iloc[0]
+    assert (row["n0"], row["nc"], row["nd"]) == (n0, nc, nd)
+    assert row["tau_b"] == pytest.approx(tau, rel=1e-9)

@@ -390,6 +390,10 @@ def main() -> None:
         spark.range(1).count()
         spatial_probe(spark)
         return
+    if "--ann-add" in sys.argv:
+        spark.range(1).count()
+        ann_add_probe(spark, sf_dir)
+        return
     docs = read_parquet_table(spark, sf_dir, "documents")
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     spark.range(1).count()
@@ -552,3 +556,56 @@ def _bigram_logprob(corpus: DataFrame):
 
 if __name__ == "__main__":
     main()
+
+
+def ann_add_probe(spark, sf_dir: str) -> None:
+    """Maintained-ANN-index scaling: grow the AT-REST index 1x/4x/16x
+    and time ivf_index_add of a FIXED-SIZE batch against each. The
+    FAISS add contract predicts flat-to-mild growth — an add assigns
+    only the batch (batch x 16-centroid broadcast) and appends to the
+    touched cells' partitions; it never rewrites the existing index.
+    The query side is also timed to show the read path scales with
+    corpus (candidates), not with adds."""
+    import shutil
+    import tempfile
+    import time
+
+    from lakehouse_poc_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_add,
+        ivf_query_at_rest,
+    )
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    batch = emb.select(
+        (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
+    ).persist()
+    nb = batch.count()
+    print(f"ann-add probe: fixed add batch = {nb} vectors")
+    for factor in (1, 4, 16):
+        corpus = scaled_embeddings(emb, factor).persist()
+        n = corpus.count()
+        root = tempfile.mkdtemp(prefix=f"annprobe{factor}_")
+        wh = Warehouse(spark, root)
+        t0 = time.monotonic()
+        ivf_build_index(corpus, wh, "ann.p", "embedding", "vec_id", 16)
+        t_build = time.monotonic() - t0
+        t0 = time.monotonic()
+        ivf_index_add(batch, wh, "ann.p", "embedding", "vec_id")
+        t_add = time.monotonic() - t0
+        queries = emb.filter(F.col("vec_id") < 8)
+        t0 = time.monotonic()
+        got = ivf_query_at_rest(
+            wh, "ann.p", queries, "embedding", "vec_id", "vec_id",
+            k=5, nprobe=2,
+        ).count()
+        t_query = time.monotonic() - t0
+        print(
+            f"  index={n:>7} vectors  build={t_build:6.2f}s  "
+            f"add({nb})={t_add:6.2f}s  query(8,k=5)={t_query:6.2f}s  "
+            f"result_rows={got}"
+        )
+        corpus.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    batch.unpersist()
