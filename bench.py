@@ -243,6 +243,9 @@ HEADLINE = [
     "trimmed_mean_event_values",
     "zipf_fit_tokens",
     "kendall_tau_hourly",
+    "k_anonymize_ladder_customers",
+    "window_showcase2_customers",
+    "embedding_covariance_block",
 ]
 
 

@@ -1685,3 +1685,55 @@ def lateral_topk_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth #2 (r7): cume_dist, nth_value, and
+# frame-bounded first/last over the per-nation customer-balance
+# ordering — the remaining ranked-window surface after
+# window_balance_quartiles (ntile) and percent_rank_events. The
+# window partitions by nation (parallel across groups; never
+# global); every output is either an exact integer, a ratio of
+# exact integers, or a picked value — no float accumulation.
+@query(
+    "window_showcase2_customers",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS bal,
+           cume_dist() OVER w AS cd,
+           CAST(nth_value(c_custkey, 3) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS third_poorest,
+           CAST(first_value(c_custkey) OVER w AS BIGINT) AS poorest,
+           CAST(last_value(c_custkey) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, bal, c_custkey
+    LIMIT 200
+    """,
+)
+def window_showcase2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wrows = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wfull = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.cume_dist().over(w).alias("cd"),
+            F.nth_value("c_custkey", 3).over(wrows).cast("bigint")
+            .alias("third_poorest"),
+            F.first("c_custkey").over(w).cast("bigint").alias("poorest"),
+            F.last("c_custkey").over(wfull).cast("bigint").alias("richest"),
+        )
+        .orderBy("c_nationkey", "bal", "c_custkey")
+        .limit(200)
+    )

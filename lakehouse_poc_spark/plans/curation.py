@@ -1280,3 +1280,126 @@ def budget_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok", "score", "cum_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymization generalization ladder (r7; Sweeney 2002, public) —
+# the TRANSFORM the k_anonymity/l_diversity/t_closeness audits
+# motivate: coarsen the quasi-identifiers level by level (band width
+# 2500 → 5000 → 10000; segment kept → dropped at the top rung) until
+# every equivalence class reaches k ≥ 5, reporting each rung's
+# min/median class size and violation count so the caller picks the
+# minimal sufficient generalization. Each rung is one
+# partial-combinable groupBy on its coarsened key; the ladder is a
+# fixed 4-rung union, no iteration. The median class size reuses the
+# percentile_disc rank rule on the (bounded) per-rung class-size
+# relation.
+@query(
+    "k_anonymize_ladder_customers",
+    oracle="""
+    WITH g0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sz FROM customer
+        GROUP BY c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 2500.0) AS INTEGER)
+    ),
+    g1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sz FROM customer
+        GROUP BY c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 5000.0) AS INTEGER)
+    ),
+    g2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sz FROM customer
+        GROUP BY c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 10000.0) AS INTEGER)
+    ),
+    g3 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sz FROM customer
+        GROUP BY c_nationkey, CAST(floor(c_acctbal / 10000.0) AS INTEGER)
+    ),
+    lv AS (
+        SELECT 0 AS level, sz FROM g0
+        UNION ALL SELECT 1, sz FROM g1
+        UNION ALL SELECT 2, sz FROM g2
+        UNION ALL SELECT 3, sz FROM g3
+    ),
+    ranked AS (
+        SELECT level, sz,
+               row_number() OVER (PARTITION BY level ORDER BY sz) AS rn,
+               COUNT(*) OVER (PARTITION BY level) AS ng
+        FROM lv
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(MAX(ng) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS min_group,
+           CAST(MAX(CASE WHEN rn = greatest(1,
+                CAST(ceil(0.5 * ng) AS BIGINT)) THEN sz END) AS BIGINT)
+               AS median_group,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_under_k5,
+           (MIN(sz) >= 5) AS k5_ok
+    FROM ranked
+    GROUP BY level
+    ORDER BY level
+    """,
+)
+def k_anonymize_ladder_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+
+    def rung(level: int, cols):
+        return (
+            cust.groupBy(*cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+            .select(F.lit(level).alias("level"), "sz")
+        )
+
+    band = lambda w: F.floor(F.col("c_acctbal") / F.lit(w)).cast("int")  # noqa: E731
+    lv = (
+        rung(0, ["c_nationkey", "c_mktsegment", band(2500.0)])
+        .unionByName(rung(1, ["c_nationkey", "c_mktsegment", band(5000.0)]))
+        .unionByName(rung(2, ["c_nationkey", "c_mktsegment", band(10000.0)]))
+        .unionByName(rung(3, ["c_nationkey", band(10000.0)]))
+    )
+    ranked = lv.select(
+        "level",
+        "sz",
+        F.row_number()
+        .over(W.partitionBy("level").orderBy("sz"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("level")).alias("ng"),
+    )
+    return (
+        ranked.groupBy("level")
+        .agg(
+            F.max("ng").cast("bigint").alias("n_groups"),
+            F.min("sz").cast("bigint").alias("min_group"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.lit(1),
+                        F.ceil(F.lit(0.5) * F.col("ng")).cast("bigint"),
+                    ),
+                    F.col("sz"),
+                )
+            )
+            .cast("bigint")
+            .alias("median_group"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_under_k5"),
+            (F.min("sz") >= 5).alias("k5_ok"),
+        )
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "n_groups",
+            "min_group",
+            "median_group",
+            "groups_under_k5",
+            "k5_ok",
+        )
+        .orderBy("level")
+    )

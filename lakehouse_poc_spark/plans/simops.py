@@ -2525,3 +2525,98 @@ def ann_index_maintained_embeddings(
         wh, t, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, nprobe=2,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance block (r7): the exact 16×16 covariance of the
+# leading embedding dimensions — the statistics PCA/whitening and
+# OPQ rotation start from (the PQ/IVF-PQ tiers motivate it). Each
+# vector contributes its (i ≤ j) coordinate products once; values and
+# products micro-round to BIGINT (1e9 / 1e12) BEFORE summing — exact,
+# order-independent, and immune to the double→DECIMAL rounding-mode
+# skew between engines (a plain DECIMAL cast of the product differs
+# in the last bit) — and cov = (Σxy − ΣxΣy/n)/n combines the
+# micro-sums in one fixed-order double expression. Scale: the pair relation
+# is n·d(d+1)/2 rows from a map-only posexplode+self-join on vec_id
+# (co-partitioned, AQE-local), then ONE partial-combinable groupBy on
+# the 136-key (i,j) domain — bytes after combine ∝ d², not n.
+@query(
+    "embedding_covariance_block",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+                    AS BIGINT) AS mv
+        FROM embeddings, unnest(range(1, 17)) AS t(i)
+    ),
+    p AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.mv) AS BIGINT) AS sx,
+               CAST(SUM(b.mv) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000000.0)
+                             AS BIGINT)) AS BIGINT) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+           (CAST(sxy AS DOUBLE) / 1000000000000.0
+              - (CAST(sx AS DOUBLE) / 1000000000.0)
+                * (CAST(sy AS DOUBLE) / 1000000000.0)
+                / CAST(n AS DOUBLE))
+           / CAST(n AS DOUBLE) AS cov
+    FROM p
+    ORDER BY i, j
+    """,
+)
+def embedding_covariance_block(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 16)).alias("i", "v0"),
+    ).select(
+        "vec_id",
+        "i",
+        F.col("v0").cast("double").alias("v"),
+        F.round(F.col("v0").cast("double") * F.lit(1e9))
+        .cast("bigint")
+        .alias("mv"),
+    )
+    a = x.alias("a")
+    b = x.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a.mv").cast("bigint").alias("sx"),
+            F.sum("b.mv").cast("bigint").alias("sy"),
+            F.sum(
+                F.round(F.col("a.v") * F.col("b.v") * F.lit(1e12)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("sxy"),
+        )
+    )
+    return p.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n",
+        (
+            (
+                F.col("sxy").cast("double") / F.lit(1e12)
+                - (F.col("sx").cast("double") / F.lit(1e9))
+                * (F.col("sy").cast("double") / F.lit(1e9))
+                / F.col("n").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("cov"),
+    ).orderBy("i", "j")

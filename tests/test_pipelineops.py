@@ -288,3 +288,48 @@ def test_degree_assortativity_matches_numpy(spark):
     row = out.iloc[0]
     assert row["m2"] == 2 * len(e)
     assert row["assortativity"] == pytest.approx(r, rel=1e-9)
+
+
+def test_k_anonymize_ladder_monotone(spark):
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["k_anonymize_ladder_customers"](spark, sf).toPandas()
+    assert list(out["level"]) == [0, 1, 2, 3]
+    # coarsening can only shrink the group count and (weakly) grow
+    # the minimum class size
+    assert (np.diff(out["n_groups"]) <= 0).all()
+    assert (np.diff(out["min_group"]) >= 0).all()
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    g0 = cust.groupby(
+        ["c_nationkey", "c_mktsegment", (cust["c_acctbal"] / 2500.0).apply(lambda x: int(x // 1))]
+    ).size()
+    assert out.iloc[0]["n_groups"] == len(g0)
+    assert out.iloc[0]["min_group"] == g0.min()
+    assert out.iloc[0]["groups_under_k5"] == int((g0 < 5).sum())
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["embedding_covariance_block"](spark, sf).toPandas()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy())[:, :16].astype(np.float64)
+    ref = np.cov(X, rowvar=False, bias=True)
+    assert len(out) == 16 * 17 // 2
+    for _, row in out.iterrows():
+        # micro-rounding quantizes at 1e-12 per product; tolerance is
+        # generous relative to that
+        assert row["cov"] == pytest.approx(
+            ref[int(row["i"]), int(row["j"])], abs=1e-6, rel=1e-6
+        )
+    # diagonal is a variance: non-negative
+    assert (out[out["i"] == out["j"]]["cov"] >= 0).all()
