@@ -246,6 +246,7 @@ HEADLINE = [
     "k_anonymize_ladder_customers",
     "window_showcase2_customers",
     "embedding_covariance_block",
+    "mv_incremental_orders",
 ]
 
 

@@ -1902,3 +1902,54 @@ def incremental_agg_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained materialized view (r7): the aggregate MV
+# sinks/matview.py maintains by FILE DELTA — monthly order revenue
+# built over the first batch, then a second batch lands and
+# refresh() folds in ONLY the new files (the returned files_scanned
+# is test-asserted; a no-op refresh scans 0). The state is the
+# mergeable (count, DECIMAL sum) algebra, so incremental == full
+# recompute bit-for-bit and the oracle recomputes over ALL orders.
+# The stale-base guard (rewritten files ⇒ refuse + rebuild) is
+# covered in tests/test_warehouse.py.
+@query(
+    "mv_incremental_orders",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """,
+)
+def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.matview import MaterializedAgg
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+        .alias("month"),
+        "o_totalprice",
+    )
+    wh = _fresh_wh(spark, f"mv_{Path(sf_dir).name}")
+    t = "layer0200.orders_src"
+    wh.append(
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), t
+    )
+    mv = MaterializedAgg(
+        wh, "orders_monthly", t, ["month"], "o_totalprice"
+    )
+    mv.rebuild()
+    wh.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2), t
+    )
+    mv.refresh()
+    return mv.read().select(
+        "month",
+        F.col("mv_n").alias("n_orders"),
+        F.col("mv_sum").cast("double").alias("revenue"),
+    ).orderBy("month")

@@ -1045,3 +1045,72 @@ def test_dv_guards_partitioned_layout_and_cow_mixing(spark, tmp_path):
     wh.overwrite(spark.range(3).selectExpr("id", "id AS v"), flat)
     assert not wh.table_exists(wh._dv_table(flat))
     assert wh.read_mor(flat).count() == 3
+
+
+def test_mv_incremental_scans_only_new_files(spark, tmp_path):
+    """refresh() cost ∝ appended files: second batch scans only its
+    own files, a no-op refresh scans zero, and incremental state
+    equals a full rebuild exactly."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.sinks.matview import MaterializedAgg
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    t = "src.events"
+    wh.append(ev.filter(F.col("k") < 600).repartition(3), t)
+    mv = MaterializedAgg(wh, "by_g", t, ["g"], "v")
+    s0 = mv.rebuild()
+    assert s0["files_scanned"] == s0["files_total"] == 3
+
+    wh.append(ev.filter(F.col("k") >= 600).repartition(2), t)
+    s1 = mv.refresh()
+    assert s1["files_scanned"] == 2 and s1["files_total"] == 5
+    s2 = mv.refresh()
+    assert s2["files_scanned"] == 0
+
+    got = {
+        (r["g"], r["mv_n"], float(r["mv_sum"]))
+        for r in mv.read().collect()
+    }
+    full = {
+        (r["g"], r["n"], float(r["s"]))
+        for r in ev.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(30,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
+def test_mv_stale_base_guard(spark, tmp_path):
+    """A base rewrite (compaction) invalidates the seen-set: refresh
+    refuses rather than double-counting; rebuild recovers."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.sinks.matview import MaterializedAgg
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    t = "src.small"
+    wh.append(ev.repartition(2), t)
+    mv = MaterializedAgg(wh, "small_by_g", t, ["g"], "v")
+    mv.rebuild()
+    wh.compact(t, target_files=1)
+    with _pytest.raises(ValueError, match="stale_base"):
+        mv.refresh()
+    s = mv.rebuild()
+    assert s["files_total"] >= 1
+    assert mv.read().count() == 3
