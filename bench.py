@@ -247,6 +247,8 @@ HEADLINE = [
     "window_showcase2_customers",
     "embedding_covariance_block",
     "mv_incremental_orders",
+    "holt_winters_event_values",
+    "churn_features_users",
 ]
 
 

@@ -1671,3 +1671,112 @@ def funnel_time_to_convert_events(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM __ttc_gaps
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (r7; Winters 1960, public)
+# — extends holt_trend_event_values with a period-4 seasonal state
+# carried as an ARRAY through the same order-recursive fold. Zero
+# init (level, trend, seasonals), standard additive updates with the
+# new level inlined into the trend and seasonal steps so the SQL
+# recursive CTE matches Spark's expression tree op-for-op (the Holt
+# determinism contract). The fold is per-user (parallel across
+# users); the seasonal array update rebuilds the 4-slot list each
+# step — both engines evaluate CASE i = k per slot.
+_HW_G = 0.2
+
+
+@query(
+    "holt_winters_event_values",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+               CAST(len(list(value)) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    rec AS (
+        SELECT user_id, 0 AS t, 0.0::DOUBLE AS l, 0.0::DOUBLE AS b,
+               [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] AS s,
+               n, vs
+        FROM seq
+        UNION ALL
+        SELECT user_id, t + 1,
+               {_HOLT_A} * (vs[t + 1] - s[(t % 4) + 1])
+                   + {1.0 - _HOLT_A} * (l + b),
+               {_HOLT_B} * (({_HOLT_A} * (vs[t + 1] - s[(t % 4) + 1])
+                             + {1.0 - _HOLT_A} * (l + b)) - l)
+                   + {1.0 - _HOLT_B} * b,
+               list_transform(range(1, 5), i ->
+                   CASE WHEN i = (t % 4) + 1 THEN
+                       {_HW_G} * (vs[t + 1]
+                                  - ({_HOLT_A} * (vs[t + 1] - s[(t % 4) + 1])
+                                     + {1.0 - _HOLT_A} * (l + b)))
+                       + {1.0 - _HW_G} * s[(t % 4) + 1]
+                   ELSE s[i] END),
+               n, vs
+        FROM rec WHERE t < n
+    )
+    SELECT user_id, n AS n_events, l AS level, b AS trend,
+           s[1] AS s1, s[2] AS s2, s[3] AS s3, s[4] AS s4,
+           l + b + s[(CAST(n AS INTEGER) % 4) + 1] AS forecast_1
+    FROM rec WHERE t = n
+    ORDER BY user_id
+    """,
+)
+def holt_winters_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda e: e["value"])
+    zero4 = F.array(*[F.lit(0.0) for _ in range(4)])
+
+    def step(acc, v):
+        k = (acc["t"] % 4) + 1
+        sp = F.element_at(acc["s"], k)
+        new_l = F.lit(_HOLT_A) * (v - sp) + F.lit(1.0 - _HOLT_A) * (
+            acc["l"] + acc["b"]
+        )
+        new_b = F.lit(_HOLT_B) * (new_l - acc["l"]) + F.lit(
+            1.0 - _HOLT_B
+        ) * acc["b"]
+        new_s = F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: F.when(
+                i == k,
+                F.lit(_HW_G) * (v - new_l) + F.lit(1.0 - _HW_G) * sp,
+            ).otherwise(F.element_at(acc["s"], i)),
+        )
+        return F.struct(
+            (acc["t"] + 1).alias("t"),
+            new_l.alias("l"),
+            new_b.alias("b"),
+            new_s.alias("s"),
+        )
+
+    r = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(0).alias("t"),
+            F.lit(0.0).alias("l"),
+            F.lit(0.0).alias("b"),
+            zero4.alias("s"),
+        ),
+        step,
+    )
+    n = F.size("evs")
+    return seq.select(
+        "user_id",
+        n.cast("bigint").alias("n_events"),
+        r["l"].alias("level"),
+        r["b"].alias("trend"),
+        F.element_at(r["s"], 1).alias("s1"),
+        F.element_at(r["s"], 2).alias("s2"),
+        F.element_at(r["s"], 3).alias("s3"),
+        F.element_at(r["s"], 4).alias("s4"),
+        (
+            r["l"] + r["b"] + F.element_at(r["s"], (n % 4) + 1)
+        ).alias("forecast_1"),
+    ).orderBy("user_id")

@@ -347,3 +347,112 @@ def score_reliability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn feature/label builder (r7): the standard temporal-split
+# training-set construction — features from the observation window
+# (first ⅔ of the data's day span), label from the holdout window
+# (churned = zero events after the cutoff). The cutoff derives from
+# the data's own min/max day (exact BIGINT arithmetic, broadcast
+# scalar), so the query is scale-factor-agnostic; every feature is
+# an exact count / BIGINT recency / fixed-order decimal mean. One
+# user-keyed aggregation per window, one left join — the label side
+# after combine is |churning users|-sized.
+@query(
+    "churn_features_users",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS day,
+               value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events
+    ),
+    span AS (
+        SELECT MIN(day) AS d0,
+               MIN(day) + CAST(FLOOR(0.66 * (MAX(day) - MIN(day)))
+                               AS BIGINT) AS cutoff
+        FROM d
+    ),
+    obs AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(is_p) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS days_active,
+               CAST(MIN(span.cutoff - day) AS BIGINT) AS recency_days,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_value
+        FROM d, span WHERE day <= span.cutoff
+        GROUP BY user_id
+    ),
+    fut AS (
+        SELECT DISTINCT d.user_id
+        FROM d, span WHERE d.day > span.cutoff
+    )
+    SELECT o.user_id, o.n_events, o.n_purchases, o.days_active,
+           o.recency_days,
+           o.mean_value,
+           (f.user_id IS NULL) AS churned
+    FROM obs o LEFT JOIN fut f ON o.user_id = f.user_id
+    ORDER BY o.user_id
+    """,
+)
+def churn_features_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400))
+        .cast("bigint")
+        .alias("day"),
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    span = d.agg(
+        F.min("day").alias("d0"),
+        (
+            F.min("day")
+            + F.floor(F.lit(0.66) * (F.max("day") - F.min("day"))).cast(
+                "bigint"
+            )
+        ).alias("cutoff"),
+    )
+    dd = d.crossJoin(F.broadcast(span))
+    obs = (
+        dd.filter(F.col("day") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_p").cast("bigint").alias("n_purchases"),
+            F.countDistinct("day").cast("bigint").alias("days_active"),
+            F.min(F.col("cutoff") - F.col("day"))
+            .cast("bigint")
+            .alias("recency_days"),
+            (
+                F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+    )
+    fut = (
+        dd.filter(F.col("day") > F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+        .withColumn("__active", F.lit(1))
+    )
+    return (
+        obs.join(fut, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "days_active",
+            "recency_days",
+            "mean_value",
+            F.col("__active").isNull().alias("churned"),
+        )
+        .orderBy("user_id")
+    )

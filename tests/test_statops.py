@@ -668,3 +668,65 @@ def test_kendall_tau_matches_brute(spark):
     row = out.iloc[0]
     assert (row["n0"], row["nc"], row["nd"]) == (n0, nc, nd)
     assert row["tau_b"] == pytest.approx(tau, rel=1e-9)
+
+
+def test_holt_winters_matches_python(spark):
+    out = (
+        plans.QUERIES["holt_winters_event_values"](spark, SF)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    A, B, G = 0.5, 0.3, 0.2
+    for uid in list(out.index)[:15]:
+        g = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+        l = b = 0.0
+        s = [0.0] * 4
+        for t, v in enumerate(g["value"]):
+            k = t % 4
+            sp = s[k]
+            nl = A * (v - sp) + (1 - A) * (l + b)
+            nb = B * (nl - l) + (1 - B) * b
+            s[k] = G * (v - nl) + (1 - G) * sp
+            l, b = nl, nb
+        row = out.loc[uid]
+        assert row["n_events"] == len(g)
+        assert row["level"] == pytest.approx(l, rel=1e-12, abs=1e-12)
+        assert row["trend"] == pytest.approx(b, rel=1e-12, abs=1e-12)
+        for i in range(4):
+            assert row[f"s{i+1}"] == pytest.approx(
+                s[i], rel=1e-12, abs=1e-12
+            )
+        assert row["forecast_1"] == pytest.approx(
+            l + b + s[len(g) % 4], rel=1e-12, abs=1e-12
+        )
+
+
+def test_churn_features_match_pandas(spark):
+    out = (
+        plans.QUERIES["churn_features_users"](spark, SF)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 86400
+    d0, d1 = ev["day"].min(), ev["day"].max()
+    cutoff = d0 + int(0.66 * (d1 - d0) // 1)
+    obs = ev[ev["day"] <= cutoff]
+    fut_users = set(ev[ev["day"] > cutoff]["user_id"])
+    assert len(out) == obs["user_id"].nunique()
+    for uid in list(out.index)[:25]:
+        g = obs[obs["user_id"] == uid]
+        row = out.loc[uid]
+        assert row["n_events"] == len(g)
+        assert row["n_purchases"] == int(
+            (g["event_type"] == "purchase").sum()
+        )
+        assert row["days_active"] == g["day"].nunique()
+        assert row["recency_days"] == cutoff - g["day"].max()
+        assert row["mean_value"] == pytest.approx(
+            g["value"].mean(), rel=1e-9
+        )
+        assert row["churned"] == (uid not in fut_users)
