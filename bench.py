@@ -249,6 +249,7 @@ HEADLINE = [
     "mv_incremental_orders",
     "holt_winters_event_values",
     "churn_features_users",
+    "stream_mv_incremental_orders",
 ]
 
 

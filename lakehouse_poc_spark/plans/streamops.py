@@ -1971,3 +1971,75 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-maintained materialized view (r7): the stream twin of
+# mv_incremental_orders — each micro-batch lands in the warehouse
+# source table and MaterializedAgg.refresh() folds in exactly the
+# files that batch appended (cost ∝ batch, asserted by the returned
+# files_scanned in tests). The MV state is the mergeable
+# (count, DECIMAL-sum) algebra, so the streamed view equals the
+# one-shot batch build bit-for-bit and the oracle recomputes over
+# ALL orders — the same stream==batch identity contract as
+# stream_incremental_rollup, expressed through the MV layer.
+@query(
+    "stream_mv_incremental_orders",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
+    """,
+)
+def stream_mv_incremental_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sinks.matview import MaterializedAgg
+
+    work = stream_scratch("stream_mv_")
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+        .alias("month"),
+        "o_totalprice",
+    )
+
+    def _build(d: Path) -> None:
+        h0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+        h1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+        h0.coalesce(1).write.parquet(str(d / "b0"))
+        h1.coalesce(1).write.parquet(str(d / "b1"))
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"mv_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/orders.parquet").st_mtime,
+    )
+    wh = Warehouse(spark, str(work / "wh"))
+    t = "layer0200.orders_stream_src"
+    mv = MaterializedAgg(wh, "orders_monthly_s", t, ["month"], "o_totalprice")
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", orders.schema,
+        max_files_per_trigger=1,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        wh.append(batch_df, t)
+        mv.refresh()
+
+    run_foreach_batch(stream, fold, str(work / "ckpt"))
+    return mv.read().select(
+        "month",
+        F.col("mv_n").alias("n_orders"),
+        F.col("mv_sum").cast("double").alias("revenue"),
+    ).orderBy("month")

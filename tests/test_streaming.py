@@ -708,3 +708,19 @@ def test_stream_histogram_merges_to_batch_sketch(spark):
         assert row["within_one_bin"] == (
             abs(row["approx_value"] - exact) <= width
         )
+
+
+def test_stream_mv_equals_batch_mv(spark):
+    """The streaming-maintained MV equals the one-shot batch MV row
+    for row — the stream==batch identity through the MV layer."""
+    from lakehouse_poc_spark.plans.etlops import mv_incremental_orders
+    from lakehouse_poc_spark.plans.streamops import (
+        stream_mv_incremental_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in mv_incremental_orders(spark, sf).collect()]
+    stream = [
+        tuple(r) for r in stream_mv_incremental_orders(spark, sf).collect()
+    ]
+    assert batch == stream and len(batch) > 0
