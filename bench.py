@@ -250,6 +250,7 @@ HEADLINE = [
     "holt_winters_event_values",
     "churn_features_users",
     "stream_mv_incremental_orders",
+    "scd3_customer_segment",
 ]
 
 

@@ -263,3 +263,74 @@ def inferred_members(
     for col, default in attr_defaults.items():
         out = out.withColumn(col, F.lit(default))
     return out.withColumn(inferred_col, F.lit(True))
+
+
+def scd3_upsert(
+    wh,
+    table: str,
+    batch: DataFrame,
+    keys: list[str],
+    tracked: str,
+    run_ts: str,
+) -> None:
+    """SCD Type 3 upsert: the dimension keeps the CURRENT value of the
+    tracked attribute plus one PREVIOUS value and the change
+    timestamp (``<tracked>_prev`` / ``<tracked>_changed_at``) — the
+    reference family's remaining SCD variant after SCD1 (overwrite,
+    ``Warehouse.upsert``) and SCD2 (row history, :func:`scd2_merge`).
+
+    Semantics per batch row: new key → insert with NULL prev; matched
+    key with UNCHANGED tracked value → batch's non-tracked attributes
+    win, prev/changed_at carry over; matched key with CHANGED value →
+    prev takes the superseded value, changed_at takes ``run_ts``
+    (null-safe comparison — NULL→value and value→NULL both count as
+    changes, the reference's eqNullSafe discipline). Untouched keys
+    carry over verbatim. One key-keyed outer join + overwrite — the
+    same single-shuffle shape as SCD1; only ONE prior value is kept,
+    by definition of Type 3."""
+    prev_col = f"{tracked}_prev"
+    at_col = f"{tracked}_changed_at"
+    ts = F.to_timestamp(F.lit(run_ts))
+    if not wh.table_exists(table):
+        init = batch.select(
+            "*",
+            F.lit(None).cast("string").alias(prev_col),
+            F.lit(None).cast("timestamp").alias(at_col),
+        )
+        wh.overwrite(init, table)
+        return
+    cur = wh.read(table)
+    b = batch.select(
+        *[F.col(c).alias(f"__b_{c}") for c in batch.columns]
+    )
+    cond = None
+    for k in keys:
+        c = cur[k].eqNullSafe(F.col(f"__b_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = cur.join(b, cond, "full_outer")
+    matched = F.col(f"__b_{keys[0]}").isNotNull() & cur[keys[0]].isNotNull()
+    changed = matched & ~cur[tracked].eqNullSafe(F.col(f"__b_{tracked}"))
+    in_batch = F.col(f"__b_{keys[0]}").isNotNull()
+    out_cols = []
+    for c in batch.columns:
+        if c in keys:
+            out_cols.append(
+                F.coalesce(F.col(f"__b_{c}"), cur[c]).alias(c)
+            )
+        else:
+            # batch wins wholesale for rows it carries (SCD1-style
+            # attribute overwrite); untouched rows keep theirs
+            out_cols.append(
+                F.when(in_batch, F.col(f"__b_{c}"))
+                .otherwise(cur[c])
+                .alias(c)
+            )
+    out_cols.append(
+        F.when(changed, cur[tracked]).otherwise(cur[prev_col]).alias(prev_col)
+    )
+    out_cols.append(
+        F.when(changed, ts)
+        .otherwise(cur[at_col])
+        .alias(at_col)
+    )
+    wh.overwrite_from_plan(j.select(*out_cols), table)

@@ -1953,3 +1953,63 @@ def mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mv_n").alias("n_orders"),
         F.col("mv_sum").cast("double").alias("revenue"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 3 (r7) — completes the SCD family (1 overwrite, 2 row
+# history, bitemporal): the dimension carries current segment +
+# ONE previous segment + change timestamp. Same two-batch scenario
+# as the SCD1/SCD2 twins, so the three variants' result contracts
+# are directly comparable: %10==0 keys changed (prev = original
+# segment, stamped T2), other evens and the odd inserts never
+# changed (prev NULL, 'NEVER').
+@query(
+    "scd3_customer_segment",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment,
+           NULL AS prev_segment, 'NEVER' AS changed_at
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED', c_mktsegment,
+           '2024-01-02 00:00:00'
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, NULL, 'NEVER'
+    FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key
+    """,
+)
+def scd3_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd3_upsert
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    wh = _fresh_wh(spark, f"scd3_{Path(sf_dir).name}")
+    t = "layer0150.dim_customer_s3"
+    scd3_upsert(wh, t, batch1, ["c_custkey"], "c_mktsegment", T1)
+    scd3_upsert(wh, t, batch2, ["c_custkey"], "c_mktsegment", T2)
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_mktsegment_prev").alias("prev_segment"),
+            F.coalesce(
+                F.date_format("c_mktsegment_changed_at",
+                              "yyyy-MM-dd HH:mm:ss"),
+                F.lit("NEVER"),
+            ).alias("changed_at"),
+        )
+        .orderBy("key")
+    )

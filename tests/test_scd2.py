@@ -277,3 +277,37 @@ def test_bitemporal_correct_and_as_of(spark):
     assert as_of(out, "2005-06-15").groupBy("k").count().filter(
         "count > 1"
     ).count() == 0
+
+
+def test_scd3_prev_value_and_idempotent_reapply(spark, wh):
+    """SCD3 keeps exactly one previous value; re-applying the same
+    batch changes nothing (no-op upsert), and a THIRD change shifts
+    prev to the second value (only one level of history — the Type 3
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.scd2 import scd3_upsert
+
+    t = "dim.s3"
+    b1 = spark.createDataFrame(
+        [(1, "A"), (2, "B")], ["k", "seg"]
+    )
+    scd3_upsert(wh, t, b1, ["k"], "seg", "2024-01-01 00:00:00")
+    b2 = spark.createDataFrame([(1, "X"), (3, "C")], ["k", "seg"])
+    scd3_upsert(wh, t, b2, ["k"], "seg", "2024-01-02 00:00:00")
+    rows = {r["k"]: r for r in wh.read(t).collect()}
+    assert rows[1]["seg"] == "X" and rows[1]["seg_prev"] == "A"
+    assert str(rows[1]["seg_changed_at"]).startswith("2024-01-02")
+    assert rows[2]["seg"] == "B" and rows[2]["seg_prev"] is None
+    assert rows[3]["seg"] == "C" and rows[3]["seg_prev"] is None
+    # idempotent re-apply
+    scd3_upsert(wh, t, b2, ["k"], "seg", "2024-01-03 00:00:00")
+    r1 = {r["k"]: r for r in wh.read(t).collect()}[1]
+    assert r1["seg_prev"] == "A"
+    assert str(r1["seg_changed_at"]).startswith("2024-01-02")
+    # third change: prev shifts, only one level kept
+    b3 = spark.createDataFrame([(1, "Y")], ["k", "seg"])
+    scd3_upsert(wh, t, b3, ["k"], "seg", "2024-01-04 00:00:00")
+    r1 = {r["k"]: r for r in wh.read(t).collect()}[1]
+    assert r1["seg"] == "Y" and r1["seg_prev"] == "X"
+    assert str(r1["seg_changed_at"]).startswith("2024-01-04")
