@@ -554,8 +554,6 @@ def _bigram_logprob(corpus: DataFrame):
     )
 
 
-if __name__ == "__main__":
-    main()
 
 
 def ann_add_probe(spark, sf_dir: str) -> None:
@@ -609,3 +607,7 @@ def ann_add_probe(spark, sf_dir: str) -> None:
         corpus.unpersist()
         shutil.rmtree(root, ignore_errors=True)
     batch.unpersist()
+
+
+if __name__ == "__main__":
+    main()
