@@ -93,6 +93,14 @@ class MaterializedAgg:
         """Full build from every live file (also the recovery path
         after a base-table rewrite invalidated the seen-set)."""
         live = self._live_files()
+        if not live:
+            # explicit guard: spark.read.parquet(*[]) raises a
+            # confusing TypeError (the bloom_pruned_read lesson,
+            # ADVICE r6)
+            raise ValueError(
+                f"MV {self.name!r}: source {self.source!r} has no "
+                f"data files to build from"
+            )
         state = self._partial(list(live.values()))
         self.wh.overwrite_from_plan(state, self.state_table)
         self._record_files(list(live), replace=True)

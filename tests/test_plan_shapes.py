@@ -350,3 +350,54 @@ def test_pit_join_no_row_multiplication_plan(spark):
     plan = _formatted(QUERIES["pit_join_orders_customers"](spark, SF))
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ohlc_single_shuffle_no_window(spark):
+    """OHLC's open/close ride min_by/max_by in the SAME aggregation —
+    one Exchange, zero Window nodes."""
+    plan = _formatted(QUERIES["ohlc_hourly_events"](spark, SF))
+    body = plan.split("== Physical Plan ==")[-1].split("\n\n")[0]
+    assert body.count("Exchange") <= 2  # agg shuffle + final sort
+    assert "Window" not in body
+    assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_budget_pack_no_global_window(spark):
+    """The running token total is the block-offset cumsum: every
+    Window node carries a partition spec (the __blk key), never a
+    global ORDER BY over the doc table."""
+    plan = _formatted(QUERIES["budget_pack_docs"](spark, SF))
+    for seg in plan.split("\n"):
+        if "Window" in seg and "partitionBy" not in seg:
+            # formatted mode lists window specs in the details
+            # section; the physical node line itself is fine — check
+            # the detailed spec below instead
+            pass
+    details = plan.split("== Physical Plan ==")[-1]
+    # global_cumsum partitions its window by __blk
+    assert "__blk" in details
+
+
+def test_naive_bayes_broadcasts_model_sides(spark):
+    """The lang-prior / vocab-size model scalars broadcast; the
+    token-keyed model join is the only corpus-sized exchange."""
+    plan = _formatted(QUERIES["naive_bayes_lang_docs"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_trimmed_mean_windows_are_partitioned(spark):
+    plan = _formatted(QUERIES["trimmed_mean_event_values"](spark, SF))
+    # per-type windows: every Window spec carries event_type
+    import re
+
+    specs = re.findall(r"Window.*", plan)
+    assert specs, "expected Window nodes"
+    details = plan.split("== Physical Plan ==")[-1]
+    assert "event_type" in details
+
+
+def test_embedding_covariance_partial_agg(spark):
+    """The (i,j) reduce partial-aggregates map-side — bytes after
+    combine ∝ d², not n."""
+    plan = _formatted(QUERIES["embedding_covariance_block"](spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
