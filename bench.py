@@ -251,6 +251,10 @@ HEADLINE = [
     "churn_features_users",
     "stream_mv_incremental_orders",
     "scd3_customer_segment",
+    "dfg_bottleneck_events",
+    "source_ablation_docs",
+    "js_divergence_sources",
+    "quantile_normalize_docs",
 ]
 
 

@@ -1024,3 +1024,209 @@ def quality_signal_agreement_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out ablation (r7): for every source, what the
+# corpus looks like WITHOUT it — remaining docs/tokens and the
+# remaining mean quality score. The whole report is computed from
+# ONE per-source aggregate plus broadcast corpus totals (complement
+# = total − source, all exact BIGINTs; scores carried as
+# micro-rounded integer sums) — never one scan per source. The
+# standard data-valuation first pass: sources whose removal RAISES
+# the remaining mean are negative-value candidates.
+@query(
+    "source_ablation_docs",
+    oracle=r"""
+    WITH d AS (
+        SELECT source,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                   AS n_tok,
+               CAST(ROUND(
+                   CAST(length(text) - length(regexp_replace(
+                        text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) * 1000000.0)
+                   AS BIGINT) AS score_micro
+        FROM documents WHERE length(text) > 0
+    ),
+    per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(score_micro) AS BIGINT) AS score_sum
+        FROM d GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+               CAST(SUM(n_tokens) AS BIGINT) AS tt,
+               CAST(SUM(score_sum) AS BIGINT) AS ts
+        FROM per
+    )
+    SELECT p.source,
+           p.n_docs AS docs_removed,
+           p.n_tokens AS tokens_removed,
+           t.tt - p.n_tokens AS remaining_tokens,
+           CAST(t.ts - p.score_sum AS DOUBLE) / 1000000.0
+               / CAST(t.td - p.n_docs AS DOUBLE) AS remaining_mean_score,
+           CAST(t.ts AS DOUBLE) / 1000000.0 / CAST(t.td AS DOUBLE)
+               AS full_mean_score
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def source_ablation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    nchars = F.length("text")
+    nalpha = nchars - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    d = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        F.round(
+            nalpha.cast("double") / nchars.cast("double") * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("score_micro").cast("bigint").alias("score_sum"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+        F.sum("score_sum").cast("bigint").alias("ts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").alias("docs_removed"),
+            F.col("n_tokens").alias("tokens_removed"),
+            (F.col("tt") - F.col("n_tokens")).alias("remaining_tokens"),
+            (
+                (F.col("ts") - F.col("score_sum")).cast("double")
+                / F.lit(1e6)
+                / (F.col("td") - F.col("n_docs")).cast("double")
+            ).alias("remaining_mean_score"),
+            (
+                F.col("ts").cast("double")
+                / F.lit(1e6)
+                / F.col("td").cast("double")
+            ).alias("full_mean_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source (r7; Lin 1991, public): how
+# far each source's token distribution sits from the corpus-wide
+# distribution — the drift metric mixing pipelines cut on (bounded
+# in [0, ln 2], symmetric, defined even where supports differ).
+# JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m=(p+q)/2, over the GLOBAL
+# vocab support (tokens a source lacks still contribute the q side).
+# Each token's contribution is one fixed-order double expression
+# micro-rounded at 1e12 to a BIGINT before the per-source sum —
+# order-independent exact. The grid is sources × vocab built from
+# the two aggregate domains (the t-closeness discipline), with the
+# per-source token counts LEFT-joined in; one token-keyed shuffle.
+@query(
+    "js_divergence_sources",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    gt AS (
+        SELECT token, CAST(SUM(c) AS BIGINT) AS cg FROM st GROUP BY 1
+    ),
+    ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(cg) AS BIGINT) AS n FROM gt),
+    grid AS (
+        SELECT ns.source, ns.n_s, gt.token, gt.cg, n.n,
+               COALESCE(st.c, 0) AS c
+        FROM ns CROSS JOIN gt CROSS JOIN n
+        LEFT JOIN st ON st.source = ns.source AND st.token = gt.token
+    ),
+    terms AS (
+        SELECT source,
+               (c > 0) AS covered,
+               CAST(ROUND((
+                   CASE WHEN c > 0 THEN
+                       0.5 * (CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE))
+                       * ln((CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE))
+                            / ((CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)
+                                + CAST(cg AS DOUBLE) / CAST(n AS DOUBLE))
+                               / 2.0))
+                   ELSE 0.0 END
+                   + 0.5 * (CAST(cg AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln((CAST(cg AS DOUBLE) / CAST(n AS DOUBLE))
+                          / ((CAST(c AS DOUBLE) / CAST(n_s AS DOUBLE)
+                              + CAST(cg AS DOUBLE) / CAST(n AS DOUBLE))
+                             / 2.0))
+               ) * 1000000000000.0) AS BIGINT) AS term_pico
+        FROM grid
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS tokens_covered,
+           CAST(SUM(term_pico) AS DOUBLE) / 1000000000000.0 AS jsd
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gt = st.groupBy("token").agg(F.sum("c").cast("bigint").alias("cg"))
+    ns = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    n = gt.agg(F.sum("cg").cast("bigint").alias("n"))
+    grid = (
+        ns.crossJoin(gt)
+        .crossJoin(F.broadcast(n))
+        .join(st, ["source", "token"], "left")
+        .select(
+            "source",
+            "n_s",
+            "cg",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    p = F.col("c").cast("double") / F.col("n_s").cast("double")
+    q = F.col("cg").cast("double") / F.col("n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(
+            F.col("c") > 0, F.lit(0.5) * p * F.log(p / m)
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.5) * q * F.log(q / m)
+    )
+    terms = grid.select(
+        "source",
+        (F.col("c") > 0).alias("covered"),
+        F.round(term * F.lit(1e12)).cast("bigint").alias("term_pico"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("covered"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_covered"),
+            (F.sum("term_pico").cast("double") / F.lit(1e12)).alias("jsd"),
+        )
+        .orderBy("source")
+    )

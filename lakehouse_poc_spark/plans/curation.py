@@ -1403,3 +1403,58 @@ def k_anonymize_ladder_customers(
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (r7): map each doc's quality score to its
+# corpus percentile ((2·rank − 1) / 2n — the midpoint convention) —
+# the rank transform mixing recipes use to make scores from
+# different scorers comparable. Rank is the block-offset global_rank
+# (never a corpus-sized global window); the percentile is one
+# fixed-order division of exact integers.
+@query(
+    "quantile_normalize_docs",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(length(text) - length(regexp_replace(
+                        text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS score
+        FROM documents WHERE length(text) > 0
+    ),
+    r AS (
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score, doc_id)
+                    AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM d
+    )
+    SELECT doc_id, score,
+           rk,
+           CAST(2 * rk - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pct
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import global_rank
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    nchars = F.length("text")
+    nalpha = nchars - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    d = docs.select(
+        "doc_id",
+        (nalpha.cast("double") / nchars.cast("double")).alias("score"),
+    )
+    blk = F.floor(F.col("score") * F.lit(20.0)).cast("long")
+    r = global_rank(d, ["score", "doc_id"], blk, "rk")
+    n = d.count()
+    return r.select(
+        "doc_id",
+        "score",
+        F.col("rk").cast("bigint").alias("rk"),
+        (
+            (2 * F.col("rk") - 1).cast("double")
+            / F.lit(float(2 * n))
+        ).alias("pct"),
+    ).orderBy("doc_id")

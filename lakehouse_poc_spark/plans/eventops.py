@@ -1780,3 +1780,101 @@ def holt_winters_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["l"] + r["b"] + F.element_at(r["s"], (n % 4) + 1)
         ).alias("forecast_1"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Directly-follows graph with bottleneck latency (r7; process mining,
+# van der Aalst "Process Mining" 2011, public): per user the
+# ts-ordered event sequence yields (prev_type → type) transitions;
+# per transition edge report frequency, mean gap (exact BIGINT
+# seconds / fixed-order division) and MEDIAN gap (the bottleneck
+# signal — percentile_disc rank rule inside each transition group).
+# The per-transition median window partitions on the 25-edge domain
+# — n/25 rows per group, parallel across edges (the trimmed-mean
+# pattern); the lag window partitions per user.
+@query(
+    "dfg_bottleneck_events",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+               lag(event_type) OVER w AS prev_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) - lag(
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    e AS (
+        SELECT prev_type AS src, event_type AS dst, gap
+        FROM seq WHERE prev_type IS NOT NULL
+    ),
+    r AS (
+        SELECT src, dst, gap,
+               row_number() OVER (
+                   PARTITION BY src, dst ORDER BY gap) AS rn,
+               COUNT(*) OVER (PARTITION BY src, dst) AS n
+        FROM e
+    )
+    SELECT src, dst,
+           CAST(MAX(n) AS BIGINT) AS n_transitions,
+           CAST(SUM(gap) AS DOUBLE) / MAX(n) AS mean_gap_secs,
+           CAST(MAX(CASE WHEN rn = greatest(1,
+                CAST(ceil(0.5 * n) AS BIGINT)) THEN gap END) AS BIGINT)
+               AS median_gap_secs
+    FROM r
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def dfg_bottleneck_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    wu = W.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(wu).alias("prev_type"),
+        (F.col("sec") - F.lag("sec").over(wu)).alias("gap"),
+    ).filter(F.col("prev_type").isNotNull())
+    e = seq.select(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+        "gap",
+    )
+    wt = W.partitionBy("src", "dst").orderBy("gap")
+    wn = W.partitionBy("src", "dst")
+    r = e.select(
+        "src",
+        "dst",
+        "gap",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.groupBy("src", "dst")
+        .agg(
+            F.max("n").cast("bigint").alias("n_transitions"),
+            (F.sum("gap").cast("double") / F.max("n")).alias(
+                "mean_gap_secs"
+            ),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.lit(1),
+                        F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                    ),
+                    F.col("gap"),
+                )
+            )
+            .cast("bigint")
+            .alias("median_gap_secs"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -328,3 +328,85 @@ def test_substring_dedup_empty_docs_still_emit(spark):
             "",
         )
     assert out[3].n_tokens_before == 3
+
+
+def test_source_ablation_consistency(spark):
+    import pandas as pd
+    import pytest
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["source_ablation_docs"](spark, sf).toPandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    docs = docs[docs["text"].str.len() > 0]
+    total_tokens = int(
+        docs["text"].str.split(r"\s+").str.len().sum()
+    )
+    assert (out["tokens_removed"] + out["remaining_tokens"]
+            == total_tokens).all()
+    assert out["docs_removed"].sum() == len(docs)
+    # full mean identical across rows
+    assert out["full_mean_score"].nunique() == 1
+    for _, row in out.iterrows():
+        rest = docs[docs["source"] != row["source"]]
+        import numpy as np
+
+        alpha = rest["text"].str.count(r"[A-Za-z]")
+        # engines round half AWAY from zero; numpy .round() is
+        # half-to-even — floor(x+0.5) matches for positive scores
+        micro = np.floor(alpha / rest["text"].str.len() * 1e6 + 0.5)
+        ref = micro.sum() / 1e6 / len(rest)
+        assert row["remaining_mean_score"] == pytest.approx(ref, rel=1e-9)
+
+
+def test_js_divergence_bounds_and_brute(spark):
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["js_divergence_sources"](spark, sf).toPandas()
+    assert ((out["jsd"] >= 0) & (out["jsd"] <= np.log(2) + 1e-9)).all()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    glob = Counter()
+    per = {}
+    for r in docs.itertuples():
+        c = Counter(re.split(r"\s+", r.text))
+        glob.update(c)
+        per.setdefault(r.source, Counter()).update(c)
+    n = sum(glob.values())
+    for _, row in out.iterrows():
+        s = per[row["source"]]
+        ns = sum(s.values())
+        jsd = 0.0
+        for t, cg in glob.items():
+            q = cg / n
+            p = s.get(t, 0) / ns
+            m = (p + q) / 2
+            term = (0.5 * p * np.log(p / m) if p > 0 else 0.0) + (
+                0.5 * q * np.log(q / m)
+            )
+            jsd += round(term * 1e12)
+        assert row["tokens_covered"] == len(s)
+        assert row["jsd"] == pytest.approx(jsd / 1e12, abs=1e-9)
+
+
+def test_quantile_normalize_is_uniform(spark):
+    import numpy as np
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["quantile_normalize_docs"](spark, sf).toPandas()
+    n = len(out)
+    # ranks are a permutation of 1..n and pct midpoints are uniform
+    assert sorted(out["rk"]) == list(range(1, n + 1))
+    assert np.isclose(out["pct"].mean(), 0.5, atol=1e-12)
+    srt = out.sort_values("rk")
+    assert (srt["score"].diff().dropna() >= 0).all()

@@ -730,3 +730,20 @@ def test_churn_features_match_pandas(spark):
             g["value"].mean(), rel=1e-9
         )
         assert row["churned"] == (uid not in fut_users)
+
+
+def test_dfg_bottleneck_matches_pandas(spark):
+    out = plans.QUERIES["dfg_bottleneck_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["sec"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ev = ev.sort_values(["user_id", "sec", "event_id"])
+    ev["prev"] = ev.groupby("user_id")["event_type"].shift()
+    ev["gap"] = ev["sec"] - ev.groupby("user_id")["sec"].shift()
+    tr = ev[ev["prev"].notna()]
+    for _, row in out.iterrows():
+        g = tr[(tr["prev"] == row["src"])
+               & (tr["event_type"] == row["dst"])]["gap"]
+        assert row["n_transitions"] == len(g)
+        assert row["mean_gap_secs"] == pytest.approx(g.mean(), rel=1e-9)
+        med = g.sort_values().iloc[max(0, int(np.ceil(0.5 * len(g))) - 1)]
+        assert row["median_gap_secs"] == med
