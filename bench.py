@@ -255,6 +255,7 @@ HEADLINE = [
     "source_ablation_docs",
     "js_divergence_sources",
     "quantile_normalize_docs",
+    "yoy_growth_orders",
 ]
 
 

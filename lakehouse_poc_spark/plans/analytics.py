@@ -1737,3 +1737,64 @@ def window_showcase2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_nationkey", "bal", "c_custkey")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth report (r7): monthly revenue with the
+# same-month-prior-year comparison — the classic retail BI readout
+# (TPC-DS's recurring shape). The YoY join is a self-equi-join on
+# the (month-of-year, year−1) key over the MONTH-DOMAIN aggregate
+# (≤ #months rows — metadata-sized after the one partial-combined
+# groupBy), so no window over the fact table; the ratio divides two
+# exact DECIMAL sums once, in fixed order, and months without a
+# prior year emit NULL growth (LEFT join).
+@query(
+    "yoy_growth_orders",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT a.yr, a.mo, a.n_orders,
+           CAST(a.rev AS DOUBLE) AS revenue,
+           CAST(b.rev AS DOUBLE) AS revenue_prior_year,
+           CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE) - 1.0
+               AS yoy_growth
+    FROM m a LEFT JOIN m b ON a.yr = b.yr + 1 AND a.mo = b.mo
+    ORDER BY a.yr, a.mo
+    """,
+)
+def yoy_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev"),
+    )
+    a = m.alias("a")
+    b = m.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo").alias("mo"),
+        F.col("rev").alias("prev_rev"),
+    ).alias("b")
+    return (
+        a.join(b, ["yr", "mo"], "left")
+        .select(
+            "yr",
+            "mo",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("prev_rev").cast("double").alias("revenue_prior_year"),
+            (
+                F.col("rev").cast("double")
+                / F.col("prev_rev").cast("double")
+                - F.lit(1.0)
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -539,3 +539,98 @@ def test_k_core_matches_brute_peel(spark, edges, k):
     df = spark.createDataFrame(clean, "src long, dst long")
     got = {r.node: r.deg for r in k_core(df, k, max_rounds=40).collect()}
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=batches_strategy)
+def test_scd3_matches_dict_reference_any_batches(
+    spark, tmp_path_factory, batches
+):
+    """SCD3 against a trivial Python model: current value = last
+    batch's value per key; prev = the value superseded by the LAST
+    ACTUAL CHANGE; changed_at = that change's run_ts."""
+    from lakehouse_poc_spark.operators.scd2 import scd3_upsert
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    t = "dim.p3"
+    cur: dict[str, int | None] = {}
+    prev: dict[str, int | None] = {}
+    changed: dict[str, str | None] = {}
+    for i, batch in enumerate(batches):
+        ts = f"2024-01-{i + 1:02d} 00:00:00"
+        df = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "k string, v long"
+        )
+        scd3_upsert(wh, t, df, ["k"], "v", ts)
+        for k, v in batch.items():
+            if k in cur and cur[k] != v:
+                prev[k] = cur[k]
+                changed[k] = ts
+            elif k not in cur:
+                prev[k] = None
+                changed[k] = None
+            cur[k] = v
+    rows = {r["k"]: r for r in wh.read(t).collect()}
+    assert set(rows) == set(cur)
+    for k in cur:
+        assert rows[k]["v"] == cur[k], k
+        assert rows[k]["v_prev"] == prev[k], k
+        got_ts = rows[k]["v_changed_at"]
+        want = changed[k]
+        assert (got_ts is None) == (want is None), k
+        if want is not None:
+            assert str(got_ts)[:10] == want[:10], k
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y", "z"]),
+                st.integers(min_value=0, max_value=100),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_matview_refresh_equals_rebuild_any_appends(
+    spark, tmp_path_factory, batches
+):
+    """For ANY append sequence, incremental refresh == full rebuild
+    == a plain groupBy over everything appended."""
+    from lakehouse_poc_spark.sinks.matview import MaterializedAgg
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("wh")))
+    t = "src.p"
+    mv = MaterializedAgg(wh, "p_by_g", t, ["g"], "v", "decimal(20,2)")
+    all_rows: list[tuple[str, int]] = []
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "g string, v long")
+        wh.append(df, t)
+        all_rows.extend(batch)
+        mv.refresh()  # first call rebuilds, later ones fold deltas
+    got = {
+        (r["g"], r["mv_n"], float(r["mv_sum"]))
+        for r in mv.read().collect()
+    }
+    from collections import defaultdict
+
+    n: dict = defaultdict(int)
+    s: dict = defaultdict(float)
+    for g, v in all_rows:
+        n[g] += 1
+        s[g] += v
+    want = {(g, n[g], s[g]) for g in n}
+    assert got == want
