@@ -256,6 +256,7 @@ HEADLINE = [
     "js_divergence_sources",
     "quantile_normalize_docs",
     "yoy_growth_orders",
+    "stream_holt_winters_users",
 ]
 
 

@@ -1317,6 +1317,7 @@ def stream_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .eventops import _CUSUM_ALLOW, _CUSUM_H  # noqa: E402  (loaded before streamops)
+from .eventops import _HOLT_A, _HOLT_B, _HW_G  # noqa: E402
 from . import ORACLES as _ORACLES  # noqa: E402
 
 
@@ -2043,3 +2044,122 @@ def stream_mv_incremental_orders(
         F.col("mv_n").alias("n_orders"),
         F.col("mv_sum").cast("double").alias("revenue"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt-Winters (r7): the custom stateful operator
+# (applyInPandasWithState — streaming/stateful.py::running_holt_winters)
+# carrying each user's (t, level, trend, seasonal[4]) across
+# micro-batches. The fixture splits events at the span's midpoint
+# day, so each user's sequence arrives as two time-ordered chunks;
+# the fold updates with the SAME IEEE expressions as the batch fold,
+# so the final streamed snapshot is bit-identical to the one-shot
+# batch query and shares its recursive-CTE oracle. Declared-total
+# output: every user's LAST emitted snapshot (max t wins — t is the
+# events-consumed counter, strictly growing).
+@query(
+    "stream_holt_winters_users",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+               CAST(len(list(value)) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    rec AS (
+        SELECT user_id, 0 AS t, 0.0::DOUBLE AS l, 0.0::DOUBLE AS b,
+               [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] AS s,
+               n, vs
+        FROM seq
+        UNION ALL
+        SELECT user_id, t + 1,
+               {_HOLT_A} * (vs[t + 1] - s[(t % 4) + 1])
+                   + {1.0 - _HOLT_A} * (l + b),
+               {_HOLT_B} * (({_HOLT_A} * (vs[t + 1] - s[(t % 4) + 1])
+                             + {1.0 - _HOLT_A} * (l + b)) - l)
+                   + {1.0 - _HOLT_B} * b,
+               list_transform(range(1, 5), i ->
+                   CASE WHEN i = (t % 4) + 1 THEN
+                       {_HW_G} * (vs[t + 1]
+                                  - ({_HOLT_A} * (vs[t + 1] - s[(t % 4) + 1])
+                                     + {1.0 - _HOLT_A} * (l + b)))
+                       + {1.0 - _HW_G} * s[(t % 4) + 1]
+                   ELSE s[i] END),
+               n, vs
+        FROM rec WHERE t < n
+    )
+    SELECT user_id, n AS n_events, l AS level, b AS trend,
+           l + b + s[(CAST(n AS INTEGER) % 4) + 1] AS forecast_1
+    FROM rec WHERE t = n
+    ORDER BY user_id
+    """,
+)
+def stream_holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..streaming.stateful import running_holt_winters
+
+    work = stream_scratch("stream_hw_")
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "value",
+    )
+
+    def _build(d: Path) -> None:
+        mid = ev.agg(
+            (
+                F.min(F.floor(F.col("sec") / 86400))
+                + F.floor(
+                    (
+                        F.max(F.floor(F.col("sec") / 86400))
+                        - F.min(F.floor(F.col("sec") / 86400))
+                    )
+                    / 2
+                )
+            ).alias("c")
+        ).collect()[0]["c"]
+        early = ev.filter(F.floor(F.col("sec") / 86400) <= mid)
+        late = ev.filter(F.floor(F.col("sec") / 86400) > mid)
+        early.coalesce(1).write.parquet(str(d / "b0"))
+        late.coalesce(1).write.parquet(str(d / "b1"))
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"hw_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/events.parquet").st_mtime,
+    )
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    snap_store = str(work / "snaps")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(snap_store)
+
+    run_foreach_batch(
+        running_holt_winters(stream), sink, str(work / "ckpt"),
+        output_mode="update",
+    )
+    out = spark.read.parquet(snap_store)
+    w = W.partitionBy("user_id").orderBy(F.col("t").desc())
+    last = (
+        out.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+    )
+    s_next = F.when(F.col("t") % 4 == 0, F.col("s1")).when(
+        F.col("t") % 4 == 1, F.col("s2")
+    ).when(F.col("t") % 4 == 2, F.col("s3")).otherwise(F.col("s4"))
+    return last.select(
+        "user_id",
+        F.col("t").cast("bigint").alias("n_events"),
+        F.col("l").alias("level"),
+        F.col("b").alias("trend"),
+        (F.col("l") + F.col("b") + s_next).alias("forecast_1"),
+    ).orderBy("user_id")

@@ -376,3 +376,94 @@ def running_sequence(events: DataFrame, pattern: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt-Winters (r7): the order-dependent seasonal fold of
+# plans/eventops.holt_winters_event_values carried ACROSS
+# micro-batches as per-user state — the "model-ish accumulator" case
+# the module docstring anticipates. Contract: micro-batches must
+# partition each user's sequence into time-ordered chunks (the
+# fixture splits at a day cutoff); within a batch rows are sorted by
+# (sec, event_id) before folding. Every update is the SAME IEEE
+# double expression as the batch fold and the SQL recursive CTE, so
+# the streamed snapshot is bit-identical to the one-shot batch run —
+# the stream==batch identity the oracle checks.
+
+_HW_A, _HW_B, _HW_G = 0.5, 0.3, 0.2
+
+HW_STATE_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("s1", DoubleType()),
+        StructField("s2", DoubleType()),
+        StructField("s3", DoubleType()),
+        StructField("s4", DoubleType()),
+    ]
+)
+
+HW_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t", LongType()),
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("s1", DoubleType()),
+        StructField("s2", DoubleType()),
+        StructField("s3", DoubleType()),
+        StructField("s4", DoubleType()),
+    ]
+)
+
+
+def _hw_update(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        t, l, b, s1, s2, s3, s4 = state.get
+        s = [s1, s2, s3, s4]
+    else:
+        t, l, b, s = 0, 0.0, 0.0, [0.0, 0.0, 0.0, 0.0]
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["sec", "event_id"])
+        for v in pdf["value"]:
+            v = float(v)
+            k = t % 4
+            sp = s[k]
+            new_l = _HW_A * (v - sp) + (1.0 - _HW_A) * (l + b)
+            new_b = _HW_B * (new_l - l) + (1.0 - _HW_B) * b
+            s[k] = _HW_G * (v - new_l) + (1.0 - _HW_G) * sp
+            l, b = new_l, new_b
+            t += 1
+    state.update((t, l, b, s[0], s[1], s[2], s[3]))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "t": [t],
+            "l": [l],
+            "b": [b],
+            "s1": [s[0]],
+            "s2": [s[1]],
+            "s3": [s[2]],
+            "s4": [s[3]],
+        }
+    )
+
+
+def running_holt_winters(events: DataFrame) -> DataFrame:
+    """Per-user Holt-Winters state surviving across micro-batches;
+    emits the refreshed (t, level, trend, seasonals) snapshot each
+    batch the user appears in. Input needs (user_id, sec, event_id,
+    value) columns."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _hw_update,
+        outputStructType=HW_OUTPUT_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -724,3 +724,22 @@ def test_stream_mv_equals_batch_mv(spark):
         tuple(r) for r in stream_mv_incremental_orders(spark, sf).collect()
     ]
     assert batch == stream and len(batch) > 0
+
+
+def test_stream_holt_winters_equals_batch(spark):
+    """The applyInPandasWithState HW fold across micro-batches is
+    bit-identical to the batch F.aggregate fold — same IEEE ops in
+    the same order, state carrying (t, l, b, s[4]) across batches."""
+    from lakehouse_poc_spark.plans.eventops import holt_winters_event_values
+    from lakehouse_poc_spark.plans.streamops import stream_holt_winters_users
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"], r["forecast_1"])
+        for r in holt_winters_event_values(spark, sf).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"], r["forecast_1"])
+        for r in stream_holt_winters_users(spark, sf).collect()
+    }
+    assert batch == stream and len(batch) > 0
