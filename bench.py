@@ -257,6 +257,8 @@ HEADLINE = [
     "quantile_normalize_docs",
     "yoy_growth_orders",
     "stream_holt_winters_users",
+    "boxplot_stats_event_values",
+    "hll_rollup_users",
 ]
 
 

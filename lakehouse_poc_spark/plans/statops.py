@@ -1790,3 +1790,157 @@ def kendall_tau_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boxplot stats per group (r7): the Tukey five-number summary —
+# exact q1/median/q3 (percentile_disc rank rule), IQR whiskers, and
+# the count of points beyond 1.5·IQR (outliers). Ranks run per
+# event_type (parallel across groups, the trimmed-mean pattern);
+# the whisker comparison re-joins the tiny per-group summary back
+# to the rows via broadcast, so the outlier count is one more
+# map-side-combinable aggregate. Every boundary is a fixed-order
+# double expression over exact rank-selected values.
+@query(
+    "boxplot_stats_event_values",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    q AS (
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = greatest(1,
+                    CAST(ceil(0.25 * n) AS BIGINT)) THEN value END)
+                    AS DOUBLE) AS q1,
+               CAST(MAX(CASE WHEN rn = greatest(1,
+                    CAST(ceil(0.5 * n) AS BIGINT)) THEN value END)
+                    AS DOUBLE) AS median,
+               CAST(MAX(CASE WHEN rn = greatest(1,
+                    CAST(ceil(0.75 * n) AS BIGINT)) THEN value END)
+                    AS DOUBLE) AS q3
+        FROM r GROUP BY event_type
+    )
+    SELECT q.event_type, q.n, q.q1, q.median, q.q3,
+           q.q3 - q.q1 AS iqr,
+           CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN events e ON e.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1, q.median, q.q3
+    ORDER BY q.event_type
+    """,
+)
+def boxplot_stats_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    wr = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1),
+                    F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                ),
+                F.col("value"),
+            )
+        ).cast("double")
+
+    q = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(0.25).alias("q1"),
+        pick(0.5).alias("median"),
+        pick(0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "median", "q3")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            "q1",
+            "median",
+            "q3",
+            iqr.alias("iqr"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup (r7): materialize per-(type, month) HyperLogLog
+# sketches (Spark's datasketches hll_sketch_agg), then roll up to
+# per-type distinct users by MERGING the sketches (hll_union_agg) —
+# the reuse pattern that makes distinct-count hierarchies cheap at
+# 100 TB (sketches are tiny, mergeable, and the month grain is
+# computed once). The estimate is gated against the exact distinct
+# (|approx/exact − 1| < 5%). ⊘ rows-only by declared design: the
+# sketch binary is engine-specific (DuckDB's approx_count_distinct
+# is a different sketch), so no cross-engine value hash exists —
+# the correctness content is the within-gate flag and the exact
+# column, both test-asserted.
+@query("hll_rollup_users")
+def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("mo"),
+        "user_id",
+    )
+    monthly = ev.groupBy("event_type", "mo").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    rolled = monthly.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("approx_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    rel = (
+        F.abs(
+            F.col("approx_distinct").cast("double")
+            / F.col("exact_distinct").cast("double")
+            - F.lit(1.0)
+        )
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_months",
+            "exact_distinct",
+            "approx_distinct",
+            rel.alias("rel_err"),
+            (rel < F.lit(0.05)).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )

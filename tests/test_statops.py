@@ -747,3 +747,32 @@ def test_dfg_bottleneck_matches_pandas(spark):
         assert row["mean_gap_secs"] == pytest.approx(g.mean(), rel=1e-9)
         med = g.sort_values().iloc[max(0, int(np.ceil(0.5 * len(g))) - 1)]
         assert row["median_gap_secs"] == med
+
+
+def test_boxplot_stats_match_pandas(spark):
+    out = plans.QUERIES["boxplot_stats_event_values"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for _, row in out.iterrows():
+        g = ev[ev["event_type"] == row["event_type"]].sort_values(
+            ["value", "event_id"]
+        )
+        n = len(g)
+        pick = lambda p: g["value"].iloc[max(1, int(np.ceil(p * n))) - 1]  # noqa: E731
+        q1, med, q3 = pick(0.25), pick(0.5), pick(0.75)
+        assert (row["q1"], row["median"], row["q3"]) == (q1, med, q3)
+        iqr = q3 - q1
+        n_out = int(
+            ((g["value"] < q1 - 1.5 * iqr) | (g["value"] > q3 + 1.5 * iqr)).sum()
+        )
+        assert row["n_outliers"] == n_out
+
+
+def test_hll_rollup_gate_and_exact(spark):
+    out = plans.QUERIES["hll_rollup_users"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for _, row in out.iterrows():
+        exact = ev[ev["event_type"] == row["event_type"]][
+            "user_id"
+        ].nunique()
+        assert row["exact_distinct"] == exact
+        assert bool(row["within_5pct"])  # merged sketch stays in gate
