@@ -300,17 +300,25 @@ def scd3_upsert(
         wh.overwrite(init, table)
         return
     cur = wh.read(table)
+    # presence markers instead of key isNotNull: the join matches on
+    # eqNullSafe, so a NULL key is a legitimate match — testing the
+    # key itself would silently drop NULL-keyed updates
+    # (code-review r7)
     b = batch.select(
-        *[F.col(c).alias(f"__b_{c}") for c in batch.columns]
+        *[F.col(c).alias(f"__b_{c}") for c in batch.columns],
+        F.lit(True).alias("__b_present"),
     )
+    cur_m = cur.withColumn("__c_present", F.lit(True))
     cond = None
     for k in keys:
-        c = cur[k].eqNullSafe(F.col(f"__b_{k}"))
+        c = cur_m[k].eqNullSafe(F.col(f"__b_{k}"))
         cond = c if cond is None else (cond & c)
-    j = cur.join(b, cond, "full_outer")
-    matched = F.col(f"__b_{keys[0]}").isNotNull() & cur[keys[0]].isNotNull()
+    j = cur_m.join(b, cond, "full_outer")
+    in_batch = F.coalesce(F.col("__b_present"), F.lit(False))
+    in_cur = F.coalesce(F.col("__c_present"), F.lit(False))
+    matched = in_batch & in_cur
+    cur = cur_m
     changed = matched & ~cur[tracked].eqNullSafe(F.col(f"__b_{tracked}"))
-    in_batch = F.col(f"__b_{keys[0]}").isNotNull()
     out_cols = []
     for c in batch.columns:
         if c in keys:

@@ -374,10 +374,15 @@ def ivf_index_add(
             F.col("cent_id").alias("cell"),
         )
     )
+    # count the ACTUAL appended rows (the rank<=1 window dedups
+    # duplicate ids in the batch, so the input count would overstate
+    # a replayed add — code-review r7); persist so the plan executes
+    # once for both the count and the write
+    assigned = assigned.persist()
+    n = assigned.count()
     wh.append(assigned, table, partition_by=["cell"])
-    # assignment is 1:1 (rank<=1 keeps exactly one row per vector), so
-    # the cheap pre-join count equals the appended row count
-    return new_vectors.count()
+    assigned.unpersist()
+    return n
 
 
 def kmeans_parallel_init(

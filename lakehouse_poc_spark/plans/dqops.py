@@ -798,27 +798,32 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
                    AS n_pairs
         FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
         UNION ALL
         SELECT 'o_custkey', 'o_orderpriority',
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
                CAST(COUNT(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT)
         FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
         UNION ALL
         SELECT 'o_orderdate', 'o_orderstatus',
                CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
                CAST(COUNT(DISTINCT (o_orderdate, o_orderstatus)) AS BIGINT)
         FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
         UNION ALL
         SELECT 'o_orderpriority', 'o_orderstatus',
                CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
                CAST(COUNT(DISTINCT (o_orderpriority, o_orderstatus))
                     AS BIGINT)
         FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
         UNION ALL
         SELECT 'o_totalprice', 'o_orderkey',
                CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
                CAST(COUNT(DISTINCT (o_totalprice, o_orderkey)) AS BIGINT)
         FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     )
     SELECT lhs, rhs, n_lhs, n_pairs,
            n_pairs - n_lhs AS violations,
@@ -841,8 +846,16 @@ def functional_deps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = []
     for lhs, rhs in cands:
+        # pin NULL semantics explicitly: Spark's countDistinct(a, b)
+        # drops tuples with ANY null while DuckDB's
+        # COUNT(DISTINCT (a,b)) keeps them — filter nulls on BOTH
+        # sides so the FD definition is over non-null rows
+        # (code-review r7; orders is null-free so hashes are
+        # unchanged, but the semantics no longer depend on that)
         parts.append(
-            orders.agg(
+            orders.filter(
+                F.col(lhs).isNotNull() & F.col(rhs).isNotNull()
+            ).agg(
                 F.countDistinct(F.col(lhs)).cast("bigint").alias("n_lhs"),
                 F.countDistinct(F.col(lhs), F.col(rhs))
                 .cast("bigint")

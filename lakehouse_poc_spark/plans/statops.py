@@ -1555,7 +1555,11 @@ def theil_sen_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.d") - F.col("a.d")).cast("double"),
         ).alias("slope"),
     )
-    n = slopes.count()
+    # n_pairs = d·(d−1)/2 from the DAILY domain — deriving it from
+    # slopes.count() would execute the O(d²) pair join twice
+    # (code-review r7)
+    d_n = daily.count()
+    n = d_n * (d_n - 1) // 2
     med = exact_quantiles(
         slopes, "slope", qs=[0.5],
         block=F.floor(F.col("slope") * F.lit(10.0)).cast("long"),

@@ -41,6 +41,7 @@ from ..streaming.runner import (
     scd2_stream,
 )
 from ..streaming.windows import (
+    stage_ordered_batches,
     cached_fixture,
     dedup_within_watermark,
     session_agg,
@@ -1408,12 +1409,7 @@ def stream_dv_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(d: Path) -> None:
         keys0 = cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
         keys1 = cust.filter(F.col("c_custkey") % 5 == 3).select("c_custkey")
-        keys0.coalesce(1).write.parquet(str(d / "b0"))
-        keys1.coalesce(1).write.parquet(str(d / "b1"))
-        for i in range(2):
-            for p in (d / f"b{i}").glob("part-*"):
-                st = os.stat(p)
-                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+        stage_ordered_batches(d, [keys0, keys1])
 
     src = cached_fixture(
         f"dvdel_batches_{Path(sf_dir).name}",
@@ -1656,12 +1652,7 @@ def stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(d: Path) -> None:
         h0 = ev.filter(F.col("event_id") % 2 == 0)
         h1 = ev.filter(F.col("event_id") % 2 == 1)
-        h0.coalesce(1).write.parquet(str(d / "b0"))
-        h1.coalesce(1).write.parquet(str(d / "b1"))
-        for i in range(2):
-            for p in (d / f"b{i}").glob("part-*"):
-                st = os.stat(p)
-                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+        stage_ordered_batches(d, [h0, h1])
 
     src = cached_fixture(
         f"cms_batches_{Path(sf_dir).name}",
@@ -1877,12 +1868,7 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(d: Path) -> None:
         h0 = ev.filter(F.col("event_id") % 2 == 0)
         h1 = ev.filter(F.col("event_id") % 2 == 1)
-        h0.coalesce(1).write.parquet(str(d / "b0"))
-        h1.coalesce(1).write.parquet(str(d / "b1"))
-        for i in range(2):
-            for p in (d / f"b{i}").glob("part-*"):
-                st = os.stat(p)
-                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+        stage_ordered_batches(d, [h0, h1])
 
     src = cached_fixture(
         f"hist_batches_{Path(sf_dir).name}",
@@ -2014,12 +2000,7 @@ def stream_mv_incremental_orders(
     def _build(d: Path) -> None:
         h0 = orders.filter(F.col("o_orderkey") % 2 == 0)
         h1 = orders.filter(F.col("o_orderkey") % 2 == 1)
-        h0.coalesce(1).write.parquet(str(d / "b0"))
-        h1.coalesce(1).write.parquet(str(d / "b1"))
-        for i in range(2):
-            for p in (d / f"b{i}").glob("part-*"):
-                st = os.stat(p)
-                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+        stage_ordered_batches(d, [h0, h1])
 
     src = cached_fixture(
         f"mv_batches_{Path(sf_dir).name}",
@@ -2123,12 +2104,7 @@ def stream_holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["c"]
         early = ev.filter(F.floor(F.col("sec") / 86400) <= mid)
         late = ev.filter(F.floor(F.col("sec") / 86400) > mid)
-        early.coalesce(1).write.parquet(str(d / "b0"))
-        late.coalesce(1).write.parquet(str(d / "b1"))
-        for i in range(2):
-            for p in (d / f"b{i}").glob("part-*"):
-                st = os.stat(p)
-                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+        stage_ordered_batches(d, [early, late])
 
     src = cached_fixture(
         f"hw_batches_{Path(sf_dir).name}",

@@ -427,11 +427,14 @@ def _hw_update(
         s = [s1, s2, s3, s4]
     else:
         t, l, b, s = 0, 0.0, 0.0, [0.0, 0.0, 0.0, 0.0]
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["sec", "event_id"])
-        for v in pdf["value"]:
+    # concatenate ALL Arrow chunks of the group BEFORE sorting: the
+    # fold is order-dependent, and a user whose batch rows span
+    # multiple chunks (> arrow.maxRecordsPerBatch) would otherwise
+    # fold chunk-locally in arbitrary chunk order (code-review r7)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks).sort_values(["sec", "event_id"])
+        for v in whole["value"]:
             v = float(v)
             k = t % 4
             sp = s[k]

@@ -194,3 +194,18 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stage_ordered_batches(d: Path, frames) -> None:
+    """Write each frame as a single-file parquet dir ``b{i}`` under
+    ``d``, bumping file mtimes by 10 s per index — the arrival-order
+    contract every stream==batch identity in plans/streamops.py rides
+    on (``maxFilesPerTrigger=1`` consumes files in mtime order). One
+    shared implementation so a change to the ordering scheme (e.g.
+    filesystems with coarse mtime granularity) lands everywhere at
+    once (code-review r7)."""
+    for i, df in enumerate(frames):
+        df.coalesce(1).write.parquet(str(d / f"b{i}"))
+        for p in (d / f"b{i}").glob("part-*"):
+            st = os.stat(p)
+            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))

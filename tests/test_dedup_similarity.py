@@ -950,20 +950,50 @@ def test_ivf_index_add_matches_rebuild(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
 
     ivf_build_index(initial, wh, "ann.inc", "embedding", "vec_id", 16)
-    n_added = ivf_index_add(late, wh, "ann.inc", "embedding", "vec_id")
-    assert n_added == late.count()
+    n1 = ivf_index_add(
+        late.filter(F.col("vec_id") % 2 == 0), wh, "ann.inc",
+        "embedding", "vec_id",
+    )
+    n2 = ivf_index_add(
+        late.filter(F.col("vec_id") % 2 == 1), wh, "ann.inc",
+        "embedding", "vec_id",
+    )
+    assert n1 + n2 == late.count()
 
-    # rebuild twin: same centroids (min-id over the INITIAL subset,
-    # which the incremental path froze), full corpus assigned at once
-    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
-    ivf_build_index(initial, wh2, "ann.full", "embedding", "vec_id", 16)
-    ivf_index_add(late, wh2, "ann.full", "embedding", "vec_id")
+    # first-principles reference (independent of ivf_index_add's
+    # internals — code-review r7: a build+add twin would mirror any
+    # bug): every corpus vector must sit in the cell of its
+    # max-cosine centroid, centroids = min-id 16 of the INITIAL set
+    import numpy as np
+    import pandas as pd
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    init_ids = sorted(i for i in ids if i % 3 != 2)[:16]
+    C = X[np.isin(ids, init_ids)]
+    cid = np.array(sorted(init_ids))
+    order = np.argsort(ids[np.isin(ids, init_ids)])
+    C = C[order]
+    sims = (X @ C.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    # argmax with ties to the smaller centroid id (the operator's
+    # ORDER BY __csim DESC, cent_id)
+    best = sims.argmax(axis=1)
+    expected = {(int(i), int(cid[b])) for i, b in zip(ids, best)}
 
     inc = {
         (r.vec_id, r.cell)
         for r in wh.read("ann.inc").select("vec_id", "cell").collect()
     }
     assert len(inc) == emb.count()
+    assert inc == expected
+
+    # batch-split invariance: one add of everything == two adds
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    ivf_build_index(initial, wh2, "ann.full", "embedding", "vec_id", 16)
+    ivf_index_add(late, wh2, "ann.full", "embedding", "vec_id")
     queries = emb.filter(F.col("vec_id") < 4).withColumnRenamed("vec_id", "qid")
     a = ivf_query_at_rest(
         wh, "ann.inc", queries.select("qid", "embedding"),

@@ -311,3 +311,25 @@ def test_scd3_prev_value_and_idempotent_reapply(spark, wh):
     r1 = {r["k"]: r for r in wh.read(t).collect()}[1]
     assert r1["seg"] == "Y" and r1["seg_prev"] == "X"
     assert str(r1["seg_changed_at"]).startswith("2024-01-04")
+
+
+def test_scd3_null_key_rows_update_not_drop(spark, wh):
+    """NULL keys match via eqNullSafe (presence markers, not key
+    isNotNull): a NULL-keyed update lands instead of silently
+    vanishing or inserting an all-NULL row (code-review r7)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lakehouse_poc_spark.operators.scd2 import scd3_upsert
+
+    t = "dim.s3null"
+    b1 = spark.createDataFrame(
+        [(None, "A"), ("k1", "B")], "k string, seg string"
+    )
+    scd3_upsert(wh, t, b1, ["k"], "seg", "2024-01-01 00:00:00")
+    b2 = spark.createDataFrame([(None, "Z")], "k string, seg string")
+    scd3_upsert(wh, t, b2, ["k"], "seg", "2024-01-02 00:00:00")
+    rows = {r["k"]: r for r in wh.read(t).collect()}
+    assert set(rows) == {None, "k1"}
+    assert rows[None]["seg"] == "Z" and rows[None]["seg_prev"] == "A"
+    assert str(rows[None]["seg_changed_at"]).startswith("2024-01-02")
+    assert rows["k1"]["seg"] == "B" and rows["k1"]["seg_prev"] is None

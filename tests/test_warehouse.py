@@ -1114,3 +1114,55 @@ def test_mv_stale_base_guard(spark, tmp_path):
     s = mv.rebuild()
     assert s["files_total"] >= 1
     assert mv.read().count() == 3
+
+
+def test_mv_crash_between_files_and_state_never_double_counts(
+    spark, tmp_path
+):
+    """Two-phase commit: a crash AFTER the file-list append but
+    BEFORE the state overwrite leaves orphan v+1 file rows; the next
+    refresh ignores them (state still at v) and re-folds the files —
+    final state equals the ground truth, no double count
+    (code-review r7)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.sinks.matview import MaterializedAgg
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = spark.range(200).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    t = "src.crash"
+    wh.append(ev.filter(F.col("id") < 100), t)
+    mv = MaterializedAgg(wh, "crash_by_g", t, ["g"], "v")
+    mv.rebuild()
+    wh.append(ev.filter(F.col("id") >= 100), t)
+
+    # simulate the crash: run ONLY phase 1 of refresh (file append at
+    # v+1), never the state write
+    v = mv._state_version()
+    live = mv._live_files()
+    seen = mv._seen_files(v)
+    new = sorted(set(live) - seen)
+    assert new, "fixture must add files"
+    mv._record_files(new, version=v + 1, replace=False)
+
+    # recovery: plain refresh must fold the same files exactly once
+    s = mv.refresh()
+    assert s["files_scanned"] == len(new)
+    got = {
+        (r["g"], r["mv_n"], float(r["mv_sum"]))
+        for r in mv.read().collect()
+    }
+    want = {
+        (r["g"], r["n"], float(r["s"]))
+        for r in ev.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(30,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
