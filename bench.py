@@ -259,6 +259,8 @@ HEADLINE = [
     "stream_holt_winters_users",
     "boxplot_stats_event_values",
     "hll_rollup_users",
+    "session_window_builtin_events",
+    "ltv_cohort_events",
 ]
 
 

@@ -1798,3 +1798,155 @@ def yoy_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window (r7): the same 30-minute-gap sessions as
+# sessionize_events, expressed through Spark's native
+# F.session_window aggregation instead of the custom lag/cumsum
+# operator — the surface a Spark user reaches for first, and the
+# same function the STREAMING path uses (so batch and stream share
+# one sessionization definition). Session starts are emitted as
+# formatted strings; the oracle rebuilds the identical islands with
+# the gap-cumsum form (microsecond-exact: session_window's merge
+# rule is gap > threshold ⇔ new island). Per-user windows run in
+# parallel across users — no global state.
+@query(
+    "session_window_builtin_events",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us >= 1800000000
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sid
+        FROM (
+            SELECT user_id, ts, value, event_id, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_us
+            FROM events
+        ) t
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+               AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_builtin_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LTV cohort curves (r7): users cohorted by first-seen week; each
+# cohort's CUMULATIVE purchase value per weeks-since-signup — the
+# lifetime-value readout next to cohort_retention_events' activity
+# matrix. The cumsum runs on the (cohort × week-offset) AGGREGATE
+# domain (bounded) partitioned per cohort; purchase sums are exact
+# DECIMAL, divisions fixed-order.
+@query(
+    "ltv_cohort_events",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               MIN(CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   / 604800) AS BIGINT)) AS cohort_wk
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT f.cohort_wk,
+               CAST(FLOOR(CAST(FLOOR(epoch(e.ts)) AS BIGINT) / 604800)
+                    AS BIGINT) - f.cohort_wk AS wk_since,
+               CAST(e.value AS DECIMAL(30,6)) AS v
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    ),
+    cohort_size AS (
+        SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM first_seen GROUP BY cohort_wk
+    ),
+    wk AS (
+        SELECT cohort_wk, wk_since,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               SUM(v) AS rev
+        FROM p GROUP BY cohort_wk, wk_since
+    )
+    SELECT w.cohort_wk, w.wk_since, w.n_purchases, c.n_users,
+           CAST(SUM(w.rev) OVER (
+               PARTITION BY w.cohort_wk ORDER BY w.wk_since
+           ) AS DOUBLE) AS cum_revenue,
+           CAST(SUM(w.rev) OVER (
+               PARTITION BY w.cohort_wk ORDER BY w.wk_since
+           ) AS DOUBLE) / c.n_users AS ltv_per_user
+    FROM wk w JOIN cohort_size c ON w.cohort_wk = c.cohort_wk
+    ORDER BY w.cohort_wk, w.wk_since
+    """,
+)
+def ltv_cohort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("bigint")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_wk")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_wk",
+            (wk - F.col("cohort_wk")).alias("wk_since"),
+            F.col("value").cast("decimal(30,6)").alias("v"),
+        )
+    )
+    cohort_size = first_seen.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    agg = p.groupBy("cohort_wk", "wk_since").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("v").alias("rev"),
+    )
+    wc = W.partitionBy("cohort_wk").orderBy("wk_since")
+    return (
+        agg.join(cohort_size, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "wk_since",
+            "n_purchases",
+            "n_users",
+            F.sum("rev").over(wc).cast("double").alias("cum_revenue"),
+            (
+                F.sum("rev").over(wc).cast("double") / F.col("n_users")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_wk", "wk_since")
+    )

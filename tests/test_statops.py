@@ -776,3 +776,39 @@ def test_hll_rollup_gate_and_exact(spark):
         ].nunique()
         assert row["exact_distinct"] == exact
         assert bool(row["within_5pct"])  # merged sketch stays in gate
+
+
+def test_session_window_builtin_matches_custom_sessionize(spark):
+    """The native session_window islands equal the custom gap-cumsum
+    operator's session count per user (same 30-min gap; the builtin
+    starts a new session at gap >= threshold, the custom operator at
+    gap > threshold — equality still holds unless a gap is EXACTLY
+    the threshold, absent in the fixture and asserted here)."""
+    builtin = (
+        plans.QUERIES["session_window_builtin_events"](spark, SF)
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    custom = (
+        plans.QUERIES["sessionize_events"](spark, SF)
+        .toPandas()
+        .set_index("user_id")["n_sessions"]
+    )
+    assert builtin.to_dict() == custom.to_dict()
+
+
+def test_ltv_cohort_monotone_and_totals(spark):
+    out = plans.QUERIES["ltv_cohort_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # cumulative revenue is non-decreasing within a cohort
+    for _, g in out.groupby("cohort_wk"):
+        assert (g.sort_values("wk_since")["cum_revenue"].diff().dropna()
+                >= 0).all()
+    total = out.groupby("cohort_wk")["cum_revenue"].max().sum()
+    ref = ev[ev["event_type"] == "purchase"]["value"].sum()
+    assert total == pytest.approx(ref, rel=1e-9)
+    assert out["n_users"].groupby(out["cohort_wk"]).first().sum() == ev[
+        "user_id"
+    ].nunique()
