@@ -261,6 +261,8 @@ HEADLINE = [
     "hll_rollup_users",
     "session_window_builtin_events",
     "ltv_cohort_events",
+    "gdpr_erasure_audit",
+    "incremental_media_dedup",
 ]
 
 

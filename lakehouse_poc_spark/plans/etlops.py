@@ -2013,3 +2013,81 @@ def scd3_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure audit (r7): right-to-be-forgotten across RELATED
+# tables — the subject keys (c_custkey % 97 == 0) are erased from
+# the customer dimension AND their orders in the same maintenance
+# pass via merge-on-read deletion vectors (no immediate rewrite;
+# compact_purge_dv is the physical-erasure step, exercised in
+# tests/test_warehouse.py). The audit emits per-table survivor
+# counts plus the orphan check (orders whose customer vanished) —
+# zero by construction here, and the column a compliance job alerts
+# on. Deletes are key-predicate DVs: each table's tombstones are
+# one anti-joinable position set, cost ∝ matching files.
+@query(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH erased AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS before_rows,
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_custkey % 97 <> 0) AS BIGINT) AS after_rows,
+           CAST((SELECT COUNT(*) FROM erased) AS BIGINT) AS subjects,
+           CAST(0 AS BIGINT) AS orphans
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey % 97 <> 0) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+                 WHERE o_custkey % 97 = 0) AS BIGINT),
+           CAST(0 AS BIGINT)
+    ORDER BY table_name
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    wh = _fresh_wh(spark, f"gdpr_{Path(sf_dir).name}")
+    tc, to = "pii.customer", "pii.orders"
+    wh.append(cust.repartition(4), tc)
+    wh.append(orders.repartition(4), to)
+    before_c, before_o = wh.read(tc).count(), wh.read(to).count()
+    n_subjects_c = wh.delete_where_dv(tc, F.col("c_custkey") % 97 == 0)[
+        "rows_deleted"
+    ]
+    wh.delete_where_dv(to, F.col("o_custkey") % 97 == 0)
+    # merge-on-read: the DV applies at read time (read_mor);
+    # compact_purge_dv is the later physical-erasure step
+    after_c = wh.read_mor(tc)
+    after_o = wh.read_mor(to)
+    subjects_o = (
+        orders.filter(F.col("o_custkey") % 97 == 0)
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    orphans = (
+        after_o.join(
+            after_c.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        # orders legitimately reference customers above the fixture's
+        # customer-key range; orphans here = erased-but-still-referenced
+        .filter(F.col("o_custkey") % 97 == 0)
+        .count()
+    )
+    rows = [
+        ("customer", before_c, after_c.count(), int(n_subjects_c), 0),
+        ("orders", before_o, after_o.count(), subjects_o, orphans),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, before_rows long, after_rows long, "
+        "subjects long, orphans long",
+    ).orderBy("table_name")

@@ -435,3 +435,73 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_audio(docs), "doc_id", "payload", window=16,
         gram=3, min_shared=2, max_df=50,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Incremental media dedup (r7): the STORE variant of
+# multimodal_dedup_payloads — a persisted digest store accumulates
+# every payload fingerprint ever admitted, and each new batch keeps
+# only payloads whose md5 is absent from the store AND not duplicated
+# earlier within the batch (min doc_id wins). Processing the corpus
+# as id-ordered batches reproduces the one-shot dedup exactly — the
+# same contract as dedup_passages_incremental, on binary payloads.
+# Store rows are 16-byte digests; the batch probe is one left_anti
+# join on the digest key (cost ∝ batch × store-bucket, never corpus²).
+@query(
+    "incremental_media_dedup",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, md5(text) AS digest FROM documents
+    ),
+    firsts AS (
+        SELECT digest, MIN(doc_id) AS keeper FROM p GROUP BY digest
+    )
+    SELECT p.doc_id, p.digest
+    FROM p JOIN firsts f USING (digest)
+    WHERE p.doc_id = f.keeper
+    ORDER BY p.doc_id
+    """,
+)
+def incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    from ..sinks.warehouse import Warehouse
+
+    docs = _payload(_t(spark, sf_dir, "documents"))
+    p = docs.select(
+        "doc_id", F.md5(F.col("payload")).alias("digest")
+    )
+    root = Path("/root/repo/.scratch") / f"mediadedup_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    store = "media.digests"
+    kept_tables = []
+    # three id-ordered batches exercise store growth + within-batch dups
+    for i, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 10**9))):
+        batch = p.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        batch_first = batch.groupBy("digest").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        if wh.table_exists(store):
+            fresh = batch_first.join(
+                wh.read(store), "digest", "left_anti"
+            )
+        else:
+            fresh = batch_first
+        # materialize the survivors to DISK before growing the store:
+        # a persist() is not enough — Spark's cache manager RECACHES
+        # plans that reference a written path, so the store append
+        # would recompute the anti-join against the grown store and
+        # the batch would eliminate itself (debugged live, r7)
+        kept_t = f"media.kept_b{i}"
+        wh.overwrite(fresh.select("doc_id", "digest"), kept_t)
+        kept_tables.append(kept_t)
+        wh.append(wh.read(kept_t).select("digest"), store)
+    out = wh.read(kept_tables[0])
+    for t in kept_tables[1:]:
+        out = out.unionByName(wh.read(t))
+    return out.select("doc_id", "digest").orderBy("doc_id")

@@ -140,3 +140,25 @@ def test_dhash_is_perceptual_not_byte_level(spark):
         for r in dhash_neardup_pairs(dhash_images(df)).collect()
     }
     assert pairs[(1, 2)] == 0 and (1, 3) in pairs and (1, 4) not in pairs
+
+
+def test_incremental_media_dedup_equals_one_shot(spark):
+    """Id-ordered batches against the digest store reproduce the
+    one-shot payload dedup exactly, including duplicates that span
+    batch boundaries (synthetic dups injected by repeating texts)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["incremental_media_dedup"](spark, sf).toPandas()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    import hashlib
+
+    docs["digest"] = docs["text"].map(
+        lambda t: hashlib.md5(t.encode()).hexdigest()
+    )
+    keepers = docs.groupby("digest")["doc_id"].min()
+    assert sorted(out["doc_id"]) == sorted(keepers)
