@@ -263,6 +263,7 @@ HEADLINE = [
     "ltv_cohort_events",
     "gdpr_erasure_audit",
     "incremental_media_dedup",
+    "xml_roundtrip",
 ]
 
 

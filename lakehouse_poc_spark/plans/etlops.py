@@ -576,6 +576,34 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# XML sink/source roundtrip (r7; Spark 4 ships spark-xml built in —
+# the remaining first-party file format after parquet/ORC/JSON/CSV).
+# Timestamps round-trip as ISO strings; the read uses an explicit
+# schema (inference double-scans, same discipline as jsonl).
+@query("xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"xml_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "orders_xml")
+    (
+        orders.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.schema(orders.schema)
+        .format("xml")
+        .option("rowTag", "order")
+        .load(path)
+    )
+    return _roundtrip_agg(back)
+
+
+# ---------------------------------------------------------------------------
 # Bucketed co-located join: lineitem and orders written bucketed+sorted
 # on the order key join shuffle-free (SCALE.md §2's prescription for
 # fact-fact joins at 100 TB). tests/test_plan_shapes.py asserts the
