@@ -264,6 +264,8 @@ HEADLINE = [
     "gdpr_erasure_audit",
     "incremental_media_dedup",
     "xml_roundtrip",
+    "markov_next_event_accuracy",
+    "seasonality_profile_events",
 ]
 
 

@@ -1878,3 +1878,149 @@ def dfg_bottleneck_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (r7): train a first-order
+# transition model on even-indexed users (argmax next event per
+# current event, ties to the lexicographically smaller type), then
+# score it on held-out users' actual transitions — per-type
+# accuracy, the eval twin of event_transition_matrix. Everything is
+# exact counting: the model is a 25-cell argmax, scoring is one
+# transition-keyed join; accuracy divides exact BIGINTs once.
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+               ) AS next_type
+        FROM events
+    ),
+    tr AS (
+        SELECT user_id, event_type AS src, next_type AS dst
+        FROM seq WHERE next_type IS NOT NULL
+    ),
+    model AS (
+        SELECT src, dst AS predicted FROM (
+            SELECT src, dst, COUNT(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY COUNT(*) DESC, dst
+                   ) AS rk
+            FROM tr WHERE user_id % 2 = 0
+            GROUP BY src, dst
+        ) WHERE rk = 1
+    )
+    SELECT t.src,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           MAX(m.predicted) AS predicted,
+           CAST(SUM(CASE WHEN t.dst = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t.dst = m.predicted THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM tr t JOIN model m ON t.src = m.src
+    WHERE t.user_id % 2 = 1
+    GROUP BY t.src
+    ORDER BY t.src
+    """,
+)
+def markov_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    wu = W.partitionBy("user_id").orderBy("sec", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(wu).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    wr = W.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst"))
+    model = (
+        tr.filter(F.col("user_id") % 2 == 0)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    held = tr.filter(F.col("user_id") % 2 == 1)
+    return (
+        held.join(F.broadcast(model), "src")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.max("predicted").alias("predicted"),
+            F.sum(
+                F.when(F.col("dst") == F.col("predicted"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            (
+                F.sum(
+                    F.when(F.col("dst") == F.col("predicted"), 1)
+                    .otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar seasonality profile (r7): hour-of-day × day-of-week event
+# counts with each cell's share of its weekday — the load-profile
+# heatmap behind partition-sizing and trigger-scheduling decisions.
+# One partial-combinable groupBy on the 168-cell calendar domain; the
+# share divides exact BIGINTs in fixed order. UTC on both engines
+# (session convention), so bucketing is identical.
+@query(
+    "seasonality_profile_events",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS day_total FROM c GROUP BY 1)
+    SELECT c.dow, c.hod, c.n,
+           CAST(c.n AS DOUBLE) / d.day_total AS share_of_day
+    FROM c JOIN d ON c.dow = d.dow
+    ORDER BY c.dow, c.hod
+    """,
+)
+def seasonality_profile_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+    c = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    d = c.groupBy("dow").agg(F.sum("n").cast("bigint").alias("day_total"))
+    return (
+        c.join(d, "dow")
+        .select(
+            "dow",
+            "hod",
+            "n",
+            (F.col("n").cast("double") / F.col("day_total")).alias(
+                "share_of_day"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -812,3 +812,38 @@ def test_ltv_cohort_monotone_and_totals(spark):
     assert out["n_users"].groupby(out["cohort_wk"]).first().sum() == ev[
         "user_id"
     ].nunique()
+
+
+def test_markov_accuracy_matches_pandas(spark):
+    out = plans.QUERIES["markov_next_event_accuracy"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["sec"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ev = ev.sort_values(["user_id", "sec", "event_id"])
+    ev["dst"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev[ev["dst"].notna()][["user_id", "event_type", "dst"]].rename(
+        columns={"event_type": "src"}
+    )
+    train = tr[tr["user_id"] % 2 == 0]
+    model = (
+        train.groupby(["src", "dst"])
+        .size()
+        .reset_index(name="c")
+        .sort_values(["src", "c", "dst"], ascending=[True, False, True])
+        .groupby("src")
+        .first()["dst"]
+    )
+    held = tr[tr["user_id"] % 2 == 1]
+    for _, row in out.iterrows():
+        g = held[held["src"] == row["src"]]
+        assert row["predicted"] == model[row["src"]]
+        assert row["n_transitions"] == len(g)
+        assert row["n_correct"] == int((g["dst"] == model[row["src"]]).sum())
+
+
+def test_seasonality_shares_sum_to_one(spark):
+    out = plans.QUERIES["seasonality_profile_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert out["n"].sum() == len(ev)
+    sums = out.groupby("dow")["share_of_day"].sum()
+    assert np.allclose(sums, 1.0, atol=1e-9)
+    assert out["dow"].between(0, 6).all() and out["hod"].between(0, 23).all()
