@@ -1808,8 +1808,10 @@ def yoy_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same function the STREAMING path uses (so batch and stream share
 # one sessionization definition). Session starts are emitted as
 # formatted strings; the oracle rebuilds the identical islands with
-# the gap-cumsum form (microsecond-exact: session_window's merge
-# rule is gap > threshold ⇔ new island). Per-user windows run in
+# the gap-cumsum form (microsecond-exact: Spark merges events with
+# gap ≤ threshold — a gap of EXACTLY the threshold still merges,
+# empirically pinned by test_session_window_exact_threshold_merges —
+# so a new island needs gap > threshold). Per-user windows run in
 # parallel across users — no global state.
 @query(
     "session_window_builtin_events",
@@ -1817,7 +1819,7 @@ def yoy_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT user_id, ts, value,
                SUM(CASE WHEN prev_us IS NULL
-                        OR ts_us - prev_us >= 1800000000
+                        OR ts_us - prev_us > 1800000000
                    THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING

@@ -545,18 +545,38 @@ _ROUNDTRIP_ORACLE = """
     """
 
 
+def _format_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    fmt: str,
+    write_options: dict | None = None,
+    read_options: dict | None = None,
+) -> DataFrame:
+    """Shared write → read-back → aggregate scaffold for the
+    first-party format surface (ORC / JSONL / XML — one copy of the
+    rmtree/write/explicit-schema-read sequence, code-review r7).
+    Reads always pass the explicit schema: inference double-scans."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    root = SCRATCH / f"{fmt}_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / f"orders_{fmt}")
+    w = orders.write.mode("overwrite").format(fmt)
+    for k, v in (write_options or {}).items():
+        w = w.option(k, v)
+    w.save(path)
+    r = spark.read.schema(orders.schema).format(fmt)
+    for k, v in (read_options or {}).items():
+        r = r.option(k, v)
+    return _roundtrip_agg(r.load(path))
+
+
 # ---------------------------------------------------------------------------
 # ORC sink/source roundtrip: the orders table written as ORC, read
 # back, aggregated — proves the columnar-format surface beyond parquet.
 @query("orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    root = SCRATCH / f"orc_{Path(sf_dir).name}"
-    if root.exists():
-        shutil.rmtree(root)
-    path = str(root / "orders_orc")
-    orders.write.mode("overwrite").orc(path)
-    return _roundtrip_agg(spark.read.orc(path))
+    return _format_roundtrip(spark, sf_dir, "orc")
 
 
 # ---------------------------------------------------------------------------
@@ -564,14 +584,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale-correct way: schema inference double-scans).
 @query("jsonl_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    root = SCRATCH / f"jsonl_{Path(sf_dir).name}"
-    if root.exists():
-        shutil.rmtree(root)
-    path = str(root / "orders_jsonl")
-    orders.write.mode("overwrite").json(path)
-    back = spark.read.schema(orders.schema).json(path)
-    return _roundtrip_agg(back)
+    return _format_roundtrip(spark, sf_dir, "json")
 
 
 
@@ -582,25 +595,11 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # schema (inference double-scans, same discipline as jsonl).
 @query("xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_parquet_table(spark, sf_dir, "orders")
-    root = SCRATCH / f"xml_{Path(sf_dir).name}"
-    if root.exists():
-        shutil.rmtree(root)
-    path = str(root / "orders_xml")
-    (
-        orders.write.mode("overwrite")
-        .format("xml")
-        .option("rootTag", "orders")
-        .option("rowTag", "order")
-        .save(path)
+    return _format_roundtrip(
+        spark, sf_dir, "xml",
+        write_options={"rootTag": "orders", "rowTag": "order"},
+        read_options={"rowTag": "order"},
     )
-    back = (
-        spark.read.schema(orders.schema)
-        .format("xml")
-        .option("rowTag", "order")
-        .load(path)
-    )
-    return _roundtrip_agg(back)
 
 
 # ---------------------------------------------------------------------------

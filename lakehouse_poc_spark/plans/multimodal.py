@@ -463,19 +463,15 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     from pathlib import Path
 
-    from ..sinks.warehouse import Warehouse
+    from .etlops import _fresh_wh
 
     docs = _payload(_t(spark, sf_dir, "documents"))
     p = docs.select(
         "doc_id", F.md5(F.col("payload")).alias("digest")
     )
-    root = Path("/root/repo/.scratch") / f"mediadedup_{Path(sf_dir).name}"
-    if root.exists():
-        shutil.rmtree(root)
-    wh = Warehouse(spark, str(root))
+    wh = _fresh_wh(spark, f"mediadedup_{Path(sf_dir).name}")
     store = "media.digests"
     kept_tables = []
     # three id-ordered batches exercise store growth + within-batch dups

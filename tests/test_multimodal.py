@@ -150,15 +150,29 @@ def test_incremental_media_dedup_equals_one_shot(spark):
 
     from lakehouse_poc_spark import plans
 
-    sf = "/root/testdata/sf0.001"
-    out = plans.QUERIES["incremental_media_dedup"](spark, sf).toPandas()
-    import pandas as pd
-
-    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    # sf0.001 has zero duplicate texts (dedup would be vacuous —
+    # code-review r7); build a corpus WITH dups spanning the batch
+    # boundaries by duplicating sf0.001 texts under shifted ids
     import hashlib
 
-    docs["digest"] = docs["text"].map(
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    import tempfile
+    from pathlib import Path as _P
+
+    dup = docs.copy()
+    dup["doc_id"] = dup["doc_id"] + 400  # 100..499 overlap 0..99 dups
+    corpus = pd.concat([docs, dup[dup["doc_id"] >= 400]])
+    corpus = corpus.drop_duplicates("doc_id").reset_index(drop=True)
+    d = tempfile.mkdtemp()
+    corpus.to_parquet(_P(d) / "documents.parquet")
+    out = plans.QUERIES["incremental_media_dedup"](spark, d).toPandas()
+    corpus["digest"] = corpus["text"].map(
         lambda t: hashlib.md5(t.encode()).hexdigest()
     )
-    keepers = docs.groupby("digest")["doc_id"].min()
+    keepers = corpus.groupby("digest")["doc_id"].min()
     assert sorted(out["doc_id"]) == sorted(keepers)
+    # the dedup genuinely fired: duplicates exist and were dropped
+    assert len(out) < len(corpus)

@@ -780,10 +780,9 @@ def test_hll_rollup_gate_and_exact(spark):
 
 def test_session_window_builtin_matches_custom_sessionize(spark):
     """The native session_window islands equal the custom gap-cumsum
-    operator's session count per user (same 30-min gap; the builtin
-    starts a new session at gap >= threshold, the custom operator at
-    gap > threshold — equality still holds unless a gap is EXACTLY
-    the threshold, absent in the fixture and asserted here)."""
+    operator's session count per user: BOTH split only at
+    gap > threshold (an exact-threshold gap merges in both — pinned
+    by test_session_window_exact_threshold_merges)."""
     builtin = (
         plans.QUERIES["session_window_builtin_events"](spark, SF)
         .groupBy("user_id")
@@ -847,3 +846,21 @@ def test_seasonality_shares_sum_to_one(spark):
     sums = out.groupby("dow")["share_of_day"].sum()
     assert np.allclose(sums, 1.0, atol=1e-9)
     assert out["dow"].between(0, 6).all() and out["hod"].between(0, 23).all()
+
+
+def test_session_window_exact_threshold_merges(spark):
+    """Pins Spark's session_window boundary semantics the oracle
+    relies on: two events EXACTLY the gap apart merge into ONE
+    session (split requires gap > threshold, not >=)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["count"] == 2
