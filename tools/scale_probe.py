@@ -394,6 +394,10 @@ def main() -> None:
         spark.range(1).count()
         ann_add_probe(spark, sf_dir)
         return
+    if "--lm" in sys.argv:
+        spark.range(1).count()
+        lm_probe(spark, sf_dir)
+        return
     docs = read_parquet_table(spark, sf_dir, "documents")
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     spark.range(1).count()
@@ -607,6 +611,53 @@ def ann_add_probe(spark, sf_dir: str) -> None:
         corpus.unpersist()
         shutil.rmtree(root, ignore_errors=True)
     batch.unpersist()
+
+
+def lm_probe(spark, sf_dir: str) -> None:
+    """LM-family scaling: grow the corpus 1x/2x/4x (near-dup mutated
+    copies) and measure the Kneser-Ney model domains — the claim
+    under test is that the SHUFFLED relation (bigram types / vocab)
+    grows sub-linearly in corpus tokens because mutated near-dups
+    mostly re-hit existing types, and that wall time tracks the
+    corpus scan, not the model."""
+    import time
+
+    from lakehouse_poc_spark.plans import QUERIES  # noqa: F401
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    for factor in (1, 2, 4):
+        corpus = scaled_corpus(docs, factor).persist()
+        n_docs = corpus.count()
+        tok = corpus.select(
+            F.explode(F.split("text", r"\s+")).alias("w")
+        )
+        n_tokens = tok.count()
+        vocab = tok.distinct().count()
+        # precompute toks once (the query side's exact construction —
+        # splitting inside the expr risks regex-literal drift) and
+        # guard 1-token docs: sequence(1, 0) DESCENDS in Spark
+        big = (
+            corpus.select(F.split("text", r"\s+").alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(element_at(toks, i) AS w1,"
+                        " element_at(toks, i + 1) AS w2))"
+                    )
+                ).alias("bg")
+            )
+        )
+        t0 = time.perf_counter()
+        n_bigram_types = big.select("bg.w1", "bg.w2").distinct().count()
+        t_model = time.perf_counter() - t0
+        print(
+            f"  corpus x{factor}: docs={n_docs:>6} tokens={n_tokens:>9,}"
+            f" vocab={vocab:>7,} bigram_types={n_bigram_types:>9,}"
+            f" model_pass={t_model:5.2f}s"
+        )
+        corpus.unpersist()
 
 
 if __name__ == "__main__":
