@@ -266,6 +266,9 @@ HEADLINE = [
     "xml_roundtrip",
     "markov_next_event_accuracy",
     "seasonality_profile_events",
+    "wilson_ci_user_purchase",
+    "dispersion_test_events",
+    "hhi_revenue_by_nation",
 ]
 
 

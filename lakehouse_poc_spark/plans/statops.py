@@ -1948,3 +1948,196 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval (r7; Wilson 1927, public) for each event
+# type's conversion rate (purchases / all events of the user-facing
+# types) — the interval that behaves at small n and extreme p where
+# the normal approximation fails, and the standard ranking metric
+# for CTR-style rates. Counts are exact BIGINTs; the interval is one
+# fixed-order double expression (z = 1.96 literal, sqrt correctly
+# rounded), so both engines produce identical bits.
+@query(
+    "wilson_ci_user_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT user_id % 10 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort, n, k,
+           CAST(k AS DOUBLE) / n AS p_hat,
+           (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+            - 1.96 * sqrt((CAST(k AS DOUBLE) / n
+                           * (1.0 - CAST(k AS DOUBLE) / n)
+                           + 1.96 * 1.96 / (4.0 * n)) / n))
+           / (1.0 + 1.96 * 1.96 / n) AS wilson_lo,
+           (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+            + 1.96 * sqrt((CAST(k AS DOUBLE) / n
+                           * (1.0 - CAST(k AS DOUBLE) / n)
+                           + 1.96 * 1.96 / (4.0 * n)) / n))
+           / (1.0 + 1.96 * 1.96 / n) AS wilson_hi
+    FROM s
+    ORDER BY cohort
+    """,
+)
+def wilson_ci_user_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    z = F.lit(1.96)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * F.col("n"))
+    half = z * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * F.col("n"))) / F.col("n")
+    )
+    denom = F.lit(1.0) + z2 / F.col("n")
+    _ = nd
+    return s.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion test (r7): per event type, the
+# variance-to-mean ratio of DAILY counts and the dispersion
+# statistic D = (n−1)·s²/x̄ (χ²_{n−1} under Poisson) — the standard
+# over/under-dispersion screen before fitting count models. Daily
+# counts are exact BIGINTs; s² and x̄ come from exact Σc, Σc² via
+# the one-pass identity, combined in fixed-order doubles.
+@query(
+    "dispersion_test_events",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM(c * c) AS BIGINT) AS scc
+        FROM d GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           CAST(sc AS DOUBLE) / n_days AS mean_daily,
+           (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+               / n_days) / (n_days - 1) AS var_daily,
+           ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+               / n_days) / (n_days - 1))
+           / (CAST(sc AS DOUBLE) / n_days) AS vmr,
+           ((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+               / n_days) / (n_days - 1)) * (n_days - 1)
+           / (CAST(sc AS DOUBLE) / n_days) AS dispersion_stat
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def dispersion_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    d = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+    )
+    scd = F.col("sc").cast("double")
+    sccd = F.col("scc").cast("double")
+    mean = scd / F.col("n_days")
+    var = (sccd - scd * scd / F.col("n_days")) / (F.col("n_days") - 1)
+    return s.select(
+        "event_type",
+        "n_days",
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        (var / mean).alias("vmr"),
+        (var * (F.col("n_days") - 1) / mean).alias("dispersion_stat"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration HHI (r7): the Herfindahl-Hirschman index of
+# customer revenue shares within each nation — the concentration
+# metric behind key-account risk and skew planning (HHI → 1 means
+# one customer dominates; → 1/n means even spread). Per-customer
+# revenue is an exact DECIMAL sum; each share is one fixed-order
+# double division and HHI sums share² as micro-rounded BIGINTs
+# (order-independent exact).
+@query(
+    "hhi_revenue_by_nation",
+    oracle="""
+    WITH cr AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    nat AS (
+        SELECT c_nationkey, SUM(rev) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM cr GROUP BY 1
+    )
+    SELECT cr.c_nationkey,
+           MAX(nat.n_customers) AS n_customers,
+           CAST(SUM(CAST(ROUND(
+               (CAST(cr.rev AS DOUBLE) / CAST(nat.total AS DOUBLE))
+               * (CAST(cr.rev AS DOUBLE) / CAST(nat.total AS DOUBLE))
+               * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0 AS hhi
+    FROM cr JOIN nat ON cr.c_nationkey = nat.c_nationkey
+    GROUP BY cr.c_nationkey
+    ORDER BY cr.c_nationkey
+    """,
+)
+def hhi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cr = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev")
+        )
+    )
+    nat = cr.groupBy("c_nationkey").agg(
+        F.sum("rev").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    )
+    share = F.col("rev").cast("double") / F.col("total").cast("double")
+    return (
+        cr.join(nat, "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n_customers").alias("n_customers"),
+            (
+                F.sum(
+                    F.round(share * share * F.lit(1e12)).cast("bigint")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("hhi"),
+        )
+        .orderBy("c_nationkey")
+    )

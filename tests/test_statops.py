@@ -864,3 +864,61 @@ def test_session_window_exact_threshold_merges(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["count"] == 2
+
+
+def test_wilson_ci_matches_formula(spark):
+    out = plans.QUERIES["wilson_ci_user_purchase"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    z = 1.96
+    for _, row in out.iterrows():
+        g = ev[ev["user_id"] % 10 == row["cohort"]]
+        n = len(g)
+        k = int((g["event_type"] == "purchase").sum())
+        p = k / n
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * np.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+        assert (row["n"], row["k"]) == (n, k)
+        assert row["wilson_lo"] == pytest.approx((center - half) / denom,
+                                                 rel=1e-12)
+        assert row["wilson_hi"] == pytest.approx((center + half) / denom,
+                                                 rel=1e-12)
+        assert row["wilson_lo"] <= row["p_hat"] <= row["wilson_hi"]
+
+
+def test_dispersion_matches_numpy(spark):
+    out = plans.QUERIES["dispersion_test_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 86400
+    for _, row in out.iterrows():
+        c = (
+            ev[ev["event_type"] == row["event_type"]]
+            .groupby("day")
+            .size()
+            .to_numpy(dtype=float)
+        )
+        assert row["n_days"] == len(c)
+        assert row["mean_daily"] == pytest.approx(c.mean(), rel=1e-12)
+        assert row["var_daily"] == pytest.approx(c.var(ddof=1), rel=1e-9)
+        assert row["vmr"] == pytest.approx(c.var(ddof=1) / c.mean(),
+                                           rel=1e-9)
+
+
+def test_hhi_bounds_and_brute(spark):
+    out = plans.QUERIES["hhi_revenue_by_nation"](spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    m = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey", right_on="c_custkey",
+    )
+    for _, row in out.iterrows():
+        g = m[m["c_nationkey"] == row["c_nationkey"]]
+        rev = g.groupby("o_custkey")["o_totalprice"].sum()
+        shares = rev / rev.sum()
+        hhi = sum(round(s * s * 1e12) for s in shares) / 1e12
+        assert row["n_customers"] == len(rev)
+        assert row["hhi"] == pytest.approx(hhi, abs=1e-9)
+        assert 1.0 / len(rev) - 1e-9 <= row["hhi"] <= 1.0
