@@ -269,6 +269,7 @@ HEADLINE = [
     "wilson_ci_user_purchase",
     "dispersion_test_events",
     "hhi_revenue_by_nation",
+    "gini_revenue_by_nation",
 ]
 
 

@@ -2141,3 +2141,75 @@ def hhi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (r7; Gini 1912, public) of customer revenue per
+# nation — the inequality twin of hhi_revenue_by_nation, via the
+# rank formula G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+# revenues. Ranks run per nation (parallel groups, ties broken by
+# custkey); Σ i·xᵢ stays EXACT as DECIMAL × rank; the two divisions
+# are fixed-order doubles.
+@query(
+    "gini_revenue_by_nation",
+    oracle="""
+    WITH cr AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT c_nationkey, rev,
+               CAST(row_number() OVER (
+                   PARTITION BY c_nationkey ORDER BY rev, o_custkey
+               ) AS BIGINT) AS i
+        FROM cr
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           2.0 * CAST(SUM(rev * i) AS DOUBLE)
+               / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+           - (CAST(COUNT(*) AS DOUBLE) + 1.0) / COUNT(*) AS gini
+    FROM r
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cr = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev")
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy("rev", "o_custkey")
+    r = cr.select(
+        "c_nationkey",
+        "rev",
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    return (
+        r.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+            (
+                F.lit(2.0)
+                * F.sum(F.col("rev") * F.col("i")).cast("double")
+                / (F.count(F.lit(1)) * F.sum("rev").cast("double"))
+                - (nd + F.lit(1.0)) / F.count(F.lit(1))
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )

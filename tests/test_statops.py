@@ -922,3 +922,28 @@ def test_hhi_bounds_and_brute(spark):
         assert row["n_customers"] == len(rev)
         assert row["hhi"] == pytest.approx(hhi, abs=1e-9)
         assert 1.0 / len(rev) - 1e-9 <= row["hhi"] <= 1.0
+
+
+def test_gini_matches_numpy(spark):
+    out = plans.QUERIES["gini_revenue_by_nation"](spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    m = orders.merge(
+        cust[["c_custkey", "c_nationkey"]],
+        left_on="o_custkey", right_on="c_custkey",
+    )
+    for _, row in out.iterrows():
+        rev = (
+            m[m["c_nationkey"] == row["c_nationkey"]]
+            .groupby("o_custkey")["o_totalprice"]
+            .sum()
+            .sort_values()
+            .to_numpy()
+        )
+        n = len(rev)
+        gini = 2 * (np.arange(1, n + 1) * rev).sum() / (n * rev.sum()) - (
+            n + 1
+        ) / n
+        assert row["n_customers"] == n
+        assert row["gini"] == pytest.approx(gini, rel=1e-9)
+        assert 0.0 <= row["gini"] < 1.0
