@@ -262,6 +262,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str | None = None,
     converge: bool = False,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """SYNCHRONOUS label propagation (Raghavan et al. 2007, public
     paper) made deterministic: every node starts labeled with its own
@@ -285,11 +286,17 @@ def label_propagation(
     Iteration hygiene (VERDICT r6 task 3, matching ``pagerank``'s
     cached-edge discipline): the symmetrized edge relation is
     PERSISTED once — without it every round re-derives it from the
-    scan — and each round's labels are ``localCheckpoint``-ed, so
-    plan depth stays constant instead of nesting one
-    join+agg+window per round (at iters=10+ on a big graph, nested
-    lineage means quadratic planning cost and a full-history
-    recompute on executor loss).
+    scan — and labels are ``localCheckpoint``-ed every
+    ``checkpoint_every`` rounds (default 2), so plan depth is bounded
+    at ``checkpoint_every`` join+agg+window layers instead of one per
+    round (at iters=10+ on a big graph, nested lineage means
+    quadratic planning cost and a full-history recompute on executor
+    loss). Per-round checkpointing is correct but pays a fixed
+    materialization job every round; the every-other-round cadence
+    (VERDICT r7 task 4) halves that fixed cost while keeping the
+    bounded-lineage guarantee. ``converge=True`` forces cadence 1:
+    the changed-count job materializes each round anyway, so the
+    checkpoint there is free lineage hygiene, not an extra job.
 
     ``converge=True`` adds a deterministic early stop: after each
     round, count the nodes whose label changed (an exact join on the
@@ -314,7 +321,8 @@ def label_propagation(
         from pyspark.sql import Window
 
         rk = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
-        for _ in range(iters):
+        cadence = 1 if converge else max(1, checkpoint_every)
+        for it in range(iters):
             nb = und.join(
                 labels.withColumnRenamed("node", "v"), "v"
             ).select(F.col("u").alias("node"), "label", "w")
@@ -324,8 +332,9 @@ def label_propagation(
                 .withColumn("__r", F.row_number().over(rk))
                 .filter(F.col("__r") == 1)
                 .select("node", "label")
-                .localCheckpoint(eager=True)
             )
+            if (it + 1) % cadence == 0 or it + 1 == iters:
+                new_labels = new_labels.localCheckpoint(eager=True)
             if converge:
                 changed = (
                     new_labels.alias("n")
