@@ -270,6 +270,8 @@ HEADLINE = [
     "dispersion_test_events",
     "hhi_revenue_by_nation",
     "gini_revenue_by_nation",
+    # r8: MERGE-path schema evolution
+    "scd2_schema_evolution",
 ]
 
 
@@ -392,6 +394,16 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         isolated[name] = round(sorted(runs)[1], 3)
+    # Round-over-round diff (VERDICT r7 task 8): load the previous
+    # round's committed bench record and flag honest regressions in
+    # the artifact itself, so the comparable set never has to be
+    # reconstructed by hand. Basis rules: isolated medians compare to
+    # isolated medians (the only numbers free of suite-position
+    # contention); everything else compares best-of-N mins (the stable
+    # statistic). A row is flagged only when ratio > 1.3 AND the
+    # absolute delta exceeds 0.5 s — sub-second scheduler jitter on a
+    # shared container is noise, not a plan change.
+    regressions = _diff_previous(timings, isolated)
     # The driver records only the last 2000 chars of stdout; the full
     # line above is ~5k chars, so its leading totals get truncated
     # (seen in BENCH_r05.json). Print a compact self-describing summary
@@ -406,10 +418,73 @@ def main() -> None:
                 "n": len(timings),
                 "slowest_med": isolated,
                 "slowest_suite_med": {k: medians[k] for k in slowest_names},
+                "regressions": regressions,
                 "sf": sf,
             }
         )
     )
+
+
+def _diff_previous(
+    timings: dict[str, float], isolated: dict[str, float]
+) -> dict[str, dict]:
+    """Compare this run against the newest committed BENCH_r*_local.json
+    (or BENCH_r*.json) and return {query: {prev, cur, ratio, basis}}
+    for every comparable query whose honest number moved > 1.3× AND
+    > 0.5 s. Override the baseline file with $SPARK_GRAFT_PREV_BENCH."""
+    import re
+
+    here = Path(__file__).resolve().parent
+    prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
+    if prev_path is None:
+        cands = []
+        for p in here.glob("BENCH_r*.json"):
+            m = re.match(r"BENCH_r(\d+)(_local)?\.json", p.name)
+            if m:
+                # prefer _local records (they carry the full suite)
+                cands.append((int(m.group(1)), 1 if m.group(2) else 0, p))
+        if not cands:
+            return {}
+        prev_path = str(sorted(cands)[-1][2])
+    try:
+        with open(prev_path) as fh:
+            text = fh.read()
+        # driver records may hold several JSON lines; take the last
+        # object that parses and has a queries/slowest_med map
+        prev = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "queries" in obj or "slowest_med" in obj:
+                    prev.update(obj)
+    except OSError:
+        return {}
+    prev_min = prev.get("queries") or {}
+    prev_iso = prev.get("slowest_med") or {}
+    out: dict[str, dict] = {}
+    for name, cur in isolated.items():
+        if name in prev_iso:
+            p = float(prev_iso[name])
+            if p > 0 and cur / p > 1.3 and cur - p > 0.5:
+                out[name] = {
+                    "prev": p, "cur": cur,
+                    "ratio": round(cur / p, 2), "basis": "isolated",
+                }
+    for name, cur in timings.items():
+        if name in out or name in isolated:
+            continue  # isolated basis already covered (or judged clean)
+        if name in prev_min:
+            p = float(prev_min[name])
+            if p > 0 and cur / p > 1.3 and cur - p > 0.5:
+                out[name] = {
+                    "prev": p, "cur": cur,
+                    "ratio": round(cur / p, 2), "basis": "min",
+                }
+    return out
 
 
 if __name__ == "__main__":

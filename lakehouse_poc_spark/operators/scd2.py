@@ -72,9 +72,22 @@ def scd2_merge(
     cfg: PipelineConfig,
     latest: DataFrame,
     run_ts: datetime | str,
+    evolve: bool = False,
 ) -> MergeStats:
     """Merge a deduplicated batch (one row per business key, business
-    columns only) into the SCD2 dimension table ``cfg.dim_table``."""
+    columns only) into the SCD2 dimension table ``cfg.dim_table``.
+
+    ``evolve=True`` enables WRITE-side schema evolution (the Delta
+    ``schema.autoMerge`` mechanic, public Delta docs): when the batch
+    carries compare columns the dimension does not yet have, the
+    target schema WIDENS — existing history/current rows null-backfill
+    the new columns, and change detection treats the target's missing
+    value as NULL (so a key whose new column is non-null registers as
+    changed, while an all-NULL new column leaves keys untouched —
+    exactly Delta's ``WHEN MATCHED`` null-comparison semantics under
+    autoMerge). Only ADDITIVE evolution is supported; with the default
+    ``evolve=False`` a widening batch fails fast, listing the missing
+    columns — the Delta-without-autoMerge contract."""
     t = cfg.technical
     keys = list(cfg.business_key)
     latest = latest.select(*cfg.wanted_columns)
@@ -85,6 +98,18 @@ def scd2_merge(
         return MergeStats(unchanged=0, new_keys=init.count(), updated_keys=0)
 
     dim = wh.read(cfg.dim_table)
+    missing = [c for c in cfg.wanted_columns if c not in dim.columns]
+    if missing:
+        if not evolve:
+            raise ValueError(
+                f"batch widens dim table {cfg.dim_table!r} with new "
+                f"columns {missing} — pass evolve=True to enable "
+                "additive schema evolution (autoMerge)"
+            )
+        src_types = {f.name: f.dataType for f in latest.schema.fields}
+        dim = dim.withColumns(
+            {c: F.lit(None).cast(src_types[c]) for c in missing}
+        )
     current = dim.filter(F.col(t.is_current))
 
     src = latest.alias("src")

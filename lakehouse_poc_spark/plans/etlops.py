@@ -1177,6 +1177,89 @@ def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MERGE-path schema evolution (VERDICT r7 task 3): the WRITE-side twin
+# of schema_evolution_orders — an SCD2 dimension whose SECOND batch
+# GREW a compare column (the Delta schema.autoMerge mechanic; public
+# Delta docs). Batch 1 seeds the even keys with (key, name) only;
+# batch 2 merges ALL keys carrying a NEW c_mktsegment column that is
+# non-NULL only for %10==0 keys. Under evolve=True the dimension
+# schema widens: history and unchanged rows null-backfill the new
+# column, change detection treats the target's missing value as NULL
+# (null-safe <=>), so ONLY the %10==0 keys close+insert; keys whose
+# new column arrived NULL are untouched. The oracle derives every
+# history row — a backfill that invents values, an evolution that
+# flags every key as changed, or a dropped old column all break the
+# hash. scd2_merge docstring carries the fail-fast contract for
+# evolve=False (tests/test_scd2.py).
+@query(
+    "scd2_schema_evolution",
+    oracle=f"""
+    -- closed rows: %10==0 keys, pre-evolution schema => segment NULL
+    SELECT c_custkey AS key, c_name AS name,
+           CAST(NULL AS VARCHAR) AS segment,
+           '{T1}' AS valid_from, '{T2}' AS valid_to, FALSE AS is_current
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    -- open rows untouched since T1: segment null-backfilled
+    SELECT c_custkey, c_name, CAST(NULL AS VARCHAR), '{T1}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    -- new versions inserted at T2: the evolved column's real value
+    SELECT c_custkey, c_name, c_mktsegment, '{T2}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    -- brand-new odd keys at T2 (segment arrived NULL)
+    SELECT c_custkey, c_name, CAST(NULL AS VARCHAR), '{T2}', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key, valid_from, is_current
+    """,
+)
+def scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_merge
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    cfg1 = PipelineConfig(
+        name="cust_evo",
+        raw_table="layer0100.customer_raw",
+        dim_table="layer0150.dim_customer_evo",
+        business_key=("c_custkey",),
+        compare_columns=("c_name",),
+    )
+    cfg2 = PipelineConfig(
+        name="cust_evo",
+        raw_table="layer0100.customer_raw",
+        dim_table="layer0150.dim_customer_evo",
+        business_key=("c_custkey",),
+        compare_columns=("c_name", "c_mktsegment"),
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name"
+    )
+    batch2 = cust.select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_mktsegment")
+        ).alias("c_mktsegment"),
+    )
+    wh = _fresh_wh(spark, f"scd2_evo_{Path(sf_dir).name}")
+    scd2_merge(wh, cfg1, batch1, T1)
+    scd2_merge(wh, cfg2, batch2, T2, evolve=True)
+    t = cfg2.technical
+    dim = wh.read(cfg2.dim_table)
+    return dim.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.date_format(t.valid_from, "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(t.valid_to, "yyyy-MM-dd HH:mm:ss"), F.lit("OPEN")
+        ).alias("valid_to"),
+        F.col(t.is_current).alias("is_current"),
+    ).orderBy("key", "valid_from", "is_current")
+
+
+# ---------------------------------------------------------------------------
 # Raw line-oriented text ingestion (Common-Crawl-WET-style): documents
 # serialized one-per-line as "id<TAB>text", written with the text
 # sink, read back with spark.read.text and parsed with codegen string

@@ -333,3 +333,87 @@ def test_scd3_null_key_rows_update_not_drop(spark, wh):
     assert rows[None]["seg"] == "Z" and rows[None]["seg_prev"] == "A"
     assert str(rows[None]["seg_changed_at"]).startswith("2024-01-02")
     assert rows["k1"]["seg"] == "B" and rows["k1"]["seg_prev"] is None
+
+
+# ---------------------------------------------------------------------------
+# Write-side (MERGE-path) schema evolution — VERDICT r7 task 3.
+
+EVO_CFG1 = PipelineConfig(
+    name="evo",
+    raw_table="layer0100.evo_raw",
+    dim_table="layer0150.dim_evo",
+    business_key=("k",),
+    compare_columns=("a",),
+)
+EVO_CFG2 = PipelineConfig(
+    name="evo",
+    raw_table="layer0100.evo_raw",
+    dim_table="layer0150.dim_evo",
+    business_key=("k",),
+    compare_columns=("a", "b"),
+)
+
+
+def _evo_batches(spark):
+    b1 = spark.createDataFrame([("K1", "x"), ("K2", "y")], "k string, a string")
+    b2 = spark.createDataFrame(
+        [("K1", "x", "new"), ("K2", "y", None), ("K3", "z", "n3")],
+        "k string, a string, b string",
+    )
+    return b1, b2
+
+
+def test_scd2_evolve_widens_and_null_backfills(spark, wh):
+    b1, b2 = _evo_batches(spark)
+    scd2_merge(wh, EVO_CFG1, b1, T1)
+    stats = scd2_merge(wh, EVO_CFG2, b2, T2, evolve=True)
+    # K1: b NULL->'new' = changed; K2: b NULL vs NULL = unchanged; K3 new
+    assert stats.as_dict() == {"unchanged": 1, "new_keys": 1, "updated_keys": 1}
+    dim = wh.read(EVO_CFG2.dim_table)
+    assert "b" in dim.columns
+    rows = {(r["k"], r["is_current"]): r for r in dim.collect()}
+    assert rows[("K1", False)]["b"] is None          # history null-backfill
+    assert rows[("K1", True)]["b"] == "new"
+    assert rows[("K2", True)]["b"] is None           # untouched, backfilled
+    assert str(rows[("K2", True)]["valid_from"]).startswith("2030-01-01")
+    assert rows[("K3", True)]["b"] == "n3"
+
+
+def test_scd2_evolve_idempotent_reapply(spark, wh):
+    b1, b2 = _evo_batches(spark)
+    scd2_merge(wh, EVO_CFG1, b1, T1)
+    scd2_merge(wh, EVO_CFG2, b2, T2, evolve=True)
+    before = sorted(map(tuple, wh.read(EVO_CFG2.dim_table).collect()))
+    stats = scd2_merge(wh, EVO_CFG2, b2, T3, evolve=True)
+    assert stats.as_dict() == {"unchanged": 3, "new_keys": 0, "updated_keys": 0}
+    after = sorted(map(tuple, wh.read(EVO_CFG2.dim_table).collect()))
+    assert before == after
+
+
+def test_scd2_evolve_false_fails_fast(spark, wh):
+    b1, b2 = _evo_batches(spark)
+    scd2_merge(wh, EVO_CFG1, b1, T1)
+    with pytest.raises(ValueError, match=r"\['b'\].*evolve=True"):
+        scd2_merge(wh, EVO_CFG2, b2, T2)
+    # target untouched by the failed merge
+    dim = wh.read(EVO_CFG1.dim_table)
+    assert "b" not in dim.columns and dim.count() == 2
+
+
+def test_scd2_evolve_on_manifest_warehouse(spark, tmp_path):
+    """The evolution path rides apply_scd2_changeset's full-rewrite leg,
+    which ManifestWarehouse overrides with an atomic manifest commit —
+    prove the widened schema lands there too (and time travel still
+    reads the PRE-evolution schema at v1)."""
+    from lakehouse_poc_spark.sinks.warehouse import ManifestWarehouse
+
+    mwh = ManifestWarehouse(spark, str(tmp_path / "mwh"))
+    b1, b2 = _evo_batches(spark)
+    scd2_merge(mwh, EVO_CFG1, b1, T1)
+    v1 = mwh.current_version(EVO_CFG1.dim_table)
+    scd2_merge(mwh, EVO_CFG2, b2, T2, evolve=True)
+    dim = mwh.read(EVO_CFG2.dim_table)
+    assert "b" in dim.columns
+    assert dim.filter(F.col("is_current")).count() == 3
+    old = mwh.read_version(EVO_CFG1.dim_table, v1)
+    assert "b" not in old.columns
