@@ -270,8 +270,11 @@ HEADLINE = [
     "dispersion_test_events",
     "hhi_revenue_by_nation",
     "gini_revenue_by_nation",
-    # r8: MERGE-path schema evolution
+    # r8: MERGE-path schema evolution; HNSW graph ANN (approximate
+    # setting — the exhaustive similarity_topk_hnsw is an oracle pin,
+    # not a scale path)
     "scd2_schema_evolution",
+    "ann_recall_hnsw",
 ]
 
 

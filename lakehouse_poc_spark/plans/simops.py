@@ -2620,3 +2620,91 @@ def embedding_covariance_block(
             / F.col("n").cast("double")
         ).alias("cov"),
     ).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# HNSW graph ANN (r8, VERDICT r7 task 2 — operators/hnsw.py, Malkov &
+# Yashunin 2016): the industry-default graph index, sharded per the
+# distributed shard-and-merge pattern. Two-query contract mirroring
+# the rest of the ANN family:
+#
+# 1. similarity_topk_hnsw runs the index in EXHAUSTIVE mode
+#    (ef_search=None → level-0 beam = shard size). With the level-0
+#    connectivity repair, the beam provably visits every shard node,
+#    so the result EQUALS brute force — the oracle below is the brute
+#    cosine top-5, and any machinery bug (broken layer descent, lost
+#    graph edges, bad shard merge, wrong tie-breaks) breaks the hash.
+#    Candidates are re-scored JVM-side with the exact cosine
+#    expression, so the doubles are bit-identical to brute's.
+# 2. ann_recall_hnsw (below) gates the honest approximate setting.
+@query(
+    "similarity_topk_hnsw",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+               ) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hnsw import hnsw_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return hnsw_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, m=8, ef_construction=32,
+        ef_search=None, n_shards=4,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# HNSW recall gate at the honest approximate setting (ef_search=16,
+# 4 shards): recall@5 vs the exact ground truth, computed Spark-side.
+# ROWS-ONLY BY DECLARED DESIGN: the graph traversal is not
+# SQL-expressible, so no DuckDB twin exists for the approximate
+# candidate set; tests/test_hnsw.py pins (a) mean recall@5 >= the IVF
+# baseline's on the same fixture (VERDICT r7 acceptance) and (b)
+# exhaustive-mode == brute identity, which the hash-gated
+# similarity_topk_hnsw also enforces per-row.
+@query("ann_recall_hnsw")
+def ann_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hnsw import hnsw_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = hnsw_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, m=8, ef_construction=32,
+        ef_search=16, n_shards=4,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
