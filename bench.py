@@ -275,6 +275,7 @@ HEADLINE = [
     # not a scale path)
     "scd2_schema_evolution",
     "ann_recall_hnsw",
+    "ann_recall_after_adds",
 ]
 
 

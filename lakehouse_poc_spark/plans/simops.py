@@ -2708,3 +2708,203 @@ def ann_recall_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained-index recall DECAY gate (r8, VERDICT r7 task 6):
+# completes the ANN maintenance loop add → recall decay → retrain
+# trigger. ann_index_maintained_embeddings pins that frozen-centroid
+# adds are bit-identical to a frozen-centroid rebuild; THIS query
+# measures what maintenance actually costs in quality: the index is
+# BUILT on a small early corpus (vec_id >= 468 — 32 vectors, whose
+# min-id centroids 468..483 are then FROZEN), grown ~16x by four add
+# batches covering the other 468 vectors, and its recall@5 is compared
+# per-query against a FRESH rebuild over the full corpus (centroids
+# retrained = min-id 0..15). Both quantizers are deterministic, so the
+# entire comparison — including the decay column the retrain trigger
+# reads — is SQL-expressible and hash-gated. Retrain contract
+# (SCALE.md §6.7): trigger a rebuild when mean decay exceeds 0.1
+# absolute recall@5; tests/test_similarity_index.py gates the
+# fixture's measured decay under that threshold.
+@query(
+    "ann_recall_after_adds",
+    oracle=f"""
+    WITH brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) t WHERE rank <= 5
+    ),
+    cents_m AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings WHERE vec_id >= 468 ORDER BY vec_id LIMIT 16
+    ),
+    cents_f AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    corpus_m AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents_m c
+        ) t WHERE crank <= 1
+    ),
+    corpus_f AS (
+        SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents_f c
+        ) t WHERE crank <= 1
+    ),
+    q_m AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents_m c
+            WHERE e.vec_id < 8
+        ) t WHERE crank <= 2
+    ),
+    q_f AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents_f c
+            WHERE e.vec_id < 8
+        ) t WHERE crank <= 2
+    ),
+    ivf_m AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sql_cosine('q.qv', 'c.nv')} DESC, c.neighbor_id
+                   ) AS INTEGER) AS rank
+            FROM q_m q JOIN corpus_m c ON q.cid = c.cid
+            WHERE c.neighbor_id <> q.query_id
+        ) t WHERE rank <= 5
+    ),
+    ivf_f AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sql_cosine('q.qv', 'c.nv')} DESC, c.neighbor_id
+                   ) AS INTEGER) AS rank
+            FROM q_f q JOIN corpus_f c ON q.cid = c.cid
+            WHERE c.neighbor_id <> q.query_id
+        ) t WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(m.neighbor_id) AS DOUBLE) / 5.0 AS recall_maintained,
+           CAST(COUNT(f.neighbor_id) AS DOUBLE) / 5.0 AS recall_fresh,
+           (CAST(COUNT(f.neighbor_id) AS DOUBLE)
+            - CAST(COUNT(m.neighbor_id) AS DOUBLE)) / 5.0 AS decay
+    FROM brute b
+    LEFT JOIN ivf_m m
+      ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+    LEFT JOIN ivf_f f
+      ON b.query_id = f.query_id AND b.neighbor_id = f.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_after_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    from ..operators.similarity import (
+        ivf_build_index,
+        ivf_index_add,
+        ivf_query_at_rest,
+    )
+    from ..sinks.warehouse import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = Path("/root/repo/.scratch") / f"anndecay_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    # maintained: build small, freeze centroids, grow ~16x in 4 adds
+    tm = "ann.ivf_decay_maintained"
+    ivf_build_index(
+        emb.filter(F.col("vec_id") >= 468), wh, tm,
+        "embedding", "vec_id", n_centroids=16,
+    )
+    for r in range(4):
+        ivf_index_add(
+            emb.filter((F.col("vec_id") < 468) & (F.col("vec_id") % 4 == r)),
+            wh, tm, "embedding", "vec_id",
+        )
+    maintained = ivf_query_at_rest(
+        wh, tm, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, nprobe=2,
+    ).select("query_id", "neighbor_id")
+
+    # fresh: retrained quantizer over the full corpus
+    tf = "ann.ivf_decay_fresh"
+    ivf_build_index(emb, wh, tf, "embedding", "vec_id", n_centroids=16)
+    fresh = ivf_query_at_rest(
+        wh, tf, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, nprobe=2,
+    ).select("query_id", "neighbor_id")
+
+    from ..operators.similarity import brute_force_topk
+
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    hm = (
+        brute.join(maintained, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("nm"))
+    )
+    hf = (
+        brute.join(fresh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hm, "query_id", "left")
+        .join(hf, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("nm"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_maintained"),
+            (
+                F.coalesce(F.col("nf"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall_fresh"),
+            (
+                (
+                    F.coalesce(F.col("nf"), F.lit(0)).cast("double")
+                    - F.coalesce(F.col("nm"), F.lit(0)).cast("double")
+                )
+                / F.lit(5.0)
+            ).alias("decay"),
+        )
+        .orderBy("query_id")
+    )

@@ -1006,3 +1006,68 @@ def test_ivf_index_add_matches_rebuild(spark, tmp_path):
     ra = {(r.query_id, r.rank): r.neighbor_id for r in a.collect()}
     rb = {(r.query_id, r.rank): r.neighbor_id for r in b.collect()}
     assert ra == rb and len(ra) > 0
+
+
+def test_recall_decay_trigger_fires_after_stale_adds(spark):
+    """VERDICT r7 task 6: the maintenance loop's missing half. After
+    ~16x frozen-centroid growth from a 32-vector build, recall@5
+    collapses far past the documented retrain threshold (mean decay
+    0.475 at sf0.01 / 0.625 at sf0.001 vs trigger 0.1 — SCALE.md
+    §6.7), while the fresh rebuild holds the ann_recall_ivf baseline
+    (0.925). The trigger contract: mean decay > 0.1 => rebuild."""
+    from lakehouse_poc_spark import plans
+    from pyspark.sql import functions as F
+
+    r = (
+        plans.QUERIES["ann_recall_after_adds"](spark, "/root/testdata/sf0.001")
+        .agg(
+            F.avg("recall_maintained").alias("rm"),
+            F.avg("recall_fresh").alias("rf"),
+            F.avg("decay").alias("d"),
+        )
+        .collect()[0]
+    )
+    assert r["rf"] >= 0.9                     # retrain restores baseline
+    assert r["d"] > 0.1, r["d"]               # trigger fires
+    assert abs(r["d"] - (r["rf"] - r["rm"])) < 1e-12
+
+
+def test_recall_decay_zero_when_base_covers_distribution(spark, tmp_path):
+    """The other side of the threshold: when the build subset already
+    contains the full corpus's min-id centroids (vec_id < 468), the
+    frozen quantizer IS the retrained quantizer, so build+add is
+    bit-identical to the fresh rebuild and decay is exactly 0 — the
+    trigger stays silent on distribution-covering adds."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_add,
+        ivf_query_at_rest,
+    )
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001", "embeddings")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    ivf_build_index(
+        emb.filter(F.col("vec_id") < 468), wh, "m", "embedding", "vec_id"
+    )
+    ivf_index_add(
+        emb.filter(F.col("vec_id") >= 468), wh, "m", "embedding", "vec_id"
+    )
+    ivf_build_index(emb, wh, "f", "embedding", "vec_id")
+    rm = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_query_at_rest(
+            wh, "m", queries, "embedding", "vec_id", "vec_id", k=5, nprobe=2
+        ).collect()
+    }
+    rf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_query_at_rest(
+            wh, "f", queries, "embedding", "vec_id", "vec_id", k=5, nprobe=2
+        ).collect()
+    }
+    assert rm == rf and len(rm) == 40
