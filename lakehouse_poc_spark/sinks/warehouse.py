@@ -1861,6 +1861,25 @@ class ManifestWarehouse(Warehouse):
         }
         tmp = md / f".m{version:06d}.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(body))
+        # Tombstone clock (r8): files leaving the live set get their
+        # mtime FRESHENED at the commit that drops them, so "file age"
+        # under vacuum's min_age guard means time-since-UNREFERENCED
+        # (Delta's deletionTimestamp retention), not time-since-
+        # creation. Without this, an old file carried live across many
+        # manifests and then dropped would be vacuum-eligible the
+        # moment it left the live set, dangling any reader that
+        # resolved a pre-drop manifest moments earlier. Freshening
+        # happens BEFORE the rename commit point: a crash in between
+        # leaves still-referenced files merely looking young — vacuum
+        # is delayed, never early.
+        if prev is not None:
+            now = time.time()
+            dropped = set(prev["files"]) - set(names)
+            tdir = self.path(table)
+            for n in dropped:
+                f = tdir / n
+                if f.exists():
+                    os.utime(f, (now, now))
         tmp.rename(md / f"m{version:06d}.json")
         return version
 
@@ -2262,7 +2281,24 @@ class ManifestWarehouse(Warehouse):
             for md in self.root.glob("**/*__manifest"):
                 manifests = sorted(md.glob("m*.json"))
                 cut = max(0, len(manifests) - retain_versions)
-                drop, keep = manifests[:cut], manifests[cut:]
+                # RETENTION FLOOR (r8): a manifest younger than
+                # min_age is NEVER retired, regardless of the count
+                # knob — an active reader may have resolved it moments
+                # ago (rapid-fire commits can push a seconds-old
+                # version past any retain count). Spared manifests
+                # keep their files referenced, so the reader's
+                # deferred scan cannot dangle. Combined with the
+                # tombstone-mtime clock in _commit, the contract is
+                # Delta's: any read started within min_age of its
+                # version's supersession completes; older time travel
+                # fails FAST at resolve (missing manifest / missing
+                # file check in read_version), never mid-scan.
+                drop = [
+                    mf
+                    for mf in manifests[:cut]
+                    if now - mf.stat().st_mtime >= min_age
+                ]
+                keep = [mf for mf in manifests if mf not in drop]
                 referenced: set[str] = set()
                 for mf in keep:
                     referenced.update(json.loads(mf.read_text())["files"])

@@ -379,3 +379,83 @@ def test_shallow_clone_and_timestamp_travel(spark, tmp_path):
     # clone keeps reading the shared bytes even after src vacuums them
     wh.vacuum(retain_versions=1, min_age=0)
     assert sorted(r.id for r in wh.read(dst).collect()) == [0, 1, 2, 3, 4, 10, 11]
+
+
+# ---------------------------------------------------------------------------
+# Vacuum-vs-reader race (VERDICT r7 task 5): the retention floor +
+# tombstone-mtime clock make a dangling read provably impossible
+# inside the retention window, and a fail-fast (never mid-scan)
+# outside it. Contract documented in SCALE.md §6.1.2.
+
+
+def _backdate(path, age=5000.0):
+    import os
+    import time
+
+    old = time.time() - age
+    os.utime(path, (old, old))
+
+
+def test_vacuum_floor_protects_reader_of_young_superseded_version(
+    spark, tmp_path
+):
+    """Rapid-fire commits push v0 past any retain count within
+    seconds; a reader that resolved v0 moments ago must still scan.
+    The floor spares every manifest younger than min_age, so the
+    count knob alone can NEVER retire a young version's files."""
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.race"
+    wh.overwrite(spark.range(10).selectExpr("id"), t)
+    reader = wh.read_version(t, 0)  # resolves v0's file list
+    for i in range(3):  # three overwrites: v0 is 3 versions stale
+        wh.overwrite(spark.range(20 + i).selectExpr("id"), t)
+    wh.vacuum(retain_versions=1)  # default min_age=900: all young
+    assert reader.count() == 10  # deferred scan cannot dangle
+    assert wh.read_version(t, 0).count() == 10  # still resolvable
+    assert wh.read(t).count() == 22
+
+
+def test_vacuum_outside_window_fails_fast_at_resolve_not_mid_scan(
+    spark, tmp_path
+):
+    """Versions older than the window ARE retired — and a later
+    time-travel to them fails at RESOLVE with a clear error (missing
+    manifest), never with a dangling file mid-scan."""
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.old"
+    wh.overwrite(spark.range(10).selectExpr("id"), t)
+    wh.overwrite(spark.range(7).selectExpr("id"), t)
+    md = wh._manifest_dir(t)
+    _backdate(md / "m000000.json")
+    for f in wh.path(t).glob("*.parquet"):
+        if f.name not in wh._live_names(t):
+            _backdate(f)
+    n = wh.vacuum(retain_versions=1)
+    assert n > 0
+    with pytest.raises(ValueError, match="not found|vacuumed"):
+        wh.read_version(t, 0)
+    assert wh.read(t).count() == 7  # live table untouched
+
+
+def test_tombstone_clock_spares_old_file_freshly_dropped(spark, tmp_path):
+    """A file created LONG ago but carried live across manifests and
+    only just dropped must age from its DROP (Delta's
+    deletionTimestamp), not its creation: _commit freshens the mtime
+    of files leaving the live set, so a reader that resolved the
+    pre-drop version inside the window still scans it."""
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.tomb"
+    wh.overwrite(spark.range(10).selectExpr("id"), t)
+    live0 = set(wh._live_names(t))
+    # simulate age: the v0 files were written 5000s ago
+    for n in live0:
+        _backdate(wh.path(t) / n)
+    _backdate(wh._manifest_dir(t) / "m000000.json")
+    reader = wh.read_version(t, 0)
+    # the drop commit: all-new files, v0's leave the live set NOW
+    wh.overwrite(spark.range(3).selectExpr("id"), t)
+    n = wh.vacuum(retain_versions=1)  # m0 old => retired
+    assert not (wh._manifest_dir(t) / "m000000.json").exists()
+    for name in live0:  # ...but its files aged from the DROP: spared
+        assert (wh.path(t) / name).exists(), name
+    assert reader.count() == 10  # the in-flight reader completes
