@@ -96,6 +96,20 @@ def iceberg_available(spark: SparkSession) -> bool:
                 pass
 
 
+def _append_writer_options(fmt: str) -> dict[str, str]:
+    """Per-format writer options for Warehouse.append. Delta appends
+    carry ``mergeSchema=true`` so an evolved batch (scd2_merge
+    ``evolve=True`` — a wider inserts schema) widens the table's log
+    schema instead of failing; Delta ignores the option when schemas
+    already match, and parquet-dir appends reconcile at read time via
+    ``read(merge_schema=True)`` instead (writer-side mergeSchema is a
+    Delta/Iceberg concept). Kept as a pure helper so the delta mock
+    suite can assert the option without a DataFrameWriter intercept."""
+    if fmt == "delta":
+        return {"mergeSchema": "true"}
+    return {}
+
+
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict: the table advanced past the
     writer's snapshot version with commits the writer's operation
@@ -366,6 +380,8 @@ class Warehouse:
                 df.writeTo(ice).append()
             return
         w = df.write.format(self.format).mode("append")
+        for k, v in _append_writer_options(self.format).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(str(self.path(table)))

@@ -287,3 +287,71 @@ def test_delta_path_mechanics_fail_fast(fake_delta, spark, tmp_path):
         wh.publish_tables({"pub.t": MagicMock()})
     with pytest.raises(NotImplementedError, match="OPTIMIZE"):
         wh.compact("fact.t", target_files=4)
+
+
+def test_delta_append_carries_mergeSchema_for_evolution(fake_delta):
+    """Schema-evolved SCD2 batches reach Delta through append; the
+    writer must carry mergeSchema=true (Delta's additive autoMerge on
+    the append path) so a widened inserts schema widens the log
+    schema instead of failing. Parquet appends reconcile at read time
+    instead — no writer option."""
+    from lakehouse_poc_spark.sinks.warehouse import _append_writer_options
+
+    assert _append_writer_options("delta") == {"mergeSchema": "true"}
+    assert _append_writer_options("parquet") == {}
+
+
+def test_scd2_evolve_on_delta_widens_changeset(
+    fake_delta, spark, tmp_path, monkeypatch
+):
+    """Drive scd2_merge(evolve=True) against the delta branch with the
+    storage surface mocked: the change-set computation must null-
+    backfill the dimension's missing column BEFORE the diff, flag only
+    the keys whose new column arrived non-NULL, and hand
+    apply_scd2_changeset inserts that carry the widened schema (which
+    Delta then lands via the mergeSchema append asserted above)."""
+    from lakehouse_poc_spark.config import PipelineConfig
+    from lakehouse_poc_spark.operators.scd2 import scd2_merge
+
+    wh = Warehouse(spark, str(tmp_path), format="delta")
+    dim = spark.createDataFrame(
+        [
+            ("K1", "x", "2030-01-01 00:00:00", None, True),
+            ("K2", "y", "2030-01-01 00:00:00", None, True),
+        ],
+        "k string, a string, valid_from string, valid_to string, "
+        "is_current boolean",
+    ).withColumns(
+        {
+            "valid_from": F.col("valid_from").cast("timestamp"),
+            "valid_to": F.col("valid_to").cast("timestamp"),
+        }
+    )
+    monkeypatch.setattr(wh, "table_exists", lambda t: True)
+    monkeypatch.setattr(wh, "read", lambda t, merge_schema=False: dim)
+    recorded = {}
+
+    def record_changeset(table, keys, changed_keys, inserts, *a, **kw):
+        recorded["changed"] = sorted(r.k for r in changed_keys.collect())
+        recorded["inserts"] = inserts
+    monkeypatch.setattr(wh, "apply_scd2_changeset", record_changeset)
+
+    cfg = PipelineConfig(
+        name="evo",
+        raw_table="r",
+        dim_table="dim.t",
+        business_key=("k",),
+        compare_columns=("a", "b"),
+    )
+    batch = spark.createDataFrame(
+        [("K1", "x", "new"), ("K2", "y", None), ("K3", "z", "n3")],
+        "k string, a string, b string",
+    )
+    stats = scd2_merge(wh, cfg, batch, "2030-01-02 00:00:00", evolve=True)
+    assert stats.as_dict() == {
+        "unchanged": 1, "new_keys": 1, "updated_keys": 1,
+    }
+    assert recorded["changed"] == ["K1"]
+    ins = {r.k: r for r in recorded["inserts"].collect()}
+    assert set(ins) == {"K1", "K3"} and "b" in recorded["inserts"].columns
+    assert ins["K1"]["b"] == "new" and ins["K3"]["b"] == "n3"
