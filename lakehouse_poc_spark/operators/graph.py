@@ -147,6 +147,172 @@ def pagerank_int(
     return out
 
 
+HSCALE = 1_000_000_000  # 1e9 fixed-point for HITS (headroom: raw
+# sums stay ≤ ~2·HSCALE·Σw, well inside BIGINT for billion-weight
+# graphs; PageRank's 1e12 would overflow the normalization products)
+
+
+def hits_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 8,
+    checkpoint_every: int = 2,
+    driver_threshold: int = 50_000,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public paper) with
+    exact fixed-point integer arithmetic — the link-analysis twin of
+    ``pagerank_int``. Per iteration:
+
+        a_raw(v) = Σ_{u→v} h(u)·w(u,v);   a(v) = a_raw(v) // d_a
+        h_raw(u) = Σ_{u→v} a(v)·w(u,v);   h(u) = h_raw(u) // d_h
+
+    where d = max(Σ raw // HSCALE, 1) — an integer L1 normalization
+    (divide-by-(total/HSCALE) instead of multiply-then-divide, so no
+    product ever exceeds BIGINT range and both engines floor the SAME
+    division). All updates are integer multiply / floor-div / exact
+    BIGINT sums, so ``iterations`` rounds are bit-identical on any
+    engine; the SQL oracle unrolls the same steps.
+
+    Returns (node, auth_scaled BIGINT, hub_scaled BIGINT,
+    auth DOUBLE, hub DOUBLE); scores sum to ≈ HSCALE each.
+
+    Scale shape: TWO persisted copies of the (pre-aggregated) edge
+    list, partitioned by src and by dst — the a-step joins hubs on
+    src and aggregates by dst, the h-step joins authorities on dst
+    and aggregates by src, so each step's join is co-partitioned
+    against its copy and only the aggregation output shuffles. The
+    per-step scalar total rides a broadcast crossJoin (no action);
+    lineage is truncated every ``checkpoint_every`` rounds. Below
+    ``driver_threshold`` edges the recurrence runs on the driver —
+    bit-identical (Python ``//`` == Spark ``div`` on non-negatives),
+    and a metadata-sized transition graph shouldn't pay 16 rounds of
+    job scheduling."""
+    w_col = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w")
+    )
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e_src = e.repartition("src").persist()
+    n_edges = e_src.count()
+    if n_edges == 0:
+        raise ValueError("hits_int: empty edge set (no nodes)")
+
+    if n_edges <= driver_threshold:
+        erows = [(r["src"], r["dst"], r["w"]) for r in e_src.collect()]
+        vlist = [r["node"] for r in nodes.collect()]
+        e_src.unpersist()
+        hub = dict.fromkeys(vlist, HSCALE)
+        auth = dict.fromkeys(vlist, 0)
+        for _ in range(iterations):
+            a_raw = dict.fromkeys(vlist, 0)
+            for s, d, w in erows:
+                a_raw[d] += hub[s] * w
+            da = max(sum(a_raw.values()) // HSCALE, 1)
+            auth = {v: a_raw[v] // da for v in vlist}
+            h_raw = dict.fromkeys(vlist, 0)
+            for s, d, w in erows:
+                h_raw[s] += auth[d] * w
+            dh = max(sum(h_raw.values()) // HSCALE, 1)
+            hub = {v: h_raw[v] // dh for v in vlist}
+        node_t = edges.schema[src].dataType
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            [
+                StructField("node", node_t),
+                StructField("auth_scaled", LongType()),
+                StructField("hub_scaled", LongType()),
+                StructField("auth", DoubleType()),
+                StructField("hub", DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [
+                (v, auth[v], hub[v], auth[v] / HSCALE, hub[v] / HSCALE)
+                for v in vlist
+            ],
+            out_schema,
+        )
+
+    e_dst = e.repartition("dst").persist()
+    nodes = nodes.persist()
+    nodes.count()
+    try:
+        hubs = nodes.withColumn("hs", F.lit(HSCALE).cast("bigint"))
+        auths = None
+        for it in range(iterations):
+            a_raw = (
+                e_src.join(hubs.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"), (F.col("hs") * F.col("w")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("raw"))
+            )
+            da = a_raw.agg(
+                F.expr(
+                    f"greatest(coalesce(sum(raw), cast(0 as bigint)) "
+                    f"div {HSCALE}, cast(1 as bigint))"
+                ).alias("d")
+            )
+            auths = (
+                nodes.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(da))
+                .select(
+                    "node",
+                    F.expr("coalesce(raw, 0) div d").alias("as_"),
+                )
+            )
+            h_raw = (
+                e_dst.join(auths.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), (F.col("as_") * F.col("w")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("raw"))
+            )
+            dh = h_raw.agg(
+                F.expr(
+                    f"greatest(coalesce(sum(raw), cast(0 as bigint)) "
+                    f"div {HSCALE}, cast(1 as bigint))"
+                ).alias("d")
+            )
+            hubs = (
+                nodes.join(h_raw, "node", "left")
+                .crossJoin(F.broadcast(dh))
+                .select(
+                    "node",
+                    F.expr("coalesce(raw, 0) div d").alias("hs"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0 or it + 1 == iterations:
+                auths = auths.localCheckpoint(eager=True)
+                hubs = hubs.localCheckpoint(eager=True)
+        return (
+            nodes.join(auths.withColumnRenamed("as_", "auth_scaled"), "node")
+            .join(hubs.withColumnRenamed("hs", "hub_scaled"), "node")
+            .select(
+                "node",
+                "auth_scaled",
+                "hub_scaled",
+                (F.col("auth_scaled").cast("double") / F.lit(float(HSCALE))).alias("auth"),
+                (F.col("hub_scaled").cast("double") / F.lit(float(HSCALE))).alias("hub"),
+            )
+        )
+    finally:
+        e_src.unpersist()
+        e_dst.unpersist()
+        nodes.unpersist()
+
+
 def bfs_hops(
     edges: DataFrame,
     source_nodes: DataFrame,

@@ -599,3 +599,86 @@ def degree_assortativity_coparts(
             / (m2d * F.col("sxx").cast("double") - sxd * sxd)
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs-and-authorities (r8 — operators/graph.py::hits_int,
+# Kleinberg 1999) over the event-type transition graph: authorities =
+# types users flow INTO from strong hubs, hubs = types that feed
+# strong authorities. Same exact-integer discipline as PageRank
+# (HSCALE=1e9 fixed point; integer L1 normalization by
+# d = max(total//HSCALE, 1) — divide-by-quotient instead of
+# multiply-then-divide keeps every product inside BIGINT). The oracle
+# unrolls the identical 8 double-step iterations as CTE chains.
+def _hits_oracle() -> str:
+    from ..operators.graph import HSCALE
+
+    iters_n = 8
+    header = f"""
+    WITH seq AS MATERIALIZED (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    edges AS MATERIALIZED (
+        SELECT prev_type AS src, event_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    h0 AS (SELECT node, CAST({HSCALE} AS BIGINT) AS hs FROM nodes)"""
+    steps = []
+    for k in range(1, iters_n + 1):
+        steps.append(f""",
+    ar{k} AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(SUM(h.hs * e.w) AS BIGINT) AS raw
+        FROM edges e JOIN h{k - 1} h ON e.src = h.node GROUP BY e.dst
+    ),
+    ad{k} AS MATERIALIZED (
+        SELECT GREATEST(COALESCE(CAST(SUM(raw) AS BIGINT), 0) // {HSCALE},
+                        1) AS d
+        FROM ar{k}
+    ),
+    a{k} AS MATERIALIZED (
+        SELECT nd.node,
+               COALESCE(ar.raw, 0) // (SELECT d FROM ad{k}) AS as_
+        FROM nodes nd LEFT JOIN ar{k} ar ON nd.node = ar.node
+    ),
+    hr{k} AS MATERIALIZED (
+        SELECT e.src AS node, CAST(SUM(a.as_ * e.w) AS BIGINT) AS raw
+        FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+    ),
+    hd{k} AS MATERIALIZED (
+        SELECT GREATEST(COALESCE(CAST(SUM(raw) AS BIGINT), 0) // {HSCALE},
+                        1) AS d
+        FROM hr{k}
+    ),
+    h{k} AS MATERIALIZED (
+        SELECT nd.node,
+               COALESCE(hr.raw, 0) // (SELECT d FROM hd{k}) AS hs
+        FROM nodes nd LEFT JOIN hr{k} hr ON nd.node = hr.node
+    )""")
+    footer = f"""
+    SELECT n.node,
+           CAST(a.as_ AS BIGINT) AS auth_scaled,
+           CAST(h.hs AS BIGINT) AS hub_scaled,
+           CAST(a.as_ AS DOUBLE) / {float(HSCALE)} AS auth,
+           CAST(h.hs AS DOUBLE) / {float(HSCALE)} AS hub
+    FROM nodes n
+    JOIN a{iters_n} a ON n.node = a.node
+    JOIN h{iters_n} h ON n.node = h.node
+    ORDER BY n.node
+    """
+    return header + "".join(steps) + footer
+
+
+@query("hits_event_types", oracle=_hits_oracle())
+def hits_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits_int
+
+    edges = _transition_edges(spark, sf_dir)
+    return hits_int(edges, weight="w", iterations=8).orderBy("node")

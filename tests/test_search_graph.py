@@ -498,3 +498,45 @@ def test_sssp_dijkstra_parity(spark):
     got = {r.node: r.dist for r in sssp(df, source=0, max_rounds=40).collect()}
     assert got == dist
     assert 100 not in got and 101 not in got
+
+
+def test_hits_distributed_matches_driver_path(spark):
+    """hits_int below driver_threshold runs the recurrence on the
+    driver; forcing the distributed loop (threshold=0) must be
+    BIT-identical — Python // and Spark div agree on non-negatives."""
+    from lakehouse_poc_spark.operators.graph import hits_int
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("a", "c", 1), ("c", "a", 5),
+         ("d", "c", 2), ("b", "d", 1)],
+        "src string, dst string, w long",
+    )
+    drv = {
+        r.node: (r.auth_scaled, r.hub_scaled)
+        for r in hits_int(edges, weight="w").collect()
+    }
+    dist = {
+        r.node: (r.auth_scaled, r.hub_scaled)
+        for r in hits_int(edges, weight="w", driver_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) == 4
+
+
+def test_hits_authority_concentrates_on_sink(spark):
+    """Textbook shape: many hubs pointing at one sink — the sink takes
+    (almost) all authority mass, the hubs share hub mass, and the
+    sink (no out-edges) has zero hub score."""
+    from lakehouse_poc_spark.operators.graph import HSCALE, hits_int
+
+    edges = spark.createDataFrame(
+        [("h1", "s", 1), ("h2", "s", 1), ("h3", "s", 1)],
+        "src string, dst string, w long",
+    )
+    r = {x.node: x for x in hits_int(edges).collect()}
+    # integer L1 norm: sum lands in [HSCALE, total/(total div HSCALE)]
+    # — the floor-quotient divisor inflates tiny totals by <= 1/d
+    assert HSCALE <= r["s"].auth_scaled <= 2 * HSCALE  # all authority
+    assert r["s"].hub_scaled == 0
+    assert r["h1"].auth_scaled == 0
+    assert r["h1"].hub_scaled == r["h2"].hub_scaled == r["h3"].hub_scaled
+    assert HSCALE <= r["h1"].hub_scaled * 3 <= 2 * HSCALE
