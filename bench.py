@@ -276,6 +276,8 @@ HEADLINE = [
     "scd2_schema_evolution",
     "ann_recall_hnsw",
     "ann_recall_after_adds",
+    "hits_event_types",
+    "merge_full_customers",
 ]
 
 

@@ -2201,3 +2201,65 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, before_rows long, after_rows long, "
         "subjects long, orphans long",
     ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Full three-clause MERGE (r8 — Warehouse.merge_ops): the conditional
+# DELETE / UPDATE / INSERT form a CDC apply feeds (Delta MERGE's
+# complete surface; the reference's MERGE INTO carries only the SCD2
+# two-effect subset). Seed = even keys; one batch then deletes the
+# %10==0 keys, updates the %10==2 keys' segment, inserts the odd
+# keys, and carries a no-op delete for an absent key domain (%10==5
+# rows with _op='D' arrive for keys never seeded — CDC replay
+# safety). The oracle derives the exact survivor set.
+@query(
+    "merge_full_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 NOT IN (0, 2)
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 2
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 10 <> 5
+    ORDER BY key
+    """,
+)
+def merge_full_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    wh = _fresh_wh(spark, f"mergeops_{Path(sf_dir).name}")
+    t = "layer0150.dim_customer_ops"
+    wh.overwrite(cust.filter(F.col("c_custkey") % 2 == 0), t)
+    batch = (
+        cust.filter(
+            (F.col("c_custkey") % 10 == 0)        # matched deletes
+            | (F.col("c_custkey") % 10 == 2)      # matched updates
+            | (F.col("c_custkey") % 2 == 1)       # inserts + no-op deletes
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 10 == 2, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .withColumn(
+            "_op",
+            F.when(
+                (F.col("c_custkey") % 10 == 0)
+                | (F.col("c_custkey") % 10 == 5),
+                F.lit("D"),
+            ).otherwise(F.lit("U")),
+        )
+    )
+    wh.merge_ops(batch, t, keys=["c_custkey"])
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )

@@ -851,6 +851,98 @@ class Warehouse:
         kept = current.join(batch.select(*keys), keys, "left_anti")
         self.overwrite_from_plan(kept.unionByName(batch), table)
 
+    def merge_ops(
+        self,
+        batch: DataFrame,
+        table: str,
+        keys: list[str],
+        op_col: str = "_op",
+    ) -> dict:
+        """The FULL three-clause MERGE surface (Delta/Iceberg
+        ``MERGE INTO``, conditional form — the shape a CDC apply
+        feeds):
+
+            WHEN MATCHED AND s.{op_col} = 'D'   THEN DELETE
+            WHEN MATCHED                        THEN UPDATE SET <cols>
+            WHEN NOT MATCHED AND s.{op_col} <> 'D' THEN INSERT <cols>
+
+        A delete for an absent key is a no-op (CDC replays are safe);
+        ``batch`` must be key-unique (Delta's multiple-source-match
+        error is the alternative). Returns
+        ``{"deleted": n, "updated": n, "inserted": n}`` computed in
+        ONE action (scd2_merge's single-agg discipline).
+
+        parquet: matched rows (both clauses) leave via one anti-join,
+        then updates+inserts append in the same staged-swap rewrite —
+        the fallback cost is one key co-shuffle. Delta/Iceberg: the
+        native conditional MERGE rewrites only matched files."""
+        data_cols = [c for c in batch.columns if c != op_col]
+        if not self.table_exists(table):
+            init = batch.filter(F.col(op_col) != "D").select(*data_cols)
+            self.overwrite(init, table)
+            return {"deleted": 0, "updated": 0, "inserted": init.count()}
+        cur_keys = self.read(table).select(*keys).withColumn(
+            "__m", F.lit(True)
+        )
+        flagged = batch.join(cur_keys, keys, "left").select(
+            F.coalesce(F.col("__m"), F.lit(False)).alias("__m"),
+            (F.col(op_col) == "D").alias("__d"),
+        )
+        c = flagged.agg(
+            F.sum(F.when(F.col("__m") & F.col("__d"), 1).otherwise(0)).alias("del_"),
+            F.sum(F.when(F.col("__m") & ~F.col("__d"), 1).otherwise(0)).alias("upd"),
+            F.sum(F.when(~F.col("__m") & ~F.col("__d"), 1).otherwise(0)).alias("ins"),
+        ).collect()[0]
+        stats = {
+            "deleted": int(c["del_"] or 0),
+            "updated": int(c["upd"] or 0),
+            "inserted": int(c["ins"] or 0),
+        }
+        if self.format == "iceberg":  # pragma: no cover - needs iceberg jar
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            set_sql = ", ".join(f"t.`{c}` = s.`{c}`" for c in data_cols)
+            ins_cols = ", ".join(f"`{c}`" for c in data_cols)
+            ins_vals = ", ".join(f"s.`{c}`" for c in data_cols)
+            view = f"_merge_ops_{abs(hash(table)) % 10**8}"
+            batch.createOrReplaceTempView(view)
+            try:
+                self.spark.sql(
+                    f"MERGE INTO {self._ice_id(table)} t USING {view} s "
+                    f"ON {cond} "
+                    f"WHEN MATCHED AND s.`{op_col}` = 'D' THEN DELETE "
+                    f"WHEN MATCHED THEN UPDATE SET {set_sql} "
+                    f"WHEN NOT MATCHED AND s.`{op_col}` <> 'D' "
+                    f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+            return stats
+        if self.format == "delta":  # pragma: no cover - needs delta-spark
+            from delta.tables import DeltaTable
+
+            dt = DeltaTable.forPath(self.spark, str(self.path(table)))
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            (
+                dt.alias("t")
+                .merge(batch.alias("s"), cond)
+                .whenMatchedDelete(condition=f"s.{op_col} = 'D'")
+                .whenMatchedUpdate(
+                    set={c: f"s.{c}" for c in data_cols}
+                )
+                .whenNotMatchedInsert(
+                    condition=f"s.{op_col} <> 'D'",
+                    values={c: f"s.{c}" for c in data_cols},
+                )
+                .execute()
+            )
+            return stats
+        self._dv_cow_guard(table)
+        current = self.read(table)
+        kept = current.join(batch.select(*keys), keys, "left_anti")
+        incoming = batch.filter(F.col(op_col) != "D").select(*data_cols)
+        self.overwrite_from_plan(kept.unionByName(incoming), table)
+        return stats
+
     @contextlib.contextmanager
     def _writer_lock(self, table: str, timeout: float = 120.0, ttl: float = 900.0):
         """Advisory per-table writer lock for the parquet-dir DML

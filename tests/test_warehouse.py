@@ -1166,3 +1166,31 @@ def test_mv_crash_between_files_and_state_never_double_counts(
         .collect()
     }
     assert got == want
+
+
+def test_merge_ops_three_clauses_and_stats(spark, wh):
+    b0 = spark.createDataFrame(
+        [("K1", "a"), ("K2", "b"), ("K3", "c")], "k string, v string"
+    )
+    wh.overwrite(b0, "dim.mo")
+    batch = spark.createDataFrame(
+        [("K1", "a2", "U"),   # matched update
+         ("K2", None, "D"),   # matched delete
+         ("K4", "d", "U"),    # insert
+         ("K9", None, "D")],  # no-op delete (absent key, CDC replay)
+        "k string, v string, _op string",
+    )
+    stats = wh.merge_ops(batch, "dim.mo", keys=["k"])
+    assert stats == {"deleted": 1, "updated": 1, "inserted": 1}
+    rows = {r.k: r.v for r in wh.read("dim.mo").collect()}
+    assert rows == {"K1": "a2", "K3": "c", "K4": "d"}
+
+
+def test_merge_ops_bootstraps_missing_table_without_deletes(spark, wh):
+    batch = spark.createDataFrame(
+        [("K1", "a", "U"), ("K2", None, "D")],
+        "k string, v string, _op string",
+    )
+    stats = wh.merge_ops(batch, "dim.mo2", keys=["k"])
+    assert stats == {"deleted": 0, "updated": 0, "inserted": 1}
+    assert [r.k for r in wh.read("dim.mo2").collect()] == ["K1"]

@@ -39,6 +39,14 @@ class FakeMergeBuilder:
         self.log.append(("whenNotMatchedInsertAll",))
         return self
 
+    def whenMatchedDelete(self, condition=None):
+        self.log.append(("whenMatchedDelete", condition))
+        return self
+
+    def whenNotMatchedInsert(self, condition=None, values=None):
+        self.log.append(("whenNotMatchedInsert", values, condition))
+        return self
+
     def execute(self):
         self.log.append(("execute",))
 
@@ -355,3 +363,33 @@ def test_scd2_evolve_on_delta_widens_changeset(
     ins = {r.k: r for r in recorded["inserts"].collect()}
     assert set(ins) == {"K1", "K3"} and "b" in recorded["inserts"].columns
     assert ins["K1"]["b"] == "new" and ins["K3"]["b"] == "n3"
+
+
+def test_merge_ops_delta_builds_three_clause_merge(
+    fake_delta, spark, tmp_path, monkeypatch
+):
+    """merge_ops on Delta must issue the conditional three-clause
+    MERGE: delete-when-op-D, update the data columns (never the _op
+    marker), insert-unless-delete."""
+    wh = Warehouse(spark, str(tmp_path), format="delta")
+    monkeypatch.setattr(wh, "table_exists", lambda t: True)
+    current = spark.createDataFrame([("K1", "a")], "k string, v string")
+    monkeypatch.setattr(wh, "read", lambda t, merge_schema=False: current)
+    batch = spark.createDataFrame(
+        [("K1", "a2", "U"), ("K2", None, "D")],
+        "k string, v string, _op string",
+    )
+    stats = wh.merge_ops(batch, "dim.t", keys=["k"])
+    assert stats == {"deleted": 0, "updated": 1, "inserted": 0}
+    (dt,) = FakeDeltaTable.instances
+    ops = [entry[0] for entry in dt.log]
+    assert ops == [
+        "alias", "merge", "whenMatchedDelete", "whenMatchedUpdate",
+        "whenNotMatchedInsert", "execute",
+    ]
+    _, cond = dt.log[2]
+    assert cond == "s._op = 'D'"
+    _, update_set, ucond = dt.log[3]
+    assert set(update_set) == {"k", "v"} and ucond is None
+    _, values, icond = dt.log[4]
+    assert set(values) == {"k", "v"} and icond == "s._op <> 'D'"
