@@ -278,6 +278,7 @@ HEADLINE = [
     "ann_recall_after_adds",
     "hits_event_types",
     "merge_full_customers",
+    "pca_power_iteration_embeddings",
 ]
 
 

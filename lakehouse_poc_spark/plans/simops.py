@@ -2908,3 +2908,196 @@ def ann_recall_after_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA leading component by POWER ITERATION WITH MATRIX SQUARING (r8)
+# on the 16-dim head of the embeddings — the iterative-ML companion
+# to embedding_covariance_block (which produces the matrix; this
+# extracts its principal eigenvector, the whitening/OPQ-rotation
+# primitive). The fixture covariance has a tiny eigengap
+# (lambda2/lambda1 ~ 0.985), so plain power iteration needs hundreds of
+# rounds; EIGHT integer matrix squarings compute A^256·v at the same
+# cost as 8 rounds (log-round iteration — only possible because the
+# matrix is d×d-bounded, never corpus-sized).
+# Exactness discipline: the covariance is the ALL-INTEGER matrix
+# C = n·Σxy − Σx·Σy over micro-rounded values (no float ever enters),
+# scaled to A = sign(C)·(|C| div 1e9); each squaring renormalizes by
+# d = max(max|entry| div 1e8, 1) with sign/abs decomposition so every
+# division is on NON-NEGATIVE integers — Spark's `div` truncates
+# toward zero while other engines floor, and on non-negatives they
+# agree, so all eight squarings are bit-identical cross-engine (the
+# HITS/PageRank integer-family trick). Scale shape: the only
+# corpus-sized work is the covariance pair groupBy (bytes after
+# combine ∝ d², not n); the 16×16 squarings are bounded-domain and
+# run on the driver, like pagerank_int's below-threshold path.
+_PCA_DIM = 16
+_PCA_ADIV = 1_000_000_000
+_PCA_MSCALE = 100_000_000
+_PCA_PSCALE = 1_000_000
+_PCA_SQUARINGS = 8
+
+
+def _pca_oracle() -> str:
+    def signdiv(expr: str, d: str) -> str:
+        return (
+            f"CASE WHEN {expr} < 0 THEN -((-({expr})) // ({d})) "
+            f"ELSE ({expr}) // ({d}) END"
+        )
+
+    header = f"""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS mv
+        FROM embeddings, unnest(range(1, {_PCA_DIM + 1})) AS t(i)
+    ),
+    s1 AS MATERIALIZED (
+        SELECT i, CAST(SUM(mv) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY i
+    ),
+    sxy AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.mv * b.mv) AS BIGINT) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    araw AS MATERIALIZED (
+        SELECT p.i, p.j,
+               {signdiv("sa.n * p.sxy - sa.sx * sb.sx", str(_PCA_ADIV))} AS a
+        FROM sxy p
+        JOIN s1 sa ON sa.i = p.i
+        JOIN s1 sb ON sb.i = p.j
+    ),
+    d0 AS MATERIALIZED (
+        SELECT GREATEST(MAX(ABS(a)) // {_PCA_MSCALE}, 1) AS d FROM araw
+    ),
+    m0 AS MATERIALIZED (
+        SELECT i, j, {signdiv("a", "(SELECT d FROM d0)")} AS a FROM araw
+    )"""
+    steps = []
+    for k in range(1, _PCA_SQUARINGS + 1):
+        steps.append(f""",
+    p{k} AS MATERIALIZED (
+        SELECT a.i, b.j, CAST(SUM(a.a * b.a) AS BIGINT) AS a
+        FROM m{k - 1} a JOIN m{k - 1} b ON a.j = b.i
+        GROUP BY a.i, b.j
+    ),
+    d{k} AS MATERIALIZED (
+        SELECT GREATEST(MAX(ABS(a)) // {_PCA_MSCALE}, 1) AS d FROM p{k}
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT i, j, {signdiv("a", f"(SELECT d FROM d{k})")} AS a FROM p{k}
+    )""")
+    footer = f"""
+    , vraw AS (
+        SELECT i, CAST(SUM(a) AS BIGINT) * {_PCA_PSCALE} AS w
+        FROM m{_PCA_SQUARINGS} GROUP BY i
+    ),
+    vd AS (SELECT GREATEST(MAX(ABS(w)) // {_PCA_PSCALE}, 1) AS d FROM vraw)
+    SELECT CAST(i AS INTEGER) AS pos,
+           CAST({signdiv("w", "(SELECT d FROM vd)")} AS BIGINT)
+               AS comp_scaled,
+           CAST({signdiv("w", "(SELECT d FROM vd)")} AS DOUBLE)
+               / {float(_PCA_PSCALE)} AS loading
+    FROM vraw
+    ORDER BY pos
+    """
+    return header + "".join(steps) + footer
+
+
+@query("pca_power_iteration_embeddings", oracle=_pca_oracle())
+def pca_power_iteration_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, _PCA_DIM)).alias("i", "v")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("v").cast("double") * F.lit(1e6)).cast("bigint").alias("mv"),
+    )
+    s1 = x.groupBy("i").agg(
+        F.sum("mv").cast("bigint").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a_, b_ = x.alias("a"), x.alias("b")
+    sxy = (
+        a_.join(b_, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.mv") * F.col("b.mv")).cast("bigint").alias("sxy"))
+    )
+    am = (
+        sxy.join(s1.select(F.col("i"), F.col("sx").alias("sxa"), "n"), "i")
+        .join(
+            s1.select(F.col("i").alias("j"), F.col("sx").alias("sxb")), "j"
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("sxa") * F.col("sxb")).alias("c"),
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.col("c") < 0, -F.expr(f"(-c) div {_PCA_ADIV}")
+            ).otherwise(F.expr(f"c div {_PCA_ADIV}")).alias("a"),
+        )
+    )
+    # bounded domain: the 16x16 matrix — driver squarings, like
+    # pagerank_int below driver_threshold (Python // on the sign-abs
+    # decomposition == Spark div == the oracle's CASE arithmetic)
+    rows = am.collect()
+    dims = sorted({r["i"] for r in rows})
+    idx = {d: k for k, d in enumerate(dims)}
+    n_d = len(dims)
+    M = [[0] * n_d for _ in range(n_d)]
+    for r in rows:
+        M[idx[r["i"]]][idx[r["j"]]] = int(r["a"])
+
+    def _sdiv(v: int, d: int) -> int:
+        return -((-v) // d) if v < 0 else v // d
+
+    def _inorm(mat: list[list[int]]) -> list[list[int]]:
+        mx = max(abs(e) for row in mat for e in row)
+        d = max(mx // _PCA_MSCALE, 1)
+        return [[_sdiv(e, d) for e in row] for row in mat]
+
+    M = _inorm(M)
+    for _ in range(_PCA_SQUARINGS):
+        M = _inorm(
+            [
+                [
+                    sum(M[i][k] * M[k][j] for k in range(n_d))
+                    for j in range(n_d)
+                ]
+                for i in range(n_d)
+            ]
+        )
+    w = [sum(M[i][j] for j in range(n_d)) * _PCA_PSCALE for i in range(n_d)]
+    d = max(max(abs(e) for e in w) // _PCA_PSCALE, 1)
+    v = [_sdiv(e, d) for e in w]
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("pos", IntegerType()),
+            StructField("comp_scaled", LongType()),
+            StructField("loading", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (int(dims[i]), int(v[i]), v[i] / _PCA_PSCALE)
+            for i in range(n_d)
+        ],
+        schema,
+    ).orderBy("pos")

@@ -1071,3 +1071,29 @@ def test_recall_decay_zero_when_base_covers_distribution(spark, tmp_path):
         ).collect()
     }
     assert rm == rf and len(rm) == 40
+
+
+def test_pca_power_iteration_matches_numpy_eigenvector(spark):
+    """The integer power iteration must land on the true leading
+    eigenvector of the (first-16-dim) covariance: |cos| vs numpy's
+    eigh > 0.999 on the fixture (8 matrix squarings = A^256; integer
+    rounding is the only slack)."""
+    import numpy as np
+
+    from lakehouse_poc_spark import plans
+
+    res = plans.QUERIES["pca_power_iteration_embeddings"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    v = np.array([r.loading for r in sorted(res, key=lambda r: r.pos)])
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    X = np.array(emb.tolist())[:, :16].astype(np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    lead = evecs[:, -1]
+    cos = abs(v @ lead) / (np.linalg.norm(v) * np.linalg.norm(lead))
+    assert cos > 0.999, cos
