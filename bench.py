@@ -279,6 +279,8 @@ HEADLINE = [
     "hits_event_types",
     "merge_full_customers",
     "pca_power_iteration_embeddings",
+    "dedup_keep_priority_docs",
+    "bleu2_pairs_docs",
 ]
 
 

@@ -643,3 +643,270 @@ def naive_bayes_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source dedup with a PROVENANCE-PRIORITY keep rule (r8): when
+# a content cluster spans sources, keep the copy from the
+# highest-priority source (curated > crawled — the keep rule every
+# production dedup pipeline applies; plain min-id keep is the
+# dedup_exact_documents twin). Scenario: the corpus plus a full
+# 'recrawl' clone set (priority 999) — every cluster must keep its
+# original-source copy, and organic in-corpus dups resolve by
+# (source priority, doc_id). One fingerprint shuffle + one per-cluster
+# window, same scale shape as exact dedup.
+@query(
+    "dedup_keep_priority_docs",
+    oracle=r"""
+    WITH u AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INTEGER) AS prio,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'recrawl', 999,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, h,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY prio, doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY h) AS n_members
+        FROM u
+    )
+    SELECT r.doc_id AS kept_doc_id, r.source AS kept_source,
+           CAST(r.n_members AS BIGINT) AS n_members,
+           CAST(s.n_sources AS BIGINT) AS n_sources
+    FROM ranked r
+    JOIN (SELECT h, COUNT(DISTINCT source) AS n_sources
+          FROM u GROUP BY h) s ON r.h = s.h
+    WHERE r.rk = 1
+    ORDER BY kept_doc_id
+    """,
+)
+def dedup_keep_priority_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    recrawl = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("recrawl").alias("source"),
+        "text",
+    )
+    u = (
+        docs.unionByName(recrawl)
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("source") == "recrawl", F.lit(999))
+            .otherwise(F.substring("source", 4, 10).cast("int"))
+            .alias("prio"),
+            F.md5(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("prio", "doc_id")
+    ranked = u.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    srcs = u.groupBy("h").agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources")
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(srcs, "h")
+        .select(
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("source").alias("kept_source"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "n_sources",
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale BLEU-2 (r8, Papineni et al. 2002 — public): the
+# generation-eval metric, computed set-wide as a DataFrame op (every
+# even doc scored against its successor as reference — the pairing a
+# self-consistency / round-trip eval produces). Clipped n-gram
+# matches are exact integer sums (per-gram MIN of candidate/reference
+# counts via one gram-keyed join); the log composition
+# log_bleu2 = min(0, 1 − r/c) + ½ln p1 + ½ln p2 stays log-domain (no
+# exp) and each term is micro-rounded to BIGINT BEFORE the integer
+# combination (the unigram_logprob_docs discipline — last-bit ln
+# differences between engines cannot reach the hash). NULL when either
+# precision is zero (undefined without smoothing — reported, not
+# hidden). Scale: gram-domain shuffles only (counts per (doc, gram)),
+# one equi-join per order, no quadratic term.
+@query(
+    "bleu2_pairs_docs",
+    oracle=r"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS l
+              FROM documents)
+    ),
+    uni AS MATERIALIZED (
+        SELECT doc_id, t AS g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, t
+    ),
+    big AS MATERIALIZED (
+        SELECT a.doc_id, a.t || ' ' || b.t AS g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id, a.t || ' ' || b.t
+    ),
+    lens AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tok GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT doc_id AS cand_id, doc_id + 1 AS ref_id
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    clip1 AS (
+        SELECT p.cand_id,
+               CAST(SUM(LEAST(cu.c, ru.c)) AS BIGINT) AS m1
+        FROM pairs p
+        JOIN uni cu ON cu.doc_id = p.cand_id
+        JOIN uni ru ON ru.doc_id = p.ref_id AND ru.g = cu.g
+        GROUP BY p.cand_id
+    ),
+    clip2 AS (
+        SELECT p.cand_id,
+               CAST(SUM(LEAST(cb.c, rb.c)) AS BIGINT) AS m2
+        FROM pairs p
+        JOIN big cb ON cb.doc_id = p.cand_id
+        JOIN big rb ON rb.doc_id = p.ref_id AND rb.g = cb.g
+        GROUP BY p.cand_id
+    )
+    SELECT p.cand_id, p.ref_id,
+           COALESCE(c1.m1, 0) AS clipped1,
+           COALESCE(c2.m2, 0) AS clipped2,
+           lc.n_tok AS cand_len, lr.n_tok AS ref_len,
+           CASE WHEN COALESCE(c1.m1, 0) = 0 OR COALESCE(c2.m2, 0) = 0
+                THEN NULL
+                ELSE CAST(2 * CAST(ROUND(LEAST(CAST(0 AS DOUBLE),
+                              1.0 - CAST(lr.n_tok AS DOUBLE)
+                                    / CAST(lc.n_tok AS DOUBLE))
+                              * 1000000.0) AS BIGINT)
+                     + CAST(ROUND(ln(CAST(c1.m1 AS DOUBLE)
+                                     / CAST(lc.n_tok AS DOUBLE))
+                                  * 1000000.0) AS BIGINT)
+                     + CAST(ROUND(ln(CAST(c2.m2 AS DOUBLE)
+                                     / CAST(lc.n_tok - 1 AS DOUBLE))
+                                  * 1000000.0) AS BIGINT) AS DOUBLE)
+                     / 2000000.0
+           END AS log_bleu2
+    FROM pairs p
+    JOIN lens lc ON lc.doc_id = p.cand_id
+    JOIN lens lr ON lr.doc_id = p.ref_id
+    LEFT JOIN clip1 c1 ON c1.cand_id = p.cand_id
+    LEFT JOIN clip2 c2 ON c2.cand_id = p.cand_id
+    ORDER BY p.cand_id
+    """,
+)
+def bleu2_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim("text")), r"\s+")
+        ).alias("pos0", "t"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    uni = tok.groupBy("doc_id", F.col("t").alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ta, tb = tok.alias("a"), tok.alias("b")
+    big = (
+        ta.join(
+            tb,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", F.col("a.t"), F.col("b.t")).alias("g"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lens = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    pairs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cand_id"),
+        (F.col("doc_id") + 1).alias("ref_id"),
+    )
+
+    def clipped(grams, out):
+        cu = grams.select(
+            F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("cc")
+        )
+        ru = grams.select(
+            F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("rc")
+        )
+        return (
+            pairs.join(cu, "cand_id")
+            .join(ru, ["ref_id", "g"])
+            .groupBy("cand_id")
+            .agg(F.sum(F.least("cc", "rc")).cast("bigint").alias(out))
+        )
+
+    c1 = clipped(uni, "m1")
+    c2 = clipped(big, "m2")
+    lc = lens.select(F.col("doc_id").alias("cand_id"), F.col("n_tok").alias("cand_len"))
+    lr = lens.select(F.col("doc_id").alias("ref_id"), F.col("n_tok").alias("ref_len"))
+    m1 = F.coalesce(F.col("m1"), F.lit(0)).cast("bigint")
+    m2 = F.coalesce(F.col("m2"), F.lit(0)).cast("bigint")
+    return (
+        pairs.join(lc, "cand_id")
+        .join(lr, "ref_id")
+        .join(c1, "cand_id", "left")
+        .join(c2, "cand_id", "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            m1.alias("clipped1"),
+            m2.alias("clipped2"),
+            "cand_len",
+            "ref_len",
+            F.when((m1 == 0) | (m2 == 0), F.lit(None).cast("double"))
+            .otherwise(
+                (
+                    F.lit(2)
+                    * F.round(
+                        F.least(
+                            F.lit(0.0),
+                            F.lit(1.0)
+                            - F.col("ref_len").cast("double")
+                            / F.col("cand_len").cast("double"),
+                        )
+                        * F.lit(1e6)
+                    ).cast("bigint")
+                    + F.round(
+                        F.log(
+                            m1.cast("double")
+                            / F.col("cand_len").cast("double")
+                        )
+                        * F.lit(1e6)
+                    ).cast("bigint")
+                    + F.round(
+                        F.log(
+                            m2.cast("double")
+                            / (F.col("cand_len") - 1).cast("double")
+                        )
+                        * F.lit(1e6)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(2000000.0)
+            )
+            .alias("log_bleu2"),
+        )
+        .orderBy("cand_id")
+    )
