@@ -281,6 +281,7 @@ HEADLINE = [
     "pca_power_iteration_embeddings",
     "dedup_keep_priority_docs",
     "bleu2_pairs_docs",
+    "ann_hnsw_at_rest",
 ]
 
 

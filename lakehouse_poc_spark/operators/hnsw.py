@@ -58,7 +58,13 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine
 
-__all__ = ["build_shard_graph", "hnsw_build", "hnsw_topk"]
+__all__ = [
+    "build_shard_graph",
+    "hnsw_build",
+    "hnsw_build_index",
+    "hnsw_query_at_rest",
+    "hnsw_topk",
+]
 
 _LEVEL_CAP = 4
 
@@ -316,6 +322,134 @@ def hnsw_topk(
     nbrs = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).alias("__nv"),
+    )
+    qdf = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    scored = (
+        cand.join(nbrs, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def hnsw_build_index(
+    corpus: DataFrame,
+    wh,
+    table: str,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    ef_construction: int = 32,
+    n_shards: int = 4,
+) -> None:
+    """Materialize the sharded HNSW index AT REST (the ivf_build_index
+    twin): vectors land in ``table`` partitioned by shard, the layered
+    adjacency in ``{table}_graph`` partitioned by shard. Build cost is
+    paid once; a query then reads only shard-aligned partitions of
+    both tables and never re-runs construction. At 100 TB each shard's
+    build is one task over its partition (memory-bounded by shard
+    sizing) and the index is storage, not session state — exactly how
+    FAISS-on-object-store deployments persist HNSW shards."""
+    prepared = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    wh.overwrite(prepared, table, partition_by=["shard"])
+    adj = hnsw_build(
+        corpus, vec_col=vec_col, id_col=id_col, m=m,
+        ef_construction=ef_construction, n_shards=n_shards,
+    )
+    wh.overwrite(adj, f"{table}_graph", partition_by=["shard"])
+
+
+def hnsw_query_at_rest(
+    wh,
+    table: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    ef_search: int | None = 16,
+) -> DataFrame:
+    """Query the at-rest HNSW index: COGROUP the persisted vectors and
+    adjacency by shard (both tables are shard-partitioned, so the
+    grouping reads aligned partitions), run the layered search per
+    shard against the PERSISTED graph — construction never re-runs —
+    and merge per-shard candidates with the exact JVM cosine ranking
+    (same contract as ``hnsw_topk``; ``ef_search=None`` = exhaustive
+    mode == brute force)."""
+    qrows = (
+        queries.select(
+            F.col(query_id_col).cast("long").alias("qid"),
+            F.col(vec_col).alias("qv"),
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    qlist = [(int(r["qid"]), np.array(r["qv"], dtype=np.float64)) for r in qrows]
+
+    vecs_df = wh.read(table)
+    adj_df = wh.read(f"{table}_graph")
+
+    def search(key, vec_pdf: pd.DataFrame, adj_pdf: pd.DataFrame) -> pd.DataFrame:
+        g = _ShardGraph()
+        ids = vec_pdf["vec_id"].tolist()
+        mat = np.array(vec_pdf["vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+        g.vecs = {int(i): mat[r] for r, i in enumerate(ids)}
+        max_level = int(adj_pdf["level"].max()) if len(adj_pdf) else 0
+        g.layers = [{} for _ in range(max_level + 1)]
+        for lvl, src_, dst_ in zip(
+            adj_pdf["level"], adj_pdf["src"], adj_pdf["dst"]
+        ):
+            g.layers[int(lvl)].setdefault(int(src_), []).append(int(dst_))
+        # nodes with no out-edges at a level still live there
+        for lvl in range(max_level + 1):
+            for n in (set(adj_pdf[adj_pdf["level"] >= lvl]["src"])
+                      | set(adj_pdf[adj_pdf["level"] >= lvl]["dst"])):
+                g.layers[lvl].setdefault(int(n), [])
+        for n in g.vecs:
+            g.layers[0].setdefault(n, [])
+        g.max_level = max_level
+        top = g.layers[max_level]
+        g.entry = min(top) if top else (min(g.vecs) if g.vecs else None)
+        ef = len(ids) if ef_search is None else ef_search
+        out_q: list[int] = []
+        out_n: list[int] = []
+        for qid, qv in qlist:
+            for _, nid in _graph_search(g, qv, ef):
+                out_q.append(qid)
+                out_n.append(nid)
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n}).astype(
+            {"query_id": "int64", "neighbor_id": "int64"}
+        )
+
+    cand = (
+        vecs_df.groupBy("shard")
+        .cogroup(adj_df.groupBy("shard"))
+        .applyInPandas(search, "query_id long, neighbor_id long")
+    )
+    nbrs = vecs_df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("__nv")
     )
     qdf = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),

@@ -3101,3 +3101,53 @@ def pca_power_iteration_embeddings(
         ],
         schema,
     ).orderBy("pos")
+
+
+# ---------------------------------------------------------------------------
+# At-rest HNSW (r8): build-once/query-forever form of the graph index
+# (operators/hnsw.py::hnsw_build_index) — vectors and layered
+# adjacency persisted shard-partitioned in the warehouse, the query
+# COGROUPS the two tables by shard and searches the PERSISTED graph
+# (construction never re-runs). Exhaustive mode (ef=None) == brute
+# force, so the same oracle pins the whole persist→read→search path:
+# a lost graph partition, a shard misalignment between the two
+# tables, or a broken entry-point reconstruction all break the hash.
+@query(
+    "ann_hnsw_at_rest",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC, c.vec_id
+               ) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    from ..operators.hnsw import hnsw_build_index, hnsw_query_at_rest
+    from ..sinks.warehouse import Warehouse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = Path("/root/repo/.scratch") / f"hnswidx_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = Warehouse(spark, str(root))
+    t = "ann.hnsw"
+    hnsw_build_index(
+        emb, wh, t, "embedding", "vec_id", m=8, ef_construction=32,
+        n_shards=4,
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return hnsw_query_at_rest(
+        wh, t, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, ef_search=None,
+    ).orderBy("query_id", "rank")

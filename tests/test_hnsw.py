@@ -125,3 +125,38 @@ def test_search_deterministic_across_runs(spark, emb):
         )
 
     assert run() == run()
+
+
+def test_at_rest_matches_in_flight_approximate(spark, emb, tmp_path):
+    """The persisted graph must be the SAME graph the in-flight
+    operator builds: at realistic ef the at-rest search returns
+    identical candidates (construction determinism + faithful
+    persist/reload), not merely similar recall."""
+    from lakehouse_poc_spark.operators.hnsw import (
+        hnsw_build_index,
+        hnsw_query_at_rest,
+    )
+    from lakehouse_poc_spark.sinks.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    hnsw_build_index(emb, wh, "ann.h", "embedding", "vec_id", n_shards=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    at_rest = sorted(
+        map(
+            tuple,
+            hnsw_query_at_rest(
+                wh, "ann.h", queries, "embedding", "vec_id", "vec_id",
+                k=5, ef_search=16,
+            ).select("query_id", "rank", "neighbor_id").collect(),
+        )
+    )
+    in_flight = sorted(
+        map(
+            tuple,
+            hnsw_topk(
+                emb, queries, vec_col="embedding", id_col="vec_id",
+                query_id_col="vec_id", k=5, ef_search=16, n_shards=4,
+            ).select("query_id", "rank", "neighbor_id").collect(),
+        )
+    )
+    assert at_rest == in_flight and len(at_rest) == 40
