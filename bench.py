@@ -282,6 +282,10 @@ HEADLINE = [
     "dedup_keep_priority_docs",
     "bleu2_pairs_docs",
     "ann_hnsw_at_rest",
+    "knn_label_confusion_embeddings",
+    "stream_merge_ops_customers",
+    "cramers_v_type_hour",
+    "cohens_kappa_langid",
 ]
 
 

@@ -2024,3 +2024,105 @@ def seasonality_profile_events(
         )
         .orderBy("dow", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (r8): the chi-square association strength of
+# (event_type × hour) reduced to one chance-corrected effect size —
+# the statistic the contingency panel (chisq_type_hour_events)
+# motivates but never collapses to. Per-cell chi2 contributions are
+# micro-rounded to BIGINT BEFORE the total (sum-of-doubles order can
+# never reach the hash — the corpus-LM discipline); V =
+# sqrt(chi2 / (n·min(r−1, c−1))) composes the integer totals in one
+# fixed-order float expression. Shuffle domain: the (type, hour)
+# contingency cells, never events.
+@query(
+    "cramers_v_type_hour",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, hr
+    ),
+    rt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_n
+           FROM cells GROUP BY event_type),
+    ct AS (SELECT hr, CAST(SUM(n) AS BIGINT) AS col_n FROM cells GROUP BY hr),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells),
+    contrib AS (
+        SELECT CAST(ROUND(
+                   (CAST(c.n AS DOUBLE)
+                    - CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+                      / CAST(t.total AS DOUBLE))
+                   * (CAST(c.n AS DOUBLE)
+                      - CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+                        / CAST(t.total AS DOUBLE))
+                   / (CAST(rt.row_n AS DOUBLE) * CAST(ct.col_n AS DOUBLE)
+                      / CAST(t.total AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS c_micro
+        FROM cells c
+        JOIN rt USING (event_type) JOIN ct USING (hr) CROSS JOIN tot t
+    )
+    SELECT t.total AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_cols,
+           CAST(SUM(c_micro) AS DOUBLE) / 1000000.0 AS chi2,
+           sqrt(CAST(SUM(c_micro) AS DOUBLE) / 1000000.0
+                / (CAST(t.total AS DOUBLE)
+                   * CAST(LEAST((SELECT COUNT(*) FROM rt) - 1,
+                                (SELECT COUNT(*) FROM ct) - 1) AS DOUBLE)))
+               AS cramers_v
+    FROM contrib CROSS JOIN tot t
+    GROUP BY t.total
+    """,
+)
+def cramers_v_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.persist()
+    rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    ct = cells.groupBy("hr").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    dims = rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("bigint").alias("n_cols"))
+    )
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("total").cast("double")
+    )
+    diff = F.col("n").cast("double") - expected
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(diff * diff / expected * F.lit(1e6))
+            .cast("bigint")
+            .alias("c_micro"),
+            "total",
+        )
+    )
+    out = (
+        contrib.groupBy("total")
+        .agg(F.sum("c_micro").cast("bigint").alias("s_micro"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("total").alias("n"),
+            "n_rows",
+            "n_cols",
+            (F.col("s_micro").cast("double") / F.lit(1e6)).alias("chi2"),
+            F.sqrt(
+                F.col("s_micro").cast("double")
+                / F.lit(1e6)
+                / (
+                    F.col("total").cast("double")
+                    * F.least(
+                        F.col("n_rows") - 1, F.col("n_cols") - 1
+                    ).cast("double")
+                )
+            ).alias("cramers_v"),
+        )
+    )
+    return out

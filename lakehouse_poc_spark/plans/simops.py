@@ -3151,3 +3151,78 @@ def ann_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh, t, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, ef_search=None,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space label consistency eval (r8): leave-one-out 1-NN
+# classification over the labeled embeddings — the standard probe for
+# "does the embedding space separate the classes" (kNN-probe eval).
+# Every vector is classified by its nearest neighbor's label (cosine,
+# self excluded, ties to smaller id); output is the full confusion
+# matrix plus per-true-label accuracy. O(n²) scoring is acceptable
+# here ONLY because it is an EVAL over the bounded probe corpus — the
+# production path for neighbor retrieval is the ANN index family
+# (IVF/HNSW above); at 100 TB the same eval runs on a sampled probe
+# set, never the corpus.
+@query(
+    "knn_label_confusion_embeddings",
+    oracle=f"""
+    WITH nn AS (
+        SELECT query_id, n_label FROM (
+            SELECT q.vec_id AS query_id, q.label AS q_label,
+                   c.label AS n_label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rk
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        ) t WHERE rk = 1
+    )
+    SELECT e.label AS true_label, nn.n_label AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.label = nn.n_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM embeddings e JOIN nn ON nn.query_id = e.vec_id
+    GROUP BY e.label, nn.n_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def knn_label_confusion_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = (
+        brute_force_topk(
+            emb, emb, vec_col="embedding", id_col="vec_id",
+            query_id_col="vec_id", k=1,
+        )
+        .select("query_id", "neighbor_id")
+    )
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    return (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("pred_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("true_label") == F.col("pred_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("true_label", "pred_label")
+    )

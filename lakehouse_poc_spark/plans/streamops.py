@@ -2139,3 +2139,98 @@ def stream_holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("trend"),
         (F.col("l") + F.col("b") + s_next).alias("forecast_1"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply (r8): a change stream of (row, _op) records
+# applied to the dimension via foreachBatch → Warehouse.merge_ops —
+# the full three-clause MERGE (conditional DELETE / UPDATE / INSERT)
+# on every micro-batch, which is exactly how Delta deployments sink a
+# Debezium/CDF feed. Batch 0 carries the matched deletes (%10==0) and
+# updates (%10==2, segment CHANGED); batch 1 the odd-key inserts plus
+# no-op deletes for never-seeded keys (%10==5 — CDC replay safety
+# mid-stream). Final state is the SAME oracle as the batch
+# merge_full_customers — the stream/batch identity that pins the
+# foreachBatch path.
+@query(
+    "stream_merge_ops_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 NOT IN (0, 2)
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 2
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 10 <> 5
+    ORDER BY key
+    """,
+)
+def stream_merge_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = stream_scratch("stream_mergeops_")
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    with_op = cust.withColumn("_op", F.lit("U"))
+
+    def _build(d: Path) -> None:
+        b0 = with_op.filter(
+            (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 10 == 2)
+        ).select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 10 == 2, F.lit("CHANGED")
+            ).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+        )
+        b1 = with_op.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 10 == 5, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("_op"),
+        )
+        b0.coalesce(1).write.parquet(str(d / "b0"))
+        b1.coalesce(1).write.parquet(str(d / "b1"))
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"mergeops_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/customer.parquet").st_mtime,
+    )
+
+    wh = Warehouse(spark, str(work / "wh"))
+    t = "dim.customer_cdc"
+    wh.overwrite(cust.filter(F.col("c_custkey") % 2 == 0), t)
+
+    stream = stream_parquet(
+        spark,
+        str(src) + "/*/part-*",
+        with_op.schema,
+        max_files_per_trigger=1,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        wh.merge_ops(batch_df, t, keys=["c_custkey"])
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )

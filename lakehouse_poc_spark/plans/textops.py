@@ -910,3 +910,81 @@ def bleu2_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cand_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the language-ID heuristic (r8): chance-corrected
+# agreement between the n-gram-marker predictor (text_langid) and the
+# ground-truth lang column — the one-number companion to
+# langid_confusion_docs (a 95%-observed-agreement classifier whose
+# classes are imbalanced can still have mediocre kappa; curation
+# pipelines gate on kappa for exactly that reason). All inputs are
+# integer marginals; po, pe, and kappa compose in one fixed-order
+# float expression on both engines.
+@query(
+    "cohens_kappa_langid",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_lang_sql_score(lang)} AS s_{lang}" for lang in LANG_MARKERS)}
+        FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)
+    ),
+    pred AS (
+        SELECT doc_id, lang, {_langid_case_sql()} AS lang_pred FROM scored
+    ),
+    n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                        AS BIGINT) AS agree
+            FROM pred),
+    marg AS (
+        SELECT CAST(SUM(t.row_n * p.col_n) AS BIGINT) AS sp
+        FROM (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS row_n
+              FROM pred GROUP BY lang) t
+        JOIN (SELECT lang_pred AS c, CAST(COUNT(*) AS BIGINT) AS col_n
+              FROM pred GROUP BY lang_pred) p
+          ON t.c = p.c
+    )
+    SELECT n, agree,
+           CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CAST(sp AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+           (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(sp AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0 - CAST(sp AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+    FROM n_t CROSS JOIN marg
+    """,
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+    pred = pred.persist()
+    n_t = pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("agree"),
+    )
+    rowm = pred.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("row_n")
+    )
+    colm = pred.groupBy(F.col("lang_pred").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("col_n")
+    )
+    marg = (
+        rowm.join(colm, "c")
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).cast("bigint").alias("sp"))
+    )
+    n_d = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n_d
+    pe = F.col("sp").cast("double") / (n_d * n_d)
+    return n_t.crossJoin(F.broadcast(marg)).select(
+        "n",
+        "agree",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
