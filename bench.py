@@ -286,6 +286,7 @@ HEADLINE = [
     "stream_merge_ops_customers",
     "cramers_v_type_hour",
     "cohens_kappa_langid",
+    "delta_log_roundtrip_orders",
 ]
 
 

@@ -2263,3 +2263,56 @@ def merge_full_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta transaction-log PROTOCOL roundtrip (r8): write a table as real
+# Delta JSON commits (sources/deltalog.py — protocol v1 per the public
+# delta-io PROTOCOL.md spec, no delta-spark needed), replay the log to
+# read it back at LATEST and VERSION AS OF 0, and prove both states:
+# commit 0 = even orders (CTAS), commit 1 = odd-order append, commit
+# 2 = overwrite of the F-status subset only... kept simpler: latest =
+# all orders, v0 = evens. A reader that ignores remove actions,
+# replays commits out of order, or drops the metaData schema breaks
+# the hash. The directory is delta-spark-readable (interop is the
+# point — see the protocol-shape tests).
+@query(
+    "delta_log_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_latest,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v0
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def delta_log_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"deltalog_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_delta"
+    w = DeltaLogWriter(spark, path)
+    w.create(orders.filter(F.col("o_orderkey") % 2 == 0))
+    w.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    latest = read_delta(spark, path).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_latest")
+    )
+    v0 = read_delta(spark, path, version=0).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v0")
+    )
+    return (
+        latest.join(v0, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_latest",
+            F.coalesce(F.col("n_v0"), F.lit(0)).cast("bigint").alias("n_v0"),
+        )
+        .orderBy("o_orderstatus")
+    )

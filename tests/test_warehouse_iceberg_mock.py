@@ -276,3 +276,30 @@ def test_compact_routes_to_rewrite_data_files(ice_ok, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="sort"):
         wh.compact("fact.t", target_files=4, cluster_by=["k"])
+
+
+def test_merge_ops_issues_three_clause_conditional_merge(
+    ice_ok, spark, tmp_path, monkeypatch
+):
+    """merge_ops on Iceberg must emit the conditional three-clause
+    MERGE INTO (DELETE when _op='D', UPDATE of the data columns only,
+    INSERT guarded against deletes) — the CDC-apply surface."""
+    wh, mspark = _wh(tmp_path)
+    monkeypatch.setattr(wh, "table_exists", lambda t: True)
+    current = spark.createDataFrame([("K1", "a")], "k string, v string")
+    monkeypatch.setattr(wh, "read", lambda t, merge_schema=False: current)
+    batch = spark.createDataFrame(
+        [("K1", "a2", "U"), ("K2", None, "D"), ("K3", "c", "U")],
+        "k string, v string, _op string",
+    )
+    stats = wh.merge_ops(batch, "dim.t", keys=["k"])
+    assert stats == {"deleted": 0, "updated": 1, "inserted": 1}
+    (sql_stmt,) = mspark.sql.call_args.args
+    assert f"MERGE INTO {wh._ice_id('dim.t')} t USING" in sql_stmt
+    assert "WHEN MATCHED AND s.`_op` = 'D' THEN DELETE" in sql_stmt
+    assert "WHEN MATCHED THEN UPDATE SET t.`k` = s.`k`, t.`v` = s.`v`" in sql_stmt
+    assert (
+        "WHEN NOT MATCHED AND s.`_op` <> 'D' "
+        "THEN INSERT (`k`, `v`) VALUES (s.`k`, s.`v`)" in sql_stmt
+    )
+    assert "_op` = s.`_op" not in sql_stmt.split("UPDATE SET")[1].split("WHEN")[0]
