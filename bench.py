@@ -287,6 +287,7 @@ HEADLINE = [
     "cramers_v_type_hour",
     "cohens_kappa_langid",
     "delta_log_roundtrip_orders",
+    "scd1_deltalog_customers",
 ]
 
 

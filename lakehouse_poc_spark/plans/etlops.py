@@ -2316,3 +2316,55 @@ def delta_log_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# The FOURTH SCD1 twin (r8): identical scenario and oracle to
+# scd1_customer_current / _file_pruned / _manifest, executed on
+# DeltaLogWarehouse — storage = REAL Delta-protocol commits
+# (sources/deltalog.py). The shared oracle hash across all four
+# backends is the storage-never-leaks-into-semantics proof, now
+# extended to the interoperable Delta on-disk format.
+@query(
+    "scd1_deltalog_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key
+    """,
+)
+def scd1_deltalog_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.warehouse import DeltaLogWarehouse
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    root = SCRATCH / f"scd1dl_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = DeltaLogWarehouse(spark, str(root))
+    t = "layer0150.dim_customer_dl"
+    wh.upsert(batch1, t, keys=["c_custkey"])
+    wh.upsert(batch2, t, keys=["c_custkey"])
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )

@@ -114,3 +114,73 @@ def test_version_out_of_range_fails_fast(spark, tmp_path):
     DeltaLogWriter(spark, p).create(_df(spark, [(1, "a")]))
     with pytest.raises(DeltaLogError, match="version 5"):
         read_delta(spark, p, 5)
+
+
+# ---------------------------------------------------------------------------
+# DeltaLogWarehouse: the Warehouse API on protocol storage.
+
+
+def test_deltalog_warehouse_roundtrip_and_history(spark, tmp_path):
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.t"
+    assert not wh.table_exists(t)
+    wh.overwrite(_df(spark, [(1, "a"), (2, "b")]), t)
+    wh.append(_df(spark, [(3, "c")]), t)
+    assert wh.table_exists(t) and wh.version(t) == 1
+    assert sorted(r.id for r in wh.read(t).collect()) == [1, 2, 3]
+    assert wh.read_version(t, 0).count() == 2
+    ops = [h["op"] for h in wh.history(t)]
+    assert ops == ["CREATE TABLE AS SELECT", "WRITE"]
+    # a real Delta log exists on disk
+    assert (wh.path(t) / "_delta_log" / f"{0:020d}.json").exists()
+
+
+def test_deltalog_warehouse_upsert_and_scd2_ride_rewrite_engines(
+    spark, tmp_path
+):
+    """The inherited SCD engines must route through the log (no
+    path mechanics): upsert twice, then verify state AND that every
+    state change was a commit."""
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.u"
+    wh.upsert(_df(spark, [(1, "a"), (2, "b")]), t, keys=["id"])
+    wh.upsert(_df(spark, [(2, "B"), (3, "c")]), t, keys=["id"])
+    rows = {r.id: r.v for r in wh.read(t).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    assert wh.version(t) == 1  # create + one rewrite commit
+    # time travel still shows the pre-upsert state
+    assert {r.id: r.v for r in wh.read_version(t, 0).collect()} == {
+        1: "a", 2: "b",
+    }
+
+
+def test_deltalog_warehouse_restore_preserves_history(spark, tmp_path):
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.r"
+    wh.overwrite(_df(spark, [(1, "a")]), t)
+    wh.overwrite(_df(spark, [(2, "b")]), t)
+    v = wh.restore(t, 0)
+    assert v == 2
+    assert [r.id for r in wh.read(t).collect()] == [1]
+    assert [r.id for r in wh.read_version(t, 1).collect()] == [2]  # kept
+
+
+def test_deltalog_warehouse_path_mechanics_fail_fast(spark, tmp_path):
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(_df(spark, [(1, "a")]), "dim.t")
+    with pytest.raises(NotImplementedError, match="file-pruned"):
+        wh.upsert_file_pruned(_df(spark, [(1, "x")]), "dim.t", keys=["id"])
+    with pytest.raises(NotImplementedError, match="file-pruned"):
+        wh.delete_where_file_pruned("dim.t", "id = 1")
+    with pytest.raises(NotImplementedError, match="v3"):
+        wh.delete_where_dv("dim.t", F.col("id") == 1)
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        wh.append(_df(spark, [(1, "a")]), "dim.t", partition_by=["id"])
