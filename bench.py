@@ -288,6 +288,9 @@ HEADLINE = [
     "cohens_kappa_langid",
     "delta_log_roundtrip_orders",
     "scd1_deltalog_customers",
+    "stream_ann_index_adds",
+    "closeness_event_types",
+    "lift_table_quality_docs",
 ]
 
 

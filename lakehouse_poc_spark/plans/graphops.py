@@ -682,3 +682,113 @@ def hits_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _transition_edges(spark, sf_dir)
     return hits_int(edges, weight="w", iterations=8).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Closeness + harmonic centrality (r8) on the directed event-type
+# transition graph: all-pairs hop distances by 6 unrolled min-plus
+# BFS rounds (the graph is the TYPE domain — bounded — so all-pairs
+# is cells², never events²; the only event-scale pass derives the
+# edges). closeness = (reached−1)/Σd (NULL for isolated sources),
+# harmonic = Σ 1/d with each reciprocal micro-rounded to BIGINT
+# before the exact integer sum (order-independent cross-engine).
+_CLOSENESS_ROUNDS = 6
+
+
+def _closeness_oracle() -> str:
+    header = """
+    WITH seq AS MATERIALIZED (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq WHERE prev_type IS NOT NULL
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    d0 AS MATERIALIZED (
+        SELECT node AS s, node AS t, CAST(0 AS BIGINT) AS d FROM nodes
+    )"""
+    steps = []
+    for k in range(1, _CLOSENESS_ROUNDS + 1):
+        steps.append(f""",
+    d{k} AS MATERIALIZED (
+        SELECT s, t, CAST(MIN(d) AS BIGINT) AS d FROM (
+            SELECT s, t, d FROM d{k - 1}
+            UNION ALL
+            SELECT p.s, e.dst AS t, p.d + 1 AS d
+            FROM d{k - 1} p JOIN edges e ON p.t = e.src
+        ) u GROUP BY s, t
+    )""")
+    footer = f"""
+    SELECT s AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS sum_dist,
+           CASE WHEN SUM(d) > 0
+                THEN (CAST(COUNT(*) AS DOUBLE) - 1.0)
+                     / CAST(SUM(d) AS DOUBLE)
+                ELSE NULL END AS closeness,
+           CAST(SUM(CASE WHEN d > 0
+                         THEN CAST(ROUND(1000000.0 / CAST(d AS DOUBLE))
+                                   AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS harmonic_micro
+    FROM d{_CLOSENESS_ROUNDS}
+    GROUP BY s
+    ORDER BY node
+    """
+    return header + "".join(steps) + footer
+
+
+@query("closeness_event_types", oracle=_closeness_oracle())
+def closeness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _transition_edges(spark, sf_dir).select("src", "dst").distinct()
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dists = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("t"),
+        F.lit(0).cast("bigint").alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_CLOSENESS_ROUNDS):
+        step = (
+            dists.join(edges, dists.t == edges.src)
+            .select("s", F.col("dst").alias("t"), (F.col("d") + 1).alias("d"))
+        )
+        dists = (
+            dists.unionByName(step)
+            .groupBy("s", "t")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return (
+        dists.groupBy(F.col("s").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum("d").cast("bigint").alias("sum_dist"),
+            F.when(
+                F.sum("d") > 0,
+                (F.count(F.lit(1)).cast("double") - F.lit(1.0))
+                / F.sum("d").cast("double"),
+            ).alias("closeness"),
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.round(F.lit(1e6) / F.col("d").cast("double")).cast(
+                        "bigint"
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("harmonic_micro"),
+        )
+        .orderBy("node")
+    )

@@ -456,3 +456,109 @@ def churn_features_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift & gains table (r8): the targeting read-out on the
+# published quality model — rank all docs by margin (descending),
+# split into 10 equal-rank deciles, report per-decile positive rate,
+# lift vs the base rate, and cumulative gains (share of all positives
+# captured through decile k). Completes the classifier-eval family
+# (AUC = ranking quality, reliability = calibration, lift = business
+# read-out). Ranking rides the block-offset global_rank (no global
+# window); decile boundaries are pure integer arithmetic on the rank;
+# every rate/lift composes integer counts in one fixed-order float
+# expression.
+@query(
+    "lift_table_quality_docs",
+    oracle=f"""
+    {_FEATURE_SQL},
+    scored AS (
+        SELECT doc_id,
+               CAST(floor(({_margin_sql()}) * 1000000) AS BIGINT) AS s,
+               rule_keep
+        FROM f
+    ),
+    ranked AS (
+        SELECT s, rule_keep,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_total
+        FROM scored
+    ),
+    dec AS (
+        SELECT CAST((rk - 1) * 10 // n_total AS BIGINT) + 1 AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM ranked GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt
+        FROM dec
+    )
+    SELECT decile, n, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+           (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE)) AS lift,
+           CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+               / CAST(t.pt AS DOUBLE) AS cum_gain
+    FROM dec CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+def lift_table_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import global_rank
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = _feature_frame(docs).select(
+        "doc_id",
+        F.floor(_margin() * F.lit(1_000_000)).cast("bigint").alias("s"),
+        "rule_keep",
+    )
+    # block = coarsened NEGATED margin so block order matches the
+    # (s DESC, doc_id) sort the rank needs
+    ranked = global_rank(
+        scored.withColumn("__neg", -F.col("s")),
+        sort_cols=["__neg", "doc_id"],
+        block=F.floor(F.col("__neg") / F.lit(1_000_000)).cast("long"),
+        rank_col="rk",
+    )
+    n_total = scored.count()
+    dec = (
+        ranked.withColumn(
+            "decile",
+            F.expr(f"((rk - 1) * 10) div {n_total}").cast("bigint") + 1,
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("rule_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+    )
+    tot = dec.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("n_pos").cast("bigint").alias("pt"),
+    )
+    # decile domain is 10 rows — the window is bounded, not corpus-scale
+    from pyspark.sql import Window as W
+
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    pos_rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base = F.col("pt").cast("double") / F.col("nt").cast("double")
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            pos_rate.alias("pos_rate"),
+            (pos_rate / base).alias("lift"),
+            (
+                F.sum("n_pos").over(wcum).cast("double")
+                / F.col("pt").cast("double")
+            ).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )

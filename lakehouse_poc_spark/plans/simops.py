@@ -2446,9 +2446,7 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (stale centroids, dropped cells, double-added rows) breaks the
 # hash. Query reads ONLY probed cells' partition dirs (partition
 # pruning does candidate selection; adds touch only new rows' cells).
-@query(
-    "ann_index_maintained_embeddings",
-    oracle=f"""
+_ANN_MAINT_ORACLE = f"""
     WITH cents AS (
         SELECT vec_id AS cid, embedding AS cv
         FROM embeddings WHERE vec_id % 3 <> 2 ORDER BY vec_id LIMIT 16
@@ -2486,8 +2484,10 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@query("ann_index_maintained_embeddings", oracle=_ANN_MAINT_ORACLE)
 def ann_index_maintained_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2234,3 +2234,71 @@ def stream_merge_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN index maintenance (r8): later-arrival vector batches
+# stream into the at-rest IVF index via foreachBatch →
+# ivf_index_add — continuous-ingest embedding maintenance (the vector
+# twin of the streaming bloom/MV maintenance family). Because frozen-
+# centroid assignment depends only on (vector, centroids), the
+# streamed adds are bit-identical to the batch adds AND to a full
+# rebuild — the query shares ann_index_maintained_embeddings' oracle
+# verbatim, so the stream == batch == rebuild identity is one hash.
+from .simops import _ANN_MAINT_ORACLE
+
+
+@query("stream_ann_index_adds", oracle=_ANN_MAINT_ORACLE)
+def stream_ann_index_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.similarity import (
+        ivf_build_index,
+        ivf_index_add,
+        ivf_query_at_rest,
+    )
+
+    work = stream_scratch("stream_annadd_")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+
+    def _build(d: Path) -> None:
+        late = emb.filter(F.col("vec_id") % 3 == 2)
+        late.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+            str(d / "b0")
+        )
+        late.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+            str(d / "b1")
+        )
+        for i in range(2):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"annadd_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/embeddings.parquet").st_mtime,
+    )
+
+    wh = Warehouse(spark, str(work / "wh"))
+    t = "ann.ivf_streamed"
+    ivf_build_index(
+        emb.filter(F.col("vec_id") % 3 != 2),
+        wh, t, "embedding", "vec_id", n_centroids=16,
+    )
+
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", emb.schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_add(batch_df, wh, t, "embedding", "vec_id")
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_query_at_rest(
+        wh, t, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, nprobe=2,
+    ).orderBy("query_id", "rank")
