@@ -291,6 +291,7 @@ HEADLINE = [
     "stream_ann_index_adds",
     "closeness_event_types",
     "lift_table_quality_docs",
+    "dbscan_customers",
 ]
 
 

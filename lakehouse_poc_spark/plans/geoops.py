@@ -156,3 +156,174 @@ def spatial_density_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cx", "cy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN (r8, Ester et al. 1996 — public): density-based
+# clustering over the synthetic customer coordinates. eps = the grid
+# radius (eps² = 9.0), minPts = 7 (incl. the point itself — the
+# fixture's neighborhood counts span 4..7, so cores, borders AND
+# noise all occur). Pipeline: grid-bucketed eps-neighbor pairs (the
+# spatial_neighbor_pairs join — candidates-only shuffle, never
+# all-pairs) → per-point neighbor counts → core points → connected
+# components over core-core edges (min-id labels) → borders adopt the
+# MINIMUM neighboring core's cluster (the deterministic tie rule;
+# textbook DBSCAN is first-come order-dependent) → everything else is
+# noise (cluster NULL). The oracle replays the identical grid join,
+# closure (recursive CTE), and tie rule.
+_MINPTS = 7
+
+
+@query(
+    "dbscan_customers",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM pts a JOIN pts b
+          ON a.id <> b.id
+         AND (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) <= {_R2}
+    ),
+    cnt AS (
+        SELECT id, CAST(COUNT(*) + 1 AS BIGINT) AS n_eps
+        FROM (SELECT id_a AS id FROM pairs) GROUP BY id
+    ),
+    roles AS (
+        SELECT p.id, COALESCE(c.n_eps, 1) AS n_eps,
+               COALESCE(c.n_eps, 1) >= {_MINPTS} AS is_core
+        FROM pts p LEFT JOIN cnt c ON p.id = c.id
+    ),
+    core_edges AS (
+        SELECT pr.id_a AS u, pr.id_b AS v
+        FROM pairs pr
+        JOIN roles ra ON ra.id = pr.id_a AND ra.is_core
+        JOIN roles rb ON rb.id = pr.id_b AND rb.is_core
+    ),
+    reach AS (
+        SELECT id AS node, id AS lbl FROM roles WHERE is_core
+        UNION
+        SELECT e.v AS node, reach.lbl
+        FROM reach JOIN core_edges e ON e.u = reach.node
+    ),
+    core_cluster AS (
+        SELECT node AS id, CAST(MIN(lbl) AS BIGINT) AS cluster
+        FROM reach GROUP BY node
+    ),
+    border AS (
+        SELECT pr.id_a AS id, CAST(MIN(cc.cluster) AS BIGINT) AS cluster
+        FROM pairs pr
+        JOIN roles ra ON ra.id = pr.id_a AND NOT ra.is_core
+        JOIN roles rb ON rb.id = pr.id_b AND rb.is_core
+        JOIN core_cluster cc ON cc.id = pr.id_b
+        GROUP BY pr.id_a
+    )
+    SELECT r.id, r.n_eps,
+           CASE WHEN r.is_core THEN 'core'
+                WHEN b.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(cc.cluster, b.cluster) AS cluster
+    FROM roles r
+    LEFT JOIN core_cluster cc ON cc.id = r.id
+    LEFT JOIN border b ON b.id = r.id AND NOT r.is_core
+    ORDER BY r.id
+    """,
+)
+def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pts = _coords(_t(spark, sf_dir, "customer"))
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("lon") / _CELL).cast("bigint").alias("cy"),
+    )
+    d = F.array([F.lit(-1), F.lit(0), F.lit(1)])
+    probe = (
+        cells.withColumn("dx", F.explode(d))
+        .withColumn("dy", F.explode(d))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    dlat = F.col("lat") - F.col("lat_b")
+    dlon = F.col("lon") - F.col("lon_b")
+    dist2 = dlat * dlat + dlon * dlon
+    pairs = (
+        cells.join(probe, ["cx", "cy"])
+        .filter((F.col("id") != F.col("id_b")) & (dist2 <= F.lit(_R2)))
+        .select(F.col("id").alias("id_a"), "id_b")
+    )
+    pairs = pairs.persist()
+    cnt = pairs.groupBy(F.col("id_a").alias("id")).agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_eps")
+    )
+    roles = pts.select("id").join(cnt, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_eps"), F.lit(1).cast("bigint")).alias("n_eps"),
+        (
+            F.coalesce(F.col("n_eps"), F.lit(1).cast("bigint"))
+            >= F.lit(_MINPTS)
+        ).alias("is_core"),
+    )
+    roles = roles.persist()
+    cores = roles.filter("is_core").select("id")
+    core_edges = (
+        pairs.join(cores.withColumnRenamed("id", "id_a"), "id_a")
+        .join(cores.withColumnRenamed("id", "id_b"), "id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    core_cluster = connected_components(core_edges).withColumnRenamed(
+        "component", "cluster"
+    )
+    # isolated cores (no core neighbor) are their own cluster
+    core_cluster = (
+        cores.join(core_cluster, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster"), F.col("id")).cast("bigint").alias(
+                "cluster"
+            ),
+        )
+    )
+    border = (
+        pairs.join(
+            roles.filter(~F.col("is_core")).select(
+                F.col("id").alias("id_a")
+            ),
+            "id_a",
+        )
+        .join(
+            core_cluster.select(
+                F.col("id").alias("id_b"), F.col("cluster")
+            ),
+            "id_b",
+        )
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("cluster").cast("bigint").alias("b_cluster"))
+    )
+    out = (
+        roles.join(core_cluster.withColumnRenamed("cluster", "c_cluster"), "id", "left")
+        .join(border, "id", "left")
+        .select(
+            "id",
+            "n_eps",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("c_cluster"), F.col("b_cluster")).alias("cluster"),
+        )
+        .orderBy("id")
+    )
+    return out
