@@ -16,6 +16,7 @@ brute force — recorded in SCALE.md.
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -398,6 +399,10 @@ def main() -> None:
         spark.range(1).count()
         lm_probe(spark, sf_dir)
         return
+    if "--hnsw" in sys.argv:
+        spark.range(1).count()
+        hnsw_probe(spark, sf_dir)
+        return
     docs = read_parquet_table(spark, sf_dir, "documents")
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     spark.range(1).count()
@@ -657,6 +662,50 @@ def lm_probe(spark, sf_dir: str) -> None:
             f" vocab={vocab:>7,} bigram_types={n_bigram_types:>9,}"
             f" model_pass={t_model:5.2f}s"
         )
+        corpus.unpersist()
+
+
+
+
+def hnsw_probe(spark, sf_dir: str) -> None:
+    """HNSW scale probe (r8): per-shard graph build + fan-out search
+    wall time as the corpus grows 1x/4x/16x with shard count scaled to
+    hold per-shard size ~constant — the knob a 100 TB deployment turns
+    (shards ~ corpus_bytes / task_memory). Also prints recall@5 vs
+    brute at 1x for the probed ef."""
+    import time as _t
+
+    from lakehouse_poc_spark.operators.hnsw import hnsw_topk
+    from lakehouse_poc_spark.operators.similarity import brute_force_topk
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).persist()
+    queries.count()
+    for factor, shards in ((1, 4), (4, 16), (16, 64)):
+        corpus = scaled_embeddings(emb, factor).persist()
+        n = corpus.count()
+        t0 = _t.perf_counter()
+        res = hnsw_topk(
+            corpus, queries, vec_col="embedding", id_col="vec_id",
+            query_id_col="vec_id", k=5, ef_search=16, n_shards=shards,
+        )
+        n_rows = res.count()
+        dt = _t.perf_counter() - t0
+        line = {
+            "factor": factor, "n_vectors": n, "n_shards": shards,
+            "rows": n_rows, "build_and_search_s": round(dt, 2),
+        }
+        if factor == 1:
+            brute = brute_force_topk(
+                corpus, queries, vec_col="embedding", id_col="vec_id",
+                query_id_col="vec_id", k=5,
+            ).select("query_id", "neighbor_id")
+            hits = brute.join(
+                res.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            ).count()
+            line["recall_at_5"] = round(hits / brute.count(), 4)
+        print(json.dumps(line))
         corpus.unpersist()
 
 
