@@ -2573,3 +2573,33 @@ class DeltaLogWarehouse(Warehouse):
         p = self.path(table)
         if p.exists():
             shutil.rmtree(p)
+
+    def vacuum(self, retain_versions: int | None = None, min_age: float = 900.0) -> int:
+        """Delta VACUUM semantics on the protocol store: unlink data
+        files that are (a) NOT referenced by the LATEST version and
+        (b) older than ``min_age`` seconds since last touch — the
+        retention window protecting in-flight readers and time travel
+        (Delta's default is 7 days; tests pass 0). The log itself is
+        never vacuumed (Delta keeps it; checkpointing, not deletion,
+        bounds replay cost). Returns files removed. NOTE: vacuumed
+        versions remain listed in history but fail fast at read (the
+        referenced files are gone — same contract as real Delta)."""
+        import time as _time
+
+        from ..sources.deltalog import _commits, _replay
+
+        removed = 0
+        now = _time.time()
+        for log_dir in self.root.glob("**/_delta_log"):
+            tdir = log_dir.parent
+            if not _commits(tdir):
+                continue
+            live = set(_replay(tdir, None)["files"])
+            for f in tdir.glob("*.parquet"):
+                if (
+                    f.name not in live
+                    and now - f.stat().st_mtime >= min_age
+                ):
+                    f.unlink()
+                    removed += 1
+        return removed

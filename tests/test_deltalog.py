@@ -184,3 +184,47 @@ def test_deltalog_warehouse_path_mechanics_fail_fast(spark, tmp_path):
         wh.delete_where_dv("dim.t", F.col("id") == 1)
     with pytest.raises(NotImplementedError, match="unpartitioned"):
         wh.append(_df(spark, [(1, "a")]), "dim.t", partition_by=["id"])
+
+
+def test_deltalog_warehouse_compact_is_one_commit_same_data(spark, tmp_path):
+    """OPTIMIZE on the protocol store: many small files → one commit
+    whose adds replace them; data identical, pre-compaction version
+    still readable (time travel intact)."""
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.c"
+    for i in range(4):
+        wh.append(spark.range(i * 10, (i + 1) * 10).selectExpr("id"), t)
+    v_before = wh.version(t)
+    n_files_before = len(list(wh.path(t).glob("*.parquet")))
+    wh.compact(t, target_files=1)
+    assert wh.version(t) == v_before + 1  # exactly one commit
+    from lakehouse_poc_spark.sources.deltalog import _replay
+
+    live = _replay(wh.path(t), None)["files"]
+    assert len(live) < n_files_before
+    assert sorted(r.id for r in wh.read(t).collect()) == list(range(40))
+    assert wh.read_version(t, v_before).count() == 40  # pre-compaction view
+
+
+def test_deltalog_warehouse_vacuum_respects_latest_and_age(spark, tmp_path):
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.v"
+    wh.overwrite(_df(spark, [(1, "a")]), t)
+    wh.overwrite(_df(spark, [(2, "b")]), t)
+    # young unreferenced files are spared by the retention window
+    assert wh.vacuum() == 0
+    assert wh.read_version(t, 0).count() == 1
+    # forcing age 0 sweeps them; latest still reads, old version fails
+    n = wh.vacuum(min_age=0)
+    assert n >= 1
+    assert [r.id for r in wh.read(t).collect()] == [2]
+    import pytest as _pt
+
+    from lakehouse_poc_spark.sources.deltalog import DeltaLogError  # noqa: F401
+
+    with _pt.raises(Exception):
+        wh.read_version(t, 0).collect()
