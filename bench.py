@@ -292,6 +292,12 @@ HEADLINE = [
     "closeness_event_types",
     "lift_table_quality_docs",
     "dbscan_customers",
+    "scd4_customer_history",
+    "kmv_intersection_users",
+    "dp_noisy_counts_events",
+    "bootstrap_ci_event_values",
+    "target_encode_orders",
+    "conformal_intervals_events",
 ]
 
 

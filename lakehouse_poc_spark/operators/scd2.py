@@ -367,3 +367,80 @@ def scd3_upsert(
         .alias(at_col)
     )
     wh.overwrite_from_plan(j.select(*out_cols), table)
+
+
+def scd4_upsert(
+    wh,
+    table: str,
+    batch: DataFrame,
+    keys: list[str],
+    tracked: str,
+    run_ts: str,
+) -> None:
+    """SCD Type 4: current-only dimension plus a SEPARATE history
+    table (``<table>__hist``) that receives each superseded row —
+    the classic "mini audit table" variant completing the SCD family
+    (SCD1 ``Warehouse.upsert``, SCD2 :func:`scd2_merge`, SCD3
+    :func:`scd3_upsert`; reference merge semantics
+    ``notebooks/pipeline_core.py:219-227``).
+
+    Per batch row, null-safe on ``tracked`` like the rest of the
+    family: new key → insert with ``loaded_at = run_ts``; matched +
+    unchanged → batch attributes win, ``loaded_at`` carries over;
+    matched + CHANGED → the prior current row is appended to the
+    history table with ``archived_at = run_ts`` and the current row
+    is replaced with ``loaded_at = run_ts``. Untouched keys carry
+    over verbatim.
+
+    Scale shape: ONE key-keyed full-outer join feeding both outputs
+    (history append is the ``changed`` slice of the same join — no
+    second scan of the dimension), then an overwrite of current and
+    an append to history. History grows append-only and is never
+    read by the merge, so its size does not affect upsert cost."""
+    hist = f"{table}__hist"
+    ts = F.to_timestamp(F.lit(run_ts))
+    if not wh.table_exists(table):
+        wh.overwrite(batch.withColumn("loaded_at", ts), table)
+        # bootstrap an empty history with the final schema so readers
+        # can union current+history unconditionally from load one
+        empty = batch.limit(0).select(
+            "*", ts.alias("archived_at")
+        )
+        wh.overwrite(empty, hist)
+        return
+    cur = wh.read(table)
+    b = batch.select(
+        *[F.col(c).alias(f"__b_{c}") for c in batch.columns],
+        F.lit(True).alias("__b_present"),
+    )
+    cur_m = cur.withColumn("__c_present", F.lit(True))
+    cond = None
+    for k in keys:
+        c = cur_m[k].eqNullSafe(F.col(f"__b_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = cur_m.join(b, cond, "full_outer")
+    in_batch = F.coalesce(F.col("__b_present"), F.lit(False))
+    in_cur = F.coalesce(F.col("__c_present"), F.lit(False))
+    matched = in_batch & in_cur
+    changed = matched & ~cur_m[tracked].eqNullSafe(F.col(f"__b_{tracked}"))
+    # archived slice: the OLD current row, stamped
+    archived = j.filter(changed).select(
+        *[cur_m[c] for c in batch.columns], ts.alias("archived_at")
+    )
+    out_cols = []
+    for c in batch.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(f"__b_{c}"), cur_m[c]).alias(c))
+        else:
+            out_cols.append(
+                F.when(in_batch, F.col(f"__b_{c}")).otherwise(cur_m[c]).alias(c)
+            )
+    out_cols.append(
+        F.when(changed | (in_batch & ~in_cur), ts)
+        .otherwise(cur_m["loaded_at"])
+        .alias("loaded_at")
+    )
+    # materialize history first: overwrite_from_plan rewrites the
+    # files the archived slice still reads (recache-by-path rule)
+    wh.append(archived, hist)
+    wh.overwrite_from_plan(j.select(*out_cols), table)

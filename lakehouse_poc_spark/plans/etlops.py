@@ -2368,3 +2368,67 @@ def scd1_deltalog_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 4 (r8): current-only dimension + separate history table
+# (operators/scd2.scd4_upsert), completing the SCD1/2/3 family the
+# reference's MERGE loop implies (pipeline_core.py:219-227). Same
+# two-batch fixture as the SCD3 twin: batch 1 loads the evens,
+# batch 2 flips every %10 key's segment to 'CHANGED' and inserts the
+# odds. Result = current ∪ history with a state discriminator —
+# exactly what a consumer reconstructing full history would union.
+@query(
+    "scd4_customer_history",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment,
+           'CURRENT' AS state, '2024-01-01 00:00:00' AS ts
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED', 'CURRENT', '2024-01-02 00:00:00'
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, 'CURRENT',
+           '2024-01-02 00:00:00'
+    FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, 'ARCHIVED',
+           '2024-01-02 00:00:00'
+    FROM customer WHERE c_custkey % 10 = 0
+    ORDER BY key, state
+    """,
+)
+def scd4_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd4_upsert
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    wh = _fresh_wh(spark, f"scd4_{Path(sf_dir).name}")
+    t = "layer0150.dim_customer_s4"
+    scd4_upsert(wh, t, batch1, ["c_custkey"], "c_mktsegment", T1)
+    scd4_upsert(wh, t, batch2, ["c_custkey"], "c_mktsegment", T2)
+    cur = wh.read(t).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("CURRENT").alias("state"),
+        F.date_format("loaded_at", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    hist = wh.read(f"{t}__hist").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("ARCHIVED").alias("state"),
+        F.date_format("archived_at", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+    return cur.unionByName(hist).orderBy("key", "state")

@@ -562,3 +562,200 @@ def lift_table_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (r8): the leakage-safe categorical
+# encoder every tabular-ML pipeline needs — encode a category by the
+# TARGET mean computed on the OTHER K-1 folds (plus m-smoothing
+# toward the global mean, Micci-Barreca 2001), so a row never sees
+# its own label. One partial aggregate per (category, fold) is the
+# only shuffle; category and whole-table totals re-aggregate the
+# partials (exact BIGINT micro-sums), so the out-of-fold mean is a
+# subtraction, not a second scan. Smoothing m = 10 also guarantees a
+# non-zero denominator for single-fold categories.
+@query(
+    "target_encode_orders",
+    oracle="""
+    WITH pf AS (
+        SELECT o_orderpriority AS category,
+               o_orderkey % 5 AS fold,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS s_cf,
+               CAST(COUNT(*) AS BIGINT) AS n_cf
+        FROM orders GROUP BY 1, 2
+    ), pc AS (
+        SELECT category, SUM(s_cf) AS s_c, SUM(n_cf) AS n_c
+        FROM pf GROUP BY 1
+    ), g AS (
+        SELECT CAST(SUM(s_cf) AS DOUBLE) / SUM(n_cf) / 1000000.0 AS gm
+        FROM pf
+    )
+    SELECT pf.category, CAST(pf.fold AS BIGINT) AS fold, pf.n_cf,
+           CAST(pc.s_c AS DOUBLE) / pc.n_c / 1000000.0 AS cat_mean,
+           (CAST(pc.s_c - pf.s_cf AS DOUBLE) / 1000000.0 + 10.0 * g.gm)
+             / (CAST(pc.n_c - pf.n_cf AS DOUBLE) + 10.0) AS oof_mean
+    FROM pf JOIN pc USING (category) CROSS JOIN g
+    ORDER BY category, fold
+    """,
+)
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_parquet_table(spark, sf_dir, "orders")
+    pf = (
+        o.select(
+            F.col("o_orderpriority").alias("category"),
+            (F.col("o_orderkey") % 5).alias("fold"),
+            F.round(F.col("o_totalprice") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("vm"),
+        )
+        .groupBy("category", "fold")
+        .agg(
+            F.sum("vm").cast("bigint").alias("s_cf"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cf"),
+        )
+    )
+    pc = pf.groupBy("category").agg(
+        F.sum("s_cf").alias("s_c"), F.sum("n_cf").alias("n_c")
+    )
+    g = pf.agg(
+        (
+            F.sum("s_cf").cast("double")
+            / F.sum("n_cf")
+            / F.lit(1000000.0)
+        ).alias("gm")
+    )
+    return (
+        pf.join(pc, "category")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_cf",
+            (
+                F.col("s_c").cast("double")
+                / F.col("n_c")
+                / F.lit(1000000.0)
+            ).alias("cat_mean"),
+            (
+                (
+                    (F.col("s_c") - F.col("s_cf")).cast("double")
+                    / F.lit(1000000.0)
+                    + F.lit(10.0) * F.col("gm")
+                )
+                / ((F.col("n_c") - F.col("n_cf")).cast("double") + F.lit(10.0))
+            ).alias("oof_mean"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split conformal prediction intervals (r8): distribution-free 90%
+# intervals around a group-conditional mean model (Vovk et al.;
+# Papadopoulos et al. 2002). Train split fits the per-event-type
+# mean; the calibration split's absolute residuals give the
+# conformity scores; qhat is the ⌈0.9·(n+1)⌉-th smallest score, so
+# [pred − qhat, pred + qhat] carries a finite-sample marginal
+# coverage guarantee ≥ 90%. The model is exact integer micro-units;
+# the global order statistic comes from the block-offset rank
+# (operators/linkage.global_rank, block = value-range bucket) —
+# never a single-reducer global window.
+@query(
+    "conformal_intervals_events",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm,
+               event_id % 5 = 3 AS is_calib
+        FROM events
+    ), model AS (
+        SELECT event_type,
+               CAST(ROUND(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS pred_m,
+               CAST(COUNT(*) AS BIGINT) AS n_train
+        FROM base WHERE NOT is_calib GROUP BY 1
+    ), scores AS (
+        SELECT abs(b.vm - m.pred_m) AS resid, b.event_id
+        FROM base b JOIN model m USING (event_type)
+        WHERE b.is_calib
+    ), nq AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+               LEAST(CAST(COUNT(*) AS BIGINT),
+                     CAST(CEIL(0.9 * (COUNT(*) + 1)) AS BIGINT)) AS k
+        FROM scores
+    ), ranked AS (
+        SELECT resid, ROW_NUMBER() OVER (ORDER BY resid, event_id) AS r
+        FROM scores
+    ), qhat AS (
+        SELECT CAST(ranked.resid AS BIGINT) AS q_m, nq.n_cal
+        FROM ranked CROSS JOIN nq WHERE ranked.r = nq.k
+    )
+    SELECT m.event_type, m.n_train, q.n_cal,
+           CAST(m.pred_m AS DOUBLE) / 1000000.0 AS pred,
+           CAST(q.q_m AS DOUBLE) / 1000000.0 AS qhat,
+           CAST(m.pred_m - q.q_m AS DOUBLE) / 1000000.0 AS lo,
+           CAST(m.pred_m + q.q_m AS DOUBLE) / 1000000.0 AS hi
+    FROM model m CROSS JOIN qhat q
+    ORDER BY m.event_type
+    """,
+)
+def conformal_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.linkage import global_rank
+
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vm"),
+        (F.col("event_id") % 5 == 3).alias("is_calib"),
+    )
+    model = (
+        ev.filter(~F.col("is_calib"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("vm").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("pred_m"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        )
+    )
+    scores = (
+        ev.filter(F.col("is_calib"))
+        .join(F.broadcast(model.select("event_type", "pred_m")), "event_type")
+        .select(
+            F.abs(F.col("vm") - F.col("pred_m")).alias("resid"), "event_id"
+        )
+    )
+    n_cal = scores.count()
+    k = min(n_cal, math.ceil(0.9 * (n_cal + 1)))
+    ranked = global_rank(
+        scores,
+        ["resid", "event_id"],
+        (F.col("resid") / F.lit(1 << 24)).cast("bigint"),
+        rank_col="r",
+    )
+    qhat = ranked.filter(F.col("r") == k).select(
+        F.col("resid").alias("q_m"),
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
+    )
+    return (
+        model.crossJoin(F.broadcast(qhat))
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            (F.col("pred_m").cast("double") / F.lit(1000000.0)).alias("pred"),
+            (F.col("q_m").cast("double") / F.lit(1000000.0)).alias("qhat"),
+            (
+                (F.col("pred_m") - F.col("q_m")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("lo"),
+            (
+                (F.col("pred_m") + F.col("q_m")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("hi"),
+        )
+        .orderBy("event_type")
+    )

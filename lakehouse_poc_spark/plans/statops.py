@@ -2213,3 +2213,394 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-sketch set intersection (r8): estimate the distinct-
+# user overlap between two event populations from k-minimum-value
+# sketches — the mergeable-sketch counterpart of the HLL rollup
+# (hll_rollup_users) that HLL cannot answer (HLL intersects only via
+# inclusion-exclusion, which explodes in variance). Hash is the
+# Knuth multiplicative congruence on BIGINTs — exact and identical
+# in both engines, so the sketch (and the estimate) is fully
+# deterministic. Standard theta semantics: a side with fewer than k
+# distinct values keeps everything with θ = 1 and its estimate is
+# EXACT (the sketch degrades gracefully — one formula, matched/θ,
+# covers both regimes, so the same plan is correct at sf0.001 and at
+# 100 TB). Scale path: the k smallest hashes per side are found via
+# an adaptive threshold pre-filter (hashes are uniform, so
+# h < 8k/n · 2^32 keeps ~8k rows) — the per-side sort ranks only the
+# surviving ~8k candidates, never the full population; the fallback
+# to an unfiltered rank fires only if the filter under-collects
+# (count-guarded, same discipline as operators/graph.py:82-84).
+@query(
+    "kmv_intersection_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT event_type,
+               user_id,
+               (user_id * 2654435761 + 12345) % 4294967296 AS h
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS r
+        FROM du
+    ), sk AS (
+        SELECT event_type, h FROM ranked WHERE r <= 128
+    ), theta AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS kept,
+               CASE WHEN COUNT(*) < 128 THEN 4294967296
+                    ELSE MAX(h) END AS th,
+               CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 127.0 * 4294967296.0 / MAX(h) END AS est
+        FROM sk GROUP BY 1
+    ), tmin AS (
+        SELECT MIN(th) AS th FROM theta
+    ), matched AS (
+        SELECT COUNT(*) AS m
+        FROM (SELECT h FROM sk WHERE event_type = 'click') a
+        JOIN (SELECT h FROM sk WHERE event_type = 'purchase') b USING (h)
+        CROSS JOIN tmin WHERE a.h < tmin.th
+    ), truth AS (
+        SELECT
+          CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+               THEN user_id END) AS BIGINT) AS true_clicks,
+          CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+               THEN user_id END) AS BIGINT) AS true_purchases
+        FROM events
+    ), inter AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_both FROM (
+          SELECT user_id FROM events
+          GROUP BY 1
+          HAVING SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) > 0
+        )
+    )
+    SELECT CAST(128 AS BIGINT) AS k,
+           (SELECT est FROM theta WHERE event_type='click') AS est_clicks,
+           (SELECT est FROM theta WHERE event_type='purchase')
+             AS est_purchases,
+           CAST((SELECT m FROM matched) AS DOUBLE) * 4294967296.0
+             / (SELECT th FROM tmin) AS est_intersection,
+           true_clicks, true_purchases,
+           (SELECT true_both FROM inter) AS true_both
+    FROM truth
+    """,
+)
+def kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 128
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            (F.col("user_id") * F.lit(2654435761) + F.lit(12345))
+            % F.lit(4294967296),
+        )
+    )
+    # adaptive pre-filter: keep ~8k smallest-hash candidates per side
+    counts = {
+        r["event_type"]: r["n"]
+        for r in du.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    thr = {
+        t: min(4294967296, max(1, (8 * K * 4294967296) // max(n, 1)))
+        for t, n in counts.items()
+    }
+    if any(n <= 8 * K for n in counts.values()):
+        cand = du  # tiny population: rank everything (exact regime)
+    else:
+        thr_df = F.broadcast(
+            spark.createDataFrame(
+                [(t, v) for t, v in thr.items()], ["event_type", "__thr"]
+            )
+        )
+        cand = du.join(thr_df, "event_type").filter(
+            F.col("h") < F.col("__thr")
+        )
+        kept = {
+            r["event_type"]: r["n"]
+            for r in cand.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if any(kept.get(t, 0) < K for t in counts):
+            cand = du  # under-collected: rank everything
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sk = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= K)
+        .select("event_type", "h")
+    )
+    theta = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept"),
+        F.when(F.count(F.lit(1)) < K, F.lit(4294967296))
+        .otherwise(F.max("h"))
+        .alias("th"),
+        F.when(
+            F.count(F.lit(1)) < K, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(127.0) * F.lit(4294967296.0) / F.max("h"))
+        .alias("est"),
+    )
+    th_c = theta.filter(F.col("event_type") == "click").select(
+        F.col("est").alias("est_clicks")
+    )
+    th_p = theta.filter(F.col("event_type") == "purchase").select(
+        F.col("est").alias("est_purchases")
+    )
+    tmin = theta.agg(F.min("th").alias("th"))
+    matched = (
+        sk.filter(F.col("event_type") == "click")
+        .select("h")
+        .join(sk.filter(F.col("event_type") == "purchase").select("h"), "h")
+        .crossJoin(F.broadcast(tmin))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .crossJoin(F.broadcast(tmin))
+    )
+    truth = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("true_clicks"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("true_purchases"),
+    )
+    both = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .filter((F.col("nc") > 0) & (F.col("np") > 0))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_both"))
+    )
+    return (
+        truth.crossJoin(F.broadcast(th_c))
+        .crossJoin(F.broadcast(th_p))
+        .crossJoin(F.broadcast(matched))
+        .crossJoin(F.broadcast(both))
+        .select(
+            F.lit(128).cast("bigint").alias("k"),
+            "est_clicks",
+            "est_purchases",
+            (
+                F.col("m").cast("double")
+                * F.lit(4294967296.0)
+                / F.col("th")
+            ).alias("est_intersection"),
+            "true_clicks",
+            "true_purchases",
+            "true_both",
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (r8): per-event-type counts
+# released through the Laplace mechanism (ε = 1, sensitivity 1 —
+# each user-event contributes to exactly one cell), completing the
+# privacy family next to k-anonymity / l-diversity / t-closeness
+# (plans/curation.py). The noise draw is SEEDED: a congruential
+# uniform from the cell's alphabetical rank, pushed through the
+# exact inverse-CDF of Laplace(0, 1) — so the release is
+# reproducible and both engines emit bit-identical results (the one
+# ln() call is micro-rounded away, BLEU-2 discipline). The rank
+# window runs over the already-aggregated cell relation — bounded
+# domain (#event types), never the event log.
+@query(
+    "dp_noisy_counts_events",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY 1
+    ), r AS (
+        SELECT event_type, true_n,
+               ROW_NUMBER() OVER (ORDER BY event_type) AS rk
+        FROM c
+    ), u AS (
+        SELECT event_type, true_n,
+               (CAST((rk * 2654435761 + 987654321) % 1000003 AS DOUBLE)
+                + 0.5) / 1000003.0 AS uu
+        FROM r
+    )
+    SELECT event_type, true_n,
+           1.0 AS epsilon,
+           ROUND((0.0 - (CASE WHEN uu - 0.5 < 0.0 THEN -1.0
+                              WHEN uu - 0.5 > 0.0 THEN 1.0
+                              ELSE 0.0 END)
+                  * ln(1.0 - 2.0 * abs(uu - 0.5))) * 1000000.0)
+             / 1000000.0 AS noise,
+           true_n + ROUND((0.0 - (CASE WHEN uu - 0.5 < 0.0 THEN -1.0
+                                       WHEN uu - 0.5 > 0.0 THEN 1.0
+                                       ELSE 0.0 END)
+                           * ln(1.0 - 2.0 * abs(uu - 0.5))) * 1000000.0)
+             / 1000000.0 AS noisy_count
+    FROM u
+    ORDER BY event_type
+    """,
+)
+def dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    # rank over the aggregated cells: bounded domain (#event types)
+    w = Window.orderBy("event_type")
+    r = c.withColumn("rk", F.row_number().over(w))
+    uu = (
+        ((F.col("rk") * F.lit(2654435761) + F.lit(987654321)) % F.lit(1000003))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1000003.0)
+    d = uu - F.lit(0.5)
+    sign = (
+        F.when(d < 0.0, F.lit(-1.0))
+        .when(d > 0.0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    noise = F.round(
+        (F.lit(0.0) - sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(d)))
+        * F.lit(1000000.0)
+    ) / F.lit(1000000.0)
+    return r.select(
+        "event_type",
+        "true_n",
+        F.lit(1.0).alias("epsilon"),
+        noise.alias("noise"),
+        (F.col("true_n") + noise).alias("noisy_count"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (r8): the SCALABLE bootstrap
+# — classical resampling needs n draws per replicate through a
+# shared sampler (a sequential bottleneck); the Poisson(1)
+# approximation gives every row an independent per-replicate weight,
+# so all B = 64 replicates are computed in ONE map + ONE 64-group
+# aggregate, no resampling shuffle, no driver loop (Chamandy et al.,
+# "Estimating Uncertainty for Massive Data Streams", Google 2012).
+# Weights come from a congruential uniform pushed through the exact
+# Poisson(1) inverse CDF (fixed literal breakpoints — pure integer/
+# double comparisons, no transcendentals); replicate means are exact
+# micro-unit ratios; the 95% interval is the (2nd, 63rd) order
+# statistic of the 64 replicate means (bounded relation).
+@query(
+    "bootstrap_ci_event_values",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm
+        FROM events
+    ), rep AS (
+        SELECT j, event_id, vm,
+               (CAST((event_id * 2654435761 + j * 40503 + 7) % 1000003
+                     AS DOUBLE) + 0.5) / 1000003.0 AS u
+        FROM base CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS j)
+    ), wtd AS (
+        SELECT j, vm,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    ELSE 5 END AS w
+        FROM rep
+    ), means AS (
+        SELECT j,
+               CAST(SUM(w * vm) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                 / 1000000.0 AS m
+        FROM wtd GROUP BY j
+    ), ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, j) AS r FROM means
+    )
+    SELECT CAST(64 AS BIGINT) AS n_boot,
+           (SELECT CAST(SUM(vm) AS DOUBLE) / COUNT(*) / 1000000.0
+            FROM base) AS mean_full,
+           (SELECT m FROM ranked WHERE r = 2) AS ci_lo,
+           (SELECT m FROM ranked WHERE r = 63) AS ci_hi
+    """,
+)
+def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    rep = ev.withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.lit(64)))
+    ).withColumn(
+        "u",
+        (
+            (
+                (
+                    F.col("event_id") * F.lit(2654435761)
+                    + F.col("j") * F.lit(40503)
+                    + F.lit(7)
+                )
+                % F.lit(1000003)
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(1000003.0),
+    )
+    w = (
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("w") * F.col("vm")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "j",
+            (
+                F.col("swv").cast("double")
+                / F.col("sw").cast("double")
+                / F.lit(1000000.0)
+            ).alias("m"),
+        )
+    )
+    ranked = means.withColumn(
+        "r", F.row_number().over(Window.orderBy("m", "j"))
+    )
+    lo = ranked.filter(F.col("r") == 2).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("r") == 63).select(F.col("m").alias("ci_hi"))
+    full = ev.agg(
+        (
+            F.sum("vm").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("mean_full")
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(64).cast("bigint").alias("n_boot"),
+            "mean_full",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

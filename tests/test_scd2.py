@@ -5,6 +5,7 @@ intra-batch dedup, trim."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -417,3 +418,57 @@ def test_scd2_evolve_on_manifest_warehouse(spark, tmp_path):
     assert dim.filter(F.col("is_current")).count() == 3
     old = mwh.read_version(EVO_CFG1.dim_table, v1)
     assert "b" not in old.columns
+
+
+def test_scd4_current_plus_history(spark, wh):
+    from lakehouse_poc_spark.operators.scd2 import scd4_upsert
+
+    t = "dim.scd4"
+    b1 = spark.createDataFrame(
+        [("K1", "a"), ("K2", "b")], ["k", "attr"]
+    )
+    scd4_upsert(wh, t, b1, ["k"], "attr", "2024-01-01 00:00:00")
+    cur = wh.read(t).toPandas().sort_values("k")
+    assert list(cur["attr"]) == ["a", "b"]
+    assert wh.read(f"{t}__hist").count() == 0
+
+    # K1 changes, K2 unchanged, K3 new
+    b2 = spark.createDataFrame(
+        [("K1", "a2"), ("K2", "b"), ("K3", "c")], ["k", "attr"]
+    )
+    scd4_upsert(wh, t, b2, ["k"], "attr", "2024-01-02 00:00:00")
+    cur = wh.read(t).toPandas().sort_values("k").reset_index(drop=True)
+    assert list(cur["attr"]) == ["a2", "b", "c"]
+    # loaded_at: changed + new rows stamped T2, unchanged keeps T1
+    stamps = dict(zip(cur["k"], cur["loaded_at"].astype(str)))
+    assert stamps["K1"].startswith("2024-01-02")
+    assert stamps["K2"].startswith("2024-01-01")
+    assert stamps["K3"].startswith("2024-01-02")
+    hist = wh.read(f"{t}__hist").toPandas()
+    assert len(hist) == 1
+    assert hist.iloc[0]["k"] == "K1" and hist.iloc[0]["attr"] == "a"
+    assert str(hist.iloc[0]["archived_at"]).startswith("2024-01-02")
+
+    # idempotent replay: same batch again → no new history rows
+    scd4_upsert(wh, t, b2, ["k"], "attr", "2024-01-03 00:00:00")
+    assert wh.read(f"{t}__hist").count() == 1
+    cur3 = wh.read(t).toPandas().sort_values("k").reset_index(drop=True)
+    assert list(cur3["attr"]) == ["a2", "b", "c"]
+    # unchanged rows keep their original load stamps on replay
+    stamps3 = dict(zip(cur3["k"], cur3["loaded_at"].astype(str)))
+    assert stamps3["K1"].startswith("2024-01-02")
+
+
+def test_scd4_null_safe_change_detection(spark, wh):
+    from lakehouse_poc_spark.operators.scd2 import scd4_upsert
+
+    t = "dim.scd4n"
+    b1 = spark.createDataFrame([("K1", None), ("K2", "x")], ["k", "attr"])
+    scd4_upsert(wh, t, b1, ["k"], "attr", "2024-01-01 00:00:00")
+    # NULL→value and value→NULL both count as changes
+    b2 = spark.createDataFrame([("K1", "y"), ("K2", None)], ["k", "attr"])
+    scd4_upsert(wh, t, b2, ["k"], "attr", "2024-01-02 00:00:00")
+    hist = wh.read(f"{t}__hist").toPandas().sort_values("k")
+    assert list(hist["k"]) == ["K1", "K2"]
+    assert hist.iloc[0]["attr"] is None or pd.isna(hist.iloc[0]["attr"])
+    assert hist.iloc[1]["attr"] == "x"

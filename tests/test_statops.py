@@ -947,3 +947,124 @@ def test_gini_matches_numpy(spark):
         assert row["n_customers"] == n
         assert row["gini"] == pytest.approx(gini, rel=1e-9)
         assert 0.0 <= row["gini"] < 1.0
+
+
+def _knuth_u(x: int) -> float:
+    return ((x * 2654435761 + 987654321) % 1000003 + 0.5) / 1000003.0
+
+
+def test_kmv_sketch_matches_pandas_brute(spark):
+    out = plans.QUERIES["kmv_intersection_users"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    K = 128
+    sketches, thetas, ests = {}, {}, {}
+    for t in ("click", "purchase"):
+        users = sorted(ev.loc[ev["event_type"] == t, "user_id"].unique())
+        hs = sorted((u * 2654435761 + 12345) % 4294967296 for u in users)
+        sketches[t] = hs[:K]
+        if len(hs) < K:  # exact regime: theta = 1, estimate = |kept|
+            thetas[t], ests[t] = 4294967296, float(len(hs))
+        else:
+            thetas[t] = hs[K - 1]
+            ests[t] = 127.0 * 4294967296.0 / hs[K - 1]
+    row = out.iloc[0]
+    assert row["est_clicks"] == ests["click"]
+    assert row["est_purchases"] == ests["purchase"]
+    th = min(thetas.values())
+    m = len(
+        {h for h in sketches["click"] if h < th}
+        & {h for h in sketches["purchase"] if h < th}
+    )
+    assert row["est_intersection"] == m * 4294967296.0 / th
+    # fixture populations are below k, so the sketch must be EXACT
+    assert row["est_clicks"] == row["true_clicks"]
+    assert row["est_purchases"] == row["true_purchases"]
+    # hash-set intersection == true user overlap absent collisions
+    assert row["est_intersection"] == pytest.approx(row["true_both"])
+
+
+def test_dp_noise_is_inverse_cdf_laplace(spark):
+    out = plans.QUERIES["dp_noisy_counts_events"](spark, SF).toPandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for i, row in out.iterrows():
+        u = _knuth_u(i + 1)
+        expect = -np.sign(u - 0.5) * np.log1p(-2 * abs(u - 0.5))
+        assert row["noise"] == pytest.approx(expect, abs=1e-6)
+        assert row["noisy_count"] == pytest.approx(
+            row["true_n"] + row["noise"], abs=1e-9
+        )
+
+
+def test_bootstrap_ci_matches_pandas_and_brackets_mean(spark):
+    out = plans.QUERIES["bootstrap_ci_event_values"](spark, SF).toPandas()
+    row = out.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    vm = np.round(ev["value"].to_numpy() * 1e6).astype("int64")
+    eid = ev["event_id"].to_numpy().astype("int64")
+    cdf = [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+    ]
+    means = []
+    for j in range(1, 65):
+        u = ((eid * 2654435761 + j * 40503 + 7) % 1000003 + 0.5) / 1000003.0
+        w = np.searchsorted(cdf, u, side="right")
+        means.append(float(w @ vm) / float(w.sum()) / 1e6)
+    means.sort()
+    assert row["ci_lo"] == pytest.approx(means[1], rel=1e-12)
+    assert row["ci_hi"] == pytest.approx(means[62], rel=1e-12)
+    assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
+
+
+def test_target_encode_excludes_own_fold(spark):
+    out = plans.QUERIES["target_encode_orders"](spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["vm"] = np.round(o["o_totalprice"].to_numpy() * 1e6).astype("int64")
+    o["fold"] = o["o_orderkey"] % 5
+    gm = float(o["vm"].sum()) / len(o) / 1e6
+    for _, row in out.iterrows():
+        g = o[o["o_orderpriority"] == row["category"]]
+        inf = g[g["fold"] == row["fold"]]
+        oof = g[g["fold"] != row["fold"]]
+        assert row["n_cf"] == len(inf)
+        expect = (float(oof["vm"].sum()) / 1e6 + 10.0 * gm) / (
+            len(oof) + 10.0
+        )
+        assert row["oof_mean"] == pytest.approx(expect, rel=1e-12)
+        # leakage check: the encoding must NOT equal the in-fold mean
+        # unless folds coincide by chance
+        if len(inf) and not np.isclose(
+            inf["vm"].mean(), oof["vm"].mean(), rtol=1e-9
+        ):
+            assert row["oof_mean"] != pytest.approx(
+                float(inf["vm"].mean()) / 1e6, rel=1e-12
+            )
+
+
+def test_conformal_intervals_coverage_guarantee(spark):
+    out = plans.QUERIES["conformal_intervals_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["vm"] = np.round(ev["value"].to_numpy() * 1e6).astype("int64")
+    calib = ev[ev["event_id"] % 5 == 3]
+    train = ev[ev["event_id"] % 5 != 3]
+    pred = (
+        train.groupby("event_type")["vm"]
+        .apply(lambda s: np.round(float(s.sum()) / len(s)))
+        .astype("int64")
+    )
+    resid = np.abs(
+        calib["vm"].to_numpy()
+        - pred.reindex(calib["event_type"]).to_numpy()
+    )
+    n = len(resid)
+    k = min(n, int(np.ceil(0.9 * (n + 1))))
+    qhat = np.sort(resid)[k - 1]
+    row = out.iloc[0]
+    assert row["qhat"] == pytest.approx(qhat / 1e6, rel=1e-12)
+    assert (out["hi"] - out["lo"]).min() >= 0
+    # finite-sample marginal coverage on the calibration split
+    covered = (resid <= qhat).mean()
+    assert covered >= k / (n + 1) - 1e-12
