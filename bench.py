@@ -298,6 +298,14 @@ HEADLINE = [
     "bootstrap_ci_event_values",
     "target_encode_orders",
     "conformal_intervals_events",
+    "rake_keywords_docs",
+    "partition_evolution_orders",
+    "compression_ratio_docs",
+    "impute_missing_events",
+    "bh_fdr_event_tests",
+    "itemcf_recs_parts",
+    "scd6_customer_history",
+    "xcorr_click_purchase",
 ]
 
 

@@ -444,3 +444,95 @@ def scd4_upsert(
     # files the archived slice still reads (recache-by-path rule)
     wh.append(archived, hist)
     wh.overwrite_from_plan(j.select(*out_cols), table)
+
+
+def scd6_upsert(
+    wh,
+    table: str,
+    batch: DataFrame,
+    keys: list[str],
+    tracked: str,
+    run_ts: str,
+) -> None:
+    """SCD Type 6 (hybrid 1+2+3): full SCD2 row history where EVERY
+    version row also carries the key's CURRENT tracked value
+    (``<tracked>_current`` — the type-1 overlay that lets
+    historical-grain facts group by today's attribute without a
+    self-join to the current row). Completes the family:
+    SCD1 ``Warehouse.upsert``, SCD2 :func:`scd2_merge`, SCD3
+    :func:`scd3_upsert`, SCD4 :func:`scd4_upsert` (reference merge
+    loop ``notebooks/pipeline_core.py:219-227``).
+
+    Per batch row, null-safe like the rest of the family: new key →
+    open a current row; matched + unchanged → no version change;
+    matched + CHANGED → close the open row (``valid_to = run_ts``),
+    open a new one, and rewrite ``<tracked>_current`` on EVERY
+    version row of that key. One key-keyed join drives all three
+    effects (history depth per key is bounded by its change count,
+    so the join stays key-partitioned — the type-1 overlay is the
+    same shuffle, not a second scan)."""
+    val_from, val_to = "valid_from", "valid_to"
+    cur_col = f"{tracked}_current"
+    ts = F.to_timestamp(F.lit(run_ts))
+    if not wh.table_exists(table):
+        init = batch.select(
+            "*",
+            F.col(tracked).alias(cur_col),
+            ts.alias(val_from),
+            F.lit(None).cast("timestamp").alias(val_to),
+            F.lit(True).alias("is_current"),
+        )
+        wh.overwrite(init, table)
+        return
+    hist = wh.read(table)
+    b = batch.select(
+        *[F.col(c).alias(f"__b_{c}") for c in batch.columns],
+        F.lit(True).alias("__b_present"),
+    )
+    cond = None
+    for k in keys:
+        c = hist[k].eqNullSafe(F.col(f"__b_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = hist.join(b, cond, "left_outer")
+    in_batch = F.coalesce(F.col("__b_present"), F.lit(False))
+    # change is judged against the key's CURRENT value (the open row
+    # carries it, but every row knows it via the type-1 overlay)
+    changed = in_batch & ~F.col(cur_col).eqNullSafe(F.col(f"__b_{tracked}"))
+    # effect 1+3: close the open row of changed keys; refresh the
+    # overlay on every row of changed keys
+    existing = j.select(
+        *[hist[c] for c in batch.columns if c not in (tracked,)],
+        hist[tracked],
+        F.when(changed, F.col(f"__b_{tracked}"))
+        .otherwise(F.col(cur_col))
+        .alias(cur_col),
+        hist[val_from],
+        F.when(changed & F.col("is_current"), ts)
+        .otherwise(hist[val_to])
+        .alias(val_to),
+        F.when(changed & F.col("is_current"), F.lit(False))
+        .otherwise(F.col("is_current"))
+        .alias("is_current"),
+    )
+    # effect 2: open rows — new keys and changed keys
+    matched_keys = hist.select(*keys).distinct()
+    # null-safe anti join (NULL keys are legitimate matches — the
+    # family's eqNullSafe discipline, code-review r7)
+    anti = None
+    for k in keys:
+        c = batch[k].eqNullSafe(matched_keys[k])
+        anti = c if anti is None else (anti & c)
+    new_keys = batch.join(matched_keys, anti, "left_anti")
+    changed_new = (
+        j.filter(changed & F.col("is_current"))
+        .select(*[F.col(f"__b_{c}").alias(c) for c in batch.columns])
+    )
+    opens = new_keys.unionByName(changed_new).select(
+        "*",
+        F.col(tracked).alias(cur_col),
+        ts.alias(val_from),
+        F.lit(None).cast("timestamp").alias(val_to),
+        F.lit(True).alias("is_current"),
+    )
+    out = existing.select(opens.columns).unionByName(opens)
+    wh.overwrite_from_plan(out, table)

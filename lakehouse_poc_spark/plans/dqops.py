@@ -879,3 +879,104 @@ def functional_deps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "strength"
         ),
     ).orderBy("lhs", "rhs")
+
+
+# ---------------------------------------------------------------------------
+# Group-mean imputation (r8): the repair step that follows the DQ
+# gate — null measurements are filled from the (event_type, hour)
+# cell mean with a global-mean fallback for empty cells (the
+# standard two-level hierarchical imputer). Nulls are synthesized
+# deterministically (event_id % 7 == 0 masks `value`) so the query
+# is reproducible; cell means are exact micro-unit ratios computed
+# from NON-NULL rows only. Audit-shaped output: per type, how many
+# were imputed and the before/after means — fill values never
+# silently shift a distribution without a trace.
+@query(
+    "impute_missing_events",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600)
+                    AS BIGINT) % 24 AS hh,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE CAST(ROUND(value * 1000000.0) AS BIGINT)
+               END AS vm
+        FROM events
+    ), cell AS (
+        SELECT event_type, hh,
+               CAST(ROUND(CAST(SUM(vm) AS DOUBLE) / COUNT(vm)) AS BIGINT)
+                 AS cell_m
+        FROM base WHERE vm IS NOT NULL GROUP BY 1, 2
+    ), filled AS (
+        SELECT b.event_type,
+               b.vm IS NULL AS was_null,
+               COALESCE(b.vm, c.cell_m) AS v
+        FROM base b LEFT JOIN cell c
+          ON b.event_type = c.event_type AND b.hh = c.hh
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN was_null THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           CAST(SUM(CASE WHEN NOT was_null THEN v END) AS DOUBLE)
+             / COUNT(CASE WHEN NOT was_null THEN v END) / 1000000.0
+             AS mean_observed,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_filled
+    FROM filled
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def impute_missing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (
+            (
+                F.floor(
+                    F.unix_timestamp("ts").cast("bigint") / F.lit(3600)
+                ).cast("bigint")
+            )
+            % 24
+        ).alias("hh"),
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.round(F.col("value") * F.lit(1000000.0)).cast("bigint")
+        )
+        .alias("vm"),
+    )
+    cell = (
+        ev.filter(F.col("vm").isNotNull())
+        .groupBy("event_type", "hh")
+        .agg(
+            F.round(F.sum("vm").cast("double") / F.count("vm"))
+            .cast("bigint")
+            .alias("cell_m")
+        )
+    )
+    filled = ev.join(F.broadcast(cell), ["event_type", "hh"], "left").select(
+        "event_type",
+        F.col("vm").isNull().alias("was_null"),
+        F.coalesce("vm", "cell_m").alias("v"),
+    )
+    return (
+        filled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("was_null"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_imputed"),
+            (
+                F.sum(F.when(~F.col("was_null"), F.col("v"))).cast("double")
+                / F.count(F.when(~F.col("was_null"), F.col("v")))
+                / F.lit(1000000.0)
+            ).alias("mean_observed"),
+            (
+                F.sum("v").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_filled"),
+        )
+        .orderBy("event_type")
+    )

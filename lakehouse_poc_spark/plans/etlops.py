@@ -2432,3 +2432,133 @@ def scd4_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("archived_at", "yyyy-MM-dd HH:mm:ss").alias("ts"),
     )
     return cur.unionByName(hist).orderBy("key", "state")
+
+
+# ---------------------------------------------------------------------------
+# Partition spec evolution (r8): partition values live IN THE
+# MANIFEST, not in directory names (Iceberg's hidden partitioning;
+# `ManifestWarehouse.append_partitioned`). The orders table lands in
+# two generations — the pre-1996 segment partitioned by YEAR, then
+# the spec EVOLVES and the 1996+ segment lands partitioned by
+# YEAR-MONTH — and a month-grain query over the evolved table prunes
+# to the matching month files plus the (unknown-at-month-grain)
+# year-files, while remaining row-exact: pruning is metadata-only
+# and the row predicate still applies. The pytest twin asserts the
+# file-level pruning; this oracle gates the data path.
+@query(
+    "partition_evolution_orders",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-06', '1996-03')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def partition_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.warehouse import ManifestWarehouse
+
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+    )
+    root = SCRATCH / f"pevo_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = ManifestWarehouse(spark, str(root))
+    t = "layer0100.orders_evolved"
+    wh.append_partitioned(
+        o.filter(F.col("o_year") < "1996"), t, spec=["o_year"]
+    )
+    # spec evolution: same table, finer grain for the new segment
+    wh.append_partitioned(
+        o.filter(F.col("o_year") >= "1996"), t, spec=["o_ym"]
+    )
+    months = ["1995-06", "1996-03"]
+    pruned = wh.read_pruned(t, {"o_ym": months})
+    return (
+        pruned.filter(F.col("o_ym").isin(months))
+        .groupBy(F.col("o_ym").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("ym")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 6 (r8): hybrid 1+2+3 — full SCD2 row history where every
+# version row ALSO carries the key's current tracked value
+# (operators/scd2.scd6_upsert), so historical-grain facts can group
+# by today's attribute without self-joining the current rows. Same
+# two-batch fixture as the SCD3/SCD4 twins; the %10 keys show the
+# whole mechanism: a closed 2024-01-01→01-02 row whose overlay
+# already says 'CHANGED', plus the new open row.
+@query(
+    "scd6_customer_history",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name,
+           c_mktsegment AS segment, c_mktsegment AS segment_current,
+           '2024-01-01 00:00:00' AS from_ts, 'OPEN' AS to_ts,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, 'CHANGED',
+           '2024-01-01 00:00:00', '2024-01-02 00:00:00', FALSE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED', 'CHANGED',
+           '2024-01-02 00:00:00', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, c_mktsegment,
+           '2024-01-02 00:00:00', 'OPEN', TRUE
+    FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key, from_ts
+    """,
+)
+def scd6_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd6_upsert
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    wh = _fresh_wh(spark, f"scd6_{Path(sf_dir).name}")
+    t = "layer0150.dim_customer_s6"
+    scd6_upsert(wh, t, batch1, ["c_custkey"], "c_mktsegment", T1)
+    scd6_upsert(wh, t, batch2, ["c_custkey"], "c_mktsegment", T2)
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_mktsegment_current").alias("segment_current"),
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+                "from_ts"
+            ),
+            F.coalesce(
+                F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+                F.lit("OPEN"),
+            ).alias("to_ts"),
+            "is_current",
+        )
+        .orderBy("key", "from_ts")
+    )

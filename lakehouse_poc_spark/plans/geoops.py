@@ -233,7 +233,7 @@ _MINPTS = 7
     """,
 )
 def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    from ..operators.graph import connected_components_star
 
     pts = _coords(_t(spark, sf_dir, "customer"))
     cells = pts.select(
@@ -283,8 +283,16 @@ def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    core_cluster = connected_components(core_edges).withColumnRenamed(
-        "component", "cluster"
+    # star contraction, not min-label: a grid eps-graph is exactly the
+    # high-diameter lattice where label propagation needs O(diameter)
+    # rounds (measured at sf0.1: one giant component, per-round cost
+    # compounding 0.6 s → 278 s before convergence — the r8 bench
+    # caught it). Large-star/small-star converges in O(log² n) rounds
+    # regardless of diameter and computes the SAME min-id fixpoint.
+    core_cluster = connected_components_star(
+        core_edges, src="id_a", dst="id_b"
+    ).select(
+        F.col("node").alias("id"), F.col("component").alias("cluster")
     )
     # isolated cores (no core neighbor) are their own cluster
     core_cluster = (

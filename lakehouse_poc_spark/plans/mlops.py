@@ -15,7 +15,7 @@ literals on both sides, combined in the same left-to-right order).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, tokens
@@ -758,4 +758,102 @@ def conformal_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hi"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (r8): classic co-occurrence
+# recommender (Sarwar et al. 2001) over order baskets — for the 20
+# most-ordered parts, the top-3 "customers also ordered" neighbors
+# by cosine co(a,b)/√(n_a·n_b). The basket self-join is keyed on the
+# order (never an unkeyed cross) and TPC-H baskets are ≤7 lines; at
+# open-corpus scale the same mega-basket cap as the A-Priori family
+# applies (operators/itemsets.py) — the per-basket pair expansion is
+# the standard quadratic-in-basket-size cost, bounded by capping,
+# not by hoping. Anchors come from TakeOrdered (no global sort);
+# integer counts → one fixed-order cosine, ranks tie-broken by key.
+@query(
+    "itemcf_recs_parts",
+    oracle="""
+    WITH po AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), np AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM po GROUP BY 1
+    ), anchors AS (
+        SELECT p, n FROM np ORDER BY n DESC, p LIMIT 20
+    ), co AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c
+        FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+        WHERE a.p IN (SELECT p FROM anchors)
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT co.pa, co.pb, co.c,
+               CAST(co.c AS DOUBLE)
+                 / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                 AS cosine
+        FROM co
+        JOIN np na ON na.p = co.pa
+        JOIN np nb ON nb.p = co.pb
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pa
+                                     ORDER BY cosine DESC, pb) AS rk
+        FROM scored
+    )
+    SELECT CAST(pa AS BIGINT) AS part, CAST(pb AS BIGINT) AS rec,
+           c AS co_orders, cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY part, rk
+    """,
+)
+def itemcf_recs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    np_ = po.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    anchors = np_.orderBy(F.col("n").desc(), "p").limit(20)
+    co = (
+        po.alias("a")
+        .join(
+            F.broadcast(anchors.select(F.col("p").alias("ap"))),
+            F.col("a.p") == F.col("ap"),
+        )
+        .join(po.alias("b"), "o")
+        .filter(F.col("a.p") != F.col("b.p"))
+        .groupBy(
+            F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    scored = (
+        co.join(
+            np_.select(F.col("p").alias("pa"), F.col("n").alias("na")), "pa"
+        )
+        .join(
+            np_.select(F.col("p").alias("pb"), F.col("n").alias("nb")), "pb"
+        )
+        .select(
+            "pa",
+            "pb",
+            "c",
+            (
+                F.col("c").cast("double")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("nb").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("cosine").desc(), "pb")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("pa").cast("bigint").alias("part"),
+            F.col("pb").cast("bigint").alias("rec"),
+            F.col("c").alias("co_orders"),
+            "cosine",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+        .orderBy("part", "rk")
     )

@@ -2604,3 +2604,263 @@ def bootstrap_ci_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR correction (r8): the multiple-testing step
+# the per-type A/B tests were missing — run one Welch z-test per
+# event type (weekend vs weekday value means) and control the false
+# discovery rate across the family at q = 0.05 (Benjamini &
+# Hochberg 1995: adj_p_i = min_{j≥i} p_j·m/j over the p-ascending
+# ranks). Sums are exact (BIGINT micro-values, DECIMAL(38,0)
+# squares); z and p are fixed-order doubles; the normal tail comes
+# from the Abramowitz–Stegun 7.1.26 erf polynomial (plain
+# arithmetic + exp, no engine-specific distributions) and p is
+# nano-rounded before the BH pass so both engines rank and adjust
+# identically. BH itself runs on the m-row aggregate — bounded
+# domain, never the event log.
+@query(
+    "bh_fdr_event_tests",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 'we' ELSE 'wd'
+               END AS grp,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm
+        FROM events
+    ), s AS (
+        SELECT event_type, grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vm) AS BIGINT) AS sv,
+               SUM(CAST(vm AS DECIMAL(38,0)) * vm) AS qv
+        FROM base GROUP BY 1, 2
+    ), wide AS (
+        SELECT a.event_type,
+               a.n AS na, a.sv AS sa, a.qv AS qa,
+               b.n AS nb, b.sv AS sb, b.qv AS qb
+        FROM (SELECT * FROM s WHERE grp = 'we') a
+        JOIN (SELECT * FROM s WHERE grp = 'wd') b USING (event_type)
+    ), zt AS (
+        SELECT event_type, na, nb,
+               (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+               / sqrt(
+                   ((CAST(qa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+                    / (na - 1.0)) / na
+                   + ((CAST(qb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb)
+                      / (nb - 1.0)) / nb
+               ) AS z
+        FROM wide
+    ), pv AS (
+        SELECT event_type, na, nb, z,
+               ROUND(((((1.061405429 * t - 1.453152027) * t
+                        + 1.421413741) * t
+                       - 0.284496736) * t
+                      + 0.254829592) * t
+                     * exp(0.0 - xx * xx) * 1000000000.0)
+                 / 1000000000.0 AS p
+        FROM (SELECT event_type, na, nb, z,
+                     abs(z) / sqrt(2.0) AS xx,
+                     1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+              FROM zt)
+    ), rk AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS r,
+               COUNT(*) OVER () AS m
+        FROM pv
+    )
+    SELECT event_type, na, nb, z, p,
+           LEAST(1.0,
+                 MIN(p * m / r) OVER (ORDER BY r
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             AS adj_p,
+           LEAST(1.0,
+                 MIN(p * m / r) OVER (ORDER BY r
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             <= 0.05 AS significant
+    FROM rk
+    ORDER BY event_type
+    """,
+)
+def bh_fdr_event_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofweek("ts").isin(1, 7), F.lit("we"))
+        .otherwise(F.lit("wd"))
+        .alias("grp"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vm"),
+    )
+    s = ev.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vm").cast("bigint").alias("sv"),
+        F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias("qv"),
+    )
+    a = s.filter(F.col("grp") == "we").select(
+        "event_type",
+        F.col("n").alias("na"),
+        F.col("sv").alias("sa"),
+        F.col("qv").alias("qa"),
+    )
+    b = s.filter(F.col("grp") == "wd").select(
+        "event_type",
+        F.col("n").alias("nb"),
+        F.col("sv").alias("sb"),
+        F.col("qv").alias("qb"),
+    )
+    wide = a.join(b, "event_type")
+    z = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    ) / F.sqrt(
+        (
+            (
+                F.col("qa").cast("double")
+                - F.col("sa").cast("double")
+                * F.col("sa").cast("double")
+                / F.col("na")
+            )
+            / (F.col("na") - F.lit(1.0))
+        )
+        / F.col("na")
+        + (
+            (
+                F.col("qb").cast("double")
+                - F.col("sb").cast("double")
+                * F.col("sb").cast("double")
+                / F.col("nb")
+            )
+            / (F.col("nb") - F.lit(1.0))
+        )
+        / F.col("nb")
+    )
+    zt = wide.select("event_type", "na", "nb", z.alias("z"))
+    x = F.abs(F.col("z")) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            - F.lit(0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    p = (
+        F.round(poly * F.exp(F.lit(0.0) - x * x) * F.lit(1000000000.0))
+        / F.lit(1000000000.0)
+    )
+    pv = zt.select("event_type", "na", "nb", "z", p.alias("p"))
+    w_rank = Window.orderBy("p", "event_type")
+    rk = pv.withColumn("r", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    w_suffix = Window.orderBy("r").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    adj = F.least(
+        F.lit(1.0),
+        F.min(F.col("p") * F.col("m") / F.col("r")).over(w_suffix),
+    )
+    return rk.select(
+        "event_type",
+        "na",
+        "nb",
+        "z",
+        "p",
+        adj.alias("adj_p"),
+        (adj <= 0.05).alias("significant"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lead-lag panel (r8): does click activity LEAD
+# purchase activity? Pearson correlation between the hourly click
+# series and the purchase series shifted by lag ∈ [−3, +3] —
+# the companion to acf_hourly_events (auto → cross). No lag window:
+# the shifted alignment is an equi-join of the two hourly aggregates
+# on h + lag (bounded hour domain, exact integer sums, one
+# fixed-order Pearson per lag). Positive-lag peak ⇒ clicks lead.
+@query(
+    "xcorr_click_purchase",
+    oracle=f"""
+    WITH cx AS (
+        SELECT {_SQL_HOUR} AS h, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), cy AS (
+        SELECT {_SQL_HOUR} AS h, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), lags AS (
+        SELECT UNNEST(RANGE(-3, 4)) AS lag
+    ), joined AS (
+        SELECT l.lag, cx.x, cy.y
+        FROM lags l
+        JOIN cx ON TRUE
+        JOIN cy ON cy.h = cx.h + l.lag
+    ), s AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM joined GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag, np AS n_pairs,
+           (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS xcorr
+    FROM s ORDER BY lag
+    """,
+)
+def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cx = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(_hour_idx().alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    cy = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(_hour_idx().alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    joined = (
+        cx.alias("cx")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            cy.alias("cy"),
+            F.col("cy.h") == F.col("cx.h") + F.col("lag"),
+        )
+    )
+    s = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    npd = F.col("np").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("np").alias("n_pairs"),
+        (
+            (npd * F.col("sxy").cast("double") - sxd * syd)
+            / F.sqrt(
+                (npd * F.col("sxx").cast("double") - sxd * sxd)
+                * (npd * F.col("syy").cast("double") - syd * syd)
+            )
+        ).alias("xcorr"),
+    ).orderBy("lag")

@@ -988,3 +988,195 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (r8): Rapid Automatic Keyword Extraction
+# (Rose et al. 2010) — candidate phrases are maximal stopword-free
+# token runs (gaps-and-islands per document: island id = pos − per-
+# doc row_number, a bounded per-doc window); a word scores
+# degree/frequency where degree sums the lengths of every phrase the
+# word occurs in; a phrase scores the sum of its member words'
+# scores. Corpus-level: word statistics aggregate over ALL documents
+# (vocab-domain shuffle), identical phrases collapse with an
+# occurrence count, top-20 by score via TakeOrdered (no global
+# sort). Per-word deg/freq ratios are micro-rounded BIGINTs before
+# the per-phrase sum (BLEU-2 discipline), so both engines agree
+# bit-for-bit.
+@query(
+    "rake_keywords_docs",
+    oracle=r"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS l
+              FROM documents)
+    ),
+    ns AS MATERIALIZED (
+        SELECT doc_id, pos, t,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM tok
+        WHERE t NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is',
+                        'on', 'for', 'with')
+    ),
+    ph AS MATERIALIZED (
+        SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen,
+               string_agg(t, ' ' ORDER BY pos) AS phrase
+        FROM ns GROUP BY 1, 2
+    ),
+    wstat AS (
+        SELECT ns.t,
+               CAST(SUM(ph.plen) AS BIGINT) AS deg,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM ns JOIN ph USING (doc_id, grp)
+        GROUP BY ns.t
+    ),
+    term AS (
+        SELECT t,
+               CAST(ROUND(CAST(deg AS DOUBLE) * 1000000.0 / freq)
+                    AS BIGINT) AS tm
+        FROM wstat
+    ),
+    pscore AS (
+        SELECT ph.doc_id, ph.grp, ph.phrase, ph.plen,
+               CAST(SUM(term.tm) AS BIGINT) AS sm
+        FROM ns JOIN ph USING (doc_id, grp)
+        JOIN term ON ns.t = term.t
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT phrase,
+           CAST(MAX(plen) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(sm) AS DOUBLE) / 1000000.0 AS score
+    FROM pscore
+    GROUP BY phrase
+    ORDER BY score DESC, phrase
+    LIMIT 20
+    """,
+)
+def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos0", "t"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    ns = (
+        tok.filter(~F.col("t").isin(*STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    ph = ns.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        ns.join(ph, ["doc_id", "grp"])
+        .groupBy("t")
+        .agg(
+            F.sum("plen").cast("bigint").alias("deg"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+        )
+    )
+    term = wstat.select(
+        "t",
+        F.round(F.col("deg").cast("double") * F.lit(1000000.0) / F.col("freq"))
+        .cast("bigint")
+        .alias("tm"),
+    )
+    pscore = (
+        ns.join(ph, ["doc_id", "grp"])
+        .join(term, "t")
+        .groupBy("doc_id", "grp", "phrase", "plen")
+        .agg(F.sum("tm").cast("bigint").alias("sm"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            (F.max("sm").cast("double") / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (r8): deflate ratio per document
+# (compressed/raw bytes) — the classic dirt-cheap repetition/
+# boilerplate detector used alongside Gopher-style rules in
+# pretraining curation (highly compressible text = repeated
+# boilerplate; near-incompressible = binary junk/random). zlib runs
+# JVM-free in an Arrow-batched mapInPandas (the declared
+# Python-at-the-codec-boundary surface, like the multimodal codecs);
+# everything after the per-doc ratio is plain grouped aggregation.
+# ⊘ rows-only by design: DuckDB has no deflate — the pytest twin
+# recomputes ratios with the same zlib and the keep-flag contract.
+@query("compression_ratio_docs")
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "raw_len": raw.str.len().astype("int64"),
+                    "comp_len": comp.astype("int64"),
+                }
+            )
+
+    per_doc = docs.mapInPandas(
+        ratios,
+        schema="doc_id long, source string, raw_len long, comp_len long",
+    )
+    # ratio micro-rounded per doc, aggregated as exact integers
+    r = per_doc.withColumn(
+        "ratio_u",
+        F.round(
+            F.col("comp_len").cast("double")
+            * F.lit(1000000.0)
+            / F.col("raw_len")
+        ).cast("bigint"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum("ratio_u").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_ratio"),
+            F.sum(F.when(F.col("ratio_u") < 250000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_too_repetitive"),
+            F.sum(F.when(F.col("ratio_u") > 900000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_incompressible"),
+        )
+        .orderBy("source")
+    )

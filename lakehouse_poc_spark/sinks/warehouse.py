@@ -1925,11 +1925,23 @@ class ManifestWarehouse(Warehouse):
         names: list[str],
         op: str,
         expected_base: int | None = None,
+        new_parts: dict[str, dict] | None = None,
     ) -> int:
         """Write manifest version N+1 (atomic tmp→rename). Callers
         hold the per-table writer lock; the rename is the commit
         point — a reader listing the manifest dir sees either N or
         N+1, never a partial file.
+
+        Partition values live IN THE LOG (Iceberg/Delta style): the
+        body's ``parts`` map records, per file, the partition spec
+        and values it was written under (see
+        :meth:`append_partitioned`). Carried-over files inherit their
+        entry from the previous manifest automatically, so every
+        existing commit path (replace_files, WAP, compaction)
+        preserves pruning metadata without knowing it exists; files
+        with no entry are simply never pruned (unknown-safe).
+        ``new_parts`` supplies entries for freshly staged names (and
+        lets restore/clone carry metadata across manifests/tables).
 
         ``expected_base`` enables optimistic concurrency (the Delta
         conflict check): the writer names the version its work was
@@ -1961,12 +1973,20 @@ class ManifestWarehouse(Warehouse):
                         f"{intervening}; {op!r} cannot serialize after "
                         "them (re-read and retry)"
                     )
+        parts: dict[str, dict] = {}
+        if prev is not None:
+            parts.update(prev.get("parts") or {})
+        if new_parts:
+            parts.update(new_parts)
+        parts = {n: parts[n] for n in names if n in parts}
         body = {
             "version": version,
             "op": op,
             "files": sorted(names),
             "ts": time.time(),
         }
+        if parts:
+            body["parts"] = parts
         tmp = md / f".m{version:06d}.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(body))
         # Tombstone clock (r8): files leaving the live set get their
@@ -2098,7 +2118,10 @@ class ManifestWarehouse(Warehouse):
                     # before our commit) — freshen the shared inode
                     # so the links age like any staged write
                     os.utime(target, (now, now))
-            return self._commit(dst, names, f"clone:{src}")
+            src_parts = (self._latest(src) or {}).get("parts")
+            return self._commit(
+                dst, names, f"clone:{src}", new_parts=src_parts
+            )
 
     def history(self, table: str) -> list[dict]:
         import json
@@ -2178,6 +2201,128 @@ class ManifestWarehouse(Warehouse):
             "upsert_file_pruned / overwrite for scoped rewrites"
         )
 
+    # -- partition values in the log (Iceberg-style, r8) ----------------
+
+    def append_partitioned(
+        self,
+        df: DataFrame,
+        table: str,
+        spec: list[str],
+        expected_version: int | None = None,
+    ) -> None:
+        """Append with PARTITION VALUES RECORDED IN THE MANIFEST —
+        the Iceberg/Delta answer to hive dir layouts (the class
+        docstring's "at that point, use them"). Files stay flat in
+        the table dir; each staged file is value-pure in the ``spec``
+        columns and its manifest entry records
+        ``{"spec": [...], "values": {col: str}}``. Readers prune by
+        metadata (:meth:`prune_plan`), never by directory shape.
+
+        PARTITION SPEC EVOLUTION is free: a later append may use a
+        DIFFERENT spec — old files keep their old entries, and a
+        prune on a column a file never recorded keeps that file
+        (unknown-safe), so evolved tables are always correct, just
+        less pruned on the old segment. That is exactly Iceberg's
+        evolution contract: specs are per-file, queries don't change.
+
+        Mechanics: the staging write partitions by SHADOW copies of
+        the spec columns (``__p_<col>``), so Spark's hive layout
+        carries the values while the data columns remain in the
+        files; the hive dirs are parsed and discarded during the
+        move-in. One extra shuffle vs a plain append (the hive write
+        clusters rows by value) — the cost that buys file-level
+        pruning."""
+        import urllib.parse
+        import uuid
+
+        missing = [c for c in spec if c not in df.columns]
+        if missing:
+            raise ValueError(f"spec columns not in batch: {missing}")
+        job = uuid.uuid4().hex[:12]
+        target = self.path(table)
+        target.mkdir(parents=True, exist_ok=True)
+        staging = target.with_name(f"{target.name}__staging.{job}")
+        shadow = [f"__p_{c}" for c in spec]
+        out = df
+        for c, s in zip(spec, shadow):
+            out = out.withColumn(s, F.col(c).cast("string"))
+        # cluster rows by value so each partition value lands in ONE
+        # task → one file per value (the "extra shuffle" in the
+        # docstring). A pathologically hot value = one big task — the
+        # usual hive-write skew; pick the spec accordingly.
+        out = out.repartition(*[F.col(s) for s in shadow])
+        out.write.partitionBy(*shadow).parquet(str(staging))
+        names: list[str] = []
+        new_parts: dict[str, dict] = {}
+        for i, part in enumerate(sorted(staging.rglob("*.parquet"))):
+            values: dict[str, str] = {}
+            for comp in part.relative_to(staging).parts[:-1]:
+                k, _, v = comp.partition("=")
+                values[k.removeprefix("__p_")] = urllib.parse.unquote(v)
+            name = f"part-{i:05d}-{job}.parquet"
+            part.rename(target / name)
+            names.append(name)
+            new_parts[name] = {"spec": list(spec), "values": values}
+        shutil.rmtree(staging, ignore_errors=True)
+        with self._writer_lock(table):
+            live = self._live_names(table) if self.table_exists(table) else []
+            self._commit(
+                table,
+                live + names,
+                f"append_partitioned({','.join(spec)})",
+                expected_base=expected_version,
+                new_parts=new_parts,
+            )
+
+    def partition_specs(self, table: str) -> list[list[str]]:
+        """Distinct partition specs across live files (evolution
+        history as seen by the current snapshot). Files appended
+        unpartitioned report spec ``[]``."""
+        m = self._latest(table) or {}
+        parts = m.get("parts") or {}
+        seen: list[list[str]] = []
+        for n in m.get("files", []):
+            s = list(parts.get(n, {}).get("spec", []))
+            if s not in seen:
+                seen.append(s)
+        return seen
+
+    def prune_plan(
+        self, table: str, filters: dict[str, list[str]]
+    ) -> tuple[list[str], int]:
+        """Metadata-only pruning: live file names whose recorded
+        partition values can match ``filters`` (col → allowed string
+        values), plus the live total. A file with NO recorded value
+        for a filtered column is KEPT — that is what makes spec
+        evolution and plain appends safe; pruning is an optimization,
+        never a filter, so callers still apply the row predicate."""
+        m = self._latest(table)
+        if m is None:
+            raise ValueError(f"table {table!r} has no committed manifest")
+        parts = m.get("parts") or {}
+        selected = []
+        for n in m["files"]:
+            vals = parts.get(n, {}).get("values", {})
+            if all(
+                c not in vals or vals[c] in allowed
+                for c, allowed in filters.items()
+            ):
+                selected.append(n)
+        return selected, len(m["files"])
+
+    def read_pruned(
+        self, table: str, filters: dict[str, list[str]]
+    ) -> DataFrame:
+        """Read only the files :meth:`prune_plan` selects. The caller
+        must still apply the actual row predicate (unknown-spec files
+        are included whole)."""
+        names, _total = self.prune_plan(table, filters)
+        if not names:
+            return self.read(table).limit(0)
+        return self.spark.read.parquet(
+            *[str(self.path(table) / n) for n in names]
+        )
+
     def delete_where_dv(self, table: str, predicate) -> dict:
         raise NotImplementedError(
             "manifest-mode tables version their file lists; DELETE "
@@ -2197,6 +2342,67 @@ class ManifestWarehouse(Warehouse):
             "manifest-mode tables are unpartitioned; use "
             "delete_where_file_pruned for retention"
         )
+
+    def compact(
+        self,
+        table: str,
+        target_files: int | None = None,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
+        target_file_bytes: int | None = None,
+    ) -> int:
+        """Manifest-native OPTIMIZE (r8). The inherited path-swap
+        compaction would rewrite the directory UNDER the manifest —
+        live names would dangle for every reader — so manifest mode
+        gets the commit-based form: stage the coalesced rewrite,
+        commit a manifest referencing only the new files, let the old
+        ones age out through vacuum's tombstone clock. Readers see
+        pre- or post-OPTIMIZE state, never half. Optimistic
+        concurrency guards the wholesale file-list replacement: the
+        commit names the version the rewrite was based on and FAILS
+        if any writer (even an append) landed in between — re-read
+        and retry, Delta's OPTIMIZE conflict rule."""
+        if partition_by:
+            self._no_partitions(partition_by)
+        if zorder_by is not None:
+            raise NotImplementedError(
+                "manifest-mode OPTIMIZE supports cluster_by (range "
+                "clustering); use the file_skipping helpers for "
+                "z-order layouts"
+            )
+        if (target_files is None) == (target_file_bytes is None):
+            raise ValueError(
+                "pass exactly one of target_files / target_file_bytes"
+            )
+        base_version = self.version(table)
+        names = self._live_names(table)
+        n_before = len(names)
+        paths = [self.path(table) / n for n in names]
+        if target_file_bytes is not None:
+            total = sum(p.stat().st_size for p in paths)
+            target_files = max(1, -(-total // target_file_bytes))
+        df = self.spark.read.parquet(*[str(p) for p in paths])
+        if cluster_by:
+            df = df.repartitionByRange(
+                target_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(target_files)
+        # stage OUTSIDE the lock (job-unique staging never conflicts;
+        # a long rewrite must not hold writers out) — only the commit
+        # itself serializes, and expected_base catches interleavers
+        new_names = self._stage_in(df, table)
+        try:
+            with self._writer_lock(table):
+                self._commit(
+                    table, new_names, "optimize", expected_base=base_version
+                )
+        except ConcurrentWriteError:
+            for n in new_names:  # failed rewrite: reclaim, like WAP
+                (self.path(table) / n).unlink(missing_ok=True)
+            raise
+        return n_before
 
     def _replace_files(
         self, table: str, touched: list[str], replacement: DataFrame
@@ -2228,7 +2434,8 @@ class ManifestWarehouse(Warehouse):
                     f"version {version} of {table!r} not in manifest "
                     "history (vacuumed?)"
                 )
-            names = json.loads(mf.read_text())["files"]
+            old = json.loads(mf.read_text())
+            names = old["files"]
             missing = [
                 n for n in names if not (self.path(table) / n).exists()
             ]
@@ -2237,7 +2444,12 @@ class ManifestWarehouse(Warehouse):
                     f"cannot restore {table!r} to v{version}: files "
                     f"vacuumed: {missing[:3]}..."
                 )
-            return self._commit(table, names, f"restore({version})")
+            return self._commit(
+                table,
+                names,
+                f"restore({version})",
+                new_parts=old.get("parts"),
+            )
 
     def write_audit_publish(
         self,

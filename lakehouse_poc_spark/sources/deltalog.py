@@ -20,11 +20,14 @@ same state; the protocol floor is pinned at minReaderVersion=1, the
 original JSON-commit protocol every Delta runtime accepts).
 
 Scope (documented, fail-fast elsewhere): unpartitioned tables,
-JSON-only commits (no parquet checkpoints — readers of long histories
-should compact; the spec makes checkpoints an optimization, not a
-requirement), append/overwrite/time-travel. DML (merge/delete) and
-schema evolution ride the Warehouse/ManifestWarehouse engines; this is
-the interop layer.
+JSON commits plus PARQUET CHECKPOINTS (r8): every
+``CHECKPOINT_INTERVAL`` commits the writer drops a
+``%020d.checkpoint.parquet`` + ``_last_checkpoint`` pointer, and the
+reader opens long histories from the newest covering checkpoint in
+O(live files) instead of O(commits) — the spec's log-compaction
+optimization, in its on-disk shape. DML (merge/delete) and schema
+evolution ride the Warehouse/ManifestWarehouse engines; this is the
+interop layer.
 
 Atomicity: the commit point is the atomic tmp→rename of the JSON file
 — identical discipline to ManifestWarehouse._commit, and exactly what
@@ -59,27 +62,195 @@ def _commits(table_path: str | Path) -> list[Path]:
 
 
 def current_version(table_path: str | Path) -> int:
-    """Latest committed version, or -1 for a nonexistent table."""
+    """Latest committed version, or -1 for a nonexistent table. A
+    checkpoint can be newer than the surviving JSON commits after a
+    log clean, so both sources vote."""
     cs = _commits(table_path)
-    return int(cs[-1].stem) if cs else -1
+    ck = _last_checkpoint_meta(table_path)
+    return max(
+        int(cs[-1].stem) if cs else -1,
+        ck["version"] if ck else -1,
+    )
+
+
+CHECKPOINT_INTERVAL = 10
+
+
+def _last_checkpoint_meta(table_path: str | Path) -> dict | None:
+    """Parse ``_delta_log/_last_checkpoint`` (the spec's pointer file
+    that lets readers skip listing/replaying the whole log)."""
+    f = _log_dir(table_path) / "_last_checkpoint"
+    if not f.exists():
+        return None
+    try:
+        return json.loads(f.read_text())
+    except (ValueError, OSError):
+        return None  # torn pointer: fall back to full replay
+
+
+def _read_checkpoint(table_path: str | Path, version: int) -> dict | None:
+    """Load snapshot state from ``%020d.checkpoint.parquet`` (one row
+    per action, the spec's checkpoint layout). Returns None if the
+    file is absent — callers fall back to JSON replay."""
+    import pyarrow.parquet as pq
+
+    f = _log_dir(table_path) / f"{version:020d}.checkpoint.parquet"
+    if not f.exists():
+        return None
+    live: dict[str, dict] = {}
+    schema: str | None = None
+    min_reader = 1
+    for row in pq.read_table(str(f)).to_pylist():
+        if row.get("protocol") is not None:
+            min_reader = row["protocol"]["minReaderVersion"]
+        if row.get("metaData") is not None:
+            schema = row["metaData"]["schemaString"]
+        if row.get("add") is not None:
+            a = dict(row["add"])
+            pv = a.get("partitionValues") or []
+            a["partitionValues"] = (
+                dict(pv) if not isinstance(pv, dict) else pv
+            )
+            live[a["path"]] = a
+    return {
+        "live": live,
+        "schema": schema,
+        "min_reader": min_reader,
+    }
+
+
+def write_checkpoint(table_path: str | Path, version: int | None = None) -> Path:
+    """Write a PARQUET CHECKPOINT of the snapshot at ``version`` plus
+    the ``_last_checkpoint`` pointer — the spec's log-compaction
+    optimization that makes opening a long-history table O(live
+    files), not O(commits): readers load the newest checkpoint and
+    replay only the JSON commits after it. Single-file parquet via
+    pyarrow (the name IS the contract: ``%020d.checkpoint.parquet``);
+    idempotent — re-checkpointing a version rewrites identical state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v = current_version(table_path) if version is None else version
+    state = _replay(table_path, v)
+    t_protocol = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    t_format = pa.struct(
+        [("provider", pa.string()), ("options", pa.map_(pa.string(), pa.string()))]
+    )
+    t_metadata = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", t_format),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    t_add = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    t_remove = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    t_txn = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    md = state["metaData"] or {
+        "id": "unknown",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": state["schema"],
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": md.get("id", "unknown"),
+                "format": md.get(
+                    "format", {"provider": "parquet", "options": {}}
+                ),
+                "schemaString": md.get("schemaString"),
+                "partitionColumns": md.get("partitionColumns", []),
+                "configuration": md.get("configuration", {}),
+                "createdTime": md.get("createdTime", 0),
+            }
+        },
+    ] + [{"add": a} for a in state["adds"]]
+    cols = ("protocol", "metaData", "add", "remove", "txn")
+    types = (t_protocol, t_metadata, t_add, t_remove, t_txn)
+    table = pa.table(
+        {
+            c: pa.array([r.get(c) for r in rows], type=t)
+            for c, t in zip(cols, types)
+        }
+    )
+    d = _log_dir(table_path)
+    d.mkdir(parents=True, exist_ok=True)
+    target = d / f"{v:020d}.checkpoint.parquet"
+    tmp = d / f".{v:020d}.checkpoint.{uuid.uuid4().hex[:8]}.tmp"
+    pq.write_table(table, str(tmp))
+    tmp.rename(target)
+    ptr_tmp = d / f"._last_checkpoint.{uuid.uuid4().hex[:8]}.tmp"
+    ptr_tmp.write_text(json.dumps({"version": v, "size": len(rows)}))
+    ptr_tmp.rename(d / "_last_checkpoint")
+    return target
 
 
 def _replay(table_path: str | Path, version: int | None) -> dict:
-    """Replay commits 0..version → {'files': [...], 'schema': str}."""
+    """State at ``version``: start from the newest usable parquet
+    checkpoint ≤ version (O(1) log reads on long histories), then
+    replay only the JSON commits after it. Full JSON replay when no
+    checkpoint applies; fail fast if the log was cleaned past the
+    requested version (commit 0 gone and no covering checkpoint).
+    Returns {'files', 'schema', 'adds', 'metaData'}."""
     cs = _commits(table_path)
-    if not cs:
+    ck_meta = _last_checkpoint_meta(table_path)
+    if not cs and ck_meta is None:
         raise DeltaLogError(f"no _delta_log at {table_path}")
-    latest = int(cs[-1].stem)
+    latest = max(
+        int(cs[-1].stem) if cs else -1,
+        ck_meta["version"] if ck_meta else -1,
+    )
     v = latest if version is None else version
     if v < 0 or v > latest:
         raise DeltaLogError(
             f"version {v} not in [0, {latest}] for {table_path}"
         )
     live: dict[str, dict] = {}
+    meta_action: dict | None = None
     schema: str | None = None
     min_reader = 1
+    start_after = -1
+    if ck_meta is not None and ck_meta.get("version", -1) <= v:
+        ck = _read_checkpoint(table_path, ck_meta["version"])
+        if ck is not None:
+            live = dict(ck["live"])
+            schema = ck["schema"]
+            min_reader = ck["min_reader"]
+            start_after = ck_meta["version"]
+    if start_after < 0 and cs and int(cs[0].stem) > 0:
+        raise DeltaLogError(
+            f"log truncated: earliest JSON commit is {cs[0].stem} and "
+            f"no checkpoint covers version {v} — time travel below the "
+            "checkpoint horizon needs the cleaned commits"
+        )
     for c in cs:
-        if int(c.stem) > v:
+        cv = int(c.stem)
+        if cv <= start_after:
+            continue
+        if cv > v:
             break
         for line in c.read_text().splitlines():
             if not line.strip():
@@ -88,6 +259,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
             if "protocol" in action:
                 min_reader = action["protocol"].get("minReaderVersion", 1)
             elif "metaData" in action:
+                meta_action = action["metaData"]
                 schema = action["metaData"].get("schemaString")
             elif "add" in action:
                 live[action["add"]["path"]] = action["add"]
@@ -99,7 +271,12 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
             "implements protocol version 1 (JSON commits, no deletion "
             "vectors / column mapping)"
         )
-    return {"files": sorted(live), "schema": schema}
+    return {
+        "files": sorted(live),
+        "schema": schema,
+        "adds": [live[k] for k in sorted(live)],
+        "metaData": meta_action,
+    }
 
 
 def read_delta(
@@ -194,6 +371,11 @@ class DeltaLogWriter:
             ) from None
         finally:
             tmp.unlink()
+        # spec cadence: checkpoint every CHECKPOINT_INTERVAL commits
+        # (after the commit point — a crash here just delays the next
+        # checkpoint, it never corrupts the log)
+        if v > 0 and v % CHECKPOINT_INTERVAL == 0:
+            write_checkpoint(self.path, v)
         return v
 
     def _meta_actions(self, df: DataFrame) -> list[dict]:

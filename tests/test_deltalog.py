@@ -228,3 +228,71 @@ def test_deltalog_warehouse_vacuum_respects_latest_and_age(spark, tmp_path):
 
     with _pt.raises(Exception):
         wh.read_version(t, 0).collect()
+
+
+def test_checkpoint_roundtrip_and_fast_open(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import write_checkpoint
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(_df(spark, [(1, "a")]))
+    for i in range(2, 6):
+        w.append(_df(spark, [(i, "x")]))
+    full_before = sorted(
+        r["id"] for r in read_delta(spark, p).collect()
+    )
+    ck = write_checkpoint(p)
+    assert ck.name == f"{current_version(p):020d}.checkpoint.parquet"
+    ptr = json.loads((p / "_delta_log" / "_last_checkpoint").read_text())
+    assert ptr["version"] == current_version(p)
+    # checkpointed open == full replay
+    assert sorted(r["id"] for r in read_delta(spark, p).collect()) == full_before
+    # commits after the checkpoint replay on top of it
+    w.append(_df(spark, [(99, "z")]))
+    ids = sorted(r["id"] for r in read_delta(spark, p).collect())
+    assert ids == full_before + [99]
+    # time travel BELOW the checkpoint still works while JSONs survive
+    assert len(read_delta(spark, p, version=0).collect()) == 1
+
+
+def test_checkpoint_survives_log_clean(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import (
+        write_checkpoint,
+    )
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(_df(spark, [(1, "a")]))
+    w.append(_df(spark, [(2, "b")]))
+    w.overwrite(_df(spark, [(7, "q"), (8, "r")]))
+    write_checkpoint(p)
+    v = current_version(p)
+    # clean every JSON commit ≤ checkpoint (the spec's log retention)
+    for f in (p / "_delta_log").glob("*.json"):
+        if int(f.stem) <= v:
+            f.unlink()
+    # latest state opens from the checkpoint alone
+    assert sorted(r["id"] for r in read_delta(spark, p).collect()) == [7, 8]
+    assert current_version(p) == v
+    # ...and writers continue on top
+    w.append(_df(spark, [(9, "s")]))
+    assert sorted(r["id"] for r in read_delta(spark, p).collect()) == [7, 8, 9]
+    # time travel below the horizon fails FAST and says why
+    with pytest.raises(DeltaLogError, match="truncated|checkpoint"):
+        read_delta(spark, p, version=0)
+
+
+def test_auto_checkpoint_cadence(spark, tmp_path):
+    from lakehouse_poc_spark.sources import deltalog as dl
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(_df(spark, [(0, "a")]))
+    for i in range(1, dl.CHECKPOINT_INTERVAL + 1):
+        w.append(_df(spark, [(i, "x")]))
+    cks = list((p / "_delta_log").glob("*.checkpoint.parquet"))
+    assert [c.name for c in cks] == [
+        f"{dl.CHECKPOINT_INTERVAL:020d}.checkpoint.parquet"
+    ]
+    assert (p / "_delta_log" / "_last_checkpoint").exists()
+    assert read_delta(spark, p).count() == dl.CHECKPOINT_INTERVAL + 1

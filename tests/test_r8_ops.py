@@ -1,0 +1,192 @@
+"""Parity tests for the r8 additions batch: RAKE keywords,
+compression-ratio signal, group-mean imputation, BH FDR, item-item
+CF, and the partition-evolution data path (file-level assertions for
+partition pruning live in test_warehouse_manifest.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lakehouse_poc_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rake_pandas(docs: pd.DataFrame, stop: set[str]):
+    wdeg: dict[str, int] = {}
+    wfreq: dict[str, int] = {}
+    phrases = []  # (phrase, words)
+    for _, row in docs.iterrows():
+        toks = row["text"].lower().strip().split()
+        run: list[str] = []
+        for t in toks + ["the"]:  # sentinel stop flushes the tail
+            if t in stop:
+                if run:
+                    phrases.append((" ".join(run), list(run)))
+                    for w in run:
+                        wdeg[w] = wdeg.get(w, 0) + len(run)
+                        wfreq[w] = wfreq.get(w, 0) + 1
+                run = []
+            else:
+                run.append(t)
+    term = {w: round(wdeg[w] * 1e6 / wfreq[w]) for w in wdeg}
+    scored: dict[str, tuple[int, int, int]] = {}
+    for ph, words in phrases:
+        sm = sum(term[w] for w in words)
+        n, _, _ = scored.get(ph, (0, len(words), sm))
+        scored[ph] = (n + 1, len(words), sm)
+    rows = [
+        (ph, nw, n, sm / 1e6) for ph, (n, nw, sm) in scored.items()
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return rows[:20]
+
+
+def test_rake_matches_pandas(spark):
+    from lakehouse_poc_spark.functions.text import STOPWORDS
+
+    out = plans.QUERIES["rake_keywords_docs"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    expect = _rake_pandas(docs, set(STOPWORDS))
+    got = [
+        (r["phrase"], r["n_words"], r["n_occurrences"], r["score"])
+        for _, r in out.iterrows()
+    ]
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[0] == e[0] and g[1] == e[1] and g[2] == e[2]
+        assert g[3] == pytest.approx(e[3], rel=1e-12)
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    out = plans.QUERIES["compression_ratio_docs"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for _, row in out.iterrows():
+        g = docs[docs["source"] == row["source"]]
+        ratios = [
+            round(len(zlib.compress(t.encode(), 6)) * 1e6 / len(t.encode()))
+            for t in g["text"]
+        ]
+        assert row["n_docs"] == len(g)
+        assert row["mean_ratio"] == pytest.approx(
+            sum(ratios) / len(ratios) / 1e6, rel=1e-12
+        )
+        assert row["n_too_repetitive"] == sum(r < 250000 for r in ratios)
+        assert row["n_incompressible"] == sum(r > 900000 for r in ratios)
+
+
+def test_impute_missing_matches_pandas(spark):
+    out = plans.QUERIES["impute_missing_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["vm"] = pd.array(
+        np.round(ev["value"].to_numpy() * 1e6).astype("int64"),
+        dtype="Int64",
+    )
+    ev.loc[ev["event_id"] % 7 == 0, "vm"] = pd.NA
+    ts = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ev["hh"] = (ts // 3600) % 24
+    cell = (
+        ev.dropna(subset=["vm"])
+        .groupby(["event_type", "hh"])["vm"]
+        .apply(lambda s: np.round(float(s.sum()) / len(s)))
+    )
+    for _, row in out.iterrows():
+        g = ev[ev["event_type"] == row["event_type"]].copy()
+        assert row["n_rows"] == len(g)
+        assert row["n_imputed"] == int(g["vm"].isna().sum())
+        fill = cell.reindex(
+            list(zip(g["event_type"], g["hh"]))
+        ).to_numpy()
+        v = pd.to_numeric(g["vm"], errors="coerce").to_numpy(
+            dtype="float64"
+        )
+        v = np.where(np.isnan(v), fill, v)
+        assert row["mean_filled"] == pytest.approx(
+            np.nansum(v) / len(g) / 1e6, rel=1e-12
+        )
+    # the imputation must not move the observed mean itself
+    assert (out["n_imputed"] > 0).any()
+
+
+def test_bh_fdr_properties_and_numpy(spark):
+    out = plans.QUERIES["bh_fdr_event_tests"](spark, SF).toPandas()
+    m = len(out)
+    s = out.sort_values("p").reset_index(drop=True)
+    # adj_p is the BH step-up: monotone in p, >= p, <= 1
+    assert (s["adj_p"].to_numpy()[1:] >= s["adj_p"].to_numpy()[:-1] - 1e-15).all()
+    assert (s["adj_p"] >= s["p"] - 1e-15).all()
+    assert (s["adj_p"] <= 1.0 + 1e-15).all()
+    # recompute step-up from the reported p values
+    ranks = np.arange(1, m + 1)
+    raw = s["p"].to_numpy() * m / ranks
+    expect = np.minimum(1.0, np.minimum.accumulate(raw[::-1])[::-1])
+    assert np.allclose(s["adj_p"].to_numpy(), expect, rtol=1e-12)
+    # p matches the A&S normal tail of the reported z
+    for _, row in s.iterrows():
+        x = abs(row["z"]) / np.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592
+        ) * t
+        assert row["p"] == pytest.approx(
+            round(poly * np.exp(-x * x) * 1e9) / 1e9, abs=2e-9
+        )
+
+
+def test_itemcf_matches_pandas_brute(spark):
+    out = plans.QUERIES["itemcf_recs_parts"](spark, SF).toPandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    po = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n = po.groupby("l_partkey").size()
+    anchors = sorted(
+        n.index, key=lambda p: (-n[p], p)
+    )[:20]
+    orders_of = po.groupby("l_partkey")["l_orderkey"].apply(set)
+    assert set(out["part"]) <= set(anchors)
+    for pa in out["part"].unique():
+        cands = []
+        for pb, obs in orders_of.items():
+            if pb == pa:
+                continue
+            c = len(orders_of[pa] & obs)
+            if c:
+                cands.append(
+                    (pb, c, c / np.sqrt(float(n[pa]) * float(n[pb])))
+                )
+        cands.sort(key=lambda r: (-r[2], r[0]))
+        g = out[out["part"] == pa].sort_values("rk")
+        for (pb, c, cos), (_, row) in zip(cands[:3], g.iterrows()):
+            assert row["rec"] == pb and row["co_orders"] == c
+            assert row["cosine"] == pytest.approx(cos, rel=1e-12)
+
+
+def test_xcorr_matches_numpy(spark):
+    out = plans.QUERIES["xcorr_click_purchase"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    h = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 3600
+    cx = h[ev["event_type"] == "click"].value_counts()
+    cy = h[ev["event_type"] == "purchase"].value_counts()
+    assert list(out["lag"]) == list(range(-3, 4))
+    for _, row in out.iterrows():
+        lag = int(row["lag"])
+        hours = [hh for hh in cx.index if hh + lag in cy.index]
+        x = np.array([cx[hh] for hh in hours], dtype=float)
+        y = np.array([cy[hh + lag] for hh in hours], dtype=float)
+        assert row["n_pairs"] == len(hours)
+        assert row["xcorr"] == pytest.approx(
+            np.corrcoef(x, y)[0, 1], rel=1e-9
+        )
+
+
+def test_scd4_query_and_scd6_query_registered():
+    assert "scd4_customer_history" in plans.QUERIES
+    assert "scd6_customer_history" in plans.QUERIES
+    assert "scd4_customer_history" in plans.ORACLES
+    assert "scd6_customer_history" in plans.ORACLES

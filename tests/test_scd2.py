@@ -472,3 +472,43 @@ def test_scd4_null_safe_change_detection(spark, wh):
     assert list(hist["k"]) == ["K1", "K2"]
     assert hist.iloc[0]["attr"] is None or pd.isna(hist.iloc[0]["attr"])
     assert hist.iloc[1]["attr"] == "x"
+
+
+def test_scd6_history_with_type1_overlay(spark, wh):
+    from lakehouse_poc_spark.operators.scd2 import scd6_upsert
+
+    t = "dim.scd6"
+    b1 = spark.createDataFrame([("K1", "a"), ("K2", "b")], ["k", "attr"])
+    scd6_upsert(wh, t, b1, ["k"], "attr", "2024-01-01 00:00:00")
+    # K1 changes twice, K3 arrives
+    b2 = spark.createDataFrame([("K1", "a2"), ("K3", "c")], ["k", "attr"])
+    scd6_upsert(wh, t, b2, ["k"], "attr", "2024-01-02 00:00:00")
+    b3 = spark.createDataFrame([("K1", "a3")], ["k", "attr"])
+    scd6_upsert(wh, t, b3, ["k"], "attr", "2024-01-03 00:00:00")
+    out = (
+        wh.read(t)
+        .toPandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    k1 = out[out["k"] == "K1"]
+    # full SCD2 history...
+    assert list(k1["attr"]) == ["a", "a2", "a3"]
+    assert list(k1["is_current"]) == [False, False, True]
+    # ...and the type-1 overlay says TODAY'S value on every row
+    assert list(k1["attr_current"]) == ["a3", "a3", "a3"]
+    # closed rows chain: valid_to of row i == valid_from of row i+1
+    assert list(k1["valid_to"].astype(str).str[:10]) == [
+        "2024-01-02",
+        "2024-01-03",
+        "NaT",
+    ]
+    # untouched and unchanged keys: single open row, overlay == value
+    k2 = out[out["k"] == "K2"]
+    assert len(k2) == 1 and bool(k2.iloc[0]["is_current"])
+    assert k2.iloc[0]["attr_current"] == "b"
+    # idempotent replay: same batch again → nothing moves
+    scd6_upsert(wh, t, b3, ["k"], "attr", "2024-01-04 00:00:00")
+    out2 = wh.read(t).toPandas()
+    assert len(out2) == len(out)
+    assert (out2["k"] == "K1").sum() == 3

@@ -459,3 +459,131 @@ def test_tombstone_clock_spares_old_file_freshly_dropped(spark, tmp_path):
     for name in live0:  # ...but its files aged from the DROP: spared
         assert (wh.path(t) / name).exists(), name
     assert reader.count() == 10  # the in-flight reader completes
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, ["id", "y", "ym", "v"])
+
+
+def test_partitioned_append_records_values_and_prunes(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "fact.pev"
+    b1 = _pdf(
+        spark,
+        [(1, "1995", "1995-01", 10), (2, "1995", "1995-02", 20),
+         (3, "1994", "1994-07", 30)],
+    )
+    wh.append_partitioned(b1, t, spec=["y"])
+    assert wh.partition_specs(t) == [["y"]]
+    sel, total = wh.prune_plan(t, {"y": ["1995"]})
+    assert total == 2 and len(sel) == 1  # one file per year value
+    # data columns survive the shadow-partition staging intact
+    assert set(wh.read(t).columns) == {"id", "y", "ym", "v"}
+    assert wh.read(t).count() == 3
+
+
+def test_partition_spec_evolution_is_unknown_safe(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "fact.pev2"
+    wh.append_partitioned(
+        _pdf(spark, [(1, "1995", "1995-01", 10), (2, "1995", "1995-02", 20)]),
+        t,
+        spec=["y"],
+    )
+    wh.append_partitioned(
+        _pdf(spark, [(3, "1996", "1996-03", 30), (4, "1996", "1996-04", 40)]),
+        t,
+        spec=["ym"],
+    )
+    assert sorted(wh.partition_specs(t)) == [["y"], ["ym"]]
+    # month filter: prunes the month-spec segment to one file but
+    # KEEPS the year-spec files (no ym value recorded → unknown-safe)
+    sel, total = wh.prune_plan(t, {"ym": ["1996-03"]})
+    assert total == 3 and len(sel) == 2
+    got = (
+        wh.read_pruned(t, {"ym": ["1996-03"]})
+        .filter(F.col("ym") == "1996-03")
+        .collect()
+    )
+    assert [r["id"] for r in got] == [3]
+    # filter on the OLD spec column still prunes the old segment
+    sel2, _ = wh.prune_plan(t, {"y": ["1995"]})
+    assert len(sel2) == 1 + 2  # 1995 file + both unknown-y month files
+
+
+def test_partition_metadata_survives_restore_clone_and_dml(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "fact.pev3"
+    wh.append_partitioned(
+        _pdf(spark, [(1, "1995", "1995-01", 10), (2, "1996", "1996-01", 20)]),
+        t,
+        spec=["y"],
+    )
+    v0 = wh.version(t)
+    # plain append: new file has no values and is never pruned out
+    wh.append(_pdf(spark, [(9, "1997", "1997-09", 90)]), t)
+    sel, total = wh.prune_plan(t, {"y": ["1995"]})
+    assert len(sel) == total - 1  # only the 1996 file pruned
+    # restore back to v0 keeps v0's partition entries
+    wh.restore(t, v0)
+    sel0, total0 = wh.prune_plan(t, {"y": ["1995"]})
+    assert total0 == 2 and len(sel0) == 1
+    # shallow clone carries the metadata to the new table
+    wh.clone(t, "fact.pev3_clone")
+    selc, totalc = wh.prune_plan("fact.pev3_clone", {"y": ["1995"]})
+    assert totalc == 2 and len(selc) == 1
+    # file-pruned DML: untouched files keep their entries (replace
+    # writes unknown files; correctness preserved, pruning degrades
+    # only on the rewritten slice)
+    wh.delete_where_file_pruned(t, F.col("id") == 2)
+    sel3, _ = wh.prune_plan(t, {"y": ["1995"]})
+    assert any(n in sel3 for n in sel0)  # 1995 file entry survived
+    assert wh.read(t).count() == 1
+
+
+def test_manifest_optimize_commit_based(spark, tmp_path):
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "fact.opt"
+    for i in range(4):  # 4 small appends → ≥4 live files
+        wh.append(spark.range(i * 10, i * 10 + 10).selectExpr("id"), t)
+    names_before = wh._live_names(t)
+    assert len(names_before) >= 4
+    reader = wh.read(t)  # resolves the pre-OPTIMIZE manifest
+    n_before = wh.compact(t, target_files=1)
+    assert n_before == len(names_before)
+    assert len(wh._live_names(t)) == 1
+    assert wh.read(t).count() == 40
+    # nothing unlinked at commit: the in-flight reader still completes
+    assert reader.count() == 40
+    for n in names_before:
+        assert (wh.path(t) / n).exists()
+
+
+def test_manifest_optimize_conflicts_with_interleaved_append(
+    spark, tmp_path, monkeypatch
+):
+    from lakehouse_poc_spark.sinks.warehouse import (
+        ConcurrentWriteError,
+        ManifestWarehouse,
+    )
+
+    wh = ManifestWarehouse(spark, str(tmp_path / "wh"))
+    t = "fact.optc"
+    wh.append(spark.range(10).selectExpr("id"), t)
+    # interleave: an append lands between OPTIMIZE's read and commit
+    orig = ManifestWarehouse._stage_in
+    raced = []
+
+    def stage_then_append(self, df, table):
+        names = orig(self, df, table)
+        if not raced:
+            raced.append(True)
+            wh2 = ManifestWarehouse(spark, str(tmp_path / "wh"))
+            wh2.append(spark.range(100, 105).selectExpr("id"), t)
+        return names
+
+    monkeypatch.setattr(ManifestWarehouse, "_stage_in", stage_then_append)
+    with pytest.raises(ConcurrentWriteError):
+        wh.compact(t, target_files=1)
+    # the raced append survives — OPTIMIZE must not clobber it
+    assert wh.read(t).count() == 15
