@@ -306,6 +306,8 @@ HEADLINE = [
     "itemcf_recs_parts",
     "scd6_customer_history",
     "xcorr_click_purchase",
+    "delta_partitioned_orders",
+    "hierarchy_rollup_parts",
 ]
 
 

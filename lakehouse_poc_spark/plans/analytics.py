@@ -1952,3 +1952,95 @@ def ltv_cohort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "wk_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical subtree rollup (r8): the recursive-CTE workload (org
+# charts, BOM explosions, category trees) — total revenue and part
+# count in every node's SUBTREE of the decimal part hierarchy
+# (parent(p) = p DIV 10). Spark has no WITH RECURSIVE; the Spark-first
+# answer when the hierarchy is an arithmetic encoding is the
+# CLOSED-FORM ancestor expansion — explode each part onto its ≤7
+# ancestors map-side (one projection, no iterative joins, no driver
+# loop) and aggregate by ancestor. For hierarchies that are real
+# edge lists, the same rollup rides the iterative frontier machinery
+# (operators/graph.py::sssp's loop skeleton). The oracle runs an
+# actual WITH RECURSIVE, pinning equivalence of the two formulations.
+@query(
+    "hierarchy_rollup_parts",
+    oracle="""
+    WITH RECURSIVE rev AS (
+        SELECT l_partkey AS p,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 1000000.0) AS BIGINT)) AS BIGINT)
+                 AS r
+        FROM lineitem GROUP BY 1
+    ),
+    anc AS (
+        SELECT p, r, p AS node FROM rev
+        UNION ALL
+        SELECT p, r, CAST(FLOOR(node / 10) AS BIGINT) AS node
+        FROM anc WHERE node >= 10
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(LENGTH(CAST(node AS VARCHAR)) AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) / 1000000.0 AS subtree_revenue
+    FROM anc
+    WHERE node < 1000
+    GROUP BY node ORDER BY node
+    """,
+)
+def hierarchy_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (F.lit(1) - F.col("l_discount"))
+                * F.lit(1000000.0)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    # closed-form ancestors: p, p div 10, p div 100, … down to the
+    # root digit — exact integer division, one map-side projection
+    divs = [10**k for k in range(8)]
+    chain = F.filter(
+        F.array(
+            *[
+                (F.col("p") - F.col("p") % F.lit(d)).cast("bigint")
+                / F.lit(d)
+                for d in divs
+            ]
+        ),
+        lambda a: a > 0,
+    ).cast("array<bigint>")
+    # partkey 0 exists in the fixture: its chain is just {0} (the
+    # recursion stops below 10 without ever emitting a 0 ancestor
+    # for any other part)
+    chain = F.when(F.size(chain) > 0, chain).otherwise(
+        F.array(F.lit(0).cast("bigint"))
+    )
+    anc = rev.select("p", "r", F.explode(chain).alias("node"))
+    return (
+        anc.filter(F.col("node") < 1000)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (F.sum("r").cast("double") / F.lit(1000000.0)).alias(
+                "subtree_revenue"
+            ),
+        )
+        .select(
+            "node",
+            F.length(F.col("node").cast("string"))
+            .cast("bigint")
+            .alias("level"),
+            "n_parts",
+            "subtree_revenue",
+        )
+        .select("node", "level", "n_parts", "subtree_revenue")
+        .orderBy("node")
+    )

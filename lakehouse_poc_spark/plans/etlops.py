@@ -2562,3 +2562,60 @@ def scd6_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key", "from_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Delta table (r8): the protocol's partition story
+# executed end-to-end — `create_partitioned` writes the spec layout
+# (data files EXCLUDE the partition column; per-file partitionValues
+# in the add actions; metaData.partitionColumns pins the spec),
+# `read_delta(partition_filters=...)` prunes file groups by log
+# metadata before any byte is read and reconstitutes the column from
+# the log. The oracle is the plain orders aggregation — storage
+# layout must never leak into query results.
+@query(
+    "delta_partitioned_orders",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS y,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') IN ('1994', '1995')
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def delta_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy").alias("y"),
+    )
+    root = SCRATCH / f"dlpart_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    w = DeltaLogWriter(spark, root / "orders_part")
+    # two generations under ONE pinned spec (Delta partition columns
+    # are immutable — evolution is the ManifestWarehouse feature)
+    w.create_partitioned(o.filter(F.col("y") < "1996"), ["y"])
+    w.append_partitioned(o.filter(F.col("y") >= "1996"), ["y"])
+    years = ["1994", "1995"]
+    pruned = read_delta(
+        spark, root / "orders_part", partition_filters={"y": years}
+    )
+    return (
+        pruned.filter(F.col("y").isin(years))
+        .groupBy("y", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("y", "o_orderstatus")
+    )

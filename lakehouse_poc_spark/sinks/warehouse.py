@@ -2660,11 +2660,14 @@ class DeltaLogWarehouse(Warehouse):
     `scd1_deltalog_customers`) pins that storage format never leaks
     into query semantics.
 
-    Scope mirrors ManifestWarehouse: unpartitioned tables (Delta puts
-    partition values in add actions — out of protocol-v1-lite scope
-    here), rewrite-based DML (the inherited parquet engines route
-    through overwrite_from_plan), JSON commits only (no checkpoint
-    parquet — a spec optimization, not a requirement)."""
+    Scope mirrors ManifestWarehouse for the Warehouse-API surface
+    (unpartitioned tables; rewrite-based DML through the inherited
+    parquet engines). The protocol layer itself goes further (r8):
+    ``DeltaLogWriter.create_partitioned`` / ``append_partitioned``
+    store per-file ``partitionValues`` in add actions with the spec's
+    data-files-exclude-partition-columns layout (read_delta
+    reconstitutes and prunes), and parquet CHECKPOINTS +
+    ``_last_checkpoint`` make long-history opens O(live files)."""
 
     def __init__(self, spark: SparkSession, root: str):
         super().__init__(spark, root, format="parquet", track_versions=False)

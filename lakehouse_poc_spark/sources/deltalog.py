@@ -99,12 +99,17 @@ def _read_checkpoint(table_path: str | Path, version: int) -> dict | None:
         return None
     live: dict[str, dict] = {}
     schema: str | None = None
+    meta: dict | None = None
     min_reader = 1
     for row in pq.read_table(str(f)).to_pylist():
         if row.get("protocol") is not None:
             min_reader = row["protocol"]["minReaderVersion"]
         if row.get("metaData") is not None:
-            schema = row["metaData"]["schemaString"]
+            meta = dict(row["metaData"])
+            cfg = meta.get("configuration") or []
+            if not isinstance(cfg, dict):
+                meta["configuration"] = dict(cfg)
+            schema = meta["schemaString"]
         if row.get("add") is not None:
             a = dict(row["add"])
             pv = a.get("partitionValues") or []
@@ -115,6 +120,7 @@ def _read_checkpoint(table_path: str | Path, version: int) -> dict | None:
     return {
         "live": live,
         "schema": schema,
+        "metaData": meta,
         "min_reader": min_reader,
     }
 
@@ -238,6 +244,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
         if ck is not None:
             live = dict(ck["live"])
             schema = ck["schema"]
+            meta_action = ck["metaData"]
             min_reader = ck["min_reader"]
             start_after = ck_meta["version"]
     if start_after < 0 and cs and int(cs[0].stem) > 0:
@@ -283,22 +290,70 @@ def read_delta(
     spark: SparkSession,
     table_path: str | Path,
     version: int | None = None,
+    partition_filters: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Read a Delta table by replaying its transaction log (VERSION AS
     OF when ``version`` is given). An empty live set returns an empty
     DataFrame with the committed schema (the spec's metaData
-    schemaString is authoritative, not the vanished files)."""
+    schemaString is authoritative, not the vanished files).
+
+    Partitioned tables read the way the spec prescribes: data files do
+    NOT contain the partition columns — each add action's
+    ``partitionValues`` map is the only copy, and the reader
+    reconstitutes the columns as literals per file group (cast through
+    the metaData schema, so types survive the hive string encoding).
+    ``partition_filters`` (col → allowed string values) prunes file
+    groups by METADATA before any byte is read — Delta's partition
+    pruning; it is an optimization, not a filter, so callers still
+    apply the row predicate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
     state = _replay(table_path, version)
     base = Path(table_path)
+    meta = state["metaData"] or {}
+    pcols = list(meta.get("partitionColumns") or [])
     if not state["files"]:
         if state["schema"] is None:
             raise DeltaLogError(f"empty table with no metaData schema: {table_path}")
-        from pyspark.sql.types import StructType
-
         return spark.createDataFrame(
             [], StructType.fromJson(json.loads(state["schema"]))
         )
-    return spark.read.parquet(*[str(base / f) for f in state["files"]])
+    if not pcols:
+        return spark.read.parquet(*[str(base / f) for f in state["files"]])
+    schema = StructType.fromJson(json.loads(state["schema"]))
+    groups: dict[tuple, list[str]] = {}
+    for a in state["adds"]:
+        pv = a.get("partitionValues") or {}
+        key = tuple((c, pv.get(c)) for c in pcols)
+        groups.setdefault(key, []).append(a["path"])
+    if partition_filters:
+        groups = {
+            k: v
+            for k, v in groups.items()
+            if all(
+                val in allowed
+                for c, val in k
+                for fc, allowed in partition_filters.items()
+                if c == fc
+            )
+        }
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    data_schema = StructType(data_fields)
+    out = None
+    for key, paths in sorted(groups.items()):
+        part = spark.read.schema(data_schema).parquet(
+            *[str(base / p) for p in paths]
+        )
+        for c, val in key:
+            part = part.withColumn(
+                c, F.lit(val).cast(schema[c].dataType)
+            )
+        part = part.select([f.name for f in schema.fields])
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # everything pruned away
+        return spark.createDataFrame([], schema)
+    return out
 
 
 class DeltaLogWriter:
@@ -399,6 +454,87 @@ class DeltaLogWriter:
         return self._commit(
             self._meta_actions(df) + self._stage(df), "CREATE TABLE AS SELECT"
         )
+
+    def _stage_partitioned(self, df: DataFrame, spec: list[str]) -> list[dict]:
+        """Stage a partitioned write the way the spec stores it: data
+        files DO NOT contain the partition columns — Spark's native
+        ``partitionBy`` drops them into hive dirs, which are parsed
+        into each add action's ``partitionValues`` and discarded (the
+        log is the only copy, read_delta reconstitutes). Rows are
+        clustered by value first so each partition value is one file."""
+        import shutil
+        import urllib.parse
+
+        from pyspark.sql import functions as F
+
+        missing = [c for c in spec if c not in df.columns]
+        if missing:
+            raise DeltaLogError(f"partition columns not in batch: {missing}")
+        job = uuid.uuid4().hex[:12]
+        staging = self.path.with_name(self.path.name + f"__dl_stage.{job}")
+        (
+            df.repartition(*[F.col(c) for c in spec])
+            .write.partitionBy(*spec)
+            .parquet(str(staging))
+        )
+        self.path.mkdir(parents=True, exist_ok=True)
+        adds: list[dict] = []
+        for i, part in enumerate(sorted(staging.rglob("*.parquet"))):
+            values: dict[str, str | None] = {}
+            for comp in part.relative_to(staging).parts[:-1]:
+                k, _, v = comp.partition("=")
+                values[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+            name = f"part-{i:05d}-{job}-c000.snappy.parquet"
+            part.rename(self.path / name)
+            st = (self.path / name).stat()
+            adds.append(
+                {
+                    "add": {
+                        "path": name,
+                        "partitionValues": values,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    def create_partitioned(self, df: DataFrame, spec: list[str]) -> int:
+        """CREATE a partitioned table: ``metaData.partitionColumns``
+        pins the spec for the table's lifetime (the Delta contract —
+        unlike ManifestWarehouse's per-file specs, Delta's partition
+        columns are table-level and immutable)."""
+        if current_version(self.path) >= 0:
+            raise DeltaLogError(f"table already exists: {self.path}")
+        meta = self._meta_actions(df)
+        meta[1]["metaData"]["partitionColumns"] = list(spec)
+        return self._commit(
+            meta + self._stage_partitioned(df, spec),
+            "CREATE TABLE AS SELECT",
+        )
+
+    def append_partitioned(self, df: DataFrame, spec: list[str]) -> int:
+        """Append to a partitioned table; the spec must MATCH the
+        table's ``partitionColumns`` exactly (fail-fast — Delta does
+        not evolve partition specs; that capability lives on
+        ManifestWarehouse.append_partitioned)."""
+        if current_version(self.path) < 0:
+            return self.create_partitioned(df, spec)
+        state = _replay(self.path, None)
+        declared = list((state["metaData"] or {}).get("partitionColumns") or [])
+        if declared != list(spec):
+            raise DeltaLogError(
+                f"partition spec mismatch: table declares {declared}, "
+                f"append used {list(spec)} — Delta partition columns are "
+                "immutable (spec evolution is a ManifestWarehouse feature)"
+            )
+        return self._commit(self._stage_partitioned(df, spec), "WRITE")
 
     def append(self, df: DataFrame) -> int:
         if current_version(self.path) < 0:

@@ -296,3 +296,85 @@ def test_auto_checkpoint_cadence(spark, tmp_path):
     ]
     assert (p / "_delta_log" / "_last_checkpoint").exists()
     assert read_delta(spark, p).count() == dl.CHECKPOINT_INTERVAL + 1
+
+
+def test_partitioned_table_spec_layout_and_pruning(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import read_delta
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    df = spark.createDataFrame(
+        [(1, "1995", 10.0), (2, "1995", 20.0), (3, "1996", 30.0)],
+        "id long, y string, v double",
+    )
+    w.create_partitioned(df, ["y"])
+    # spec layout: data files EXCLUDE the partition column; the log
+    # carries partitionValues; metaData declares partitionColumns
+    log = p / "_delta_log"
+    actions = [
+        json.loads(line)
+        for line in (log / f"{0:020d}.json").read_text().splitlines()
+    ]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["partitionColumns"] == ["y"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert sorted(a["partitionValues"]["y"] for a in adds) == [
+        "1995",
+        "1996",
+    ]
+    import pyarrow.parquet as pq
+
+    cols = pq.read_schema(str(p / adds[0]["path"])).names
+    assert "y" not in cols and {"id", "v"} <= set(cols)
+    # reconstitution: full read returns all columns, exact rows
+    got = read_delta(spark, p).orderBy("id").collect()
+    assert [(r["id"], r["y"], r["v"]) for r in got] == [
+        (1, "1995", 10.0),
+        (2, "1995", 20.0),
+        (3, "1996", 30.0),
+    ]
+    # partition pruning by metadata
+    pruned = read_delta(spark, p, partition_filters={"y": ["1996"]})
+    assert [r["id"] for r in pruned.collect()] == [3]
+    # append with the same spec works; a different spec fails fast
+    w.append_partitioned(
+        spark.createDataFrame([(4, "1996", 40.0)], "id long, y string, v double"),
+        ["y"],
+    )
+    assert read_delta(spark, p).count() == 4
+    with pytest.raises(DeltaLogError, match="spec mismatch"):
+        w.append_partitioned(
+            spark.createDataFrame([(9, "x", 1.0)], "id long, v2 string, v double"),
+            ["v2"],
+        )
+
+
+def test_partitioned_values_survive_checkpoint(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import (
+        read_delta,
+        write_checkpoint,
+    )
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create_partitioned(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, k string, v double"
+        ),
+        ["k"],
+    )
+    w.append_partitioned(
+        spark.createDataFrame([(3, "b", 3.0)], "id long, k string, v double"),
+        ["k"],
+    )
+    write_checkpoint(p)
+    # clean the JSON log: state must come from the checkpoint alone,
+    # including partitionValues and partitionColumns
+    v = current_version(p)
+    for f in (p / "_delta_log").glob("*.json"):
+        if int(f.stem) <= v:
+            f.unlink()
+    got = read_delta(spark, p).orderBy("id").collect()
+    assert [(r["id"], r["k"]) for r in got] == [(1, "a"), (2, "b"), (3, "b")]
+    pruned = read_delta(spark, p, partition_filters={"k": ["b"]})
+    assert sorted(r["id"] for r in pruned.collect()) == [2, 3]
