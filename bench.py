@@ -308,6 +308,8 @@ HEADLINE = [
     "xcorr_click_purchase",
     "delta_partitioned_orders",
     "hierarchy_rollup_parts",
+    "stream_delta_partitioned",
+    "delta_stats_skipping_orders",
 ]
 
 

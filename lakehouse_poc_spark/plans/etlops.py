@@ -2619,3 +2619,51 @@ def delta_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta stats-based data skipping (r8): the OTHER half of log pruning
+# — partitionValues covers the partition column, the add actions'
+# `stats` field (numRecords/minValues/maxValues/nullCount, harvested
+# from parquet FOOTERS at stage time, no data scan) covers everything
+# else. Orders land key-clustered (repartitionByRange before the
+# append), so each file's o_orderkey range is tight and a key-range
+# query reads a fraction of the files — Delta's data skipping,
+# executed from the JSON log alone. Unknown-safe like all pruning
+# here: a file without stats is read, never dropped.
+@query(
+    "delta_stats_skipping_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+    """,
+)
+def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import (
+        DeltaLogWriter,
+        files_skipped_by_stats,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = SCRATCH / f"dlstats_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    table = root / "orders_clustered"
+    w = DeltaLogWriter(spark, table)
+    w.create(o.repartitionByRange(8, "o_orderkey"))
+    keep, total = files_skipped_by_stats(table, "o_orderkey", 1000, 3000)
+    if not (0 < len(keep) < total):  # the clustering must actually skip
+        raise AssertionError(
+            f"stats skipping ineffective: kept {len(keep)}/{total}"
+        )
+    df = spark.read.parquet(*[str(table / n) for n in keep])
+    return df.filter(F.col("o_orderkey").between(1000, 3000)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

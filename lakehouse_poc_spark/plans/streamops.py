@@ -2302,3 +2302,87 @@ def stream_ann_index_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh, t, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, nprobe=2,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest into a PARTITIONED Delta table (r8): the canonical
+# streaming-lakehouse sink — each micro-batch lands as one
+# `append_partitioned` commit (per-file partitionValues + footer
+# stats in the add actions), so downstream readers get partition
+# pruning and data skipping over data that arrived a batch at a
+# time, and every batch boundary is a reader-atomic log commit.
+# Shares delta_partitioned_orders' oracle shape: storage layout and
+# arrival mode must never leak into results. Auto-checkpoints fire
+# on the protocol cadence as the commit count grows.
+@query(
+    "stream_delta_partitioned",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS y,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') IN ('1994', '1995')
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    work = stream_scratch("stream_dlpart_")
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy").alias("y"),
+    )
+
+    # four deterministic arrival batches split by order key
+    def _build(d: Path) -> None:
+        for i in range(4):
+            o.filter(F.col("o_orderkey") % 4 == i).coalesce(1).write.parquet(
+                str(d / f"b{i}")
+            )
+        for i in range(4):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"dlpart_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/orders.parquet").st_mtime,
+    )
+
+    table = work / "orders_stream_part"
+    w = DeltaLogWriter(spark, table)
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", o.schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not table.exists() or not (table / "_delta_log").exists():
+            w.create_partitioned(batch_df, ["y"])
+        else:
+            w.append_partitioned(batch_df, ["y"])
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    years = ["1994", "1995"]
+    pruned = read_delta(spark, table, partition_filters={"y": years})
+    return (
+        pruned.filter(F.col("y").isin(years))
+        .groupBy("y", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("y", "o_orderstatus")
+    )

@@ -2352,17 +2352,18 @@ class ManifestWarehouse(Warehouse):
         zorder_by: tuple[str, str] | None = None,
         target_file_bytes: int | None = None,
     ) -> int:
-        """Manifest-native OPTIMIZE (r8). The inherited path-swap
-        compaction would rewrite the directory UNDER the manifest —
-        live names would dangle for every reader — so manifest mode
-        gets the commit-based form: stage the coalesced rewrite,
-        commit a manifest referencing only the new files, let the old
-        ones age out through vacuum's tombstone clock. Readers see
-        pre- or post-OPTIMIZE state, never half. Optimistic
-        concurrency guards the wholesale file-list replacement: the
-        commit names the version the rewrite was based on and FAILS
-        if any writer (even an append) landed in between — re-read
-        and retry, Delta's OPTIMIZE conflict rule."""
+        """Manifest-native OPTIMIZE (r8). The inherited compact was
+        already reader-safe here (it funnels through the overridden
+        ``overwrite_from_plan`` → one manifest commit), but it had NO
+        conflict check: a concurrent append landing between the
+        rewrite's read and its overwrite commit would be silently
+        erased by the wholesale file-list replacement (lost update).
+        This override stages the coalesced rewrite, then commits with
+        ``expected_base`` — the version the rewrite was based on — and
+        FAILS if any writer (even an append) landed in between:
+        re-read and retry, Delta's OPTIMIZE conflict rule. Old files
+        age out through vacuum's tombstone clock; readers see pre- or
+        post-OPTIMIZE state, never half."""
         if partition_by:
             self._no_partitions(partition_by)
         if zorder_by is not None:
@@ -2788,6 +2789,73 @@ class DeltaLogWarehouse(Warehouse):
         p = self.path(table)
         if p.exists():
             shutil.rmtree(p)
+
+    def compact(
+        self,
+        table: str,
+        target_files: int | None = None,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        zorder_by: tuple[str, str] | None = None,
+        target_file_bytes: int | None = None,
+    ) -> int:
+        """Protocol-native OPTIMIZE (r8): remove+add actions in ONE
+        commit claimed at exactly ``base+1`` via the create-exclusive
+        commit link — if ANY writer (even an append) landed after the
+        rewrite's snapshot, the link fails and the OPTIMIZE aborts
+        with staged files reclaimed, so a concurrent append can never
+        be erased by the wholesale remove set (the lost-update race
+        the inherited overwrite-based compact had). This is Delta's
+        actual optimistic-concurrency story: the version number IS
+        the conflict check."""
+        self._no_partitions(partition_by)
+        if cluster_by or zorder_by:
+            raise NotImplementedError(
+                "delta-log OPTIMIZE is plain bin-packing; clustered "
+                "layouts ride the real runtime's ZORDER"
+            )
+        if (target_files is None) == (target_file_bytes is None):
+            raise ValueError(
+                "pass exactly one of target_files / target_file_bytes"
+            )
+        from ..sources.deltalog import (
+            DeltaLogError,
+            _replay,
+            current_version,
+        )
+
+        tp = self.path(table)
+        w = self._writer(table)
+        v0 = current_version(tp)
+        state = _replay(tp, v0)
+        files = state["files"]
+        n_before = len(files)
+        paths = [tp / f for f in files]
+        if target_file_bytes is not None:
+            total = sum(p.stat().st_size for p in paths)
+            target_files = max(1, -(-total // int(target_file_bytes)))
+        df = self.spark.read.parquet(*[str(p) for p in paths]).coalesce(
+            target_files
+        )
+        adds = w._stage(df)
+        now = int(time.time() * 1000)
+        removes = [
+            {
+                "remove": {
+                    "path": f,
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                }
+            }
+            for f in files
+        ]
+        try:
+            w._commit(removes + adds, "OPTIMIZE", version=v0 + 1)
+        except DeltaLogError:
+            for a in adds:  # failed rewrite: reclaim staged files
+                (tp / a["add"]["path"]).unlink(missing_ok=True)
+            raise
+        return n_before
 
     def vacuum(self, retain_versions: int | None = None, min_age: float = 900.0) -> int:
         """Delta VACUUM semantics on the protocol store: unlink data

@@ -76,6 +76,99 @@ def current_version(table_path: str | Path) -> int:
 CHECKPOINT_INTERVAL = 10
 
 
+def _file_stats_json(path: Path) -> str | None:
+    """Per-file column statistics for the add action's ``stats`` field
+    (the spec's data-skipping half that partitionValues doesn't cover:
+    numRecords / minValues / maxValues / nullCount). Metadata-only —
+    read from the parquet FOOTER via pyarrow, no data scan. Columns
+    whose footer stats are absent or untrustworthy (truncated strings,
+    nested types) are simply omitted; a skipping reader treats a
+    missing bound as unknown and keeps the file (unknown-safe, the
+    same contract as partition pruning)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def plain(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    try:
+        md = pq.ParquetFile(str(path)).metadata
+    except Exception:
+        return None
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    n_records = md.num_rows
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: out of scope
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            lo, hi = plain(s.min), plain(s.max)
+            if lo is None or hi is None:
+                continue
+            if name not in mins or (lo < mins[name]):  # type: ignore[operator]
+                mins[name] = lo
+            if name not in maxs or (hi > maxs[name]):  # type: ignore[operator]
+                maxs[name] = hi
+            if s.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + s.null_count
+    return json.dumps(
+        {
+            "numRecords": n_records,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def files_skipped_by_stats(
+    table_path: str | Path,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Log-metadata data skipping (Delta's stats-based file pruning):
+    live file names whose ``stats`` range on ``column`` can intersect
+    [lo, hi], plus the live total. Files without stats for the column
+    are KEPT (unknown-safe — skipping is an optimization, not a
+    filter)."""
+    state = _replay(table_path, version)
+    keep: list[str] = []
+    for a in state["adds"]:
+        st = a.get("stats")
+        ok = True
+        if st:
+            try:
+                d = json.loads(st)
+                mn = d.get("minValues", {}).get(column)
+                mx = d.get("maxValues", {}).get(column)
+                if mn is not None and mx is not None:
+                    ok = not (mx < lo or mn > hi)
+            except (ValueError, TypeError):
+                ok = True
+        if ok:
+            keep.append(a["path"])
+    return keep, len(state["adds"])
+
+
 def _last_checkpoint_meta(table_path: str | Path) -> dict | None:
     """Parse ``_delta_log/_last_checkpoint`` (the spec's pointer file
     that lets readers skip listing/replaying the whole log)."""
@@ -161,6 +254,7 @@ def write_checkpoint(table_path: str | Path, version: int | None = None) -> Path
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
         ]
     )
     t_remove = pa.struct(
@@ -367,7 +461,7 @@ class DeltaLogWriter:
     def _stage(self, df: DataFrame) -> list[dict]:
         """Write df's parquet under job-unique names in the table dir;
         return spec-shaped add actions (path, size, modificationTime,
-        dataChange)."""
+        dataChange, stats)."""
         job = uuid.uuid4().hex[:12]
         staging = self.path.with_name(self.path.name + f"__dl_stage.{job}")
         df.write.parquet(str(staging))
@@ -385,6 +479,7 @@ class DeltaLogWriter:
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,
+                        "stats": _file_stats_json(self.path / name),
                     }
                 }
             )
@@ -499,6 +594,7 @@ class DeltaLogWriter:
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,
+                        "stats": _file_stats_json(self.path / name),
                     }
                 }
             )

@@ -378,3 +378,75 @@ def test_partitioned_values_survive_checkpoint(spark, tmp_path):
     assert [(r["id"], r["k"]) for r in got] == [(1, "a"), (2, "b"), (3, "b")]
     pruned = read_delta(spark, p, partition_filters={"k": ["b"]})
     assert sorted(r["id"] for r in pruned.collect()) == [2, 3]
+
+
+def test_add_actions_carry_stats_and_skipping_prunes(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import (
+        files_skipped_by_stats,
+        write_checkpoint,
+    )
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    # two appends with DISJOINT id ranges → two files with disjoint
+    # min/max stats
+    w.create(spark.range(0, 100).selectExpr("id", "id * 2 AS v"))
+    w.append(spark.range(1000, 1100).selectExpr("id", "id * 2 AS v"))
+    actions = [
+        json.loads(line)
+        for f in sorted((p / "_delta_log").glob("*.json"))
+        for line in f.read_text().splitlines()
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    stats = [json.loads(a["stats"]) for a in adds if a.get("stats")]
+    assert stats and all("minValues" in s and "numRecords" in s for s in stats)
+    ids = sorted((s["minValues"]["id"], s["maxValues"]["id"]) for s in stats)
+    assert ids[0][0] == 0 and ids[-1][1] == 1099
+    # skipping: a range query touching only the second file keeps one
+    keep, total = files_skipped_by_stats(p, "id", 1050, 1060)
+    assert total >= 2 and len(keep) < total
+    kept_rows = spark.read.parquet(
+        *[str(p / n) for n in keep]
+    ).filter("id BETWEEN 1050 AND 1060")
+    assert kept_rows.count() == 11
+    # stats survive the checkpoint (spec: stats is a checkpoint column)
+    write_checkpoint(p)
+    v = current_version(p)
+    for f in (p / "_delta_log").glob("*.json"):
+        if int(f.stem) <= v:
+            f.unlink()
+    keep2, total2 = files_skipped_by_stats(p, "id", 1050, 1060)
+    assert sorted(keep2) == sorted(keep) and total2 == total
+
+
+def test_deltalog_optimize_conflict_preserves_raced_append(
+    spark, tmp_path, monkeypatch
+):
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+    from lakehouse_poc_spark.sources.deltalog import DeltaLogWriter as DLW
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.optrace"
+    wh.append(spark.range(10).selectExpr("id"), t)
+    orig = DLW._stage
+    raced = []
+
+    def stage_then_append(self, df):
+        adds = orig(self, df)
+        if not raced:
+            raced.append(True)
+            wh2 = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+            wh2.append(spark.range(100, 105).selectExpr("id"), t)
+        return adds
+
+    monkeypatch.setattr(DLW, "_stage", stage_then_append)
+    with pytest.raises(DeltaLogError, match="concurrent commit"):
+        wh.compact(t, target_files=1)
+    # the raced append survives; the aborted rewrite left no files live
+    assert sorted(r.id for r in wh.read(t).collect()) == list(range(10)) + [
+        100,
+        101,
+        102,
+        103,
+        104,
+    ]
