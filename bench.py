@@ -310,6 +310,8 @@ HEADLINE = [
     "hierarchy_rollup_parts",
     "stream_delta_partitioned",
     "delta_stats_skipping_orders",
+    "nearest_supplier_customers",
+    "reverse_search_alerts_docs",
 ]
 
 

@@ -335,3 +335,70 @@ def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor JOIN against a broadcastable reference set (r8):
+# assign every customer its nearest supplier — the facility-
+# assignment / nearest-service-point op. When the target set is a
+# DIMENSION (suppliers, stores, centroids), the 100 TB plan is a
+# broadcast map-side argmin: each partition scans its points once
+# against the in-memory reference, emits one row per point, ZERO
+# shuffles for the assignment itself (the same shape as the IVF cell
+# assign in operators/similarity.py). Grid machinery
+# (spatial_neighbor_pairs) is for big×big; this is the other half.
+# argmin is an exact struct-min — (d², supplier id) lexicographic,
+# so ties break on the smaller id identically in both engines.
+@query(
+    "nearest_supplier_customers",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey AS sid,
+               (CAST(s_suppkey * 53 % 18000 AS DOUBLE) / 100.0 - 90.0)
+                 AS slat,
+               (CAST(s_suppkey * 97 % 36000 AS DOUBLE) / 100.0 - 180.0)
+                 AS slon
+        FROM supplier
+    ), best AS (
+        SELECT c.id,
+               MIN(struct_pack(
+                   d2 := (c.lat - s.slat) * (c.lat - s.slat)
+                         + (c.lon - s.slon) * (c.lon - s.slon),
+                   sid := s.sid)) AS m
+        FROM c CROSS JOIN s
+        GROUP BY c.id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(m.sid AS BIGINT) AS nearest_supplier,
+           ROUND(sqrt(m.d2) * 1000000.0) / 1000000.0 AS dist_deg
+    FROM best ORDER BY id
+    """,
+)
+def nearest_supplier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _coords(_t(spark, sf_dir, "customer"))
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sid"),
+        ((F.col("s_suppkey") * 53 % 18000).cast("double") / 100.0 - 90.0)
+        .alias("slat"),
+        ((F.col("s_suppkey") * 97 % 36000).cast("double") / 100.0 - 180.0)
+        .alias("slon"),
+    )
+    dlat = F.col("lat") - F.col("slat")
+    dlon = F.col("lon") - F.col("slon")
+    d2 = dlat * dlat + dlon * dlon
+    best = (
+        cust.crossJoin(F.broadcast(sup))
+        .groupBy("id")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("sid"))).alias("m"))
+    )
+    return best.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("m.sid").cast("bigint").alias("nearest_supplier"),
+        (
+            F.round(F.sqrt(F.col("m.d2")) * F.lit(1000000.0))
+            / F.lit(1000000.0)
+        ).alias("dist_deg"),
+    ).orderBy("id")

@@ -24,7 +24,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.search import bm25_topk, inverted_index, phrase_match, term_counts
@@ -1168,4 +1168,91 @@ def kneser_ney_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reverse search / percolation (r8): match DOCUMENTS against STORED
+# QUERIES — the alerting/subscription direction (Elasticsearch
+# percolator): saved searches fire as new docs arrive. Stored alerts
+# are derived deterministically from the corpus itself (the 30 most
+# document-frequent tokens, ranked (df DESC, token); alert i = terms
+# ranked {i, i+10, i+20}, ALL-terms-must-match semantics). The match
+# is a term-keyed join of the tiny broadcast alert-term table against
+# the distinct (doc, term) relation, then a (alert, doc) count ==
+# n_terms gate — vocab-domain + candidate-domain shuffles only, never
+# docs × alerts. The streaming twin is the same join inside
+# foreachBatch; here the batch form is oracle-gated.
+@query(
+    "reverse_search_alerts_docs",
+    oracle=r"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        )
+    ), df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1
+    ), ranked AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+        FROM df
+    ), alert_terms AS (
+        SELECT ((r - 1) % 10) + 1 AS alert_id, token
+        FROM ranked WHERE r <= 30
+    ), hits AS (
+        SELECT a.alert_id, dt.doc_id, COUNT(*) AS matched
+        FROM alert_terms a JOIN dt ON dt.token = a.token
+        GROUP BY 1, 2
+    )
+    SELECT CAST(h.alert_id AS BIGINT) AS alert_id,
+           (SELECT array_to_string(list(token ORDER BY token), ' ')
+            FROM alert_terms t WHERE t.alert_id = h.alert_id) AS terms,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_docs
+    FROM hits h
+    WHERE h.matched = 3
+    GROUP BY h.alert_id
+    ORDER BY alert_id
+    """,
+)
+def reverse_search_alerts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).distinct()
+    df = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # rank over the vocab aggregate (bounded domain), keep top 30
+    w = Window.orderBy(F.col("df").desc(), "token")
+    alert_terms = (
+        df.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 30)
+        .select(
+            (((F.col("r") - 1) % 10) + 1).alias("alert_id"), "token"
+        )
+    )
+    hits = (
+        dt.join(F.broadcast(alert_terms), "token")
+        .groupBy("alert_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+        .filter(F.col("matched") == 3)
+        .groupBy("alert_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matching_docs"))
+    )
+    terms = alert_terms.groupBy("alert_id").agg(
+        F.array_join(F.array_sort(F.collect_list("token")), " ").alias(
+            "terms"
+        )
+    )
+    return (
+        hits.join(terms, "alert_id")
+        .select(
+            F.col("alert_id").cast("bigint").alias("alert_id"),
+            "terms",
+            "n_matching_docs",
+        )
+        .orderBy("alert_id")
     )

@@ -190,3 +190,46 @@ def test_scd4_query_and_scd6_query_registered():
     assert "scd6_customer_history" in plans.QUERIES
     assert "scd4_customer_history" in plans.ORACLES
     assert "scd6_customer_history" in plans.ORACLES
+
+
+def test_nearest_supplier_matches_brute(spark):
+    out = plans.QUERIES["nearest_supplier_customers"](spark, SF).toPandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    sup = pd.read_parquet(f"{SF}/supplier.parquet")
+    clat = (cust["c_custkey"] * 37 % 18000) / 100.0 - 90.0
+    clon = (cust["c_custkey"] * 91 % 36000) / 100.0 - 180.0
+    slat = (sup["s_suppkey"] * 53 % 18000).to_numpy() / 100.0 - 90.0
+    slon = (sup["s_suppkey"] * 97 % 36000).to_numpy() / 100.0 - 180.0
+    sid = sup["s_suppkey"].to_numpy()
+    got = dict(zip(out["id"], out["nearest_supplier"]))
+    assert len(out) == len(cust)
+    for cid, la, lo in zip(cust["c_custkey"], clat, clon):
+        d2 = (la - slat) ** 2 + (lo - slon) ** 2
+        best = min(zip(d2, sid))  # lexicographic: min d2, then min id
+        assert got[cid] == best[1], cid
+
+
+def test_reverse_search_all_terms_semantics(spark):
+    out = plans.QUERIES["reverse_search_alerts_docs"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tok_sets = {
+        r["doc_id"]: set(r["text"].lower().strip().split())
+        for _, r in docs.iterrows()
+    }
+    # recompute alerts: top-30 tokens by (df desc, token)
+    from collections import Counter
+
+    df = Counter()
+    for s in tok_sets.values():
+        df.update(s)
+    ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    alerts: dict[int, set[str]] = {}
+    for i, (tok, _) in enumerate(ranked, start=1):
+        alerts.setdefault(((i - 1) % 10) + 1, set()).add(tok)
+    got = dict(zip(out["alert_id"], out["n_matching_docs"]))
+    for aid, terms in alerts.items():
+        n = sum(1 for s in tok_sets.values() if terms <= s)
+        assert got.get(aid, 0) == n, (aid, terms)
+        if aid in got:
+            row = out[out["alert_id"] == aid].iloc[0]
+            assert row["terms"] == " ".join(sorted(terms))
