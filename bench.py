@@ -312,6 +312,8 @@ HEADLINE = [
     "delta_stats_skipping_orders",
     "nearest_supplier_customers",
     "reverse_search_alerts_docs",
+    "session_paths_events",
+    "exact_group_quantiles_events",
 ]
 
 

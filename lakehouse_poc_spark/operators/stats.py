@@ -373,3 +373,88 @@ def auc_exact(
             / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
         ).alias("auc"),
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    block: "F.Column",
+) -> DataFrame:
+    """Per-GROUP exact order statistics without per-group sorts — the
+    grouped twin of :func:`exact_quantiles`: (group, q, value) rows
+    where value is the group's percentile_disc(q) (smallest v whose
+    within-group rank ≥ ⌈q·n_g⌉, min 1).
+
+    A window partitioned by a LOW-cardinality group (a handful of
+    event types over billions of rows) is the skew trap: one reducer
+    per group sorts the group's whole slice. Blocked selection keeps
+    the shuffle keyed on (group, value-block) instead: counts per
+    (group, block) come back to the driver (groups × blocks rows — a
+    blocking-key contract, thousands not billions), the driver finds
+    each target's (block, local rank), and one more job ranks ONLY
+    the needed (group, block) slices — each sort is block-sized.
+    ``block`` must be a monotone function of the value, as in the
+    global variant. Nulls are excluded (SQL percentile semantics)."""
+    import math
+
+    spark = df.sparkSession
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__blk", block)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).alias("__v"),
+            "__blk",
+        )
+    )
+    counts: dict = {}
+    for r in (
+        b.groupBy("__g", "__blk").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        counts.setdefault(r["__g"], []).append((r["__blk"], r["n"]))
+    targets = []  # (g, blk, local_rank, q)
+    for g, blocks in counts.items():
+        blocks.sort()
+        n = sum(c for _, c in blocks)
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"quantile {q} outside [0, 1]")
+            rank = max(1, math.ceil(q * n))
+            acc = 0
+            for blk, c in blocks:
+                if acc + c >= rank:
+                    targets.append((g, blk, rank - acc, float(q)))
+                    break
+                acc += c
+    tgt = spark.createDataFrame(
+        targets,
+        T.StructType(
+            [
+                T.StructField("__g", b.schema["__g"].dataType),
+                T.StructField("__blk", b.schema["__blk"].dataType),
+                T.StructField("__lr", T.LongType()),
+                T.StructField("q", T.DoubleType()),
+            ]
+        ),
+    )
+    needed = {(t[0], t[1]) for t in targets}
+    need_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(needed),
+            T.StructType(
+                [
+                    T.StructField("__g", b.schema["__g"].dataType),
+                    T.StructField("__blk", b.schema["__blk"].dataType),
+                ]
+            ),
+        )
+    )
+    w = Window.partitionBy("__g", "__blk").orderBy("__v")
+    ranked = b.join(need_df, ["__g", "__blk"]).withColumn(
+        "__lr", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(tgt), ["__g", "__blk", "__lr"]).select(
+        F.col("__g").alias(group_col), "q", F.col("__v").alias("value")
+    )

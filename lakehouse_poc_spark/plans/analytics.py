@@ -2044,3 +2044,89 @@ def hierarchy_rollup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "level", "n_parts", "subtree_revenue")
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path analysis (r8): the most common opening journeys —
+# each session's first three event types as a '>'-joined path,
+# ranked by session count (the clickstream "top paths" panel that
+# sits one level above the pairwise transition matrix /
+# eventually-follows views). Sessions come from the shared
+# sessionize operator (integer-µs gap, event_id tiebreak); the first
+# three steps are an array_sort on (ts_us, event_id, type) structs
+# truncated with slice — per-session work, no global state. Top-10
+# via TakeOrdered, ties broken by path text.
+@query(
+    "session_paths_events",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts),
+                                                    event_id) AS prev_us
+            FROM events
+        ) t
+    ), paths AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                   (list(event_type ORDER BY ts_us, event_id))[1:3],
+                   '>') AS path,
+               CAST(COUNT(*) AS BIGINT) AS session_events
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(session_events) AS BIGINT) AS n_events
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    with_sid = sessionize(
+        ev,
+        keys=["user_id"],
+        ts_col="ts_us",
+        gap=1800000000,
+        tiebreak=["event_id"],
+    )
+    paths = (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts_us", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1,
+                    3,
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).cast("bigint").alias("session_events"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("session_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )

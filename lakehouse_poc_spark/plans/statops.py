@@ -2864,3 +2864,58 @@ def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("xcorr"),
     ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (r8): p50/p95/p99 of event values PER
+# EVENT TYPE via grouped blocked selection
+# (operators/stats.exact_group_quantiles) — the skew-safe form of
+# "percentile by low-cardinality group": a window partitioned by a
+# handful of types would funnel each type's slice through one
+# reducer at 100 TB; blocked selection shuffles on (type,
+# value-block) and sorts only the block holding each target rank.
+# Exact order statistics, not approx_percentile — the SLA numbers
+# auditors sign off on.
+@query(
+    "exact_group_quantiles_events",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, vm,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY vm) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ), qs AS (
+        SELECT UNNEST([0.5, 0.95, 0.99]) AS q
+    )
+    SELECT ranked.event_type, qs.q,
+           CAST(MIN(vm) AS DOUBLE) / 1000000.0 AS value
+    FROM ranked CROSS JOIN qs
+    WHERE r >= GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+    GROUP BY ranked.event_type, qs.q
+    ORDER BY event_type, q
+    """,
+)
+def exact_group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import exact_group_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vm"),
+    )
+    out = exact_group_quantiles(
+        ev,
+        "event_type",
+        "vm",
+        [0.5, 0.95, 0.99],
+        (F.col("vm") / F.lit(1 << 22)).cast("bigint"),
+    )
+    return out.select(
+        "event_type",
+        "q",
+        (F.col("value").cast("double") / F.lit(1000000.0)).alias("value"),
+    ).orderBy("event_type", "q")

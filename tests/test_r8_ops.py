@@ -233,3 +233,22 @@ def test_reverse_search_all_terms_semantics(spark):
         if aid in got:
             row = out[out["alert_id"] == aid].iloc[0]
             assert row["terms"] == " ".join(sorted(terms))
+
+
+def test_exact_group_quantiles_matches_numpy(spark):
+    out = plans.QUERIES["exact_group_quantiles_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    vm = np.round(ev["value"].to_numpy() * 1e6).astype("int64")
+    for _, row in out.iterrows():
+        g = np.sort(vm[(ev["event_type"] == row["event_type"]).to_numpy()])
+        k = max(1, int(np.ceil(row["q"] * len(g))))
+        assert row["value"] == pytest.approx(g[k - 1] / 1e6, rel=1e-12)
+
+
+def test_session_paths_cover_sessions(spark):
+    out = plans.QUERIES["session_paths_events"](spark, SF).toPandas()
+    assert len(out) <= 10
+    assert (out["n_sessions"].to_numpy()[1:] <= out["n_sessions"].to_numpy()[:-1]).all()
+    assert (out["n_events"] >= out["n_sessions"]).all()
+    # every path has at most 3 steps
+    assert (out["path"].str.count(">") <= 2).all()
