@@ -314,6 +314,7 @@ HEADLINE = [
     "reverse_search_alerts_docs",
     "session_paths_events",
     "exact_group_quantiles_events",
+    "stream_reverse_search_docs",
 ]
 
 

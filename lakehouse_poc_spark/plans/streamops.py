@@ -24,7 +24,7 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
@@ -2385,4 +2385,128 @@ def stream_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
         .orderBy("y", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming percolation (r8): the reverse search in its native
+# arrival mode — STORED alert queries (the corpus-derived terms of
+# reverse_search_alerts_docs, i.e. static subscription metadata)
+# fire as documents STREAM in. Each micro-batch joins the tiny
+# broadcast alert-term table against its own distinct (doc, term)
+# relation and appends the fired (alert, doc) matches; the final
+# read-out aggregates the match log. Shares the batch twin's oracle:
+# arrival mode must never change which alerts fire.
+@query(
+    "stream_reverse_search_docs",
+    oracle=r"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        )
+    ), df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1
+    ), ranked AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+        FROM df
+    ), alert_terms AS (
+        SELECT ((r - 1) % 10) + 1 AS alert_id, token
+        FROM ranked WHERE r <= 30
+    ), hits AS (
+        SELECT a.alert_id, dt.doc_id, COUNT(*) AS matched
+        FROM alert_terms a JOIN dt ON dt.token = a.token
+        GROUP BY 1, 2
+    )
+    SELECT CAST(h.alert_id AS BIGINT) AS alert_id,
+           (SELECT array_to_string(list(token ORDER BY token), ' ')
+            FROM alert_terms t WHERE t.alert_id = h.alert_id) AS terms,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_docs
+    FROM hits h
+    WHERE h.matched = 3
+    GROUP BY h.alert_id
+    ORDER BY alert_id
+    """,
+)
+def stream_reverse_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    work = stream_scratch("stream_percolate_")
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    # stored subscriptions: static metadata, computed once from the
+    # reference corpus (identical to the batch twin's derivation)
+    dt_all = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    ).distinct()
+    dfreq = dt_all.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.col("df").desc(), "token")
+    alert_terms = (
+        dfreq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 30)
+        .select((((F.col("r") - 1) % 10) + 1).alias("alert_id"), "token")
+        .localCheckpoint(eager=True)
+    )
+
+    def _build(d: Path) -> None:
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                str(d / f"b{i}")
+            )
+        for i in range(3):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"percolate_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/documents.parquet").st_mtime,
+    )
+    matches_dir = work / "matches"
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", docs.schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dt = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        ).distinct()
+        fired = (
+            dt.join(F.broadcast(alert_terms), "token")
+            .groupBy("alert_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("matched"))
+            .filter(F.col("matched") == 3)
+            .select("alert_id", "doc_id")
+        )
+        fired.write.mode("append").parquet(str(matches_dir))
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    terms = alert_terms.groupBy("alert_id").agg(
+        F.array_join(F.array_sort(F.collect_list("token")), " ").alias(
+            "terms"
+        )
+    )
+    return (
+        spark.read.parquet(str(matches_dir))
+        .groupBy("alert_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matching_docs"))
+        .join(terms, "alert_id")
+        .select(
+            F.col("alert_id").cast("bigint").alias("alert_id"),
+            "terms",
+            "n_matching_docs",
+        )
+        .orderBy("alert_id")
     )
