@@ -315,6 +315,8 @@ HEADLINE = [
     "session_paths_events",
     "exact_group_quantiles_events",
     "stream_reverse_search_docs",
+    "did_estimator_events",
+    "cuped_adjustment_events",
 ]
 
 

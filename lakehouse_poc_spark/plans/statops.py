@@ -2919,3 +2919,242 @@ def exact_group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         (F.col("value").cast("double") / F.lit(1000000.0)).alias("value"),
     ).orderBy("event_type", "q")
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (r8): the causal-inference workhorse the
+# plain A/B diff (ab_test_events) can't replace when assignment
+# isn't randomized — compare treated vs control CHANGE across a
+# cutover. Treatment = even user ids; the cutover is the integer
+# midpoint of the observed time range (computed identically on both
+# engines from exact second epochs). Cell moments are exact (BIGINT
+# micro-sums, DECIMAL(38,0) squares); the DiD point estimate and its
+# pooled standard error combine in one fixed-order expression.
+@query(
+    "did_estimator_events",
+    oracle="""
+    WITH base AS (
+        SELECT user_id % 2 = 0 AS treat,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm
+        FROM events
+    ), mid AS (
+        SELECT CAST((MIN(s) + MAX(s)) / 2 AS BIGINT) AS m FROM base
+    ), cells AS (
+        SELECT treat, s >= (SELECT m FROM mid) AS post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vm) AS BIGINT) AS sv,
+               SUM(CAST(vm AS DECIMAL(38,0)) * vm) AS qv
+        FROM base GROUP BY 1, 2
+    ), wide AS (
+        SELECT
+          MAX(CASE WHEN treat AND post THEN CAST(sv AS DOUBLE)/n END) AS m_t1,
+          MAX(CASE WHEN treat AND NOT post THEN CAST(sv AS DOUBLE)/n END) AS m_t0,
+          MAX(CASE WHEN NOT treat AND post THEN CAST(sv AS DOUBLE)/n END) AS m_c1,
+          MAX(CASE WHEN NOT treat AND NOT post THEN CAST(sv AS DOUBLE)/n END) AS m_c0,
+          MAX(CASE WHEN treat AND post THEN
+              ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)
+               / (n - 1.0)) / n END) AS v_t1,
+          MAX(CASE WHEN treat AND NOT post THEN
+              ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)
+               / (n - 1.0)) / n END) AS v_t0,
+          MAX(CASE WHEN NOT treat AND post THEN
+              ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)
+               / (n - 1.0)) / n END) AS v_c1,
+          MAX(CASE WHEN NOT treat AND NOT post THEN
+              ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE)/n)
+               / (n - 1.0)) / n END) AS v_c0,
+          CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT n_total,
+           ((m_t1 - m_t0) - (m_c1 - m_c0)) / 1000000.0 AS did,
+           sqrt(v_t1 + v_t0 + v_c1 + v_c0) / 1000000.0 AS se,
+           ((m_t1 - m_t0) - (m_c1 - m_c0))
+             / sqrt(v_t1 + v_t0 + v_c1 + v_c0) AS t_stat
+    FROM wide
+    """,
+)
+def did_estimator_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vm"),
+    )
+    mid = ev.agg(
+        ((F.min("s") + F.max("s")) / F.lit(2)).cast("bigint").alias("m")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .select("treat", (F.col("s") >= F.col("m")).alias("post"), "vm")
+        .groupBy("treat", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vm").cast("bigint").alias("sv"),
+            F.sum(F.col("vm").cast("decimal(38,0)") * F.col("vm")).alias(
+                "qv"
+            ),
+        )
+    )
+
+    def cell(treat: bool, post: bool, expr):
+        return F.max(
+            F.when(
+                (F.col("treat") == treat) & (F.col("post") == post), expr
+            )
+        )
+
+    mean = F.col("sv").cast("double") / F.col("n")
+    var_of_mean = (
+        (
+            F.col("qv").cast("double")
+            - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+        )
+        / (F.col("n") - F.lit(1.0))
+    ) / F.col("n")
+    wide = cells.agg(
+        cell(True, True, mean).alias("m_t1"),
+        cell(True, False, mean).alias("m_t0"),
+        cell(False, True, mean).alias("m_c1"),
+        cell(False, False, mean).alias("m_c0"),
+        cell(True, True, var_of_mean).alias("v_t1"),
+        cell(True, False, var_of_mean).alias("v_t0"),
+        cell(False, True, var_of_mean).alias("v_c1"),
+        cell(False, False, var_of_mean).alias("v_c0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    did = (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
+    se = F.sqrt(
+        F.col("v_t1") + F.col("v_t0") + F.col("v_c1") + F.col("v_c0")
+    )
+    return wide.select(
+        "n_total",
+        (did / F.lit(1000000.0)).alias("did"),
+        (se / F.lit(1000000.0)).alias("se"),
+        (did / se).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (r8, Deng et al. 2013): shrink an
+# experiment metric's variance using pre-period data — the adjusted
+# metric Y' = Y − θ(X − E[X]) with θ = cov(X,Y)/var(X) cuts the
+# sample size needed at equal power by the squared pre/post
+# correlation. Per-user pre/post means are micro-rounded BIGINTs
+# before the covariance pass (the repo's user-mean discipline:
+# order-dependent double sums never cross users), so θ and the
+# variance-reduction readout hash-match bit-for-bit.
+@query(
+    "cuped_adjustment_events",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm
+        FROM events
+    ), mid AS (
+        SELECT CAST((MIN(s) + MAX(s)) / 2 AS BIGINT) AS m FROM base
+    ), per_user AS (
+        SELECT user_id,
+               CAST(ROUND(CAST(SUM(CASE WHEN s < (SELECT m FROM mid)
+                                        THEN vm END) AS DOUBLE)
+                          / COUNT(CASE WHEN s < (SELECT m FROM mid)
+                                       THEN 1 END)) AS BIGINT) AS x,
+               CAST(ROUND(CAST(SUM(CASE WHEN s >= (SELECT m FROM mid)
+                                        THEN vm END) AS DOUBLE)
+                          / COUNT(CASE WHEN s >= (SELECT m FROM mid)
+                                       THEN 1 END)) AS BIGINT) AS y
+        FROM base GROUP BY user_id
+        HAVING COUNT(CASE WHEN s < (SELECT m FROM mid) THEN 1 END) > 0
+           AND COUNT(CASE WHEN s >= (SELECT m FROM mid) THEN 1 END) > 0
+    ), mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS qx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS qy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS qxy
+        FROM per_user
+    )
+    SELECT n,
+           (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+             / (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+             AS theta,
+           (CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+             / n / 1000000.0 / 1000000.0 AS var_y,
+           ((CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+            - (CAST(qxy AS DOUBLE)
+               - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+              * (CAST(qxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+              / (CAST(qx AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n))
+             / n / 1000000.0 / 1000000.0 AS var_adj,
+           (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+             * (CAST(qxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+             / (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)
+             / (CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n)
+             AS var_reduction
+    FROM mom
+    """,
+)
+def cuped_adjustment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vm"),
+    )
+    mid = ev.agg(
+        ((F.min("s") + F.max("s")) / F.lit(2)).cast("bigint").alias("m")
+    )
+    b = ev.crossJoin(F.broadcast(mid))
+    pre = F.when(F.col("s") < F.col("m"), F.col("vm"))
+    post = F.when(F.col("s") >= F.col("m"), F.col("vm"))
+    per_user = (
+        b.groupBy("user_id")
+        .agg(
+            F.sum(pre).alias("sx_u"),
+            F.count(pre).alias("nx_u"),
+            F.sum(post).alias("sy_u"),
+            F.count(post).alias("ny_u"),
+        )
+        .filter((F.col("nx_u") > 0) & (F.col("ny_u") > 0))
+        .select(
+            F.round(F.col("sx_u").cast("double") / F.col("nx_u"))
+            .cast("bigint")
+            .alias("x"),
+            F.round(F.col("sy_u").cast("double") / F.col("ny_u"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("qx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("qy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("qxy"),
+    )
+    nd = F.col("n")
+    cxy = F.col("qxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    vx = F.col("qx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vy = F.col("qy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    return mom.select(
+        "n",
+        (cxy / vx).alias("theta"),
+        (vy / nd / F.lit(1000000.0) / F.lit(1000000.0)).alias("var_y"),
+        (
+            (vy - cxy * cxy / vx)
+            / nd
+            / F.lit(1000000.0)
+            / F.lit(1000000.0)
+        ).alias("var_adj"),
+        (cxy * cxy / vx / vy).alias("var_reduction"),
+    )

@@ -252,3 +252,66 @@ def test_session_paths_cover_sessions(spark):
     assert (out["n_events"] >= out["n_sessions"]).all()
     # every path has at most 3 steps
     assert (out["path"].str.count(">") <= 2).all()
+
+
+def test_did_matches_pandas(spark):
+    out = plans.QUERIES["did_estimator_events"](spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    s = (ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
+    vm = np.round(ev["value"].to_numpy() * 1e6)
+    mid = (s.min() + s.max()) // 2
+    treat = (ev["user_id"] % 2 == 0).to_numpy()
+    post = s >= mid
+
+    def m(mask):
+        return vm[mask].mean()
+
+    def v(mask):
+        g = vm[mask]
+        return g.var(ddof=1) / len(g)
+
+    did = (m(treat & post) - m(treat & ~post)) - (
+        m(~treat & post) - m(~treat & ~post)
+    )
+    se = np.sqrt(
+        v(treat & post) + v(treat & ~post) + v(~treat & post)
+        + v(~treat & ~post)
+    )
+    assert out["did"] == pytest.approx(did / 1e6, rel=1e-9)
+    assert out["se"] == pytest.approx(se / 1e6, rel=1e-9)
+    assert out["t_stat"] == pytest.approx(did / se, rel=1e-9)
+
+
+def test_cuped_reduces_variance_and_matches_pandas(spark):
+    out = (
+        plans.QUERIES["cuped_adjustment_events"](spark, SF).toPandas().iloc[0]
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    s = (ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
+    vm = np.round(ev["value"].to_numpy() * 1e6)
+    mid = (s.min() + s.max()) // 2
+    df = pd.DataFrame(
+        {"u": ev["user_id"], "vm": vm, "pre": s < mid}
+    )
+    g = df.groupby(["u", "pre"])["vm"].agg(["sum", "count"]).unstack("pre")
+    g = g.dropna()
+    def half_away(v):  # Spark/DuckDB ROUND, not numpy's half-to-even
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    x = half_away(
+        g[("sum", True)].to_numpy() / g[("count", True)].to_numpy()
+    )
+    y = half_away(
+        g[("sum", False)].to_numpy() / g[("count", False)].to_numpy()
+    )
+    n = len(x)
+    cxy = (x * y).sum() - x.sum() * y.sum() / n
+    vx = (x * x).sum() - x.sum() ** 2 / n
+    vy = (y * y).sum() - y.sum() ** 2 / n
+    assert out["n"] == n
+    assert out["theta"] == pytest.approx(cxy / vx, rel=1e-9)
+    assert out["var_reduction"] == pytest.approx(
+        cxy * cxy / vx / vy, rel=1e-9
+    )
+    # the whole point: adjusted variance is strictly smaller
+    assert out["var_adj"] < out["var_y"]
