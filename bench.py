@@ -317,6 +317,7 @@ HEADLINE = [
     "stream_reverse_search_docs",
     "did_estimator_events",
     "cuped_adjustment_events",
+    "business_days_latency_orders",
 ]
 
 

@@ -2130,3 +2130,82 @@ def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-day latency (r8): order-to-ship latency counted in
+# BUSINESS days per priority class — the calendar arithmetic every
+# SLA report needs. No calendar-dimension join (a per-row span×days
+# explode at 100 TB): business days are CLOSED FORM — with
+# d = days since a known Monday (1992-01-06), the count of business
+# days before d is f(d) = 5·(d div 7) + min(d mod 7, 5), so the
+# span is f(d₂) − f(d₁): pure integer arithmetic, identical in both
+# engines, exact for any range. (A calendar dim earns its join only
+# once holidays enter; then it is a broadcast, never an explode.)
+@query(
+    "business_days_latency_orders",
+    oracle="""
+    WITH span AS (
+        SELECT o.o_orderpriority AS priority,
+               datediff('day', DATE '1992-01-06', l.l_shipdate) AS d2,
+               datediff('day', DATE '1992-01-06', o.o_orderdate) AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ), bd AS (
+        SELECT priority,
+               (5 * CAST(FLOOR(d2 / 7) AS BIGINT)
+                  + LEAST(CAST(d2 % 7 AS BIGINT), 5))
+             - (5 * CAST(FLOOR(d1 / 7) AS BIGINT)
+                  + LEAST(CAST(d1 % 7 AS BIGINT), 5)) AS bdays
+        FROM span
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+           CAST(SUM(bdays) AS DOUBLE) / COUNT(*) AS avg_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays
+    FROM bd
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def business_days_latency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    monday = F.lit("1992-01-06").cast("date")
+    span = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "priority",
+            F.datediff(F.col("l_shipdate"), monday).cast("bigint").alias("d2"),
+            F.datediff(F.col("o_orderdate"), monday)
+            .cast("bigint")
+            .alias("d1"),
+        )
+    )
+
+    def f(d):
+        return F.lit(5) * F.floor(d / F.lit(7)).cast("bigint") + F.least(
+            (d % 7).cast("bigint"), F.lit(5).cast("bigint")
+        )
+
+    bd = span.select(
+        "priority", (f(F.col("d2")) - f(F.col("d1"))).alias("bdays")
+    )
+    return (
+        bd.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("bdays").cast("bigint").alias("total_bdays"),
+            (F.sum("bdays").cast("double") / F.count(F.lit(1))).alias(
+                "avg_bdays"
+            ),
+            F.max("bdays").cast("bigint").alias("max_bdays"),
+        )
+        .orderBy("priority")
+    )

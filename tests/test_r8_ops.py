@@ -315,3 +315,24 @@ def test_cuped_reduces_variance_and_matches_pandas(spark):
     )
     # the whole point: adjusted variance is strictly smaller
     assert out["var_adj"] < out["var_y"]
+
+
+def test_business_days_closed_form_matches_numpy(spark):
+    out = plans.QUERIES["business_days_latency_orders"](spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    j = li.merge(
+        o[["o_orderkey", "o_orderpriority", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    j = j[j["l_shipdate"] >= j["o_orderdate"]]
+    bdays = np.busday_count(
+        j["o_orderdate"].to_numpy().astype("datetime64[D]"),
+        j["l_shipdate"].to_numpy().astype("datetime64[D]"),
+    )
+    for _, row in out.iterrows():
+        mask = (j["o_orderpriority"] == row["priority"]).to_numpy()
+        assert row["n_lines"] == mask.sum()
+        assert row["total_bdays"] == bdays[mask].sum()
+        assert row["max_bdays"] == bdays[mask].max()
