@@ -401,3 +401,48 @@ def test_embedding_covariance_partial_agg(spark):
     combine ∝ d², not n."""
     plan = _formatted(QUERIES["embedding_covariance_block"](spark, SF))
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_itemcf_broadcasts_anchors_never_cartesian(spark):
+    plan = _formatted(QUERIES["itemcf_recs_parts"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # anchor semi-join is broadcast
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # co-counts combine map-side
+
+
+def test_nearest_supplier_is_broadcast_argmin(spark):
+    plan = _formatted(QUERIES["nearest_supplier_customers"](spark, SF))
+    # the reference set rides a broadcast nested-loop (a true cross
+    # against a broadcast dim), and the argmin combines map-side —
+    # the assignment itself never hash-shuffles the points
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_quantiles_never_sorts_whole_groups(spark):
+    from lakehouse_poc_spark.operators.stats import exact_group_quantiles
+
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 1000000.0).cast("bigint").alias("vm"),
+    )
+    out = exact_group_quantiles(
+        ev,
+        "event_type",
+        "vm",
+        [0.5],
+        (F.col("vm") / F.lit(1 << 22)).cast("bigint"),
+    )
+    plan = _formatted(out)
+    # the rank window partitions on (group, block), never group alone
+    assert "windowspecdefinition(__g" in plan.replace(" ", "").replace(
+        "#", ""
+    ) or "__blk" in plan
+    assert "__blk" in plan
+
+
+def test_reverse_search_alert_join_is_broadcast(spark):
+    plan = _formatted(QUERIES["reverse_search_alerts_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
