@@ -550,6 +550,77 @@ class DeltaLogWriter:
             self._meta_actions(df) + self._stage(df), "CREATE TABLE AS SELECT"
         )
 
+    # -- CHECK constraints (spec: delta.constraints.* table props) ------
+
+    def set_check_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT … CHECK (expr): stored the way the spec
+        stores it — a ``delta.constraints.<name>`` key in
+        ``metaData.configuration`` — so any Delta writer sees and must
+        enforce it. The commit re-states metaData with the new
+        configuration; EXISTING rows must already satisfy the
+        constraint (verified here, Delta's ADD CONSTRAINT contract)."""
+        state = _replay(self.path, None)
+        md = dict(state["metaData"] or {})
+        if state["files"]:
+            existing = self.spark.read.parquet(
+                *[str(self.path / f) for f in state["files"]]
+            )
+            from pyspark.sql import functions as F
+
+            bad = existing.filter(
+                ~F.coalesce(F.expr(expr), F.lit(True))
+            ).count()
+            if bad:
+                raise DeltaLogError(
+                    f"cannot add constraint {name!r}: {bad} existing "
+                    f"rows violate ({expr})"
+                )
+        cfg = dict(md.get("configuration") or {})
+        cfg[f"delta.constraints.{name}"] = expr
+        md["configuration"] = cfg
+        return self._commit(
+            [{"metaData": md}], f"ADD CONSTRAINT {name}"
+        )
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Writer-side enforcement (the spec makes this MANDATORY for
+        writers that see delta.constraints.*): reject the whole batch
+        if any row evaluates a constraint to FALSE (SQL CHECK
+        semantics: NULL passes). One pass computes every violation
+        count together."""
+        if current_version(self.path) < 0:
+            return
+        state = _replay(self.path, None)
+        cfg = (state["metaData"] or {}).get("configuration") or {}
+        constraints = {
+            k.removeprefix("delta.constraints."): v
+            for k, v in cfg.items()
+            if k.startswith("delta.constraints.")
+        }
+        if not constraints:
+            return
+        from pyspark.sql import functions as F
+
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(expr), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(name)
+                for name, expr in constraints.items()
+            ]
+        ).collect()[0]
+        bad = {n: int(counts[n] or 0) for n in constraints if counts[n]}
+        if bad:
+            raise DeltaLogError(
+                f"CHECK constraint violation, batch rejected: "
+                + ", ".join(
+                    f"{n} ({constraints[n]}): {c} rows"
+                    for n, c in bad.items()
+                )
+            )
+
     def _stage_partitioned(self, df: DataFrame, spec: list[str]) -> list[dict]:
         """Stage a partitioned write the way the spec stores it: data
         files DO NOT contain the partition columns — Spark's native
@@ -635,6 +706,7 @@ class DeltaLogWriter:
     def append(self, df: DataFrame) -> int:
         if current_version(self.path) < 0:
             return self.create(df)
+        self._check_constraints(df)
         return self._commit(self._stage(df), "WRITE")
 
     def overwrite(self, df: DataFrame) -> int:
@@ -643,6 +715,7 @@ class DeltaLogWriter:
         until a vacuum)."""
         if current_version(self.path) < 0:
             return self.create(df)
+        self._check_constraints(df)
         state = _replay(self.path, None)
         now = int(time.time() * 1000)
         removes = [

@@ -450,3 +450,40 @@ def test_deltalog_optimize_conflict_preserves_raced_append(
         103,
         104,
     ]
+
+
+def test_check_constraints_stored_and_enforced(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import write_checkpoint
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(_df(spark, [(1, "a"), (2, "b")]))
+    w.set_check_constraint("id_positive", "id > 0")
+    # stored the spec's way: a delta.constraints.* table property
+    last = sorted((p / "_delta_log").glob("*.json"))[-1]
+    meta = next(
+        a["metaData"]
+        for a in map(json.loads, last.read_text().splitlines())
+        if "metaData" in a
+    )
+    assert meta["configuration"]["delta.constraints.id_positive"] == "id > 0"
+    # good batch passes; violating batch is rejected WHOLE with counts
+    w.append(_df(spark, [(3, "c")]))
+    with pytest.raises(DeltaLogError, match="id_positive.*2 rows"):
+        w.append(_df(spark, [(-1, "x"), (0, "y"), (9, "z")]))
+    assert read_delta(spark, p).count() == 3  # nothing from the bad batch
+    # ADD CONSTRAINT validates existing rows
+    with pytest.raises(DeltaLogError, match="existing"):
+        w.set_check_constraint("id_small", "id < 2")
+    # constraints survive checkpoints (configuration is a checkpoint col)
+    write_checkpoint(p)
+    v = current_version(p)
+    for f in (p / "_delta_log").glob("*.json"):
+        if int(f.stem) <= v:
+            f.unlink()
+    w2 = DeltaLogWriter(spark, p)
+    with pytest.raises(DeltaLogError, match="id_positive"):
+        w2.append(_df(spark, [(-5, "q")]))
+    # NULL passes (SQL CHECK semantics)
+    w2.append(_df(spark, [(None, "n")]))
+    assert read_delta(spark, p).count() == 4
