@@ -318,6 +318,7 @@ HEADLINE = [
     "did_estimator_events",
     "cuped_adjustment_events",
     "business_days_latency_orders",
+    "stream_exactly_once_delta",
 ]
 
 

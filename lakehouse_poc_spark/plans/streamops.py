@@ -2510,3 +2510,78 @@ def stream_reverse_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("alert_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming ingest into Delta (r8): foreachBatch sinks
+# are at-least-once — on failure the batch is REDELIVERED — so a
+# naive append duplicates rows. The spec's txn action closes it:
+# `append_txn(df, app_id, batch_id)` commits the rows and the
+# (appId, version) marker atomically; a redelivery finds the marker
+# in the replayed ledger and no-ops. This query DELIBERATELY applies
+# every micro-batch TWICE (the worst-case redelivery) and still
+# matches the batch oracle exactly — the end-to-end exactly-once
+# proof, markers surviving checkpoints included
+# (tests/test_deltalog.py::test_txn_idempotent_appends_exactly_once).
+@query(
+    "stream_exactly_once_delta",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_exactly_once_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    work = stream_scratch("stream_e1x_")
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def _build(d: Path) -> None:
+        for i in range(3):
+            o.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.parquet(
+                str(d / f"b{i}")
+            )
+        for i in range(3):
+            for p in (d / f"b{i}").glob("part-*"):
+                st = os.stat(p)
+                os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    src = cached_fixture(
+        f"e1x_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/orders.parquet").st_mtime,
+    )
+    table = work / "orders_e1x"
+    w = DeltaLogWriter(spark, table)
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", o.schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # worst-case at-least-once: every batch delivered twice
+        first = w.append_txn(batch_df, "orders-ingest", batch_id)
+        replay = w.append_txn(batch_df, "orders-ingest", batch_id)
+        assert first is not None and replay is None
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    return (
+        read_delta(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -193,10 +193,16 @@ def _read_checkpoint(table_path: str | Path, version: int) -> dict | None:
     live: dict[str, dict] = {}
     schema: str | None = None
     meta: dict | None = None
+    txns: dict[str, int] = {}
     min_reader = 1
     for row in pq.read_table(str(f)).to_pylist():
         if row.get("protocol") is not None:
             min_reader = row["protocol"]["minReaderVersion"]
+        if row.get("txn") is not None:
+            t = row["txn"]
+            txns[t["appId"]] = max(
+                txns.get(t["appId"], -1), int(t["version"])
+            )
         if row.get("metaData") is not None:
             meta = dict(row["metaData"])
             cfg = meta.get("configuration") or []
@@ -214,6 +220,7 @@ def _read_checkpoint(table_path: str | Path, version: int) -> dict | None:
         "live": live,
         "schema": schema,
         "metaData": meta,
+        "txns": txns,
         "min_reader": min_reader,
     }
 
@@ -287,7 +294,10 @@ def write_checkpoint(table_path: str | Path, version: int | None = None) -> Path
                 "createdTime": md.get("createdTime", 0),
             }
         },
-    ] + [{"add": a} for a in state["adds"]]
+    ] + [{"add": a} for a in state["adds"]] + [
+        {"txn": {"appId": app, "version": ver}}
+        for app, ver in sorted((state.get("txns") or {}).items())
+    ]
     cols = ("protocol", "metaData", "add", "remove", "txn")
     types = (t_protocol, t_metadata, t_add, t_remove, t_txn)
     table = pa.table(
@@ -331,6 +341,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
     live: dict[str, dict] = {}
     meta_action: dict | None = None
     schema: str | None = None
+    txns: dict[str, int] = {}
     min_reader = 1
     start_after = -1
     if ck_meta is not None and ck_meta.get("version", -1) <= v:
@@ -339,6 +350,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
             live = dict(ck["live"])
             schema = ck["schema"]
             meta_action = ck["metaData"]
+            txns = dict(ck.get("txns") or {})
             min_reader = ck["min_reader"]
             start_after = ck_meta["version"]
     if start_after < 0 and cs and int(cs[0].stem) > 0:
@@ -366,6 +378,11 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
                 live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
     if min_reader > 1:
         raise DeltaLogError(
             f"table requires minReaderVersion={min_reader}; this reader "
@@ -377,6 +394,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
         "schema": schema,
         "adds": [live[k] for k in sorted(live)],
         "metaData": meta_action,
+        "txns": txns,
     }
 
 
@@ -708,6 +726,32 @@ class DeltaLogWriter:
             return self.create(df)
         self._check_constraints(df)
         return self._commit(self._stage(df), "WRITE")
+
+    def append_txn(
+        self, df: DataFrame, app_id: str, txn_version: int
+    ) -> int | None:
+        """IDEMPOTENT append via the spec's ``txn`` action — the
+        exactly-once primitive for streaming sinks: a foreachBatch
+        retry re-delivers (app_id, batch_id) and the replayed
+        highest-version-per-appId ledger says the work already
+        committed, so the duplicate is a NO-OP (returns None).
+        Otherwise the commit carries the data AND the txn marker
+        atomically — the marker can never run ahead of or behind its
+        rows. Markers survive checkpoints (the spec requires the
+        newest txn per appId in every checkpoint)."""
+        marker = {"txn": {"appId": app_id, "version": txn_version}}
+        if current_version(self.path) < 0:
+            # table bootstrap: marker rides the SAME commit — a crash
+            # can never separate batch 0's rows from its marker
+            return self._commit(
+                self._meta_actions(df) + self._stage(df) + [marker],
+                "CREATE TABLE AS SELECT",
+            )
+        seen = _replay(self.path, None)["txns"].get(app_id, -1)
+        if txn_version <= seen:
+            return None  # already applied: exactly-once replay
+        self._check_constraints(df)
+        return self._commit(self._stage(df) + [marker], "WRITE")
 
     def overwrite(self, df: DataFrame) -> int:
         """Remove every live file, add the new ones — one commit (the

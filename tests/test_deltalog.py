@@ -487,3 +487,43 @@ def test_check_constraints_stored_and_enforced(spark, tmp_path):
     # NULL passes (SQL CHECK semantics)
     w2.append(_df(spark, [(None, "n")]))
     assert read_delta(spark, p).count() == 4
+
+
+def test_txn_idempotent_appends_exactly_once(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import write_checkpoint
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    app = "stream-42"
+    assert w.append_txn(_df(spark, [(1, "a")]), app, 0) is not None
+    assert w.append_txn(_df(spark, [(2, "b")]), app, 1) is not None
+    # retry of batch 1 (a foreachBatch redelivery): NO-OP
+    assert w.append_txn(_df(spark, [(2, "b")]), app, 1) is None
+    assert w.append_txn(_df(spark, [(2, "b")]), app, 0) is None
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [1, 2]
+    # a different appId is an independent ledger
+    assert w.append_txn(_df(spark, [(9, "z")]), "other-app", 0) is not None
+    assert read_delta(spark, p).count() == 3
+    # the marker action is in the log, spec shape
+    actions = [
+        json.loads(line)
+        for f in sorted((p / "_delta_log").glob("*.json"))
+        for line in f.read_text().splitlines()
+    ]
+    txns = [a["txn"] for a in actions if "txn" in a]
+    assert {(t["appId"], t["version"]) for t in txns} == {
+        (app, 0),
+        (app, 1),
+        ("other-app", 0),
+    }
+    # ledger survives checkpoint + log clean (spec: newest txn per
+    # appId must be in every checkpoint)
+    write_checkpoint(p)
+    v = current_version(p)
+    for f in (p / "_delta_log").glob("*.json"):
+        if int(f.stem) <= v:
+            f.unlink()
+    w2 = DeltaLogWriter(spark, p)
+    assert w2.append_txn(_df(spark, [(3, "c")]), app, 1) is None  # replay
+    assert w2.append_txn(_df(spark, [(3, "c")]), app, 2) is not None
+    assert read_delta(spark, p).count() == 4
