@@ -600,6 +600,82 @@ class DeltaLogWriter:
             [{"metaData": md}], f"ADD CONSTRAINT {name}"
         )
 
+    def set_generated_column(self, col: str, expr: str) -> int:
+        """Declare ``col`` GENERATED ALWAYS AS (expr) — stored the
+        spec's way: a ``delta.generationExpression`` key in the
+        column's schema-field metadata, visible to every Delta
+        writer. Existing rows must already satisfy the expression
+        (verified); subsequent writes COMPUTE the column when the
+        batch omits it and VERIFY it when the batch supplies it."""
+        state = _replay(self.path, None)
+        md = dict(state["metaData"] or {})
+        schema = json.loads(md["schemaString"])
+        fields = {f["name"]: f for f in schema["fields"]}
+        if col not in fields:
+            raise DeltaLogError(
+                f"generated column {col!r} not in table schema"
+            )
+        if state["files"]:
+            from pyspark.sql import functions as F
+
+            existing = self.spark.read.parquet(
+                *[str(self.path / f) for f in state["files"]]
+            )
+            bad = existing.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr))
+            ).count()
+            if bad:
+                raise DeltaLogError(
+                    f"cannot declare {col!r} generated: {bad} existing "
+                    f"rows differ from ({expr})"
+                )
+        meta = dict(fields[col].get("metadata") or {})
+        meta["delta.generationExpression"] = expr
+        fields[col]["metadata"] = meta
+        md["schemaString"] = json.dumps(schema)
+        return self._commit(
+            [{"metaData": md}], f"SET GENERATED {col}"
+        )
+
+    def _generated_columns(self) -> dict[str, str]:
+        state = _replay(self.path, None)
+        md = state["metaData"] or {}
+        if not md.get("schemaString"):
+            return {}
+        out = {}
+        for f in json.loads(md["schemaString"])["fields"]:
+            expr = (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            if expr:
+                out[f["name"]] = expr
+        return out
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Writer-side generated-column handling: compute absent
+        columns, verify supplied ones (whole-batch rejection — a
+        wrong supplied value would silently fork the column's
+        definition)."""
+        gen = self._generated_columns() if current_version(self.path) >= 0 else {}
+        if not gen:
+            return df
+        from pyspark.sql import functions as F
+
+        out = df
+        for col, expr in gen.items():
+            if col not in out.columns:
+                out = out.withColumn(col, F.expr(expr))
+            else:
+                bad = out.filter(
+                    ~F.col(col).eqNullSafe(F.expr(expr))
+                ).count()
+                if bad:
+                    raise DeltaLogError(
+                        f"generated column {col!r}: {bad} supplied rows "
+                        f"differ from ({expr}); batch rejected"
+                    )
+        return out
+
     def _check_constraints(self, df: DataFrame) -> None:
         """Writer-side enforcement (the spec makes this MANDATORY for
         writers that see delta.constraints.*): reject the whole batch
@@ -724,6 +800,7 @@ class DeltaLogWriter:
     def append(self, df: DataFrame) -> int:
         if current_version(self.path) < 0:
             return self.create(df)
+        df = self._apply_generated(df)
         self._check_constraints(df)
         return self._commit(self._stage(df), "WRITE")
 
@@ -750,6 +827,7 @@ class DeltaLogWriter:
         seen = _replay(self.path, None)["txns"].get(app_id, -1)
         if txn_version <= seen:
             return None  # already applied: exactly-once replay
+        df = self._apply_generated(df)
         self._check_constraints(df)
         return self._commit(self._stage(df) + [marker], "WRITE")
 
@@ -759,6 +837,7 @@ class DeltaLogWriter:
         until a vacuum)."""
         if current_version(self.path) < 0:
             return self.create(df)
+        df = self._apply_generated(df)
         self._check_constraints(df)
         state = _replay(self.path, None)
         now = int(time.time() * 1000)

@@ -527,3 +527,42 @@ def test_txn_idempotent_appends_exactly_once(spark, tmp_path):
     assert w2.append_txn(_df(spark, [(3, "c")]), app, 1) is None  # replay
     assert w2.append_txn(_df(spark, [(3, "c")]), app, 2) is not None
     assert read_delta(spark, p).count() == 4
+
+
+def test_generated_columns_computed_and_verified(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(
+        spark.createDataFrame(
+            [(1, "a", 2), (2, "bb", 4)], "id long, v string, twice long"
+        )
+    )
+    w.set_generated_column("twice", "id * 2")
+    # schema-field metadata carries the spec key
+    last = sorted((p / "_delta_log").glob("*.json"))[-1]
+    meta = next(
+        a["metaData"]
+        for a in map(json.loads, last.read_text().splitlines())
+        if "metaData" in a
+    )
+    fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
+    assert (
+        fields["twice"]["metadata"]["delta.generationExpression"] == "id * 2"
+    )
+    # batch WITHOUT the column: computed
+    w.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    got = {
+        r["id"]: r["twice"] for r in read_delta(spark, p).collect()
+    }
+    assert got == {1: 2, 2: 4, 3: 6}
+    # batch WITH a wrong value: rejected whole
+    with pytest.raises(DeltaLogError, match="generated column 'twice'"):
+        w.append(
+            spark.createDataFrame(
+                [(4, "d", 99)], "id long, v string, twice long"
+            )
+        )
+    assert read_delta(spark, p).count() == 3
+    # declaring over non-conforming data fails fast
+    with pytest.raises(DeltaLogError, match="existing rows differ"):
+        w.set_generated_column("twice", "id * 3")
