@@ -2809,10 +2809,11 @@ class DeltaLogWarehouse(Warehouse):
         actual optimistic-concurrency story: the version number IS
         the conflict check."""
         self._no_partitions(partition_by)
-        if cluster_by or zorder_by:
+        if zorder_by is not None:
             raise NotImplementedError(
-                "delta-log OPTIMIZE is plain bin-packing; clustered "
-                "layouts ride the real runtime's ZORDER"
+                "delta-log OPTIMIZE supports cluster_by (range "
+                "clustering, Delta's single-dimension ZORDER cousin); "
+                "multi-dimension z-order rides the real runtime"
             )
         if (target_files is None) == (target_file_bytes is None):
             raise ValueError(
@@ -2834,9 +2835,16 @@ class DeltaLogWarehouse(Warehouse):
         if target_file_bytes is not None:
             total = sum(p.stat().st_size for p in paths)
             target_files = max(1, -(-total // int(target_file_bytes)))
-        df = self.spark.read.parquet(*[str(p) for p in paths]).coalesce(
-            target_files
-        )
+        df = self.spark.read.parquet(*[str(p) for p in paths])
+        if cluster_by:
+            # range-clustered rewrite: each output file covers a narrow
+            # value range, so the add actions' footer stats make
+            # files_skipped_by_stats selective on the cluster column
+            df = df.repartitionByRange(
+                target_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(target_files)
         adds = w._stage(df)
         now = int(time.time() * 1000)
         removes = [

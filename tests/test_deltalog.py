@@ -566,3 +566,31 @@ def test_generated_columns_computed_and_verified(spark, tmp_path):
     # declaring over non-conforming data fails fast
     with pytest.raises(DeltaLogError, match="existing rows differ"):
         w.set_generated_column("twice", "id * 3")
+
+
+def test_deltalog_clustered_optimize_enables_stats_skipping(spark, tmp_path):
+    from lakehouse_poc_spark.sinks.warehouse import DeltaLogWarehouse
+    from lakehouse_poc_spark.sources.deltalog import files_skipped_by_stats
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    t = "fact.clust"
+    # interleaved appends: every file spans the whole id range, so
+    # stats skipping is useless before OPTIMIZE
+    for i in range(4):
+        wh.append(
+            spark.range(i, 1000, 4).coalesce(1).selectExpr("id"), t
+        )
+    keep0, total0 = files_skipped_by_stats(wh.path(t), "id", 10, 20)
+    assert total0 == 4 and len(keep0) == total0  # nothing skippable
+    wh.compact(t, target_files=4, cluster_by=["id"])
+    keep1, total1 = files_skipped_by_stats(wh.path(t), "id", 10, 20)
+    assert total1 == 4 and len(keep1) < total1  # clustering unlocked it
+    assert (
+        spark.read.parquet(
+            *[str(wh.path(t) / n) for n in keep1]
+        )
+        .filter("id BETWEEN 10 AND 20")
+        .count()
+        == 11
+    )
+    assert wh.read(t).count() == 1000
