@@ -319,6 +319,7 @@ HEADLINE = [
     "cuped_adjustment_events",
     "business_days_latency_orders",
     "stream_exactly_once_delta",
+    "clustering_coefficient_coparts",
 ]
 
 

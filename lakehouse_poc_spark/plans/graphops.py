@@ -792,3 +792,132 @@ def closeness_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (r8): per-node cohesion of the
+# co-purchase graph — c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the
+# node-level companion to the global triangle count
+# (triangle_count_coparts shares the edge fixture). Triangles are
+# enumerated ONCE on the u<v<w orientation (two edge-keyed joins —
+# the standard enumeration, never adjacency-matrix powers) and each
+# triangle credits its three corners; degree is one agg over the
+# symmetrized edge list. Top-30 hubs by (degree, node) via
+# TakeOrdered. Zero-division is definitional: deg < 2 ⇒ c = 0.
+@query(
+    "clustering_coefficient_coparts",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node, v FROM e
+            UNION ALL SELECT v, u FROM e
+        ) GROUP BY node
+    )
+    SELECT CAST(d.node AS BIGINT) AS node, d.deg,
+           CAST(COALESCE(t.tri, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.deg < 2 THEN 0.0
+                ELSE 2.0 * COALESCE(t.tri, 0)
+                     / (CAST(d.deg AS DOUBLE) * (d.deg - 1.0))
+           END AS coefficient
+    FROM deg d LEFT JOIN tri_per_node t ON t.node = d.node
+    ORDER BY d.deg DESC, d.node
+    LIMIT 30
+    """,
+)
+def clustering_coefficient_coparts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(
+            orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # three self-joins reuse it
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    tri_per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0))
+            .cast("bigint")
+            .alias("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                F.lit(2.0)
+                * F.coalesce(F.col("tri"), F.lit(0))
+                / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1.0)))
+            )
+            .alias("coefficient"),
+        )
+        .orderBy(F.col("deg").desc(), "node")
+        .limit(30)
+    )
