@@ -320,6 +320,8 @@ HEADLINE = [
     "business_days_latency_orders",
     "stream_exactly_once_delta",
     "clustering_coefficient_coparts",
+    "top_movers_users",
+    "bounce_rate_events",
 ]
 
 

@@ -2126,3 +2126,144 @@ def cramers_v_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Top movers (r8): the period-over-period triage view — which users'
+# activity changed most between the two halves of the observed range
+# (the integer midpoint convention shared with did_estimator_events).
+# One groupBy with conditional counts; top-20 by (|Δ|, user) via
+# TakeOrdered. The panel an on-call analyst opens before dashboards:
+# WHO moved, not just THAT the aggregate moved.
+@query(
+    "top_movers_users",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+        FROM events
+    ), mid AS (
+        SELECT CAST((MIN(s) + MAX(s)) / 2 AS BIGINT) AS m FROM base
+    ), per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN s < (SELECT m FROM mid)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+               CAST(SUM(CASE WHEN s >= (SELECT m FROM mid)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+        FROM base GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_first, n_second,
+           n_second - n_first AS delta
+    FROM per_user
+    ORDER BY abs(n_second - n_first) DESC, user_id
+    LIMIT 20
+    """,
+)
+def top_movers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("s")
+    )
+    mid = ev.agg(
+        ((F.min("s") + F.max("s")) / F.lit(2)).cast("bigint").alias("m")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("s") < F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum(F.when(F.col("s") >= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_second"),
+        )
+    )
+    delta = F.col("n_second") - F.col("n_first")
+    return (
+        per_user.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_first",
+            "n_second",
+            delta.alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "user_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate by entry point (r8): of the sessions OPENED with each
+# event type, what fraction ended after that single event — the
+# engagement read-out session_paths/funnels sit on top of. Sessions
+# come from the shared gap rule (30-min, integer µs, event_id
+# tiebreak); the opener is an exact struct-min over (ts, event_id).
+@query(
+    "bounce_rate_events",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               SUM(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts),
+                                                    event_id) AS prev_us
+            FROM events
+        ) t
+    ), sess AS (
+        SELECT user_id, session_id,
+               MIN(struct_pack(ts_us := ts_us, event_id := event_id,
+                               t := event_type)).t AS entry_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1, 2
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM sess
+    GROUP BY entry_type
+    ORDER BY entry_type
+    """,
+)
+def bounce_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    with_sid = sessionize(
+        ev,
+        keys=["user_id"],
+        ts_col="ts_us",
+        gap=1800000000,
+        tiebreak=["event_id"],
+    )
+    sess = with_sid.groupBy("user_id", "session_id").agg(
+        F.min(F.struct("ts_us", "event_id", F.col("event_type").alias("t")))[
+            "t"
+        ].alias("entry_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            (
+                F.sum(
+                    F.when(F.col("n_events") == 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )
