@@ -322,6 +322,7 @@ HEADLINE = [
     "clustering_coefficient_coparts",
     "top_movers_users",
     "bounce_rate_events",
+    "centroid_cosine_labels",
 ]
 
 

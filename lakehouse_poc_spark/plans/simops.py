@@ -3226,3 +3226,109 @@ def knn_label_confusion_embeddings(
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-class centroid separation (r8): pairwise cosine between label
+# centroids — the "is the embedding space collapsing?" gate a
+# training pipeline runs per checkpoint (healthy spaces keep class
+# centroids apart; drift/collapse shows as off-diagonal cosines
+# rising toward 1). Centroid coordinates are micro-rounded BIGINTs
+# (per-row micro-ints summed exactly, mean re-rounded), so dots and
+# norms are exact integers and the one cosine division matches
+# bit-for-bit. Work: one (label, pos) aggregate + a pos-keyed join
+# over the label-pair × dim domain — model-domain, not corpus-domain.
+@query(
+    "centroid_cosine_labels",
+    oracle="""
+    WITH flat AS (
+        SELECT label, u.pos,
+               CAST(ROUND(CAST(u.val AS DOUBLE) * 1000000.0) AS BIGINT)
+                 AS vm
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding) AS val) u
+    ), cm AS (
+        SELECT label, pos,
+               CAST(ROUND(CAST(SUM(vm) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS c
+        FROM flat GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, SUM(CAST(c AS DECIMAL(38,0)) * c) AS n2
+        FROM cm GROUP BY 1
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS dot
+        FROM cm a JOIN cm b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT CAST(d.label_a AS BIGINT) AS label_a,
+           CAST(d.label_b AS BIGINT) AS label_b,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def centroid_cosine_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    cm = flat.groupBy("label", "pos").agg(
+        F.round(F.sum("vm").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("c")
+    )
+    norms = cm.groupBy("label").agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("n2")
+    )
+    a, b = cm.alias("a"), cm.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(
+                F.col("a.c").cast("decimal(38,0)") * F.col("b.c")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("n2").alias("nb2")
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
