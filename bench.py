@@ -323,6 +323,7 @@ HEADLINE = [
     "top_movers_users",
     "bounce_rate_events",
     "centroid_cosine_labels",
+    "heaps_law_docs",
 ]
 
 

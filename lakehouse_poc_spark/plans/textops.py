@@ -1180,3 +1180,163 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit (r8): vocabulary growth V(N) ≈ K·N^β over the
+# corpus — the companion to the Zipf fit (zipf_fit_tokens): β well
+# below 1 says vocabulary saturates (natural text ~0.4–0.6); β ≈ 1
+# flags ID-like/noisy token streams. Scale shape: each token's FIRST
+# document (one vocab-domain min), new-token counts per doc, then the
+# block-offset global rank + exact decimal cumulative sum
+# (operators/linkage) give V at every prefix with no single-reducer
+# window; the fit uses 10 decile sample points (ln-values nano-
+# rounded to BIGINT before the tiny sums, so both engines agree).
+@query(
+    "heaps_law_docs",
+    oracle=r"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        )
+    ), firsts AS (
+        SELECT token, MIN(doc_id) AS first_doc FROM dt GROUP BY 1
+    ), newc AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_tokens
+        FROM firsts GROUP BY 1
+    ), docs AS (
+        SELECT d.doc_id,
+               ROW_NUMBER() OVER (ORDER BY d.doc_id) AS n,
+               COALESCE(nc.new_tokens, 0) AS new_tokens
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN newc nc ON nc.doc_id = d.doc_id
+    ), cum AS (
+        SELECT n,
+               SUM(new_tokens) OVER (ORDER BY n
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS v
+        FROM docs
+    ), total AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS d_total FROM cum
+    ), pts AS (
+        SELECT CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000000.0)
+                    AS BIGINT) AS x,
+               CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000000.0)
+                    AS BIGINT) AS y
+        FROM cum CROSS JOIN total
+        WHERE n IN (SELECT CAST(CEIL(d_total * k / 10.0) AS BIGINT)
+                    FROM total, (SELECT UNNEST(RANGE(1, 11)) AS k))
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM pts
+    )
+    SELECT np AS n_points,
+           (SELECT d_total FROM total) AS n_docs,
+           (SELECT CAST(MAX(v) AS BIGINT) FROM cum) AS vocab,
+           (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+           (CAST(sy AS DOUBLE)
+            - (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+             / CAST(np AS DOUBLE) / 1000000000.0 AS ln_k
+    FROM s
+    """,
+)
+def heaps_law_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.linkage import global_cumsum, global_rank
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("token"),
+    ).distinct()
+    newc = (
+        dt.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+    )
+    base = (
+        docs.select("doc_id")
+        .distinct()
+        .join(newc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_tokens", F.lit(0))
+            .cast("decimal(20,0)")
+            .alias("new_tokens"),
+        )
+    )
+    ranked = global_rank(
+        base,
+        ["doc_id"],
+        (F.col("doc_id") / F.lit(1024)).cast("bigint"),
+        rank_col="n",
+    )
+    cum = global_cumsum(
+        ranked,
+        ["doc_id"],
+        (F.col("doc_id") / F.lit(1024)).cast("bigint"),
+        "new_tokens",
+        cum_col="v",
+    )
+    d_total = cum.count()
+    targets = sorted({math.ceil(d_total * k / 10.0) for k in range(1, 11)})
+    pts = cum.filter(F.col("n").isin(targets)).select(
+        F.round(F.log(F.col("n").cast("double")) * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("x"),
+        F.round(
+            F.log(F.col("v").cast("double")) * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    vocab = cum.agg(
+        F.max(F.col("v")).cast("bigint").alias("vocab")
+    )
+    npd = F.col("np").cast("double")
+    beta = (
+        npd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        npd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        s.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("np").alias("n_points"),
+            F.lit(d_total).cast("bigint").alias("n_docs"),
+            "vocab",
+            beta.alias("beta"),
+            (
+                (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+                / npd
+                / F.lit(1000000000.0)
+            ).alias("ln_k"),
+        )
+    )
