@@ -324,6 +324,7 @@ HEADLINE = [
     "bounce_rate_events",
     "centroid_cosine_labels",
     "heaps_law_docs",
+    "growth_accounting_weekly",
 ]
 
 

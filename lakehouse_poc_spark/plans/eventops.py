@@ -2267,3 +2267,100 @@ def bounce_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (r8): the weekly new / retained / resurrected /
+# churned decomposition — the standard growth ledger that explains
+# WHY the active-user line moved (its identity: active(w) = new +
+# retained + resurrected; churned(w) = active(w−1) − retained(w)).
+# One distinct (user, week) relation drives everything: first-week
+# via min, week-over-week presence via a (user, week−1) self-join —
+# user-keyed shuffles only.
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 604800)
+                    AS BIGINT) AS w
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY 1
+    ), flags AS (
+        SELECT uw.user_id, uw.w,
+               f.w0 = uw.w AS is_new,
+               p.user_id IS NOT NULL AS was_prev
+        FROM uw
+        JOIN firsts f ON f.user_id = uw.user_id
+        LEFT JOIN uw p ON p.user_id = uw.user_id AND p.w = uw.w - 1
+    ), act AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS active,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                 AS new_users,
+               CAST(SUM(CASE WHEN was_prev THEN 1 ELSE 0 END) AS BIGINT)
+                 AS retained,
+               CAST(SUM(CASE WHEN NOT is_new AND NOT was_prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM flags GROUP BY w
+    )
+    SELECT a.w AS week,
+           a.active, a.new_users, a.retained, a.resurrected,
+           COALESCE(prev.active, 0) - a.retained AS churned
+    FROM act a LEFT JOIN act prev ON prev.w = a.w - 1
+    ORDER BY week
+    """,
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(604800))
+        .cast("bigint")
+        .alias("w"),
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
+    prev = uw.select("user_id", (F.col("w") + 1).alias("w")).withColumn(
+        "was_prev", F.lit(True)
+    )
+    flags = (
+        uw.join(firsts, "user_id")
+        .join(prev, ["user_id", "w"], "left")
+        .select(
+            "w",
+            (F.col("w0") == F.col("w")).alias("is_new"),
+            F.coalesce("was_prev", F.lit(False)).alias("was_prev"),
+        )
+    )
+    act = flags.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("was_prev"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("was_prev"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    p = act.select(
+        (F.col("w") + 1).alias("w"), F.col("active").alias("prev_active")
+    )
+    return (
+        act.join(p, "w", "left")
+        .select(
+            F.col("w").alias("week"),
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            (F.coalesce("prev_active", F.lit(0)) - F.col("retained")).alias(
+                "churned"
+            ),
+        )
+        .orderBy("week")
+    )
