@@ -325,6 +325,7 @@ HEADLINE = [
     "centroid_cosine_labels",
     "heaps_law_docs",
     "growth_accounting_weekly",
+    "burstiness_events",
 ]
 
 

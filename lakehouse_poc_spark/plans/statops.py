@@ -3158,3 +3158,83 @@ def cuped_adjustment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_adj"),
         (cxy * cxy / vx / vy).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (r8): Goh & Barabási's B = (σ−μ)/(σ+μ) over inter-event
+# gaps — the temporal-pattern companion to the COUNT dispersion test
+# (dispersion_test_events): B→−1 periodic, B≈0 Poisson, B→+1 bursty.
+# Gaps are integer seconds from per-(user,type) consecutive arrivals
+# (a lag window over user×type partitions — real key cardinality,
+# not a low-cardinality skew trap); moments are exact BIGINT /
+# DECIMAL(38,0) sums; σ is one fixed-order sqrt at the end.
+@query(
+    "burstiness_events",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+               lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id, event_type
+                       ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                event_id) AS prev_s
+        FROM events
+    ), gaps AS (
+        SELECT event_type, s - prev_s AS g
+        FROM seq WHERE prev_s IS NOT NULL
+    ), m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               SUM(CAST(g AS DECIMAL(38,0)) * g) AS qg
+        FROM gaps GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(sg AS DOUBLE) / n AS mean_gap_s,
+           sqrt((CAST(qg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n) / n)
+             AS sd_gap_s,
+           (sqrt((CAST(qg AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n) / n)
+            - CAST(sg AS DOUBLE) / n)
+           / (sqrt((CAST(qg AS DOUBLE)
+                    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / n) / n)
+              + CAST(sg AS DOUBLE) / n) AS burstiness
+    FROM m ORDER BY event_type
+    """,
+)
+def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("s"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("s", "event_id")
+    gaps = (
+        ev.withColumn("prev_s", F.lag("s").over(w))
+        .filter(F.col("prev_s").isNotNull())
+        .select("event_type", (F.col("s") - F.col("prev_s")).alias("g"))
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("qg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("qg").cast("double")
+            - F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("n")
+        )
+        / F.col("n")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_gap_s"),
+        sd.alias("sd_gap_s"),
+        ((sd - mean) / (sd + mean)).alias("burstiness"),
+    ).orderBy("event_type")
