@@ -336,3 +336,118 @@ def test_business_days_closed_form_matches_numpy(spark):
         assert row["n_lines"] == mask.sum()
         assert row["total_bdays"] == bdays[mask].sum()
         assert row["max_bdays"] == bdays[mask].max()
+
+
+def test_top_movers_matches_pandas(spark):
+    out = plans.QUERIES["top_movers_users"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    s = (ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
+    mid = (s.min() + s.max()) // 2
+    g = pd.DataFrame({"u": ev["user_id"], "second": s >= mid})
+    n1 = g[~g["second"]].groupby("u").size()
+    n2 = g[g["second"]].groupby("u").size()
+    users = sorted(set(g["u"]))
+    rows = sorted(
+        (
+            (-abs(int(n2.get(u, 0)) - int(n1.get(u, 0))), u)
+            for u in users
+        )
+    )[:20]
+    expect = [u for _, u in rows]
+    assert list(out["user_id"]) == expect
+    for _, r in out.iterrows():
+        assert r["delta"] == int(n2.get(r["user_id"], 0)) - int(
+            n1.get(r["user_id"], 0)
+        )
+
+
+def test_bounce_rate_consistency(spark):
+    out = plans.QUERIES["bounce_rate_events"](spark, SF).toPandas()
+    assert (out["n_bounces"] <= out["n_sessions"]).all()
+    assert (
+        out["bounce_rate"] == out["n_bounces"] / out["n_sessions"]
+    ).all()
+    # session total matches the sessionize query's session count
+    sess = plans.QUERIES["sessionize_events"](spark, SF).toPandas()
+    assert out["n_sessions"].sum() == sess["n_sessions"].sum()
+
+
+def test_centroid_cosine_matches_numpy(spark):
+    out = plans.QUERIES["centroid_cosine_labels"](spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    def half_away(v):  # Spark/DuckDB ROUND semantics
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    cents = {}
+    for lab, g in emb.groupby("label"):
+        m = np.stack(g["embedding"].to_numpy()).astype("float64")
+        vm = half_away(m * 1e6)
+        cents[lab] = half_away(vm.sum(axis=0) / len(vm))
+    for _, r in out.iterrows():
+        a, b = cents[r["label_a"]], cents[r["label_b"]]
+        cos = float(a @ b) / (np.sqrt(float(a @ a)) * np.sqrt(float(b @ b)))
+        assert r["cosine"] == pytest.approx(cos, rel=1e-9)
+    # sanity: labeled fixture classes are separated, not collapsed
+    assert out["cosine"].max() < 0.999
+
+
+def test_heaps_fit_matches_numpy(spark):
+    out = plans.QUERIES["heaps_law_docs"](spark, SF).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    seen: set[str] = set()
+    vocab_at = []
+    for _, row in docs.sort_values("doc_id").iterrows():
+        seen |= set(row["text"].lower().strip().split())
+        vocab_at.append(len(seen))
+    d = len(vocab_at)
+    assert out["n_docs"] == d and out["vocab"] == vocab_at[-1]
+    pts = sorted({int(np.ceil(d * k / 10.0)) for k in range(1, 11)})
+    x = np.round(np.log([n for n in pts]) * 1e9)
+    y = np.round(np.log([vocab_at[n - 1] for n in pts]) * 1e9)
+    n = len(x)
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    assert out["beta"] == pytest.approx(beta, rel=1e-9, abs=1e-12)
+    # the synthetic corpus draws from a ~31-token vocabulary, so V(N)
+    # saturates immediately and the true slope is ~0 — the degenerate
+    # end of the Heaps regime (natural corpora sit at 0.4-0.6)
+    assert -1e-9 <= out["beta"] <= 1.05
+
+
+def test_growth_accounting_identity(spark):
+    out = plans.QUERIES["growth_accounting_weekly"](spark, SF).toPandas()
+    # the ledger identity per week
+    assert (
+        out["active"]
+        == out["new_users"] + out["retained"] + out["resurrected"]
+    ).all()
+    # churned(w) = active(w-1) - retained(w)
+    prev = out["active"].shift(1).fillna(0).astype(int)
+    assert (out["churned"] == prev - out["retained"]).all()
+    # total new over all weeks == total distinct users
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert out["new_users"].sum() == ev["user_id"].nunique()
+
+
+def test_burstiness_matches_numpy(spark):
+    out = plans.QUERIES["burstiness_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["s"] = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    )
+    for _, r in out.iterrows():
+        g = ev[ev["event_type"] == r["event_type"]].sort_values(
+            ["user_id", "s", "event_id"]
+        )
+        gaps = []
+        for _, u in g.groupby("user_id"):
+            s = u["s"].to_numpy()
+            gaps.extend((s[1:] - s[:-1]).tolist())
+        gaps = np.array(gaps, dtype=float)
+        assert r["n"] == len(gaps)
+        mu, sd = gaps.mean(), gaps.std(ddof=0)
+        assert r["burstiness"] == pytest.approx(
+            (sd - mu) / (sd + mu), rel=1e-9
+        )
+        assert -1.0 < r["burstiness"] < 1.0
