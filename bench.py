@@ -326,6 +326,8 @@ HEADLINE = [
     "heaps_law_docs",
     "growth_accounting_weekly",
     "burstiness_events",
+    "peak_hours_events",
+    "conformance_deviations_events",
 ]
 
 

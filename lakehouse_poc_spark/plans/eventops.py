@@ -2364,3 +2364,170 @@ def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection (r8): hours whose activity is a LOCAL MAXIMUM with
+# sufficient prominence (strictly above both neighbors and ≥ 1.5× the
+# type's median hourly count) — the alerting read-out between raw
+# counts and changepoint/CUSUM: WHERE did load spike, per type. The
+# lag/lead window runs over the hourly AGGREGATE (bounded hour
+# domain); the exact median comes from the same counts relation.
+@query(
+    "peak_hours_events",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, m FROM (
+            SELECT event_type, c AS m,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY c, h) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM hourly
+        ) WHERE r = CAST(CEIL(n / 2.0) AS BIGINT)
+    ), nb AS (
+        SELECT event_type, h, c,
+               lag(c) OVER (PARTITION BY event_type ORDER BY h) AS prev_c,
+               lead(c) OVER (PARTITION BY event_type ORDER BY h) AS next_c
+        FROM hourly
+    )
+    SELECT nb.event_type, nb.h AS hour_idx, nb.c AS n_events,
+           med.m AS median_hourly,
+           CAST(nb.c AS DOUBLE) / med.m AS prominence
+    FROM nb JOIN med ON med.event_type = nb.event_type
+    WHERE nb.prev_c IS NOT NULL AND nb.next_c IS NOT NULL
+      AND nb.c > nb.prev_c AND nb.c > nb.next_c
+      AND CAST(nb.c AS DOUBLE) >= 1.5 * med.m
+    ORDER BY nb.event_type, nb.h
+    """,
+)
+def peak_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(3600))
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wm = Window.partitionBy("event_type").orderBy("c", "h")
+    med = (
+        hourly.withColumn("r", F.row_number().over(wm))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("r") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint"))
+        .select("event_type", F.col("c").alias("m"))
+    )
+    wh = Window.partitionBy("event_type").orderBy("h")
+    nb = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.lag("c").over(wh).alias("prev_c"),
+        F.lead("c").over(wh).alias("next_c"),
+    )
+    return (
+        nb.join(med, "event_type")
+        .filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("c") > F.col("prev_c"))
+            & (F.col("c") > F.col("next_c"))
+            & (F.col("c").cast("double") >= F.lit(1.5) * F.col("m"))
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour_idx"),
+            F.col("c").alias("n_events"),
+            F.col("m").alias("median_hourly"),
+            (F.col("c").cast("double") / F.col("m")).alias("prominence"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conformance checking (r8): the process-mining step ABOVE the
+# discovery views (dfg_bottleneck, eventually_follows) — replay every
+# trace against a declared process model and report where reality
+# deviates. The model here is derived deterministically (the 8 most
+# frequent observed transitions = "the happy paths", ranked
+# (count, src, dst)); a deviation is any adjacent transition outside
+# it. Output: the top-10 deviating transitions with occurrence and
+# affected-trace counts — the worklist a process owner triages.
+# Transitions come from one per-user lag window (user-keyed, real
+# cardinality); everything after is transition-domain.
+@query(
+    "conformance_deviations_events",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+                 AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT user_id, prev_type AS src, event_type AS dst
+        FROM seq WHERE prev_type IS NOT NULL
+    ), freq AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+        FROM trans GROUP BY 1, 2
+    ), model AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, src, dst) AS r
+            FROM freq
+        ) WHERE r <= 8
+    ), dev AS (
+        SELECT t.src, t.dst, t.user_id
+        FROM trans t LEFT JOIN model m
+          ON m.src = t.src AND m.dst = t.dst
+        WHERE m.src IS NULL
+    )
+    SELECT src, dst,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_traces
+    FROM dev
+    GROUP BY src, dst
+    ORDER BY n_occurrences DESC, src, dst
+    LIMIT 10
+    """,
+)
+def conformance_deviations_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            "user_id",
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+    )
+    freq = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wm = Window.orderBy(F.col("c").desc(), "src", "dst")
+    model = (
+        freq.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") <= 8)
+        .select("src", "dst")
+    )
+    dev = trans.join(F.broadcast(model), ["src", "dst"], "left_anti")
+    return (
+        dev.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_traces"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "src", "dst")
+        .limit(10)
+    )
