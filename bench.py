@@ -328,6 +328,7 @@ HEADLINE = [
     "burstiness_events",
     "peak_hours_events",
     "conformance_deviations_events",
+    "catalog_profile_all_tables",
 ]
 
 

@@ -980,3 +980,69 @@ def impute_missing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog profile (r8): one row per table across the whole catalog —
+# row count, column count, and the distinct-count of the table's
+# natural key (so key uniqueness is verified catalog-wide in one
+# read-out: n_rows == n_keys ⇔ the key is a PK). The per-table
+# column counts are schema literals; the counts are one aggregate
+# per table, unioned — the "is every table sane" dashboard row.
+@query(
+    "catalog_profile_all_tables",
+    oracle="""
+    SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(5 AS BIGINT) AS n_cols,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM customer
+    UNION ALL SELECT 'documents', COUNT(*), 5, COUNT(DISTINCT doc_id)
+    FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*), 3, COUNT(DISTINCT vec_id)
+    FROM embeddings
+    UNION ALL SELECT 'events', COUNT(*), 6, COUNT(DISTINCT event_id)
+    FROM events
+    UNION ALL SELECT 'lineitem', COUNT(*), 11,
+              COUNT(DISTINCT l_orderkey * 16 + l_linenumber)
+    FROM lineitem
+    UNION ALL SELECT 'nation', COUNT(*), 3, COUNT(DISTINCT n_nationkey)
+    FROM nation
+    UNION ALL SELECT 'orders', COUNT(*), 6, COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL SELECT 'part', COUNT(*), 6, COUNT(DISTINCT p_partkey)
+    FROM part
+    UNION ALL SELECT 'region', COUNT(*), 2, COUNT(DISTINCT r_regionkey)
+    FROM region
+    UNION ALL SELECT 'supplier', COUNT(*), 4, COUNT(DISTINCT s_suppkey)
+    FROM supplier
+    ORDER BY table_name
+    """,
+)
+def catalog_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = {
+        "customer": F.col("c_custkey"),
+        "documents": F.col("doc_id"),
+        "embeddings": F.col("vec_id"),
+        "events": F.col("event_id"),
+        "lineitem": F.col("l_orderkey") * 16 + F.col("l_linenumber"),
+        "nation": F.col("n_nationkey"),
+        "orders": F.col("o_orderkey"),
+        "part": F.col("p_partkey"),
+        "region": F.col("r_regionkey"),
+        "supplier": F.col("s_suppkey"),
+    }
+    parts = []
+    for name in sorted(keys):
+        t = _t(spark, sf_dir, name)
+        parts.append(
+            t.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.lit(len(t.columns)).cast("bigint").alias("n_cols"),
+                F.countDistinct(keys[name]).cast("bigint").alias("n_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
