@@ -329,6 +329,7 @@ HEADLINE = [
     "peak_hours_events",
     "conformance_deviations_events",
     "catalog_profile_all_tables",
+    "delta_checkpointed_ingest_orders",
 ]
 
 

@@ -2667,3 +2667,78 @@ def delta_stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed, constrained Delta ingest (r8): twelve appends cross
+# the auto-checkpoint cadence (a %020d.checkpoint.parquet +
+# _last_checkpoint land mid-history), a CHECK constraint guards every
+# batch, and one violating batch is rejected WHOLE without leaving a
+# trace — then the final read opens FROM the checkpoint (the JSON
+# commits at or below it are deleted first, proving the read path)
+# and must match the plain-orders oracle. The protocol features
+# (checkpoint replay, constraint enforcement, batch atomicity) all
+# sit inside the driver's correctness gate, not just unit tests.
+@query(
+    "delta_checkpointed_ingest_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def delta_checkpointed_ingest_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.deltalog import (
+        DeltaLogError,
+        DeltaLogWriter,
+        current_version,
+        read_delta,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = SCRATCH / f"dlckpt_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    table = root / "orders_ckpt"
+    w = DeltaLogWriter(spark, table)
+    w.create(o.filter(F.col("o_orderkey") % 12 == 0))
+    w.set_check_constraint("price_positive", "o_totalprice > 0")
+    for i in range(1, 12):
+        w.append(o.filter(F.col("o_orderkey") % 12 == i))
+    # a poisoned batch: rejected whole, no partial state
+    try:
+        w.append(
+            o.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+        )
+        raise AssertionError("constraint should have rejected the batch")
+    except DeltaLogError:
+        pass
+    # prove the checkpoint read path: retire the covered JSON commits
+    import json as _json
+
+    ptr = table / "_delta_log" / "_last_checkpoint"
+    ck_v = _json.loads(ptr.read_text())["version"]
+    if ck_v < 10:
+        raise AssertionError(f"auto-checkpoint cadence missed: {ck_v}")
+    for f in (table / "_delta_log").glob("*.json"):
+        if int(f.stem) <= ck_v:
+            f.unlink()
+    assert current_version(table) >= ck_v
+    return (
+        read_delta(spark, table)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("priority")
+    )
