@@ -330,6 +330,8 @@ HEADLINE = [
     "conformance_deviations_events",
     "catalog_profile_all_tables",
     "delta_checkpointed_ingest_orders",
+    "lag_features_events",
+    "tz_daily_rollup_events",
 ]
 
 

@@ -2531,3 +2531,65 @@ def conformance_deviations_events(
         .orderBy(F.col("n_occurrences").desc(), "src", "dst")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Timezone-shifted daily rollup (r8): the classic reporting bug made
+# visible — daily counts under UTC vs UTC+05:30 day boundaries, side
+# by side with the reassignment delta. Day indices are pure integer
+# arithmetic on epoch seconds (no session-timezone dependence — the
+# rollup is reproducible on any cluster config, which IS the point).
+@query(
+    "tz_daily_rollup_events",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS day_utc,
+               CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) + 19800)
+                          / 86400) AS BIGINT) AS day_ist
+        FROM events
+    ), u AS (
+        SELECT day_utc AS day, CAST(COUNT(*) AS BIGINT) AS n_utc
+        FROM base GROUP BY 1
+    ), i AS (
+        SELECT day_ist AS day, CAST(COUNT(*) AS BIGINT) AS n_ist
+        FROM base GROUP BY 1
+    )
+    SELECT COALESCE(u.day, i.day) AS day_idx,
+           COALESCE(u.n_utc, 0) AS n_utc,
+           COALESCE(i.n_ist, 0) AS n_ist,
+           COALESCE(i.n_ist, 0) - COALESCE(u.n_utc, 0) AS delta
+    FROM u FULL OUTER JOIN i ON i.day = u.day
+    ORDER BY day_idx
+    """,
+)
+def tz_daily_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").cast("bigint").alias("s")
+    )
+    base = ev.select(
+        F.floor(F.col("s") / F.lit(86400)).cast("bigint").alias("day_utc"),
+        F.floor((F.col("s") + F.lit(19800)) / F.lit(86400))
+        .cast("bigint")
+        .alias("day_ist"),
+    )
+    u = base.groupBy(F.col("day_utc").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_utc")
+    )
+    i = base.groupBy(F.col("day_ist").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ist")
+    )
+    return (
+        u.join(i, "day", "full_outer")
+        .select(
+            F.col("day").alias("day_idx"),
+            F.coalesce("n_utc", F.lit(0)).cast("bigint").alias("n_utc"),
+            F.coalesce("n_ist", F.lit(0)).cast("bigint").alias("n_ist"),
+            (
+                F.coalesce("n_ist", F.lit(0)) - F.coalesce("n_utc", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("delta"),
+        )
+        .orderBy("day_idx")
+    )

@@ -857,3 +857,83 @@ def itemcf_recs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-feature generation (r8): the feature-engineering staple for
+# sequence models — per user, value lag-1, lag-2 and the trailing
+# 3-event mean, generated with one user-keyed window pass (exact
+# micro-integers; the trailing mean divides ONCE per row). The
+# gated output aggregates the generated features per event type
+# (count of rows with full history, exact means of each feature),
+# proving generation correctness without shipping per-event rows
+# through the hash gate.
+@query(
+    "lag_features_events",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm,
+               lag(CAST(ROUND(value * 1000000.0) AS BIGINT), 1)
+                 OVER w AS lag1,
+               lag(CAST(ROUND(value * 1000000.0) AS BIGINT), 2)
+                 OVER w AS lag2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)
+    ), full_hist AS (
+        SELECT event_type, vm, lag1, lag2,
+               CAST(vm + lag1 + lag2 AS BIGINT) AS s3
+        FROM seq WHERE lag2 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(lag1) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_lag1,
+           CAST(SUM(lag2) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_lag2,
+           CAST(SUM(s3) AS DOUBLE) / COUNT(*) / 3.0 / 1000000.0
+             AS mean_trailing3
+    FROM full_hist
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def lag_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    feats = (
+        ev.withColumn("lag1", F.lag("vm", 1).over(w))
+        .withColumn("lag2", F.lag("vm", 2).over(w))
+        .filter(F.col("lag2").isNotNull())
+        .withColumn(
+            "s3",
+            (F.col("vm") + F.col("lag1") + F.col("lag2")).cast("bigint"),
+        )
+    )
+    return (
+        feats.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.sum("lag1").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_lag1"),
+            (
+                F.sum("lag2").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_lag2"),
+            (
+                F.sum("s3").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(3.0)
+                / F.lit(1000000.0)
+            ).alias("mean_trailing3"),
+        )
+        .orderBy("event_type")
+    )
