@@ -332,6 +332,7 @@ HEADLINE = [
     "delta_checkpointed_ingest_orders",
     "lag_features_events",
     "tz_daily_rollup_events",
+    "max_drawdown_event_values",
 ]
 
 

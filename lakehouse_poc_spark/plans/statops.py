@@ -3238,3 +3238,94 @@ def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sd.alias("sd_gap_s"),
         ((sd - mean) / (sd + mean)).alias("burstiness"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (r8): the finance-style risk read-out over each
+# type's hourly mean-value series — running peak, per-hour drawdown
+# (peak − v)/peak, and the worst one with the hour it bottomed. The
+# running max and argmax run over the HOURLY AGGREGATE (bounded hour
+# domain, same discipline as acf/ohlc/twap); hourly means are exact
+# micro-ratios rounded back to BIGINT so the peak comparisons are
+# integer-exact, and the one division per row happens at the end.
+@query(
+    "max_drawdown_event_values",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600)
+                    AS BIGINT) AS h,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(value * 1000000.0)
+                                        AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) AS BIGINT) AS vm
+        FROM events GROUP BY 1, 2
+    ), runpeak AS (
+        SELECT event_type, h, vm,
+               MAX(vm) OVER (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS peak
+        FROM hourly
+    ), dd AS (
+        SELECT event_type, h, vm, peak,
+               CAST(peak - vm AS DOUBLE) / peak AS drawdown
+        FROM runpeak WHERE peak > 0
+    ), worst AS (
+        SELECT event_type, h, vm, peak, drawdown,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY drawdown DESC, h) AS r
+        FROM dd
+    )
+    SELECT event_type,
+           drawdown AS max_drawdown,
+           CAST(h AS BIGINT) AS trough_hour,
+           CAST(peak AS DOUBLE) / 1000000.0 AS peak_value,
+           CAST(vm AS DOUBLE) / 1000000.0 AS trough_value
+    FROM worst WHERE r = 1
+    ORDER BY event_type
+    """,
+)
+def max_drawdown_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(3600))
+        .cast("bigint")
+        .alias("h"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vm"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.round(F.sum("vm").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("vm")
+    )
+    wpk = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = (
+        hourly.withColumn("peak", F.max("vm").over(wpk))
+        .filter(F.col("peak") > 0)
+        .withColumn(
+            "drawdown",
+            (F.col("peak") - F.col("vm")).cast("double") / F.col("peak"),
+        )
+    )
+    ww = Window.partitionBy("event_type").orderBy(
+        F.col("drawdown").desc(), "h"
+    )
+    return (
+        dd.withColumn("r", F.row_number().over(ww))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("drawdown").alias("max_drawdown"),
+            F.col("h").alias("trough_hour"),
+            (F.col("peak").cast("double") / F.lit(1000000.0)).alias(
+                "peak_value"
+            ),
+            (F.col("vm").cast("double") / F.lit(1000000.0)).alias(
+                "trough_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
