@@ -333,6 +333,7 @@ HEADLINE = [
     "lag_features_events",
     "tz_daily_rollup_events",
     "max_drawdown_event_values",
+    "duplicate_charge_audit_orders",
 ]
 
 

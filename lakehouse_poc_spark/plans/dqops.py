@@ -1046,3 +1046,71 @@ def catalog_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-charge audit (r8): the payments-ops classic — same
+# customer, near-identical amount (same 1000-unit band), within a
+# year: the repeat-submission suspect list. The self-join is keyed
+# on (customer, amount band) — group sizes are tiny (~10 orders per
+# customer), so the pair space is the candidate space, never
+# orders² — with the day-window predicate applied inside the group.
+# Top-20 suspects with deterministic tie-breaks on both keys.
+@query(
+    "duplicate_charge_audit_orders",
+    oracle="""
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(a.o_totalprice AS DOUBLE) AS amount_a,
+           CAST(b.o_totalprice AS DOUBLE) AS amount_b,
+           datediff('day', a.o_orderdate, b.o_orderdate) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND CAST(FLOOR(a.o_totalprice / 1000) AS BIGINT)
+         = CAST(FLOOR(b.o_totalprice / 1000) AS BIGINT)
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 365
+    ORDER BY custkey, order_a, order_b
+    LIMIT 20
+    """,
+)
+def duplicate_charge_audit_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (
+                F.floor(F.col("a.o_totalprice") / F.lit(1000)).cast("bigint")
+                == F.floor(F.col("b.o_totalprice") / F.lit(1000)).cast(
+                    "bigint"
+                )
+            )
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.abs(
+                    F.datediff(
+                        F.col("b.o_orderdate"), F.col("a.o_orderdate")
+                    )
+                )
+                <= 365
+            ),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_totalprice").cast("double").alias("amount_a"),
+            F.col("b.o_totalprice").cast("double").alias("amount_b"),
+            F.datediff(
+                F.col("b.o_orderdate"), F.col("a.o_orderdate")
+            ).alias("days_apart"),
+        )
+        .orderBy("custkey", "order_a", "order_b")
+        .limit(20)
+    )
