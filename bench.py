@@ -334,6 +334,7 @@ HEADLINE = [
     "tz_daily_rollup_events",
     "max_drawdown_event_values",
     "duplicate_charge_audit_orders",
+    "simpsons_screen_events",
 ]
 
 

@@ -3329,3 +3329,102 @@ def max_drawdown_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox screen (r8): per-segment trend sign vs the
+# pooled trend sign — the classic aggregation trap detector (a
+# pooled slope can contradict every segment's slope when segment
+# sizes and baselines differ). Reuses the exact OLS sums of
+# ols_trend_events at both grains; a segment FLIPS when
+# sign(slope_segment) ≠ sign(slope_pooled). Everything is exact
+# integer sums until the two slope ratios.
+@query(
+    "simpsons_screen_events",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               {_SQL_HOUR} AS x,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events
+    ), seg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM base GROUP BY 1
+    ), pooled AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy
+        FROM seg
+    )
+    SELECT s.event_type,
+           (CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+              - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+             / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+             / 1000000.0 AS segment_slope,
+           (CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+              - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+             / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE))
+             / 1000000.0 AS pooled_slope,
+           SIGN((CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+                 - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+                / (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                   - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)))
+             <> SIGN((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                      - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                     / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                        - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)))
+             AS flipped
+    FROM seg s CROSS JOIN pooled p
+    ORDER BY s.event_type
+    """,
+)
+def simpsons_screen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        _hour_idx().alias("x"),
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("y"),
+    )
+    seg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    pooled = seg.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxx").alias("psxx"),
+        F.sum("sxy").alias("psxy"),
+    )
+
+    def slope(n, sx, sy, sxx, sxy):
+        return (
+            F.col(n).cast("double") * F.col(sxy).cast("double")
+            - F.col(sx).cast("double") * F.col(sy).cast("double")
+        ) / (
+            F.col(n).cast("double") * F.col(sxx).cast("double")
+            - F.col(sx).cast("double") * F.col(sx).cast("double")
+        )
+
+    s_seg = slope("n", "sx", "sy", "sxx", "sxy")
+    s_pool = slope("pn", "psx", "psy", "psxx", "psxy")
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "event_type",
+            (s_seg / F.lit(1000000.0)).alias("segment_slope"),
+            (s_pool / F.lit(1000000.0)).alias("pooled_slope"),
+            (F.signum(s_seg) != F.signum(s_pool)).alias("flipped"),
+        )
+        .orderBy("event_type")
+    )
