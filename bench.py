@@ -335,6 +335,7 @@ HEADLINE = [
     "max_drawdown_event_values",
     "duplicate_charge_audit_orders",
     "simpsons_screen_events",
+    "business_days_holiday_adjusted",
 ]
 
 

@@ -2209,3 +2209,128 @@ def business_days_latency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holiday-adjusted business days (r8): the promised second half of
+# business_days_latency_orders — once holidays enter, the closed
+# form gains a BROADCAST calendar join (never a span×days explode):
+# the holiday dim here is every month's first WEEKDAY in 1992–1998
+# (pure date arithmetic, so both engines generate the identical
+# table), and the adjustment subtracts COUNT(holidays in (d1, d2])
+# via one broadcast range join, aggregated per priority.
+@query(
+    "business_days_holiday_adjusted",
+    oracle="""
+    WITH hol AS (
+        SELECT d AS hday FROM (
+            SELECT CAST(y || '-' || LPAD(CAST(m AS VARCHAR), 2, '0')
+                        || '-01' AS DATE) AS d
+            FROM (SELECT UNNEST(RANGE(1992, 1999)) AS y),
+                 (SELECT UNNEST(RANGE(1, 13)) AS m)
+        ) WHERE dayofweek(d) NOT IN (0, 6)
+    ), span AS (
+        SELECT o.o_orderpriority AS priority,
+               o.o_orderdate AS d1, l.l_shipdate AS d2,
+               datediff('day', DATE '1992-01-06', l.l_shipdate) AS i2,
+               datediff('day', DATE '1992-01-06', o.o_orderdate) AS i1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ), bd AS (
+        SELECT priority, d1, d2,
+               (5 * CAST(FLOOR(i2 / 7) AS BIGINT)
+                  + LEAST(CAST(i2 % 7 AS BIGINT), 5))
+             - (5 * CAST(FLOOR(i1 / 7) AS BIGINT)
+                  + LEAST(CAST(i1 % 7 AS BIGINT), 5)) AS bdays
+        FROM span
+    ), adj AS (
+        SELECT b.priority,
+               b.bdays - (SELECT COUNT(*) FROM hol
+                          WHERE hol.hday > b.d1 AND hol.hday <= b.d2)
+                 AS adj_bdays
+        FROM bd b
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(adj_bdays) AS BIGINT) AS total_adj_bdays,
+           CAST(SUM(adj_bdays) AS DOUBLE) / COUNT(*) AS avg_adj_bdays
+    FROM adj GROUP BY priority ORDER BY priority
+    """,
+)
+def business_days_holiday_adjusted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+
+    hol = [
+        datetime.date(y, m, 1)
+        for y in range(1992, 1999)
+        for m in range(1, 13)
+        if datetime.date(y, m, 1).isoweekday() <= 5
+    ]
+    hol_df = spark.createDataFrame([(d,) for d in hol], ["hday"])
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    monday = F.lit("1992-01-06").cast("date")
+    span = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "priority",
+            F.col("o_orderdate").alias("d1"),
+            F.col("l_shipdate").alias("d2"),
+            F.datediff(F.col("l_shipdate"), monday).cast("bigint").alias("i2"),
+            F.datediff(F.col("o_orderdate"), monday)
+            .cast("bigint")
+            .alias("i1"),
+        )
+    )
+
+    def f(d):
+        return F.lit(5) * F.floor(d / F.lit(7)).cast("bigint") + F.least(
+            (d % 7).cast("bigint"), F.lit(5).cast("bigint")
+        )
+
+    bd = span.select(
+        "l_orderkey",
+        "l_linenumber",
+        "priority",
+        "d1",
+        "d2",
+        (f(F.col("i2")) - f(F.col("i1"))).alias("bdays"),
+    )
+    # broadcast range join over the DISTINCT spans (far fewer than
+    # lines), joined back by span — no reliance on any line key and
+    # duplicate line rows keep their own contribution
+    spans = bd.select("d1", "d2").distinct()
+    hcount = (
+        spans.join(
+            F.broadcast(hol_df),
+            (F.col("hday") > F.col("d1")) & (F.col("hday") <= F.col("d2")),
+            "left",
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("hday").cast("bigint").alias("n_hol"))
+    )
+    adj = bd.join(hcount, ["d1", "d2"]).select(
+        "priority", (F.col("bdays") - F.col("n_hol")).alias("adj_bdays")
+    )
+    return (
+        adj.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("adj_bdays").cast("bigint").alias("total_adj_bdays"),
+            (F.sum("adj_bdays").cast("double") / F.count(F.lit(1))).alias(
+                "avg_adj_bdays"
+            ),
+        )
+        .orderBy("priority")
+    )
