@@ -336,6 +336,8 @@ HEADLINE = [
     "duplicate_charge_audit_orders",
     "simpsons_screen_events",
     "business_days_holiday_adjusted",
+    "chao1_vocab_docs",
+    "rbo_df_vs_tf_terms",
 ]
 
 

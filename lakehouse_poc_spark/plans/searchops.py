@@ -1256,3 +1256,129 @@ def reverse_search_alerts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("alert_id")
     )
+
+
+# Rank-biased overlap weights p^(d-1) for p = 0.9, depth 20 —
+# precomputed PYTHON literals injected into both engines' plans (pow
+# is banned in-engine: not correctly rounded), so the weighted sum is
+# built from identical constants on both sides.
+_RBO_P = 0.9
+_RBO_DEPTH = 20
+_RBO_W = [_RBO_P**d for d in range(_RBO_DEPTH)]
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap (r8, Webber et al. 2010): how similar are two
+# RANKINGS — here the corpus's top-20 terms by document frequency vs
+# by total term frequency (the df-vs-tf disagreement is exactly what
+# separates BM25-ish from raw-count retrieval). RBO's top-weighted
+# geometric weighting (p = 0.9) is what NDCG/MRR don't give: a
+# prefix-similarity score BETWEEN rankings, not against relevance.
+# Per-depth overlaps are exact integers; each weighted term is
+# nano-rounded before the integer sum (BLEU discipline), so both
+# engines agree bit-for-bit. Everything runs on the 20-row ranked
+# prefixes (vocab-domain aggregates underneath).
+@query(
+    "rbo_df_vs_tf_terms",
+    oracle=rf"""
+    WITH tf AS (
+        SELECT token,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS ttf
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        ) GROUP BY token
+    ), ra AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+        FROM tf QUALIFY r <= {_RBO_DEPTH}
+    ), rb AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY ttf DESC, token) AS r
+        FROM tf QUALIFY r <= {_RBO_DEPTH}
+    ), joined AS (
+        SELECT COALESCE(ra.token, rb.token) AS token,
+               ra.r AS r_a, rb.r AS r_b
+        FROM ra FULL OUTER JOIN rb ON rb.token = ra.token
+    ), depths AS (
+        SELECT UNNEST(RANGE(1, {_RBO_DEPTH + 1})) AS d,
+               UNNEST([{", ".join(repr(w) for w in _RBO_W)}]) AS w
+    ), terms AS (
+        SELECT d.d, d.w,
+               CAST(SUM(CASE WHEN j.r_a <= d.d AND j.r_b <= d.d
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ov
+        FROM depths d CROSS JOIN joined j
+        GROUP BY d.d, d.w
+    )
+    SELECT CAST({_RBO_DEPTH} AS BIGINT) AS depth,
+           {_RBO_P} AS p,
+           CAST(MAX(CASE WHEN d = {_RBO_DEPTH} THEN ov END) AS BIGINT)
+             AS overlap_at_depth,
+           CAST(SUM(CAST(ROUND(w * ov / d * 1000000000.0) AS BIGINT))
+                AS DOUBLE) * {1.0 - _RBO_P} / 1000000000.0 AS rbo
+    FROM terms
+    """,
+)
+def rbo_df_vs_tf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("ttf"),
+        )
+    )
+    wa = Window.orderBy(F.col("df").desc(), "token")
+    wb = Window.orderBy(F.col("ttf").desc(), "token")
+    ra = (
+        tf.withColumn("r_a", F.row_number().over(wa))
+        .filter(F.col("r_a") <= _RBO_DEPTH)
+        .select("token", "r_a")
+    )
+    rb = (
+        tf.withColumn("r_b", F.row_number().over(wb))
+        .filter(F.col("r_b") <= _RBO_DEPTH)
+        .select("token", "r_b")
+    )
+    joined = ra.join(rb, "token", "full_outer")
+    depths = spark.createDataFrame(
+        [(d + 1, w) for d, w in enumerate(_RBO_W)], ["d", "w"]
+    )
+    terms = (
+        depths.crossJoin(joined)
+        .groupBy("d", "w")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("r_a") <= F.col("d"))
+                    & (F.col("r_b") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ov")
+        )
+    )
+    return terms.agg(
+        F.lit(_RBO_DEPTH).cast("bigint").alias("depth"),
+        F.lit(_RBO_P).alias("p"),
+        F.max(F.when(F.col("d") == _RBO_DEPTH, F.col("ov")))
+        .cast("bigint")
+        .alias("overlap_at_depth"),
+        (
+            F.sum(
+                F.round(
+                    F.col("w") * F.col("ov") / F.col("d") * F.lit(1000000000.0)
+                ).cast("bigint")
+            ).cast("double")
+            * F.lit(1.0 - _RBO_P)
+            / F.lit(1000000000.0)
+        ).alias("rbo"),
+    )

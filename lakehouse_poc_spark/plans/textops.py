@@ -1340,3 +1340,78 @@ def heaps_law_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ln_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 richness estimate (r8): how much vocabulary HAVEN'T we seen —
+# the ecology species-richness estimator applied to tokens:
+# Chao1 = V + f1²/(2·f2) with f1/f2 = singleton/doubleton counts
+# (Chao 1984). The sampling-completeness gate next to Heaps/Zipf: if
+# Chao1 ≈ V the corpus has exhausted its vocabulary (true for this
+# fixture's ~31-token stream); a large gap means more data keeps
+# paying. One token-count aggregate + one frequency-of-frequency
+# aggregate — vocab-domain only.
+@query(
+    "chao1_vocab_docs",
+    oracle=r"""
+    WITH tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        ) GROUP BY token
+    ), fof AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f2,
+               CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM tf
+    )
+    SELECT v AS vocab, f1 AS singletons, f2 AS doubletons, n_tokens,
+           CASE WHEN f2 > 0
+                THEN v + CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                ELSE v + CAST(f1 AS DOUBLE) * (f1 - 1.0) / 2.0
+           END AS chao1
+    FROM fof
+    """,
+)
+def chao1_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    fof = tf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    chao = F.when(
+        F.col("f2") > 0,
+        F.col("v")
+        + F.col("f1").cast("double")
+        * F.col("f1")
+        / (F.lit(2.0) * F.col("f2")),
+    ).otherwise(
+        F.col("v")
+        + F.col("f1").cast("double") * (F.col("f1") - F.lit(1.0)) / F.lit(2.0)
+    )
+    return fof.select(
+        F.col("v").alias("vocab"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        "n_tokens",
+        chao.alias("chao1"),
+    )
