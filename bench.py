@@ -338,6 +338,7 @@ HEADLINE = [
     "business_days_holiday_adjusted",
     "chao1_vocab_docs",
     "rbo_df_vs_tf_terms",
+    "randomized_response_events",
 ]
 
 

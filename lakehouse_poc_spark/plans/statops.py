@@ -3428,3 +3428,89 @@ def simpsons_screen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomized response (r8): LOCAL differential privacy — the
+# client-side mechanism (Warner 1965) complementing the central
+# Laplace release (dp_noisy_counts_events): each user reports their
+# true bit ("did I purchase?") with probability 1−p and its flip
+# with probability p, and the aggregator DEBIASES the observed rate:
+# π̂ = (obs − p) / (1 − 2p). The flip is a seeded congruential coin
+# per user (deterministic, identical in both engines), p = 0.25
+# (ε = ln(3) local DP). The read-out shows true rate, observed
+# (privatized) rate, the debiased estimate, and its standard error —
+# the estimate tracks the truth while individual reports stay
+# deniable.
+@query(
+    "randomized_response_events",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS truth,
+               CASE WHEN (user_id * 2654435761 + 1013904223) % 1000003
+                         < 250001 THEN 1 ELSE 0 END AS flip
+        FROM events GROUP BY user_id
+    ), resp AS (
+        SELECT user_id, truth,
+               CASE WHEN flip = 1 THEN 1 - truth ELSE truth END AS reported
+        FROM per_user
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(truth) AS BIGINT) AS n_true,
+               CAST(SUM(reported) AS BIGINT) AS n_reported
+        FROM resp
+    )
+    SELECT n, n_true, n_reported,
+           CAST(n_true AS DOUBLE) / n AS true_rate,
+           CAST(n_reported AS DOUBLE) / n AS observed_rate,
+           (CAST(n_reported AS DOUBLE) / n - 250001.0 / 1000003.0)
+             / (1.0 - 2.0 * (250001.0 / 1000003.0)) AS debiased_rate,
+           sqrt((CAST(n_reported AS DOUBLE) / n)
+                * (1.0 - CAST(n_reported AS DOUBLE) / n) / n)
+             / (1.0 - 2.0 * (250001.0 / 1000003.0)) AS std_error
+    FROM agg
+    """,
+)
+def randomized_response_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p_num, p_den = 250001.0, 1000003.0
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("truth")
+    ).withColumn(
+        "flip",
+        F.when(
+            (F.col("user_id") * F.lit(2654435761) + F.lit(1013904223))
+            % F.lit(1000003)
+            < 250001,
+            1,
+        ).otherwise(0),
+    )
+    resp = per_user.select(
+        "truth",
+        F.when(F.col("flip") == 1, 1 - F.col("truth"))
+        .otherwise(F.col("truth"))
+        .alias("reported"),
+    )
+    agg = resp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("truth").cast("bigint").alias("n_true"),
+        F.sum("reported").cast("bigint").alias("n_reported"),
+    )
+    p = F.lit(p_num) / F.lit(p_den)
+    obs = F.col("n_reported").cast("double") / F.col("n")
+    return agg.select(
+        "n",
+        "n_true",
+        "n_reported",
+        (F.col("n_true").cast("double") / F.col("n")).alias("true_rate"),
+        obs.alias("observed_rate"),
+        ((obs - p) / (F.lit(1.0) - F.lit(2.0) * p)).alias("debiased_rate"),
+        (
+            F.sqrt(obs * (F.lit(1.0) - obs) / F.col("n"))
+            / (F.lit(1.0) - F.lit(2.0) * p)
+        ).alias("std_error"),
+    )
