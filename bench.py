@@ -339,6 +339,8 @@ HEADLINE = [
     "chao1_vocab_docs",
     "rbo_df_vs_tf_terms",
     "randomized_response_events",
+    "lincoln_petersen_users",
+    "token_diversity_sources",
 ]
 
 

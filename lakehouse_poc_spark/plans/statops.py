@@ -3514,3 +3514,81 @@ def randomized_response_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1.0) - F.lit(2.0) * p)
         ).alias("std_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lincoln–Petersen capture-recapture (r8): estimate a population you
+# can only sample — the mark-recapture sibling of Chao1, here
+# estimating the user population from two independent observation
+# windows (the two halves of the time range): N̂ = n₁·n₂ / m with m
+# the users seen in BOTH. The Chapman bias-corrected variant is
+# reported too. Against the fixture the truth is known, so the
+# read-out doubles as an estimator gate.
+@query(
+    "lincoln_petersen_users",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s FROM events
+    ), mid AS (
+        SELECT CAST((MIN(s) + MAX(s)) / 2 AS BIGINT) AS m FROM base
+    ), caps AS (
+        SELECT user_id,
+               MAX(CASE WHEN s < (SELECT m FROM mid) THEN 1 ELSE 0 END)
+                 AS in1,
+               MAX(CASE WHEN s >= (SELECT m FROM mid) THEN 1 ELSE 0 END)
+                 AS in2
+        FROM base GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+               CAST(SUM(in2) AS BIGINT) AS n2,
+               CAST(SUM(in1 * in2) AS BIGINT) AS m,
+               CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM caps
+    )
+    SELECT n1, n2, m, true_n,
+           CAST(n1 AS DOUBLE) * n2 / m AS lp_estimate,
+           (CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1.0
+             AS chapman_estimate
+    FROM agg
+    """,
+)
+def lincoln_petersen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("s")
+    )
+    mid = ev.agg(
+        ((F.min("s") + F.max("s")) / F.lit(2)).cast("bigint").alias("m")
+    )
+    caps = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("s") < F.col("m"), 1).otherwise(0)).alias(
+                "in1"
+            ),
+            F.max(F.when(F.col("s") >= F.col("m"), 1).otherwise(0)).alias(
+                "in2"
+            ),
+        )
+    )
+    agg = caps.agg(
+        F.sum("in1").cast("bigint").alias("n1"),
+        F.sum("in2").cast("bigint").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("true_n"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        "true_n",
+        (F.col("n1").cast("double") * F.col("n2") / F.col("m")).alias(
+            "lp_estimate"
+        ),
+        (
+            (F.col("n1") + F.lit(1)).cast("double")
+            * (F.col("n2") + F.lit(1))
+            / (F.col("m") + F.lit(1))
+            - F.lit(1.0)
+        ).alias("chapman_estimate"),
+    )

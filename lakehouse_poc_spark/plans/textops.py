@@ -1415,3 +1415,86 @@ def chao1_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         chao.alias("chao1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token diversity per source (r8): Shannon entropy H = −Σ pᵢ ln pᵢ
+# over each source's token distribution plus Pielou evenness
+# J = H / ln V — the corpus-mix health stat (a source whose evenness
+# collapses is template spam). Each −p·ln p term is nano-rounded to
+# a BIGINT before the sum (ln is the only libm call; BLEU
+# discipline), so both engines agree bit-for-bit. Vocab-domain
+# aggregates only.
+@query(
+    "token_diversity_sources",
+    oracle=r"""
+    WITH tf AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        ) GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tf GROUP BY 1
+    ), terms AS (
+        SELECT tf.source,
+               CAST(ROUND(0.0 - (CAST(tf.c AS DOUBLE) / tot.n)
+                          * ln(CAST(tf.c AS DOUBLE) / tot.n)
+                          * 1000000000.0) AS BIGINT) AS t
+        FROM tf JOIN tot ON tot.source = tf.source
+    )
+    SELECT terms.source,
+           tot.v AS vocab, tot.n AS n_tokens,
+           CAST(SUM(terms.t) AS DOUBLE) / 1000000000.0 AS shannon_h,
+           CAST(SUM(terms.t) AS DOUBLE) / 1000000000.0
+             / ln(CAST(tot.v AS DOUBLE)) AS evenness
+    FROM terms JOIN tot ON tot.source = terms.source
+    GROUP BY terms.source, tot.v, tot.n
+    ORDER BY terms.source
+    """,
+)
+def token_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = tf.join(tot, "source").select(
+        "source",
+        F.round((F.lit(0.0) - p * F.log(p)) * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("t").alias("st"))
+        .join(tot, "source")
+        .select(
+            "source",
+            F.col("v").alias("vocab"),
+            F.col("n").alias("n_tokens"),
+            (F.col("st").cast("double") / F.lit(1000000000.0)).alias(
+                "shannon_h"
+            ),
+            (
+                F.col("st").cast("double")
+                / F.lit(1000000000.0)
+                / F.log(F.col("v").cast("double"))
+            ).alias("evenness"),
+        )
+        .orderBy("source")
+    )
