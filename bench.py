@@ -341,6 +341,7 @@ HEADLINE = [
     "randomized_response_events",
     "lincoln_petersen_users",
     "token_diversity_sources",
+    "ruzicka_similarity_sources",
 ]
 
 

@@ -1498,3 +1498,93 @@ def token_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Jaccard / Ruzicka similarity between sources (r8): the
+# MULTISET overlap Σmin(cₐ,c_b)/Σmax(cₐ,c_b) — set-Jaccard ignores
+# how often tokens repeat, JSD is a divergence; Ruzicka is the
+# frequency-aware similarity retrieval stacks use for corpus-mix
+# near-duplication. Identity Σmax = nₐ + n_b − Σmin means only the
+# SHARED-token join is ever computed (token-keyed self-join on the
+# vocab-domain tf relation); top-10 most similar pairs.
+@query(
+    "ruzicka_similarity_sources",
+    oracle=r"""
+    WITH tf AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        ) GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1
+    ), shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+        FROM tf a JOIN tf b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.sum_min,
+           ta.n + tb.n - s.sum_min AS sum_max,
+           CAST(s.sum_min AS DOUBLE) / (ta.n + tb.n - s.sum_min)
+             AS ruzicka
+    FROM shared s
+    JOIN tot ta ON ta.source = s.src_a
+    JOIN tot tb ON tb.source = s.src_b
+    ORDER BY ruzicka DESC, src_a, src_b
+    LIMIT 10
+    """,
+)
+def ruzicka_similarity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a, b = tf.alias("a"), tf.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.sum(F.least(F.col("a.c"), F.col("b.c")))
+            .cast("bigint")
+            .alias("sum_min")
+        )
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "sum_min",
+            (F.col("na") + F.col("nb") - F.col("sum_min"))
+            .cast("bigint")
+            .alias("sum_max"),
+            (
+                F.col("sum_min").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("sum_min"))
+            ).alias("ruzicka"),
+        )
+        .orderBy(F.col("ruzicka").desc(), "src_a", "src_b")
+        .limit(10)
+    )
