@@ -342,6 +342,8 @@ HEADLINE = [
     "lincoln_petersen_users",
     "token_diversity_sources",
     "ruzicka_similarity_sources",
+    "mann_kendall_daily_events",
+    "activity_streaks_users",
 ]
 
 

@@ -2593,3 +2593,71 @@ def tz_daily_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks (r8): longest run of CONSECUTIVE active days per
+# user — the engagement metric behind every "7-day streak" badge.
+# Classic gaps-and-islands on the distinct (user, day) relation
+# (island id = day − per-user row_number; user-keyed windows, real
+# cardinality), then the longest island per user; top-20 streaks
+# with deterministic tie-breaks.
+@query(
+    "activity_streaks_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS d
+        FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                 AS grp
+        FROM ud
+    ), streaks AS (
+        SELECT user_id, grp,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(d) AS BIGINT) AS start_day
+        FROM isl GROUP BY 1, 2
+    ), best AS (
+        SELECT user_id, len, start_day,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_day) AS r
+        FROM streaks
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           len AS longest_streak_days, start_day
+    FROM best WHERE r = 1
+    ORDER BY longest_streak_days DESC, user_id
+    LIMIT 20
+    """,
+)
+def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(86400))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").cast("bigint").alias("start_day"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "start_day"
+    )
+    return (
+        streaks.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("len").alias("longest_streak_days"),
+            "start_day",
+        )
+        .orderBy(F.col("longest_streak_days").desc(), "user_id")
+        .limit(20)
+    )

@@ -3592,3 +3592,129 @@ def lincoln_petersen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1.0)
         ).alias("chapman_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (r8): the NONPARAMETRIC monotone-trend
+# test — S = Σ sign(x_j − x_i) over all day pairs of each type's
+# daily count series, with the normal approximation Z =
+# (S ∓ 1)/√Var — robust where OLS (ols_trend) assumes linearity and
+# Theil–Sen gives only the slope. The pair space is the DAILY series
+# self-join (≈30 days → ~435 pairs per type: bounded day domain,
+# never the event log); ties are handled by the variance's tie
+# correction over the grouped counts.
+@query(
+    "mann_kendall_daily_events",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                             WHEN b.c < a.c THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY 1
+    ), n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM daily
+        GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (
+            SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT s.event_type, n.nd AS n_days, s.s_stat,
+           (CAST(n.nd AS DOUBLE) * (n.nd - 1) * (2 * n.nd + 5)
+              - ties.tie_term) / 18.0 AS var_s,
+           CASE WHEN s.s_stat > 0
+                THEN (s.s_stat - 1.0)
+                     / sqrt((CAST(n.nd AS DOUBLE) * (n.nd - 1)
+                             * (2 * n.nd + 5) - ties.tie_term) / 18.0)
+                WHEN s.s_stat < 0
+                THEN (s.s_stat + 1.0)
+                     / sqrt((CAST(n.nd AS DOUBLE) * (n.nd - 1)
+                             * (2 * n.nd + 5) - ties.tie_term) / 18.0)
+                ELSE 0.0 END AS z
+    FROM s JOIN n ON n.event_type = s.event_type
+    JOIN ties ON ties.event_type = s.event_type
+    ORDER BY s.event_type
+    """,
+)
+def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("bigint") / F.lit(86400))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("nd").cast("double")
+        * (F.col("nd") - 1)
+        * (2 * F.col("nd") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - F.lit(1.0)) / F.sqrt(var_s),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + F.lit(1.0)) / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(n, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("nd").alias("n_days"),
+            "s_stat",
+            var_s.alias("var_s"),
+            z.alias("z"),
+        )
+        .orderBy("event_type")
+    )
