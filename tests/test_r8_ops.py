@@ -451,3 +451,100 @@ def test_burstiness_matches_numpy(spark):
             (sd - mu) / (sd + mu), rel=1e-9
         )
         assert -1.0 < r["burstiness"] < 1.0
+
+
+def test_chao1_and_lincoln_petersen_estimator_shapes(spark):
+    c = plans.QUERIES["chao1_vocab_docs"](spark, SF).toPandas().iloc[0]
+    assert c["chao1"] >= c["vocab"]  # estimate never below observed
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = [t for s in docs["text"] for t in s.lower().strip().split()]
+    vc = pd.Series(toks).value_counts()
+    assert c["vocab"] == len(vc) and c["n_tokens"] == len(toks)
+    assert c["singletons"] == int((vc == 1).sum())
+    lp = plans.QUERIES["lincoln_petersen_users"](spark, SF).toPandas().iloc[0]
+    assert lp["m"] <= min(lp["n1"], lp["n2"])
+    assert lp["lp_estimate"] == lp["n1"] * lp["n2"] / lp["m"]
+    # estimator should land near the known truth on this fixture
+    assert abs(lp["chapman_estimate"] - lp["true_n"]) / lp["true_n"] < 0.5
+
+
+def test_randomized_response_debias_tracks_truth(spark):
+    r = (
+        plans.QUERIES["randomized_response_events"](spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    assert 0.0 <= r["observed_rate"] <= 1.0
+    # the debiased estimate is within ~3 SE of the true rate
+    assert abs(r["debiased_rate"] - r["true_rate"]) <= 3 * r["std_error"] + 1e-9
+
+
+def test_rbo_bounds_and_selfsimilarity_logic(spark):
+    r = plans.QUERIES["rbo_df_vs_tf_terms"](spark, SF).toPandas().iloc[0]
+    assert 0.0 <= r["rbo"] <= 1.0 + 1e-9
+    assert 0 <= r["overlap_at_depth"] <= r["depth"]
+    # overlap at full depth bounds the score: rbo <= 1, and if the two
+    # rankings were identical every prefix overlap would be d (rbo→1)
+    if r["overlap_at_depth"] == r["depth"]:
+        assert r["rbo"] > 0.5
+
+
+def test_ruzicka_bounds_and_symmetric_identity(spark):
+    out = plans.QUERIES["ruzicka_similarity_sources"](spark, SF).toPandas()
+    assert ((out["ruzicka"] > 0) & (out["ruzicka"] <= 1)).all()
+    assert (out["sum_min"] <= out["sum_max"]).all()
+
+
+def test_token_diversity_matches_scipy_free_entropy(spark):
+    out = plans.QUERIES["token_diversity_sources"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for _, r in out.head(3).iterrows():
+        toks = [
+            t
+            for s in docs.loc[docs["source"] == r["source"], "text"]
+            for t in s.lower().strip().split()
+        ]
+        vc = pd.Series(toks).value_counts().to_numpy(dtype=float)
+        p = vc / vc.sum()
+        # nano-rounded per-term entropy, like both engines
+        h = np.sum(np.round(-p * np.log(p) * 1e9)) / 1e9
+        assert r["shannon_h"] == pytest.approx(h, abs=2e-6)
+        assert 0.0 < r["evenness"] <= 1.0 + 1e-9
+
+
+def test_mann_kendall_matches_brute(spark):
+    out = plans.QUERIES["mann_kendall_daily_events"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 86400
+    for _, r in out.iterrows():
+        series = (
+            day[ev["event_type"] == r["event_type"]]
+            .value_counts()
+            .sort_index()
+            .to_numpy()
+        )
+        s = sum(
+            np.sign(series[j] - series[i])
+            for i in range(len(series))
+            for j in range(i + 1, len(series))
+        )
+        assert r["s_stat"] == s and r["n_days"] == len(series)
+        assert abs(r["z"]) < 10  # sanity: finite, sane magnitude
+
+
+def test_activity_streaks_matches_brute(spark):
+    out = plans.QUERIES["activity_streaks_users"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (
+        ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ) // 86400
+    ud = pd.DataFrame({"u": ev["user_id"], "d": day}).drop_duplicates()
+    for _, r in out.iterrows():
+        days = sorted(ud.loc[ud["u"] == r["user_id"], "d"])
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        assert r["longest_streak_days"] == best
