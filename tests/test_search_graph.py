@@ -403,9 +403,18 @@ def test_connected_components_star_matches_union_find(spark):
 
     for edges in (edges_a, edges_b):
         df = spark.createDataFrame(edges, "src long, dst long")
+        # default: driver union-find fast path (under the threshold)
         star = {
             r.node: r.component
             for r in connected_components_star(df).collect()
+        }
+        # driver_threshold=0 forces the distributed star loop — the
+        # two paths must produce the identical min-id labelling
+        star_dist = {
+            r.node: r.component
+            for r in connected_components_star(
+                df, driver_threshold=0
+            ).collect()
         }
         truth = {
             r.id: r.component
@@ -416,6 +425,7 @@ def test_connected_components_star_matches_union_find(spark):
         # union-find path returns (id, component); node sets may
         # differ in naming only
         assert star == {k: v for k, v in truth.items()}, len(edges)
+        assert star_dist == star, len(edges)
 
 
 def test_k_core_brute_parity_and_edges(spark):
