@@ -60,6 +60,7 @@ def _load_all() -> None:
         searchops,
         simops,
         statops,
+        statops2,
         streamops,
         textops,
         tpch,

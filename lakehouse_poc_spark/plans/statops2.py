@@ -1,0 +1,701 @@
+"""Second exact-stats wave (r8): Spearman rank correlation,
+Kruskal–Wallis H, Good–Turing smoothing, Adamic–Adar link
+prediction, equi-depth histograms, SAX symbolic words, Gumbel
+block-maxima fitting, and SRE multiwindow burn-rate alerts
+(SURVEY §7 extension scope — the reference has no stats surface).
+
+Determinism (repo conventions, plans/__init__.py): every statistic
+reduces to EXACT sums first — BIGINT for counts/ranks, DECIMAL for
+double series — and only then combines them with a mirrored
+double-arithmetic expression. Order-dependent double sums are
+eliminated structurally:
+- Spearman/Kruskal–Wallis work on INTEGER doubled average ranks
+  (2·avg_rank = 2·rank + tie_count − 1 is always integral).
+- Adamic–Adar pivots the bounded degree domain (common neighbors in
+  a bipartite projection have degree ≤ #event types) into literal
+  ``cnt_d / ln(d)`` terms added in a fixed order.
+- Gumbel moments use decimal sums of the (2-decimal) daily maxima.
+
+100 TB shapes:
+- Spearman / Kruskal–Wallis rank on AGGREGATED bounded domains
+  (hours; distinct 2-decimal values), never the raw event relation.
+- equi-depth bins use the block-offset global_rank discipline
+  (operators/linkage.py) — no single-reducer global window.
+- Adamic–Adar joins on the user key (the bipartite edge list), pair
+  domain is #types², never #users².
+- SAX windows are partitioned per type; burn-rate windows run on the
+  hourly aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_parquet_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+def _hour_idx() -> F.Column:
+    return F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+
+
+def _day_idx() -> F.Column:
+    return F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+
+
+_SQL_HOUR = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)"
+_SQL_DAY = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (Spearman 1904, public) between the
+# hourly click and purchase count series — the rank twin of
+# kendall_tau_hourly. Average ranks for ties stay INTEGRAL by
+# doubling: 2·avg_rank = 2·RANK() + tie_count − 1. ρ is then the
+# Pearson formula over the doubled ranks (the 2s cancel), combined
+# from exact BIGINT/DECIMAL sums. The rank window runs on the
+# AGGREGATED hourly domain (#hours — bounded), the raw pass is one
+# partial-combined groupBy.
+@query(
+    "spearman_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT {_SQL_HOUR} AS h,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT
+            2 * RANK() OVER (ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+            2 * RANK() OVER (ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+        FROM hourly
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx,
+               CAST(SUM(ry) AS BIGINT) AS sy,
+               SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+               SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+               SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+        FROM ranked
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hourly = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    rx = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    )
+    ranked = hourly.select(rx.alias("rx"), ry.alias("ry"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.select(
+        "n",
+        (
+            (nd * F.col("sxy").cast("double") - sxd * syd)
+            / (
+                F.sqrt(nd * F.col("sxx").cast("double") - sxd * sxd)
+                * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H test (Kruskal & Wallis 1952, public): does event
+# `value` differ across click/view/purchase? Rank-based one-way
+# ANOVA with the tie correction. Ranks come from the DISTINCT-VALUE
+# domain (values are 2-decimal — bounded): per distinct value,
+# 2·avg_rank = 2·(#rows below) + tie_count + 1 is integral and
+# computed from a cumulative count over the distinct-value relation,
+# then joined back (broadcast — the domain is small). Per-group rank
+# sums are exact BIGINTs; the three groups are pivoted to literal
+# columns so H adds its per-group terms in a FIXED order (no
+# order-dependent double sum).
+@query(
+    "kruskal_wallis_events",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    vals AS (
+        SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY value
+    ),
+    ranked AS (
+        SELECT value,
+               cnt,
+               2 * (SUM(cnt) OVER (ORDER BY value) - cnt) + cnt + 1 AS r2
+        FROM vals
+    ),
+    g AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_click,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_view,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_purchase,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN r.r2 ELSE 0 END)
+                 AS BIGINT) AS s_click,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN r.r2 ELSE 0 END)
+                 AS BIGINT) AS s_view,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN r.r2 ELSE 0 END)
+                 AS BIGINT) AS s_purchase
+        FROM ev JOIN ranked r USING (value)
+    ),
+    ties AS (
+        SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+        FROM vals
+    )
+    SELECT n, n_click, n_view, n_purchase,
+           s_click, s_view, s_purchase,
+           (3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))
+             * (CAST(CAST(s_click AS DECIMAL(38,0)) * s_click AS DOUBLE)
+                  / CAST(n_click AS DOUBLE)
+                + CAST(CAST(s_view AS DECIMAL(38,0)) * s_view AS DOUBLE)
+                  / CAST(n_view AS DOUBLE)
+                + CAST(CAST(s_purchase AS DECIMAL(38,0)) * s_purchase
+                       AS DOUBLE) / CAST(n_purchase AS DOUBLE))
+             - 3.0 * CAST(n + 1 AS DOUBLE) AS h_stat,
+           ((3.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))
+             * (CAST(CAST(s_click AS DECIMAL(38,0)) * s_click AS DOUBLE)
+                  / CAST(n_click AS DOUBLE)
+                + CAST(CAST(s_view AS DECIMAL(38,0)) * s_view AS DOUBLE)
+                  / CAST(n_view AS DOUBLE)
+                + CAST(CAST(s_purchase AS DECIMAL(38,0)) * s_purchase
+                       AS DOUBLE) / CAST(n_purchase AS DOUBLE))
+             - 3.0 * CAST(n + 1 AS DOUBLE))
+           / (1.0 - CAST(t.tie_sum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+               AS h_corrected
+    FROM g, ties t
+    """,
+)
+def kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select("event_type", "value")
+    vals = ev.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("value")
+    ranked = vals.select(
+        "value",
+        "cnt",
+        (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias(
+            "r2"
+        ),
+    )
+    joined = ev.join(F.broadcast(ranked.select("value", "r2")), "value")
+
+    def _n(t):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+        )
+
+    def _s(t):
+        return (
+            F.sum(F.when(F.col("event_type") == t, F.col("r2")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s_{t}")
+        )
+
+    g = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _n("click"),
+        _n("view"),
+        _n("purchase"),
+        _s("click"),
+        _s("view"),
+        _s("purchase"),
+    )
+    ties = vals.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    r = g.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+
+    def term(t):
+        s = F.col(f"s_{t}")
+        return (s.cast("decimal(38,0)") * s).cast("double") / F.col(
+            f"n_{t}"
+        ).cast("double")
+
+    h = (3.0 / (nd * (F.col("n") + 1).cast("double"))) * (
+        term("click") + term("view") + term("purchase")
+    ) - 3.0 * (F.col("n") + 1).cast("double")
+    corr = h / (
+        F.lit(1.0) - F.col("tie_sum").cast("double") / (nd * nd * nd - nd)
+    )
+    return r.select(
+        "n",
+        "n_click",
+        "n_view",
+        "n_purchase",
+        "s_click",
+        "s_view",
+        "s_purchase",
+        h.alias("h_stat"),
+        corr.alias("h_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Good–Turing frequency estimation (Good 1953, public): from the
+# corpus token counts, the frequency-of-frequencies table N_r and
+# the adjusted count r* = (r+1)·N_{r+1}/N_r — the smoothing base
+# under Katz backoff. Pure count arithmetic: one token groupBy, one
+# count-of-counts groupBy (domain = distinct frequencies), one
+# self-join on r+1. The single division is the last step.
+@query(
+    "good_turing_docs",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS c FROM tok WHERE token <> ''
+        GROUP BY token
+    ),
+    fof AS (
+        SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM counts GROUP BY c
+    ),
+    low AS (SELECT r FROM fof ORDER BY r LIMIT 8)
+    SELECT a.r, a.n_r,
+           CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE)
+             / CAST(a.n_r AS DOUBLE) AS r_star
+    FROM fof a
+    JOIN low ON low.r = a.r
+    LEFT JOIN fof b ON b.r = a.r + 1
+    ORDER BY a.r
+    """,
+)
+def good_turing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    fof = counts.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    b = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    low = fof.select("r").orderBy("r").limit(8)
+    return (
+        fof.join(low, "r")
+        .join(b, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            (
+                (F.col("r") + 1).cast("double")
+                * F.col("n_r1").cast("double")
+                / F.col("n_r").cast("double")
+            ).alias("r_star"),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction (Adamic & Adar 2003, public) between
+# event types in the user–type bipartite projection: common
+# neighbors are USERS, weighted down by their degree (#distinct
+# types they touch): AA(a,b) = Σ_z 1/ln(deg z). Degrees in this
+# projection are bounded by #event types, so the score is computed
+# from EXACT per-degree counts pivoted to literal ``cnt_d/ln(d)``
+# terms (d = 2..8) added in fixed order — no order-dependent double
+# sum. Scale shape: one distinct, one user-keyed pair join (pair
+# domain #types²), one groupBy.
+@query(
+    "adamic_adar_event_types",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    deg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS d FROM ut
+        GROUP BY user_id
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, g.d
+        FROM ut a
+        JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        JOIN deg g ON g.user_id = a.user_id
+    ),
+    agg AS (
+        SELECT type_a, type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+               CAST(SUM(CASE WHEN d = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+               CAST(SUM(CASE WHEN d = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+               CAST(SUM(CASE WHEN d = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+               CAST(SUM(CASE WHEN d = 8 THEN 1 ELSE 0 END) AS BIGINT) AS c8
+        FROM pairs GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_common,
+           CAST(c2 AS DOUBLE) / ln(2.0)
+             + CAST(c3 AS DOUBLE) / ln(3.0)
+             + CAST(c4 AS DOUBLE) / ln(4.0)
+             + CAST(c5 AS DOUBLE) / ln(5.0)
+             + CAST(c6 AS DOUBLE) / ln(6.0)
+             + CAST(c7 AS DOUBLE) / ln(7.0)
+             + CAST(c8 AS DOUBLE) / ln(8.0) AS aa_score
+    FROM agg
+    ORDER BY type_a, type_b
+    """,
+)
+def adamic_adar_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    deg = ut.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(deg, "user_id")
+    )
+    cnt_cols = [
+        F.sum(F.when(F.col("d") == d, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"c{d}")
+        for d in range(2, 9)
+    ]
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"), *cnt_cols
+    )
+    import math
+
+    score = None
+    for d in range(2, 9):
+        t = F.col(f"c{d}").cast("double") / F.lit(math.log(float(d)))
+        score = t if score is None else score + t
+    return agg.select(
+        "type_a", "type_b", "n_common", score.alias("aa_score")
+    ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (the DB-optimizer classic — Piatetsky-Shapiro
+# & Connell 1984, public) of event values in 8 depth-balanced bins.
+# Bin assignment is floor((rn−1)·8/N) over the TOTAL order
+# (value, event_id) — computed with the block-offset global_rank
+# discipline (operators/linkage.py), never a single-reducer global
+# window; the oracle mirrors the same formula over ROW_NUMBER().
+@query(
+    "equidepth_histogram_events",
+    oracle="""
+    WITH ranked AS (
+        SELECT value,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM events
+    )
+    SELECT CAST(FLOOR((rn - 1) * 8 / n) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS mean_value
+    FROM ranked
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def equidepth_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import global_rank
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    n = ev.count()
+    ranked = global_rank(
+        ev, ["value", "event_id"], F.floor(F.col("value") / F.lit(64.0))
+    )
+    return (
+        ranked.select(
+            F.floor((F.col("rank") - 1) * 8 / F.lit(n))
+            .cast("int")
+            .alias("bin"),
+            "value",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            (
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic words (Lin, Keogh et al. 2003, public — with
+# empirical quartile breakpoints instead of the Gaussian table, so
+# the discretization is exact): per event type, the daily value
+# totals form the PAA series (exact decimal sums), each day maps to
+# a quartile symbol a<b<c<d via ntile(4) within the type, and the
+# symbols concatenate in day order into the type's word — the motif
+# representation used for similarity search over series. All
+# windows are per-type on the daily aggregate domain.
+@query(
+    "sax_words_events",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, {_SQL_DAY} AS d,
+               SUM(CAST(value AS DECIMAL(30,6))) AS paa
+        FROM events GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT event_type, d,
+               CASE NTILE(4) OVER (PARTITION BY event_type
+                                   ORDER BY paa, d)
+                    WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                    WHEN 3 THEN 'c' ELSE 'd' END AS s
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           STRING_AGG(s, '' ORDER BY d) AS word
+    FROM sym GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sax_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", _day_idx().alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(30,6)")).alias("paa"))
+    w = Window.partitionBy("event_type").orderBy("paa", "d")
+    sym = daily.select(
+        "event_type",
+        "d",
+        F.when(F.ntile(4).over(w) == 1, "a")
+        .when(F.ntile(4).over(w) == 2, "b")
+        .when(F.ntile(4).over(w) == 3, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "s"))),
+                    lambda x: x["s"],
+                ),
+                "",
+            ).alias("word"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel fit on block maxima (Fisher–Tippett 1928 / Gumbel 1958,
+# public — the extreme-value workhorse for capacity planning): take
+# the DAILY maximum event value (the block maxima), fit the Gumbel
+# location/scale by the method of moments (scale = s·√6/π,
+# loc = mean − γ·scale with Euler–Mascheroni γ), and report the
+# 30-day return level loc − scale·ln(−ln(1 − 1/30)). The maxima are
+# 2-decimal values, so their decimal sums are exact; moments combine
+# in one mirrored double expression.
+@query(
+    "gumbel_block_maxima_events",
+    oracle=f"""
+    WITH daily AS (
+        SELECT {_SQL_DAY} AS d, MAX(value) AS m
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(m AS DECIMAL(30,6))) AS sm,
+               SUM(CAST(m AS DECIMAL(30,6)) * CAST(m AS DECIMAL(30,6)))
+                   AS smm
+        FROM daily
+    )
+    SELECT n,
+           CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean_max,
+           sqrt((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+             * sqrt(6.0) / 3.141592653589793 AS gumbel_scale,
+           CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                  * sqrt(6.0) / 3.141592653589793) AS gumbel_loc,
+           (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                  * sqrt(6.0) / 3.141592653589793))
+           - (sqrt((CAST(n AS DOUBLE) * CAST(smm AS DOUBLE)
+                      - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+              * sqrt(6.0) / 3.141592653589793)
+             * ln(-ln(1.0 - 1.0 / 30.0)) AS return_level_30d
+    FROM s
+    """,
+)
+def gumbel_block_maxima_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(_day_idx().alias("d")).agg(F.max("value").alias("m"))
+    mdec = F.col("m").cast("decimal(30,6)")
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(mdec).alias("sm"),
+        F.sum(mdec * mdec).alias("smm"),
+    )
+    import math
+
+    nd = F.col("n").cast("double")
+    smd = F.col("sm").cast("double")
+    mean = smd / nd
+    sd = F.sqrt(
+        (nd * F.col("smm").cast("double") - smd * smd)
+        / (nd * (F.col("n") - 1).cast("double"))
+    )
+    scale = sd * F.sqrt(F.lit(6.0)) / F.lit(math.pi)
+    loc = mean - F.lit(0.5772156649015329) * scale
+    ret30 = loc - scale * F.lit(math.log(-math.log(1.0 - 1.0 / 30.0)))
+    return s.select(
+        "n",
+        mean.alias("mean_max"),
+        scale.alias("gumbel_scale"),
+        loc.alias("gumbel_loc"),
+        ret30.alias("return_level_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRE multiwindow burn-rate alerts (Google SRE Workbook ch. 5,
+# public): with a 75% availability SLO over the events stream
+# (event_type = 'error' burns budget), alert on the hours where BOTH
+# the 1-hour and the trailing-6-hour burn rates exceed their
+# thresholds (1.2× / 1.0× — the fast+slow window pairing that kills
+# blips without missing slow burns). Integer hourly sums; the
+# trailing window runs on the hourly aggregate (RANGE on the hour
+# index, so missing hours are handled by value, not row position).
+@query(
+    "slo_burn_rate_events",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT {_SQL_HOUR} AS h,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS err,
+               CAST(COUNT(*) AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    ),
+    windowed AS (
+        SELECT h, err, tot,
+               CAST(SUM(err) OVER (ORDER BY h
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS err6,
+               CAST(SUM(tot) OVER (ORDER BY h
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tot6
+        FROM hourly
+    )
+    SELECT h, err, tot,
+           (CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)) / 0.25 AS burn_1h,
+           (CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE)) / 0.25 AS burn_6h
+    FROM windowed
+    WHERE (CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)) / 0.25 >= 1.2
+      AND (CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE)) / 0.25 >= 1.0
+    ORDER BY h
+    """,
+)
+def slo_burn_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("err"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy("h").rangeBetween(-5, 0)
+    windowed = hourly.select(
+        "h",
+        "err",
+        "tot",
+        F.sum("err").over(w).cast("bigint").alias("err6"),
+        F.sum("tot").over(w).cast("bigint").alias("tot6"),
+    )
+    burn1 = (F.col("err").cast("double") / F.col("tot").cast("double")) / 0.25
+    burn6 = (
+        F.col("err6").cast("double") / F.col("tot6").cast("double")
+    ) / 0.25
+    return (
+        windowed.select(
+            "h",
+            "err",
+            "tot",
+            burn1.alias("burn_1h"),
+            burn6.alias("burn_6h"),
+        )
+        .filter((F.col("burn_1h") >= 1.2) & (F.col("burn_6h") >= 1.0))
+        .orderBy("h")
+    )

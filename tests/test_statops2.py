@@ -1,0 +1,218 @@
+"""Parity tests for the second exact-stats wave (statops2): each
+query is re-derived independently in pandas/numpy at sf0.001 and
+compared value-for-value against the Spark plan."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lakehouse_poc_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def _avg_rank2(x: np.ndarray) -> np.ndarray:
+    """2 * average rank (ties averaged), always integral."""
+    order = np.argsort(x, kind="stable")
+    r2 = np.empty(len(x), dtype=np.int64)
+    sorted_x = x[order]
+    i = 0
+    while i < len(x):
+        j = i
+        while j + 1 < len(x) and sorted_x[j + 1] == sorted_x[i]:
+            j += 1
+        # ranks i+1..j+1 (1-based); 2*avg = (i+1) + (j+1)
+        r2[order[i : j + 1]] = (i + 1) + (j + 1)
+        i = j + 1
+    return r2
+
+
+def test_spearman_hourly_matches_numpy(spark):
+    ev = _events()
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    h = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 3600).astype("int64")
+    g = pd.DataFrame(
+        {
+            "h": h,
+            "c": (ev.event_type == "click").astype(int),
+            "p": (ev.event_type == "purchase").astype(int),
+        }
+    ).groupby("h").sum()
+    rx = _avg_rank2(g.c.to_numpy())
+    ry = _avg_rank2(g.p.to_numpy())
+    n = len(g)
+    sx, sy = rx.sum(), ry.sum()
+    num = n * float((rx.astype(object) * ry).sum()) - float(sx) * sy
+    den = math.sqrt(
+        n * float((rx.astype(object) ** 2).sum()) - float(sx) ** 2
+    ) * math.sqrt(n * float((ry.astype(object) ** 2).sum()) - float(sy) ** 2)
+    out = plans.QUERIES["spearman_hourly"](spark, SF).collect()[0]
+    assert out["n"] == n
+    assert out["spearman_rho"] == pytest.approx(num / den, rel=1e-12)
+
+
+def test_kruskal_wallis_matches_numpy(spark):
+    ev = _events()
+    ev = ev[ev.event_type.isin(["click", "view", "purchase"])]
+    r2 = _avg_rank2(ev.value.to_numpy())
+    n = len(ev)
+    h_sum = 0.0
+    for t in ("click", "view", "purchase"):
+        mask = (ev.event_type == t).to_numpy()
+        s = float(r2[mask].sum())
+        h_sum += (s * s) / mask.sum()
+    h = (3.0 / (n * (n + 1))) * h_sum - 3.0 * (n + 1)
+    _, counts = np.unique(ev.value.to_numpy(), return_counts=True)
+    tie = float((counts.astype(np.int64) ** 3 - counts).sum())
+    h_corr = h / (1.0 - tie / (float(n) ** 3 - n))
+    out = plans.QUERIES["kruskal_wallis_events"](spark, SF).collect()[0]
+    assert out["n"] == n
+    assert out["h_stat"] == pytest.approx(h, rel=1e-9)
+    assert out["h_corrected"] == pytest.approx(h_corr, rel=1e-9)
+
+
+def test_good_turing_matches_counter(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in docs.text:
+        c.update(w for w in t.split() if w)
+    fof = Counter(c.values())
+    rs = sorted(fof)[:8]
+    out = {
+        r["r"]: (r["n_r"], r["r_star"])
+        for r in plans.QUERIES["good_turing_docs"](spark, SF).collect()
+    }
+    assert sorted(out) == rs
+    for r in rs:
+        n_r, r_star = out[r]
+        assert n_r == fof[r]
+        if r + 1 in fof:
+            assert r_star == pytest.approx(
+                (r + 1) * fof[r + 1] / fof[r], rel=1e-12
+            )
+        else:
+            assert r_star is None
+
+
+def test_adamic_adar_matches_pandas(spark):
+    ev = _events()
+    ut = ev[["user_id", "event_type"]].drop_duplicates()
+    deg = ut.groupby("user_id").size().to_dict()
+    scores: dict = {}
+    for uid, grp in ut.groupby("user_id"):
+        types = sorted(grp.event_type)
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                key = (types[i], types[j])
+                n, s = scores.get(key, (0, 0.0))
+                scores[key] = (n + 1, s + 1.0 / math.log(deg[uid]))
+    out = plans.QUERIES["adamic_adar_event_types"](spark, SF).collect()
+    assert len(out) == len(scores)
+    for r in out:
+        n, s = scores[(r["type_a"], r["type_b"])]
+        assert r["n_common"] == n
+        assert r["aa_score"] == pytest.approx(s, rel=1e-12)
+
+
+def test_equidepth_histogram_matches_pandas(spark):
+    ev = _events().sort_values(["value", "event_id"]).reset_index(drop=True)
+    n = len(ev)
+    bins = (np.arange(n) * 8) // n
+    out = plans.QUERIES["equidepth_histogram_events"](spark, SF).collect()
+    assert len(out) == 8
+    for r in out:
+        sel = ev.value[bins == r["bin"]]
+        assert r["n_rows"] == len(sel)
+        assert r["lo"] == sel.min()
+        assert r["hi"] == sel.max()
+        assert r["mean_value"] == pytest.approx(sel.mean(), rel=1e-9)
+    # depth balance: bin sizes differ by at most 1
+    sizes = [r["n_rows"] for r in out]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_sax_words_match_pandas(spark):
+    ev = _events()
+    d = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 86400).astype("int64")
+    daily = (
+        pd.DataFrame(
+            {
+                "t": ev.event_type,
+                "d": d,
+                # decimal(30,6) sums of 2-decimal values == exact cents
+                "v": (ev.value * 100).round().astype("int64"),
+            }
+        )
+        .groupby(["t", "d"], as_index=False)
+        .sum()
+    )
+    out = {
+        r["event_type"]: (r["n_days"], r["word"])
+        for r in plans.QUERIES["sax_words_events"](spark, SF).collect()
+    }
+    for t, grp in daily.groupby("t"):
+        grp = grp.sort_values(["v", "d"]).reset_index(drop=True)
+        k = len(grp)
+        # ntile(4): first (k % 4) buckets get ceil(k/4)
+        sym = {}
+        start = 0
+        for b in range(4):
+            size = k // 4 + (1 if b < k % 4 else 0)
+            for i in range(start, start + size):
+                sym[grp.d[i]] = "abcd"[b]
+            start += size
+        word = "".join(sym[day] for day in sorted(sym))
+        assert out[t] == (k, word)
+
+
+def test_gumbel_block_maxima_matches_numpy(spark):
+    ev = _events()
+    d = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 86400).astype("int64")
+    m = pd.DataFrame({"d": d, "v": ev.value}).groupby("d").v.max().to_numpy()
+    n = len(m)
+    mean = m.mean()
+    sd = math.sqrt((n * (m**2).sum() - m.sum() ** 2) / (n * (n - 1)))
+    scale = sd * math.sqrt(6.0) / math.pi
+    loc = mean - 0.5772156649015329 * scale
+    ret30 = loc - scale * math.log(-math.log(1.0 - 1.0 / 30.0))
+    out = plans.QUERIES["gumbel_block_maxima_events"](spark, SF).collect()[0]
+    assert out["n"] == n
+    assert out["mean_max"] == pytest.approx(mean, rel=1e-12)
+    assert out["gumbel_scale"] == pytest.approx(scale, rel=1e-9)
+    assert out["gumbel_loc"] == pytest.approx(loc, rel=1e-9)
+    assert out["return_level_30d"] == pytest.approx(ret30, rel=1e-9)
+
+
+def test_slo_burn_rate_matches_pandas(spark):
+    ev = _events()
+    h = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 3600).astype("int64")
+    g = (
+        pd.DataFrame({"h": h, "e": (ev.event_type == "error").astype(int)})
+        .groupby("h")
+        .agg(err=("e", "sum"), tot=("e", "size"))
+        .sort_index()
+    )
+    expect = []
+    hours = g.index.to_numpy()
+    for i, hour in enumerate(hours):
+        win = g[(g.index >= hour - 5) & (g.index <= hour)]
+        b1 = (g.err.iloc[i] / g.tot.iloc[i]) / 0.25
+        b6 = (win.err.sum() / win.tot.sum()) / 0.25
+        if b1 >= 1.2 and b6 >= 1.0:
+            expect.append((hour, g.err.iloc[i], g.tot.iloc[i], b1, b6))
+    out = plans.QUERIES["slo_burn_rate_events"](spark, SF).collect()
+    assert len(out) == len(expect)
+    for r, e in zip(out, expect):
+        assert (r["h"], r["err"], r["tot"]) == (e[0], e[1], e[2])
+        assert r["burn_1h"] == pytest.approx(e[3], rel=1e-12)
+        assert r["burn_6h"] == pytest.approx(e[4], rel=1e-12)
