@@ -1392,3 +1392,126 @@ def ivfpq_query_at_rest(
         .select("vec_id", F.col("cell").alias("__cid"), "j", "code")
     )
     return _ivfpq_adc_rank(enc, lut, k)
+
+
+# ---------------------------------------------------------------------------
+# Binary sign quantization + Hamming ranking (Charikar 2002 SRP /
+# the classic "binary embeddings" retrieval trick — public): each
+# float dimension contributes one sign bit, vectors collapse 64×
+# (64 floats → two 32-bit lanes), and candidate ranking is XOR +
+# popcount — pure JVM integer ops inside whole-stage codegen.
+
+
+def sign_pack(
+    df: DataFrame, vec_col: str, dim: int, prefix: str = "__w"
+) -> tuple[DataFrame, int]:
+    """Pack the sign bits of ``vec_col`` (array<float>, length
+    ``dim``) into ceil(dim/32) BIGINT lanes of 32 bits each (32 per
+    word keeps every lane positive — no sign-bit aliasing). The
+    packing is a codegen'd fold over a literal index range; at rest
+    it is the at-scale representation (a 256-dim corpus stores 8
+    BIGINTs per vector instead of 256 floats)."""
+    n_words = (dim + 31) // 32
+    out = df
+    for j in range(n_words):
+        lo, hi = 32 * j, min(32 * j + 31, dim - 1)
+        out = out.withColumn(
+            f"{prefix}{j}",
+            F.expr(
+                f"aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc + IF(element_at({vec_col}, i + 1) > 0, "
+                f"shiftleft(CAST(1 AS BIGINT), i - {lo}), "
+                f"CAST(0 AS BIGINT)))"
+            ),
+        )
+    return out, n_words
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    dim: int,
+) -> DataFrame:
+    """Top-k by ascending Hamming distance between sign-packed
+    vectors: (query_id, neighbor_id, hamming, rank), ties broken by
+    neighbor id. The corpus scan carries only the packed words; the
+    query side broadcasts. Scale shape: identical to
+    brute_force_topk but with a 64× smaller candidate payload and
+    integer-only distance — the standard first-pass filter in a
+    two-stage (Hamming shortlist → exact re-rank) pipeline."""
+    c, n_words = sign_pack(corpus, vec_col, dim)
+    q, _ = sign_pack(queries, vec_col, dim)
+    c = c.select(
+        F.col(id_col).alias("__nid"),
+        *[F.col(f"__w{j}").alias(f"__c{j}") for j in range(n_words)],
+    )
+    q = q.select(
+        F.col(query_id_col).alias("query_id"),
+        *[F.col(f"__w{j}").alias(f"__q{j}") for j in range(n_words)],
+    )
+    ham = None
+    for j in range(n_words):
+        t = F.bit_count(F.col(f"__q{j}").bitwiseXOR(F.col(f"__c{j}")))
+        ham = t if ham is None else ham + t
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    shortlist: int,
+    dim: int,
+) -> DataFrame:
+    """Two-stage retrieval: Hamming shortlist (``shortlist``
+    candidates per query from the sign-packed lanes — integer XOR +
+    popcount over the whole corpus) then EXACT cosine re-rank of the
+    survivors only. This is the production shape for binary
+    embeddings: the float vectors are touched for shortlist·|Q| rows,
+    never |corpus|·|Q|. Returns (query_id, neighbor_id, cos_sim,
+    rank), ties by neighbor id."""
+    cand = hamming_topk(
+        corpus, queries, vec_col, id_col, query_id_col, k=shortlist, dim=dim
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qvec = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

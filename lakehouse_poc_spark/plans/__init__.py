@@ -59,6 +59,7 @@ def _load_all() -> None:
         pipelineops,
         searchops,
         simops,
+        simops2,
         statops,
         statops2,
         streamops,

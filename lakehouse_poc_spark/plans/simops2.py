@@ -1,0 +1,198 @@
+"""Similarity wave 2 (r8): binary sign quantization + Hamming-space
+retrieval — the remaining classic in the quantized-ANN family
+(IVF/PQ/SQ8/LSH/HNSW live in simops). Sign bits pack into 32-bit
+BIGINT lanes; distance is XOR + popcount, pure JVM integer work
+inside whole-stage codegen, with a recall@5 gate against the exact
+cosine brute force.
+
+100 TB shape: a sign-packed 256-dim corpus is 8 BIGINTs per vector
+(64× smaller than floats); the Hamming pass is the standard
+first-stage shortlist with exact re-rank on the survivors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    hamming_rerank_topk,
+    hamming_topk,
+)
+from . import query
+from .simops import _RECALL_BRUTE_CTE, EMB_DIM, _sql_cosine, _t
+
+# sign-pack in DuckDB: a left fold over a literal index range, one
+# 32-bit lane per word (mirrors operators/similarity.py::sign_pack)
+
+
+def _sql_word(vec: str, j: int) -> str:
+    lo, hi = 32 * j, min(32 * j + 31, EMB_DIM - 1)
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series({lo}, {hi}), "
+        f"i -> CASE WHEN {vec}[i + 1] > 0 "
+        f"THEN CAST(1 AS BIGINT) << (i - {lo}) "
+        f"ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x)"
+    )
+
+
+_N_WORDS = (EMB_DIM + 31) // 32
+
+_PACKED_CTE = f"""
+    packed AS (
+        SELECT vec_id,
+               {", ".join(f"{_sql_word('embedding', j)} AS w{j}" for j in range(_N_WORDS))}
+        FROM embeddings
+    )"""
+
+_HAMMING_EXPR = " + ".join(
+    f"CAST(bit_count(xor(q.w{j}, c.w{j})) AS INTEGER)"
+    for j in range(_N_WORDS)
+)
+
+
+@query(
+    "similarity_topk_hamming",
+    oracle=f"""
+    WITH {_PACKED_CTE.strip()}
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_HAMMING_EXPR} AS hamming,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_HAMMING_EXPR} ASC, c.vec_id
+               ) AS INTEGER) AS rank
+        FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+    ) t
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return hamming_topk(
+        emb,
+        queries,
+        vec_col="embedding",
+        id_col="vec_id",
+        query_id_col="vec_id",
+        k=5,
+        dim=EMB_DIM,
+    ).orderBy("query_id", "rank")
+
+
+# shortlist CTE shared by the rerank query and the recall gate:
+# Hamming top-50 per query, then exact cosine over the survivors
+_SHORTLIST_CTE = f"""
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_HAMMING_EXPR} ASC, c.vec_id
+                   ) AS INTEGER) AS rank
+            FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) t WHERE rank <= 50
+    ),
+    reranked AS (
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT s.query_id, s.neighbor_id,
+                   {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')}
+                                DESC, s.neighbor_id
+                   ) AS INTEGER) AS rank
+            FROM shortlist s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings c ON c.vec_id = s.neighbor_id
+        ) t WHERE rank <= 5
+    )"""
+
+
+@query(
+    "similarity_topk_hamming_rerank",
+    oracle=f"""
+    WITH {_PACKED_CTE.strip()},
+    {_SHORTLIST_CTE.strip()}
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM reranked
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_topk_hamming_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return hamming_rerank_topk(
+        emb,
+        queries,
+        vec_col="embedding",
+        id_col="vec_id",
+        query_id_col="vec_id",
+        k=5,
+        shortlist=50,
+        dim=EMB_DIM,
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_recall_hamming",
+    oracle=f"""
+    WITH {_RECALL_BRUTE_CTE.strip()},
+    {_PACKED_CTE.strip()},
+    {_SHORTLIST_CTE.strip()}
+    SELECT b.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(h.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM brute b
+    LEFT JOIN reranked h
+      ON b.query_id = h.query_id AND b.neighbor_id = h.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def ann_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the END-TO-END two-stage pipeline (Hamming
+    shortlist-50 → exact cosine re-rank) against the cosine brute
+    force. The raw 64-bit shortlist alone sits near 0.2 on this
+    fixture (64 sign bits is a coarse sketch); the pipeline recovers
+    ~0.6 — the number that matters, since re-rank is how binary
+    embeddings are deployed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = brute_force_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5,
+    ).select("query_id", "neighbor_id")
+    approx = hamming_rerank_topk(
+        emb, queries, vec_col="embedding", id_col="vec_id",
+        query_id_col="vec_id", k=5, shortlist=50, dim=EMB_DIM,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
