@@ -196,3 +196,41 @@ def ann_recall_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaro–Winkler blocked linkage over part names — the edit-distance
+# family member levenshtein_blocked_parts doesn't cover (prefix
+# boost + transposition tolerance, the name-matching standard).
+# Candidates are blocked on (2-char prefix, |len diff| <= 2); the
+# kernel (operators/linkage.py::jaro_winkler) is bit-exact with
+# DuckDB's builtin, so raw doubles hash-match.
+@query(
+    "jaro_winkler_parts",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+    ORDER BY name_a, name_b
+    """,
+)
+def jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import jaro_winkler_pairs_blocked
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    return (
+        jaro_winkler_pairs_blocked(
+            names, text_col="p_name", id_col="p_name", threshold=0.85
+        )
+        .select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            "jw",
+        )
+        .orderBy("name_a", "name_b")
+    )
