@@ -402,3 +402,87 @@ def nearest_supplier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("dist_deg"),
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (ray casting / crossing number — Shimrat 1962,
+# public) against a literal convex pentagon in (lon, lat) space:
+# count ray crossings per edge (a horizontal ray to +lon), odd =
+# inside. Pure mul/add/compare doubles over exact two-decimal
+# literals — the per-edge crossing terms are integers added in
+# literal order, so both engines agree bit-for-bit. Scale shape:
+# map-only expression work per point + one partial-combined count;
+# a polygon SET would broadcast and a bounding-box grid key would
+# prune candidates first (same cell discipline as the radius join).
+_PENTAGON = [
+    (-150.0, -80.0),
+    (-60.0, -85.0),
+    (30.0, -55.0),
+    (-40.0, -45.0),
+    (-120.0, -50.0),
+]  # (lon, lat) vertices — southern band, where the synthetic
+#    coordinates land at EVERY fixture scale (lat = 0.37*key - 90
+#    clusters near the south pole for small key ranges)
+
+
+def _crossing_terms_sql(px: str, py: str) -> str:
+    terms = []
+    n = len(_PENTAGON)
+    for i in range(n):
+        x1, y1 = _PENTAGON[i]
+        x2, y2 = _PENTAGON[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({y1} > {py}) <> ({y2} > {py})) AND "
+            f"{px} < ({x2} - {x1}) * ({py} - {y1}) / ({y2} - {y1}) + {x1} "
+            f"THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _crossing_terms_spark(px, py):
+    total = None
+    n = len(_PENTAGON)
+    for i in range(n):
+        x1, y1 = _PENTAGON[i]
+        x2, y2 = _PENTAGON[(i + 1) % n]
+        cond = ((F.lit(y1) > py) != (F.lit(y2) > py)) & (
+            px < (F.lit(x2) - F.lit(x1)) * (py - F.lit(y1)) / (F.lit(y2) - F.lit(y1)) + F.lit(x1)
+        )
+        t = F.when(cond, 1).otherwise(0)
+        total = t if total is None else total + t
+    return total
+
+
+@query(
+    "points_in_polygon_customers",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id, {_LAT} AS lat, {_LON} AS lon
+        FROM customer
+    ),
+    flagged AS (
+        SELECT id, ({_crossing_terms_sql('lon', 'lat')}) % 2 = 1 AS inside
+        FROM pts
+    )
+    SELECT inside,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(id) AS BIGINT) AS id_checksum
+    FROM flagged
+    GROUP BY inside
+    ORDER BY inside
+    """,
+)
+def points_in_polygon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _coords(_t(spark, sf_dir, "customer"))
+    crossings = _crossing_terms_spark(F.col("lon"), F.col("lat"))
+    flagged = pts.select(
+        "id", (crossings % 2 == 1).alias("inside")
+    )
+    return (
+        flagged.groupBy("inside")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("inside")
+    )

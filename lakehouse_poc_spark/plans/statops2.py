@@ -1,7 +1,8 @@
 """Second exact-stats wave (r8): Spearman rank correlation,
 Kruskal–Wallis H, Good–Turing smoothing, Adamic–Adar link
 prediction, equi-depth histograms, SAX symbolic words, Gumbel
-block-maxima fitting, and SRE multiwindow burn-rate alerts
+block-maxima fitting, SRE multiwindow burn-rate alerts, Allen's
+interval algebra, and forecast evaluation (MAE/MASE)
 (SURVEY §7 extension scope — the reference has no stats surface).
 
 Determinism (repo conventions, plans/__init__.py): every statistic
@@ -698,4 +699,187 @@ def slo_burn_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("burn_1h") >= 1.2) & (F.col("burn_6h") >= 1.0))
         .orderBy("h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Allen's interval algebra (Allen 1983, public): classify every
+# within-customer pair of order fulfillment intervals into the 13
+# temporal relations (before/meets/overlaps/starts/during/finishes,
+# their inverses, and equals) and count the distribution. An order's
+# interval is [orderdate, last shipdate]; pairs form between orders
+# of the SAME customer. Pure date comparisons — exact on both
+# engines; the CASE order is identical on both sides, so degenerate
+# (point) intervals resolve the same way. Scale shape: one
+# order-keyed agg for the intervals, pairs inside the customer key
+# only (bounded fan-out), one partial-combined count at the end.
+_ALLEN_CASES = [
+    ("equals", "(a1 = b1 AND a2 = b2)"),
+    ("before", "(a2 < b1)"),
+    ("after", "(b2 < a1)"),
+    ("meets", "(a2 = b1)"),
+    ("met_by", "(b2 = a1)"),
+    ("starts", "(a1 = b1 AND a2 < b2)"),
+    ("started_by", "(a1 = b1 AND a2 > b2)"),
+    ("finishes", "(a2 = b2 AND a1 > b1)"),
+    ("finished_by", "(a2 = b2 AND a1 < b1)"),
+    ("during", "(a1 > b1 AND a2 < b2)"),
+    ("contains", "(a1 < b1 AND a2 > b2)"),
+    ("overlaps", "(a1 < b1 AND a2 > b1 AND a2 < b2)"),
+    ("overlapped_by", "(b1 < a1 AND b2 > a1 AND b2 < a2)"),
+]
+
+_ALLEN_SQL_CASE = "CASE " + " ".join(
+    f"WHEN {cond} THEN '{name}'" for name, cond in _ALLEN_CASES
+) + " END"
+
+
+@query(
+    "allen_relations_orders",
+    oracle=f"""
+    WITH iv AS (
+        SELECT o.o_custkey AS ck, o.o_orderkey AS ok,
+               o.o_orderdate AS s, MAX(l.l_shipdate) AS r
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ),
+    pairs AS (
+        SELECT a.s AS a1, a.r AS a2, b.s AS b1, b.r AS b2
+        FROM iv a JOIN iv b
+          ON a.ck = b.ck AND a.ok < b.ok
+    )
+    SELECT {_ALLEN_SQL_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    ORDER BY relation
+    """,
+)
+def allen_relations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("r"))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderdate").alias("s"),
+            "r",
+        )
+    )
+    a = iv.select(
+        "ck",
+        F.col("ok").alias("ok_a"),
+        F.col("s").alias("a1"),
+        F.col("r").alias("a2"),
+    )
+    b = iv.select(
+        "ck",
+        F.col("ok").alias("ok_b"),
+        F.col("s").alias("b1"),
+        F.col("r").alias("b2"),
+    )
+    pairs = a.join(b, "ck").filter(F.col("ok_a") < F.col("ok_b"))
+    rel = None
+    for name, _ in _ALLEN_CASES:
+        conds = {
+            "equals": (F.col("a1") == F.col("b1")) & (F.col("a2") == F.col("b2")),
+            "before": F.col("a2") < F.col("b1"),
+            "after": F.col("b2") < F.col("a1"),
+            "meets": F.col("a2") == F.col("b1"),
+            "met_by": F.col("b2") == F.col("a1"),
+            "starts": (F.col("a1") == F.col("b1")) & (F.col("a2") < F.col("b2")),
+            "started_by": (F.col("a1") == F.col("b1")) & (F.col("a2") > F.col("b2")),
+            "finishes": (F.col("a2") == F.col("b2")) & (F.col("a1") > F.col("b1")),
+            "finished_by": (F.col("a2") == F.col("b2")) & (F.col("a1") < F.col("b1")),
+            "during": (F.col("a1") > F.col("b1")) & (F.col("a2") < F.col("b2")),
+            "contains": (F.col("a1") < F.col("b1")) & (F.col("a2") > F.col("b2")),
+            "overlaps": (F.col("a1") < F.col("b1"))
+            & (F.col("a2") > F.col("b1"))
+            & (F.col("a2") < F.col("b2")),
+            "overlapped_by": (F.col("b1") < F.col("a1"))
+            & (F.col("b2") > F.col("a1"))
+            & (F.col("b2") < F.col("a2")),
+        }[name]
+        rel = F.when(conds, name) if rel is None else rel.when(conds, name)
+    return (
+        pairs.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast evaluation: MAE of the naive (lag-1) and seasonal-naive
+# (lag-24) hourly forecasts plus the MASE ratio (Hyndman & Koehler
+# 2006, public) — the scale-free accuracy metric that makes
+# forecasting methods comparable across series. Hourly totals are
+# exact decimal sums, forecasts are LAGGED ACTUALS (still exact
+# decimals), so every |error| and both MAE numerators are exact; the
+# only doubles are the two final divisions and their ratio.
+@query(
+    "forecast_eval_events",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT {_SQL_HOUR} AS h,
+               SUM(CAST(value AS DECIMAL(30,6))) AS v
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT h, v,
+               LAG(v, 1) OVER (ORDER BY h) AS f_naive,
+               LAG(v, 24) OVER (ORDER BY h) AS f_snaive
+        FROM hourly
+    ),
+    scored AS (
+        SELECT ABS(v - f_naive) AS e_naive,
+               ABS(v - f_snaive) AS e_snaive
+        FROM lagged
+        WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(e_naive) AS se_naive,
+               SUM(e_snaive) AS se_snaive
+        FROM scored
+    )
+    SELECT n,
+           CAST(se_naive AS DOUBLE) / CAST(n AS DOUBLE) AS mae_naive,
+           CAST(se_snaive AS DOUBLE) / CAST(n AS DOUBLE) AS mae_snaive,
+           (CAST(se_snaive AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(se_naive AS DOUBLE) / CAST(n AS DOUBLE)) AS mase_snaive
+    FROM s
+    """,
+)
+def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("v")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "v",
+        F.lag("v", 1).over(w).alias("f_naive"),
+        F.lag("v", 24).over(w).alias("f_snaive"),
+    ).filter(
+        F.col("f_naive").isNotNull() & F.col("f_snaive").isNotNull()
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("v") - F.col("f_naive"))).alias("se_naive"),
+        F.sum(F.abs(F.col("v") - F.col("f_snaive"))).alias("se_snaive"),
+    )
+    nd = F.col("n").cast("double")
+    mae_n = F.col("se_naive").cast("double") / nd
+    mae_s = F.col("se_snaive").cast("double") / nd
+    return s.select(
+        "n",
+        mae_n.alias("mae_naive"),
+        mae_s.alias("mae_snaive"),
+        (mae_s / mae_n).alias("mase_snaive"),
     )

@@ -216,3 +216,114 @@ def test_slo_burn_rate_matches_pandas(spark):
         assert (r["h"], r["err"], r["tot"]) == (e[0], e[1], e[2])
         assert r["burn_1h"] == pytest.approx(e[3], rel=1e-12)
         assert r["burn_6h"] == pytest.approx(e[4], rel=1e-12)
+
+
+def test_allen_relations_match_pandas(spark):
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    last_ship = li.groupby("l_orderkey").l_shipdate.max()
+    iv = orders[["o_orderkey", "o_custkey", "o_orderdate"]].copy()
+    iv["r"] = iv.o_orderkey.map(last_ship)
+    iv = iv.dropna(subset=["r"])
+
+    def classify(a1, a2, b1, b2):
+        if a1 == b1 and a2 == b2:
+            return "equals"
+        if a2 < b1:
+            return "before"
+        if b2 < a1:
+            return "after"
+        if a2 == b1:
+            return "meets"
+        if b2 == a1:
+            return "met_by"
+        if a1 == b1 and a2 < b2:
+            return "starts"
+        if a1 == b1 and a2 > b2:
+            return "started_by"
+        if a2 == b2 and a1 > b1:
+            return "finishes"
+        if a2 == b2 and a1 < b1:
+            return "finished_by"
+        if a1 > b1 and a2 < b2:
+            return "during"
+        if a1 < b1 and a2 > b2:
+            return "contains"
+        if a1 < b1 and a2 > b1 and a2 < b2:
+            return "overlaps"
+        if b1 < a1 and b2 > a1 and b2 < a2:
+            return "overlapped_by"
+        raise AssertionError("unclassified pair")
+
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for _, grp in iv.groupby("o_custkey"):
+        rows = grp.sort_values("o_orderkey").itertuples()
+        rows = list(rows)
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                counts[
+                    classify(a.o_orderdate, a.r, b.o_orderdate, b.r)
+                ] += 1
+    out = {
+        r["relation"]: r["n_pairs"]
+        for r in plans.QUERIES["allen_relations_orders"](spark, SF).collect()
+    }
+    assert out == dict(counts)
+
+
+def test_forecast_eval_matches_pandas(spark):
+    ev = _events()
+    h = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 3600)
+    cents = (ev.value * 100).round().astype("int64")
+    hourly = (
+        pd.DataFrame({"h": h, "v": cents}).groupby("h").v.sum().sort_index()
+    )
+    v = hourly.to_numpy()
+    e_naive = np.abs(v[24:] - v[23:-1])
+    e_snaive = np.abs(v[24:] - v[:-24])
+    n = len(v) - 24
+    mae_n = e_naive.sum() / 100.0 / n
+    mae_s = e_snaive.sum() / 100.0 / n
+    out = plans.QUERIES["forecast_eval_events"](spark, SF).collect()[0]
+    assert out["n"] == n
+    assert out["mae_naive"] == pytest.approx(mae_n, rel=1e-12)
+    assert out["mae_snaive"] == pytest.approx(mae_s, rel=1e-12)
+    assert out["mase_snaive"] == pytest.approx(mae_s / mae_n, rel=1e-12)
+
+
+def test_points_in_polygon_matches_shoelace_oracle(spark):
+    from lakehouse_poc_spark.plans.geoops import _PENTAGON
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    lat = (cust.c_custkey * 37 % 18000) / 100.0 - 90.0
+    lon = (cust.c_custkey * 91 % 36000) / 100.0 - 180.0
+
+    def inside(px, py):
+        c = 0
+        n = len(_PENTAGON)
+        for i in range(n):
+            x1, y1 = _PENTAGON[i]
+            x2, y2 = _PENTAGON[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (
+                y2 - y1
+            ) + x1:
+                c += 1
+        return c % 2 == 1
+
+    flags = [inside(x, y) for x, y in zip(lon, lat)]
+    n_in = sum(flags)
+    out = {
+        r["inside"]: (r["n_customers"], r["id_checksum"])
+        for r in plans.QUERIES["points_in_polygon_customers"](
+            spark, SF
+        ).collect()
+    }
+    assert out[True][0] == n_in
+    assert out[False][0] == len(flags) - n_in
+    assert out[True][1] == int(
+        cust.c_custkey[np.array(flags)].sum()
+    )
+    assert n_in > 0 and n_in < len(flags)  # both classes occur
