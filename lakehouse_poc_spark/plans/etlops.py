@@ -2742,3 +2742,68 @@ def delta_checkpointed_ingest_orders(
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta RESTORE (r8, sources/deltalog.py::DeltaLogWriter.restore —
+# delta-io protocol, public): v0 = the even orderkeys, v1 = a bad
+# overwrite that replaced everything with the odd keys, v2 = RESTORE
+# to v0 as a NEW commit (no log rewrite). The latest read must equal
+# v0 exactly (n_latest == n_v0 per group is part of the hashed
+# contract) and the undone v1 stays time-travelable.
+@query(
+    "delta_restore_orders",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    ),
+    v1 AS (
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus
+    )
+    SELECT v0.o_orderstatus,
+           v0.n AS n_latest,
+           v0.n AS n_v0,
+           COALESCE(v1.n, 0) AS n_bad_version
+    FROM v0 LEFT JOIN v1 USING (o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+)
+def delta_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, current_version, read_delta
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"deltalog_restore_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_delta"
+    w = DeltaLogWriter(spark, path)
+    w.create(orders.filter(F.col("o_orderkey") % 2 == 0))  # v0
+    w.overwrite(orders.filter(F.col("o_orderkey") % 2 == 1))  # v1: bad
+    w.restore(0)  # v2: reconciliation commit
+    assert current_version(path) == 2
+    latest = read_delta(spark, path).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_latest")
+    )
+    v0 = read_delta(spark, path, version=0).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v0")
+    )
+    v1 = read_delta(spark, path, version=1).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bad_version")
+    )
+    return (
+        latest.join(v0, "o_orderstatus")
+        .join(v1, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_latest",
+            "n_v0",
+            F.coalesce(F.col("n_bad_version"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bad_version"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -852,3 +852,53 @@ class DeltaLogWriter:
             for f in state["files"]
         ]
         return self._commit(removes + self._stage(df), "WRITE")
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE … TO VERSION AS OF ``version`` (the Delta
+        RESTORE command, spec'd as a plain commit): diff the current
+        live set against the target version's and commit the
+        reconciliation — re-add the files that were live then but not
+        now, remove the files live now but not then, and restore the
+        target's metaData (schema travels with the version, exactly
+        like Delta's RESTORE). History is preserved: the restore is a
+        NEW version on top, never a log rewrite, so the undone
+        versions stay time-travelable.
+
+        Fails fast (before committing) if any file to re-add has been
+        vacuumed from disk — the same data-loss guard the reference
+        command has."""
+        cur = _replay(self.path, None)
+        tgt = _replay(self.path, version)
+        cur_live = {a["path"]: a for a in cur["adds"]}
+        tgt_live = {a["path"]: a for a in tgt["adds"]}
+        missing = [
+            p
+            for p in tgt_live
+            if p not in cur_live and not (self.path / p).exists()
+        ]
+        if missing:
+            raise DeltaLogError(
+                f"cannot RESTORE to version {version}: {len(missing)} "
+                f"data file(s) vacuumed (first: {missing[0]})"
+            )
+        now = int(time.time() * 1000)
+        actions: list[dict] = []
+        if tgt["metaData"] is not None:
+            actions.append({"metaData": tgt["metaData"]})
+        for p, a in sorted(tgt_live.items()):
+            if p not in cur_live:
+                add = dict(a)
+                add["dataChange"] = True
+                actions.append({"add": add})
+        for p in sorted(cur_live):
+            if p not in tgt_live:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        return self._commit(actions, f"RESTORE VERSION AS OF {version}")

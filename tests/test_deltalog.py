@@ -594,3 +594,61 @@ def test_deltalog_clustered_optimize_enables_stats_skipping(spark, tmp_path):
         == 11
     )
     assert wh.read(t).count() == 1000
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    df0 = spark.range(10).withColumn("tag", F.lit("v0"))
+    df1 = spark.range(3).withColumn("tag", F.lit("v1"))
+    w.create(df0)
+    w.overwrite(df1)
+    v = w.restore(0)
+    assert v == 2
+    latest = read_delta(spark, p).orderBy("id").collect()
+    v0 = read_delta(spark, p, version=0).orderBy("id").collect()
+    assert [r["id"] for r in latest] == [r["id"] for r in v0] == list(range(10))
+    assert all(r["tag"] == "v0" for r in latest)
+    # the undone version stays time-travelable
+    v1 = read_delta(spark, p, version=1).collect()
+    assert sorted(r["id"] for r in v1) == [0, 1, 2]
+    # restore of the restore is stable (round trip back to v1)
+    w.restore(1)
+    assert sorted(r["id"] for r in read_delta(spark, p).collect()) == [0, 1, 2]
+
+
+def test_restore_fails_fast_when_target_files_vacuumed(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(5))
+    w.overwrite(spark.range(100, 103))
+    # simulate a vacuum that physically removed v0's files
+    from lakehouse_poc_spark.sources.deltalog import _replay
+
+    state0 = _replay(p, 0)
+    for f in state0["files"]:
+        (p / f).unlink()
+    with pytest.raises(DeltaLogError, match="vacuumed"):
+        w.restore(0)
+    # the failed restore committed NOTHING: latest still reads v1
+    assert sorted(r["id"] for r in read_delta(spark, p).collect()) == [
+        100,
+        101,
+        102,
+    ]
+
+
+def test_restore_carries_target_schema(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(4).select(F.col("id")))
+    wide = spark.range(4).select(
+        F.col("id"), (F.col("id") * 2).alias("extra")
+    )
+    # widen via overwrite (new metaData), then restore back to v0:
+    # the restored read must carry v0's narrow schema
+    w._commit(w._meta_actions(wide) + w._stage(wide), "WRITE")  # v1 meta
+    w.restore(0)
+    got = read_delta(spark, p)
+    assert got.columns == ["id"]
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3]
