@@ -2807,3 +2807,64 @@ def delta_restore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta COLUMN MAPPING, name mode (r8, DeltaLogWriter.rename_column —
+# reader 2 / writer 5 upgrade path of the public protocol): rename
+# o_orderstatus → status WITHOUT rewriting any data file (the field
+# keeps its physical parquet name; only the logical metaData name
+# changes), then keep appending under the NEW logical name. The
+# unified read and the pre-rename time travel are both hashed.
+@query(
+    "delta_column_rename_orders",
+    oracle="""
+    WITH all_rows AS (
+        SELECT o_orderstatus AS status, o_orderkey FROM orders
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_before_rename
+    FROM all_rows
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def delta_column_rename_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"deltalog_rename_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_delta"
+    w = DeltaLogWriter(spark, path)
+    w.create(orders.filter(F.col("o_orderkey") % 2 == 0))  # v0
+    w.rename_column("o_orderstatus", "status")  # v1: metadata only
+    w.append(  # v2: appended under the NEW logical name
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", F.col("o_orderstatus").alias("status")
+        )
+    )
+    latest = read_delta(spark, path).groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    v0 = (  # pre-rename version still reads under the OLD name
+        read_delta(spark, path, version=0)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_before_rename"))
+    )
+    return (
+        latest.join(v0, "status", "left")
+        .select(
+            "status",
+            "n_total",
+            F.coalesce(F.col("n_before_rename"), F.lit(0))
+            .cast("bigint")
+            .alias("n_before_rename"),
+        )
+        .orderBy("status")
+    )

@@ -16,8 +16,11 @@ PROTOCOL itself — writes commits a real Delta reader can replay, and
 reads tables the way the spec prescribes — so the Delta story is no
 longer "fake surface only": the on-disk contract is real, tested, and
 interoperable (point delta-spark at the directory and it reads the
-same state; the protocol floor is pinned at minReaderVersion=1, the
-original JSON-commit protocol every Delta runtime accepts).
+same state; the protocol floor is minReaderVersion=1 — the original
+JSON-commit protocol every Delta runtime accepts — and tables that
+RENAME COLUMN upgrade to reader 2 / writer 5 with NAME-MODE COLUMN
+MAPPING, the spec's rename-without-rewrite mechanic, which this
+reader also implements; anything newer still fails fast).
 
 Scope (documented, fail-fast elsewhere): unpartitioned tables,
 JSON commits plus PARQUET CHECKPOINTS (r8): every
@@ -281,7 +284,14 @@ def write_checkpoint(table_path: str | Path, version: int | None = None) -> Path
         "createdTime": 0,
     }
     rows = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "protocol": {
+                "minReaderVersion": state.get("min_reader", 1),
+                "minWriterVersion": 5
+                if state.get("min_reader", 1) >= 2
+                else 2,
+            }
+        },
         {
             "metaData": {
                 "id": md.get("id", "unknown"),
@@ -383,11 +393,19 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
-    if min_reader > 1:
+    cfg = dict((meta_action or {}).get("configuration") or {})
+    mapping_mode = cfg.get("delta.columnMapping.mode", "none")
+    if min_reader == 2 and mapping_mode != "name":
+        raise DeltaLogError(
+            "table requires minReaderVersion=2 but does not declare "
+            "delta.columnMapping.mode=name — the only reader-2 feature "
+            "this reader implements is name-mode column mapping"
+        )
+    if min_reader > 2:
         raise DeltaLogError(
             f"table requires minReaderVersion={min_reader}; this reader "
-            "implements protocol version 1 (JSON commits, no deletion "
-            "vectors / column mapping)"
+            "implements protocol versions 1-2 (JSON commits + name-mode "
+            "column mapping; no deletion vectors / id mapping)"
         )
     return {
         "files": sorted(live),
@@ -395,6 +413,8 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
         "adds": [live[k] for k in sorted(live)],
         "metaData": meta_action,
         "txns": txns,
+        "min_reader": min_reader,
+        "mapping_mode": mapping_mode,
     }
 
 
@@ -425,6 +445,12 @@ def read_delta(
     base = Path(table_path)
     meta = state["metaData"] or {}
     pcols = list(meta.get("partitionColumns") or [])
+    mapped = state.get("mapping_mode") == "name"
+    if mapped and pcols:
+        raise DeltaLogError(
+            "column mapping + partitioned tables is out of this "
+            "reader's declared scope"
+        )
     if not state["files"]:
         if state["schema"] is None:
             raise DeltaLogError(f"empty table with no metaData schema: {table_path}")
@@ -432,7 +458,23 @@ def read_delta(
             [], StructType.fromJson(json.loads(state["schema"]))
         )
     if not pcols:
-        return spark.read.parquet(*[str(base / f) for f in state["files"]])
+        raw = spark.read.parquet(*[str(base / f) for f in state["files"]])
+        if not mapped:
+            return raw
+        # name-mode column mapping: data files carry PHYSICAL names
+        # (field metadata delta.columnMapping.physicalName); project
+        # them back to the logical schema in field order
+        fields = json.loads(state["schema"])["fields"]
+        return raw.select(
+            *[
+                F.col(
+                    f.get("metadata", {}).get(
+                        "delta.columnMapping.physicalName", f["name"]
+                    )
+                ).alias(f["name"])
+                for f in fields
+            ]
+        )
     schema = StructType.fromJson(json.loads(state["schema"]))
     groups: dict[tuple, list[str]] = {}
     for a in state["adds"]:
@@ -802,7 +844,9 @@ class DeltaLogWriter:
             return self.create(df)
         df = self._apply_generated(df)
         self._check_constraints(df)
-        return self._commit(self._stage(df), "WRITE")
+        return self._commit(
+            self._stage(self._to_physical(df)), "WRITE"
+        )
 
     def append_txn(
         self, df: DataFrame, app_id: str, txn_version: int
@@ -829,7 +873,9 @@ class DeltaLogWriter:
             return None  # already applied: exactly-once replay
         df = self._apply_generated(df)
         self._check_constraints(df)
-        return self._commit(self._stage(df) + [marker], "WRITE")
+        return self._commit(
+            self._stage(self._to_physical(df)) + [marker], "WRITE"
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Remove every live file, add the new ones — one commit (the
@@ -839,6 +885,7 @@ class DeltaLogWriter:
             return self.create(df)
         df = self._apply_generated(df)
         self._check_constraints(df)
+        df = self._to_physical(df)
         state = _replay(self.path, None)
         now = int(time.time() * 1000)
         removes = [
@@ -902,3 +949,69 @@ class DeltaLogWriter:
                     }
                 )
         return self._commit(actions, f"RESTORE VERSION AS OF {version}")
+
+    # -- column mapping, name mode (spec: reader 2 / writer 5) ----------
+
+    def _mapping(self) -> dict[str, str] | None:
+        """logical → physical name map when name-mode mapping is on."""
+        state = _replay(self.path, None)
+        if state.get("mapping_mode") != "name":
+            return None
+        fields = json.loads(state["schema"])["fields"]
+        return {
+            f["name"]: f.get("metadata", {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in fields
+        }
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        m = self._mapping()
+        if not m:
+            return df
+        return df.select(
+            *[F.col(c).alias(m.get(c, c)) for c in df.columns]
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN without rewriting a single data file — the
+        point of name-mode column mapping: the field keeps its
+        PHYSICAL name (what the parquet files store), only the
+        LOGICAL name changes in the metaData. First rename upgrades
+        the table to reader 2 / writer 5 and stamps every field with
+        its column-mapping id and physicalName (= its current name,
+        which is what the existing files already contain), exactly
+        the spec's upgrade path. One metadata-only commit."""
+        state = _replay(self.path, None)
+        if state["schema"] is None:
+            raise DeltaLogError(f"no schema to rename in: {self.path}")
+        schema = json.loads(state["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise DeltaLogError(f"no such column: {old}")
+        if new in names:
+            raise DeltaLogError(f"column already exists: {new}")
+        max_id = 0
+        for i, f in enumerate(schema["fields"], start=1):
+            md = dict(f.get("metadata") or {})
+            md.setdefault("delta.columnMapping.id", i)
+            md.setdefault("delta.columnMapping.physicalName", f["name"])
+            f["metadata"] = md
+            max_id = max(max_id, int(md["delta.columnMapping.id"]))
+            if f["name"] == old:
+                f["name"] = new
+        meta = dict(state["metaData"])
+        cfg = dict(meta.get("configuration") or {})
+        cfg["delta.columnMapping.mode"] = "name"
+        cfg["delta.columnMapping.maxColumnId"] = str(max_id)
+        meta["configuration"] = cfg
+        meta["schemaString"] = json.dumps(schema)
+        return self._commit(
+            [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {"metaData": meta},
+            ],
+            f"RENAME COLUMN {old} TO {new}",
+        )

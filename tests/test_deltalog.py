@@ -652,3 +652,96 @@ def test_restore_carries_target_schema(spark, tmp_path):
     got = read_delta(spark, p)
     assert got.columns == ["id"]
     assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3]
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(6).select(F.col("id"), (F.col("id") * 10).alias("v")))
+    from lakehouse_poc_spark.sources.deltalog import _replay
+
+    files_before = set(_replay(p, None)["files"])
+    mtimes = {f: (p / f).stat().st_mtime_ns for f in files_before}
+    w.rename_column("v", "value")
+    state = _replay(p, None)
+    # not a single data file added, removed, or rewritten
+    assert set(state["files"]) == files_before
+    assert all((p / f).stat().st_mtime_ns == mtimes[f] for f in files_before)
+    got = read_delta(spark, p)
+    assert got.columns == ["id", "value"]
+    assert sorted(r["value"] for r in got.collect()) == [
+        0, 10, 20, 30, 40, 50,
+    ]
+    # protocol upgraded to reader 2 / writer 5
+    assert state["min_reader"] == 2
+    cfg = state["metaData"]["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+
+
+def test_append_after_rename_writes_physical_names(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(3).select(F.col("id"), (F.col("id") + 1).alias("v")))
+    w.rename_column("v", "value")
+    from lakehouse_poc_spark.sources.deltalog import _replay
+
+    before = set(_replay(p, None)["files"])
+    w.append(
+        spark.range(100, 103).select(
+            F.col("id"), (F.col("id") + 1).alias("value")
+        )
+    )
+    new_files = set(_replay(p, None)["files"]) - before
+    assert new_files
+    for f in new_files:
+        cols = pq.read_schema(str(p / f)).names
+        assert "v" in cols and "value" not in cols  # physical name
+    got = read_delta(spark, p)
+    assert got.columns == ["id", "value"]
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 100, 101, 102]
+
+
+def test_rename_then_checkpoint_keeps_protocol(spark, tmp_path):
+    from lakehouse_poc_spark.sources.deltalog import (
+        _replay,
+        write_checkpoint,
+    )
+
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(4).select(F.col("id"), (F.col("id")).alias("v")))
+    w.rename_column("v", "value")
+    w.append(
+        spark.range(4, 8).select(F.col("id"), F.col("id").alias("value"))
+    )
+    write_checkpoint(p)
+    # delete the JSON commits the checkpoint covers: replay must come
+    # from the checkpoint alone, protocol and mapping intact
+    for c in (p / "_delta_log").glob("*.json"):
+        c.unlink()
+    state = _replay(p, None)
+    assert state["min_reader"] == 2
+    assert state["mapping_mode"] == "name"
+    got = read_delta(spark, p)
+    assert got.columns == ["id", "value"]
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
+
+
+def test_rename_guards(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(2).select(F.col("id"), F.col("id").alias("v")))
+    with pytest.raises(DeltaLogError, match="no such column"):
+        w.rename_column("nope", "x")
+    with pytest.raises(DeltaLogError, match="already exists"):
+        w.rename_column("v", "id")
+    # a reader-3 table is still rejected
+    import json as _json
+
+    d = p / "_delta_log"
+    body = _json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}})
+    (d / f"{1:020d}.json").write_text(body + "\n")
+    with pytest.raises(DeltaLogError, match="minReaderVersion=3"):
+        read_delta(spark, p)
