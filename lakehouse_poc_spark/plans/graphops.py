@@ -921,3 +921,122 @@ def clustering_coefficient_coparts(
         .orderBy(F.col("deg").desc(), "node")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity (Newman & Girvan 2004, public) of the BRAND
+# partition on the urgent co-purchase graph: does p_brand explain
+# the co-purchase structure? Q = Σ_c [e_c/m − (D_c/2m)²], computed
+# EXACTLY as the integer numerator Σ_c (4·m·e_c − D_c²) over (4m²)
+# — one double division at the very end, so community count never
+# introduces an order-dependent double sum. Scale shape: edges are
+# the bounded co-purchase relation, brand lookup broadcasts, and
+# everything reduces through partial-combined integer aggs.
+@query(
+    "modularity_by_brand_coparts",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    labeled AS (
+        SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
+        FROM edges e
+        JOIN part pu ON pu.p_partkey = e.u
+        JOIN part pv ON pv.p_partkey = e.v
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM labeled),
+    intra AS (
+        SELECT bu AS brand, CAST(COUNT(*) AS BIGINT) AS e_c
+        FROM labeled WHERE bu = bv GROUP BY bu
+    ),
+    deg AS (
+        SELECT brand, CAST(SUM(d) AS BIGINT) AS d_c FROM (
+            SELECT bu AS brand, COUNT(*) AS d FROM labeled GROUP BY bu
+            UNION ALL
+            SELECT bv AS brand, COUNT(*) AS d FROM labeled GROUP BY bv
+        ) GROUP BY brand
+    ),
+    num AS (
+        SELECT CAST(SUM(4 * m.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c)
+                    AS BIGINT) AS numer
+        FROM deg d
+        LEFT JOIN intra i ON i.brand = d.brand
+        CROSS JOIN m
+    )
+    SELECT m.m AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(n.numer AS DOUBLE)
+             / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE))
+               AS modularity
+    FROM deg, m, num n
+    GROUP BY m.m, n.numer
+    """,
+)
+def modularity_by_brand_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    part = read_parquet_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    items = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("bu"))
+    pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bv"))
+    labeled = (
+        edges.join(F.broadcast(pu), "u").join(F.broadcast(pv), "v").persist()
+    )
+    m = labeled.count()
+    intra = (
+        labeled.filter(F.col("bu") == F.col("bv"))
+        .groupBy(F.col("bu").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = (
+        labeled.select(F.col("bu").alias("brand"))
+        .unionByName(labeled.select(F.col("bv").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    num = (
+        deg.join(intra, "brand", "left")
+        .select(
+            (
+                4 * F.lit(m) * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("t"),
+        )
+        .agg(F.sum("t").cast("bigint").alias("numer"))
+    )
+    n_comm = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+    md = float(m)
+    return num.crossJoin(F.broadcast(n_comm)).select(
+        F.lit(m).cast("bigint").alias("n_edges"),
+        "n_communities",
+        (F.col("numer").cast("double") / F.lit(4.0 * md * md)).alias(
+            "modularity"
+        ),
+    )

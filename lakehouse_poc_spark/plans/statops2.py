@@ -883,3 +883,81 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         mae_s.alias("mae_snaive"),
         (mae_s / mae_n).alias("mase_snaive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS / tug-of-war F2 sketch (Alon, Matias & Szegedy 1996, public —
+# the join-size/self-join-size estimator): five ±1 hash sign
+# estimators, each (Σ_x f_x·sign_i(x))², combined by the MEDIAN.
+# Signs come from the same literal universal-hash family idiom as
+# the CMS ((a·x+b) mod p) mod 2 — portable integer arithmetic, so
+# every estimator is an exact BIGINT and the median is a rank pick,
+# not float math. Scale shape: one groupBy for the frequencies, one
+# 5-row hash fan-out, partial-combined sums — sketch memory is k
+# counters regardless of domain size.
+_AMS_P = 2147483647  # Mersenne prime 2^31-1
+_AMS_ROWS = [
+    (1, 101, 17),
+    (2, 2003, 89),
+    (3, 40009, 251),
+    (4, 700001, 733),
+    (5, 1300021, 977),
+]
+
+
+@query(
+    "ams_f2_users",
+    oracle=f"""
+    WITH hs(i, a, b) AS (
+        VALUES {", ".join(f"({i}, {a}, {b})" for i, a, b in _AMS_ROWS)}
+    ),
+    counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+        FROM events GROUP BY user_id
+    ),
+    ests AS (
+        SELECT h.i,
+               CAST(SUM((1 - 2 * (((h.a * c.user_id + h.b) % {_AMS_P}) % 2))
+                        * c.f) AS BIGINT) AS z
+        FROM counts c CROSS JOIN hs h
+        GROUP BY h.i
+    ),
+    sq AS (SELECT i, z * z AS est FROM ests),
+    med AS (SELECT est FROM sq ORDER BY est, i LIMIT 1 OFFSET 2),
+    exact AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2 FROM counts)
+    SELECT e.f2 AS exact_f2,
+           CAST(m.est AS BIGINT) AS ams_f2,
+           CAST(m.est - e.f2 AS DOUBLE) / CAST(e.f2 AS DOUBLE) AS rel_error
+    FROM exact e, med m
+    """,
+)
+def ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    hs = ev.sparkSession.createDataFrame(_AMS_ROWS, "i int, a long, b long")
+    sign = 1 - 2 * (((F.col("a") * F.col("user_id") + F.col("b")) % _AMS_P) % 2)
+    ests = (
+        counts.crossJoin(F.broadcast(hs))
+        .groupBy("i")
+        .agg(F.sum(sign * F.col("f")).cast("bigint").alias("z"))
+    )
+    sq = ests.select("i", (F.col("z") * F.col("z")).alias("est"))
+    med = (  # 3rd-smallest by (est, i): mirrors ORDER BY est, i OFFSET 2
+        sq.orderBy("est", "i")
+        .limit(3)
+        .orderBy(F.desc("est"), F.desc("i"))
+        .limit(1)
+    )
+    exact = counts.agg(
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2")
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        F.col("f2").alias("exact_f2"),
+        F.col("est").cast("bigint").alias("ams_f2"),
+        (
+            (F.col("est") - F.col("f2")).cast("double")
+            / F.col("f2").cast("double")
+        ).alias("rel_error"),
+    )

@@ -550,3 +550,42 @@ def test_hits_authority_concentrates_on_sink(spark):
     assert r["h1"].auth_scaled == 0
     assert r["h1"].hub_scaled == r["h2"].hub_scaled == r["h3"].hub_scaled
     assert HSCALE <= r["h1"].hub_scaled * 3 <= 2 * HSCALE
+
+
+def test_modularity_by_brand_matches_pandas(spark):
+    import pandas as pd
+    import pytest
+
+    from lakehouse_poc_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    urgent = set(orders[orders.o_orderpriority == "1-URGENT"].o_orderkey)
+    items = li[li.l_orderkey.isin(urgent)][
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    brand = part.set_index("p_partkey").p_brand.to_dict()
+    edges = set()
+    for _, grp in items.groupby("l_orderkey"):
+        ps = sorted(set(grp.l_partkey))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    m = len(edges)
+    from collections import Counter
+
+    e_c: Counter = Counter()
+    d_c: Counter = Counter()
+    for u, v in edges:
+        bu, bv = brand[u], brand[v]
+        d_c[bu] += 1
+        d_c[bv] += 1
+        if bu == bv:
+            e_c[bu] += 1
+    q = sum(e_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c)
+    out = plans.QUERIES["modularity_by_brand_coparts"](spark, sf).collect()[0]
+    assert out["n_edges"] == m
+    assert out["n_communities"] == len(d_c)
+    assert out["modularity"] == pytest.approx(q, rel=1e-9)

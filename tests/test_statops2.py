@@ -327,3 +327,26 @@ def test_points_in_polygon_matches_shoelace_oracle(spark):
         cust.c_custkey[np.array(flags)].sum()
     )
     assert n_in > 0 and n_in < len(flags)  # both classes occur
+
+
+def test_ams_f2_matches_numpy(spark):
+    ev = _events()
+    f = ev.groupby("user_id").size()
+    exact_f2 = int((f.astype("int64") ** 2).sum())
+    P = 2147483647
+    rows = [(1, 101, 17), (2, 2003, 89), (3, 40009, 251),
+            (4, 700001, 733), (5, 1300021, 977)]
+    ests = []
+    for i, a, b in rows:
+        sign = 1 - 2 * (((a * f.index.to_numpy() + b) % P) % 2)
+        z = int((sign * f.to_numpy()).sum())
+        ests.append(z * z)
+    med = sorted(ests)[2]
+    out = plans.QUERIES["ams_f2_users"](spark, SF).collect()[0]
+    assert out["exact_f2"] == exact_f2
+    assert out["ams_f2"] == med
+    assert out["rel_error"] == pytest.approx(
+        (med - exact_f2) / exact_f2, rel=1e-12
+    )
+    # the sketch is an estimator, not noise: within 2x on the fixture
+    assert abs(out["rel_error"]) < 1.0
