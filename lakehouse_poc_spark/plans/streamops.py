@@ -2585,3 +2585,90 @@ def stream_exactly_once_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SRE multiwindow burn-rate alerts (r8 — the streaming twin
+# of statops2.slo_burn_rate_events, Google SRE Workbook ch. 5): TWO
+# watermarked window aggregations over the same event stream — a 1 h
+# tumbling window (the fast signal) and a 6 h window SLIDING by 1 h
+# (the slow signal; each slide step IS the trailing-6 h view at that
+# hour boundary) — joined on window END after the sinks drain. Alert
+# where both burn rates clear their thresholds (1.3x fast / 1.05x
+# slow against a 75% SLO). State is bounded by the watermark on both
+# aggs; integer counts stream, the divisions happen once per hour
+# boundary at the end.
+@query(
+    "stream_slo_burn_alerts",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)
+                   AS h,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS err,
+               CAST(COUNT(*) AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    ),
+    windowed AS (
+        SELECT h, err, tot,
+               CAST(SUM(err) OVER (ORDER BY h
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS err6,
+               CAST(SUM(tot) OVER (ORDER BY h
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tot6
+        FROM hourly
+    )
+    SELECT strftime(to_timestamp((h + 1) * 3600), '%Y-%m-%d %H:%M:%S')
+               AS window_end,
+           err, tot,
+           (CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)) / 0.25 AS burn_fast,
+           (CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE)) / 0.25 AS burn_slow
+    FROM windowed
+    WHERE (CAST(err AS DOUBLE) / CAST(tot AS DOUBLE)) / 0.25 >= 1.3
+      AND (CAST(err6 AS DOUBLE) / CAST(tot6 AS DOUBLE)) / 0.25 >= 1.05
+    ORDER BY window_end
+    """,
+)
+def stream_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+
+    def counts(win):
+        return (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(win.alias("w"))
+            .agg(
+                F.sum(is_err).cast("bigint").alias("err"),
+                F.count(F.lit(1)).cast("bigint").alias("tot"),
+            )
+        )
+
+    fast = run_to_memory(counts(F.window("ts", "1 hour")), mode="complete")
+    slow = run_to_memory(
+        counts(F.window("ts", "6 hours", "1 hour")), mode="complete"
+    )
+    f = fast.select(
+        F.col("w.end").alias("we"),
+        F.col("err"),
+        F.col("tot"),
+        (F.col("err").cast("double") / F.col("tot").cast("double") / 0.25)
+        .alias("burn_fast"),
+    )
+    s = slow.select(
+        F.col("w.end").alias("we"),
+        (F.col("err").cast("double") / F.col("tot").cast("double") / 0.25)
+        .alias("burn_slow"),
+    )
+    return (
+        f.join(s, "we")
+        .filter((F.col("burn_fast") >= 1.3) & (F.col("burn_slow") >= 1.05))
+        .select(
+            F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "err",
+            "tot",
+            "burn_fast",
+            "burn_slow",
+        )
+        .orderBy("window_end")
+    )

@@ -743,3 +743,16 @@ def test_stream_holt_winters_equals_batch(spark):
         for r in stream_holt_winters_users(spark, sf).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_stream_slo_burn_alerts_contract(spark):
+    from lakehouse_poc_spark import plans
+
+    rows = plans.QUERIES["stream_slo_burn_alerts"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "fixture should trip at least one multiwindow alert"
+    for r in rows:
+        assert r["burn_fast"] >= 1.3 and r["burn_slow"] >= 1.05
+        assert r["window_end"].endswith(":00:00")  # hour-aligned ends
+        assert r["err"] <= r["tot"]
