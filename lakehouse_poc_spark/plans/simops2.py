@@ -234,3 +234,108 @@ def jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand Index (Hubert & Arabie 1985, public) between the
+# ground-truth labels and the deterministic IVF cell assignment —
+# external clustering evaluation, the ANN-index counterpart of the
+# recall gates. Everything is pair-count arithmetic: the contingency
+# table, its row/column sums, and the C(n,2) terms are exact
+# BIGINT/DECIMAL; ARI combines four scalars in one fixed double
+# expression. Scale shape: assignment is the broadcast-centroid
+# map-only pass; the contingency is one (label, cell) groupBy.
+@query(
+    "ari_label_vs_cell_embeddings",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+        SELECT vec_id, label, cid FROM (
+            SELECT e.vec_id, e.label, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cosine('e.embedding', 'c.cv')} DESC,
+                                c.cid
+                   ) AS crank
+            FROM embeddings e CROSS JOIN cents c
+        ) t WHERE crank <= 1
+    ),
+    cont AS (
+        SELECT label, cid, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM assigned GROUP BY label, cid
+    ),
+    sums AS (
+        SELECT
+            CAST(SUM(nij) AS BIGINT) AS n,
+            CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS sij
+        FROM cont
+    ),
+    rows_ AS (
+        SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS sa FROM (
+            SELECT SUM(nij) AS a FROM cont GROUP BY label
+        )
+    ),
+    cols_ AS (
+        SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS sb FROM (
+            SELECT SUM(nij) AS b FROM cont GROUP BY cid
+        )
+    )
+    SELECT s.n, s.sij, r.sa, c.sb,
+           (CAST(s.sij AS DOUBLE)
+              - CAST(r.sa AS DOUBLE) * CAST(c.sb AS DOUBLE)
+                / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE) / 2.0))
+           / ((CAST(r.sa AS DOUBLE) + CAST(c.sb AS DOUBLE)) / 2.0
+              - CAST(r.sa AS DOUBLE) * CAST(c.sb AS DOUBLE)
+                / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE) / 2.0))
+               AS ari
+    FROM sums s, rows_ r, cols_ c
+    """,
+)
+def ari_label_vs_cell_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine(F.col("embedding"), F.col("cv")))
+        .withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= 1)
+        .select("vec_id", "label", "cid")
+    )
+    cont = assigned.groupBy("label", "cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    sums = cont.agg(
+        F.sum("nij").cast("bigint").alias("n"),
+        F.sum(F.col("nij") * (F.col("nij") - 1) / 2).cast("bigint").alias("sij"),
+    )
+    sa = (
+        cont.groupBy("label")
+        .agg(F.sum("nij").alias("a"))
+        .agg(F.sum(F.col("a") * (F.col("a") - 1) / 2).cast("bigint").alias("sa"))
+    )
+    sb = (
+        cont.groupBy("cid")
+        .agg(F.sum("nij").alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("bigint").alias("sb"))
+    )
+    j = sums.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    nd = F.col("n").cast("double")
+    c2 = nd * (F.col("n") - 1).cast("double") / F.lit(2.0)
+    exp = F.col("sa").cast("double") * F.col("sb").cast("double") / c2
+    ari = (F.col("sij").cast("double") - exp) / (
+        (F.col("sa").cast("double") + F.col("sb").cast("double")) / F.lit(2.0)
+        - exp
+    )
+    return j.select("n", "sij", "sa", "sb", ari.alias("ari"))

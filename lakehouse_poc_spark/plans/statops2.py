@@ -961,3 +961,190 @@ def ams_f2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("f2").cast("double")
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test (McNemar 1947, public) on paired behavior at the
+# (user, day) grain: did the user click that day vs purchase that
+# day. The test looks ONLY at the discordant cells b (clicked, no
+# purchase) and c (purchased, no click). Statistic (b−c)²/(b+c) and
+# the continuity-corrected (|b−c|−1)²/(b+c) — integer counts, two
+# final double divisions, NULL-guarded when no discordance exists.
+@query(
+    "mcnemar_click_purchase",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS d,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clk,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+        FROM events GROUP BY user_id, d
+    ),
+    s AS (
+        SELECT
+            CAST(SUM(CASE WHEN clk = 1 AND pur = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN clk = 1 AND pur = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN clk = 0 AND pur = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN clk = 0 AND pur = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d
+        FROM u
+    )
+    SELECT a, b, c, d,
+           CASE WHEN b + c > 0
+                THEN CAST((b - c) * (b - c) AS DOUBLE)
+                     / CAST(b + c AS DOUBLE) END AS mcnemar_stat,
+           CASE WHEN b + c > 0
+                THEN CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE)
+                     / CAST(b + c AS DOUBLE) END AS mcnemar_corrected
+    FROM s
+    """,
+)
+def mcnemar_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", _day_idx().alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clk"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("pur"),
+    )
+    s = u.agg(
+        F.sum(F.when((F.col("clk") == 1) & (F.col("pur") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("clk") == 1) & (F.col("pur") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("clk") == 0) & (F.col("pur") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("clk") == 0) & (F.col("pur") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    bc = (F.col("b") + F.col("c")).cast("double")
+    has = (F.col("b") + F.col("c")) > 0
+    return s.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            has,
+            ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+                "double"
+            )
+            / bc,
+        ).alias("mcnemar_stat"),
+        F.when(
+            has,
+            (
+                (F.abs(F.col("b") - F.col("c")) - 1)
+                * (F.abs(F.col("b") - F.col("c")) - 1)
+            ).cast("double")
+            / bc,
+        ).alias("mcnemar_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standardized effect size: Cohen's d with the pooled SD between the
+# click and view value distributions, plus the small-sample Hedges g
+# correction g = d·(1 − 3/(4(n1+n2)−9)) (Hedges 1981, public) —
+# what an experiment readout reports NEXT TO the p-value. Exact
+# decimal sums per group; the expression tree is mirrored verbatim.
+@query(
+    "hedges_g_click_view",
+    oracle="""
+    WITH g AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(30,6)) ELSE 0 END) AS s1,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(30,6)) ELSE 0 END) AS s2,
+            SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(30,6))
+                          * CAST(value AS DECIMAL(30,6)) ELSE 0 END) AS q1,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(30,6))
+                          * CAST(value AS DECIMAL(30,6)) ELSE 0 END) AS q2
+        FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT n1, n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_click,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_view,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(((CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n1 AS DOUBLE))
+                   + (CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE)))
+                  / CAST(n1 + n2 - 2 AS DOUBLE)) AS cohens_d,
+           ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            / sqrt(((CAST(q1 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n1 AS DOUBLE))
+                    + (CAST(q2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         / CAST(n2 AS DOUBLE)))
+                   / CAST(n1 + n2 - 2 AS DOUBLE)))
+           * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) AS hedges_g
+    FROM g
+    """,
+)
+def hedges_g_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vdec = F.col("value").cast("decimal(30,6)")
+
+    def grp(t, expr, name):
+        return F.sum(
+            F.when(F.col("event_type") == t, expr).otherwise(F.lit(0))
+        ).alias(name)
+
+    g = ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        grp("click", vdec, "s1"),
+        grp("view", vdec, "s2"),
+        grp("click", vdec * vdec, "q1"),
+        grp("view", vdec * vdec, "q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    q1d, q2d = F.col("q1").cast("double"), F.col("q2").cast("double")
+    m1, m2 = s1d / n1d, s2d / n2d
+    pooled = F.sqrt(
+        ((q1d - s1d * s1d / n1d) + (q2d - s2d * s2d / n2d))
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    d = (m1 - m2) / pooled
+    g_corr = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (4.0 * (F.col("n1") + F.col("n2")).cast("double") - 9.0)
+    )
+    return g.select(
+        "n1",
+        "n2",
+        m1.alias("mean_click"),
+        m2.alias("mean_view"),
+        d.alias("cohens_d"),
+        g_corr.alias("hedges_g"),
+    )

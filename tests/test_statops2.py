@@ -350,3 +350,65 @@ def test_ams_f2_matches_numpy(spark):
     )
     # the sketch is an estimator, not noise: within 2x on the fixture
     assert abs(out["rel_error"]) < 1.0
+
+
+def test_mcnemar_matches_pandas(spark):
+    ev = _events()
+    d = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 86400)
+    g = (
+        pd.DataFrame(
+            {
+                "u": ev.user_id,
+                "d": d,
+                "clk": (ev.event_type == "click").astype(int),
+                "pur": (ev.event_type == "purchase").astype(int),
+            }
+        )
+        .groupby(["u", "d"])
+        .max()
+    )
+    a = int(((g.clk == 1) & (g.pur == 1)).sum())
+    b = int(((g.clk == 1) & (g.pur == 0)).sum())
+    c = int(((g.clk == 0) & (g.pur == 1)).sum())
+    dd = int(((g.clk == 0) & (g.pur == 0)).sum())
+    out = plans.QUERIES["mcnemar_click_purchase"](spark, SF).collect()[0]
+    assert (out["a"], out["b"], out["c"], out["d"]) == (a, b, c, dd)
+    assert b + c > 0, "fixture must have discordant user-days"
+    assert out["mcnemar_stat"] == pytest.approx(
+        (b - c) ** 2 / (b + c), rel=1e-12
+    )
+    assert out["mcnemar_corrected"] == pytest.approx(
+        (abs(b - c) - 1) ** 2 / (b + c), rel=1e-12
+    )
+
+
+def test_hedges_g_matches_numpy(spark):
+    ev = _events()
+    x = ev[ev.event_type == "click"].value.to_numpy()
+    y = ev[ev.event_type == "view"].value.to_numpy()
+    # exact cents to mirror the decimal sums
+    xs, ys = (x * 100).round().astype("int64"), (y * 100).round().astype(
+        "int64"
+    )
+    n1, n2 = len(x), len(y)
+    m1, m2 = xs.sum() / 100 / n1, ys.sum() / 100 / n2
+    ss1 = (xs.astype(object) ** 2).sum() / 10000 - (xs.sum() / 100) ** 2 / n1
+    ss2 = (ys.astype(object) ** 2).sum() / 10000 - (ys.sum() / 100) ** 2 / n2
+    pooled = math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    dval = (m1 - m2) / pooled
+    gval = dval * (1 - 3 / (4 * (n1 + n2) - 9))
+    out = plans.QUERIES["hedges_g_click_view"](spark, SF).collect()[0]
+    assert (out["n1"], out["n2"]) == (n1, n2)
+    assert out["cohens_d"] == pytest.approx(dval, rel=1e-9)
+    assert out["hedges_g"] == pytest.approx(gval, rel=1e-9)
+
+
+def test_ari_label_vs_cell_embeddings(spark):
+    out = plans.QUERIES["ari_label_vs_cell_embeddings"](spark, SF).collect()[
+        0
+    ]
+    # pair-count identities: sij <= min(sa, sb) <= C(n,2); ARI <= 1
+    assert out["sij"] <= min(out["sa"], out["sb"])
+    assert out["ari"] <= 1.0
+    n = out["n"]
+    assert out["sa"] <= n * (n - 1) // 2
