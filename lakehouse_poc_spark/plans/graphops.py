@@ -1040,3 +1040,115 @@ def modularity_by_brand_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modularity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004, public):
+# PageRank over the word co-occurrence graph — nodes are content
+# tokens (length ≥ 4), undirected edges join ADJACENT tokens within
+# a document, weighted by co-occurrence count. Runs the same integer
+# fixed-point pagerank_int as pagerank_event_types (bit-identical
+# driver/distributed paths), and the oracle replays the identical
+# unrolled 10-iteration integer recurrence over the symmetrized edge
+# list. Top 20 keywords by rank. Scale shape: one token-adjacency
+# groupBy (shuffle ∝ distinct pairs, vocab-domain not corpus-domain),
+# then the pagerank loop.
+def _textrank_oracle() -> str:
+    base_expr = f"({(100 - _DAMPING_PCT) * SCALE} // 100)"
+    header = rf"""
+    WITH tok AS (
+        SELECT t.doc_id, u.i, u.tok
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+              FROM documents) t,
+             LATERAL (SELECT unnest(w) AS tok,
+                             generate_subscripts(w, 1) AS i) u
+    ),
+    pairs AS (
+        SELECT LEAST(a.tok, b.tok) AS u, GREATEST(a.tok, b.tok) AS v,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE length(a.tok) >= 4 AND length(b.tok) >= 4 AND a.tok <> b.tok
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst, w FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst, w FROM pairs
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+             FROM edges GROUP BY src),
+    e AS (
+        SELECT edges.src, edges.dst, edges.w, outw.out_w
+        FROM edges JOIN outw USING (src)
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    params AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               {base_expr} // CAST(COUNT(*) AS BIGINT) AS base,
+               {SCALE} // CAST(COUNT(*) AS BIGINT) AS r_init
+        FROM nodes
+    ),
+    r0 AS (
+        SELECT node, (SELECT r_init FROM params) AS rs FROM nodes
+    )"""
+    iters = []
+    for k in range(1, _ITERATIONS + 1):
+        iters.append(f""",
+    r{k} AS (
+        SELECT nd.node,
+               p.base + ({_DAMPING_PCT} * COALESCE(c.in_sum, 0)) // 100 AS rs
+        FROM nodes nd CROSS JOIN params p
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM((r.rs * e.w) // e.out_w) AS in_sum
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+            GROUP BY e.dst
+        ) c ON nd.node = c.node
+    )""")
+    footer = f"""
+    SELECT node AS keyword, CAST(rs AS BIGINT) AS rank_scaled,
+           CAST(CAST(rs AS BIGINT) AS DOUBLE) / {float(SCALE)} AS rank
+    FROM r{_ITERATIONS}
+    ORDER BY rank_scaled DESC, keyword
+    LIMIT 20
+    """
+    return header + "".join(iters) + footer
+
+
+@query("textrank_keywords_docs", oracle=_textrank_oracle())
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("i", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    adj = tok.select(
+        "doc_id",
+        F.col("tok").alias("a"),
+        F.lead("tok").over(w).alias("b"),
+    ).filter(
+        F.col("b").isNotNull()
+        & (F.length("a") >= 4)
+        & (F.length("b") >= 4)
+        & (F.col("a") != F.col("b"))
+    )
+    pairs = adj.groupBy(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    ranked = pagerank_int(
+        edges, weight="w", damping_pct=_DAMPING_PCT, iterations=_ITERATIONS
+    )
+    return (
+        ranked.select(
+            F.col("node").alias("keyword"), "rank_scaled", "rank"
+        )
+        .orderBy(F.desc("rank_scaled"), "keyword")
+        .limit(20)
+    )

@@ -1148,3 +1148,105 @@ def hedges_g_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("cohens_d"),
         g_corr.alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (PAVA — Barlow et al. 1972, public), via the
+# minimax identity f_i = max_{j<=i} min_{k>=i} wavg(y[j..k]) — the
+# closed form of the pool-adjacent-violators fit, which makes the
+# sequential algorithm ORACLE-EXPRESSIBLE: on the bounded bin domain
+# (B value-buckets), the j<=i<=k triple join is B³ rows of integer
+# prefix-sum arithmetic and two nested MIN/MAX aggregations over
+# deterministic doubles. The use case is probability calibration:
+# fit a monotone purchase-rate curve over event-value buckets.
+# Scale shape: ONE groupBy over the raw events (partial-combined);
+# everything after runs on the B-row bin relation.
+@query(
+    "isotonic_purchase_rate",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM ev GROUP BY bin
+    ),
+    pre AS (
+        SELECT bin, n, pos,
+               CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM bins
+    ),
+    inner_min AS (
+        SELECT j.bin AS j, i.bin AS i,
+               MIN(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                   / CAST(k.cn - (j.cn - j.n) AS DOUBLE)) AS m
+        FROM pre j
+        JOIN pre i ON i.bin >= j.bin
+        JOIN pre k ON k.bin >= i.bin
+        GROUP BY j.bin, i.bin
+    ),
+    fit AS (
+        SELECT i, MAX(m) AS iso FROM inner_min GROUP BY i
+    )
+    SELECT p.bin, p.n, p.pos,
+           CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS raw_rate,
+           f.iso AS isotonic_rate
+    FROM pre p JOIN fit f ON f.i = p.bin
+    ORDER BY p.bin
+    """,
+)
+def isotonic_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = ev.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bin")
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("pos").over(w).cast("bigint").alias("cp"),
+    ).persist()
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cp") - F.col("pos")).alias("jp"),
+        (F.col("cn") - F.col("n")).alias("jn"),
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("cp").alias("kp"), F.col("cn").alias("kn")
+    )
+    inner = (
+        j.join(F.broadcast(i), F.col("i") >= F.col("j"))
+        .join(F.broadcast(k), F.col("k") >= F.col("i"))
+        .groupBy("j", "i")
+        .agg(
+            F.min(
+                (F.col("kp") - F.col("jp")).cast("double")
+                / (F.col("kn") - F.col("jn")).cast("double")
+            ).alias("m")
+        )
+    )
+    fit = inner.groupBy("i").agg(F.max("m").alias("iso"))
+    return (
+        pre.join(fit, pre.bin == fit.i)
+        .select(
+            "bin",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            F.col("iso").alias("isotonic_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -412,3 +412,48 @@ def test_ari_label_vs_cell_embeddings(spark):
     assert out["ari"] <= 1.0
     n = out["n"]
     assert out["sa"] <= n * (n - 1) // 2
+
+
+def test_isotonic_matches_sequential_pava(spark):
+    ev = _events()
+    bins = (
+        pd.DataFrame(
+            {
+                "bin": np.floor(ev.value / 25.0).astype("int64"),
+                "y": (ev.event_type == "purchase").astype(int),
+            }
+        )
+        .groupby("bin")
+        .agg(n=("y", "size"), pos=("y", "sum"))
+        .sort_index()
+    )
+    # classic sequential PAVA with weighted pooling
+    blocks = [
+        [float(p) / n, n, b] for b, (n, p) in bins.iterrows()
+    ]  # [mean, weight, last_bin]
+    stack: list = []
+    for mean, wgt, b in blocks:
+        stack.append([mean, wgt, b])
+        while len(stack) > 1 and stack[-2][0] >= stack[-1][0] - 1e-15:
+            m2, w2, b2 = stack.pop()
+            m1, w1, _ = stack.pop()
+            stack.append([(m1 * w1 + m2 * w2) / (w1 + w2), w1 + w2, b2])
+    fit = {}
+    prev_bin = None
+    for mean, wgt, last_b in stack:
+        for b in bins.index:
+            if (prev_bin is None or b > prev_bin) and b <= last_b:
+                fit[b] = mean
+        prev_bin = last_b
+    out = plans.QUERIES["isotonic_purchase_rate"](spark, SF).collect()
+    iso = [r["isotonic_rate"] for r in out]
+    # monotone non-decreasing
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    # weighted mean preserved (PAVA invariant)
+    tot_n = sum(r["n"] for r in out)
+    assert sum(r["isotonic_rate"] * r["n"] for r in out) / tot_n == (
+        pytest.approx(sum(r["pos"] for r in out) / tot_n, rel=1e-9)
+    )
+    # matches the sequential algorithm bin-for-bin
+    for r in out:
+        assert r["isotonic_rate"] == pytest.approx(fit[r["bin"]], rel=1e-9)
