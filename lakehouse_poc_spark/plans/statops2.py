@@ -1250,3 +1250,369 @@ def isotonic_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-based permutation test (Fisher 1935 randomization, public; the
+# hash-assignment trick makes it engine-reproducible): is the
+# click-vs-view mean value difference explainable by chance? 64
+# pseudo-random relabelings — permutation p assigns each event to a
+# side by ((a+p·step)·event_id + b) mod P mod 2, a fixed literal
+# universal-hash family — each yields a null mean difference from
+# EXACT decimal sums; the p-value is the add-one-smoothed fraction of
+# null |diffs| at or above the observed |diff|. Scale shape: one
+# 64-way hash fan-out over the filtered events, partial-combined
+# sums per permutation, scalar reduction at the end.
+_PERM_P = 2147483647
+_PERM_N = 64
+
+
+@query(
+    "permutation_test_click_view",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type, CAST(value AS DECIMAL(30,6)) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN v END)
+                    AS DOUBLE)
+               / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN event_type = 'view' THEN v END)
+                    AS DOUBLE)
+               / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS d_obs
+        FROM ev
+    ),
+    perms AS (SELECT CAST(p AS BIGINT) AS p FROM generate_series(1, {_PERM_N}) g(p)),
+    nulls AS (
+        SELECT p.p,
+               CAST(SUM(CASE WHEN ((101 + p.p * 7919) * e.event_id + 17)
+                                  % {_PERM_P} % 2 = 0 THEN e.v END)
+                    AS DOUBLE)
+               / SUM(CASE WHEN ((101 + p.p * 7919) * e.event_id + 17)
+                               % {_PERM_P} % 2 = 0 THEN 1 ELSE 0 END)
+             - CAST(SUM(CASE WHEN ((101 + p.p * 7919) * e.event_id + 17)
+                                  % {_PERM_P} % 2 = 1 THEN e.v END)
+                    AS DOUBLE)
+               / SUM(CASE WHEN ((101 + p.p * 7919) * e.event_id + 17)
+                               % {_PERM_P} % 2 = 1 THEN 1 ELSE 0 END)
+                 AS d_null
+        FROM ev e CROSS JOIN perms p
+        GROUP BY p.p
+    )
+    SELECT o.d_obs,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN ABS(n.d_null) >= ABS(o.d_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           (1.0 + SUM(CASE WHEN ABS(n.d_null) >= ABS(o.d_obs)
+                           THEN 1 ELSE 0 END))
+             / (1.0 + COUNT(*)) AS p_value
+    FROM nulls n CROSS JOIN obs o
+    GROUP BY o.d_obs
+    """,
+)
+def permutation_test_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    ).select("event_id", "event_type", F.col("value").cast("decimal(30,6)").alias("v"))
+    obs = ev.agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", F.col("v"))).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            - F.sum(F.when(F.col("event_type") == "view", F.col("v"))).cast(
+                "double"
+            )
+            / F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).alias("d_obs")
+    )
+    perms = ev.sparkSession.range(1, _PERM_N + 1).select(
+        F.col("id").alias("p")
+    )
+    side = ((101 + F.col("p") * 7919) * F.col("event_id") + 17) % _PERM_P % 2
+    nulls = (
+        ev.crossJoin(F.broadcast(perms))
+        .groupBy("p")
+        .agg(
+            (
+                F.sum(F.when(side == 0, F.col("v"))).cast("double")
+                / F.sum(F.when(side == 0, 1).otherwise(0))
+                - F.sum(F.when(side == 1, F.col("v"))).cast("double")
+                / F.sum(F.when(side == 1, 1).otherwise(0))
+            ).alias("d_null")
+        )
+    )
+    hit = F.when(
+        F.abs(F.col("d_null")) >= F.abs(F.col("d_obs")), 1
+    ).otherwise(0)
+    return (
+        nulls.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+            F.sum(hit).cast("bigint").alias("n_extreme"),
+            ((1.0 + F.sum(hit)) / (1.0 + F.count(F.lit(1)))).alias("p_value"),
+        )
+        .select("d_obs", "n_perms", "n_extreme", "p_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation (Koenker & Bassett 1978,
+# public): train/test split by day (< day 15 trains), the per-type
+# p90 of the training half is the quantile forecast, and the test
+# half scores it with mean pinball loss at q=0.9. The training p90
+# is EXACT — the distinct-value cumulative-count idiom (the value
+# at the smallest rank covering ceil(0.9·n)) — and every loss term
+# is an exact decimal before the final per-type division.
+@query(
+    "pinball_loss_p90_events",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, CAST(value AS DECIMAL(30,6)) AS v,
+               {_SQL_DAY} AS d
+        FROM events
+    ),
+    bounds AS (SELECT MIN(d) AS d0 FROM ev),
+    train AS (
+        SELECT event_type, v FROM ev, bounds WHERE d - d0 < 14
+    ),
+    test AS (
+        SELECT event_type, v FROM ev, bounds WHERE d - d0 >= 14
+    ),
+    tv AS (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM train GROUP BY event_type, v
+    ),
+    ranked AS (
+        SELECT event_type, v,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM tv
+    ),
+    p90 AS (
+        SELECT event_type, MIN(v) AS q_hat
+        FROM ranked
+        WHERE cum >= CAST(CEIL(0.9 * n) AS BIGINT)
+        GROUP BY event_type
+    ),
+    scored AS (
+        SELECT t.event_type,
+               CASE WHEN t.v >= p.q_hat
+                    THEN CAST('0.9' AS DECIMAL(3,1)) * (t.v - p.q_hat)
+                    ELSE CAST('0.1' AS DECIMAL(3,1)) * (p.q_hat - t.v)
+               END AS loss
+        FROM test t JOIN p90 p USING (event_type)
+    )
+    SELECT s.event_type,
+           p.q_hat AS p90_forecast,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(s.loss) AS DOUBLE) / COUNT(*) AS mean_pinball
+    FROM scored s JOIN p90 p USING (event_type)
+    GROUP BY s.event_type, p.q_hat
+    ORDER BY s.event_type
+    """,
+)
+def pinball_loss_p90_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(30,6)").alias("v"),
+        _day_idx().alias("d"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    ev = ev.crossJoin(F.broadcast(d0))
+    train = ev.filter(F.col("d") - F.col("d0") < 14).select("event_type", "v")
+    test = ev.filter(F.col("d") - F.col("d0") >= 14).select("event_type", "v")
+    tv = train.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("v")
+    wall = Window.partitionBy("event_type")
+    ranked = tv.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    p90 = (
+        ranked.filter(
+            F.col("cum") >= F.ceil(0.9 * F.col("n")).cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(F.min("v").alias("q_hat"))
+    )
+    q9 = F.lit("0.9").cast("decimal(3,1)")
+    q1 = F.lit("0.1").cast("decimal(3,1)")
+    scored = test.join(F.broadcast(p90), "event_type").select(
+        "event_type",
+        "q_hat",
+        F.when(
+            F.col("v") >= F.col("q_hat"), q9 * (F.col("v") - F.col("q_hat"))
+        )
+        .otherwise(q1 * (F.col("q_hat") - F.col("v")))
+        .alias("loss"),
+    )
+    return (
+        scored.groupBy("event_type", F.col("q_hat").alias("p90_forecast"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            (F.sum("loss").cast("double") / F.count(F.lit(1))).alias(
+                "mean_pinball"
+            ),
+        )
+        .select("event_type", "p90_forecast", "n_test", "mean_pinball")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe test (Brown & Forsythe 1974, public): variance
+# homogeneity across click/view/purchase via the one-way ANOVA on
+# z = |x − median_g|. Exactness tricks: the group median's DOUBLED
+# value is the sum of the two middle order statistics (exact decimal
+# from the distinct-value cumulative idiom, no division), and the F
+# statistic is invariant to scaling z, so the test runs on
+# z' = |2x − (lo_g + hi_g)| — every sum exact decimal. The three
+# groups pivot to literal columns, so the cross-group sums add in a
+# fixed order.
+@query(
+    "brown_forsythe_events",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, CAST(value AS DECIMAL(30,6)) AS v FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    tv AS (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY event_type, v
+    ),
+    ranked AS (
+        SELECT event_type, v,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) - cnt
+                   AS below,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM tv
+    ),
+    med AS (
+        SELECT l.event_type, l.lo + h.hi AS s2
+        FROM (SELECT event_type, MIN(v) AS lo FROM ranked
+              WHERE cum >= (n + 1) // 2 GROUP BY event_type) l
+        JOIN (SELECT event_type, MIN(v) AS hi FROM ranked
+              WHERE cum >= n // 2 + 1 GROUP BY event_type) h
+          USING (event_type)
+    ),
+    z AS (
+        SELECT e.event_type, ABS(2 * e.v - m.s2) AS z
+        FROM ev e JOIN med m USING (event_type)
+    ),
+    g AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n3,
+            SUM(CASE WHEN event_type = 'click' THEN z ELSE 0 END) AS s1,
+            SUM(CASE WHEN event_type = 'view' THEN z ELSE 0 END) AS s2,
+            SUM(CASE WHEN event_type = 'purchase' THEN z ELSE 0 END) AS s3,
+            SUM(CASE WHEN event_type = 'click' THEN z * z ELSE 0 END) AS q1,
+            SUM(CASE WHEN event_type = 'view' THEN z * z ELSE 0 END) AS q2,
+            SUM(CASE WHEN event_type = 'purchase' THEN z * z ELSE 0 END)
+                AS q3
+        FROM z
+    )
+    SELECT n, n1, n2, n3,
+           ((CAST(n AS DOUBLE) - 3.0) / 2.0)
+           * ((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE)
+                 + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                   / CAST(n3 AS DOUBLE))
+              - (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)
+                 + CAST(s3 AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)
+                   + CAST(s3 AS DOUBLE)) / CAST(n AS DOUBLE))
+           / ((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE)
+               + CAST(q3 AS DOUBLE))
+              - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)
+                 + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE)
+                 + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                   / CAST(n3 AS DOUBLE))) AS bf_stat
+    FROM g
+    """,
+)
+def brown_forsythe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select("event_type", F.col("value").cast("decimal(30,6)").alias("v"))
+    tv = ev.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("v")
+    wall = Window.partitionBy("event_type")
+    ranked = tv.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    lo = (
+        ranked.filter(F.col("cum") >= ((F.col("n") + 1) / 2).cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"))
+    )
+    hi = (
+        ranked.filter(
+            F.col("cum") >= (F.col("n") / 2).cast("bigint") + 1
+        )
+        .groupBy("event_type")
+        .agg(F.min("v").alias("hi"))
+    )
+    med = lo.join(hi, "event_type").select(
+        "event_type", (F.col("lo") + F.col("hi")).alias("s2med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("v") - F.col("s2med")).alias("z")
+    )
+
+    def _n(t, name):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    def _s(t, expr, name):
+        return F.sum(
+            F.when(F.col("event_type") == t, expr).otherwise(F.lit(0))
+        ).alias(name)
+
+    g = z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _n("click", "n1"),
+        _n("view", "n2"),
+        _n("purchase", "n3"),
+        _s("click", F.col("z"), "s1"),
+        _s("view", F.col("z"), "s2"),
+        _s("purchase", F.col("z"), "s3"),
+        _s("click", F.col("z") * F.col("z"), "q1"),
+        _s("view", F.col("z") * F.col("z"), "q2"),
+        _s("purchase", F.col("z") * F.col("z"), "q3"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2, s3 = (F.col(c).cast("double") for c in ("s1", "s2", "s3"))
+    q1, q2, q3 = (F.col(c).cast("double") for c in ("q1", "q2", "q3"))
+    n1, n2, n3 = (F.col(c).cast("double") for c in ("n1", "n2", "n3"))
+    ssb = (s1 * s1 / n1 + s2 * s2 / n2 + s3 * s3 / n3) - (
+        s1 + s2 + s3
+    ) * (s1 + s2 + s3) / nd
+    ssw = (q1 + q2 + q3) - (s1 * s1 / n1 + s2 * s2 / n2 + s3 * s3 / n3)
+    bf = ((nd - 3.0) / 2.0) * ssb / ssw
+    return g.select("n", "n1", "n2", "n3", bf.alias("bf_stat"))

@@ -457,3 +457,83 @@ def test_isotonic_matches_sequential_pava(spark):
     # matches the sequential algorithm bin-for-bin
     for r in out:
         assert r["isotonic_rate"] == pytest.approx(fit[r["bin"]], rel=1e-9)
+
+
+def test_brown_forsythe_matches_numpy(spark):
+    ev = _events()
+    ev = ev[ev.event_type.isin(["click", "view", "purchase"])]
+    cents = (ev.value * 100).round().astype("int64")
+    groups = {
+        t: cents[(ev.event_type == t).to_numpy()].to_numpy()
+        for t in ("click", "view", "purchase")
+    }
+    zs = {}
+    for t, x in groups.items():
+        sx = np.sort(x)
+        n = len(x)
+        s2 = int(sx[(n + 1) // 2 - 1]) + int(sx[n // 2])  # lo + hi
+        zs[t] = np.abs(2 * x - s2)
+    allz = np.concatenate(list(zs.values())).astype("float64")
+    N, k = len(allz), 3
+    m = allz.mean()
+    ssb = sum(len(z) * (z.mean() - m) ** 2 for z in zs.values())
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+    expect = ((N - k) / (k - 1)) * ssb / ssw
+    out = plans.QUERIES["brown_forsythe_events"](spark, SF).collect()[0]
+    assert out["n"] == N
+    assert out["bf_stat"] == pytest.approx(expect, rel=1e-9)
+    assert out["bf_stat"] >= 0.0
+
+
+def test_permutation_test_matches_pandas(spark):
+    ev = _events()
+    ev = ev[ev.event_type.isin(["click", "view"])]
+    cents = (ev.value * 100).round().astype("int64").to_numpy()
+    ids = ev.event_id.to_numpy()
+    is_click = (ev.event_type == "click").to_numpy()
+    d_obs = cents[is_click].sum() / 100 / is_click.sum() - cents[
+        ~is_click
+    ].sum() / 100 / (~is_click).sum()
+    P = 2147483647
+    hits = 0
+    for p in range(1, 65):
+        side = ((101 + p * 7919) * ids + 17) % P % 2
+        a, b = side == 0, side == 1
+        d = cents[a].sum() / 100 / a.sum() - cents[b].sum() / 100 / b.sum()
+        if abs(d) >= abs(d_obs):
+            hits += 1
+    out = plans.QUERIES["permutation_test_click_view"](spark, SF).collect()[0]
+    assert out["n_perms"] == 64
+    assert out["n_extreme"] == hits
+    assert out["d_obs"] == pytest.approx(d_obs, rel=1e-12)
+    assert out["p_value"] == pytest.approx((1 + hits) / 65, rel=1e-12)
+    # the fixture's click/view values come from the same distribution:
+    # the test should NOT reject at alpha=.05 (sanity of the harness)
+    assert out["p_value"] > 0.05
+
+
+def test_pinball_loss_matches_pandas(spark):
+    import math as _math
+
+    ev = _events()
+    d = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 86400)
+    d0 = d.min()
+    cents = (ev.value * 100).round().astype("int64")
+    df = pd.DataFrame({"t": ev.event_type, "d": d - d0, "v": cents})
+    out = {
+        r["event_type"]: r
+        for r in plans.QUERIES["pinball_loss_p90_events"](spark, SF).collect()
+    }
+    for t, grp in df.groupby("t"):
+        train = np.sort(grp[grp.d < 14].v.to_numpy())
+        test = grp[grp.d >= 14].v.to_numpy()
+        q_hat = int(train[_math.ceil(0.9 * len(train)) - 1])
+        loss = np.where(
+            test >= q_hat, 0.9 * (test - q_hat), 0.1 * (q_hat - test)
+        )
+        r = out[t]
+        assert float(r["p90_forecast"]) == pytest.approx(q_hat / 100)
+        assert r["n_test"] == len(test)
+        assert r["mean_pinball"] == pytest.approx(
+            float(loss.sum()) / 100 / len(test), rel=1e-9
+        )
