@@ -344,6 +344,36 @@ HEADLINE = [
     "ruzicka_similarity_sources",
     "mann_kendall_daily_events",
     "activity_streaks_users",
+    # r8 closing wave: exact-stats batch 2, Hamming retrieval, Delta
+    # RESTORE/column-mapping, TextRank, isotonic, permutation test
+    "spearman_hourly",
+    "kruskal_wallis_events",
+    "good_turing_docs",
+    "adamic_adar_event_types",
+    "equidepth_histogram_events",
+    "sax_words_events",
+    "gumbel_block_maxima_events",
+    "slo_burn_rate_events",
+    "allen_relations_orders",
+    "forecast_eval_events",
+    "ams_f2_users",
+    "mcnemar_click_purchase",
+    "hedges_g_click_view",
+    "permutation_test_click_view",
+    "pinball_loss_p90_events",
+    "brown_forsythe_events",
+    "isotonic_purchase_rate",
+    "similarity_topk_hamming",
+    "similarity_topk_hamming_rerank",
+    "ann_recall_hamming",
+    "ari_label_vs_cell_embeddings",
+    "jaro_winkler_parts",
+    "points_in_polygon_customers",
+    "delta_restore_orders",
+    "delta_column_rename_orders",
+    "modularity_by_brand_coparts",
+    "textrank_keywords_docs",
+    "stream_slo_burn_alerts",
 ]
 
 
