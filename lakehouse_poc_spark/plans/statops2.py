@@ -1616,3 +1616,214 @@ def brown_forsythe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssw = (q1 + q2 + q3) - (s1 * s1 / n1 + s2 * s2 / n2 + s3 * s3 / n3)
     bf = ((nd - 3.0) / 2.0) * ssb / ssw
     return g.select("n", "n1", "n2", "n3", bf.alias("bf_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential A/B readout with O'Brien–Fleming boundaries
+# (O'Brien & Fleming 1979 / Pocock 1977, public): users split into
+# arms by id parity, the metric is the purchase share of each arm's
+# events, and the experiment is peeked at 4 cumulative weekly looks.
+# Each look's pooled two-proportion z comes from exact BIGINT counts;
+# the OBF critical values for 4 equally-spaced looks are literals
+# (4.049, 2.863, 2.337, 2.024 — two-sided α=0.05). The whole readout
+# is one groupBy over (look, arm) — the peeking discipline costs
+# nothing extra at scale.
+_OBF = [(1, 4.049), (2, 2.863), (3, 2.337), (4, 2.024)]
+
+
+@query(
+    "sequential_ab_events",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+               CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400)
+                    AS BIGINT) AS d
+        FROM events
+    ),
+    b AS (SELECT MIN(d) AS d0 FROM ev),
+    looks(look, bound) AS (
+        VALUES {", ".join(f"({k}, {b})" for k, b in _OBF)}
+    ),
+    per_look AS (
+        SELECT l.look, l.bound,
+               CAST(SUM(CASE WHEN e.arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN e.arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(CASE WHEN e.arm = 0 THEN e.conv ELSE 0 END)
+                    AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN e.arm = 1 THEN e.conv ELSE 0 END)
+                    AS BIGINT) AS k2
+        FROM ev e CROSS JOIN b JOIN looks l
+          ON e.d - b.d0 < l.look * 7
+        GROUP BY l.look, l.bound
+    )
+    SELECT look, n1, n2, k1, k2,
+           (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+               AS z,
+           bound,
+           ABS((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                      * (1.0 - CAST(k1 + k2 AS DOUBLE)
+                               / CAST(n1 + n2 AS DOUBLE))
+                      * (1.0 / CAST(n1 AS DOUBLE)
+                         + 1.0 / CAST(n2 AS DOUBLE)))) > bound AS reject
+    FROM per_look
+    ORDER BY look
+    """,
+)
+def sequential_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+        _day_idx().alias("d"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    looks = ev.sparkSession.createDataFrame(_OBF, "look int, bound double")
+    per_look = (
+        ev.crossJoin(F.broadcast(d0))
+        .join(
+            F.broadcast(looks),
+            (F.col("d") - F.col("d0")) < F.col("look") * 7,
+        )
+        .groupBy("look", "bound")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("k1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("k2"),
+        )
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    k1d, k2d = F.col("k1").cast("double"), F.col("k2").cast("double")
+    pooled = (k1d + k2d) / (n1d + n2d)
+    z = (k1d / n1d - k2d / n2d) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / n1d + 1.0 / n2d)
+    )
+    return per_look.select(
+        "look",
+        "n1",
+        "n2",
+        "k1",
+        "k2",
+        z.alias("z"),
+        "bound",
+        (F.abs(z) > F.col("bound")).alias("reject"),
+    ).orderBy("look")
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-user purchase rates (Robbins 1956
+# / beta-binomial method of moments — public): small-sample user
+# rates shrink toward the population mean with prior strength
+# K = m(1−m)/Var(p_u) − 1. The rate moments are order-dependent
+# double sums, so each p_u and p_u² term is NANO-ROUNDED to a BIGINT
+# before summing (the repo's BLEU/entropy discipline) — both engines
+# agree bit-for-bit. Output: the 15 most-active users' raw vs shrunk
+# rates (shrunk_u = (k_u + K·m)/(n_u + K)).
+@query(
+    "eb_shrunk_purchase_rates",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY user_id
+    ),
+    terms AS (
+        SELECT user_id, n, k,
+               CAST(ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS p_nano,
+               CAST(ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS p2_nano
+        FROM u
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS g,
+               CAST(SUM(p_nano) AS BIGINT) AS sp,
+               CAST(SUM(p2_nano) AS BIGINT) AS sp2
+        FROM terms
+    ),
+    prior AS (
+        SELECT g,
+               CAST(sp AS DOUBLE) / 1000000000.0 / CAST(g AS DOUBLE) AS m,
+               (CAST(sp2 AS DOUBLE) / 1000000000.0 / CAST(g AS DOUBLE))
+                 - (CAST(sp AS DOUBLE) / 1000000000.0 / CAST(g AS DOUBLE))
+                   * (CAST(sp AS DOUBLE) / 1000000000.0 / CAST(g AS DOUBLE))
+                     AS v
+        FROM mom
+    ),
+    k_ AS (
+        SELECT g, m, v, m * (1.0 - m) / v - 1.0 AS strength FROM prior
+    )
+    SELECT t.user_id, t.n, t.k,
+           CAST(t.k AS DOUBLE) / CAST(t.n AS DOUBLE) AS raw_rate,
+           (CAST(t.k AS DOUBLE) + p.strength * p.m)
+             / (CAST(t.n AS DOUBLE) + p.strength) AS shrunk_rate
+    FROM terms t CROSS JOIN k_ p
+    ORDER BY t.n DESC, t.user_id
+    LIMIT 15
+    """,
+)
+def eb_shrunk_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    terms = u.select(
+        "user_id",
+        "n",
+        "k",
+        F.round(p * 1000000000.0).cast("bigint").alias("p_nano"),
+        F.round(p * p * 1000000000.0).cast("bigint").alias("p2_nano"),
+    )
+    mom = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("p_nano").cast("bigint").alias("sp"),
+        F.sum("p2_nano").cast("bigint").alias("sp2"),
+    )
+    gd = F.col("g").cast("double")
+    m = F.col("sp").cast("double") / 1000000000.0 / gd
+    v = F.col("sp2").cast("double") / 1000000000.0 / gd - m * m
+    prior = mom.select(
+        m.alias("m"), (m * (1.0 - m) / v - 1.0).alias("strength")
+    )
+    return (
+        terms.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "n",
+            "k",
+            (F.col("k").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            (
+                (F.col("k").cast("double") + F.col("strength") * F.col("m"))
+                / (F.col("n").cast("double") + F.col("strength"))
+            ).alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(15)
+    )

@@ -537,3 +537,66 @@ def test_pinball_loss_matches_pandas(spark):
         assert r["mean_pinball"] == pytest.approx(
             float(loss.sum()) / 100 / len(test), rel=1e-9
         )
+
+
+def test_sequential_ab_matches_pandas(spark):
+    ev = _events()
+    d = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 86400)
+    d0 = d.min()
+    arm = (ev.user_id % 2).to_numpy()
+    conv = (ev.event_type == "purchase").to_numpy().astype(int)
+    days = (d - d0).to_numpy()
+    bounds = {1: 4.049, 2: 2.863, 3: 2.337, 4: 2.024}
+    out = {
+        r["look"]: r
+        for r in plans.QUERIES["sequential_ab_events"](spark, SF).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4]
+    for look, bound in bounds.items():
+        sel = days < look * 7
+        n1 = int(((arm == 0) & sel).sum())
+        n2 = int(((arm == 1) & sel).sum())
+        k1 = int(conv[(arm == 0) & sel].sum())
+        k2 = int(conv[(arm == 1) & sel].sum())
+        pooled = (k1 + k2) / (n1 + n2)
+        z = (k1 / n1 - k2 / n2) / math.sqrt(
+            pooled * (1 - pooled) * (1 / n1 + 1 / n2)
+        )
+        r = out[look]
+        assert (r["n1"], r["n2"], r["k1"], r["k2"]) == (n1, n2, k1, k2)
+        assert r["z"] == pytest.approx(z, rel=1e-12)
+        assert r["bound"] == bound
+        assert r["reject"] == (abs(z) > bound)
+    # id-parity arms of the same population: no look should reject
+    assert not any(r["reject"] for r in out.values())
+
+
+def test_eb_shrinkage_matches_pandas(spark):
+    ev = _events()
+    u = (
+        pd.DataFrame(
+            {
+                "u": ev.user_id,
+                "c": (ev.event_type == "purchase").astype(int),
+            }
+        )
+        .groupby("u")
+        .agg(n=("c", "size"), k=("c", "sum"))
+    )
+    p_nano = ((u.k / u.n) * 1e9).round().astype("int64")
+    p2_nano = (((u.k / u.n) ** 2) * 1e9).round().astype("int64")
+    g = len(u)
+    m = p_nano.sum() / 1e9 / g
+    v = p2_nano.sum() / 1e9 / g - m * m
+    strength = m * (1 - m) / v - 1
+    out = plans.QUERIES["eb_shrunk_purchase_rates"](spark, SF).collect()
+    assert len(out) == 15
+    for r in out:
+        n, k = u.loc[r["user_id"], ["n", "k"]]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["shrunk_rate"] == pytest.approx(
+            (k + strength * m) / (n + strength), rel=1e-9
+        )
+        # shrinkage pulls toward the pooled mean, never past it
+        lo, hi = sorted((r["raw_rate"], m))
+        assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
