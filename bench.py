@@ -374,6 +374,9 @@ HEADLINE = [
     "modularity_by_brand_coparts",
     "textrank_keywords_docs",
     "stream_slo_burn_alerts",
+    "bhattacharyya_click_view",
+    "wasserstein_click_view",
+    "runs_test_hourly",
 ]
 
 

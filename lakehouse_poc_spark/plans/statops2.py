@@ -1827,3 +1827,287 @@ def eb_shrunk_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bhattacharyya coefficient / Hellinger distance (Bhattacharyya
+# 1943, public) between the click and view value-bucket
+# distributions — the distribution-distance family member next to
+# JSD/PSI/KS: BC = Σ √(p_i·q_i), H = √(1−BC). Each √(pq) term is
+# nano-rounded to a BIGINT before the sum (the repo's BLEU/entropy
+# discipline — sqrt is correctly rounded, the sum must not be
+# order-dependent). One groupBy over the bounded bucket domain.
+@query(
+    "bhattacharyya_click_view",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(v) AS BIGINT) AS nv
+        FROM b
+    ),
+    terms AS (
+        SELECT CAST(ROUND(sqrt((CAST(a AS DOUBLE) / t.na)
+                               * (CAST(v AS DOUBLE) / t.nv))
+                          * 1000000000.0) AS BIGINT) AS s
+        FROM b CROSS JOIN tot t
+    )
+    SELECT t.na AS n_click, t.nv AS n_view,
+           CAST(SUM(s) AS DOUBLE) / 1000000000.0 AS bhattacharyya,
+           sqrt(1.0 - CAST(SUM(s) AS DOUBLE) / 1000000000.0)
+               AS hellinger
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.na, t.nv
+    """,
+)
+def bhattacharyya_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.groupBy(
+        F.floor(F.col("value") / 25.0).cast("bigint").alias("bin")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    tot = b.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("v").cast("bigint").alias("nv"),
+    )
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nv",
+        F.round(
+            F.sqrt(
+                (F.col("a").cast("double") / F.col("na"))
+                * (F.col("v").cast("double") / F.col("nv"))
+            )
+            * 1000000000.0
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    bc = F.sum("s").cast("double") / 1000000000.0
+    return (
+        terms.groupBy(F.col("na").alias("n_click"), F.col("nv").alias("n_view"))
+        .agg(
+            bc.alias("bhattacharyya"),
+            F.sqrt(1.0 - bc).alias("hellinger"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 / earth-mover distance (Monge 1781 / Vaserstein
+# 1969, public) between the click and view value distributions: in
+# 1-D, W1 = ∫|F_a(x) − F_b(x)|dx = Σ over consecutive distinct
+# values of |cumshare_a − cumshare_b|·(next − value). The ECDF-gap
+# terms are nano-rounded BIGINTs before the sum; the distinct-value
+# relation is the bounded 2-decimal domain.
+@query(
+    "wasserstein_click_view",
+    oracle="""
+    WITH ev AS (
+        SELECT value, event_type FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    vals AS (
+        SELECT value,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v
+        FROM ev GROUP BY value
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(v) AS BIGINT) AS nv
+        FROM vals
+    ),
+    steps AS (
+        SELECT value,
+               SUM(a) OVER (ORDER BY value) AS ca,
+               SUM(v) OVER (ORDER BY value) AS cv,
+               LEAD(value) OVER (ORDER BY value) AS nxt
+        FROM vals
+    ),
+    terms AS (
+        SELECT CAST(ROUND(ABS(CAST(ca AS DOUBLE) / t.na
+                              - CAST(cv AS DOUBLE) / t.nv)
+                          * (nxt - value) * 1000000000.0) AS BIGINT) AS s
+        FROM steps CROSS JOIN tot t
+        WHERE nxt IS NOT NULL
+    )
+    SELECT t.na AS n_click, t.nv AS n_view,
+           CAST(SUM(s) AS DOUBLE) / 1000000000.0 AS wasserstein_1
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.na, t.nv
+    """,
+)
+def wasserstein_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    tot = vals.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("v").cast("bigint").alias("nv"),
+    )
+    w = Window.orderBy("value")
+    steps = vals.select(
+        "value",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("v").over(w).alias("cv"),
+        F.lead("value").over(w).alias("nxt"),
+    )
+    terms = (
+        steps.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nv",
+            F.round(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cv").cast("double") / F.col("nv")
+                )
+                * (F.col("nxt") - F.col("value"))
+                * 1000000000.0
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    return terms.groupBy(
+        F.col("na").alias("n_click"), F.col("nv").alias("n_view")
+    ).agg((F.sum("s").cast("double") / 1000000000.0).alias("wasserstein_1"))
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (1940, public) on the hourly total-value
+# series: is the above/below-median sign sequence random? The run
+# count, the sign counts, and the closed-form mean/variance of the
+# null are ALL integer-derived (the median is the doubled-order-stat
+# sum, so the sign test is an integer comparison of 2·value vs
+# lo+hi); only the final z is a double. Windows run on the hourly
+# aggregate.
+@query(
+    "runs_test_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT {_SQL_HOUR} AS h, SUM(CAST(value AS DECIMAL(30,6))) AS v
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT h, v,
+               ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+               COUNT(*) OVER () AS n
+        FROM hourly
+    ),
+    med AS (
+        SELECT l.lo + hh.hi AS s2 FROM
+        (SELECT v AS lo FROM ranked WHERE rn = (n + 1) // 2) l,
+        (SELECT v AS hi FROM ranked WHERE rn = n // 2 + 1) hh
+    ),
+    signs AS (
+        SELECT h, CASE WHEN 2 * v > m.s2 THEN 1 ELSE 0 END AS up
+        FROM hourly CROSS JOIN med m
+    ),
+    seq AS (
+        SELECT up, LAG(up) OVER (ORDER BY h) AS prev FROM signs
+    ),
+    s AS (
+        SELECT CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND up <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+               CAST(SUM(up) AS BIGINT) AS n1,
+               CAST(SUM(1 - up) AS BIGINT) AS n2
+        FROM seq
+    )
+    SELECT runs, n1, n2,
+           (CAST(runs AS DOUBLE)
+              - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+           / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                  / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+               AS z
+    FROM s
+    """,
+)
+def runs_test_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("v")
+    )
+    wrank = Window.orderBy("v", "h")
+    ranked = hourly.select(
+        "v",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    lo = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+    ).select(F.col("v").alias("lo"))
+    hi = ranked.filter(
+        F.col("rn") == (F.col("n") / 2).cast("bigint") + 1
+    ).select(F.col("v").alias("hi"))
+    med = lo.crossJoin(hi).select((F.col("lo") + F.col("hi")).alias("s2"))
+    signs = hourly.crossJoin(F.broadcast(med)).select(
+        "h",
+        F.when(2 * F.col("v") > F.col("s2"), 1).otherwise(0).alias("up"),
+    )
+    wseq = Window.orderBy("h")
+    seq = signs.select(
+        "up", F.lag("up").over(wseq).alias("prev")
+    )
+    s = seq.agg(
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("up") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+        F.sum("up").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("up")).cast("bigint").alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    mean_r = 2.0 * n1d * n2d / (n1d + n2d) + 1.0
+    var_r = (
+        2.0
+        * n1d
+        * n2d
+        * (2.0 * n1d * n2d - n1d - n2d)
+        / ((n1d + n2d) * (n1d + n2d) * (n1d + n2d - 1.0))
+    )
+    return s.select(
+        "runs",
+        "n1",
+        "n2",
+        ((F.col("runs").cast("double") - mean_r) / F.sqrt(var_r)).alias("z"),
+    )

@@ -600,3 +600,68 @@ def test_eb_shrinkage_matches_pandas(spark):
         # shrinkage pulls toward the pooled mean, never past it
         lo, hi = sorted((r["raw_rate"], m))
         assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
+
+
+def test_bhattacharyya_matches_numpy(spark):
+    ev = _events()
+    ev = ev[ev.event_type.isin(["click", "view"])]
+    bins = np.floor(ev.value.to_numpy() / 25.0).astype("int64")
+    is_c = (ev.event_type == "click").to_numpy()
+    from collections import Counter
+
+    ca = Counter(bins[is_c])
+    cv = Counter(bins[~is_c])
+    na, nv = is_c.sum(), (~is_c).sum()
+    s = 0
+    for b in set(ca) | set(cv):
+        s += round(math.sqrt((ca[b] / na) * (cv[b] / nv)) * 1e9)
+    bc = s / 1e9
+    out = plans.QUERIES["bhattacharyya_click_view"](spark, SF).collect()[0]
+    assert (out["n_click"], out["n_view"]) == (na, nv)
+    assert out["bhattacharyya"] == pytest.approx(bc, rel=1e-12)
+    assert out["hellinger"] == pytest.approx(math.sqrt(1 - bc), rel=1e-12)
+    assert 0.0 < out["bhattacharyya"] <= 1.0
+
+
+def test_wasserstein_matches_numpy(spark):
+    ev = _events()
+    ev = ev[ev.event_type.isin(["click", "view"])]
+    x = np.sort(ev.value[ev.event_type == "click"].to_numpy())
+    y = np.sort(ev.value[ev.event_type == "view"].to_numpy())
+    vals = np.unique(np.concatenate([x, y]))
+    na, nv = len(x), len(y)
+    s = 0
+    for v, nxt in zip(vals, vals[1:]):
+        fa = (x <= v).sum() / na
+        fb = (y <= v).sum() / nv
+        s += round(abs(fa - fb) * (nxt - v) * 1e9)
+    out = plans.QUERIES["wasserstein_click_view"](spark, SF).collect()[0]
+    assert (out["n_click"], out["n_view"]) == (na, nv)
+    assert out["wasserstein_1"] == pytest.approx(s / 1e9, rel=1e-9)
+    assert out["wasserstein_1"] >= 0.0
+
+
+def test_runs_test_matches_numpy(spark):
+    ev = _events()
+    h = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 3600)
+    cents = (ev.value * 100).round().astype("int64")
+    hourly = (
+        pd.DataFrame({"h": h, "v": cents}).groupby("h").v.sum().sort_index()
+    )
+    v = hourly.to_numpy()
+    sv = np.sort(v)
+    n = len(v)
+    s2 = int(sv[(n + 1) // 2 - 1]) + int(sv[n // 2])
+    up = (2 * v > s2).astype(int)
+    runs = 1 + int((up[1:] != up[:-1]).sum())
+    n1, n2 = int(up.sum()), int((1 - up).sum())
+    mean_r = 2 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    out = plans.QUERIES["runs_test_hourly"](spark, SF).collect()[0]
+    assert (out["runs"], out["n1"], out["n2"]) == (runs, n1, n2)
+    assert out["z"] == pytest.approx(
+        (runs - mean_r) / math.sqrt(var_r), rel=1e-9
+    )
