@@ -377,6 +377,8 @@ HEADLINE = [
     "bhattacharyya_click_view",
     "wasserstein_click_view",
     "runs_test_hourly",
+    "shapley_attribution_events",
+    "robust_anomalies_hourly",
 ]
 
 

@@ -2111,3 +2111,272 @@ def runs_test_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         ((F.col("runs").cast("double") - mean_r) / F.sqrt(var_r)).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (Shapley 1953, public —
+# the marketing-attribution formulation): channels are the four
+# non-purchase event types, a user's exposure is the bitmask of
+# channels they touched, conversion = the user purchased, and the
+# coalition value v(S) = #converted users whose exposure ⊆ S.
+# With 4 channels the Shapley sum is CLOSED FORM over 32 literal
+# (channel, subset, 24·weight) rows — every quantity stays an exact
+# BIGINT until the final /24. The Shapley efficiency axiom
+# Σ shapley_i = v(full) − v(∅) is part of the hashed output.
+# Scale shape: one user groupBy → 16-row mask relation; the subset
+# sums and the weighted differences are joins on that bounded domain.
+_SHAP_CHANNELS = [("click", 1), ("view", 2), ("error", 4), ("signup", 8)]
+
+
+def _shap_weight_rows() -> list[tuple[str, int, int]]:
+    from math import factorial
+
+    rows = []
+    for name, bit in _SHAP_CHANNELS:
+        for mask in range(16):
+            if mask & bit:
+                continue
+            s = bin(mask).count("1")
+            rows.append((name, mask, factorial(s) * factorial(3 - s)))
+    return rows
+
+
+@query(
+    "shapley_attribution_events",
+    oracle=f"""
+    WITH exposure AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 + 2 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 + 4 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 + 8 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    by_mask AS (
+        SELECT mask, CAST(SUM(conv) AS BIGINT) AS conv_n
+        FROM exposure GROUP BY mask
+    ),
+    masks(m) AS (SELECT CAST(g.m AS BIGINT) FROM generate_series(0, 15) g(m)),
+    v AS (
+        SELECT masks.m AS s,
+               CAST(COALESCE(SUM(b.conv_n), 0) AS BIGINT) AS val
+        FROM masks LEFT JOIN by_mask b ON (b.mask & masks.m) = b.mask
+        GROUP BY masks.m
+    ),
+    w(channel, bit, s_mask, w24) AS (
+        VALUES {", ".join(f"('{n}', {dict(_SHAP_CHANNELS)[n]}, {m}, {w})" for n, m, w in _shap_weight_rows())}
+    ),
+    shap AS (
+        SELECT w.channel,
+               CAST(SUM(w.w24 * (v1.val - v0.val)) AS BIGINT) AS shap24
+        FROM w
+        JOIN v v0 ON v0.s = w.s_mask
+        JOIN v v1 ON v1.s = w.s_mask | w.bit
+        GROUP BY w.channel
+    )
+    SELECT channel, shap24,
+           CAST(shap24 AS DOUBLE) / 24.0 AS shapley_conversions
+    FROM shap
+    ORDER BY channel
+    """,
+)
+def shapley_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mask_expr = None
+    for name, bit in _SHAP_CHANNELS:
+        t = bit * F.max(
+            F.when(F.col("event_type") == name, 1).otherwise(0)
+        )
+        mask_expr = t if mask_expr is None else mask_expr + t
+    exposure = ev.groupBy("user_id").agg(
+        mask_expr.cast("bigint").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    by_mask = exposure.groupBy("mask").agg(
+        F.sum("conv").cast("bigint").alias("conv_n")
+    )
+    masks = ev.sparkSession.range(0, 16).select(F.col("id").alias("s"))
+    v = (
+        masks.join(
+            F.broadcast(by_mask),
+            (F.col("mask").bitwiseAND(F.col("s"))) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("conv_n"), F.lit(0)).cast("bigint").alias("val")
+        )
+    )
+    w = ev.sparkSession.createDataFrame(
+        [
+            (n, dict(_SHAP_CHANNELS)[n], m, wt)
+            for n, m, wt in _shap_weight_rows()
+        ],
+        "channel string, bit long, s_mask long, w24 long",
+    )
+    v0 = v.select(F.col("s").alias("s_mask"), F.col("val").alias("v0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("val").alias("v1"))
+    shap = (
+        w.join(F.broadcast(v0), "s_mask")
+        .join(
+            F.broadcast(v1),
+            F.col("s1") == F.col("s_mask").bitwiseOR(F.col("bit")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w24") * (F.col("v1") - F.col("v0")))
+            .cast("bigint")
+            .alias("shap24")
+        )
+    )
+    return shap.select(
+        "channel",
+        "shap24",
+        (F.col("shap24").cast("double") / 24.0).alias("shapley_conversions"),
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Robust seasonal anomaly detection (median-deseasonalize + MAD
+# z-score — the S-H-ESD family's robust core, Rousseeuw & Croux
+# public practice): hourly totals are deseasonalized by their
+# hour-of-day MEDIAN, scored by |residual − median(residual)| /
+# (1.4826·MAD). Every median is the DOUBLED order-statistic sum
+# (lo+hi — no division), so residuals and deviations stay exact
+# decimals; the one double division happens per output row. Top 10
+# anomalous hours, ties by hour. All windows run on the hourly
+# aggregate / hour-of-day groups.
+@query(
+    "robust_anomalies_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT {_SQL_HOUR} AS h, SUM(CAST(value AS DECIMAL(30,6))) AS v
+        FROM events GROUP BY 1
+    ),
+    hod AS (
+        SELECT h, v, h % 24 AS hd,
+               ROW_NUMBER() OVER (PARTITION BY h % 24 ORDER BY v, h) AS rn,
+               COUNT(*) OVER (PARTITION BY h % 24) AS n
+        FROM hourly
+    ),
+    season AS (
+        SELECT l.hd, l.lo + hh.hi AS s2 FROM
+        (SELECT hd, MIN(v) AS lo FROM hod WHERE rn >= (n + 1) // 2
+         GROUP BY hd) l
+        JOIN
+        (SELECT hd, MIN(v) AS hi FROM hod WHERE rn >= n // 2 + 1
+         GROUP BY hd) hh USING (hd)
+    ),
+    resid AS (
+        SELECT h.h, h.v, 2 * h.v - s.s2 AS r2
+        FROM hourly h JOIN season s ON s.hd = h.h % 24
+    ),
+    r_ranked AS (
+        SELECT h, v, r2,
+               ROW_NUMBER() OVER (ORDER BY r2, h) AS rn,
+               COUNT(*) OVER () AS n
+        FROM resid
+    ),
+    med_r AS (
+        SELECT l.lo + hh.hi AS m2 FROM
+        (SELECT r2 AS lo FROM r_ranked WHERE rn = (n + 1) // 2) l,
+        (SELECT r2 AS hi FROM r_ranked WHERE rn = n // 2 + 1) hh
+    ),
+    dev AS (
+        SELECT h, v, r2, ABS(2 * r2 - m.m2) AS d
+        FROM resid CROSS JOIN med_r m
+    ),
+    d_ranked AS (
+        SELECT h, v, r2, d,
+               ROW_NUMBER() OVER (ORDER BY d, h) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT l.lo + hh.hi AS mad2 FROM
+        (SELECT d AS lo FROM d_ranked WHERE rn = (n + 1) // 2) l,
+        (SELECT d AS hi FROM d_ranked WHERE rn = n // 2 + 1) hh
+    )
+    SELECT dev.h, CAST(dev.v AS DOUBLE) AS total_value,
+           CAST(dev.r2 AS DOUBLE) / 2.0 AS residual,
+           CAST(dev.d AS DOUBLE)
+             / (1.4826 * (CAST(m.mad2 AS DOUBLE) / 2.0)) AS robust_z
+    FROM dev CROSS JOIN mad m
+    ORDER BY robust_z DESC, dev.h
+    LIMIT 10
+    """,
+)
+def robust_anomalies_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("v")
+    )
+    hod = hourly.withColumn("hd", F.col("h") % 24)
+    wg = Window.partitionBy("hd").orderBy("v", "h")
+    wgn = Window.partitionBy("hd")
+    ranked = hod.select(
+        "hd",
+        "v",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wgn).alias("n"),
+    )
+    lo = (
+        ranked.filter(F.col("rn") >= ((F.col("n") + 1) / 2).cast("bigint"))
+        .groupBy("hd")
+        .agg(F.min("v").alias("lo"))
+    )
+    hi = (
+        ranked.filter(F.col("rn") >= (F.col("n") / 2).cast("bigint") + 1)
+        .groupBy("hd")
+        .agg(F.min("v").alias("hi"))
+    )
+    season = lo.join(hi, "hd").select(
+        "hd", (F.col("lo") + F.col("hi")).alias("s2")
+    )
+    resid = hod.join(F.broadcast(season), "hd").select(
+        "h", "v", (2 * F.col("v") - F.col("s2")).alias("r2")
+    )
+
+    def doubled_median(df, col, order_extra):
+        w = Window.orderBy(col, order_extra)
+        r = df.select(
+            F.col(col).alias("__x"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        lo_ = r.filter(
+            F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+        ).select(F.col("__x").alias("lo"))
+        hi_ = r.filter(
+            F.col("rn") == (F.col("n") / 2).cast("bigint") + 1
+        ).select(F.col("__x").alias("hi"))
+        return lo_.crossJoin(hi_).select(
+            (F.col("lo") + F.col("hi")).alias("m2")
+        )
+
+    med_r = doubled_median(resid, "r2", "h")
+    dev = resid.crossJoin(F.broadcast(med_r)).select(
+        "h", "v", "r2", F.abs(2 * F.col("r2") - F.col("m2")).alias("d")
+    )
+    mad = doubled_median(dev, "d", "h").select(
+        F.col("m2").alias("mad2")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "h",
+            F.col("v").cast("double").alias("total_value"),
+            (F.col("r2").cast("double") / 2.0).alias("residual"),
+            (
+                F.col("d").cast("double")
+                / (1.4826 * (F.col("mad2").cast("double") / 2.0))
+            ).alias("robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), "h")
+        .limit(10)
+    )

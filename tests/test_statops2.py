@@ -665,3 +665,86 @@ def test_runs_test_matches_numpy(spark):
     assert out["z"] == pytest.approx(
         (runs - mean_r) / math.sqrt(var_r), rel=1e-9
     )
+
+
+def test_shapley_attribution_axioms_and_bruteforce(spark):
+    from itertools import permutations
+
+    ev = _events()
+    bits = {"click": 1, "view": 2, "error": 4, "signup": 8}
+    expo: dict = {}
+    conv: dict = {}
+    for _, r in ev.iterrows():
+        m = expo.get(r.user_id, 0)
+        if r.event_type in bits:
+            m |= bits[r.event_type]
+        expo[r.user_id] = m
+        if r.event_type == "purchase":
+            conv[r.user_id] = 1
+
+    def v(S):
+        return sum(
+            1
+            for u, m in expo.items()
+            if (m & S) == m and conv.get(u, 0)
+        )
+
+    # brute-force Shapley: average marginal contribution over all 4!
+    # channel orderings (the definition itself)
+    names = list(bits)
+    shap = dict.fromkeys(names, 0.0)
+    for perm in permutations(names):
+        S = 0
+        for ch in perm:
+            shap[ch] += v(S | bits[ch]) - v(S)
+            S |= bits[ch]
+    shap = {k: x / 24 for k, x in shap.items()}
+    out = {
+        r["channel"]: r
+        for r in plans.QUERIES["shapley_attribution_events"](
+            spark, SF
+        ).collect()
+    }
+    for ch in names:
+        assert out[ch]["shapley_conversions"] == pytest.approx(
+            shap[ch], abs=1e-9
+        )
+        assert out[ch]["shap24"] == round(shap[ch] * 24)
+    # efficiency axiom: shares sum to v(full) - v(empty)
+    total = sum(r["shap24"] for r in out.values())
+    assert total == 24 * (v(15) - v(0))
+
+
+def test_robust_anomalies_matches_numpy(spark):
+    ev = _events()
+    h = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9 // 3600)
+    cents = (ev.value * 100).round().astype("int64")
+    hourly = (
+        pd.DataFrame({"h": h, "v": cents}).groupby("h").v.sum().sort_index()
+    )
+
+    def s2(vals):  # doubled median = lo + hi order stats
+        sv = np.sort(vals)
+        n = len(sv)
+        return int(sv[(n + 1) // 2 - 1]) + int(sv[n // 2])
+
+    season = {
+        hd: s2(grp.to_numpy())
+        for hd, grp in hourly.groupby(hourly.index % 24)
+    }
+    r2 = {
+        hh: 2 * int(v) - season[hh % 24] for hh, v in hourly.items()
+    }
+    m2 = s2(np.array(list(r2.values())))
+    dev = {hh: abs(2 * x - m2) for hh, x in r2.items()}
+    mad2 = s2(np.array(list(dev.values())))
+    z = {
+        hh: (d / 100) / (1.4826 * (mad2 / 100 / 2.0))
+        for hh, d in dev.items()
+    }
+    top = sorted(z.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = plans.QUERIES["robust_anomalies_hourly"](spark, SF).collect()
+    assert [(r["h"]) for r in out] == [hh for hh, _ in top]
+    for r, (hh, zz) in zip(out, top):
+        assert r["robust_z"] == pytest.approx(zz, rel=1e-9)
+        assert r["residual"] == pytest.approx(r2[hh] / 100 / 2.0, rel=1e-9)
