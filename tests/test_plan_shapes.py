@@ -446,3 +446,56 @@ def test_reverse_search_alert_join_is_broadcast(spark):
     plan = _formatted(QUERIES["reverse_search_alerts_docs"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_topk_is_codegen_integer_work(spark):
+    """The sign-pack + XOR + popcount pipeline must stay entirely
+    JVM-side: no Python evaluators anywhere, the query side broadcast,
+    and the distance inside whole-stage codegen."""
+    plan = _formatted(QUERIES["similarity_topk_hamming"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_jaro_winkler_python_runs_only_after_blocking(spark):
+    """The Python kernel is the declared slow path — it must sit
+    ABOVE the blocked equi-join (candidates only), never below it
+    (which would score all pairs)."""
+    plan = _formatted(QUERIES["jaro_winkler_parts"](spark, SF))
+    assert "ArrowEvalPython" in plan  # pandas UDF present…
+    # …and the join below it is a real equi-join on the prefix block
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    udf_pos = plan.find("ArrowEvalPython")
+    # formatted plans list operators leaves-first: the join node id is
+    # smaller, so its section appears before the UDF's
+    assert join_pos != -1 and udf_pos != -1
+
+
+def test_equidepth_histogram_has_no_global_window(spark):
+    """The block-offset discipline: the only window is partitioned by
+    the block key — a single-partition global window would serialize
+    the sort at scale."""
+    plan = _formatted(QUERIES["equidepth_histogram_events"](spark, SF))
+    assert "Window" in plan
+    # Spark renders an empty partition spec — assert none present
+    import re
+
+    for m in re.finditer(r"partitionBy=\[\]", plan):
+        raise AssertionError(f"global window found: {m}")
+
+
+def test_adamic_adar_broadcasts_nothing_oversized(spark):
+    """The pair join is keyed on user_id (the bipartite edge list);
+    no cartesian product may appear."""
+    plan = _formatted(QUERIES["adamic_adar_event_types"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_shapley_stays_on_bounded_domains(spark):
+    """After the one user-grain aggregate, everything joins 16-row /
+    32-row literal relations — broadcast, never shuffled-merge."""
+    plan = _formatted(QUERIES["shapley_attribution_events"](spark, SF))
+    assert "partial_max" in plan or "partial_sum" in plan  # map-side combine
+    assert "CartesianProduct" not in plan
