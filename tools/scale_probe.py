@@ -399,6 +399,9 @@ def main() -> None:
         spark.range(1).count()
         lm_probe(spark, sf_dir)
         return
+    if "--hamming" in sys.argv:
+        hamming_probe(spark, sf_dir)
+        return
     if "--hnsw" in sys.argv:
         spark.range(1).count()
         hnsw_probe(spark, sf_dir)
@@ -665,6 +668,57 @@ def lm_probe(spark, sf_dir: str) -> None:
         corpus.unpersist()
 
 
+
+
+def hamming_probe(spark, sf_dir: str) -> None:
+    """Binary-embedding retrieval probe (r8): shortlist+rerank wall
+    time as the corpus grows 1x/4x/16x. The scan is integer XOR +
+    popcount over two BIGINT lanes per vector — time should track the
+    corpus near-linearly with a flat per-query rerank tail (floats
+    touched for shortlist rows only). Recall@5 vs brute printed at
+    every factor: the sign sketch is scale-free, so recall should not
+    decay with corpus growth (copies are near-dups of their source)."""
+    import time as _t
+
+    from lakehouse_poc_spark.operators.similarity import (
+        brute_force_topk,
+        hamming_rerank_topk,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).persist()
+    queries.count()
+    for factor in (1, 4, 16):
+        corpus = scaled_embeddings(emb, factor).persist()
+        n = corpus.count()
+        t0 = _t.perf_counter()
+        res = hamming_rerank_topk(
+            corpus, queries, vec_col="embedding", id_col="vec_id",
+            query_id_col="vec_id", k=5, shortlist=50, dim=64,
+        ).persist()
+        n_rows = res.count()
+        dt = _t.perf_counter() - t0
+        brute = brute_force_topk(
+            corpus, queries, vec_col="embedding", id_col="vec_id",
+            query_id_col="vec_id", k=5,
+        ).select("query_id", "neighbor_id")
+        hits = brute.join(
+            res.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).count()
+        print(
+            json.dumps(
+                {
+                    "factor": factor,
+                    "n_vectors": n,
+                    "rows": n_rows,
+                    "search_s": round(dt, 2),
+                    "recall_at_5": round(hits / brute.count(), 4),
+                }
+            )
+        )
+        res.unpersist()
+        corpus.unpersist()
 
 
 def hnsw_probe(spark, sf_dir: str) -> None:
