@@ -2672,3 +2672,76 @@ def stream_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState user stats (r8 — Spark 4's arbitrary-state API,
+# the applyInPandasWithState successor): same per-user contract as
+# stream_stateful_user_stats plus an exact total (cents BIGINT in
+# state), run over ordered micro-batches with the REQUIRED RocksDB
+# state store (disk-spilling state — the 100 TB keyspace knob).
+#
+# ENV-BLOCKED from the registry (the delta-spark/grpcio class): the
+# TWS state-server protocol needs google.protobuf, which this
+# container does not ship — the full path is implemented and covered
+# by tests/test_streaming.py::test_transform_with_state_user_stats,
+# which executes for real the moment protobuf is installable and
+# skips (not passes) until then. Registering it in queries() would
+# guarantee a sweep failure on this container, so it stays a guarded
+# test, exactly like the Delta/Iceberg/Connect surfaces.
+def stream_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..streaming.runner import run_foreach_batch
+    from ..streaming.stateful import running_user_stats_tws
+
+    work = stream_scratch("stream_tws_")
+    src = work / "in"
+    src.mkdir()
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "half_a")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "half_b")
+    )
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
+    )
+    out = str(work / "out")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        run_foreach_batch(
+            running_user_stats_tws(stream),
+            sink,
+            str(work / "ckpt"),
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    snapshots = spark.read.parquet(out)
+    latest = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snapshots.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_cents", "min_value", "max_value")
+        .orderBy("user_id")
+    )

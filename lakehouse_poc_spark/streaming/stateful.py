@@ -470,3 +470,69 @@ def running_holt_winters(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's arbitrary-state API — the
+# successor surface to applyInPandasWithState): the same running
+# per-user stats contract as running_user_stats, expressed as a
+# StatefulProcessor with an explicit ValueState handle. Differences
+# that matter at scale: typed state handles (Value/List/Map) with
+# per-state TTL support, timers decoupled from input rows, and the
+# RocksDB state store REQUIRED (state spills to disk instead of
+# executor heap — the knob that makes 100 TB keyspaces survivable).
+def make_user_stats_processor():
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, s long, mn double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, mn, mx = 0, 0, None, None
+            if self._agg.exists():
+                n, s, mn, mx = self._agg.get()
+            for pdf in rows:
+                vals = pdf["value"]
+                n += len(pdf)
+                # exact cents: the fixture's values are 2-decimal
+                s += int(vals.mul(100).round().astype("int64").sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                mn = bmin if mn is None else min(mn, bmin)
+                mx = bmax if mx is None else max(mx, bmax)
+            self._agg.update((n, s, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [s],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """running_user_stats on the transformWithState surface. Caller
+    must enable the RocksDB state store provider (the API requires
+    it); see plans/streamops.py::stream_tws_user_stats."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_user_stats_processor(),
+        outputStructType=(
+            "user_id long, n_events long, total_cents long, "
+            "min_value double, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -756,3 +756,52 @@ def test_stream_slo_burn_alerts_contract(spark):
         assert r["burn_fast"] >= 1.3 and r["burn_slow"] >= 1.05
         assert r["window_end"].endswith(":00:00")  # hour-aligned ends
         assert r["err"] <= r["tot"]
+
+
+def test_transform_with_state_user_stats(spark):
+    """transformWithStateInPandas end-to-end (Spark 4 arbitrary-state
+    API + RocksDB store). ENV-GUARDED: the TWS state-server protocol
+    imports google.protobuf, which this container lacks — the skip
+    disappears (and the assert runs for real) once protobuf exists."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf (absent here, like "
+        "delta-spark/grpcio — environment, not code)",
+    )
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.plans.streamops import stream_tws_user_stats
+    from lakehouse_poc_spark.sources.readers import read_parquet_table
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_tws_user_stats(spark, sf).collect()
+    ev = read_parquet_table(spark, sf, "events")
+    expect = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)") * 100)
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[r["user_id"]]
+        assert (
+            r["n_events"],
+            r["total_cents"],
+            r["min_value"],
+            r["max_value"],
+        ) == (
+            e["n_events"],
+            e["total_cents"],
+            e["min_value"],
+            e["max_value"],
+        )
