@@ -379,6 +379,9 @@ HEADLINE = [
     "runs_test_hourly",
     "shapley_attribution_events",
     "robust_anomalies_hourly",
+    "nelson_aalen_events",
+    "blocking_pr_eval_parts",
+    "jackknife_variance_events",
 ]
 
 

@@ -2661,3 +2661,135 @@ def activity_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("longest_streak_days").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (Nelson 1972 / Aalen 1978, public) —
+# the estimator sibling of km_survival_events on the SAME
+# inter-event/censoring construction: H(t) = Σ_{s≤t} d_s/n_s, with
+# Aalen's variance Σ d_s/n_s². Each hazard increment is nano-rounded
+# to a BIGINT before the ordered cumulative sum (the km micro-log
+# discipline), so the running sums are exact on both engines. The
+# Breslow survivor exp(−H) is left to the consumer — km_survival's
+# log-domain rule: libm exp is not correctly rounded, so transformed
+# outputs stay out of the hashed contract. First 40 event times.
+@query(
+    "nelson_aalen_events",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS gmax FROM events),
+    seq AS (
+        SELECT user_id, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS nxt
+        FROM events
+    ),
+    obs AS (
+        SELECT CASE WHEN nxt IS NOT NULL
+                    THEN (epoch_us(nxt) - epoch_us(ts)) // 3600000000
+                    ELSE (epoch_us(gmax) - epoch_us(ts)) // 3600000000
+               END AS t,
+               nxt IS NOT NULL AS is_event
+        FROM seq CROSS JOIN m
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    per AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_leaving
+        FROM obs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_events,
+               tot.n - (SUM(n_leaving) OVER (ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) - n_leaving)
+                   AS n_risk
+        FROM per CROSS JOIN tot
+    ),
+    inc AS (
+        SELECT t, n_events, n_risk,
+               CAST(ROUND(CAST(n_events AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)
+                          * 1000000000.0) AS BIGINT) AS h_nano,
+               CAST(ROUND(CAST(n_events AS DOUBLE)
+                          / (CAST(n_risk AS DOUBLE)
+                             * CAST(n_risk AS DOUBLE))
+                          * 1000000000.0) AS BIGINT) AS v_nano
+        FROM risk WHERE n_events > 0
+    ),
+    cum AS (
+        SELECT t, n_events, n_risk,
+               CAST(SUM(h_nano) OVER (ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ch,
+               CAST(SUM(v_nano) OVER (ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cv
+        FROM inc
+    )
+    SELECT t, n_risk, n_events,
+           CAST(ch AS DOUBLE) / 1000000000.0 AS cum_hazard,
+           CAST(cv AS DOUBLE) / 1000000000.0 AS hazard_var
+    FROM cum
+    ORDER BY t
+    LIMIT 40
+    """,
+)
+def nelson_aalen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", F.lead("ts").over(w).alias("nxt")
+    ).crossJoin(F.broadcast(gmax))
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    obs = seq.select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            ((us("nxt") - us("ts")) / 3600000000).cast("bigint"),
+        )
+        .otherwise(((us("gmax") - us("ts")) / 3600000000).cast("bigint"))
+        .alias("t"),
+        F.col("nxt").isNotNull().alias("is_event"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n_events",
+        (
+            F.col("n")
+            - (F.sum("n_leaving").over(wcum) - F.col("n_leaving"))
+        ).alias("n_risk"),
+    )
+    nd = F.col("n_events").cast("double")
+    rd = F.col("n_risk").cast("double")
+    inc = risk.filter(F.col("n_events") > 0).select(
+        "t",
+        "n_events",
+        "n_risk",
+        F.round(nd / rd * 1000000000.0).cast("bigint").alias("h_nano"),
+        F.round(nd / (rd * rd) * 1000000000.0).cast("bigint").alias("v_nano"),
+    )
+    cum = inc.select(
+        "t",
+        "n_events",
+        "n_risk",
+        F.sum("h_nano").over(wcum).cast("bigint").alias("ch"),
+        F.sum("v_nano").over(wcum).cast("bigint").alias("cv"),
+    )
+    return (
+        cum.select(
+            "t",
+            "n_risk",
+            "n_events",
+            (F.col("ch").cast("double") / 1000000000.0).alias("cum_hazard"),
+            (F.col("cv").cast("double") / 1000000000.0).alias("hazard_var"),
+        )
+        .orderBy("t")
+        .limit(40)
+    )

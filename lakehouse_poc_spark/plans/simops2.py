@@ -339,3 +339,108 @@ def ari_label_vs_cell_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         - exp
     )
     return j.select("n", "sij", "sa", "sb", ari.alias("ari"))
+
+
+# ---------------------------------------------------------------------------
+# Blocking quality evaluation (r8): pairwise precision/recall/F1 of
+# the sorted-neighborhood CANDIDATE GENERATOR against the exact
+# levenshtein≤2 truth pairs — the dedup counterpart of the ANN
+# recall gates (a blocking scheme that misses true matches silently
+# poisons every downstream linkage). Truth and candidates are both
+# deterministic, so the whole evaluation is oracle-replayable:
+# integer pair counts, three final divisions. Scale shape: candidate
+# pairs come from the O(n·w) bucketed rank join; the truth side here
+# is the length-blocked exact join (an EVAL over the bounded
+# distinct-name domain, not a production path).
+@query(
+    "blocking_pr_eval_parts",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    truth AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM names a JOIN names b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    ranked AS (
+        SELECT p_name,
+               ROW_NUMBER() OVER (ORDER BY p_name) AS rank,
+               CAST((ROW_NUMBER() OVER (ORDER BY p_name)) // 3 AS BIGINT)
+                   AS bkt
+        FROM names
+    ),
+    cand AS (
+        SELECT LEAST(a.p_name, b.p_name) AS name_a,
+               GREATEST(a.p_name, b.p_name) AS name_b
+        FROM ranked a JOIN ranked b
+          ON b.bkt IN (a.bkt, a.bkt + 1)
+         AND b.rank > a.rank AND b.rank - a.rank <= 3
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM cand JOIN truth USING (name_a, name_b)) AS n_hit
+    )
+    SELECT n_candidates, n_truth, n_hit,
+           CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+               AS precision,
+           CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+           2.0 * CAST(n_hit AS DOUBLE)
+             / (CAST(n_candidates AS DOUBLE) + CAST(n_truth AS DOUBLE))
+               AS f1
+    FROM s
+    """,
+)
+def blocking_pr_eval_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.linkage import sorted_neighborhood_pairs
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("na"), F.length("p_name").alias("la"))
+    b = names.select(F.col("p_name").alias("nb"), F.length("p_name").alias("lb"))
+    truth = (
+        a.join(
+            b,
+            (F.col("na") < F.col("nb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 2),
+        )
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select(F.col("na").alias("name_a"), F.col("nb").alias("name_b"))
+    )
+    cand = sorted_neighborhood_pairs(
+        names,
+        sort_cols=["p_name"],
+        block=F.lit(0),
+        id_col="p_name",
+        window=3,
+    ).select(
+        F.least("id_a", "id_b").alias("name_a"),
+        F.greatest("id_a", "id_b").alias("name_b"),
+    ).distinct()
+    n_c = cand.count()
+    n_t = truth.count()
+    n_h = cand.join(truth, ["name_a", "name_b"]).count()
+    return spark.createDataFrame(
+        [(n_c, n_t, n_h)], "n_candidates long, n_truth long, n_hit long"
+    ).select(
+        "n_candidates",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_candidates").cast("double"))
+        .alias("precision"),
+        (F.col("n_hit").cast("double") / F.col("n_truth").cast("double"))
+        .alias("recall"),
+        (
+            2.0
+            * F.col("n_hit").cast("double")
+            / (
+                F.col("n_candidates").cast("double")
+                + F.col("n_truth").cast("double")
+            )
+        ).alias("f1"),
+    )

@@ -2380,3 +2380,60 @@ def robust_anomalies_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("robust_z"), "h")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife variance of the mean (Quenouille 1949 / Tukey 1958,
+# public) — the resampling-free companion of bootstrap_ci: the
+# delete-one means θ̄₍ᵢ₎ = (S − xᵢ)/(n−1) need only the total S, so
+# Var_jack = (n−1)/n · Σ(θ̄₍ᵢ₎ − θ̄)² collapses to exact sums:
+# Σ(θ̄₍ᵢ₎ − θ̄)² = Σ(xᵢ − θ̄)²/(n−1)² — i.e. decimal Σx, Σx² and one
+# mirrored double expression. One partial-combined aggregate, no
+# per-replicate pass at all.
+@query(
+    "jackknife_variance_events",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(30,6))) AS sx,
+               SUM(CAST(value AS DECIMAL(30,6))
+                   * CAST(value AS DECIMAL(30,6))) AS sxx
+        FROM events
+    )
+    SELECT n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+           ((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
+           * ((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / ((CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 1.0)))
+               AS jackknife_var,
+           sqrt(((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
+                * ((CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / ((CAST(n AS DOUBLE) - 1.0)
+                      * (CAST(n AS DOUBLE) - 1.0)))) AS jackknife_se
+    FROM s
+    """,
+)
+def jackknife_variance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(30,6)")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vdec).alias("sx"),
+        F.sum(vdec * vdec).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    var = ((nd - 1.0) / nd) * (
+        (F.col("sxx").cast("double") - sxd * sxd / nd)
+        / ((nd - 1.0) * (nd - 1.0))
+    )
+    return s.select(
+        "n",
+        (sxd / nd).alias("mean_value"),
+        var.alias("jackknife_var"),
+        F.sqrt(var).alias("jackknife_se"),
+    )

@@ -748,3 +748,69 @@ def test_robust_anomalies_matches_numpy(spark):
     for r, (hh, zz) in zip(out, top):
         assert r["robust_z"] == pytest.approx(zz, rel=1e-9)
         assert r["residual"] == pytest.approx(r2[hh] / 100 / 2.0, rel=1e-9)
+
+
+def test_nelson_aalen_matches_pandas(spark):
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    gmax = ev.ts.max()
+    obs = []
+    for _, grp in ev.groupby("user_id"):
+        ts = list(grp.ts)
+        for i, t0 in enumerate(ts):
+            nxt = ts[i + 1] if i + 1 < len(ts) else None
+            end = nxt if nxt is not None else gmax
+            hours = int(
+                (end.value // 1000 - t0.value // 1000) // 3600000000
+            )
+            obs.append((hours, nxt is not None))
+    from collections import Counter
+
+    per_events = Counter(t for t, e in obs if e)
+    per_leaving = Counter(t for t, _ in obs)
+    n_total = len(obs)
+    ch = 0
+    cv = 0
+    left_before = 0
+    expect = []
+    for t in sorted(per_leaving):
+        n_risk = n_total - left_before
+        left_before += per_leaving[t]
+        d = per_events.get(t, 0)
+        if d == 0:
+            continue
+        ch += round(d / n_risk * 1e9)
+        cv += round(d / (n_risk * n_risk) * 1e9)
+        expect.append((t, n_risk, d, ch / 1e9, cv / 1e9))
+    out = plans.QUERIES["nelson_aalen_events"](spark, SF).collect()
+    assert len(out) == min(40, len(expect))
+    for r, e in zip(out, expect[:40]):
+        assert (r["t"], r["n_risk"], r["n_events"]) == (e[0], e[1], e[2])
+        assert r["cum_hazard"] == pytest.approx(e[3], rel=1e-12)
+        assert r["hazard_var"] == pytest.approx(e[4], rel=1e-12)
+    # cumulative hazard is non-decreasing
+    hz = [r["cum_hazard"] for r in out]
+    assert all(a <= b for a, b in zip(hz, hz[1:]))
+
+
+def test_jackknife_matches_numpy(spark):
+    ev = _events()
+    cents = (ev.value * 100).round().astype("int64").to_numpy()
+    n = len(cents)
+    theta = cents.sum() / 100 / n
+    loo = (cents.sum() - cents) / 100 / (n - 1)  # delete-one means
+    var = (n - 1) / n * ((loo - theta) ** 2).sum()
+    out = plans.QUERIES["jackknife_variance_events"](spark, SF).collect()[0]
+    assert out["n"] == n
+    assert out["mean_value"] == pytest.approx(theta, rel=1e-12)
+    assert out["jackknife_var"] == pytest.approx(var, rel=1e-9)
+    assert out["jackknife_se"] == pytest.approx(math.sqrt(var), rel=1e-9)
+
+
+def test_blocking_pr_eval_contract(spark):
+    out = plans.QUERIES["blocking_pr_eval_parts"](spark, SF).collect()[0]
+    assert out["n_hit"] <= min(out["n_candidates"], out["n_truth"])
+    assert 0.0 <= out["precision"] <= 1.0
+    assert 0.0 <= out["recall"] <= 1.0
+    # F1 here uses the pair-count form 2h/(c+t); cross-check identity
+    c, t, h = out["n_candidates"], out["n_truth"], out["n_hit"]
+    assert out["f1"] == pytest.approx(2 * h / (c + t), rel=1e-12)
