@@ -62,6 +62,7 @@ def _load_all() -> None:
         simops2,
         statops,
         statops2,
+        statops3,
         streamops,
         textops,
         tpch,
