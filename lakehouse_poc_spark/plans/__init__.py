@@ -67,6 +67,7 @@ def _load_all() -> None:
         textops,
         tpch,
         tpch2,
+        valueops,
     )
 
 
