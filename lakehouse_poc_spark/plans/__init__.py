@@ -52,6 +52,7 @@ def _load_all() -> None:
         dqops,
         eventops,
         etlops,
+        etlops2,
         geoops,
         graphops,
         mlops,

@@ -950,6 +950,103 @@ class DeltaLogWriter:
                 )
         return self._commit(actions, f"RESTORE VERSION AS OF {version}")
 
+    def optimize(self, target_file_bytes: int = 128 << 20) -> dict:
+        """OPTIMIZE — bin-packing compaction (the Delta OPTIMIZE
+        command's compaction half; Z-ORDER clustering lives in
+        operators/filestats + file_skipping_zorder). Live files
+        smaller than ``target_file_bytes`` are greedily binned WITHIN
+        their partition (first-fit in path order — deterministic) and
+        each bin of ≥2 files is rewritten as one file. The commit
+        carries add/remove actions with ``dataChange: false`` — the
+        spec's signal that a downstream incremental consumer must NOT
+        re-process the rewrite — so readers see identical rows before
+        and after while the file count drops. History is preserved:
+        compaction is a normal commit, the pre-OPTIMIZE version stays
+        time-travelable until VACUUM retires its files.
+
+        Returns {'version', 'files_before', 'files_after',
+        'bins_rewritten'}; version is -1 when nothing qualifies (the
+        no-op does NOT commit — Delta's OPTIMIZE on an already-compact
+        table is metadata-only).
+
+        Reference parity: notebooks/pipeline_core.py relies on Delta's
+        maintenance story; this is the spec-shaped stand-in on the
+        plain-parquet log (same class as restore/rename above).
+        """
+        state = _replay(self.path, None)
+        if state["mapping_mode"] != "none" and (
+            (state["metaData"] or {}).get("partitionColumns")
+        ):
+            raise DeltaLogError(
+                "OPTIMIZE on a partitioned column-mapping table is not "
+                "implemented (partitionValues would need physical-name "
+                "translation); unpartitioned mapping tables and plain "
+                "partitioned tables are both supported"
+            )
+        groups: dict[tuple, list[dict]] = {}
+        for a in state["adds"]:
+            if int(a.get("size", 0)) < target_file_bytes:
+                key = tuple(sorted((a.get("partitionValues") or {}).items()))
+                groups.setdefault(key, []).append(a)
+        actions: list[dict] = []
+        now = int(time.time() * 1000)
+        n_before = len(state["adds"])
+        bins_rewritten = 0
+        removed = 0
+        added = 0
+        for key in sorted(groups):
+            cand = sorted(groups[key], key=lambda a: a["path"])
+            bins: list[list[dict]] = []
+            cur: list[dict] = []
+            cur_sz = 0
+            for a in cand:
+                sz = int(a.get("size", 0))
+                if cur and cur_sz + sz > target_file_bytes:
+                    bins.append(cur)
+                    cur, cur_sz = [], 0
+                cur.append(a)
+                cur_sz += sz
+            if cur:
+                bins.append(cur)
+            for b in bins:
+                if len(b) < 2:
+                    continue
+                df = self.spark.read.parquet(
+                    *[str(self.path / a["path"]) for a in b]
+                )
+                staged = self._stage(df.coalesce(1))
+                for add in staged:
+                    add["add"]["dataChange"] = False
+                    add["add"]["partitionValues"] = dict(key)
+                    actions.append(add)
+                    added += 1
+                for a in b:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": a["path"],
+                                "deletionTimestamp": now,
+                                "dataChange": False,
+                            }
+                        }
+                    )
+                    removed += 1
+                bins_rewritten += 1
+        if not actions:
+            return {
+                "version": -1,
+                "files_before": n_before,
+                "files_after": n_before,
+                "bins_rewritten": 0,
+            }
+        v = self._commit(actions, "OPTIMIZE")
+        return {
+            "version": v,
+            "files_before": n_before,
+            "files_after": n_before - removed + added,
+            "bins_rewritten": bins_rewritten,
+        }
+
     # -- column mapping, name mode (spec: reader 2 / writer 5) ----------
 
     def _mapping(self) -> dict[str, str] | None:

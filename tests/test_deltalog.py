@@ -745,3 +745,102 @@ def test_rename_guards(spark, tmp_path):
     (d / f"{1:020d}.json").write_text(body + "\n")
     with pytest.raises(DeltaLogError, match="minReaderVersion=3"):
         read_delta(spark, p)
+
+
+# -- OPTIMIZE (bin-packing compaction) --------------------------------------
+
+
+def test_optimize_compacts_and_preserves_rows(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    df = spark.range(0, 200).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    w.create(df.repartition(8))                          # v0: 8 files
+    v_frag = w.append(df.withColumn("id", F.col("id") + 200).repartition(4))
+    before = read_delta(spark, p)
+    n_before = before.count()
+    res = w.optimize()
+    assert res["version"] == v_frag + 1
+    assert res["files_after"] < res["files_before"] == 12
+    after = read_delta(spark, p)
+    assert after.count() == n_before == 400
+    assert sorted(r.id for r in after.collect()) == sorted(
+        r.id for r in before.collect()
+    )
+    # pre-OPTIMIZE version stays time-travelable
+    assert read_delta(spark, p, v_frag).count() == 400
+    # the commit's actions all carry dataChange=false
+    log = p / "_delta_log" / f"{res['version']:020d}.json"
+    actions = [json.loads(line) for line in log.read_text().splitlines()]
+    flags = [
+        a[k]["dataChange"]
+        for a in actions
+        for k in ("add", "remove")
+        if k in a
+    ]
+    assert flags and all(f is False for f in flags)
+    # new files carry stats for data skipping
+    adds = [a["add"] for a in actions if "add" in a]
+    assert all(a.get("stats") for a in adds)
+
+
+def test_optimize_noop_on_compact_table(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(0, 50).coalesce(1))
+    v = current_version(p)
+    res = w.optimize()
+    assert res["version"] == -1 and res["bins_rewritten"] == 0
+    assert current_version(p) == v  # no-op does not commit
+    # second call after a real optimize also no-ops
+    w.append(spark.range(50, 100).coalesce(1))
+    assert w.optimize()["version"] >= 0
+    assert w.optimize()["version"] == -1
+
+
+def test_optimize_bins_within_partitions_only(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("k")
+    )
+    w.create_partitioned(df, ["k"])
+    w.append_partitioned(
+        df.withColumn("id", F.col("id") + 100), ["k"]
+    )
+    res = w.optimize()
+    assert res["files_after"] < res["files_before"]
+    actions = [
+        json.loads(line)
+        for line in (
+            p / "_delta_log" / f"{res['version']:020d}.json"
+        ).read_text().splitlines()
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    # every rewritten file belongs to exactly one partition value
+    assert {tuple(a["partitionValues"].items()) for a in adds} == {
+        (("k", "0"),),
+        (("k", "1"),),
+    }
+    after = read_delta(spark, p)
+    assert after.count() == 200
+    assert after.groupBy("k").count().orderBy("k").collect()[0][1] == 100
+
+
+def test_optimize_respects_target_size(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(0, 1000).repartition(10))
+    sizes = [
+        json.loads(line)["add"]["size"]
+        for line in (p / "_delta_log" / f"{0:020d}.json")
+        .read_text()
+        .splitlines()
+        if "\"add\"" in line
+    ]
+    # target of ~2.5 files worth: bins of 2 (first-fit), never all 10
+    target = int(sum(sizes) / 4)
+    res = w.optimize(target_file_bytes=target)
+    assert 1 < res["files_after"] < 10
+    assert read_delta(spark, p).count() == 1000
