@@ -41,10 +41,18 @@ def pagerank_int(
     iterations: int = 10,
     checkpoint_every: int = 4,
     driver_threshold: int = 50_000,
+    seed=None,
 ) -> DataFrame:
     """Weighted PageRank with exact fixed-point arithmetic.
 
     rank'(v) = (100-d)%·SCALE/N  +  d%·Σ_{u→v} rank(u)·w(u,v) ÷ W(u)
+
+    With ``seed`` set this becomes personalized PageRank (Page et al.
+    1999 §6; Jeh & Widom 2003): ALL teleport mass lands on the seed
+    node — base(v) = (100-d)%·SCALE for v == seed, else 0 — and the
+    walk starts there (r_init = SCALE at the seed, 0 elsewhere), so
+    ranks measure proximity to the seed instead of global centrality.
+    Same exact integer recurrence, bit-identical on both paths.
 
     (all ·/÷ integer; Σ exact BIGINT). Dangling mass is dropped (the
     standard simplification; documents the leak rather than hiding it).
@@ -77,7 +85,8 @@ def pagerank_int(
     n_nodes = nodes.count()  # one small action; also materializes caches
     if n_nodes == 0:
         raise ValueError("pagerank_int: empty edge set (no nodes)")
-    base = ((100 - damping_pct) * SCALE // 100) // n_nodes
+    base_total = (100 - damping_pct) * SCALE // 100
+    base = base_total // n_nodes
 
     n_edges = e.count()  # cached; metadata-sized action
     if n_edges <= driver_threshold:
@@ -85,12 +94,21 @@ def pagerank_int(
         vlist = [r["node"] for r in nodes.collect()]
         e.unpersist()
         nodes.unpersist()
-        rank = {v: SCALE // n_nodes for v in vlist}
+        if seed is not None and seed not in vlist:
+            raise ValueError(f"pagerank_int: seed {seed!r} not in graph")
+        if seed is None:
+            rank = {v: SCALE // n_nodes for v in vlist}
+            base_of = dict.fromkeys(vlist, base)
+        else:
+            rank = {v: SCALE if v == seed else 0 for v in vlist}
+            base_of = {v: base_total if v == seed else 0 for v in vlist}
         for _ in range(iterations):
             in_sum = dict.fromkeys(vlist, 0)
             for s, d, w, ow in erows:
                 in_sum[d] += rank[s] * w // ow
-            rank = {v: base + damping_pct * in_sum[v] // 100 for v in vlist}
+            rank = {
+                v: base_of[v] + damping_pct * in_sum[v] // 100 for v in vlist
+            }
         node_t = edges.schema[src].dataType
         from pyspark.sql.types import (
             DoubleType,
@@ -110,7 +128,19 @@ def pagerank_int(
             [(v, rank[v], rank[v] / SCALE) for v in vlist], out_schema
         )
 
-    ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n_nodes))
+    if seed is None:
+        ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n_nodes))
+        base_col = F.lit(base)
+    else:
+        if nodes.filter(F.col("node") == seed).count() == 0:
+            raise ValueError(f"pagerank_int: seed {seed!r} not in graph")
+        ranks = nodes.withColumn(
+            "rank_scaled",
+            F.when(F.col("node") == seed, F.lit(SCALE)).otherwise(F.lit(0)),
+        )
+        base_col = F.when(
+            F.col("node") == seed, F.lit(base_total)
+        ).otherwise(F.lit(0))
     for it in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -129,7 +159,7 @@ def pagerank_int(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(
                         f"{damping_pct} * coalesce(in_sum, 0) div 100"
                     )

@@ -59,6 +59,7 @@ def _load_all() -> None:
         multimodal,
         pipelineops,
         searchops,
+        seqops,
         simops,
         simops2,
         statops,

@@ -1152,3 +1152,76 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), "keyword")
         .limit(20)
     )
+
+
+def _ppr_oracle(seed: str = "purchase") -> str:
+    """Unrolled personalized-PageRank recurrence — the
+    _pagerank_oracle chain with the teleport mass pinned to the seed
+    (base and r_init are CASE WHEN node = seed expressions)."""
+    base_total = (100 - _DAMPING_PCT) * SCALE // 100
+    header = f"""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT prev_type AS src, event_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    e AS (
+        SELECT edges.src, edges.dst, edges.w, outw.out_w
+        FROM edges JOIN outw USING (src)
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    r0 AS (
+        SELECT node,
+               CASE WHEN node = '{seed}' THEN {SCALE} ELSE 0 END AS rs
+        FROM nodes
+    )"""
+    iters = []
+    for k in range(1, _ITERATIONS + 1):
+        iters.append(f""",
+    r{k} AS (
+        SELECT nd.node,
+               CASE WHEN nd.node = '{seed}' THEN {base_total} ELSE 0 END
+                 + ({_DAMPING_PCT} * COALESCE(c.in_sum, 0)) // 100 AS rs
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM((r.rs * e.w) // e.out_w) AS in_sum
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+            GROUP BY e.dst
+        ) c ON nd.node = c.node
+    )""")
+    footer = f"""
+    SELECT node, CAST(rs AS BIGINT) AS rank_scaled,
+           CAST(CAST(rs AS BIGINT) AS DOUBLE) / {float(SCALE)} AS rank
+    FROM r{_ITERATIONS}
+    ORDER BY node
+    """
+    return header + "".join(iters) + footer
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank seeded at the 'purchase' node: proximity of
+# every event type to purchasing in the user transition graph — the
+# "which behaviors funnel into purchases" ranking. Same exact
+# fixed-point integer recurrence as pagerank_event_types with the
+# teleport vector concentrated on the seed; oracle unrolls the 10
+# rounds as a CTE chain.
+@query("ppr_purchase_event_types", oracle=_ppr_oracle())
+def ppr_purchase_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _transition_edges(spark, sf_dir)
+    return pagerank_int(
+        edges,
+        weight="w",
+        damping_pct=_DAMPING_PCT,
+        iterations=_ITERATIONS,
+        seed="purchase",
+    ).orderBy("node")

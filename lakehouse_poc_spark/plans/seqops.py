@@ -1,0 +1,152 @@
+"""Sequence-alignment wave (r8): exact dynamic-time-warping distance
+(Sakoe & Chiba 1978, public) between each day's hourly click profile
+and its purchase profile — "how far does purchase activity lag/warp
+relative to clicks within the day". SURVEY §7 extension scope.
+
+Exactness: costs are |x_i − y_j| over BIGINT hourly counts, so the
+whole DP is integer arithmetic — no rounding anywhere. The Spark side
+runs the 24×24 DP as a NESTED higher-order fold (``aggregate`` over
+rows carrying the previous DP row as an array<bigint>, an inner
+``aggregate`` building each row left-to-right) — one whole-stage-
+codegen scalar expression per day, zero Python. The DuckDB oracle
+cannot nest folds, so it unrolls the row recurrence as 24 chained
+CTEs using the prefix decomposition
+
+    D[i][j] = C_j + min_{k≤j}(A_k − C_k),
+    A_k = min(D[i−1][k−1], D[i−1][k]) + c_ik,   C_j = Σ_{m≤j} c_im
+
+(each row update = one prefix sum + one prefix min window) — the
+same integers in a different evaluation order, hence hash-equal.
+
+100 TB shape: the heavy input pass is ONE partial-combined groupBy
+to (day, hour) counts; the DP itself is a per-day scalar expression
+over a 24-element array — embarrassingly parallel, no shuffle, no
+UDF, no driver loop. Longer series (e.g. 1440-minute profiles) keep
+the same plan with a longer sequence(); a Sakoe–Chiba band is a
+WHERE |i−j| ≤ r guard on the same fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_parquet_table
+from . import query
+
+_INF = 1099511627776  # 2^40 — DP boundary; real path costs are ≪ 2^40
+_SQL_DAY = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)"
+
+_DTW_EXPR = f"""
+element_at(
+  aggregate(
+    sequence(1, 24),
+    concat(array(CAST(0 AS BIGINT)),
+           array_repeat(CAST({_INF} AS BIGINT), 24)),
+    (p, i) -> aggregate(
+        sequence(1, 24),
+        array(CAST({_INF} AS BIGINT)),
+        (acc, j) -> concat(acc, array(
+            abs(element_at(x, i) - element_at(y, j))
+            + least(element_at(p, j), element_at(p, j + 1),
+                    element_at(acc, -1))
+        ))
+    )
+  ),
+  25)
+"""
+
+
+def _dtw_oracle() -> str:
+    header = f"""
+    WITH days AS (SELECT DISTINCT {_SQL_DAY} AS day FROM events),
+    hours AS (SELECT UNNEST(range(1, 25)) AS j),
+    cnt AS (
+        SELECT {_SQL_DAY} AS day, CAST(hour(ts) AS BIGINT) + 1 AS j,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, h.j, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+        FROM days d CROSS JOIN hours h
+        LEFT JOIN cnt c ON c.day = d.day AND c.j = h.j
+    ),
+    cells AS (
+        SELECT a.day, a.j AS i, b.j AS j, abs(a.x - b.y) AS c
+        FROM grid a JOIN grid b USING (day)
+    ),
+    d0 AS (
+        SELECT day, 0 AS j, CAST(0 AS BIGINT) AS d FROM days
+        UNION ALL
+        SELECT day, j, CAST({_INF} AS BIGINT) FROM grid
+    )"""
+    iters = []
+    for i in range(1, 25):
+        iters.append(f""",
+    a{i} AS (
+        SELECT q.day, q.j,
+               SUM(c.c) OVER (PARTITION BY q.day ORDER BY q.j
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               least(q.d, q.pd) + c.c AS a
+        FROM (SELECT day, j, d,
+                     lag(d) OVER (PARTITION BY day ORDER BY j) AS pd
+              FROM d{i - 1}) q
+        JOIN cells c ON c.day = q.day AND c.i = {i} AND c.j = q.j
+    ),
+    d{i} AS (
+        SELECT day, j,
+               cum + MIN(a - cum) OVER (PARTITION BY day ORDER BY j
+                            ROWS UNBOUNDED PRECEDING) AS d
+        FROM a{i}
+        UNION ALL SELECT day, 0, CAST({_INF} AS BIGINT) FROM days
+    )""")
+    footer = """
+    SELECT CAST(day AS BIGINT) AS day, CAST(d AS BIGINT) AS dtw
+    FROM d24 WHERE j = 24
+    ORDER BY day
+    """
+    return header + "".join(iters) + footer
+
+
+# ---------------------------------------------------------------------------
+@query("dtw_click_purchase_daily", oracle=_dtw_oracle())
+def dtw_click_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    cnt = ev.groupBy(
+        day.alias("day"), (F.hour("ts").cast("bigint") + 1).alias("j")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    arrs = cnt.groupBy("day").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("j"), F.col("x")))
+        ).alias("mx"),
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("j"), F.col("y")))
+        ).alias("my"),
+    ).select(
+        "day",
+        F.expr(
+            "transform(sequence(1, 24), "
+            "j -> coalesce(element_at(mx, CAST(j AS BIGINT)), "
+            "CAST(0 AS BIGINT)))"
+        ).alias("x"),
+        F.expr(
+            "transform(sequence(1, 24), "
+            "j -> coalesce(element_at(my, CAST(j AS BIGINT)), "
+            "CAST(0 AS BIGINT)))"
+        ).alias("y"),
+    )
+    return arrs.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.expr(_DTW_EXPR).cast("bigint").alias("dtw"),
+    ).orderBy("day")

@@ -162,3 +162,45 @@ def test_isotonic_minimax_equals_pava(data):
         assert a == pytest.approx(b, abs=1e-9)
     # monotone non-decreasing
     assert all(a <= b + 1e-12 for a, b in zip(mm, mm[1:]))
+
+
+def test_dtw_fold_matches_brute_dp(spark):
+    """The nested-aggregate DTW expression equals the textbook O(n²)
+    DP on random integer profiles (plans/seqops.py)."""
+    import random
+
+    from lakehouse_poc_spark.plans.seqops import _DTW_EXPR
+
+    rng = random.Random(87)
+    rows = [
+        (
+            i,
+            [rng.randrange(0, 50) for _ in range(24)],
+            [rng.randrange(0, 50) for _ in range(24)],
+        )
+        for i in range(20)
+    ]
+
+    def brute(x, y):
+        inf = float("inf")
+        d = [[inf] * 25 for _ in range(25)]
+        d[0][0] = 0
+        for i in range(1, 25):
+            for j in range(1, 25):
+                c = abs(x[i - 1] - y[j - 1])
+                d[i][j] = c + min(d[i - 1][j], d[i][j - 1], d[i - 1][j - 1])
+        return d[24][24]
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "id int, x array<bigint>, y array<bigint>"
+    )
+    got = {
+        r["id"]: r["dtw"]
+        for r in df.select(
+            "id", F.expr(_DTW_EXPR).cast("bigint").alias("dtw")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == brute(x, y), f"row {i}"

@@ -589,3 +589,35 @@ def test_modularity_by_brand_matches_pandas(spark):
     assert out["n_edges"] == m
     assert out["n_communities"] == len(d_c)
     assert out["modularity"] == pytest.approx(q, rel=1e-9)
+
+
+def test_ppr_seed_concentrates_mass_and_paths_agree(spark):
+    import pytest
+
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1), ("c", "a", 2), ("b", "a", 1)],
+        "src string, dst string, w int",
+    )
+    fast = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int(e, weight="w", iterations=6, seed="a").collect()
+    }
+    dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int(
+            e, weight="w", iterations=6, seed="a", driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist  # driver fast path ≡ distributed loop, bit-exact
+    # seed holds the most mass; a node only reachable via others holds less
+    assert fast["a"] > fast["b"] > 0
+    # personalization actually changes the ranking vs uniform teleport
+    uni = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_int(e, weight="w", iterations=6).collect()
+    }
+    assert uni != fast
+    with pytest.raises(ValueError, match="seed"):
+        pagerank_int(e, weight="w", seed="zz").collect()
+    with pytest.raises(ValueError, match="seed"):
+        pagerank_int(e, weight="w", seed="zz", driver_threshold=0).collect()
