@@ -56,6 +56,7 @@ def _load_all() -> None:
         geoops,
         graphops,
         mlops,
+        mlops2,
         multimodal,
         pipelineops,
         searchops,
