@@ -163,3 +163,61 @@ def file_overlap_depth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_overlap_depth"
         ),
     ).orderBy("fid")
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE → VACUUM lifecycle: compaction leaves the fragmented
+# originals on disk for time travel; VACUUM(force, retention=0)
+# deletes exactly those unreferenced files, the live read is
+# untouched, and time travel below the vacuum horizon fails loudly
+# (asserted in-query via read_delta on the pre-OPTIMIZE version).
+# The mechanics (retention check, dry run, restore guard) are
+# unit-tested in tests/test_deltalog.py::test_vacuum_*.
+@query(
+    "delta_vacuum_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def delta_vacuum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogError, DeltaLogWriter, read_delta
+
+    o = _t(spark, sf_dir, "orders")
+    root = SCRATCH / f"dlvac_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    table = root / "orders_lifecycle"
+    w = DeltaLogWriter(spark, table)
+    v0 = w.create(o.repartition(6))
+    res = w.optimize()
+    if res["version"] <= v0:
+        raise AssertionError(f"OPTIMIZE did not commit: {res}")
+    dry = w.vacuum(retention_ms=0, force=True, dry_run=True)
+    vac = w.vacuum(retention_ms=0, force=True)
+    if not (vac["files_removed"] == dry["files_removed"] == 6):
+        raise AssertionError(f"VACUUM removed {vac} (dry {dry}), wanted 6")
+    traveled = True
+    try:  # time travel below the vacuum horizon must fail loudly
+        read_delta(spark, table, version=v0).count()
+    except DeltaLogError:
+        traveled = False
+    except Exception:
+        traveled = False  # Spark scan error on the missing file: also loud
+    if traveled:
+        raise AssertionError("time travel to vacuumed version succeeded")
+    return (
+        read_delta(spark, table)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("status")
+    )

@@ -1047,6 +1047,48 @@ class DeltaLogWriter:
             "bins_rewritten": bins_rewritten,
         }
 
+    def vacuum(
+        self,
+        retention_ms: int = 7 * 24 * 3600 * 1000,
+        force: bool = False,
+        dry_run: bool = False,
+    ) -> dict:
+        """VACUUM — physically delete data files that are NOT in the
+        current snapshot and whose modification time is older than
+        ``retention_ms`` (Delta VACUUM semantics: the log keeps the
+        remove actions, only the bytes go away; time travel below the
+        vacuum horizon fails from then on — restore() already
+        fail-fasts on vacuumed files). A retention under the 7-day
+        default requires ``force=True``, mirroring Delta's
+        ``retentionDurationCheck`` guard: short retentions can race
+        in-flight writers whose staged files were just renamed in.
+        ``dry_run`` lists the candidates without deleting.
+
+        Returns {'files_removed', 'files_live', 'removed'}.
+        """
+        if retention_ms < 7 * 24 * 3600 * 1000 and not force:
+            raise DeltaLogError(
+                f"retention {retention_ms} ms is below the 7-day "
+                "default; pass force=True to override (Delta's "
+                "retentionDurationCheck)"
+            )
+        state = _replay(self.path, None)
+        live = set(state["files"])
+        now = time.time() * 1000
+        removed: list[str] = []
+        for f in sorted(self.path.glob("*.parquet")):
+            if f.name in live or f.name.startswith("."):
+                continue
+            if now - f.stat().st_mtime * 1000 >= retention_ms:
+                removed.append(f.name)
+                if not dry_run:
+                    f.unlink()
+        return {
+            "files_removed": len(removed),
+            "files_live": len(live),
+            "removed": removed,
+        }
+
     # -- column mapping, name mode (spec: reader 2 / writer 5) ----------
 
     def _mapping(self) -> dict[str, str] | None:

@@ -844,3 +844,42 @@ def test_optimize_respects_target_size(spark, tmp_path):
     res = w.optimize(target_file_bytes=target)
     assert 1 < res["files_after"] < 10
     assert read_delta(spark, p).count() == 1000
+
+
+# -- VACUUM ------------------------------------------------------------------
+
+
+def test_vacuum_removes_only_unreferenced_expired_files(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(0, 100).repartition(4))
+    res = w.optimize()
+    assert res["files_before"] == 4
+    # fresh files survive the default retention
+    assert w.vacuum()["files_removed"] == 0
+    # dry run lists but keeps
+    dry = w.vacuum(retention_ms=0, force=True, dry_run=True)
+    assert dry["files_removed"] == 4
+    assert read_delta(spark, p, 0).count() == 100  # still travelable
+    # real vacuum deletes exactly the compacted-away originals
+    vac = w.vacuum(retention_ms=0, force=True)
+    assert vac["files_removed"] == 4 and sorted(vac["removed"]) == sorted(
+        dry["removed"]
+    )
+    assert read_delta(spark, p).count() == 100  # live read untouched
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_delta(spark, p, 0).count()  # horizon crossed -> loud fail
+    with _pytest.raises(DeltaLogError, match="vacuumed"):
+        w.restore(0)  # restore guard sees the missing bytes
+
+
+def test_vacuum_retention_check_requires_force(spark, tmp_path):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(spark.range(0, 10).coalesce(1))
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaLogError, match="retention"):
+        w.vacuum(retention_ms=0)
