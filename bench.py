@@ -382,6 +382,23 @@ HEADLINE = [
     "nelson_aalen_events",
     "blocking_pr_eval_parts",
     "jackknife_variance_events",
+    "betweenness_event_types",
+    "ppr_purchase_event_types",
+    "dtw_click_purchase_daily",
+    "kmeans_1d_acctbal",
+    "ridge_two_feature_events",
+    "knn_shapley_embeddings",
+    "logrank_test_events",
+    "delta_optimize_orders",
+    "delta_vacuum_orders",
+    "pacf_hourly_events",
+    "bollinger_breach_events",
+    "mcc_click_purchase",
+    "avg_precision_docs",
+    "page_hinkley_events",
+    "qini_uplift_events",
+    "croston_demand_events",
+    "eccentricity_event_types",
 ]
 
 

@@ -66,6 +66,7 @@ def _load_all() -> None:
         statops,
         statops2,
         statops3,
+        statops4,
         streamops,
         textops,
         tpch,

@@ -1,0 +1,835 @@
+"""Fourth exact-stats wave (r8): PACF via Durbin–Levinson, Bollinger
+band breaches, Matthews correlation, average precision, Page–Hinkley
+drift, Qini uplift, Croston intermittent-demand forecast, and graph
+eccentricity (SURVEY §7 extension scope — the reference has no stats
+surface; reference parity is the data contract only, e.g.
+``notebooks/pipeline_core.py`` table shapes).
+
+Determinism (repo conventions, plans/__init__.py):
+- PACF reduces to BIGINT/DECIMAL autocovariance sums on the centered
+  integer series d_t = n·c_t − S (always integral), then applies the
+  Durbin–Levinson recursion as ONE mirrored scalar expression tree —
+  divisions of bit-identical doubles are bit-identical.
+- Bollinger keeps the moving-window sums in DECIMAL(38,0) over the
+  integer domain w = round(100·value) (2-decimal fixture values), so
+  the sliding-window aggregation ORDER cannot matter (decimal
+  addition is exact); the band compare happens on doubles derived
+  identically on both sides, and the averaged bandwidth goes through
+  the standard DECIMAL(30,6) rounding cast before summation.
+- MCC / average precision / Qini are pure integer-count cumulatives;
+  the only doubles are final mirrored ratios. AP's Σ precision@k and
+  Page–Hinkley's cumulative U_t nano-round each term to a BIGINT
+  BEFORE summation (the nelson_aalen discipline) — cumulative DOUBLE
+  window sums are NOT sequentially associative in DuckDB (measured
+  here: segment-tree combine differs in the last bits), so ordered
+  float windows are not a determinism primitive; order-free integer
+  sums are.
+- Croston is two EWMA left-folds (demand sizes, inter-demand
+  intervals) with the exact ``list_reduce`` seeding contract that
+  ewma_event_values pinned: fold order is part of the operator.
+
+100 TB shapes: every events-sized pass is a partial-combined groupBy
+(hour, user, or user×day domain); windows run on BOUNDED aggregated
+domains only (hours < 100k rows, 150–150k users) — the single
+unpartitioned windows here are on the hourly/doc/user aggregates,
+never the raw fact table. Croston's per-user arrays are bounded
+per-key histories (the EWMA contract). Eccentricity runs on the
+event-type graph: a handful of nodes, evidence-sized edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_parquet_table
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+def _hour_idx() -> F.Column:
+    return F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+
+
+_SQL_HOUR = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)"
+_SQL_DAY = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation of the hourly event-count series at lags
+# 1..3 via the Durbin–Levinson recursion (Durbin 1960, public) on the
+# biased autocovariance estimator with the GLOBAL mean — the proper
+# PACF companion to acf_hourly_events' per-lag Pearson. Centered
+# integer trick: d_t = n·c_t − S is integral, and
+# γ_ℓ ∝ Σ d_t·d_{t−ℓ} (DECIMAL(38,0), exact, order-free), so
+# r_ℓ = g_ℓ/g_0 is one division of exact integers. The recursion
+#   φ11 = r1
+#   φ22 = (r2 − r1²)/(1 − r1²);  φ21 = r1 − φ22·r1
+#   φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2)
+# is mirrored verbatim. Lag pairs follow acf_hourly's contract:
+# consecutive ROWS of the hour-ordered aggregate (gap hours absent on
+# both sides identically).
+_PACF_SQL = f"""
+    WITH hourly AS (
+        SELECT {_SQL_HOUR} AS h, COUNT(*) AS c
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM hourly),
+    cent AS (
+        SELECT h, (SELECT n FROM tot) * c - (SELECT s FROM tot) AS d
+        FROM hourly
+    ),
+    lagged AS (
+        SELECT d,
+               lag(d, 1) OVER (ORDER BY h) AS d1,
+               lag(d, 2) OVER (ORDER BY h) AS d2,
+               lag(d, 3) OVER (ORDER BY h) AS d3
+        FROM cent
+    ),
+    g AS (
+        SELECT SUM(CAST(d AS DECIMAL(38,0)) * d)  AS g0,
+               SUM(CAST(d AS DECIMAL(38,0)) * d1) AS g1,
+               SUM(CAST(d AS DECIMAL(38,0)) * d2) AS g2,
+               SUM(CAST(d AS DECIMAL(38,0)) * d3) AS g3
+        FROM lagged
+    ),
+    r AS (
+        SELECT CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r1,
+               CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r2,
+               CAST(g3 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r3
+        FROM g
+    ),
+    p2 AS (
+        SELECT r1, r2, r3,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+        FROM r
+    ),
+    p21 AS (
+        SELECT r1, r2, r3, phi22, r1 - phi22 * r1 AS phi21 FROM p2
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_hours,
+           r1, r2, r3,
+           r1 AS pacf1,
+           phi22 AS pacf2,
+           (r3 - phi21 * r2 - phi22 * r1)
+             / (1 - phi21 * r1 - phi22 * r2) AS pacf3
+    FROM p21
+"""
+
+
+@query("pacf_hourly_events", oracle=_PACF_SQL)
+def pacf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hourly.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    cent = hourly.crossJoin(F.broadcast(tot)).select(
+        "h", "n", (F.col("n") * F.col("c") - F.col("s")).alias("d")
+    )
+    w = Window.orderBy("h")  # bounded hourly domain, never raw events
+    lagged = cent.select(
+        "n",
+        "d",
+        F.lag("d", 1).over(w).alias("d1"),
+        F.lag("d", 2).over(w).alias("d2"),
+        F.lag("d", 3).over(w).alias("d3"),
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    g = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(dd * F.col("d")).alias("g0"),
+        F.sum(dd * F.col("d1")).alias("g1"),
+        F.sum(dd * F.col("d2")).alias("g2"),
+        F.sum(dd * F.col("d3")).alias("g3"),
+    )
+    g0 = F.col("g0").cast("double")
+    r1 = (F.col("g1").cast("double") / g0).alias("r1")
+    r2 = (F.col("g2").cast("double") / g0).alias("r2")
+    r3 = (F.col("g3").cast("double") / g0).alias("r3")
+    r = g.select(F.col("n").cast("bigint").alias("n_hours"), r1, r2, r3)
+    p2 = r.withColumn(
+        "phi22",
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1) - F.col("r1") * F.col("r1")),
+    )
+    p21 = p2.withColumn(
+        "phi21", F.col("r1") - F.col("phi22") * F.col("r1")
+    )
+    return p21.select(
+        "n_hours",
+        "r1",
+        "r2",
+        "r3",
+        F.col("r1").alias("pacf1"),
+        F.col("phi22").alias("pacf2"),
+        (
+            (
+                F.col("r3")
+                - F.col("phi21") * F.col("r2")
+                - F.col("phi22") * F.col("r1")
+            )
+            / (
+                F.lit(1)
+                - F.col("phi21") * F.col("r1")
+                - F.col("phi22") * F.col("r2")
+            )
+        ).alias("pacf3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (Bollinger 1980s, public) on the per-type hourly
+# value series: trailing 24-row mean ± 2σ (population σ, window
+# inclusive of the current row), breach = hourly total outside the
+# band. The series is the integer domain w = Σ round(100·value) per
+# (type, hour); moving sums stay DECIMAL(38,0) so sliding-window
+# aggregation order is irrelevant; σ = sqrt(24·Σw² − (Σw)²)/24 uses
+# only the IEEE-correctly-rounded sqrt. Bandwidth (4σ in VALUE units,
+# i.e. /100) is averaged via the DECIMAL(30,6) rounding cast.
+_BOLL_SQL = f"""
+    WITH hourly AS (
+        SELECT event_type, {_SQL_HOUR} AS h,
+               SUM(CAST(round(value * 100) AS DECIMAL(38,0))) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    roll AS (
+        SELECT event_type, h, w,
+               COUNT(*) OVER tw AS nw,
+               SUM(w) OVER tw AS sw,
+               SUM(w * w) OVER tw AS sq
+        FROM hourly
+        WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ),
+    banded AS (
+        SELECT event_type,
+               CAST(w AS DOUBLE) AS wd,
+               CAST(sw AS DOUBLE) / 24 AS mu,
+               sqrt(CAST(24 * sq - sw * sw AS DOUBLE)) / 24 AS sd
+        FROM roll WHERE nw = 24
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_banded,
+           CAST(SUM(CASE WHEN wd > mu + 2 * sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS breaches_up,
+           CAST(SUM(CASE WHEN wd < mu - 2 * sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS breaches_down,
+           CAST(SUM(CAST(4 * sd / 100 AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*) AS mean_bandwidth
+    FROM banded
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("bollinger_breach_events", oracle=_BOLL_SQL)
+def bollinger_breach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", _hour_idx().alias("h")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias("w")
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-23, 0)
+    )
+    roll = hourly.select(
+        "event_type",
+        "h",
+        "w",
+        F.count(F.lit(1)).over(tw).alias("nw"),
+        F.sum("w").over(tw).alias("sw"),
+        F.sum(F.col("w") * F.col("w")).over(tw).alias("sq"),
+    )
+    banded = roll.where(F.col("nw") == 24).select(
+        "event_type",
+        F.col("w").cast("double").alias("wd"),
+        (F.col("sw").cast("double") / 24).alias("mu"),
+        (
+            F.sqrt((24 * F.col("sq") - F.col("sw") * F.col("sw")).cast("double"))
+            / 24
+        ).alias("sd"),
+    )
+    up = F.col("wd") > F.col("mu") + 2 * F.col("sd")
+    dn = F.col("wd") < F.col("mu") - 2 * F.col("sd")
+    return (
+        banded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_banded"),
+            F.sum(F.when(up, 1).otherwise(0)).cast("bigint").alias("breaches_up"),
+            F.sum(F.when(dn, 1).otherwise(0)).cast("bigint").alias("breaches_down"),
+            (
+                F.sum((4 * F.col("sd") / 100).cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_bandwidth"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient (Matthews 1975, public) of the
+# "active clicker ⇒ heavy purchaser" predictor: per user, pred =
+# clicks > median(clicks), actual = purchases > median(purchases)
+# (percentile_disc medians — exact integers picked from the data).
+# The confusion matrix is four BIGINT counts; MCC keeps the products
+# in BIGINT (fits: (n/2)² · (n/2)² < 2⁶³ for n ≤ 3M users per the
+# bounded-user fixture contract) and casts ONCE before the sqrt.
+_MCC_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purch
+        FROM events GROUP BY user_id
+    ),
+    med AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY clicks) AS mc,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY purch)  AS mp
+        FROM per_user
+    ),
+    flags AS (
+        SELECT clicks > (SELECT mc FROM med) AS pred,
+               purch  > (SELECT mp FROM med) AS act
+        FROM per_user
+    ),
+    cm AS (
+        SELECT SUM(CASE WHEN pred AND act THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN pred AND NOT act THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN NOT pred AND act THEN 1 ELSE 0 END) AS fn,
+               SUM(CASE WHEN NOT pred AND NOT act THEN 1 ELSE 0 END) AS tn
+        FROM flags
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
+           CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                    * CAST((tn + fp) * (tn + fn) AS DOUBLE)) AS mcc
+    FROM cm
+"""
+
+
+@query("mcc_click_purchase", oracle=_MCC_SQL)
+def mcc_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purch"),
+    )
+    # percentile_disc(0.5) = the ceil(n/2)-th smallest value; mirror
+    # it exactly with sort-limit-max on the bounded user aggregate.
+    n_users = per_user.count()
+    half = (n_users + 1) // 2  # percentile_disc(0.5): ceil(0.5·n)-th value
+    mc = (
+        per_user.select(F.col("clicks").alias("v"))
+        .orderBy("v")
+        .limit(half)
+        .agg(F.max("v").alias("m"))
+    )
+    mp = (
+        per_user.select(F.col("purch").alias("v"))
+        .orderBy("v")
+        .limit(half)
+        .agg(F.max("v").alias("m"))
+    )
+    flags = (
+        per_user.crossJoin(F.broadcast(mc.select(F.col("m").alias("mc"))))
+        .crossJoin(F.broadcast(mp.select(F.col("m").alias("mp"))))
+        .select(
+            (F.col("clicks") > F.col("mc")).alias("pred"),
+            (F.col("purch") > F.col("mp")).alias("act"),
+        )
+    )
+    cm = flags.agg(
+        F.sum(F.when(F.col("pred") & F.col("act"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("act"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("act"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("act"), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
+        (
+            (tp * tn - fp * fn).cast("double")
+            / F.sqrt(
+                ((tp + fp) * (tp + fn)).cast("double")
+                * ((tn + fp) * (tn + fn)).cast("double")
+            )
+        ).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (the ranked-retrieval AP, public IR textbook
+# metric) of the "longer documents are English" ranker: rank docs by
+# (n_chars DESC, doc_id) — the repo's unique-key tie-break — label =
+# lang 'en'. precision@k = cum_rel_k/k at each RELEVANT k; AP is
+# their mean. cum_rel and k are BIGINT; each precision@k is
+# nano-rounded to a BIGINT before the (order-free) sum — the
+# nelson_aalen discipline, because cumulative DOUBLE window sums are
+# NOT sequentially associative in DuckDB (measured: segment-tree
+# combine differs in the last bits). Also emits the exact-rational
+# precision@10 / recall@10.
+_AP_SQL = """
+    WITH ranked AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ),
+    cum AS (
+        SELECT rk, rel,
+               SUM(rel) OVER (ORDER BY rk
+                   ROWS UNBOUNDED PRECEDING) AS cum_rel
+        FROM ranked
+    ),
+    tot AS (
+        SELECT MAX(cum_rel) AS n_rel, MAX(rk) AS n_docs,
+               SUM(CASE WHEN rel = 1
+                        THEN CAST(round(1e9 * CAST(cum_rel AS DOUBLE) / rk)
+                                  AS BIGINT)
+                        ELSE 0 END) AS ap_nano,
+               MAX(CASE WHEN rk = 10 THEN cum_rel END) AS rel_at_10
+        FROM cum
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(ap_nano AS DOUBLE) / 1e9 / n_rel AS avg_precision,
+           CAST(rel_at_10 AS DOUBLE) / 10 AS precision_at_10,
+           CAST(rel_at_10 AS DOUBLE) / n_rel AS recall_at_10
+    FROM tot
+"""
+
+
+@query("avg_precision_docs", oracle=_AP_SQL)
+def avg_precision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ranked = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk"),
+    )
+    wcum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "rk",
+        "rel",
+        F.sum("rel").over(wcum).alias("cum_rel"),
+    )
+    tot = cum.agg(
+        F.max("cum_rel").alias("n_rel"),
+        F.max("rk").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(
+                    F.lit(1e9)
+                    * F.col("cum_rel").cast("double")
+                    / F.col("rk")
+                ).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("ap_nano"),
+        F.max(F.when(F.col("rk") == 10, F.col("cum_rel"))).alias("rel_at_10"),
+    )
+    return tot.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        (
+            F.col("ap_nano").cast("double") / F.lit(1e9) / F.col("n_rel")
+        ).alias("avg_precision"),
+        (F.col("rel_at_10").cast("double") / 10).alias("precision_at_10"),
+        (F.col("rel_at_10").cast("double") / F.col("n_rel")).alias(
+            "recall_at_10"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley drift statistic (Page 1954, Hinkley 1971 — public) per
+# event type over the hourly count series: U_t = Σ_{i≤t} (c_i − m_i)
+# where m_i is the running mean P_i/i (prefix sums BIGINT-exact;
+# division the only float op), PH_t = U_t − min_{i≤t} U_i. Each term
+# is nano-rounded to a BIGINT BEFORE the cumulative window sum — so
+# U, its running min, and PH are exact integers regardless of the
+# engines' window-combine order (cumulative DOUBLE window sums are
+# not sequentially associative in DuckDB — measured). Emits the
+# final U, the max excursion PH, and the first hour where the max is
+# attained (integer equality — no float compare anywhere).
+_PH_SQL = f"""
+    WITH hourly AS (
+        SELECT event_type, {_SQL_HOUR} AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT event_type, h, c,
+               SUM(c) OVER tw AS p,
+               COUNT(*) OVER tw AS t
+        FROM hourly
+        WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    u AS (
+        SELECT event_type, h,
+               SUM(CAST(round(1e9 * (c - CAST(p AS DOUBLE) / t))
+                        AS BIGINT)) OVER tw AS u_n
+        FROM pre
+        WINDOW tw AS (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    ph AS (
+        SELECT event_type, h, u_n,
+               u_n - MIN(u_n) OVER (PARTITION BY event_type ORDER BY h
+                                    ROWS UNBOUNDED PRECEDING) AS ph_n
+        FROM u
+    ),
+    agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_hours,
+               MAX(ph_n) AS ph_max_n,
+               MAX(CASE WHEN is_last THEN u_n END) AS u_final_n
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY h DESC) = 1 AS is_last
+              FROM ph)
+        GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST(a.n_hours AS BIGINT) AS n_hours,
+           CAST(a.u_final_n AS DOUBLE) / 1e9 AS u_final,
+           CAST(a.ph_max_n AS DOUBLE) / 1e9 AS ph_max,
+           MIN(p.h) AS h_at_max
+    FROM agg a JOIN ph p
+      ON p.event_type = a.event_type AND p.ph_n = a.ph_max_n
+    GROUP BY a.event_type, a.n_hours, a.u_final_n, a.ph_max_n
+    ORDER BY a.event_type
+"""
+
+
+@query("page_hinkley_events", oracle=_PH_SQL)
+def page_hinkley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", _hour_idx().alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(tw).alias("p"),
+        F.count(F.lit(1)).over(tw).alias("t"),
+    )
+    u = pre.select(
+        "event_type",
+        "h",
+        F.sum(
+            F.round(
+                F.lit(1e9)
+                * (F.col("c") - F.col("p").cast("double") / F.col("t"))
+            ).cast("bigint")
+        )
+        .over(tw)
+        .alias("u_n"),
+    )
+    ph = u.select(
+        "event_type",
+        "h",
+        "u_n",
+        (F.col("u_n") - F.min("u_n").over(tw)).alias("ph_n"),
+    )
+    wlast = Window.partitionBy("event_type").orderBy(F.col("h").desc())
+    agg = (
+        ph.withColumn("is_last", F.row_number().over(wlast) == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("ph_n").alias("ph_max_n"),
+            F.max(F.when(F.col("is_last"), F.col("u_n"))).alias("u_final_n"),
+        )
+    )
+    return (
+        agg.join(
+            ph.select("event_type", "h", "ph_n"),
+            on=["event_type"],
+        )
+        .where(F.col("ph_n") == F.col("ph_max_n"))
+        .groupBy("event_type", "n_hours", "u_final_n", "ph_max_n")
+        .agg(F.min("h").alias("h_at_max"))
+        .select(
+            "event_type",
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            (F.col("u_final_n").cast("double") / F.lit(1e9)).alias("u_final"),
+            (F.col("ph_max_n").cast("double") / F.lit(1e9)).alias("ph_max"),
+            "h_at_max",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve at deciles (Radcliffe 2007, public): synthetic
+# treatment = user_id parity (the repo's standing A/B construction),
+# outcome = above-median purchaser, targeting score = click count
+# (rank by score DESC, user_id tie-break). At each decile boundary
+# k = i·n//10: qini(k) = Rt_k − Rc_k·Nt_k/Nc_k — cumulative BIGINTs,
+# one mirrored ratio. The population window runs on the per-user
+# aggregate (bounded), not raw events.
+_QINI_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 = 1 AS treated,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purch
+        FROM events GROUP BY user_id
+    ),
+    med AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY purch) AS mp
+        FROM per_user
+    ),
+    ranked AS (
+        SELECT treated,
+               CASE WHEN purch > (SELECT mp FROM med) THEN 1 ELSE 0 END AS y,
+               row_number() OVER (ORDER BY clicks DESC, user_id) AS rk
+        FROM per_user
+    ),
+    cum AS (
+        SELECT rk,
+               SUM(CASE WHEN treated THEN 1 ELSE 0 END) OVER tw AS nt,
+               SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) OVER tw AS nc,
+               SUM(CASE WHEN treated THEN y ELSE 0 END) OVER tw AS rt,
+               SUM(CASE WHEN NOT treated THEN y ELSE 0 END) OVER tw AS rc,
+               MAX(rk) OVER () AS n
+        FROM ranked
+        WINDOW tw AS (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(rk * 10 / n AS INT) AS decile,
+           CAST(rk AS BIGINT) AS k,
+           CAST(nt AS BIGINT) AS nt, CAST(nc AS BIGINT) AS nc,
+           CAST(rt AS BIGINT) AS rt, CAST(rc AS BIGINT) AS rc,
+           CAST(rt AS DOUBLE)
+             - CAST(rc AS DOUBLE) * nt / NULLIF(nc, 0) AS qini
+    FROM cum
+    WHERE rk * 10 % n < 10
+    ORDER BY k
+"""
+
+
+@query("qini_uplift_events", oracle=_QINI_SQL)
+def qini_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purch"),
+    ).withColumn("treated", F.col("user_id") % 2 == 1)
+    n_users = per_user.count()
+    half = (n_users + 1) // 2
+    mp = (
+        per_user.select(F.col("purch").alias("v"))
+        .orderBy("v")
+        .limit(half)
+        .agg(F.max("v").alias("mp"))
+    )
+    ranked = (
+        per_user.crossJoin(F.broadcast(mp))
+        .select(
+            "treated",
+            F.when(F.col("purch") > F.col("mp"), 1).otherwise(0).alias("y"),
+            F.row_number()
+            .over(Window.orderBy(F.col("clicks").desc(), "user_id"))
+            .alias("rk"),
+        )
+    )
+    tw = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "rk",
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).over(tw).alias("nt"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).over(tw).alias("nc"),
+        F.sum(F.when(F.col("treated"), F.col("y")).otherwise(0))
+        .over(tw)
+        .alias("rt"),
+        F.sum(F.when(~F.col("treated"), F.col("y")).otherwise(0))
+        .over(tw)
+        .alias("rc"),
+        F.lit(n_users).alias("n"),
+    )
+    return (
+        cum.where((F.col("rk") * 10 % F.col("n")) < 10)
+        .select(
+            (F.col("rk") * 10 / F.col("n")).cast("int").alias("decile"),
+            F.col("rk").cast("bigint").alias("k"),
+            F.col("nt").cast("bigint").alias("nt"),
+            F.col("nc").cast("bigint").alias("nc"),
+            F.col("rt").cast("bigint").alias("rt"),
+            F.col("rc").cast("bigint").alias("rc"),
+            (
+                F.col("rt").cast("double")
+                - F.col("rc").cast("double")
+                * F.col("nt")
+                / F.nullif(F.col("nc"), F.lit(0))
+            ).alias("qini"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method (Croston 1972, public) for intermittent demand:
+# per user, daily purchase counts form a sparse demand series; the
+# forecast is ẑ/q̂ where ẑ is an EWMA over the NONZERO demand sizes
+# and q̂ an EWMA over the inter-demand intervals (days), both updated
+# only on demand periods — i.e. two plain EWMAs over the nonzero-day
+# sequence. Both folds follow ewma_event_values' pinned contract:
+# list_reduce seeds with the first element, fold order is part of
+# the operator. α = 0.2 (λ = 0.8). Users need ≥ 2 demand days (≥ 1
+# interval). One user-day groupBy then one user groupBy — bounded
+# per-key histories.
+_CROSTON_SQL = f"""
+    WITH daily AS (
+        SELECT user_id, {_SQL_DAY} AS day, COUNT(*) AS d
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT user_id, day, d,
+               day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS ival
+        FROM daily
+    ),
+    seq AS (
+        SELECT user_id,
+               list(CAST(d AS DOUBLE) ORDER BY day) AS sizes,
+               list(CAST(ival AS DOUBLE) ORDER BY day)
+                   FILTER (WHERE ival IS NOT NULL) AS ivals
+        FROM lagged GROUP BY user_id
+        HAVING COUNT(*) >= 2
+    )
+    SELECT user_id,
+           CAST(len(sizes) AS BIGINT) AS n_demand_days,
+           list_reduce(sizes, (acc, x) -> 0.8 * acc + 0.2 * x) AS z_hat,
+           list_reduce(ivals, (acc, x) -> 0.8 * acc + 0.2 * x) AS q_hat,
+           list_reduce(sizes, (acc, x) -> 0.8 * acc + 0.2 * x)
+             / list_reduce(ivals, (acc, x) -> 0.8 * acc + 0.2 * x)
+             AS forecast_per_day
+    FROM seq
+    ORDER BY user_id
+"""
+
+
+@query("croston_demand_events", oracle=_CROSTON_SQL)
+def croston_demand_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lagged = daily.withColumn(
+        "ival",
+        F.col("day")
+        - F.lag("day").over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    seq = (
+        lagged.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "d"))).alias("evs"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("ival").isNotNull(),
+                        F.struct("day", "ival"),
+                    )
+                )
+            ).alias("ivs"),
+        )
+        .where(F.size("evs") >= 2)
+    )
+    sizes = F.transform(F.col("evs"), lambda e: e["d"].cast("double"))
+    ivals = F.transform(F.col("ivs"), lambda e: e["ival"].cast("double"))
+
+    def _fold(arr: F.Column) -> F.Column:
+        # mirror DuckDB list_reduce: seed with arr[1], fold the tail
+        return F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: F.lit(0.8) * acc + F.lit(0.2) * x,
+        )
+
+    z = _fold(sizes)
+    q = _fold(ivals)
+    return seq.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_demand_days"),
+        z.alias("z_hat"),
+        q.alias("q_hat"),
+        (z / q).alias("forecast_per_day"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Eccentricity / radius / diameter of the event-type transition graph
+# — the per-node max-shortest-path companion to
+# reachability_event_types (SAME edge construction and 5-hop cap, so
+# the two queries agree row-for-row on min_hops). Runs as the
+# identical recursive-CTE BFS on both engines (Spark 4 recursive CTE;
+# node domain is the handful of event types — evidence-sized edges,
+# never the raw fact table).
+_ECC_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    reach AS (
+        SELECT src, dst, 1 AS hops FROM edges
+        UNION ALL
+        SELECT r.src, e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.dst
+        WHERE r.hops < 5
+    ),
+    dist AS (
+        SELECT src, dst, MIN(hops) AS d
+        FROM reach WHERE src <> dst
+        GROUP BY src, dst
+    ),
+    ecc AS (
+        SELECT src AS node,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               CAST(MAX(d) AS INT) AS eccentricity
+        FROM dist GROUP BY src
+    )
+    SELECT node, n_reached, eccentricity,
+           eccentricity = (SELECT MIN(eccentricity) FROM ecc) AS is_center,
+           eccentricity = (SELECT MAX(eccentricity) FROM ecc) AS on_periphery
+    FROM ecc
+    ORDER BY node
+"""
+
+
+@query("eccentricity_event_types", oracle=_ECC_SQL)
+def eccentricity_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ECC_SQL)

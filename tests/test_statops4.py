@@ -1,0 +1,263 @@
+"""Parity tests for the fourth exact-stats wave (statops4): PACF,
+Bollinger breaches, MCC, average precision, Page–Hinkley, Qini,
+Croston, and event-type eccentricity — each against an independent
+pandas/numpy reimplementation at sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lakehouse_poc_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round_away(x: float, scale: float = 1.0) -> float:
+    """Round half-away-from-zero (Spark/DuckDB semantics; Python's
+    round() and np.rint are half-to-even)."""
+    v = x * scale
+    return float(np.sign(v) * np.floor(np.abs(v) + 0.5)) / scale
+
+
+def _events() -> pd.DataFrame:
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["h"] = (ev["ts"].astype("int64") // 10**6) // 3600
+    ev["day"] = (ev["ts"].astype("int64") // 10**6) // 86400
+    return ev
+
+
+def test_pacf_durbin_levinson(spark):
+    out = plans.QUERIES["pacf_hourly_events"](spark, SF).toPandas()
+    ev = _events()
+    c = ev.groupby("h").size().sort_index().to_numpy(dtype=np.int64)
+    n, s = len(c), c.sum()
+    d = n * c - s
+    g0 = float(np.dot(d, d))
+    r = [float(np.dot(d[lag:], d[:-lag])) / g0 for lag in (1, 2, 3)]
+    r1, r2, r3 = r
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    row = out.iloc[0]
+    assert row["n_hours"] == n
+    assert row["pacf1"] == pytest.approx(r1, rel=1e-12)
+    assert row["pacf2"] == pytest.approx(phi22, rel=1e-12)
+    assert row["pacf3"] == pytest.approx(pacf3, rel=1e-12)
+    # PACF lag 1 must equal ACF lag 1 by construction
+    assert row["pacf1"] == row["r1"]
+
+
+def test_bollinger_breaches(spark):
+    out = (
+        plans.QUERIES["bollinger_breach_events"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events()
+    ev["w"] = (ev["value"] * 100).round().astype(np.int64)
+    for etype, grp in ev.groupby("event_type"):
+        w = grp.groupby("h")["w"].sum().sort_index().to_numpy(np.int64)
+        up = dn = banded = 0
+        bw_sum = 0.0
+        for i in range(23, len(w)):
+            win = w[i - 23 : i + 1]
+            sw, sq = int(win.sum()), int((win * win).sum())
+            mu = sw / 24
+            sd = np.sqrt(24 * sq - sw * sw) / 24
+            banded += 1
+            if w[i] > mu + 2 * sd:
+                up += 1
+            if w[i] < mu - 2 * sd:
+                dn += 1
+            bw_sum += _round_away(4 * sd / 100, 1e6)
+        row = out.loc[etype]
+        assert row["n_banded"] == banded
+        assert row["breaches_up"] == up
+        assert row["breaches_down"] == dn
+        assert row["mean_bandwidth"] == pytest.approx(
+            bw_sum / banded, rel=1e-9
+        )
+
+
+def _median_disc(vals: pd.Series) -> int:
+    v = np.sort(vals.to_numpy())
+    return int(v[(len(v) + 1) // 2 - 1])
+
+
+def test_mcc_confusion(spark):
+    out = plans.QUERIES["mcc_click_purchase"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    pu = ev.pivot_table(
+        index="user_id", columns="event_type", aggfunc="size", fill_value=0
+    )
+    clicks, purch = pu.get("click", 0), pu.get("purchase", 0)
+    mc, mp = _median_disc(clicks), _median_disc(purch)
+    pred, act = clicks > mc, purch > mp
+    tp = int((pred & act).sum())
+    fp = int((pred & ~act).sum())
+    fn = int((~pred & act).sum())
+    tn = int((~pred & ~act).sum())
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / np.sqrt(
+        float((tp + fp) * (tp + fn)) * float((tn + fp) * (tn + fn))
+    )
+    assert out["mcc"] == pytest.approx(mcc, rel=1e-12)
+
+
+def test_average_precision(spark):
+    out = plans.QUERIES["avg_precision_docs"](spark, SF).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    rel = (docs["lang"] == "en").to_numpy()
+    cum = np.cumsum(rel)
+    ks = np.nonzero(rel)[0] + 1
+    ap = sum(_round_away(cum[k - 1] / k, 1e9) * 1e9 for k in ks) / 1e9 / rel.sum()
+    assert out["n_docs"] == len(docs)
+    assert out["n_rel"] == rel.sum()
+    assert out["avg_precision"] == pytest.approx(ap, rel=1e-12)
+    assert out["precision_at_10"] == cum[9] / 10
+
+
+def test_page_hinkley(spark):
+    out = (
+        plans.QUERIES["page_hinkley_events"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = _events()
+    for etype, grp in ev.groupby("event_type"):
+        c = grp.groupby("h").size().sort_index()
+        p = c.cumsum().to_numpy(np.int64)
+        t = np.arange(1, len(c) + 1)
+        raw = 1e9 * (c.to_numpy() - p / t)
+        terms = (np.sign(raw) * np.floor(np.abs(raw) + 0.5)).astype(np.int64)
+        u = np.cumsum(terms)
+        ph = u - np.minimum.accumulate(u)
+        row = out.loc[etype]
+        assert row["n_hours"] == len(c)
+        assert row["u_final"] == pytest.approx(u[-1] / 1e9, rel=1e-12)
+        assert row["ph_max"] == pytest.approx(ph.max() / 1e9, rel=1e-12)
+        assert row["h_at_max"] == c.index.to_numpy()[int(np.argmax(ph))]
+
+
+def test_qini_deciles(spark):
+    out = plans.QUERIES["qini_uplift_events"](spark, SF).toPandas()
+    ev = _events()
+    pu = ev.pivot_table(
+        index="user_id", columns="event_type", aggfunc="size", fill_value=0
+    )
+    df = pd.DataFrame(
+        {
+            "clicks": pu.get("click", 0),
+            "purch": pu.get("purchase", 0),
+        }
+    ).reset_index()
+    mp = _median_disc(df["purch"])
+    df["treated"] = df["user_id"] % 2 == 1
+    df["y"] = (df["purch"] > mp).astype(int)
+    df = df.sort_values(
+        ["clicks", "user_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    n = len(df)
+    assert len(out) == 10  # one row per decile boundary
+    for _, row in out.iterrows():
+        k = int(row["k"])
+        top = df.iloc[:k]
+        nt = int(top["treated"].sum())
+        nc = k - nt
+        rt = int(top.loc[top["treated"], "y"].sum())
+        rc = int(top.loc[~top["treated"], "y"].sum())
+        assert (row["nt"], row["nc"], row["rt"], row["rc"]) == (
+            nt,
+            nc,
+            rt,
+            rc,
+        )
+        if nc:
+            assert row["qini"] == pytest.approx(
+                rt - rc * nt / nc, rel=1e-12
+            )
+
+
+def test_croston_folds(spark):
+    out = (
+        plans.QUERIES["croston_demand_events"](spark, SF)
+        .toPandas()
+        .set_index("user_id")
+    )
+    ev = _events()
+    purch = ev[ev["event_type"] == "purchase"]
+    daily = (
+        purch.groupby(["user_id", "day"]).size().rename("d").reset_index()
+    )
+
+    def fold(xs):
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = 0.8 * acc + 0.2 * x
+        return acc
+
+    n_checked = 0
+    for uid, grp in daily.groupby("user_id"):
+        grp = grp.sort_values("day")
+        if len(grp) < 2:
+            assert uid not in out.index
+            continue
+        sizes = grp["d"].astype(float).tolist()
+        days = grp["day"].to_numpy()
+        ivals = (days[1:] - days[:-1]).astype(float).tolist()
+        row = out.loc[uid]
+        assert row["n_demand_days"] == len(grp)
+        assert row["z_hat"] == pytest.approx(fold(sizes), rel=1e-12)
+        assert row["q_hat"] == pytest.approx(fold(ivals), rel=1e-12)
+        assert row["forecast_per_day"] == pytest.approx(
+            fold(sizes) / fold(ivals), rel=1e-12
+        )
+        n_checked += 1
+    assert n_checked == len(out)
+
+
+def test_eccentricity_bfs(spark):
+    out = (
+        plans.QUERIES["eccentricity_event_types"](spark, SF)
+        .toPandas()
+        .set_index("node")
+    )
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    edges = set()
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types, types[1:]):
+            if a != b:
+                edges.add((a, b))
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    eccs = {}
+    for src in adj:
+        dist = {src: 0}
+        frontier = [src]
+        for hops in range(1, 6):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):  # noqa: B905
+                    if v not in dist:
+                        dist[v] = hops
+                        nxt.append(v)
+            frontier = nxt
+        del dist[src]
+        if dist:
+            eccs[src] = (len(dist), max(dist.values()))
+    assert set(out.index) == set(eccs)
+    rmin = min(e for _, e in eccs.values())
+    rmax = max(e for _, e in eccs.values())
+    for node, (n_reached, ecc) in eccs.items():
+        row = out.loc[node]
+        assert row["n_reached"] == n_reached
+        assert row["eccentricity"] == ecc
+        assert row["is_center"] == (ecc == rmin)
+        assert row["on_periphery"] == (ecc == rmax)
