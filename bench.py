@@ -399,6 +399,8 @@ HEADLINE = [
     "qini_uplift_events",
     "croston_demand_events",
     "eccentricity_event_types",
+    "delta_concurrent_appends_orders",
+    "delta_shallow_clone_orders",
 ]
 
 

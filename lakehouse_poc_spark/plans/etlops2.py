@@ -221,3 +221,141 @@ def delta_vacuum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency on the Delta log, end-to-end inside the
+# correctness gate (sources/deltalog.py::DeltaLogWriter.append —
+# delta-io PROTOCOL.md WriteSerializable conflict rules, public): a
+# blind append that LOSES the commit race to another blind append
+# must retry and land at the next version (AddFile-only transactions
+# commute); the final table carries BOTH writers' rows exactly once.
+# The race is deterministic: writer 1's commit hook lets writer 2 win
+# the contested version first. Conflict-ABORT paths (racing
+# overwrite/metadata) are pinned in tests/test_deltalog.py.
+@query(
+    "delta_concurrent_appends_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue,
+           CAST(2 AS BIGINT) AS final_version
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def delta_concurrent_appends_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import types
+
+    from ..sources.deltalog import DeltaLogWriter, current_version, read_delta
+
+    o = _t(spark, sf_dir, "orders")
+    root = SCRATCH / f"dlrace_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    table = root / "orders_raced"
+    w1 = DeltaLogWriter(spark, table)
+    w1.create(o.filter(F.col("o_orderkey") % 2 == 0))  # v0: evens
+    odd_lo = o.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 4 == 1)
+    )
+    odd_hi = o.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 4 == 3)
+    )
+    orig_commit = DeltaLogWriter._commit
+    raced: list[bool] = []
+
+    def racing_commit(self, actions, op, version=None):
+        if not raced and op == "WRITE":
+            raced.append(True)
+            DeltaLogWriter(spark, table).append(odd_lo)  # wins the race
+        return orig_commit(self, actions, op, version)
+
+    w1._commit = types.MethodType(racing_commit, w1)  # instance-only
+    v = w1.append(odd_hi)  # loses v1, must retry and land at v2
+    if not (raced and v == 2 and current_version(table) == 2):
+        raise AssertionError(
+            f"append retry did not land at v2: raced={raced} v={v}"
+        )
+    return (
+        read_delta(spark, table)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.lit(2).cast("bigint").alias("final_version"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE lifecycle (DeltaLogWriter.clone_shallow — the Delta
+# CLONE command, public semantics): clone the 2-commit source, verify
+# the clone is ZERO-COPY (its add actions reference the source's
+# files by absolute path; no data bytes under the clone), then
+# diverge the clone with an extra append and prove the source is
+# untouched. Hashed contract per order status: source rows, clone
+# rows at clone time (== source), clone rows after divergence
+# (source + the re-appended even keys). The vacuum caveat (source
+# vacuum can break clones; clone vacuum cannot touch source bytes)
+# is pinned in tests/test_deltalog.py.
+@query(
+    "delta_shallow_clone_orders",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM orders GROUP BY 1
+    ),
+    extra AS (
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_extra
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    )
+    SELECT s.status,
+           s.n_src,
+           s.n_src AS n_clone_v0,
+           s.n_src + COALESCE(e.n_extra, 0) AS n_clone_now
+    FROM src s LEFT JOIN extra e USING (status)
+    ORDER BY s.status
+    """,
+)
+def delta_shallow_clone_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    o = _t(spark, sf_dir, "orders")
+    root = SCRATCH / f"dlclone_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    src_path = root / "orders_src"
+    clone_path = root / "orders_clone"
+    ws = DeltaLogWriter(spark, src_path)
+    ws.create(o.filter(F.col("o_orderkey") % 2 == 0))  # v0
+    ws.append(o.filter(F.col("o_orderkey") % 2 == 1))  # v1
+    wc = DeltaLogWriter(spark, clone_path)
+    wc.clone_shallow(src_path)
+    if list(clone_path.glob("*.parquet")):
+        raise AssertionError("shallow clone copied data bytes")
+    n_src_before = read_delta(spark, src_path).count()
+    clone_v0 = read_delta(spark, clone_path, version=0).groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_clone_v0"))
+    wc.append(o.filter(F.col("o_orderkey") % 2 == 0))  # diverge clone
+    if read_delta(spark, src_path).count() != n_src_before:
+        raise AssertionError("clone divergence mutated the source")
+    src_agg = read_delta(spark, src_path).groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_src"))
+    clone_now = read_delta(spark, clone_path).groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_clone_now"))
+    return (
+        src_agg.join(clone_v0, "status")
+        .join(clone_now, "status")
+        .select("status", "n_src", "n_clone_v0", "n_clone_now")
+        .orderBy("status")
+    )

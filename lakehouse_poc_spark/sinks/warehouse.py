@@ -2785,6 +2785,12 @@ class DeltaLogWarehouse(Warehouse):
         self.overwrite_from_plan(old, table)
         return self.version(table)
 
+    def clone_shallow(self, src_table: str, dst_table: str) -> int:
+        """Zero-copy SHALLOW CLONE of ``src_table``'s current snapshot
+        into ``dst_table`` (Delta CLONE: absolute-path add actions —
+        see DeltaLogWriter.clone_shallow for the vacuum contract)."""
+        return self._writer(dst_table).clone_shallow(self.path(src_table))
+
     def drop(self, table: str) -> None:
         p = self.path(table)
         if p.exists():

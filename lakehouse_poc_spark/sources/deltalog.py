@@ -839,14 +839,57 @@ class DeltaLogWriter:
             )
         return self._commit(self._stage_partitioned(df, spec), "WRITE")
 
-    def append(self, df: DataFrame) -> int:
+    def _conflicting_kind(self, from_v: int) -> str | None:
+        """Scan the commits that won versions ≥ ``from_v`` and return
+        the first action kind a blind append does NOT commute with
+        (``metaData`` / ``protocol`` / ``remove``), or None when every
+        winner is itself a blind append (add/commitInfo/txn only) —
+        the spec's WriteSerializable conflict matrix: AddFile-only
+        transactions never conflict with each other."""
+        d = _log_dir(self.path)
+        v = from_v
+        while (f := d / f"{v:020d}.json").exists():
+            for line in f.read_text().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                for kind in ("metaData", "protocol", "remove"):
+                    if kind in a:
+                        return kind
+            v += 1
+        return None
+
+    def append(self, df: DataFrame, max_retries: int = 3) -> int:
+        """Blind append with the spec's optimistic conflict
+        resolution: stage the data files ONCE, then race for the next
+        version; on losing, inspect the winners — AddFile-only
+        winners commute (retry at the new head), anything that
+        changed metadata/protocol or removed files aborts
+        (``DeltaLogError``). A final exhausted retry also aborts; the
+        staged parquet files become untracked orphans either way,
+        which VACUUM's not-in-snapshot sweep reclaims after the
+        retention window."""
         if current_version(self.path) < 0:
             return self.create(df)
         df = self._apply_generated(df)
         self._check_constraints(df)
-        return self._commit(
-            self._stage(self._to_physical(df)), "WRITE"
-        )
+        adds = self._stage(self._to_physical(df))
+        for attempt in range(max_retries + 1):
+            v_try = current_version(self.path) + 1
+            try:
+                return self._commit(adds, "WRITE", version=v_try)
+            except DeltaLogError:
+                kind = self._conflicting_kind(v_try)
+                if kind is not None:
+                    raise DeltaLogError(
+                        f"concurrent {kind} at version {v_try} "
+                        "conflicts with this append"
+                    ) from None
+                if attempt == max_retries:
+                    raise DeltaLogError(
+                        f"append lost {max_retries + 1} commit races "
+                        f"starting at version {v_try}"
+                    ) from None
 
     def append_txn(
         self, df: DataFrame, app_id: str, txn_version: int
@@ -873,9 +916,24 @@ class DeltaLogWriter:
             return None  # already applied: exactly-once replay
         df = self._apply_generated(df)
         self._check_constraints(df)
-        return self._commit(
-            self._stage(self._to_physical(df)) + [marker], "WRITE"
-        )
+        adds = self._stage(self._to_physical(df)) + [marker]
+        # same optimistic retry as append(), with one extra re-check:
+        # a winner may BE this txn (another worker of the same app) —
+        # re-consult the ledger before every retry so the replay stays
+        # exactly-once under races too
+        for attempt in range(4):
+            v_try = current_version(self.path) + 1
+            try:
+                return self._commit(adds, "WRITE", version=v_try)
+            except DeltaLogError:
+                if _replay(self.path, None)["txns"].get(app_id, -1) >= txn_version:
+                    return None  # the race winner was this very txn
+                kind = self._conflicting_kind(v_try)
+                if kind is not None or attempt == 3:
+                    raise DeltaLogError(
+                        f"concurrent {kind or 'commit'} at version "
+                        f"{v_try} conflicts with this txn append"
+                    ) from None
 
     def overwrite(self, df: DataFrame) -> int:
         """Remove every live file, add the new ones — one commit (the
@@ -899,6 +957,49 @@ class DeltaLogWriter:
             for f in state["files"]
         ]
         return self._commit(removes + self._stage(df), "WRITE")
+
+    def clone_shallow(self, src_path: str | Path) -> int:
+        """SHALLOW CLONE (the Delta CLONE command, public semantics):
+        create THIS table as a zero-copy snapshot of the source — the
+        clone's add actions reference the source's live data files by
+        ABSOLUTE path (the spec's add.path admits absolute URIs; the
+        reader's pathlib join resolves them transparently), plus a
+        fresh metaData id over the source's schema / partition spec /
+        configuration. From then on the tables diverge freely:
+        appends/overwrites on either side never touch the other.
+
+        VACUUM contract (the real Delta caveat, reproduced exactly):
+        the CLONE's vacuum only sweeps files inside the clone
+        directory, so it can never delete source bytes — but the
+        SOURCE's vacuum knows nothing about clones, and removing
+        source files that left the source snapshot WILL break clones
+        that still reference them. Same as Databricks' documented
+        shallow-clone limitation; test_deltalog pins both directions.
+        """
+        if current_version(self.path) >= 0:
+            raise DeltaLogError(f"clone target already exists: {self.path}")
+        src = Path(src_path)
+        state = _replay(src, None)
+        meta = dict(state["metaData"] or {})
+        if not meta:
+            raise DeltaLogError(f"clone source has no metaData: {src}")
+        meta["id"] = uuid.uuid4().hex
+        meta["createdTime"] = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "protocol": {
+                    "minReaderVersion": state["min_reader"],
+                    "minWriterVersion": 2,
+                }
+            },
+            {"metaData": meta},
+        ]
+        for a in state["adds"]:
+            a2 = dict(a)
+            a2["path"] = str((src / a["path"]).resolve())
+            actions.append({"add": a2})
+        self.path.mkdir(parents=True, exist_ok=True)
+        return self._commit(actions, "CLONE", version=0)
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE … TO VERSION AS OF ``version`` (the Delta

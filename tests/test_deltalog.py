@@ -883,3 +883,131 @@ def test_vacuum_retention_check_requires_force(spark, tmp_path):
 
     with _pytest.raises(DeltaLogError, match="retention"):
         w.vacuum(retention_ms=0)
+
+
+# -- optimistic concurrency: append retry / conflict abort (r8) ---------
+
+
+def test_append_retries_past_blind_append_winner(spark, tmp_path):
+    """WriteSerializable: two blind appends commute — the loser of
+    the commit race retries at the new head instead of erroring."""
+    import types
+
+    p = tmp_path / "t"
+    w1 = DeltaLogWriter(spark, p)
+    w1.create(_df(spark, [(1, "a")]))
+    orig = DeltaLogWriter._commit
+    raced = []
+
+    def racing(self, actions, op, version=None):
+        if not raced and op == "WRITE":
+            raced.append(True)
+            DeltaLogWriter(spark, p).append(_df(spark, [(2, "winner")]))
+        return orig(self, actions, op, version)
+
+    w1._commit = types.MethodType(racing, w1)
+    v = w1.append(_df(spark, [(3, "loser-retried")]))
+    assert raced and v == 2 and current_version(p) == 2
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [1, 2, 3]
+
+
+def test_append_aborts_when_winner_removed_files(spark, tmp_path):
+    """A concurrent OVERWRITE (remove actions) does NOT commute with
+    an append — the loser must abort, not retry."""
+    import types
+
+    p = tmp_path / "t"
+    w1 = DeltaLogWriter(spark, p)
+    w1.create(_df(spark, [(1, "a")]))
+    orig = DeltaLogWriter._commit
+    raced = []
+
+    def racing(self, actions, op, version=None):
+        if not raced and op == "WRITE":
+            raced.append(True)
+            DeltaLogWriter(spark, p).overwrite(_df(spark, [(9, "ow")]))
+        return orig(self, actions, op, version)
+
+    w1._commit = types.MethodType(racing, w1)
+    with pytest.raises(DeltaLogError, match="concurrent remove"):
+        w1.append(_df(spark, [(3, "c")]))
+    # the overwrite stands; the aborted append added nothing
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [9]
+
+
+def test_append_txn_race_with_same_txn_is_noop(spark, tmp_path):
+    """Exactly-once under races: when the commit-race winner carries
+    the SAME (appId, version) txn marker, the loser re-consults the
+    ledger and returns None instead of double-applying the batch."""
+    import types
+
+    p = tmp_path / "t"
+    w1 = DeltaLogWriter(spark, p)
+    w1.create(_df(spark, [(1, "a")]))
+    orig = DeltaLogWriter._commit
+    raced = []
+
+    def racing(self, actions, op, version=None):
+        if not raced and op == "WRITE":
+            raced.append(True)
+            DeltaLogWriter(spark, p).append_txn(
+                _df(spark, [(5, "batch7")]), app_id="app", txn_version=7
+            )
+        return orig(self, actions, op, version)
+
+    w1._commit = types.MethodType(racing, w1)
+    out = w1.append_txn(_df(spark, [(5, "batch7")]), app_id="app", txn_version=7)
+    assert out is None  # the race winner WAS this txn: no-op replay
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [1, 5]
+
+
+# -- shallow clone (r8) --------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_divergence_and_vacuum_contract(
+    spark, tmp_path
+):
+    src, dst = tmp_path / "src", tmp_path / "clone"
+    ws = DeltaLogWriter(spark, src)
+    ws.create(_df(spark, [(1, "a"), (2, "b")]))
+    ws.append(_df(spark, [(3, "c")]))
+    wc = DeltaLogWriter(spark, dst)
+    wc.clone_shallow(src)
+    # zero-copy: no data bytes under the clone; adds are absolute
+    assert not list(dst.glob("*.parquet"))
+    acts = [
+        json.loads(line)
+        for line in (dst / "_delta_log" / f"{0:020d}.json")
+        .read_text()
+        .splitlines()
+    ]
+    add_paths = [a["add"]["path"] for a in acts if "add" in a]
+    assert add_paths and all(path.startswith("/") for path in add_paths)
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == [1, 2, 3]
+    # divergence is one-way
+    wc.append(_df(spark, [(4, "d")]))
+    assert sorted(r.id for r in read_delta(spark, src).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == [1, 2, 3, 4]
+    # clone vacuum can never touch source bytes (sweeps clone dir only)
+    n_src_files = len(list(src.glob("*.parquet")))
+    wc.vacuum(retention_ms=0, force=True)
+    assert len(list(src.glob("*.parquet"))) == n_src_files
+    assert sorted(r.id for r in read_delta(spark, dst).collect()) == [1, 2, 3, 4]
+    # ...but the SOURCE's vacuum knows nothing about clones: once the
+    # referenced files leave the source snapshot and get vacuumed,
+    # the clone breaks — the documented Delta shallow-clone caveat
+    ws.overwrite(_df(spark, [(9, "z")]))
+    ws.vacuum(retention_ms=0, force=True)
+    with pytest.raises(Exception):
+        read_delta(spark, dst, version=0).collect()
+
+
+def test_clone_of_clone_and_existing_target_rejected(spark, tmp_path):
+    src, c1, c2 = tmp_path / "src", tmp_path / "c1", tmp_path / "c2"
+    ws = DeltaLogWriter(spark, src)
+    ws.create(_df(spark, [(1, "a")]))
+    DeltaLogWriter(spark, c1).clone_shallow(src)
+    DeltaLogWriter(spark, c2).clone_shallow(c1)  # absolute paths chain
+    assert [r.id for r in read_delta(spark, c2).collect()] == [1]
+    with pytest.raises(DeltaLogError, match="already exists"):
+        DeltaLogWriter(spark, c1).clone_shallow(src)
