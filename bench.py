@@ -401,6 +401,7 @@ HEADLINE = [
     "eccentricity_event_types",
     "delta_concurrent_appends_orders",
     "delta_shallow_clone_orders",
+    "ktruss_edges_coparts",
 ]
 
 

@@ -770,6 +770,75 @@ def k_core(
         und.unpersist()
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008, public): the maximal
+    subgraph in which every EDGE participates in at least k-2
+    triangles, computed by the textbook edge peel — per round,
+    count each surviving edge's triangle support (common neighbors
+    of its endpoints within the surviving edge set) and drop edges
+    below k-2 until a fixed point. Returns canonical (src < dst)
+    edges with their final within-truss support.
+
+    Like k_core, the peel is a MONOTONE fixed-point iteration: a
+    converged run and a ``max_rounds`` SQL unroll agree whenever the
+    fixed point lands within the bound (rounds past convergence are
+    no-ops) — which is what makes the DuckDB oracle possible.
+
+    Scale shape per round: triangle enumeration restricted to the
+    surviving edges — one node-keyed join per endpoint against the
+    symmetrized survivor relation, then an edge-keyed count. The
+    candidate space is Sum_e |N(u)| (adjacency-bounded, never
+    all-pairs); the survivor set localCheckpoints per round so plan
+    depth stays constant (the k_core/pagerank hygiene).
+    """
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    out = None
+    for _ in range(max_rounds):
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nu = sym.select(F.col("u").alias("eu"), F.col("v").alias("w"))
+        nv = sym.select(F.col("u").alias("ev"), F.col("v").alias("w2"))
+        sup = (
+            cur.join(nu, cur["u"] == nu["eu"])
+            .join(nv, (cur["v"] == nv["ev"]) & (nu["w"] == nv["w2"]))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .filter(F.col("support") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = sup.count()
+        done = n_nxt == n_cur
+        out = sup
+        cur, n_cur = sup.select("u", "v"), n_nxt
+        if done:
+            break
+    if out is None:  # max_rounds == 0: degenerate, no peel requested
+        return cur.select(
+            F.col("u").alias(src),
+            F.col("v").alias(dst),
+            F.lit(None).cast("bigint").alias("support"),
+        )
+    return out.select(
+        F.col("u").alias(src), F.col("v").alias(dst), "support"
+    )
+
+
 def sssp(
     edges: DataFrame,
     source: int,

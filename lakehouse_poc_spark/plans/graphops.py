@@ -1225,3 +1225,84 @@ def ppr_purchase_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=_ITERATIONS,
         seed="purchase",
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (Cohen 2008, public) on the co-purchase
+# graph — the EDGE-peeling companion to kcore_members_coparts: keep
+# edges with >= K-2 triangles of support within the surviving
+# subgraph. K=5 peels ~25% of edges at every test SF and reaches the
+# fixed point within 4 rounds (measured at sf0.01/sf0.1); both
+# engines run the identical 6-round bound (rounds past the fixed
+# point are no-ops — operators/graph.py::k_truss docstring). The
+# oracle unrolls the peel as a MATERIALIZED CTE chain, re-deriving
+# the symmetrized survivor relation per round.
+_KTRUSS_K = 5
+_KTRUSS_ROUNDS = 6
+
+
+def _ktruss_oracle() -> str:
+    rounds = []
+    prev, prev_sym = "e", "sym0"
+    for i in range(1, _KTRUSS_ROUNDS + 1):
+        rounds.append(f"""
+    t{i} AS MATERIALIZED (
+        SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM {prev} c
+        JOIN {prev_sym} s1 ON s1.u = c.u
+        JOIN {prev_sym} s2 ON s2.u = c.v AND s2.v = s1.v
+        GROUP BY c.u, c.v HAVING COUNT(*) >= {_KTRUSS_K - 2}
+    )""")
+        if i < _KTRUSS_ROUNDS:
+            rounds.append(f"""
+    sym{i} AS MATERIALIZED (
+        SELECT u, v FROM t{i} UNION SELECT v AS u, u AS v FROM t{i}
+    )""")
+        prev, prev_sym = f"t{i}", f"sym{i}"
+    return f"""
+    WITH li AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym0 AS MATERIALIZED (
+        SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+    ),{",".join(rounds)}
+    SELECT u AS src, v AS dst, support
+    FROM {prev} ORDER BY src, dst
+    """
+
+
+@query("ktruss_edges_coparts", oracle=_ktruss_oracle())
+def ktruss_edges_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_truss
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_parquet_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    items = (
+        li.join(
+            orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return k_truss(
+        edges, k=_KTRUSS_K, max_rounds=_KTRUSS_ROUNDS
+    ).orderBy("src", "dst")

@@ -634,3 +634,50 @@ def test_matview_refresh_equals_rebuild_any_appends(
         s[g] += v
     want = {(g, n[g], s[g]) for g in n}
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=3, max_value=5),
+)
+def test_k_truss_matches_brute_peel(spark, edges, k):
+    """k_truss == the sequential edge peel for arbitrary graphs/k."""
+    from lakehouse_poc_spark.operators.graph import k_truss
+
+    clean = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    if not clean:
+        return
+    cur = set(clean)
+    sup: dict[tuple, int] = {}
+    while True:
+        adj: dict[int, set] = {}
+        for u, v in cur:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v]) for u, v in cur
+        }
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            break
+        cur = nxt
+    expect = {e: sup[e] for e in cur}
+
+    df = spark.createDataFrame(sorted(clean), "src long, dst long")
+    got = {
+        (r.src, r.dst): r.support
+        for r in k_truss(df, k, max_rounds=40).collect()
+    }
+    assert got == expect
