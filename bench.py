@@ -402,6 +402,9 @@ HEADLINE = [
     "delta_concurrent_appends_orders",
     "delta_shallow_clone_orders",
     "ktruss_edges_coparts",
+    "anova_f_events",
+    "granger_click_purchase_hourly",
+    "fleiss_kappa_docs",
 ]
 
 

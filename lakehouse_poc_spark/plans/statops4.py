@@ -833,3 +833,308 @@ _ECC_SQL = """
 def eccentricity_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ECC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (Fisher, public) of event value by event type, with
+# eta-squared effect size. Integer domain w = round(100·value); the
+# sufficient statistics (n_g, S_g = Σw per group, global Q = Σw²)
+# are exact DECIMAL/BIGINT sums. The only order-sensitive float sum —
+# Σ_g S_g²/n_g over the handful of groups — runs as a PINNED-ORDER
+# left fold over the event_type-sorted term array (the ewma
+# list_reduce contract), so both engines add the same doubles in the
+# same order. F and eta² are scale-invariant, so no /100 conversion
+# is needed anywhere.
+_ANOVA_SQL = """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               SUM(CAST(round(value * 100) AS DECIMAL(38,0))) AS s_g,
+               SUM(CAST(round(value * 100) * round(value * 100)
+                        AS DECIMAL(38,0))) AS q_g
+        FROM events GROUP BY event_type
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS DOUBLE) AS s,
+               CAST(SUM(q_g) AS DOUBLE) AS q,
+               list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY event_type) AS tl
+        FROM g
+    ),
+    f AS (
+        SELECT k, n, s, q,
+               list_reduce(tl, (a, x) -> a + x) AS between_raw
+        FROM terms
+    )
+    SELECT n, k,
+           between_raw - s * s / n AS ss_between,
+           q - between_raw AS ss_within,
+           ((between_raw - s * s / n) / (k - 1))
+             / ((q - between_raw) / (n - k)) AS f_stat,
+           (between_raw - s * s / n)
+             / (q - s * s / n) AS eta_squared
+    FROM f
+"""
+
+
+@query("anova_f_events", oracle=_ANOVA_SQL)
+def anova_f_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w100 = F.round(F.col("value") * 100)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(w100.cast("decimal(38,0)")).alias("s_g"),
+        F.sum((w100 * w100).cast("decimal(38,0)")).alias("q_g"),
+    )
+    terms = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum("q_g").cast("double").alias("q"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "event_type",
+                    (
+                        F.col("s_g").cast("double")
+                        * F.col("s_g").cast("double")
+                        / F.col("n_g").cast("double")
+                    ).alias("t"),
+                )
+            )
+        ).alias("tl_s"),
+    )
+    tl = F.transform(F.col("tl_s"), lambda e: e["t"])
+    # mirror DuckDB list_reduce: seed with element 1, fold the tail
+    between = F.aggregate(
+        F.slice(tl, 2, F.greatest(F.size(tl) - 1, F.lit(0))),
+        F.element_at(tl, 1),
+        lambda a, x: a + x,
+    )
+    f = terms.select("k", "n", "s", "q", between.alias("between_raw"))
+    n, k, s, q, br = (F.col(c) for c in ("n", "k", "s", "q", "between_raw"))
+    return f.select(
+        "n",
+        "k",
+        (br - s * s / n).alias("ss_between"),
+        (q - br).alias("ss_within"),
+        (((br - s * s / n) / (k - 1)) / ((q - br) / (n - k))).alias("f_stat"),
+        ((br - s * s / n) / (q - s * s / n)).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality, lag 1 (Granger 1969, public): do hourly CLICK
+# counts help predict next-hour PURCHASE counts beyond purchase
+# history? Nested OLS on the hour grid (all hours with any event;
+# absent types count 0): restricted y_t ~ y_{t-1}, unrestricted
+# y_t ~ y_{t-1} + x_{t-1}. Everything reduces to centered-integer
+# moments (d = n·v − Σv is integral; DECIMAL(38,0) products), and F,
+# R², and the betas are invariant to that scaling, so the closed-form
+# Cramer solve is one mirrored double expression — no iterative fit.
+_GRANGER_SQL = f"""
+    WITH grid AS (
+        SELECT {_SQL_HOUR} AS h,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS x,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT y AS z,
+               lag(y) OVER (ORDER BY h) AS a1,
+               lag(x) OVER (ORDER BY h) AS a2
+        FROM grid
+    ),
+    rows_ AS (SELECT z, a1, a2 FROM lagged WHERE a1 IS NOT NULL),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z)  AS BIGINT) AS sz,
+               CAST(SUM(a1) AS BIGINT) AS s1,
+               CAST(SUM(a2) AS BIGINT) AS s2
+        FROM rows_
+    ),
+    c AS (
+        SELECT t.n,
+               SUM(CAST(t.n * a1 - t.s1 AS DECIMAL(38,0))
+                   * (t.n * a1 - t.s1)) AS s11,
+               SUM(CAST(t.n * a1 - t.s1 AS DECIMAL(38,0))
+                   * (t.n * a2 - t.s2)) AS s12,
+               SUM(CAST(t.n * a2 - t.s2 AS DECIMAL(38,0))
+                   * (t.n * a2 - t.s2)) AS s22,
+               SUM(CAST(t.n * a1 - t.s1 AS DECIMAL(38,0))
+                   * (t.n * z - t.sz)) AS s1z,
+               SUM(CAST(t.n * a2 - t.s2 AS DECIMAL(38,0))
+                   * (t.n * z - t.sz)) AS s2z,
+               SUM(CAST(t.n * z - t.sz AS DECIMAL(38,0))
+                   * (t.n * z - t.sz)) AS szz
+        FROM rows_ CROSS JOIN t GROUP BY t.n
+    ),
+    m AS (
+        SELECT n,
+               CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+               CAST(s22 AS DOUBLE) AS s22, CAST(s1z AS DOUBLE) AS s1z,
+               CAST(s2z AS DOUBLE) AS s2z, CAST(szz AS DOUBLE) AS szz
+        FROM c
+    ),
+    fit AS (
+        SELECT n, szz,
+               szz - s1z * s1z / s11 AS rss_r,
+               (s1z * s22 - s2z * s12) / (s11 * s22 - s12 * s12) AS b1,
+               (s2z * s11 - s1z * s12) / (s11 * s22 - s12 * s12) AS b2,
+               s1z, s2z
+        FROM m
+    )
+    SELECT n AS n_pairs,
+           b1 AS beta_y_lag,
+           b2 AS beta_x_lag,
+           rss_r,
+           szz - b1 * s1z - b2 * s2z AS rss_u,
+           (rss_r - (szz - b1 * s1z - b2 * s2z)) * (n - 3)
+             / (szz - b1 * s1z - b2 * s2z) AS f_stat
+    FROM fit
+"""
+
+
+@query("granger_click_purchase_hourly", oracle=_GRANGER_SQL)
+def granger_click_purchase_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.groupBy(_hour_idx().alias("h")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    w = Window.orderBy("h")  # bounded hourly domain
+    lagged = grid.select(
+        F.col("y").alias("z"),
+        F.lag("y").over(w).alias("a1"),
+        F.lag("x").over(w).alias("a2"),
+    ).where(F.col("a1").isNotNull())
+    t = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("a1").cast("bigint").alias("s1"),
+        F.sum("a2").cast("bigint").alias("s2"),
+    )
+    r = lagged.crossJoin(F.broadcast(t))
+    d1 = (F.col("n") * F.col("a1") - F.col("s1")).cast("decimal(38,0)")
+    d2 = (F.col("n") * F.col("a2") - F.col("s2")).cast("decimal(38,0)")
+    dz = (F.col("n") * F.col("z") - F.col("sz")).cast("decimal(38,0)")
+    c = r.groupBy("n").agg(
+        F.sum(d1 * (F.col("n") * F.col("a1") - F.col("s1"))).alias("s11"),
+        F.sum(d1 * (F.col("n") * F.col("a2") - F.col("s2"))).alias("s12"),
+        F.sum(d2 * (F.col("n") * F.col("a2") - F.col("s2"))).alias("s22"),
+        F.sum(d1 * (F.col("n") * F.col("z") - F.col("sz"))).alias("s1z"),
+        F.sum(d2 * (F.col("n") * F.col("z") - F.col("sz"))).alias("s2z"),
+        F.sum(dz * (F.col("n") * F.col("z") - F.col("sz"))).alias("szz"),
+    )
+    m = c.select(
+        "n",
+        *[
+            F.col(x).cast("double").alias(x)
+            for x in ("s11", "s12", "s22", "s1z", "s2z", "szz")
+        ],
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1z") * F.col("s22") - F.col("s2z") * F.col("s12")) / det
+    b2 = (F.col("s2z") * F.col("s11") - F.col("s1z") * F.col("s12")) / det
+    fit = m.select(
+        "n",
+        "szz",
+        "s1z",
+        "s2z",
+        (F.col("szz") - F.col("s1z") * F.col("s1z") / F.col("s11")).alias(
+            "rss_r"
+        ),
+        b1.alias("b1"),
+        b2.alias("b2"),
+    )
+    rss_u = F.col("szz") - F.col("b1") * F.col("s1z") - F.col("b2") * F.col(
+        "s2z"
+    )
+    return fit.select(
+        F.col("n").alias("n_pairs"),
+        F.col("b1").alias("beta_y_lag"),
+        F.col("b2").alias("beta_x_lag"),
+        "rss_r",
+        rss_u.alias("rss_u"),
+        ((F.col("rss_r") - rss_u) * (F.col("n") - 3) / rss_u).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (Fleiss 1971, public) — chance-corrected agreement of
+# THREE deterministic binary "raters" on each document (the quality
+# gates this engine ships as cheap heuristics): r1 = n_chars ≥ 200,
+# r2 = whitespace word count ≥ 30, r3 = lang = 'en'. Per-item
+# agreement P_i = (Σ_j n_ij² − r)/(r(r−1)) with r = 3 raters; P̄, the
+# marginal p_j, and P_e = Σ p_j² are all exact rationals from BIGINT
+# sums — one mirrored double expression at the end, no float
+# accumulation anywhere.
+_FLEISS_SQL = r"""
+    WITH rated AS (
+        SELECT doc_id,
+               (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+             + (CASE WHEN len(string_split_regex(text, '\s+')) >= 30
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos) AS BIGINT) AS tot_pos,
+               CAST(SUM(pos * pos + (3 - pos) * (3 - pos)) AS BIGINT)
+                   AS sum_sq
+        FROM rated
+    )
+    SELECT n_docs, tot_pos,
+           CAST(sum_sq - 3 * n_docs AS DOUBLE) / (n_docs * 6) AS p_bar,
+           (CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+             * (CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+           + (1 - CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+             * (1 - CAST(tot_pos AS DOUBLE) / (3 * n_docs)) AS p_e,
+           (CAST(sum_sq - 3 * n_docs AS DOUBLE) / (n_docs * 6)
+            - ((CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+               * (CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+               + (1 - CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+               * (1 - CAST(tot_pos AS DOUBLE) / (3 * n_docs))))
+           / (1 - ((CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+                   * (CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+                   + (1 - CAST(tot_pos AS DOUBLE) / (3 * n_docs))
+                   * (1 - CAST(tot_pos AS DOUBLE) / (3 * n_docs))))
+               AS fleiss_kappa
+    FROM s
+"""
+
+
+@query("fleiss_kappa_docs", oracle=_FLEISS_SQL)
+def fleiss_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pos = (
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+        + F.when(F.size(F.split(F.col("text"), r"\s+")) >= 30, 1).otherwise(0)
+        + F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    s = docs.select(pos.alias("pos")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("tot_pos"),
+        F.sum(
+            F.col("pos") * F.col("pos")
+            + (3 - F.col("pos")) * (3 - F.col("pos"))
+        )
+        .cast("bigint")
+        .alias("sum_sq"),
+    )
+    nd, tp, sq = (F.col(c) for c in ("n_docs", "tot_pos", "sum_sq"))
+    p1 = tp.cast("double") / (3 * nd)
+    p_bar = (sq - 3 * nd).cast("double") / (nd * 6)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    return s.select(
+        "n_docs",
+        "tot_pos",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (1 - p_e)).alias("fleiss_kappa"),
+    )

@@ -261,3 +261,88 @@ def test_eccentricity_bfs(spark):
         assert row["eccentricity"] == ecc
         assert row["is_center"] == (ecc == rmin)
         assert row["on_periphery"] == (ecc == rmax)
+
+
+def test_anova_f(spark):
+    out = plans.QUERIES["anova_f_events"](spark, SF).toPandas().iloc[0]
+    ev = _events()
+    ev["w"] = (ev["value"] * 100).round().astype(np.int64)
+    g = ev.groupby("event_type")["w"].agg(["count", "sum"])
+    n = int(g["count"].sum())
+    k = len(g)
+    s = float(g["sum"].sum())
+    q = float((ev["w"].astype(float) ** 2).sum())
+    # pinned-order fold over event_type-sorted terms
+    terms = [
+        float(r["sum"]) ** 2 / r["count"] for _, r in g.sort_index().iterrows()
+    ]
+    br = terms[0]
+    for t in terms[1:]:
+        br = br + t
+    ssb = br - s * s / n
+    ssw = q - br
+    assert out["n"] == n and out["k"] == k
+    assert out["ss_between"] == pytest.approx(ssb, rel=1e-12)
+    assert out["f_stat"] == pytest.approx(
+        (ssb / (k - 1)) / (ssw / (n - k)), rel=1e-12
+    )
+    assert out["eta_squared"] == pytest.approx(
+        ssb / (q - s * s / n), rel=1e-12
+    )
+
+
+def test_granger_nested_ols(spark):
+    out = (
+        plans.QUERIES["granger_click_purchase_hourly"](spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = _events()
+    grid = (
+        ev.assign(
+            is_c=(ev["event_type"] == "click").astype(int),
+            is_p=(ev["event_type"] == "purchase").astype(int),
+        )
+        .groupby("h")[["is_c", "is_p"]]
+        .sum()
+        .sort_index()
+    )
+    x = grid["is_c"].to_numpy(float)
+    y = grid["is_p"].to_numpy(float)
+    z, a1, a2 = y[1:], y[:-1], x[:-1]
+    n = len(z)
+    A = np.column_stack([np.ones(n), a1, a2])
+    beta, *_ = np.linalg.lstsq(A, z, rcond=None)
+    rss_u = float(((z - A @ beta) ** 2).sum())
+    Ar = np.column_stack([np.ones(n), a1])
+    br, *_ = np.linalg.lstsq(Ar, z, rcond=None)
+    rss_r = float(((z - Ar @ br) ** 2).sum())
+    # query moments are in the centered-integer domain: scale by n²
+    scale = float(n) ** 2
+    assert out["n_pairs"] == n
+    assert out["beta_y_lag"] == pytest.approx(beta[1], rel=1e-9)
+    assert out["beta_x_lag"] == pytest.approx(beta[2], rel=1e-9)
+    assert out["rss_u"] / scale == pytest.approx(rss_u, rel=1e-9)
+    assert out["rss_r"] / scale == pytest.approx(rss_r, rel=1e-9)
+    assert out["f_stat"] == pytest.approx(
+        (rss_r - rss_u) * (n - 3) / rss_u, rel=1e-9
+    )
+
+
+def test_fleiss_kappa(spark):
+    out = plans.QUERIES["fleiss_kappa_docs"](spark, SF).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pos = (
+        (docs["n_chars"] >= 200).astype(int)
+        + (docs["text"].str.split().str.len() >= 30).astype(int)
+        + (docs["lang"] == "en").astype(int)
+    ).to_numpy()
+    n = len(pos)
+    p_bar = float((pos * pos + (3 - pos) * (3 - pos) - 3).sum()) / (n * 6)
+    p1 = pos.sum() / (3 * n)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    assert out["n_docs"] == n
+    assert out["p_bar"] == pytest.approx(p_bar, rel=1e-12)
+    assert out["fleiss_kappa"] == pytest.approx(
+        (p_bar - p_e) / (1 - p_e), rel=1e-12
+    )
