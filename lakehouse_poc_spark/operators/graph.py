@@ -790,11 +790,14 @@ def k_truss(
     fixed point lands within the bound (rounds past convergence are
     no-ops) — which is what makes the DuckDB oracle possible.
 
-    Scale shape per round: triangle enumeration restricted to the
-    surviving edges — one node-keyed join per endpoint against the
-    symmetrized survivor relation, then an edge-keyed count. The
-    candidate space is Sum_e |N(u)| (adjacency-bounded, never
-    all-pairs); the survivor set localCheckpoints per round so plan
+    Scale shape per round: ORIENTED triangle enumeration — canonical
+    edges (u < v) make every triangle a < b < c appear for exactly
+    ONE middle vertex b, so the wedge relation is cur(a,b) ⋈ cur(b,c)
+    (volume Σ_b d⁻(b)·d⁺(b), roughly 4× less than per-edge
+    full-neighborhood probing) filtered by the closing edge (a,c);
+    each triangle then credits its three edges and a left join
+    restores 0-support survivors (k ≤ 2 keeps everything). Never
+    all-pairs; the survivor set localCheckpoints per round so plan
     depth stays constant (the k_core/pagerank hygiene).
     """
     cur = (
@@ -808,17 +811,55 @@ def k_truss(
     )
     n_cur = cur.count()
     out = None
+    # localCheckpoint erases size statistics (RDD-backed plans report
+    # defaultSizeInBytes = Long.Max), so the optimizer NEVER
+    # auto-broadcasts the survivor relation — hint it explicitly while
+    # the exact count (already tracked for the fixed-point stop) says
+    # it fits, and fall back to shuffle joins above the guard. The
+    # count-guarded adaptive-selection pattern from connected
+    # components' driver union-find fast path.
+    bcast_max = 2_000_000
     for _ in range(max_rounds):
-        sym = cur.unionByName(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        e1 = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = cur.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+        e3 = cur.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        if n_cur <= bcast_max:
+            e2, e3 = F.broadcast(e2), F.broadcast(e3)
+        tri = e1.join(e2, F.col("b") == F.col("b2")).join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
         )
-        nu = sym.select(F.col("u").alias("eu"), F.col("v").alias("w"))
-        nv = sym.select(F.col("u").alias("ev"), F.col("v").alias("w2"))
-        sup = (
-            cur.join(nu, cur["u"] == nu["eu"])
-            .join(nv, (cur["v"] == nv["ev"]) & (nu["w"] == nv["w2"]))
+        # one explode pass, NOT three unioned projections — a union
+        # of selects re-executes the triangle joins once per branch
+        credits = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("u"), F.col("b").alias("v")
+                        ),
+                        F.struct(
+                            F.col("b").alias("u"), F.col("c").alias("v")
+                        ),
+                        F.struct(
+                            F.col("a").alias("u"), F.col("c").alias("v")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+        sup = (
+            cur.join(credits, ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                F.coalesce(F.col("support"), F.lit(0))
+                .cast("bigint")
+                .alias("support"),
+            )
             .filter(F.col("support") >= k - 2)
             .localCheckpoint(eager=True)
         )

@@ -322,25 +322,20 @@ def mcc_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purch"),
     )
-    # percentile_disc(0.5) = the ceil(n/2)-th smallest value; mirror
-    # it exactly with sort-limit-max on the bounded user aggregate.
-    n_users = per_user.count()
-    half = (n_users + 1) // 2  # percentile_disc(0.5): ceil(0.5·n)-th value
-    mc = (
-        per_user.select(F.col("clicks").alias("v"))
-        .orderBy("v")
-        .limit(half)
-        .agg(F.max("v").alias("m"))
-    )
-    mp = (
-        per_user.select(F.col("purch").alias("v"))
-        .orderBy("v")
-        .limit(half)
-        .agg(F.max("v").alias("m"))
-    )
+    # percentile_disc(0.5) = the smallest value whose cume_dist
+    # reaches 0.5 — one cume_dist window per metric on the BOUNDED
+    # user aggregate (single plan, no driver-side count/sort-limit).
+    def _median_disc(col: str, alias: str) -> DataFrame:
+        cd = F.cume_dist().over(Window.orderBy(col))
+        return (
+            per_user.select(F.col(col), cd.alias("cd"))
+            .where(F.col("cd") >= 0.5)
+            .agg(F.min(col).alias(alias))
+        )
+
     flags = (
-        per_user.crossJoin(F.broadcast(mc.select(F.col("m").alias("mc"))))
-        .crossJoin(F.broadcast(mp.select(F.col("m").alias("mp"))))
+        per_user.crossJoin(F.broadcast(_median_disc("clicks", "mc")))
+        .crossJoin(F.broadcast(_median_disc("purch", "mp")))
         .select(
             (F.col("clicks") > F.col("mc")).alias("pred"),
             (F.col("purch") > F.col("mp")).alias("act"),
