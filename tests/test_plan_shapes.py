@@ -499,3 +499,24 @@ def test_shapley_stays_on_bounded_domains(spark):
     plan = _formatted(QUERIES["shapley_attribution_events"](spark, SF))
     assert "partial_max" in plan or "partial_sum" in plan  # map-side combine
     assert "CartesianProduct" not in plan
+
+
+def test_ktruss_returns_checkpointed_constant_depth_plan(spark):
+    """k_truss materializes each round eagerly (localCheckpoint) so
+    plan depth never grows with rounds — the returned frame must read
+    from the checkpointed RDD, not replay the triangle joins. The
+    per-round broadcast behavior is asserted functionally in
+    test_properties (brute parity) since eager rounds leave no trace
+    in the final explain."""
+    plan = _formatted(QUERIES["ktruss_edges_coparts"](spark, SF))
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_statops4_aggregates_stay_partial(spark):
+    """The wave-4 statistics reduce on the fact table via map-side
+    partial aggregation (the scale contract for every events-sized
+    pass in statops4)."""
+    for q in ("anova_f_events", "fleiss_kappa_docs"):
+        plan = _formatted(QUERIES[q](spark, SF))
+        assert "partial_" in plan, q
