@@ -405,6 +405,7 @@ HEADLINE = [
     "anova_f_events",
     "granger_click_purchase_hourly",
     "fleiss_kappa_docs",
+    "observed_ingest_metrics_orders",
 ]
 
 

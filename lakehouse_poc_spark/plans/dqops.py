@@ -1114,3 +1114,66 @@ def duplicate_charge_audit_orders(
         .orderBy("custkey", "order_a", "order_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Observed ingest telemetry (operators/quality.py::observe_expectations
+# — Spark's Observation API): the DQ counters accumulate DURING the
+# single pass an ingest already makes (driven here through the noop
+# sink, the zero-cost "write" used for exactly this measurement
+# shape), so there is NO second scan — the 100 TB telemetry contract.
+# The observed metrics come back as driver-side scalars and are
+# re-emitted as a one-row DataFrame; the oracle recomputes the same
+# counters declaratively. Revenue goes through the DECIMAL(38,0)
+# integer-cents sum so the observed total is exact.
+@query(
+    "observed_ingest_metrics_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                         OR o_totalprice > 300000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_date,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100 AS total_revenue
+    FROM orders
+    """,
+)
+def observed_ingest_metrics_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("ingest_orders")
+    price_ok = (
+        F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") >= 0)
+        & (F.col("o_totalprice") <= 300000)
+    )
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(~price_ok, 1).otherwise(0)).alias("bad_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "bad_date"
+        ),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+        ).alias("revenue_cents"),
+    )
+    # the action IS the pipeline's own write — noop sink, one pass
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["bad_price"]),
+                int(m["bad_date"]),
+                float(m["revenue_cents"]) / 100,
+            )
+        ],
+        "n_rows bigint, bad_price bigint, bad_date bigint, total_revenue double",
+    )
