@@ -406,6 +406,7 @@ HEADLINE = [
     "granger_click_purchase_hourly",
     "fleiss_kappa_docs",
     "observed_ingest_metrics_orders",
+    "sql_parameterized_priority_revenue",
 ]
 
 

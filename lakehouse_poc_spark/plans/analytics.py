@@ -2334,3 +2334,40 @@ def business_days_holiday_adjusted(
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (Spark 3.4+ named-parameter binding — the
+# injection-safe replacement for the reference's f-string dynamic SQL,
+# notebooks/pipeline_core.py's MERGE template): the literal binds as a
+# TYPED PARAMETER (:prio), never string interpolation, so a hostile
+# value cannot change the statement shape. Closes SURVEY §2 M5 with
+# the actual API rather than only the expression-built merges.
+@query(
+    "sql_parameterized_priority_revenue",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100 AS revenue
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_parameterized_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 100 AS revenue
+        FROM orders
+        WHERE o_orderpriority = :prio
+        GROUP BY 1 ORDER BY 1
+        """,
+        args={"prio": "1-URGENT"},
+    )

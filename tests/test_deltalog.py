@@ -1011,3 +1011,34 @@ def test_clone_of_clone_and_existing_target_rejected(spark, tmp_path):
     assert [r.id for r in read_delta(spark, c2).collect()] == [1]
     with pytest.raises(DeltaLogError, match="already exists"):
         DeltaLogWriter(spark, c1).clone_shallow(src)
+
+
+def test_vacuum_reclaims_aborted_append_orphans(spark, tmp_path):
+    """An append that stages files and then ABORTS on a conflicting
+    winner leaves untracked parquet orphans in the table dir; VACUUM's
+    not-in-snapshot sweep reclaims them after the retention window
+    (real Delta vacuums untracked files the same way), and the live
+    data is untouched."""
+    import types
+
+    p = tmp_path / "t"
+    w1 = DeltaLogWriter(spark, p)
+    w1.create(_df(spark, [(1, "a")]))
+    orig = DeltaLogWriter._commit
+    raced = []
+
+    def racing(self, actions, op, version=None):
+        if not raced and op == "WRITE":
+            raced.append(True)
+            DeltaLogWriter(spark, p).overwrite(_df(spark, [(9, "ow")]))
+        return orig(self, actions, op, version)
+
+    w1._commit = types.MethodType(racing, w1)
+    n_before = len(list(p.glob("*.parquet")))
+    with pytest.raises(DeltaLogError, match="concurrent remove"):
+        w1.append(_df(spark, [(3, "orphaned")]))
+    # staged files exist but are untracked
+    assert len(list(p.glob("*.parquet"))) > n_before
+    res = w1.vacuum(retention_ms=0, force=True)
+    assert res["files_removed"] >= 1
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [9]
