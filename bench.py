@@ -407,6 +407,7 @@ HEADLINE = [
     "fleiss_kappa_docs",
     "observed_ingest_metrics_orders",
     "sql_parameterized_priority_revenue",
+    "markov_attribution_events",
 ]
 
 

@@ -1133,3 +1133,213 @@ def fleiss_kappa_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_e.alias("p_e"),
         ((p_bar - p_e) / (1 - p_e)).alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution with removal effects (Anderl et al. 2014,
+# public): user journeys (events ordered to the FIRST purchase; CONV
+# / NULL terminals) define a first-order chain over the channel
+# states; a channel's credit is how much the 12-step conversion
+# probability from START drops when reaching that channel is poisoned
+# (u(c) ≡ 0 — equivalent to the classic redirect-to-NULL removal).
+# The heavy pass — journeys and transition counts — is distributed
+# (one user-keyed window + groupBy); the value iteration runs on the
+# BOUNDED model domain (≤ 7 states, ≤ 42 transitions; the
+# driver-side-math-below-threshold convention of connected
+# components / unrolled k-means). Determinism: transition probs are
+# single divisions of exact counts; every matrix–vector sum is a
+# PINNED-ORDER left fold (j-ascending, seed = first element — the
+# list_reduce contract), identical in the Python driver loop and the
+# generated 12-step-unrolled oracle; the share denominator is one
+# explicit left-nested sum in channel order.
+_MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+_MARKOV_H = 12
+_MARKOV_STATES = ["CONV", "NULL", "START"] + _MARKOV_CHANNELS
+
+
+def _markov_transitions_sql() -> str:
+    return """
+    seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    firstp AS (
+        SELECT user_id, MIN(rn) AS prn FROM seq
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    j AS (
+        SELECT s.user_id, s.rn,
+               CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+                    ELSE s.event_type END AS st
+        FROM seq s LEFT JOIN firstp f USING (user_id)
+        WHERE f.prn IS NULL OR s.rn <= f.prn
+    ),
+    pairs AS (
+        SELECT COALESCE(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+                        'START') AS i,
+               st AS jst
+        FROM j
+    ),
+    tails AS (
+        SELECT arg_max(st, rn) AS i, 'NULL' AS jst
+        FROM j GROUP BY user_id
+        HAVING MAX(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END) = 0
+    ),
+    trans AS (SELECT i, jst FROM pairs UNION ALL SELECT i, jst FROM tails),
+    tcnt AS MATERIALIZED (
+        SELECT i, jst, CAST(COUNT(*) AS BIGINT) AS c
+        FROM trans GROUP BY i, jst
+    ),
+    p AS MATERIALIZED (
+        SELECT i, jst,
+               CAST(c AS DOUBLE) / SUM(CAST(c AS DOUBLE)) OVER (PARTITION BY i)
+                   AS pr
+        FROM tcnt
+    )"""
+
+
+def _markov_oracle() -> str:
+    transient = ["START"] + _MARKOV_CHANNELS
+    state_rel = " UNION ALL ".join(
+        f"SELECT '{s}' AS state" for s in transient
+    )
+    ctes = [_markov_transitions_sql().strip()]
+    variants = [("base", None)] + [(c, c) for c in _MARKOV_CHANNELS]
+    for vname, removed in variants:
+        ctes.append(f"""
+    u_{vname}_0 AS MATERIALIZED (
+        SELECT 'CONV' AS state, 1.0 AS prob
+        UNION ALL SELECT 'NULL', 0.0
+        {"".join(f" UNION ALL SELECT '{s}', 0.0" for s in transient)}
+    )""")
+        for t in range(1, _MARKOV_H + 1):
+            ctes.append(f"""
+    u_{vname}_{t} AS MATERIALIZED (
+        SELECT st.state,
+               CASE WHEN st.state = '{removed or ""}' THEN 0.0
+                    ELSE COALESCE(f.val, 0.0) END AS prob
+        FROM ({state_rel}) st
+        LEFT JOIN (
+            SELECT p.i AS state,
+                   list_reduce(list(p.pr * u.prob ORDER BY p.jst),
+                               (a, x) -> a + x) AS val
+            FROM p JOIN u_{vname}_{t - 1} u ON u.state = p.jst
+            GROUP BY p.i
+        ) f USING (state)
+        UNION ALL SELECT 'CONV', 1.0
+        UNION ALL SELECT 'NULL', 0.0
+    )""")
+    final_h = _MARKOV_H
+    base = f"(SELECT prob FROM u_base_{final_h} WHERE state = 'START')"
+    effs = {
+        c: f"({base} - (SELECT prob FROM u_{c}_{final_h} WHERE state = 'START'))"
+        for c in _MARKOV_CHANNELS
+    }
+    denom = effs[_MARKOV_CHANNELS[0]]
+    for c in _MARKOV_CHANNELS[1:]:
+        denom = f"({denom} + {effs[c]})"
+    rows = " UNION ALL ".join(
+        f"""SELECT '{c}' AS channel,
+               {base} AS base_cvr,
+               (SELECT prob FROM u_{c}_{final_h} WHERE state = 'START')
+                   AS removal_cvr,
+               {effs[c]} AS removal_effect,
+               {effs[c]} / {denom} AS share"""
+        for c in _MARKOV_CHANNELS
+    )
+    return f"WITH {','.join(ctes)}\n    SELECT * FROM ({rows}) ORDER BY channel"
+
+
+@query("markov_attribution_events", oracle=_markov_oracle())
+def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+    )
+    firstp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    j = (
+        seq.join(firstp, "user_id", "left")
+        .where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+    )
+    wj = Window.partitionBy("user_id").orderBy("rn")
+    pairs = j.select(
+        F.coalesce(F.lag("st").over(wj), F.lit("START")).alias("i"),
+        F.col("st").alias("jst"),
+    )
+    tails = (
+        j.groupBy("user_id")
+        .agg(
+            F.max_by("st", "rn").alias("i"),
+            F.max(F.when(F.col("st") == "CONV", 1).otherwise(0)).alias(
+                "conv"
+            ),
+        )
+        .where(F.col("conv") == 0)
+        .select("i", F.lit("NULL").alias("jst"))
+    )
+    tcnt = (
+        pairs.unionByName(tails)
+        .groupBy("i", "jst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()  # bounded model domain: <= |states|^2 rows
+    )
+    out_tot: dict[str, int] = {}
+    for r in tcnt:
+        out_tot[r["i"]] = out_tot.get(r["i"], 0) + r["c"]
+    # j-ascending transition lists per source state (the fold order)
+    plists: dict[str, list[tuple[str, float]]] = {}
+    for r in sorted(tcnt, key=lambda r: (r["i"], r["jst"])):
+        plists.setdefault(r["i"], []).append(
+            (r["jst"], r["c"] / out_tot[r["i"]])
+        )
+    transient = ["START"] + _MARKOV_CHANNELS
+
+    def run_chain(removed: str | None) -> float:
+        u = {s: 0.0 for s in transient}
+        u["CONV"], u["NULL"] = 1.0, 0.0
+        for _ in range(_MARKOV_H):
+            nxt = {}
+            for i in transient:
+                terms = [pr * u[jst] for jst, pr in plists.get(i, [])]
+                if not terms:
+                    nxt[i] = 0.0
+                else:  # left fold seeded with the first element
+                    acc = terms[0]
+                    for x in terms[1:]:
+                        acc = acc + x
+                    nxt[i] = acc
+            if removed is not None:
+                nxt[removed] = 0.0
+            u.update(nxt)
+        return u["START"]
+
+    base = run_chain(None)
+    effects = {c: base - run_chain(c) for c in _MARKOV_CHANNELS}
+    denom = effects[_MARKOV_CHANNELS[0]]
+    for c in _MARKOV_CHANNELS[1:]:
+        denom = denom + effects[c]
+    rows = [
+        (c, base, base - effects[c], effects[c], effects[c] / denom)
+        for c in _MARKOV_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_cvr double, removal_cvr double, "
+        "removal_effect double, share double",
+    ).orderBy("channel")

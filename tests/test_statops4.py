@@ -346,3 +346,63 @@ def test_fleiss_kappa(spark):
     assert out["fleiss_kappa"] == pytest.approx(
         (p_bar - p_e) / (1 - p_e), rel=1e-12
     )
+
+
+def test_markov_attribution_chain(spark):
+    out = (
+        plans.QUERIES["markov_attribution_events"](spark, SF)
+        .toPandas()
+        .set_index("channel")
+    )
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    # journeys to first purchase; transition counts
+    trans: dict[tuple, int] = {}
+    for _, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        path = []
+        for t in types:
+            path.append("CONV" if t == "purchase" else t)
+            if t == "purchase":
+                break
+        states = ["START"] + path
+        if path[-1] != "CONV":
+            states.append("NULL")
+        for a, b in zip(states, states[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    out_tot: dict[str, int] = {}
+    for (a, _), c in trans.items():
+        out_tot[a] = out_tot.get(a, 0) + c
+    plists: dict[str, list] = {}
+    for (a, b), c in sorted(trans.items()):
+        plists.setdefault(a, []).append((b, c / out_tot[a]))
+    channels = ["click", "error", "signup", "view"]
+    transient = ["START"] + channels
+
+    def run(removed):
+        u = {s: 0.0 for s in transient}
+        u["CONV"], u["NULL"] = 1.0, 0.0
+        for _ in range(12):
+            nxt = {}
+            for i in transient:
+                terms = [p * u[j] for j, p in plists.get(i, [])]
+                acc = 0.0
+                if terms:
+                    acc = terms[0]
+                    for x in terms[1:]:
+                        acc += x
+                nxt[i] = acc
+            if removed:
+                nxt[removed] = 0.0
+            u.update(nxt)
+        return u["START"]
+
+    base = run(None)
+    effects = {c: base - run(c) for c in channels}
+    denom = sum(effects.values())
+    for c in channels:
+        row = out.loc[c]
+        assert row["base_cvr"] == pytest.approx(base, rel=1e-12)
+        assert row["removal_effect"] == pytest.approx(effects[c], rel=1e-12)
+        assert row["share"] == pytest.approx(effects[c] / denom, rel=1e-9)
+    # removal can only hurt: every removal CVR <= base
+    assert (out["removal_cvr"] <= out["base_cvr"] + 1e-15).all()
