@@ -408,6 +408,7 @@ HEADLINE = [
     "observed_ingest_metrics_orders",
     "sql_parameterized_priority_revenue",
     "markov_attribution_events",
+    "sequential_triples_users",
 ]
 
 

@@ -28,7 +28,7 @@ WHERE |i−j| ≤ r guard on the same fold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import read_parquet_table
@@ -150,3 +150,147 @@ def dtw_click_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("bigint").alias("day"),
         F.expr(_DTW_EXPR).cast("bigint").alias("dtw"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern support (the PrefixSpan/GSP counting semantics,
+# public): for every ordered triple a→b→c of event types (adjacent
+# repeats excluded), the number of users whose event SEQUENCE contains
+# it as a subsequence — greedy matching (first a, first b after it,
+# first c after that), which is exact for existence. One user-keyed
+# pass builds type→positions maps; the candidate grid (≤ 80 rows)
+# cross-joins the bounded per-user relation — model-domain work, the
+# fact table is touched once. Pure integer positions and counts.
+@query(
+    "sequential_triples_users",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    pos AS (
+        SELECT user_id,
+               map_from_entries(
+                   list(struct_pack(k := event_type,
+                                    v := rns) ORDER BY event_type)
+               ) AS m
+        FROM (
+            SELECT user_id, event_type,
+                   list(rn ORDER BY rn) AS rns
+            FROM seq GROUP BY user_id, event_type
+        ) GROUP BY user_id
+    ),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    cand AS (
+        SELECT a.t AS a, b.t AS b, c.t AS c
+        FROM types a, types b, types c
+        WHERE a.t <> b.t AND b.t <> c.t
+    ),
+    step1 AS (
+        SELECT cand.a, cand.b, cand.c, pos.m,
+               COALESCE(list_min(m[cand.a][1]), 2147483647) AS pa
+        FROM cand CROSS JOIN pos
+    ),
+    step2 AS (
+        SELECT a, b, c, m,
+               COALESCE(list_min(list_filter(m[b][1], y -> y > pa)),
+                        2147483647) AS pb
+        FROM step1
+    ),
+    matched AS (
+        SELECT a, b, c,
+               list_min(list_filter(m[c][1], x -> x > pb)) IS NOT NULL
+                   AS hit
+        FROM step2
+    )
+    SELECT a, b, c,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM matched
+    GROUP BY a, b, c
+    HAVING SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+    ORDER BY n_users DESC, a, b, c
+    """,
+)
+def sequential_triples_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_parquet_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    )
+    pos = (
+        seq.groupBy("user_id", "event_type")
+        .agg(F.array_sort(F.collect_list("rn")).alias("rns"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "rns"))
+                )
+            ).alias("m")
+        )
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    a, b, c = types.alias("a"), types.alias("b"), types.alias("c")
+    cand = (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            F.col("a.t").alias("ca"),
+            F.col("b.t").alias("cb"),
+            F.col("c.t").alias("cc"),
+        )
+        .where((F.col("ca") != F.col("cb")) & (F.col("cb") != F.col("cc")))
+    )
+    inf = F.lit(2147483647)
+    # each greedy step materializes as a per-row COLUMN before the
+    # next lambda uses it — a nested lambda would re-evaluate the
+    # inner step PER ELEMENT of the outer list (O(len^3) per row)
+    step1 = (
+        F.broadcast(cand)
+        .crossJoin(pos)
+        .withColumn(
+            "pa",
+            F.coalesce(F.array_min(F.col("m")[F.col("ca")]), inf),
+        )
+    )
+    step2 = step1.withColumn(
+        "pb",
+        F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.col("m")[F.col("cb")],
+                    lambda y: y > F.col("pa"),
+                )
+            ),
+            inf,
+        ),
+    )
+    matched = step2.select(
+        "ca",
+        "cb",
+        "cc",
+        F.array_min(
+            F.filter(F.col("m")[F.col("cc")], lambda x: x > F.col("pb"))
+        )
+        .isNotNull()
+        .alias("hit"),
+    )
+    return (
+        matched.groupBy(
+            F.col("ca").alias("a"),
+            F.col("cb").alias("b"),
+            F.col("cc").alias("c"),
+        )
+        .agg(
+            F.sum(F.when(F.col("hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+        .where(F.col("n_users") > 0)
+        .orderBy(F.col("n_users").desc(), "a", "b", "c")
+    )

@@ -406,3 +406,36 @@ def test_markov_attribution_chain(spark):
         assert row["share"] == pytest.approx(effects[c] / denom, rel=1e-9)
     # removal can only hurt: every removal CVR <= base
     assert (out["removal_cvr"] <= out["base_cvr"] + 1e-15).all()
+
+
+def test_sequential_triples_greedy(spark):
+    out = plans.QUERIES["sequential_triples_users"](spark, SF).toPandas()
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    seqs = {
+        uid: grp["event_type"].tolist() for uid, grp in ev.groupby("user_id")
+    }
+    types = sorted(ev["event_type"].unique())
+
+    def contains(seq, a, b, c):
+        state, want = 0, (a, b, c)
+        for t in seq:
+            if t == want[state]:
+                state += 1
+                if state == 3:
+                    return True
+        return False
+
+    expect = {}
+    for a in types:
+        for b in types:
+            for c in types:
+                if a == b or b == c:
+                    continue
+                n = sum(contains(s, a, b, c) for s in seqs.values())
+                if n > 0:
+                    expect[(a, b, c)] = n
+    got = {
+        (r["a"], r["b"], r["c"]): r["n_users"] for _, r in out.iterrows()
+    }
+    assert got == expect
+    assert (out["n_total"] == len(seqs)).all()
