@@ -409,6 +409,7 @@ HEADLINE = [
     "sql_parameterized_priority_revenue",
     "markov_attribution_events",
     "sequential_triples_users",
+    "theil_index_revenue_nations",
 ]
 
 

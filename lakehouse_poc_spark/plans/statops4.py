@@ -1343,3 +1343,94 @@ def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_cvr double, removal_cvr double, "
         "removal_effect double, share double",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Theil T index and mean log deviation (Theil 1967, public) of revenue
+# concentration across nations — the entropy-based companions to the
+# existing gini/hhi pair (decomposable across groups, which Gini is
+# not). Per-nation revenue is exact integer cents; the only floats
+# are the ratio w_i = x_i/μ (identical divisions of exact ints) and
+# ln(w_i), micro-rounded to 1e-6 BEFORE use (the established
+# quality_signal_agreement discipline for libm-vs-JVM ln drift); each
+# summand then nano-rounds to BIGINT so the cross-nation sum is
+# order-free. T = (1/n)Σ w_i·ln(w_i), MLD = −(1/n)Σ ln(w_i).
+_THEIL_SQL = """
+    WITH rev AS (
+        SELECT n.n_name,
+               SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS DECIMAL(38,0))) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS DOUBLE) AS s
+        FROM rev
+    ),
+    terms AS (
+        SELECT t.n,
+               CAST(rev.cents AS DOUBLE) * t.n / t.s AS w,
+               CAST(round(1e6 * ln(CAST(rev.cents AS DOUBLE) * t.n / t.s))
+                    AS BIGINT) AS l_micro
+        FROM rev CROSS JOIN tot t
+    )
+    SELECT MAX(n) AS n_nations,
+           CAST(SUM(CAST(round(1e9 * w * (CAST(l_micro AS DOUBLE) / 1e6))
+                         AS BIGINT)) AS DOUBLE) / 1e9 / MAX(n) AS theil_t,
+           -CAST(SUM(l_micro) AS DOUBLE) / 1e6 / MAX(n) AS mld
+    FROM terms
+"""
+
+
+@query("theil_index_revenue_nations", oracle=_THEIL_SQL)
+def theil_index_revenue_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("decimal(38,0)")
+            ).alias("cents")
+        )
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("double").alias("s"),
+    )
+    w = F.col("cents").cast("double") * F.col("n") / F.col("s")
+    terms = rev.crossJoin(F.broadcast(tot)).select(
+        "n",
+        w.alias("w"),
+        F.round(F.lit(1e6) * F.log(w)).cast("bigint").alias("l_micro"),
+    )
+    return terms.agg(
+        F.max("n").alias("n_nations"),
+        (
+            F.sum(
+                F.round(
+                    F.lit(1e9)
+                    * F.col("w")
+                    * (F.col("l_micro").cast("double") / 1e6)
+                ).cast("bigint")
+            ).cast("double")
+            / 1e9
+            / F.max("n")
+        ).alias("theil_t"),
+        (
+            -F.sum("l_micro").cast("double") / 1e6 / F.max("n")
+        ).alias("mld"),
+    )

@@ -439,3 +439,39 @@ def test_sequential_triples_greedy(spark):
     }
     assert got == expect
     assert (out["n_total"] == len(seqs)).all()
+
+
+def test_theil_and_mld(spark):
+    out = (
+        plans.QUERIES["theil_index_revenue_nations"](spark, SF)
+        .toPandas()
+        .iloc[0]
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    df = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    df["cents"] = (
+        df["l_extendedprice"] * (1 - df["l_discount"]) * 100
+    ).map(lambda x: _round_away(x))
+    rev = df.groupby("n_name")["cents"].sum()
+    k = len(rev)
+    s = float(rev.sum())
+    w = rev.to_numpy(float) * k / s
+    l_micro = np.array([_round_away(np.log(x), 1e6) * 1e6 for x in w])
+    theil = (
+        sum(_round_away(wi * (lm / 1e6), 1e9) * 1e9 for wi, lm in zip(w, l_micro))
+        / 1e9
+        / k
+    )
+    mld = -l_micro.sum() / 1e6 / k
+    assert out["n_nations"] == k
+    assert out["theil_t"] == pytest.approx(theil, rel=1e-9)
+    assert out["mld"] == pytest.approx(mld, rel=1e-9)
+    # sanity: both are non-negative inequality measures
+    assert out["theil_t"] >= 0 and out["mld"] >= 0
