@@ -410,6 +410,7 @@ HEADLINE = [
     "markov_attribution_events",
     "sequential_triples_users",
     "theil_index_revenue_nations",
+    "greedy_cover_docs",
 ]
 
 

@@ -1458,3 +1458,111 @@ def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(2 * n))
         ).alias("pct"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Coverage-maximizing document selection — greedy set cover /
+# facility-location selection (Nemhauser et al. 1978's (1−1/e) greedy,
+# public; the coverage-based curation strategy of e.g. submodular
+# data-subset selection): pick K=10 documents that together cover the
+# most distinct corpus word TRIGRAMS (the unigram vocabulary of the synthetic fixture is ~31 tokens — trigrams give a meaningfully large universe), one greedy round at a time (argmax of
+# NEW tokens, doc_id tie-break). The per-round pass is distributed —
+# one anti-join of the distinct (token, doc) relation against the
+# covered-token set plus a count argmax; the covered set
+# localCheckpoints per round (bounded: ≤ corpus vocabulary). The
+# oracle unrolls the identical 10 rounds as MATERIALIZED CTEs. Pure
+# integer counts throughout.
+_COVER_K = 10
+
+
+def _cover_oracle() -> str:
+    ctes = [
+        r"""td AS MATERIALIZED (
+        SELECT DISTINCT doc_id, g AS token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   )) AS g
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents WHERE length(text) > 0)
+        )
+    )""",
+        "cov0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS token WHERE FALSE)",
+    ]
+    picks = []
+    for i in range(1, _COVER_K + 1):
+        ctes.append(f"""
+    gain{i} AS MATERIALIZED (
+        SELECT td.doc_id, CAST(COUNT(*) AS BIGINT) AS new_tokens
+        FROM td ANTI JOIN cov{i - 1} c ON td.token = c.token
+        GROUP BY td.doc_id
+    ),
+    pick{i} AS MATERIALIZED (
+        SELECT doc_id, new_tokens FROM gain{i}
+        ORDER BY new_tokens DESC, doc_id LIMIT 1
+    ),
+    cov{i} AS MATERIALIZED (
+        SELECT token FROM cov{i - 1}
+        UNION
+        SELECT td.token FROM td JOIN pick{i} p USING (doc_id)
+    )""")
+        picks.append(
+            f"SELECT {i} AS round, doc_id, new_tokens,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{i}) AS covered"
+            f" FROM pick{i}"
+        )
+    return (
+        "WITH " + ",".join(ctes) + "\n    SELECT CAST(round AS INT) AS round,"
+        " doc_id, new_tokens, covered FROM (" + " UNION ALL ".join(picks) +
+        ") ORDER BY round"
+    )
+
+
+@query("greedy_cover_docs", oracle=_cover_oracle())
+def greedy_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    w = F.split(F.lower("text"), r"\s+")
+    tris = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1),
+                F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    td = (
+        docs.select("doc_id", F.explode(tris).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None  # DataFrame[token] or None for the empty set
+    rows = []
+    for rnd in range(1, _COVER_K + 1):
+        remaining = (
+            td if covered is None
+            else td.join(covered, "token", "left_anti")
+        )
+        gain = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("new_tokens")
+        )
+        picked = gain.orderBy(
+            F.col("new_tokens").desc(), "doc_id"
+        ).limit(1).collect()
+        if not picked:  # full coverage: both engines stop emitting rows
+            break
+        pick = picked[0]
+        new_cov = td.where(F.col("doc_id") == pick["doc_id"]).select("token")
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        rows.append(
+            (rnd, pick["doc_id"], pick["new_tokens"], covered.count())
+        )
+    return spark.createDataFrame(
+        rows, "round int, doc_id bigint, new_tokens bigint, covered bigint"
+    ).orderBy("round")

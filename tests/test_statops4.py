@@ -475,3 +475,34 @@ def test_theil_and_mld(spark):
     assert out["mld"] == pytest.approx(mld, rel=1e-9)
     # sanity: both are non-negative inequality measures
     assert out["theil_t"] >= 0 and out["mld"] >= 0
+
+
+def test_greedy_cover_matches_sequential(spark):
+    out = plans.QUERIES["greedy_cover_docs"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs = docs[docs["text"].str.len() > 0]
+    tri = {}
+    for _, r in docs.iterrows():
+        w = r["text"].lower().split()
+        tri[r["doc_id"]] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    covered: set = set()
+    expect = []
+    for rnd in range(1, 11):
+        gains = {
+            d: len(s - covered) for d, s in tri.items() if s - covered
+        }
+        if not gains:
+            break
+        doc = min(gains, key=lambda d: (-gains[d], d))
+        covered |= tri[doc]
+        expect.append((rnd, doc, gains[doc], len(covered)))
+    got = [
+        (r["round"], r["doc_id"], r["new_tokens"], r["covered"])
+        for _, r in out.iterrows()
+    ]
+    assert got == expect
+    # greedy gains are non-increasing (submodularity)
+    gains_seq = [g for _, _, g, _ in expect]
+    assert all(a >= b for a, b in zip(gains_seq, gains_seq[1:]))
