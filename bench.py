@@ -411,6 +411,7 @@ HEADLINE = [
     "sequential_triples_users",
     "theil_index_revenue_nations",
     "greedy_cover_docs",
+    "articulation_points_event_types",
 ]
 
 

@@ -1306,3 +1306,77 @@ def ktruss_edges_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(
         edges, k=_KTRUSS_K, max_rounds=_KTRUSS_ROUNDS
     ).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Articulation points of the (symmetrized) event-type transition
+# graph — cut-vertex analysis: a type is an articulation point iff
+# deleting it increases the number of connected components (the
+# single-point-of-failure diagnosis for flow graphs). One candidate
+# removal per fixture type (the markov-attribution hardcoded-domain
+# contract); components via a hop-bounded min-label closure in a
+# recursive CTE (UNION ALL + hops < 5 — Spark's recursive member
+# rejects UNION; 5 hops closes any 5-node graph),
+# executed IDENTICALLY on both engines (the eccentricity pattern —
+# node domain is a handful of types, edges are evidence-sized).
+_ARTIC_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _artic_sql() -> str:
+    variants = []
+    for x in ["__none__"] + _ARTIC_TYPES:
+        suffix = "full" if x == "__none__" else x
+        cond = "" if x == "__none__" else f" WHERE u <> '{x}' AND v <> '{x}'"
+        variants.append(f"""
+    nodes_{suffix} AS (
+        SELECT DISTINCT u AS node FROM (SELECT u, v FROM sym{cond})
+    ),
+    reach_{suffix} AS (
+        SELECT node, node AS lbl, 0 AS hops FROM nodes_{suffix}
+        UNION ALL
+        SELECT s.v AS node, r.lbl, r.hops + 1
+        FROM reach_{suffix} r
+        JOIN (SELECT u, v FROM sym{cond}) s ON s.u = r.node
+        WHERE r.hops < 5
+    ),
+    comp_{suffix} AS (
+        SELECT CAST(COUNT(DISTINCT mn) AS BIGINT) AS n_comp,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (SELECT node, MIN(lbl) AS mn FROM reach_{suffix}
+              GROUP BY node)
+    )""")
+    rows = " UNION ALL ".join(
+        f"""SELECT '{x}' AS node,
+               (SELECT n_comp FROM comp_full) AS n_components_full,
+               (SELECT n_comp FROM comp_{x}) AS n_components_without,
+               (SELECT n_comp FROM comp_{x})
+                 > (SELECT n_comp FROM comp_full) AS is_articulation"""
+        for x in _ARTIC_TYPES
+    )
+    return f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    sym AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION SELECT dst AS u, src AS v FROM edges
+    ),{",".join(variants)}
+    SELECT * FROM ({rows}) ORDER BY node
+    """
+
+
+@query("articulation_points_event_types", oracle=_artic_sql())
+def articulation_points_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    read_parquet_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_artic_sql())

@@ -506,3 +506,45 @@ def test_greedy_cover_matches_sequential(spark):
     # greedy gains are non-increasing (submodularity)
     gains_seq = [g for _, _, g, _ in expect]
     assert all(a >= b for a, b in zip(gains_seq, gains_seq[1:]))
+
+
+def test_articulation_points_brute(spark):
+    out = (
+        plans.QUERIES["articulation_points_event_types"](spark, SF)
+        .toPandas()
+        .set_index("node")
+    )
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    edges = set()
+    for _, grp in ev.groupby("user_id"):
+        ts = grp["event_type"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+
+    def n_components(excluded):
+        es = {(a, b) for a, b in edges if a != excluded and b != excluded}
+        nodes = {a for a, _ in es}
+        comps = 0
+        seen = set()
+        for s in sorted(nodes):
+            if s in seen:
+                continue
+            comps += 1
+            stack = [s]
+            while stack:
+                u = stack.pop()
+                if u in seen:
+                    continue
+                seen.add(u)
+                stack.extend(v for a, v in es if a == u)
+        return comps
+
+    full = n_components(None)
+    for x in ["click", "error", "purchase", "signup", "view"]:
+        row = out.loc[x]
+        without = n_components(x)
+        assert row["n_components_full"] == full
+        assert row["n_components_without"] == without
+        assert row["is_articulation"] == (without > full)
