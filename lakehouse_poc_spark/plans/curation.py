@@ -1523,29 +1523,42 @@ def _cover_oracle() -> str:
 @query("greedy_cover_docs", oracle=_cover_oracle())
 def greedy_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
-    w = F.split(F.lower("text"), r"\s+")
+    # materialize the split ONCE as a column — element_at over the
+    # raw split expression re-evaluates the regex split per element
+    # (the sequential_triples lesson, measured 14 s -> ~2 s here)
+    wdocs = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("w")
+    )
+    wcol = F.col("w")
     tris = F.when(
-        F.size(w) >= 3,
+        F.size(wcol) >= 3,
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
+            F.sequence(F.lit(0), F.size(wcol) - 3),
             lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1),
-                F.element_at(w, i + 2), F.element_at(w, i + 3)
+                " ", F.element_at(wcol, i + 1),
+                F.element_at(wcol, i + 2), F.element_at(wcol, i + 3)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     td = (
-        docs.select("doc_id", F.explode(tris).alias("token"))
+        wdocs.select("doc_id", F.explode(tris).alias("token"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    covered = None  # DataFrame[token] or None for the empty set
+    picked_ids: list[int] = []
     rows = []
     for rnd in range(1, _COVER_K + 1):
-        remaining = (
-            td if covered is None
-            else td.join(covered, "token", "left_anti")
-        )
+        # covered = tokens of the <=9 already-picked docs, derived
+        # from the checkpointed td each round — constant plan depth
+        # with NO growing union lineage or per-round covered
+        # materialization (the picked-id list is bounded by K)
+        if picked_ids:
+            cov = td.where(F.col("doc_id").isin(picked_ids)).select(
+                "token"
+            )
+            remaining = td.join(cov, "token", "left_anti")
+        else:
+            remaining = td
         gain = remaining.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("new_tokens")
         )
@@ -1555,14 +1568,11 @@ def greedy_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not picked:  # full coverage: both engines stop emitting rows
             break
         pick = picked[0]
-        new_cov = td.where(F.col("doc_id") == pick["doc_id"]).select("token")
-        covered = (
-            new_cov if covered is None
-            else covered.unionByName(new_cov).distinct()
-        ).localCheckpoint(eager=True)
-        rows.append(
-            (rnd, pick["doc_id"], pick["new_tokens"], covered.count())
-        )
+        picked_ids.append(pick["doc_id"])
+        # coverage identity: |cov_t| = |cov_{t-1}| + marginal gain of
+        # the pick (disjointness of "new" tokens) — no extra action
+        covered_n = (rows[-1][3] if rows else 0) + pick["new_tokens"]
+        rows.append((rnd, pick["doc_id"], pick["new_tokens"], covered_n))
     return spark.createDataFrame(
         rows, "round int, doc_id bigint, new_tokens bigint, covered bigint"
     ).orderBy("round")
