@@ -1219,7 +1219,8 @@ def _markov_oracle() -> str:
     u_{vname}_{t} AS MATERIALIZED (
         SELECT st.state,
                CASE WHEN st.state = '{removed or ""}' THEN 0.0
-                    ELSE COALESCE(f.val, 0.0) END AS prob
+                    ELSE CAST(round(1e12 * COALESCE(f.val, 0.0)) AS BIGINT)
+                         / 1e12 END AS prob
         FROM ({state_rel}) st
         LEFT JOIN (
             SELECT p.i AS state,
@@ -1254,6 +1255,8 @@ def _markov_oracle() -> str:
 
 @query("markov_attribution_events", oracle=_markov_oracle())
 def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     ev = _t(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -1319,11 +1322,13 @@ def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 terms = [pr * u[jst] for jst, pr in plists.get(i, [])]
                 if not terms:
                     nxt[i] = 0.0
-                else:  # left fold seeded with the first element
+                else:  # left fold seeded with the first element,
+                    # then snapped to the 1e-12 grid (both engines):
+                    # kills the 1-ulp fold drift measured at sf0.001
                     acc = terms[0]
                     for x in terms[1:]:
                         acc = acc + x
-                    nxt[i] = acc
+                    nxt[i] = math.floor(1e12 * acc + 0.5) / 1e12
             if removed is not None:
                 nxt[removed] = 0.0
             u.update(nxt)

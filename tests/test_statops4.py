@@ -390,7 +390,7 @@ def test_markov_attribution_chain(spark):
                     acc = terms[0]
                     for x in terms[1:]:
                         acc += x
-                nxt[i] = acc
+                nxt[i] = np.floor(1e12 * acc + 0.5) / 1e12
             if removed:
                 nxt[removed] = 0.0
             u.update(nxt)
