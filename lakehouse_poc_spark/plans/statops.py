@@ -1956,8 +1956,10 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # types) — the interval that behaves at small n and extreme p where
 # the normal approximation fails, and the standard ranking metric
 # for CTR-style rates. Counts are exact BIGINTs; the interval is one
-# fixed-order double expression (z = 1.96 literal, sqrt correctly
-# rounded), so both engines produce identical bits.
+# fixed-order double expression. z² is the explicit literal 3.8416 on
+# BOTH sides: DuckDB parses 1.96 as DECIMAL and folds 1.96*1.96
+# exactly, while a double 1.96 squared is one ulp off — the sf0.001
+# cross-SF probe caught the difference (SCALE.md §6.10.20).
 @query(
     "wilson_ci_user_purchase",
     oracle="""
@@ -1970,16 +1972,16 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(cohort AS BIGINT) AS cohort, n, k,
            CAST(k AS DOUBLE) / n AS p_hat,
-           (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+           (CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n)
             - 1.96 * sqrt((CAST(k AS DOUBLE) / n
                            * (1.0 - CAST(k AS DOUBLE) / n)
-                           + 1.96 * 1.96 / (4.0 * n)) / n))
-           / (1.0 + 1.96 * 1.96 / n) AS wilson_lo,
-           (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+                           + 3.8416 / (4.0 * n)) / n))
+           / (1.0 + 3.8416 / n) AS wilson_lo,
+           (CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n)
             + 1.96 * sqrt((CAST(k AS DOUBLE) / n
                            * (1.0 - CAST(k AS DOUBLE) / n)
-                           + 1.96 * 1.96 / (4.0 * n)) / n))
-           / (1.0 + 1.96 * 1.96 / n) AS wilson_hi
+                           + 3.8416 / (4.0 * n)) / n))
+           / (1.0 + 3.8416 / n) AS wilson_hi
     FROM s
     ORDER BY cohort
     """,
@@ -1995,7 +1997,7 @@ def wilson_ci_user_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     p = F.col("k").cast("double") / F.col("n")
     z = F.lit(1.96)
-    z2 = z * z
+    z2 = F.lit(3.8416)  # NOT z*z: see the docstring's decimal-fold note
     center = p + z2 / (F.lit(2.0) * F.col("n"))
     half = z * F.sqrt(
         (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * F.col("n"))) / F.col("n")

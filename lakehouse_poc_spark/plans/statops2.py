@@ -94,7 +94,7 @@ _SQL_DAY = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)"
     SELECT n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,6)) AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
@@ -2387,9 +2387,15 @@ def robust_anomalies_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public) — the resampling-free companion of bootstrap_ci: the
 # delete-one means θ̄₍ᵢ₎ = (S − xᵢ)/(n−1) need only the total S, so
 # Var_jack = (n−1)/n · Σ(θ̄₍ᵢ₎ − θ̄)² collapses to exact sums:
-# Σ(θ̄₍ᵢ₎ − θ̄)² = Σ(xᵢ − θ̄)²/(n−1)² — i.e. decimal Σx, Σx² and one
-# mirrored double expression. One partial-combined aggregate, no
-# per-replicate pass at all.
+# (n·Σx² − (Σx)²)/(n²(n−1)) — decimal Σx, Σx² and ONE mirrored
+# division (the nested two-division form was reassociated by
+# Catalyst into a different rounding; single-division trees leave
+# the optimizer nothing to reorder). The oracle rescales Σx² to
+# DECIMAL(38,6) before its double cast: DuckDB's decimal→double is
+# only correctly rounded while the UNSCALED integer fits 2^53, and
+# the scale-12 product sum exceeds that (measured 1-ulp cast drift
+# at sf0.001). One partial-combined aggregate, no per-replicate
+# pass at all.
 @query(
     "jackknife_variance_events",
     oracle="""
@@ -2402,18 +2408,14 @@ def robust_anomalies_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n,
            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
-           ((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
-           * ((CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                 / CAST(n AS DOUBLE))
-              / ((CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 1.0)))
-               AS jackknife_var,
-           sqrt(((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
-                * ((CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                      / CAST(n AS DOUBLE))
-                   / ((CAST(n AS DOUBLE) - 1.0)
-                      * (CAST(n AS DOUBLE) - 1.0)))) AS jackknife_se
+           (CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,6)) AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) - 1.0)) AS jackknife_var,
+           sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,6)) AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0))) AS jackknife_se
     FROM s
     """,
 )
@@ -2427,9 +2429,12 @@ def jackknife_variance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
-    var = ((nd - 1.0) / nd) * (
-        (F.col("sxx").cast("double") - sxd * sxd / nd)
-        / ((nd - 1.0) * (nd - 1.0))
+    # single-division form (n·sxx − sx²)/(n²(n−1)): the nested
+    # two-division tree was REASSOCIATED by Catalyst into a
+    # different rounding than the written (and DuckDB-evaluated)
+    # order — caught by the sf0.001 cross-SF probe (SCALE §6.10.20)
+    var = (nd * F.col("sxx").cast("double") - sxd * sxd) / (
+        nd * nd * (nd - 1.0)
     )
     return s.select(
         "n",
