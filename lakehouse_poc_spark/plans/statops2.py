@@ -61,7 +61,12 @@ _SQL_DAY = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)"
 # Pearson formula over the doubled ranks (the 2s cancel), combined
 # from exact BIGINT/DECIMAL sums. The rank window runs on the
 # AGGREGATED hourly domain (#hours — bounded), the raw pass is one
-# partial-combined groupBy.
+# partial-combined groupBy. The scale-0 rank sums are cast to
+# double DIRECTLY: their unscaled integers stay under 2^53 for any
+# bounded hour domain (4n³ ≤ 2^53 up to ~130k hours ≈ 15 years),
+# where both engines' casts are exact — upscaling to DECIMAL(38,6)
+# would multiply the unscaled value by 10^6 INTO the zone where
+# DuckDB's cast is no longer correctly rounded (r9, fuzz-measured).
 @query(
     "spearman_hourly",
     oracle=f"""
@@ -94,7 +99,7 @@ _SQL_DAY = "CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)"
     SELECT n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,6)) AS DOUBLE)
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
@@ -2390,29 +2395,35 @@ def robust_anomalies_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (n·Σx² − (Σx)²)/(n²(n−1)) — decimal Σx, Σx² and ONE mirrored
 # division (the nested two-division form was reassociated by
 # Catalyst into a different rounding; single-division trees leave
-# the optimizer nothing to reorder). The oracle rescales Σx² to
-# DECIMAL(38,6) before its double cast: DuckDB's decimal→double is
-# only correctly rounded while the UNSCALED integer fits 2^53, and
-# the scale-12 product sum exceeds that (measured 1-ulp cast drift
-# at sf0.001). One partial-combined aggregate, no per-replicate
-# pass at all.
+# the optimizer nothing to reorder). Decimal→double discipline
+# (r9, uniform per ADVICE): DuckDB's wide-decimal→double cast is
+# only correctly rounded while the UNSCALED integer fits 2^53
+# (fuzz-measured ~25% 1-ulp misses above it, ANY nonzero scale),
+# so EVERY decimal sum is rescaled to its minimal LOSSLESS scale
+# before the cast — `value` carries 2 decimals, so Σx is exact at
+# scale 2 and Σx² at scale 4 — which keeps the unscaled integer
+# under 2^53 through ~sf100 instead of drifting at sf1. Both
+# engines cast the SAME rescaled value (Spark mirrors the casts).
+# One partial-combined aggregate, no per-replicate pass at all.
 @query(
     "jackknife_variance_events",
     oracle="""
     WITH s AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(value AS DECIMAL(30,6))) AS sx,
-               SUM(CAST(value AS DECIMAL(30,6))
-                   * CAST(value AS DECIMAL(30,6))) AS sxx
+               CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                    AS DECIMAL(38,2)) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))
+                        * CAST(value AS DECIMAL(30,6)))
+                    AS DECIMAL(38,4)) AS sxx
         FROM events
     )
     SELECT n,
            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
-           (CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,6)) AS DOUBLE)
+           (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
               * (CAST(n AS DOUBLE) - 1.0)) AS jackknife_var,
-           sqrt((CAST(n AS DOUBLE) * CAST(CAST(sxx AS DECIMAL(38,6)) AS DOUBLE)
+           sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                    * (CAST(n AS DOUBLE) - 1.0))) AS jackknife_se
@@ -2424,8 +2435,11 @@ def jackknife_variance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vdec = F.col("value").cast("decimal(30,6)")
     s = ev.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(vdec).alias("sx"),
-        F.sum(vdec * vdec).alias("sxx"),
+        # minimal lossless scales (value has 2 decimals): keeps the
+        # unscaled integer of each sum under 2^53 far longer, where
+        # BOTH engines' decimal→double casts are correctly rounded
+        F.sum(vdec).cast("decimal(38,2)").alias("sx"),
+        F.sum(vdec * vdec).cast("decimal(38,4)").alias("sxx"),
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")

@@ -581,7 +581,10 @@ def page_hinkley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (rank by score DESC, user_id tie-break). At each decile boundary
 # k = i·n//10: qini(k) = Rt_k − Rc_k·Nt_k/Nc_k — cumulative BIGINTs,
 # one mirrored ratio. The population window runs on the per-user
-# aggregate (bounded), not raw events.
+# aggregate (bounded), not raw events. The decile label is
+# TRUNCATION-defined on both engines (DuckDB `//`, Spark floor):
+# a float division + int cast would round-to-nearest in DuckDB but
+# truncate in Spark, silently diverging when n_users ≤ 20 (ADVICE r8).
 _QINI_SQL = """
     WITH per_user AS (
         SELECT user_id,
@@ -610,7 +613,7 @@ _QINI_SQL = """
         FROM ranked
         WINDOW tw AS (ORDER BY rk ROWS UNBOUNDED PRECEDING)
     )
-    SELECT CAST(rk * 10 / n AS INT) AS decile,
+    SELECT CAST(rk * 10 // n AS INT) AS decile,
            CAST(rk AS BIGINT) AS k,
            CAST(nt AS BIGINT) AS nt, CAST(nc AS BIGINT) AS nc,
            CAST(rt AS BIGINT) AS rt, CAST(rc AS BIGINT) AS rc,
@@ -663,7 +666,7 @@ def qini_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.where((F.col("rk") * 10 % F.col("n")) < 10)
         .select(
-            (F.col("rk") * 10 / F.col("n")).cast("int").alias("decile"),
+            F.floor(F.col("rk") * 10 / F.col("n")).cast("int").alias("decile"),
             F.col("rk").cast("bigint").alias("k"),
             F.col("nt").cast("bigint").alias("nt"),
             F.col("nc").cast("bigint").alias("nc"),

@@ -198,9 +198,11 @@ def _read_checkpoint(table_path: str | Path, version: int) -> dict | None:
     meta: dict | None = None
     txns: dict[str, int] = {}
     min_reader = 1
+    min_writer = 2
     for row in pq.read_table(str(f)).to_pylist():
         if row.get("protocol") is not None:
             min_reader = row["protocol"]["minReaderVersion"]
+            min_writer = row["protocol"].get("minWriterVersion") or 2
         if row.get("txn") is not None:
             t = row["txn"]
             txns[t["appId"]] = max(
@@ -225,6 +227,7 @@ def _read_checkpoint(table_path: str | Path, version: int) -> dict | None:
         "metaData": meta,
         "txns": txns,
         "min_reader": min_reader,
+        "min_writer": min_writer,
     }
 
 
@@ -287,9 +290,7 @@ def write_checkpoint(table_path: str | Path, version: int | None = None) -> Path
         {
             "protocol": {
                 "minReaderVersion": state.get("min_reader", 1),
-                "minWriterVersion": 5
-                if state.get("min_reader", 1) >= 2
-                else 2,
+                "minWriterVersion": state.get("min_writer", 2),
             }
         },
         {
@@ -353,6 +354,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
     schema: str | None = None
     txns: dict[str, int] = {}
     min_reader = 1
+    min_writer = 2
     start_after = -1
     if ck_meta is not None and ck_meta.get("version", -1) <= v:
         ck = _read_checkpoint(table_path, ck_meta["version"])
@@ -362,6 +364,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
             meta_action = ck["metaData"]
             txns = dict(ck.get("txns") or {})
             min_reader = ck["min_reader"]
+            min_writer = ck.get("min_writer", 2)
             start_after = ck_meta["version"]
     if start_after < 0 and cs and int(cs[0].stem) > 0:
         raise DeltaLogError(
@@ -381,6 +384,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
             action = json.loads(line)
             if "protocol" in action:
                 min_reader = action["protocol"].get("minReaderVersion", 1)
+                min_writer = action["protocol"].get("minWriterVersion", 2)
             elif "metaData" in action:
                 meta_action = action["metaData"]
                 schema = action["metaData"].get("schemaString")
@@ -414,6 +418,7 @@ def _replay(table_path: str | Path, version: int | None) -> dict:
         "metaData": meta_action,
         "txns": txns,
         "min_reader": min_reader,
+        "min_writer": min_writer,
         "mapping_mode": mapping_mode,
     }
 
@@ -638,9 +643,30 @@ class DeltaLogWriter:
         cfg = dict(md.get("configuration") or {})
         cfg[f"delta.constraints.{name}"] = expr
         md["configuration"] = cfg
+        # spec: CHECK constraints require minWriterVersion >= 3 — the
+        # protocol bump rides the SAME commit as the constraint
         return self._commit(
-            [{"metaData": md}], f"ADD CONSTRAINT {name}"
+            self._writer_bump(state, 3) + [{"metaData": md}],
+            f"ADD CONSTRAINT {name}",
         )
+
+    def _writer_bump(self, state: dict, need: int) -> list[dict]:
+        """A protocol action raising minWriterVersion to ``need`` when
+        the table's current floor is below it (empty list otherwise) —
+        the spec's rule that features like CHECK constraints (3) and
+        generated columns (4) must raise the writer floor so older
+        writers stop writing rather than silently ignore them."""
+        cur = int(state.get("min_writer", 2) or 2)
+        if cur >= need:
+            return []
+        return [
+            {
+                "protocol": {
+                    "minReaderVersion": int(state.get("min_reader", 1) or 1),
+                    "minWriterVersion": need,
+                }
+            }
+        ]
 
     def set_generated_column(self, col: str, expr: str) -> int:
         """Declare ``col`` GENERATED ALWAYS AS (expr) — stored the
@@ -675,8 +701,10 @@ class DeltaLogWriter:
         meta["delta.generationExpression"] = expr
         fields[col]["metadata"] = meta
         md["schemaString"] = json.dumps(schema)
+        # spec: generated columns require minWriterVersion >= 4
         return self._commit(
-            [{"metaData": md}], f"SET GENERATED {col}"
+            self._writer_bump(state, 4) + [{"metaData": md}],
+            f"SET GENERATED {col}",
         )
 
     def _generated_columns(self) -> dict[str, str]:
@@ -727,6 +755,15 @@ class DeltaLogWriter:
         if current_version(self.path) < 0:
             return
         state = _replay(self.path, None)
+        # writer-floor guard (spec: a writer MUST refuse tables whose
+        # minWriterVersion exceeds what it implements — this writer
+        # covers versions 1-5: appends, invariants/constraints,
+        # generated columns, name-mode column mapping)
+        if int(state.get("min_writer", 2) or 2) > 5:
+            raise DeltaLogError(
+                f"table requires minWriterVersion={state['min_writer']}; "
+                "this writer implements protocol writer versions 1-5"
+            )
         cfg = (state["metaData"] or {}).get("configuration") or {}
         constraints = {
             k.removeprefix("delta.constraints."): v
@@ -842,10 +879,16 @@ class DeltaLogWriter:
     def _conflicting_kind(self, from_v: int) -> str | None:
         """Scan the commits that won versions ≥ ``from_v`` and return
         the first action kind a blind append does NOT commute with
-        (``metaData`` / ``protocol`` / ``remove``), or None when every
-        winner is itself a blind append (add/commitInfo/txn only) —
-        the spec's WriteSerializable conflict matrix: AddFile-only
-        transactions never conflict with each other."""
+        (``metaData`` / ``protocol``), or None when every winner
+        commutes — the spec's WriteSerializable conflict matrix: a
+        blind append reads no files, so AddFile-only winners AND
+        remove-carrying winners (concurrent DELETE / OPTIMIZE /
+        overwrite) both commute with it; only metadata or protocol
+        changes (which could alter the schema/constraints this append
+        was validated against) force an abort. Earlier rounds treated
+        ``remove`` as conflicting too — stricter than the upstream
+        conflict matrix and a source of spurious aborts the real
+        engine retries past (ADVICE r8)."""
         d = _log_dir(self.path)
         v = from_v
         while (f := d / f"{v:020d}.json").exists():
@@ -853,7 +896,7 @@ class DeltaLogWriter:
                 if not line.strip():
                     continue
                 a = json.loads(line)
-                for kind in ("metaData", "protocol", "remove"):
+                for kind in ("metaData", "protocol"):
                     if kind in a:
                         return kind
             v += 1
@@ -987,9 +1030,13 @@ class DeltaLogWriter:
         meta["createdTime"] = int(time.time() * 1000)
         actions: list[dict] = [
             {
+                # carry BOTH protocol floors from the source: a clone of
+                # a table whose writer version was raised (generated
+                # columns, CHECK constraints, column mapping …) must not
+                # silently downgrade its declared writer requirements
                 "protocol": {
                     "minReaderVersion": state["min_reader"],
-                    "minWriterVersion": 2,
+                    "minWriterVersion": state.get("min_writer", 2),
                 }
             },
             {"metaData": meta},

@@ -911,9 +911,12 @@ def test_append_retries_past_blind_append_winner(spark, tmp_path):
     assert sorted(r.id for r in read_delta(spark, p).collect()) == [1, 2, 3]
 
 
-def test_append_aborts_when_winner_removed_files(spark, tmp_path):
-    """A concurrent OVERWRITE (remove actions) does NOT commute with
-    an append — the loser must abort, not retry."""
+def test_append_retries_past_remove_winner(spark, tmp_path):
+    """WriteSerializable conflict matrix: a blind append reads no
+    files, so a concurrent OVERWRITE (remove+add winner) COMMUTES
+    with it — the loser retries at the new head and both effects
+    land (the spec's matrix; r8 treated remove as conflicting, a
+    conservative divergence fixed per ADVICE)."""
     import types
 
     p = tmp_path / "t"
@@ -929,10 +932,37 @@ def test_append_aborts_when_winner_removed_files(spark, tmp_path):
         return orig(self, actions, op, version)
 
     w1._commit = types.MethodType(racing, w1)
-    with pytest.raises(DeltaLogError, match="concurrent remove"):
+    v = w1.append(_df(spark, [(3, "c")]))
+    # overwrite won version 1; the append retried and landed on top
+    assert raced and v == 2
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [3, 9]
+
+
+def test_append_aborts_when_winner_changed_metadata(spark, tmp_path):
+    """A concurrent metaData change (ADD CONSTRAINT here) does NOT
+    commute with an append — the appended rows were validated against
+    the OLD table contract, so the loser must abort, not retry."""
+    import types
+
+    p = tmp_path / "t"
+    w1 = DeltaLogWriter(spark, p)
+    w1.create(_df(spark, [(1, "a")]))
+    orig = DeltaLogWriter._commit
+    raced = []
+
+    def racing(self, actions, op, version=None):
+        if not raced and op == "WRITE":
+            raced.append(True)
+            DeltaLogWriter(spark, p).set_check_constraint(
+                "id_small", "id < 1000"
+            )
+        return orig(self, actions, op, version)
+
+    w1._commit = types.MethodType(racing, w1)
+    with pytest.raises(DeltaLogError, match="concurrent (metaData|protocol)"):
         w1.append(_df(spark, [(3, "c")]))
-    # the overwrite stands; the aborted append added nothing
-    assert sorted(r.id for r in read_delta(spark, p).collect()) == [9]
+    # the constraint stands; the aborted append added nothing
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [1]
 
 
 def test_append_txn_race_with_same_txn_is_noop(spark, tmp_path):
@@ -1002,6 +1032,55 @@ def test_shallow_clone_zero_copy_divergence_and_vacuum_contract(
         read_delta(spark, dst, version=0).collect()
 
 
+def test_writer_version_bumps_and_clone_propagates_them(spark, tmp_path):
+    """Spec protocol floors: ADD CONSTRAINT raises minWriterVersion
+    to 3, generated columns to 4 — and a shallow clone carries the
+    source's writer floor instead of downgrading it (ADVICE r8)."""
+    from lakehouse_poc_spark.sources.deltalog import _replay
+
+    src, dst = tmp_path / "src", tmp_path / "clone"
+    ws = DeltaLogWriter(spark, src)
+    ws.create(_df(spark, [(1, "a")]))
+    assert _replay(src, None)["min_writer"] == 2
+    ws.set_check_constraint("id_pos", "id > 0")
+    assert _replay(src, None)["min_writer"] == 3
+    ws.set_generated_column("v", "'a'")  # existing row satisfies it
+    assert _replay(src, None)["min_writer"] == 4
+    # re-adding a lower-tier feature never downgrades the floor
+    ws.set_check_constraint("id_small", "id < 1000")
+    assert _replay(src, None)["min_writer"] == 4
+    DeltaLogWriter(spark, dst).clone_shallow(src)
+    assert _replay(dst, None)["min_writer"] == 4
+    # ...and the floor survives a checkpoint round-trip
+    from lakehouse_poc_spark.sources.deltalog import write_checkpoint
+
+    write_checkpoint(src)
+    for f in (src / "_delta_log").glob("*.json"):
+        f.unlink()
+    assert _replay(src, None)["min_writer"] == 4
+
+
+def test_writer_floor_guard_refuses_unsupported_tables(spark, tmp_path):
+    """A table whose minWriterVersion exceeds 5 (e.g. table features,
+    writer v7) must be REFUSED by this writer — spec rule — while
+    reads stay allowed as long as minReaderVersion is supported."""
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(_df(spark, [(1, "a")]))
+    import json as _json
+
+    with (p / "_delta_log" / f"{1:020d}.json").open("w") as f:
+        f.write(
+            _json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    assert [r.id for r in read_delta(spark, p).collect()] == [1]  # read OK
+    with pytest.raises(DeltaLogError, match="minWriterVersion=7"):
+        w.append(_df(spark, [(2, "b")]))
+
+
 def test_clone_of_clone_and_existing_target_rejected(spark, tmp_path):
     src, c1, c2 = tmp_path / "src", tmp_path / "c1", tmp_path / "c2"
     ws = DeltaLogWriter(spark, src)
@@ -1030,15 +1109,17 @@ def test_vacuum_reclaims_aborted_append_orphans(spark, tmp_path):
     def racing(self, actions, op, version=None):
         if not raced and op == "WRITE":
             raced.append(True)
-            DeltaLogWriter(spark, p).overwrite(_df(spark, [(9, "ow")]))
+            DeltaLogWriter(spark, p).set_check_constraint(
+                "id_small", "id < 1000"
+            )
         return orig(self, actions, op, version)
 
     w1._commit = types.MethodType(racing, w1)
     n_before = len(list(p.glob("*.parquet")))
-    with pytest.raises(DeltaLogError, match="concurrent remove"):
+    with pytest.raises(DeltaLogError, match="concurrent (metaData|protocol)"):
         w1.append(_df(spark, [(3, "orphaned")]))
     # staged files exist but are untracked
     assert len(list(p.glob("*.parquet"))) > n_before
     res = w1.vacuum(retention_ms=0, force=True)
     assert res["files_removed"] >= 1
-    assert sorted(r.id for r in read_delta(spark, p).collect()) == [9]
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [1]
