@@ -415,6 +415,43 @@ HEADLINE = [
 ]
 
 
+# Family classification (VERDICT r7/r8 task: per-family subtotals so
+# composition growth and regressions separate mechanically). Family is
+# derived from the query's defining module, with two name-based
+# overrides that cut across modules: stream_* (Structured Streaming
+# twins live in several modules) and delta_* (the Delta-log protocol
+# queries live in etlops*).
+_MODULE_FAMILY = {
+    "tpch": "tpch", "tpch2": "tpch",
+    "analytics": "analytics",
+    "statops": "stats", "statops2": "stats", "statops3": "stats",
+    "statops4": "stats",
+    "simops": "similarity", "simops2": "similarity",
+    "textops": "text", "corpus": "text", "curation": "text",
+    "searchops": "text", "seqops": "text",
+    "multimodal": "multimodal",
+    "graphops": "graph",
+    "streamops": "streaming",
+    "eventops": "events", "valueops": "events",
+    "etlops": "etl", "etlops2": "etl", "pipelineops": "etl",
+    "dqops": "etl", "geoops": "events",
+    "mlops": "ml", "mlops2": "ml",
+}
+
+
+def _family(name: str, fn) -> str:
+    if name.startswith("stream_"):
+        return "streaming"
+    if name.startswith("delta_") or "deltalog" in name:
+        return "deltalog"
+    if "dedup" in name or "passage" in name or "minhash" in name:
+        return "dedup"
+    if name.startswith("window_"):
+        return "windows"
+    mod = fn.__module__.rsplit(".", 1)[-1]
+    return _MODULE_FAMILY.get(mod, "other")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -544,6 +581,18 @@ def main() -> None:
     # absolute delta exceeds 0.5 s — sub-second scheduler jitter on a
     # shared container is noise, not a plan change.
     regressions = _diff_previous(timings, isolated)
+    # Per-family subtotals (min-basis) + counts: round-over-round
+    # growth from NEW queries lands in its family's `n`, while a real
+    # regression moves a family's `sec` with `n` unchanged.
+    families: dict[str, dict] = {}
+    for name, t in timings.items():
+        fam = _family(name, plans.QUERIES[name])
+        row = families.setdefault(fam, {"sec": 0.0, "n": 0})
+        row["sec"] += t
+        row["n"] += 1
+    for row in families.values():
+        row["sec"] = round(row["sec"], 3)
+    families = dict(sorted(families.items()))
     # The driver records only the last 2000 chars of stdout; the full
     # line above is ~5k chars, so its leading totals get truncated
     # (seen in BENCH_r05.json). Print a compact self-describing summary
@@ -559,6 +608,7 @@ def main() -> None:
                 "slowest_med": isolated,
                 "slowest_suite_med": {k: medians[k] for k in slowest_names},
                 "regressions": regressions,
+                "families": families,
                 "sf": sf,
             }
         )
