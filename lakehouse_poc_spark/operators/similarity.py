@@ -263,6 +263,38 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_cells(df: DataFrame, cents: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Argmax-cosine cell assignment against the (broadcast) frozen
+    centroids, as ONE partial-combinable aggregation: min over
+    struct(−cosine, cent_id, vec) picks max-cosine / cent_id-asc —
+    the identical winner to a row_number(desc csim, asc cent_id)
+    window, including its collapse of duplicate ids — but the
+    map-side combine shrinks the |centroids|-times expanded relation
+    back to one row per id BEFORE the Exchange, where the window
+    shuffled the full expansion (r9, VERDICT task 2: measured 2×
+    faster per phase at toy scale and |centroids|× less shuffle at
+    any scale). A NULL cosine (zero-norm guard) coalesces to +2.0,
+    ordering after every real negated cosine in [-1, 1] exactly like
+    desc-nulls-last did."""
+    s = F.struct(
+        F.coalesce(
+            -cosine(F.col(vec_col), F.col("cent_vec")), F.lit(2.0)
+        ).alias("negsim"),
+        F.col("cent_id"),
+        F.col(vec_col).alias("v"),
+    )
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(F.min(s).alias("__w"))
+        .select(
+            F.col(id_col),
+            F.col("__w.v").alias(vec_col),
+            F.col("__w.cent_id").alias("cell"),
+        )
+    )
+
+
 def ivf_build_index(
     corpus: DataFrame,
     wh,
@@ -277,24 +309,17 @@ def ivf_build_index(
     then reads only its probed cells' partition dirs (partition
     pruning does the candidate selection; see ivf_query_at_rest).
     Same deterministic quantizer as ivf_topk (min-id corpus vectors),
-    so at-rest results match the in-flight operator exactly."""
+    so at-rest results match the in-flight operator exactly. The
+    write repartitions by cell so each cell's partition dir gets
+    size-proportional files instead of one sliver per upstream task."""
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     wh.overwrite(cents, f"{table}_centroids")
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine(F.col(vec_col), F.col("cent_vec")))
-        .withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= 1)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cent_id").alias("cell"),
-        )
+    assigned = _assign_cells(corpus, cents, vec_col, id_col).repartition(
+        n_centroids, "cell"
     )
     wh.overwrite(assigned, table, partition_by=["cell"])
 
@@ -362,21 +387,19 @@ def ivf_index_add(
     identity `ann_index_maintained_embeddings` gates on. Returns the
     number of vectors added."""
     cents = wh.read(f"{table}_centroids")
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
-    assigned = (
-        new_vectors.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine(F.col(vec_col), F.col("cent_vec")))
-        .withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= 1)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cent_id").alias("cell"),
-        )
+    n_cells = cents.count()
+    # _assign_cells' single aggregation both assigns and collapses
+    # duplicate ids within the batch (a replayed add must not
+    # double-append — code-review r7), shuffling only the ADD BATCH
+    # (incremental by nature), never the index. Repartition by cell
+    # before the write so each touched cell gets ONE append file per
+    # add instead of one sliver per shuffle task (32 tasks × cells
+    # tiny files otherwise — both a toy-scale job cost and a real
+    # small-file problem on object storage).
+    assigned = _assign_cells(new_vectors, cents, vec_col, id_col).repartition(
+        max(int(n_cells), 1), "cell"
     )
-    # count the ACTUAL appended rows (the rank<=1 window dedups
-    # duplicate ids in the batch, so the input count would overstate
-    # a replayed add — code-review r7); persist so the plan executes
+    # count the ACTUAL appended rows; persist so the plan executes
     # once for both the count and the write
     assigned = assigned.persist()
     n = assigned.count()
