@@ -172,6 +172,19 @@ def files_skipped_by_stats(
     return keep, len(state["adds"])
 
 
+def _decode_path(p: str) -> str:
+    """``add``/``remove`` path fields are URL-encoded per the public
+    PROTOCOL.md (RFC 2396) — a foreign writer stores ``a b.parquet``
+    as ``a%20b.parquet`` in the log. Decode ONLY at filesystem-access
+    points; log-level keying (add/remove matching, dedup) stays on
+    the raw encoded string, which is what every writer emits
+    consistently. Our own writer's hex/dash names round-trip
+    unchanged."""
+    from urllib.parse import unquote
+
+    return unquote(p)
+
+
 def _last_checkpoint_meta(table_path: str | Path) -> dict | None:
     """Parse ``_delta_log/_last_checkpoint`` (the spec's pointer file
     that lets readers skip listing/replaying the whole log)."""
@@ -463,7 +476,9 @@ def read_delta(
             [], StructType.fromJson(json.loads(state["schema"]))
         )
     if not pcols:
-        raw = spark.read.parquet(*[str(base / f) for f in state["files"]])
+        raw = spark.read.parquet(
+            *[str(base / _decode_path(f)) for f in state["files"]]
+        )
         if not mapped:
             return raw
         # name-mode column mapping: data files carry PHYSICAL names
@@ -500,9 +515,17 @@ def read_delta(
     data_fields = [f for f in schema.fields if f.name not in pcols]
     data_schema = StructType(data_fields)
     out = None
-    for key, paths in sorted(groups.items()):
+    # nulls-first group order: a NULL partition value is legal per
+    # spec (absent/None in partitionValues), so the sort key must not
+    # compare str against None (caught by the r9 conformance fixtures)
+    for key, paths in sorted(
+        groups.items(),
+        key=lambda kv: tuple(
+            (c, v is not None, v or "") for c, v in kv[0]
+        ),
+    ):
         part = spark.read.schema(data_schema).parquet(
-            *[str(base / p) for p in paths]
+            *[str(base / _decode_path(p)) for p in paths]
         )
         for c, val in key:
             part = part.withColumn(
@@ -628,7 +651,7 @@ class DeltaLogWriter:
         md = dict(state["metaData"] or {})
         if state["files"]:
             existing = self.spark.read.parquet(
-                *[str(self.path / f) for f in state["files"]]
+                *[str(self.path / _decode_path(f)) for f in state["files"]]
             )
             from pyspark.sql import functions as F
 
@@ -687,7 +710,7 @@ class DeltaLogWriter:
             from pyspark.sql import functions as F
 
             existing = self.spark.read.parquet(
-                *[str(self.path / f) for f in state["files"]]
+                *[str(self.path / _decode_path(f)) for f in state["files"]]
             )
             bad = existing.filter(
                 ~F.col(col).eqNullSafe(F.expr(expr))
@@ -1041,9 +1064,13 @@ class DeltaLogWriter:
             },
             {"metaData": meta},
         ]
+        from urllib.parse import quote
+
         for a in state["adds"]:
             a2 = dict(a)
-            a2["path"] = str((src / a["path"]).resolve())
+            a2["path"] = quote(
+                str((src / _decode_path(a["path"])).resolve()), safe="/"
+            )
             actions.append({"add": a2})
         self.path.mkdir(parents=True, exist_ok=True)
         return self._commit(actions, "CLONE", version=0)
@@ -1069,7 +1096,8 @@ class DeltaLogWriter:
         missing = [
             p
             for p in tgt_live
-            if p not in cur_live and not (self.path / p).exists()
+            if p not in cur_live
+            and not (self.path / _decode_path(p)).exists()
         ]
         if missing:
             raise DeltaLogError(
@@ -1160,7 +1188,7 @@ class DeltaLogWriter:
                 if len(b) < 2:
                     continue
                 df = self.spark.read.parquet(
-                    *[str(self.path / a["path"]) for a in b]
+                    *[str(self.path / _decode_path(a["path"])) for a in b]
                 )
                 staged = self._stage(df.coalesce(1))
                 for add in staged:
@@ -1221,7 +1249,7 @@ class DeltaLogWriter:
                 "retentionDurationCheck)"
             )
         state = _replay(self.path, None)
-        live = set(state["files"])
+        live = {_decode_path(f) for f in state["files"]}
         now = time.time() * 1000
         removed: list[str] = []
         for f in sorted(self.path.glob("*.parquet")):
