@@ -412,6 +412,8 @@ HEADLINE = [
     "theil_index_revenue_nations",
     "greedy_cover_docs",
     "articulation_points_event_types",
+    # r9: deletion vectors on the Delta-log protocol backend
+    "dv_delete_deltalog_orders",
 ]
 
 

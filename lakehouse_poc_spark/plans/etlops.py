@@ -2319,6 +2319,62 @@ def delta_log_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deletionVectors on the Delta-log backend (r9, VERDICT task 4):
+# merge-on-read DELETE that rewrites ZERO data files — matched row
+# positions go to sidecar bitmaps and each touched file is re-added
+# with the spec's deletionVector descriptor, upgrading the table to
+# the reader-3/writer-7 table-features protocol. Two overlapping
+# deletes prove the MOR semantics (the second evaluates against the
+# first's survivors and MERGES per-file bitmaps), and all three
+# versions stay time-travelable: v0 = all rows, v1 = after the first
+# delete, latest = after both. A reader that ignores descriptors
+# resurrects deleted rows and breaks the hash; payload-codec contract
+# note in sources/deltalog.py.
+@query(
+    "dv_delete_deltalog_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderkey % 10 NOT IN (3, 7)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_latest,
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+           CAST(COUNT(*) AS BIGINT) AS n_v0
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def dv_delete_deltalog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"deltalog_dv_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_dv"
+    w = DeltaLogWriter(spark, path)
+    w.create(orders)
+    w.delete_where_dv("o_orderkey % 10 = 3")
+    w.delete_where_dv("o_orderkey % 10 = 7")
+
+    def _agg(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    latest = _agg(read_delta(spark, path), "n_latest")
+    v1 = _agg(read_delta(spark, path, version=1), "n_v1")
+    v0 = _agg(read_delta(spark, path, version=0), "n_v0")
+    return (
+        latest.join(v1, "o_orderstatus")
+        .join(v0, "o_orderstatus")
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # The FOURTH SCD1 twin (r8): identical scenario and oracle to
 # scd1_customer_current / _file_pruned / _manifest, executed on
 # DeltaLogWarehouse — storage = REAL Delta-protocol commits

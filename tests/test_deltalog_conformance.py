@@ -476,9 +476,12 @@ def test_foreign_checkpoint_with_tombstones_and_extra_pointer_fields(
 def test_unsupported_reader_version_fails_fast_supported_reads(
     spark, tmp_path
 ):
-    """Protocol floor: reader-3 tables (deletion vectors et al.) must
-    be REFUSED, not half-read — and the same table remains readable
-    at pre-upgrade versions."""
+    """Protocol floor: reader-3 tables listing features this reader
+    does NOT implement (v2Checkpoint here) must be REFUSED, not
+    half-read — and the same table remains readable at pre-upgrade
+    versions. (deletionVectors itself IS implemented — see
+    test_deltalog_dv.py — so the fixture picks a genuinely
+    unsupported feature.)"""
     t = tmp_path / "t"
     _write_parquet(t / "f.parquet", [1], ["a"])
     _commit(
@@ -506,8 +509,8 @@ def test_unsupported_reader_version_fails_fast_supported_reads(
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
                 }
             }
         ],

@@ -1,0 +1,182 @@
+"""deletionVectors table feature on the Delta-log backend (VERDICT r8
+task 4): merge-on-read DELETE with spec-shaped descriptors, the
+reader-3/writer-7 table-features protocol handshake, VERSION AS OF,
+checkpoint round-trip, RESTORE guards and vacuum safety. See the
+module-level contract note in sources/deltalog.py for the payload
+codec boundary."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lakehouse_poc_spark.sources.deltalog import (
+    DeltaLogError,
+    DeltaLogWriter,
+    _dv_decode,
+    _dv_encode,
+    _replay,
+    current_version,
+    read_delta,
+    write_checkpoint,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def _mk(spark, path, n=10):
+    w = DeltaLogWriter(spark, path)
+    w.create(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], "id long, v string"
+    ).coalesce(2))
+    return w
+
+
+def test_dv_codec_roundtrip_and_corruption():
+    pos = [0, 3, 7, 2**40]
+    data = _dv_encode(pos)
+    assert _dv_decode(data) == pos
+    assert _dv_decode(_dv_encode([])) == []
+    with pytest.raises(DeltaLogError, match="magic"):
+        _dv_decode(b"garbage")
+    with pytest.raises(DeltaLogError, match="CRC"):
+        _dv_decode(data[:-1] + bytes([data[-1] ^ 1]))
+
+
+def test_dv_delete_mor_semantics_and_protocol_upgrade(spark, tmp_path):
+    p = tmp_path / "t"
+    w = _mk(spark, p)
+    n_parquet = len(list(p.glob("*.parquet")))
+    res = w.delete_where_dv("id % 3 = 0")  # 0,3,6,9
+    assert res["rows_deleted"] == 4 and res["version"] == 1
+    # no data file rewritten, sidecar(s) written
+    assert len(list(p.glob("*.parquet"))) == n_parquet
+    assert list(p.glob("deletionvector_*.bin"))
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [
+        1, 2, 4, 5, 7, 8,
+    ]
+    # VERSION AS OF: the pre-delete snapshot still has every row
+    assert read_delta(spark, p, 0).count() == 10
+    # protocol rose to 3/7 with the feature listed
+    st = _replay(p, None)
+    assert st["min_reader"] == 3 and st["min_writer"] == 7
+    assert "deletionVectors" in st["reader_features"]
+    assert "deletionVectors" in st["writer_features"]
+    # descriptor shape per spec
+    dv_adds = [a for a in st["adds"] if a.get("deletionVector")]
+    assert dv_adds
+    d = dv_adds[0]["deletionVector"]
+    assert d["storageType"] == "p" and d["cardinality"] >= 1
+    assert d["sizeInBytes"] > 0
+
+
+def test_dv_second_delete_merges_and_null_predicate_survives(
+    spark, tmp_path
+):
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(
+        spark.createDataFrame(
+            [(0, "a"), (1, None), (2, "c"), (3, "d")], "id long, v string"
+        ).coalesce(1)
+    )
+    w.delete_where_dv("id = 0")
+    # MOR evaluation: the already-deleted row can't match again, so a
+    # second overlapping delete reports only NEW rows; NULL-predicate
+    # rows survive (SQL DELETE semantics)
+    res = w.delete_where_dv("id <= 2 AND v IS NOT NULL")
+    assert res["rows_deleted"] == 1  # id=2 only (0 already gone; 1 null)
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [1, 3]
+    # version history shows each state
+    assert read_delta(spark, p, 0).count() == 4
+    assert sorted(r.id for r in read_delta(spark, p, 1).collect()) == [1, 2, 3]
+
+
+def test_dv_survives_checkpoint_roundtrip(spark, tmp_path):
+    p = tmp_path / "t"
+    w = _mk(spark, p, n=6)
+    w.delete_where_dv("id < 2")
+    write_checkpoint(p)
+    for f in (p / "_delta_log").glob("*.json"):
+        f.unlink()
+    st = _replay(p, None)
+    assert st["min_reader"] == 3 and "deletionVectors" in st["reader_features"]
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [2, 3, 4, 5]
+
+
+def test_dv_vacuum_keeps_live_sidecars_sweeps_superseded(spark, tmp_path):
+    p = tmp_path / "t"
+    w = _mk(spark, p, n=6)
+    w.delete_where_dv("id = 0")
+    first = set(p.glob("deletionvector_*.bin"))
+    w.delete_where_dv("id = 1")  # supersedes the file's first sidecar
+    now_live = set(p.glob("deletionvector_*.bin")) - first
+    assert first and now_live
+    res = w.vacuum(retention_ms=0, force=True)
+    # the superseded sidecar went; the live one stayed; reads intact
+    assert all(not f.exists() for f in first)
+    assert all(f.exists() for f in now_live)
+    assert any(n.startswith("deletionvector_") for n in res["removed"])
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [2, 3, 4, 5]
+
+
+def test_dv_restore_guards_vacuumed_sidecar(spark, tmp_path):
+    p = tmp_path / "t"
+    w = _mk(spark, p, n=6)
+    w.delete_where_dv("id = 0")      # v1: DV state
+    w.delete_where_dv("id = 1")      # v2: supersedes v1's sidecar
+    w.vacuum(retention_ms=0, force=True)  # reclaims v1's sidecar
+    with pytest.raises(DeltaLogError, match="deletion vector"):
+        w.restore(1)
+    # restoring to the PRE-DV version works: plain adds, no sidecars
+    v = w.restore(0)
+    assert v == 3
+    assert read_delta(spark, p).count() == 6
+
+
+def test_dv_blind_append_commutes_and_writer_floor_enforced(
+    spark, tmp_path
+):
+    """After the protocol upgrade this writer still appends (it
+    implements the feature), and the appended rows coexist with DV'd
+    files; a table listing an UNKNOWN writer feature is refused."""
+    p = tmp_path / "t"
+    w = _mk(spark, p, n=4)
+    w.delete_where_dv("id = 0")
+    w.append(_df(spark, [(100, "new")]))
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == [
+        1, 2, 3, 100,
+    ]
+    # foreign feature => refuse writes, allow supported-version reads
+    (p / "_delta_log" / f"{current_version(p) + 1:020d}.json").write_text(
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors", "icebergCompatV2"],
+                }
+            }
+        )
+        + "\n"
+    )
+    assert read_delta(spark, p).count() == 4  # reader features all known
+    with pytest.raises(DeltaLogError, match="minWriterVersion=7"):
+        w.append(_df(spark, [(101, "x")]))
+
+
+def test_dv_scope_guards_partitioned_and_mapped(spark, tmp_path):
+    p = tmp_path / "part"
+    w = DeltaLogWriter(spark, p)
+    w.create_partitioned(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "id long, v string, c string"
+        ),
+        ["c"],
+    )
+    with pytest.raises(DeltaLogError, match="partitioned"):
+        w.delete_where_dv("id = 1")
