@@ -475,9 +475,14 @@ def label_propagation(
     ``weight`` defaults to 1 per edge row. Returns (node, community).
 
     Scale shape per round: one (dst-keyed) join label→neighbor, one
-    (node, label) aggregation, one per-node window for the argmax —
-    all hash-partitioned by node id; labels are ids (longs), never
-    collections. Skewed hubs salt like any hot groupBy key.
+    (node, label) aggregation, then the per-node argmax as a SECOND
+    partial-combinable aggregation — min over struct(−wt, label)
+    picks the max-weight / smallest-label winner with no window sort
+    (r9: the row_number window needed a hash partition + sort per
+    round; the min-struct agg map-side combines instead — same
+    winner, one sort removed per round). All node-id hash
+    partitioned; labels are ids (longs), never collections. Skewed
+    hubs salt like any hot groupBy key.
 
     Iteration hygiene (VERDICT r6 task 3, matching ``pagerank``'s
     cached-edge discipline): the symmetrized edge relation is
@@ -514,9 +519,6 @@ def label_propagation(
             .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        from pyspark.sql import Window
-
-        rk = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
         cadence = 1 if converge else max(1, checkpoint_every)
         for it in range(iters):
             nb = und.join(
@@ -525,9 +527,15 @@ def label_propagation(
             new_labels = (
                 nb.groupBy("node", "label")
                 .agg(F.sum("w").alias("wt"))
-                .withColumn("__r", F.row_number().over(rk))
-                .filter(F.col("__r") == 1)
-                .select("node", "label")
+                .groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("wt")).alias("nwt"), F.col("label")
+                        )
+                    ).alias("__w")
+                )
+                .select("node", F.col("__w.label").alias("label"))
             )
             if (it + 1) % cadence == 0 or it + 1 == iters:
                 new_labels = new_labels.localCheckpoint(eager=True)

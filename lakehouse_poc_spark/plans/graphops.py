@@ -254,7 +254,10 @@ def label_propagation_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
     return (
-        label_propagation(edges, iters=3, weight="w")
+        # checkpoint_every=3: a 3-iteration run needs no INTERMEDIATE
+        # lineage cut (plan depth 3 is the contract bound itself);
+        # each eager checkpoint is a ~2 s materialization job at sf0.1
+        label_propagation(edges, iters=3, weight="w", checkpoint_every=3)
         .select(F.col("node").alias("partkey"), "community")
         .orderBy("partkey")
     )
