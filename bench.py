@@ -412,8 +412,10 @@ HEADLINE = [
     "theil_index_revenue_nations",
     "greedy_cover_docs",
     "articulation_points_event_types",
-    # r9: deletion vectors on the Delta-log protocol backend
+    # r9: deletion vectors on the Delta-log protocol backend; Avro
+    # container-format roundtrip (pure-Python codec, Java-validated)
     "dv_delete_deltalog_orders",
+    "avro_roundtrip",
 ]
 
 

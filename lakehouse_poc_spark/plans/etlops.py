@@ -603,6 +603,41 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Avro sink/source roundtrip (r9): the LAST first-party format without
+# a roundtrip query. The spark-avro connector JAR is not in this
+# distribution, so the format rides sources/avro.py — a pure-Python
+# object-container-file codec per the public Apache Avro spec,
+# registered as a Spark 4 Python DataSource (one partition per file,
+# two-phase commit), written here with the DEFLATE codec. Unlike the
+# Delta-log backend, this format has a second implementation IN the
+# container (avro-1.12.1.jar, the Java library on Spark's classpath):
+# tests/test_avro.py reads these bytes through
+# org.apache.avro.file.DataFileReader and writes Java files our
+# reader must parse — bidirectional conformance, not self-consistency.
+# o_totalprice travels as double (decimal(18,2) → double is value-
+# lossless; dsum's decimal(30,6) re-cast recovers it exactly).
+@query("avro_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro import register_avro
+
+    register_avro(spark)
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    root = SCRATCH / f"avro_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "orders_avro")
+    orders.write.format("avrofile").option("path", path).option(
+        "codec", "deflate"
+    ).mode("overwrite").save()
+    back = spark.read.format("avrofile").option("path", path).load()
+    return _roundtrip_agg(back)
+
+
+# ---------------------------------------------------------------------------
 # Bucketed co-located join: lineitem and orders written bucketed+sorted
 # on the order key join shuffle-free (SCALE.md §2's prescription for
 # fact-fact joins at 100 TB). tests/test_plan_shapes.py asserts the
