@@ -416,6 +416,8 @@ HEADLINE = [
     # container-format roundtrip (pure-Python codec, Java-validated)
     "dv_delete_deltalog_orders",
     "avro_roundtrip",
+    "avro_schema_evolution_orders",
+    "avro_logical_types_roundtrip",
 ]
 
 

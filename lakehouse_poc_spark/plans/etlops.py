@@ -638,6 +638,124 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Avro SCHEMA RESOLUTION (r9): the spec's evolution contract —
+# producers upgrade before consumers, so the reader presents ITS
+# schema and the library resolves by NAME: writer-only fields are
+# decoded-and-skipped, reader-only fields take their declared default,
+# int→long promotes. The query writes v1 files (orderkey, shippriority
+# int, orderstatus) and reads them with a v2 reader schema (status
+# dropped, priority promoted to long, a defaulted region column) —
+# exactly the consumer-lag scenario Avro pipelines run through every
+# deploy window. Oracle reproduces the resolved values from the source
+# table directly.
+@query(
+    "avro_schema_evolution_orders",
+    oracle="""
+    SELECT 'unknown' AS region,
+           CAST(o_custkey % 5 AS BIGINT) AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_custkey % 5
+    ORDER BY pri
+    """,
+)
+def avro_schema_evolution_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    from ..sources.avro import register_avro
+
+    register_avro(spark)
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 5).cast("int").alias("o_shippriority"),
+        "o_orderstatus",
+    )
+    root = SCRATCH / f"avro_evo_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "orders_v1")
+    orders.write.format("avrofile").option("path", path).mode(
+        "overwrite"
+    ).save()
+    reader_schema = {
+        "type": "record",
+        "name": "orders_v2",
+        "fields": [
+            {"name": "region", "type": "string", "default": "unknown"},
+            {"name": "o_shippriority", "type": "long"},  # int -> long
+            {"name": "o_orderkey", "type": "long"},
+            # o_orderstatus: writer-only, decoded and skipped
+        ],
+    }
+    back = (
+        spark.read.format("avrofile")
+        .option("path", path)
+        .option("readerSchema", _json.dumps(reader_schema))
+        .load()
+    )
+    return (
+        back.groupBy("region", F.col("o_shippriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("pri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Avro LOGICAL TYPES (r9): date rides the spec's int-days annotation,
+# timestamps the long-micros one; the Java parity tests pin the
+# underlying integers (19782 = 2024-02-29). Dates hash as strftime
+# strings per the repo's cross-engine convention.
+@query(
+    "avro_logical_types_roundtrip",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+           STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+    FROM orders
+    GROUP BY 1
+    ORDER BY yr
+    """,
+)
+def avro_logical_types_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.avro import register_avro
+
+    register_avro(spark)
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    root = SCRATCH / f"avro_lt_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "orders_dates")
+    orders.write.format("avrofile").option("path", path).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format("avrofile").option("path", path).load()
+    return (
+        back.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_day"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "last_day"
+            ),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketed co-located join: lineitem and orders written bucketed+sorted
 # on the order key join shuffle-free (SCALE.md §2's prescription for
 # fact-fact joins at 100 TB). tests/test_plan_shapes.py asserts the

@@ -77,9 +77,26 @@ def _zz_dec(buf: io.BytesIO) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+_EPOCH_DATE = None  # lazy: datetime import kept off the hot path
+
+
 def _enc_value(v, typ: str) -> bytes:
     if typ in ("long", "int"):
         return _zz_enc(int(v))
+    if typ == "date":  # logical: int days since unix epoch
+        global _EPOCH_DATE
+        if _EPOCH_DATE is None:
+            import datetime
+
+            _EPOCH_DATE = datetime.date(1970, 1, 1)
+        return _zz_enc((v - _EPOCH_DATE).days)
+    if typ == "timestamp-micros":  # logical: long micros since epoch
+        import calendar
+
+        # naive datetimes are UTC by contract (session tz is pinned
+        # UTC; documented module scope)
+        us = calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+        return _zz_enc(us)
     if typ == "double":
         return struct.pack("<d", float(v))
     if typ == "float":
@@ -100,6 +117,19 @@ def _enc_value(v, typ: str) -> bytes:
 def _dec_value(buf: io.BytesIO, typ: str):
     if typ in ("long", "int"):
         return _zz_dec(buf)
+    if typ == "date":
+        import datetime
+
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=_zz_dec(buf)
+        )
+    if typ == "timestamp-micros":
+        import datetime
+
+        us = _zz_dec(buf)
+        return datetime.datetime(
+            1970, 1, 1
+        ) + datetime.timedelta(microseconds=us)
     if typ == "double":
         return struct.unpack("<d", buf.read(8))[0]
     if typ == "float":
@@ -117,20 +147,37 @@ def _dec_value(buf: io.BytesIO, typ: str):
     raise ValueError(f"avro: unsupported type {typ!r}")
 
 
+def _norm_type(t):
+    """A type entry → codec tag: primitive string, or the spec's
+    logical types date / timestamp-micros (dict annotations)."""
+    if isinstance(t, str):
+        return t
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if t.get("type") == "int" and lt == "date":
+            return "date"
+        if t.get("type") == "long" and lt == "timestamp-micros":
+            return "timestamp-micros"
+    return None
+
+
 def _field_codec(ftype):
-    """Normalize a field type into (is_nullable, primitive). Accepts
-    the primitive string or the 2-branch ``["null", T]`` union."""
-    if isinstance(ftype, str):
-        return False, ftype
+    """Normalize a field type into (is_nullable, codec tag). Accepts
+    primitives, date/timestamp-micros logical types, and the 2-branch
+    ``["null", T]`` union of either."""
+    t = _norm_type(ftype)
+    if t is not None:
+        return False, t
     if isinstance(ftype, list):
-        branches = [t for t in ftype if t != "null"]
-        if len(branches) == 1 and "null" in ftype and isinstance(
-            branches[0], str
-        ):
-            return True, branches[0]
+        branches = [x for x in ftype if x != "null"]
+        if len(branches) == 1 and "null" in ftype:
+            t = _norm_type(branches[0])
+            if t is not None:
+                return True, t
     raise ValueError(
-        f"avro: unsupported field type {ftype!r} (flat primitives and "
-        "[null, primitive] unions are this module's declared scope)"
+        f"avro: unsupported field type {ftype!r} (flat primitives, "
+        "date / timestamp-micros logical types, and [null, T] unions "
+        "are this module's declared scope)"
     )
 
 
@@ -170,6 +217,8 @@ _SPARK_TO_AVRO = {
     "boolean": "boolean",
     "string": "string",
     "binary": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
 }
 _AVRO_TO_SPARK = {
     "long": "bigint",
@@ -179,7 +228,27 @@ _AVRO_TO_SPARK = {
     "boolean": "boolean",
     "string": "string",
     "bytes": "binary",
+    "date": "date",
+    "timestamp-micros": "timestamp",
 }
+
+# spec §"Schema Resolution": writer→reader numeric promotions
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+}
+
+
+def _promote(v, w_typ: str, r_typ: str):
+    if w_typ == r_typ:
+        return v
+    if r_typ in _PROMOTIONS.get(w_typ, ()):
+        return float(v) if r_typ in ("float", "double") else int(v)
+    raise ValueError(
+        f"avro: writer type {w_typ!r} does not resolve to reader "
+        f"type {r_typ!r}"
+    )
 
 
 def spark_to_avro_schema(schema, name: str = "spark_record") -> dict:
@@ -272,10 +341,14 @@ def write_avro_file(
     return n_total
 
 
-def read_avro_file(path: str | Path):
-    """Yield tuples in schema field order; returns via a generator
-    whose ``.schema`` is unavailable — use :func:`avro_file_schema`
-    first when the DDL is needed."""
+def read_avro_file(path: str | Path, reader_schema: dict | None = None):
+    """Yield tuples in (reader-)schema field order. With
+    ``reader_schema`` the spec's SCHEMA RESOLUTION rules apply:
+    fields match by NAME (writer order never constrains the reader),
+    writer-only fields are decoded-and-skipped, reader-only fields
+    take their declared ``default``, and int→long→float→double
+    promotions convert — the evolution contract every Avro pipeline
+    leans on when producers upgrade before consumers."""
     raw = Path(path).read_bytes()
     buf = io.BytesIO(raw)
     if buf.read(4) != _MAGIC:
@@ -296,6 +369,52 @@ def read_avro_file(path: str | Path):
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     fields, _ddl = _parse_fields(schema)
+    resolve = None
+    if reader_schema is not None:
+        r_fields, _ = _parse_fields(reader_schema)
+        w_by_name = {name: (nullable, typ) for name, nullable, typ in fields}
+        r_defaults = {
+            f["name"]: f.get("default")
+            for f in reader_schema["fields"]
+            if "default" in f
+        }
+        plan = []  # per reader field: ("decode", w_idx, w/r types) | ("default", v)
+        w_names = [name for name, _n, _t in fields]
+        for name, _r_null, r_typ in r_fields:
+            if name in w_by_name:
+                _w_null, w_typ = w_by_name[name]
+                if w_typ != r_typ and r_typ not in _PROMOTIONS.get(
+                    w_typ, ()
+                ):
+                    raise ValueError(
+                        f"avro: writer type {w_typ!r} does not resolve "
+                        f"to reader type {r_typ!r} for field {name!r}"
+                    )
+                plan.append(("map", w_names.index(name), w_typ, r_typ))
+            elif name in r_defaults:
+                plan.append(("default", r_defaults[name], None, None))
+            else:
+                raise ValueError(
+                    f"avro: reader field {name!r} absent from writer "
+                    "schema and has no default"
+                )
+        resolve = plan
+
+    def emit(rec: tuple):
+        if resolve is None:
+            return rec
+        out = []
+        for kind, a, w_typ, r_typ in resolve:
+            if kind == "default":
+                out.append(a)
+            else:
+                out.append(
+                    _promote(rec[a], w_typ, r_typ)
+                    if w_typ != r_typ
+                    else rec[a]
+                )
+        return tuple(out)
+
     sync = buf.read(16)
     while True:
         head = buf.read(1)
@@ -311,7 +430,7 @@ def read_avro_file(path: str | Path):
             raise ValueError(f"avro: unsupported codec {codec!r}")
         bbuf = io.BytesIO(data)
         for _ in range(count):
-            yield _dec_record(bbuf, fields)
+            yield emit(_dec_record(bbuf, fields))
         if buf.read(16) != sync:
             raise ValueError(f"avro: sync marker mismatch in {path}")
 
@@ -355,6 +474,8 @@ class AvroReader(DataSourceReader):
         if not self.path:
             raise ValueError("avrofile: 'path' option is required")
         self.glob = options.get("glob", "*.avro")
+        rs = options.get("readerschema") or options.get("readerSchema")
+        self.reader_schema = json.loads(rs) if rs else None
 
     def _files(self):
         p = Path(self.path)
@@ -371,7 +492,9 @@ class AvroReader(DataSourceReader):
         return [_FilePartition(f) for f in self._files()]
 
     def read(self, partition):
-        yield from read_avro_file(partition.path)
+        yield from read_avro_file(
+            partition.path, reader_schema=self.reader_schema
+        )
 
 
 class _PartMsg(WriterCommitMessage):
@@ -441,6 +564,12 @@ class AvroDataSource(DataSource):
         return "avrofile"
 
     def schema(self) -> str:
+        rs = self.options.get("readerschema") or self.options.get(
+            "readerSchema"
+        )
+        if rs:
+            _fields, ddl = _parse_fields(json.loads(rs))
+            return ddl
         path = self.options.get("path")
         if not path:
             raise ValueError("avrofile: 'path' option is required")

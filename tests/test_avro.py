@@ -163,3 +163,138 @@ def test_sync_marker_corruption_detected(tmp_path):
     p.write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="sync marker"):
         list(read_avro_file(p))
+
+
+def test_schema_resolution_defaults_skips_promotions(tmp_path):
+    """Spec schema resolution: name-based matching, writer-only
+    fields skipped, reader-only fields defaulted, int->long and
+    long->double promotions."""
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "pri", "type": "int"},
+            {"name": "status", "type": "string"},  # dropped by reader
+        ],
+    }
+    p = tmp_path / "t.avro"
+    write_avro_file(
+        p,
+        [{"id": 1, "pri": 5, "status": "O"},
+         {"id": 2, "pri": 7, "status": "F"}],
+        writer,
+    )
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            # reordered relative to writer: matching is by NAME
+            {"name": "pri", "type": "long"},        # int -> long
+            {"name": "id", "type": "double"},       # long -> double
+            {"name": "region", "type": "string", "default": "unknown"},
+        ],
+    }
+    got = list(read_avro_file(p, reader_schema=reader))
+    assert got == [(5, 1.0, "unknown"), (7, 2.0, "unknown")]
+    # reader-only field without a default is a resolution ERROR
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "nope", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        list(read_avro_file(p, reader_schema=bad))
+    # incompatible promotion (string -> long) is refused
+    bad2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "status", "type": "long"}],
+    }
+    with pytest.raises(ValueError, match="does not resolve"):
+        list(read_avro_file(p, reader_schema=bad2))
+
+
+def test_logical_types_roundtrip_and_java_parity(spark, tmp_path):
+    """date (int days) and timestamp-micros (long) logical types:
+    python roundtrip preserves values; the Java library sees the
+    spec-mandated underlying integers."""
+    import datetime
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {
+                    "type": "long",
+                    "logicalType": "timestamp-micros",
+                },
+            },
+        ],
+    }
+    rows = [
+        {
+            "d": datetime.date(2024, 2, 29),
+            "ts": datetime.datetime(2024, 2, 29, 12, 34, 56, 789000),
+        },
+        {"d": datetime.date(1969, 12, 31), "ts": datetime.datetime(1970, 1, 1)},
+    ]
+    p = tmp_path / "t.avro"
+    write_avro_file(p, rows, schema)
+    got = list(read_avro_file(p))
+    assert got == [(r["d"], r["ts"]) for r in rows]
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(str(p)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    raw = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        raw.append((rec.get("d"), rec.get("ts")))
+    rdr.close()
+    # 2024-02-29 = 19782 days since epoch; 1969-12-31 = -1
+    assert raw[0][0] == 19782 and raw[1][0] == -1
+    assert raw[1][1] == 0
+    assert raw[0][1] == (
+        (datetime.datetime(2024, 2, 29, 12, 34, 56, 789000)
+         - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+
+
+def test_datasource_reader_schema_option(spark, tmp_path):
+    import json as _json
+
+    register_avro(spark)
+    df = spark.createDataFrame(
+        [(1, 5, "O"), (2, 7, "F")], "id long, pri int, status string"
+    )
+    path = str(tmp_path / "ds")
+    df.write.format("avrofile").option("path", path).mode(
+        "overwrite"
+    ).save()
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "pri", "type": "long"},
+            {"name": "region", "type": "string", "default": "unknown"},
+        ],
+    }
+    back = (
+        spark.read.format("avrofile")
+        .option("path", path)
+        .option("readerSchema", _json.dumps(reader))
+        .load()
+    )
+    assert back.schema.simpleString() == (
+        "struct<id:bigint,pri:bigint,region:string>"
+    )
+    assert sorted((r.id, r.pri, r.region) for r in back.collect()) == [
+        (1, 5, "unknown"),
+        (2, 7, "unknown"),
+    ]
