@@ -418,6 +418,9 @@ HEADLINE = [
     "avro_roundtrip",
     "avro_schema_evolution_orders",
     "avro_logical_types_roundtrip",
+    "hilbert_vs_zorder_layout_orders",
+    "cramer_von_mises_click_purchase",
+    "ansari_bradley_click_purchase",
 ]
 
 

@@ -1442,3 +1442,283 @@ def theil_index_revenue_nations(
             -F.sum("l_micro").cast("double") / 1e6 / F.max("n")
         ).alias("mld"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample test (r9; Anderson 1962, public) on the
+# click vs purchase value distributions — the EDF-distance companion
+# of mannwhitney (location) and ansari_bradley (scale): T sums the
+# SQUARED rank displacements U = n·Σ(rᵢ−i)² + m·Σ(sⱼ−j)², sensitive
+# to any distributional difference. Ranks are MIDRANKS carried at 2×
+# (integers), computed on the DISTINCT-VALUE domain exactly like
+# mannwhitney — never a per-row global window; the per-tie-run sum of
+# squared displacements collapses to a closed form (Σₖ(A−2k)² with A
+# = 2·midrank − 2·own-offset), so everything through n·S₁+m·S₂ is
+# exact BIGINT (fits int64 at any plausible event count; int64→double
+# is a correctly-rounded hardware cast on BOTH engines, unlike wide
+# decimals — §6.10.20's follow-on). Final T combines in one mirrored
+# fixed-order double expression.
+@query(
+    "cramer_von_mises_click_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    dv AS (
+        SELECT v,
+               CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(COUNT(*) - SUM(g) AS BIGINT) AS c2,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT c1, c2, cnt,
+               CAST(COALESCE(SUM(cnt) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cumbefore,
+               CAST(COALESCE(SUM(c1) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum1,
+               CAST(COALESCE(SUM(c2) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum2
+        FROM dv
+    ),
+    terms AS (
+        SELECT c1, c2,
+               2 * cumbefore + cnt + 1 AS r2,
+               c1 * (2*cumbefore + cnt + 1 - 2*cum1)
+                   * (2*cumbefore + cnt + 1 - 2*cum1)
+                 - 2 * (2*cumbefore + cnt + 1 - 2*cum1)
+                     * c1 * (c1 + 1)
+                 + 2 * (c1 * (c1 + 1) * (2*c1 + 1) // 3) AS s1_4x,
+               c2 * (2*cumbefore + cnt + 1 - 2*cum2)
+                   * (2*cumbefore + cnt + 1 - 2*cum2)
+                 - 2 * (2*cumbefore + cnt + 1 - 2*cum2)
+                     * c2 * (c2 + 1)
+                 + 2 * (c2 * (c2 + 1) * (2*c2 + 1) // 3) AS s2_4x
+        FROM r
+    ),
+    agg AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(s1_4x) AS BIGINT) AS s1_4x,
+               CAST(SUM(s2_4x) AS BIGINT) AS s2_4x
+        FROM terms
+    )
+    SELECT n1, n2,
+           CAST(n1 * s1_4x + n2 * s2_4x AS BIGINT) AS u_4x,
+           CAST(n1 * s1_4x + n2 * s2_4x AS DOUBLE) / 4.0
+               / CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE)
+             - (4.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - 1.0)
+               / (6.0 * CAST(n1 + n2 AS DOUBLE)) AS t_stat
+    FROM agg
+    """,
+)
+def cramer_von_mises_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    dv = ev.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("bigint").alias("c2"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = dv.select(
+        "c1",
+        "c2",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cumbefore"),
+        F.coalesce(F.sum("c1").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum1"),
+        F.coalesce(F.sum("c2").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum2"),
+    )
+
+    def s4x(c, cum):
+        a = 2 * F.col("cumbefore") + F.col("cnt") + 1 - 2 * F.col(cum)
+        # integer division keeps the term BIGINT (c(c+1)(2c+1) is
+        # always divisible by 3) — a double /3 would turn the whole
+        # sum into order-hazardous doubles past 2^53 at large N
+        return (
+            F.col(c) * a * a
+            - 2 * a * F.col(c) * (F.col(c) + 1)
+            + 2 * F.expr(f"({c} * ({c} + 1) * (2 * {c} + 1)) DIV 3")
+        )
+
+    terms = r.select(
+        "c1", "c2", s4x("c1", "cum1").alias("s1_4x"),
+        s4x("c2", "cum2").alias("s2_4x"),
+    )
+    agg = terms.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum("s1_4x").cast("bigint").alias("s1_4x"),
+        F.sum("s2_4x").cast("bigint").alias("s2_4x"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u4 = (
+        F.col("n1") * F.col("s1_4x") + F.col("n2") * F.col("s2_4x")
+    ).cast("bigint")
+    return agg.select(
+        "n1",
+        "n2",
+        u4.alias("u_4x"),
+        (
+            u4.cast("double") / F.lit(4.0) / n1d / n2d / nd
+            - (F.lit(4.0) * n1d * n2d - F.lit(1.0)) / (F.lit(6.0) * nd)
+        ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ansari–Bradley scale test (r9; Ansari & Bradley 1960, public):
+# do click and purchase values differ in DISPERSION around a common
+# median? Scores fold the midranks toward the middle — a = min(r,
+# N+1−r) — so extreme observations score low; the statistic is the
+# click group's score sum, standardized with the EXACT
+# without-replacement moments computed from the realized score
+# multiset (ties need no special-casing: the scores themselves carry
+# them). Midranks at 2× stay integral per tie run (constant within a
+# run, so the run contributes c·a₂ and c·a₂² directly); every sum
+# through the variance numerator is exact BIGINT; one mirrored
+# fixed-order double expression for z.
+@query(
+    "ansari_bradley_click_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    dv AS (
+        SELECT v,
+               CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT c1, cnt,
+               2 * CAST(COALESCE(SUM(cnt) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) + cnt + 1 AS r2,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        FROM dv
+    ),
+    sc AS (
+        SELECT c1, cnt, n,
+               CASE WHEN r2 < 2 * (n + 1) - r2
+                    THEN r2 ELSE 2 * (n + 1) - r2 END AS a2
+        FROM r
+    ),
+    agg AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(MAX(n) - SUM(c1) AS BIGINT) AS n2,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(c1 * a2) AS BIGINT) AS ab_2x,
+               CAST(SUM(cnt * a2) AS BIGINT) AS sa_2x,
+               CAST(SUM(cnt * a2 * a2) AS BIGINT) AS saa_4x
+        FROM sc
+    )
+    SELECT n1, n2, ab_2x,
+           (CAST(ab_2x AS DOUBLE)
+            - CAST(n1 AS DOUBLE) * CAST(sa_2x AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(saa_4x AS DOUBLE)
+                     - CAST(sa_2x AS DOUBLE) * CAST(sa_2x AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * (CAST(n AS DOUBLE) - 1.0))) AS z
+    FROM agg
+    """,
+)
+def ansari_bradley_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    dv = ev.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = dv.select(
+        "c1",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+    )
+    a2 = F.when(
+        F.col("r2") < 2 * (F.col("n") + 1) - F.col("r2"), F.col("r2")
+    ).otherwise(2 * (F.col("n") + 1) - F.col("r2"))
+    sc = r.select("c1", "cnt", "n", a2.alias("a2"))
+    agg = sc.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        (F.max("n") - F.sum("c1")).cast("bigint").alias("n2"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("c1") * F.col("a2")).cast("bigint").alias("ab_2x"),
+        F.sum(F.col("cnt") * F.col("a2")).cast("bigint").alias("sa_2x"),
+        F.sum(F.col("cnt") * F.col("a2") * F.col("a2"))
+        .cast("bigint")
+        .alias("saa_4x"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n1",
+        "n2",
+        "ab_2x",
+        (
+            (
+                F.col("ab_2x").cast("double")
+                - n1d * F.col("sa_2x").cast("double") / nd
+            )
+            / F.sqrt(
+                n1d
+                * n2d
+                * (
+                    nd * F.col("saa_4x").cast("double")
+                    - F.col("sa_2x").cast("double")
+                    * F.col("sa_2x").cast("double")
+                )
+                / (nd * nd * (nd - F.lit(1.0)))
+            )
+        ).alias("z"),
+    )
