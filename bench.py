@@ -421,6 +421,8 @@ HEADLINE = [
     "hilbert_vs_zorder_layout_orders",
     "cramer_von_mises_click_purchase",
     "ansari_bradley_click_purchase",
+    "scc_event_types",
+    "stream_dv_delete_deltalog",
 ]
 
 

@@ -1558,6 +1558,66 @@ def reachability_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STRONGLY connected components of the DIRECTED event-type transition
+# graph (r9) — the directed complement of the undirected CC family:
+# two types are in the same SCC iff each reaches the other, so the
+# components fall out of the same recursive closure reachability uses
+# (mutual-pair join, min-member labeling — Tarjan's stack is a
+# sequential algorithm; mutual reachability IS the distributed
+# formulation on a bounded node domain). Scale shape: one event-scale
+# lag window derives the edges; everything after runs on the
+# #types-sized dimension graph. Identical SQL text on both engines
+# (Spark 4 WITH RECURSIVE), the repo's shared-constant discipline.
+_SCC_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT prev_type AS src, event_type AS dst
+        FROM seq
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ),
+    reach AS (
+        SELECT src, dst, 1 AS hops FROM edges
+        UNION ALL
+        SELECT r.src, e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.dst
+        WHERE r.hops < 5
+    ),
+    pairs AS (SELECT DISTINCT src, dst FROM reach),
+    mutual AS (
+        SELECT p.src AS node, p.dst AS peer
+        FROM pairs p JOIN pairs q ON q.src = p.dst AND q.dst = p.src
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges
+        UNION
+        SELECT dst FROM edges
+    ),
+    comp AS (
+        SELECT n.node,
+               LEAST(n.node, COALESCE(MIN(m.peer), n.node)) AS scc_id
+        FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+        GROUP BY n.node
+    )
+    SELECT c.node AS event_type, c.scc_id,
+           CAST(COUNT(*) OVER (PARTITION BY c.scc_id) AS BIGINT)
+               AS scc_size
+    FROM comp c
+    ORDER BY event_type
+"""
+
+
+@query("scc_event_types", oracle=_SCC_SQL)
+def scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SCC_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Sequence-pattern matching (MATCH_RECOGNIZE-lite): per user, the
 # chronologically ordered string of event-type initials, scanned for
 # the funnel regex v+c+p (≥1 view, then ≥1 click, then a purchase —

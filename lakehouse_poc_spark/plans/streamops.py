@@ -1446,6 +1446,75 @@ def stream_dv_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming MOR deletes on the Delta-log PROTOCOL backend (r9): the
+# erasure-request feed (GDPR-shaped key batches) applies through
+# DeltaLogWriter.delete_keys_dv per micro-batch — each batch is one
+# protocol commit carrying position tombstones + re-added descriptors,
+# ZERO data files rewritten while the stream runs. Idempotence under
+# retries comes from the MOR evaluation itself (a replayed batch's
+# keys are already invisible, so the re-delete matches nothing and
+# commits nothing) — the DV twin of the txn-marker exactly-once path.
+# Final state = plain SQL DELETE semantics, plus time travel back to
+# the pre-stream version stays intact.
+@query(
+    "stream_dv_delete_deltalog",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE NOT (o_orderkey % 9 = 1) AND NOT (o_orderkey % 9 = 2)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def stream_dv_delete_deltalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    work = stream_scratch("stream_dvdl_")
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+    def _build(d: Path) -> None:
+        k0 = orders.filter(F.col("o_orderkey") % 9 == 1).select("o_orderkey")
+        k1 = orders.filter(F.col("o_orderkey") % 9 == 2).select("o_orderkey")
+        stage_ordered_batches(d, [k0, k1])
+
+    src = cached_fixture(
+        f"dvdl_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/orders.parquet").st_mtime,
+    )
+
+    w = DeltaLogWriter(spark, work / "orders_dv")
+    w.create(orders)
+
+    key_schema = orders.select("o_orderkey").schema
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", key_schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w.delete_keys_dv(batch_df, keys=["o_orderkey"])
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    return (
+        read_delta(spark, work / "orders_dv")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming (incremental) market-basket mining: lineitem arrives in
 # two basket-complete micro-batches (split on orderkey parity —
 # baskets never straddle a batch), and three ADDITIVE state tables

@@ -1253,6 +1253,43 @@ class DeltaLogWriter:
         if not state["files"]:
             return {"version": -1, "rows_deleted": 0, "files_touched": 0}
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._dv_apply(
+            state, lambda df: df.filter(F.coalesce(pred, F.lit(False)))
+        )
+
+    def delete_keys_dv(self, keys_df: DataFrame, keys: list[str]) -> dict:
+        """Merge-on-read DELETE by key set — the CDC-feed form of
+        :meth:`delete_where_dv`: tombstone every row whose ``keys``
+        columns match a row of ``keys_df``, expressed as a distributed
+        semi-join so the key batch never visits the driver. Same MOR
+        evaluation (a replayed batch re-deletes nothing — the
+        exactly-once property streaming sinks lean on), same protocol
+        upgrade and descriptor shape."""
+        state = _replay(self.path, None)
+        if (state["metaData"] or {}).get("partitionColumns"):
+            raise DeltaLogError(
+                "deletionVectors on partitioned tables is out of this "
+                "writer's declared scope"
+            )
+        if state["mapping_mode"] != "none":
+            raise DeltaLogError(
+                "deletionVectors on column-mapped tables is out of "
+                "this writer's declared scope"
+            )
+        if not state["files"]:
+            return {"version": -1, "rows_deleted": 0, "files_touched": 0}
+        from pyspark.sql import functions as F  # noqa: F811
+
+        return self._dv_apply(
+            state,
+            lambda df: df.join(
+                keys_df.select(*keys).distinct(), keys, "left_semi"
+            ),
+        )
+
+    def _dv_apply(self, state: dict, select_matches) -> dict:
+        from pyspark.sql import functions as F
+
         base = self.path
         by_uri: dict[str, dict] = {}
         for a in state["adds"]:
@@ -1283,7 +1320,7 @@ class DeltaLogWriter:
                 F.broadcast(mask), ["__dv_fp", "__dv_ri"], "left_anti"
             )
         matched = (
-            df.filter(F.coalesce(pred, F.lit(False)))
+            select_matches(df)
             .groupBy("__dv_fp")
             .agg(F.sort_array(F.collect_list("__dv_ri")).alias("pos"))
             .collect()
