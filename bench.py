@@ -423,6 +423,7 @@ HEADLINE = [
     "ansari_bradley_click_purchase",
     "scc_event_types",
     "stream_dv_delete_deltalog",
+    "delta_cdf_orders",
 ]
 
 

@@ -2650,6 +2650,59 @@ def dv_delete_deltalog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CHANGE DATA FEED on the Delta-log backend (r9): row-level changes
+# between two versions as exact multiset snapshot diffs
+# (sources/deltalog.py::table_changes) — inserts from the append,
+# deletes from the DV merge-on-read delete (the newer snapshot read
+# applies the bitmap, so MOR deletes surface as row-level deletes
+# without any _change_data materialization). The three-commit history
+# (CTAS evens → append odds → DV-delete keys%10∈{2,3}) makes both
+# change types appear from both write paths.
+@query(
+    "delta_cdf_orders",
+    oracle="""
+    SELECT _change_type, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM (
+        SELECT 'insert' AS _change_type, o_orderstatus, o_orderkey
+        FROM orders
+        WHERE o_orderkey % 2 = 1 AND o_orderkey % 10 NOT IN (2, 3)
+        UNION ALL
+        SELECT 'delete', o_orderstatus, o_orderkey
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 IN (2, 3)
+    )
+    GROUP BY _change_type, o_orderstatus
+    ORDER BY _change_type, o_orderstatus
+    """,
+)
+def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, table_changes
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"deltalog_cdf_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_cdf"
+    w = DeltaLogWriter(spark, path)
+    w.create(orders.filter(F.col("o_orderkey") % 2 == 0))      # v0
+    w.append(orders.filter(F.col("o_orderkey") % 2 == 1))      # v1
+    w.delete_where_dv("o_orderkey % 10 IN (2, 3)")             # v2 (MOR)
+    return (
+        table_changes(spark, path, 0)
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("_change_type", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # The FOURTH SCD1 twin (r8): identical scenario and oracle to
 # scd1_customer_current / _file_pruned / _manifest, executed on
 # DeltaLogWarehouse — storage = REAL Delta-protocol commits

@@ -720,6 +720,37 @@ def read_delta(
     return out
 
 
+def table_changes(
+    spark: SparkSession,
+    table_path: str | Path,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two versions, derived by
+    EXACT multiset snapshot diff (``exceptAll`` both ways): rows in
+    ``v_to`` but not ``v_from`` surface as ``insert``, the reverse as
+    ``delete`` — updates appear as delete+insert pairs. This is the
+    CDF *contract* computed from the log alone, without requiring the
+    per-commit ``_change_data`` files the Delta feature materializes
+    (those are an optimization: pre-computed diffs; the semantics are
+    the snapshot difference, which is what this returns). Composes
+    with every write path including DV deletes — a MOR-deleted row
+    shows up as ``delete`` because the newer snapshot read applies
+    the bitmap. Scale shape: two snapshot scans + one hash-partitioned
+    exceptAll each; no driver-side state."""
+    from pyspark.sql import functions as F
+
+    older = read_delta(spark, table_path, v_from)
+    newer = read_delta(spark, table_path, v_to)
+    ins = newer.exceptAll(older).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    dels = older.exceptAll(newer).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return ins.unionByName(dels)
+
+
 class DeltaLogWriter:
     """Minimal protocol-1 writer: create/append/overwrite with atomic
     JSON commits. One writer instance per table path."""
