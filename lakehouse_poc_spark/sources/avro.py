@@ -161,29 +161,119 @@ def _norm_type(t):
     return None
 
 
-def _field_codec(ftype):
-    """Normalize a field type into (is_nullable, codec tag). Accepts
-    primitives, date/timestamp-micros logical types, and the 2-branch
-    ``["null", T]`` union of either."""
+def _norm(ftype):
+    """Recursive type normalizer → codec node: a primitive/logical
+    tag (str), or ("union", inner) / ("record", [(name, node), …]) /
+    ("array", node) / ("map", node). Covers the spec's complex types
+    (r9 nested extension); unions beyond the 2-branch [null, T] form
+    stay out of scope."""
     t = _norm_type(ftype)
     if t is not None:
-        return False, t
+        return t
     if isinstance(ftype, list):
         branches = [x for x in ftype if x != "null"]
         if len(branches) == 1 and "null" in ftype:
-            t = _norm_type(branches[0])
-            if t is not None:
-                return True, t
+            return ("union", _norm(branches[0]))
+    if isinstance(ftype, dict):
+        kind = ftype.get("type")
+        if kind == "record":
+            return (
+                "record",
+                [(f["name"], _norm(f["type"])) for f in ftype["fields"]],
+            )
+        if kind == "array":
+            return ("array", _norm(ftype["items"]))
+        if kind == "map":
+            return ("map", _norm(ftype["values"]))
     raise ValueError(
-        f"avro: unsupported field type {ftype!r} (flat primitives, "
-        "date / timestamp-micros logical types, and [null, T] unions "
-        "are this module's declared scope)"
+        f"avro: unsupported field type {ftype!r} (primitives, "
+        "date / timestamp-micros logical types, [null, T] unions, and "
+        "record / array / string-keyed map complex types are this "
+        "module's declared scope)"
     )
+
+
+def _field_codec(ftype):
+    """Normalize a field type into (is_nullable, codec node)."""
+    node = _norm(ftype)
+    if isinstance(node, tuple) and node[0] == "union":
+        return True, node[1]
+    return False, node
+
+
+def _enc_any(v, node) -> bytes:
+    if isinstance(node, str):
+        return _enc_value(v, node)
+    kind = node[0]
+    if kind == "union":
+        if v is None:
+            return _zz_enc(0)
+        return _zz_enc(1) + _enc_any(v, node[1])
+    if kind == "record":
+        out = bytearray()
+        for name, sub in node[1]:
+            out += _enc_any(v[name], sub)
+        return bytes(out)
+    if kind == "array":
+        items = list(v)
+        out = bytearray()
+        if items:
+            out += _zz_enc(len(items))
+            for x in items:
+                out += _enc_any(x, node[1])
+        out += _zz_enc(0)
+        return bytes(out)
+    if kind == "map":
+        out = bytearray()
+        if v:
+            out += _zz_enc(len(v))
+            # sorted keys: deterministic bytes for identical maps
+            for k in sorted(v):
+                kb = str(k).encode("utf-8")
+                out += _zz_enc(len(kb)) + kb + _enc_any(v[k], node[1])
+        out += _zz_enc(0)
+        return bytes(out)
+    raise ValueError(f"avro: unsupported codec node {node!r}")
+
+
+def _dec_any(buf: io.BytesIO, node):
+    if isinstance(node, str):
+        return _dec_value(buf, node)
+    kind = node[0]
+    if kind == "union":
+        return None if _zz_dec(buf) == 0 else _dec_any(buf, node[1])
+    if kind == "record":
+        return tuple(_dec_any(buf, sub) for _name, sub in node[1])
+    if kind == "array":
+        out = []
+        while True:
+            n = _zz_dec(buf)
+            if n == 0:
+                return out
+            if n < 0:  # spec: negative count prefixes a block size
+                _zz_dec(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_dec_any(buf, node[1]))
+    if kind == "map":
+        m = {}
+        while True:
+            n = _zz_dec(buf)
+            if n == 0:
+                return m
+            if n < 0:
+                _zz_dec(buf)
+                n = -n
+            for _ in range(n):
+                klen = _zz_dec(buf)
+                k = buf.read(klen).decode("utf-8")
+                m[k] = _dec_any(buf, node[1])
+    raise ValueError(f"avro: unsupported codec node {node!r}")
 
 
 def _enc_record(row, fields) -> bytes:
     out = bytearray()
-    for name, nullable, typ in fields:
+    for name, nullable, node in fields:
         v = row[name]
         if nullable:
             if v is None:
@@ -192,18 +282,18 @@ def _enc_record(row, fields) -> bytes:
             out += _zz_enc(1)
         elif v is None:
             raise ValueError(f"avro: null in non-nullable field {name!r}")
-        out += _enc_value(v, typ)
+        out += _enc_any(v, node)
     return bytes(out)
 
 
 def _dec_record(buf: io.BytesIO, fields) -> tuple:
     vals = []
-    for _name, nullable, typ in fields:
+    for _name, nullable, node in fields:
         if nullable:
             if _zz_dec(buf) == 0:
                 vals.append(None)
                 continue
-        vals.append(_dec_value(buf, typ))
+        vals.append(_dec_any(buf, node))
     return tuple(vals)
 
 
@@ -251,30 +341,89 @@ def _promote(v, w_typ: str, r_typ: str):
     )
 
 
+def _spark_type_to_avro(dt, path: str) -> object:
+    """Recursive Spark DataType → Avro type (r9 nested extension):
+    struct ↔ record (nested record names derived from the field
+    path — Avro requires unique names), array<T> ↔ array,
+    map<string,T> ↔ map; element/value nullability maps to the
+    [null, T] union."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "record",
+            "name": f"{path}_rec",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": ["null", _spark_type_to_avro(
+                        f.dataType, f"{path}_{f.name}"
+                    )]
+                    if f.nullable
+                    else _spark_type_to_avro(f.dataType, f"{path}_{f.name}"),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.ArrayType):
+        inner = _spark_type_to_avro(dt.elementType, f"{path}_item")
+        return {
+            "type": "array",
+            "items": ["null", inner] if dt.containsNull else inner,
+        }
+    if isinstance(dt, T.MapType):
+        if dt.keyType.simpleString() != "string":
+            raise ValueError(
+                f"avro: map keys must be strings at {path!r} "
+                "(the Avro map contract)"
+            )
+        inner = _spark_type_to_avro(dt.valueType, f"{path}_value")
+        return {
+            "type": "map",
+            "values": ["null", inner] if dt.valueContainsNull else inner,
+        }
+    t = dt.simpleString()
+    if t not in _SPARK_TO_AVRO:
+        raise ValueError(
+            f"avro: unsupported Spark type {t!r} at {path!r}"
+        )
+    return _SPARK_TO_AVRO[t]
+
+
 def spark_to_avro_schema(schema, name: str = "spark_record") -> dict:
     fields = []
     for f in schema.fields:
-        t = f.dataType.simpleString()
-        if t not in _SPARK_TO_AVRO:
-            raise ValueError(
-                f"avro: unsupported Spark type {t!r} for field "
-                f"{f.name!r} (flat primitive schemas are the scope)"
-            )
-        a = _SPARK_TO_AVRO[t]
+        a = _spark_type_to_avro(f.dataType, f.name)
         fields.append(
             {"name": f.name, "type": ["null", a] if f.nullable else a}
         )
     return {"type": "record", "name": name, "fields": fields}
 
 
+def _node_ddl(node) -> str:
+    if isinstance(node, str):
+        return _AVRO_TO_SPARK[node]
+    kind = node[0]
+    if kind == "union":
+        return _node_ddl(node[1])
+    if kind == "record":
+        inner = ",".join(f"{n}:{_node_ddl(s)}" for n, s in node[1])
+        return f"struct<{inner}>"
+    if kind == "array":
+        return f"array<{_node_ddl(node[1])}>"
+    if kind == "map":
+        return f"map<string,{_node_ddl(node[1])}>"
+    raise ValueError(f"avro: unsupported codec node {node!r}")
+
+
 def _parse_fields(avro_schema: dict):
-    """[(name, nullable, primitive)] + the Spark DDL string."""
+    """[(name, nullable, codec node)] + the Spark DDL string."""
     fields = []
     ddl = []
     for f in avro_schema["fields"]:
-        nullable, typ = _field_codec(f["type"])
-        fields.append((f["name"], nullable, typ))
-        ddl.append(f"{f['name']} {_AVRO_TO_SPARK[typ]}")
+        nullable, node = _field_codec(f["type"])
+        fields.append((f["name"], nullable, node))
+        ddl.append(f"{f['name']} {_node_ddl(node)}")
     return fields, ", ".join(ddl)
 
 

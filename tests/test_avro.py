@@ -150,9 +150,15 @@ def test_spark_datasource_roundtrip_and_append(spark, tmp_path):
 
 
 def test_unsupported_types_fail_fast(spark):
-    df = spark.createDataFrame([([1, 2],)], "a array<int>")
+    # decimals are out of scope (arrays/structs/maps became supported
+    # in the r9 nested extension)
+    df = spark.createDataFrame([(None,)], "a decimal(10,2)")
     with pytest.raises(Exception, match="unsupported Spark type"):
         spark_to_avro_schema(df.schema)
+    # non-string map keys violate the Avro map contract
+    df2 = spark.createDataFrame([(None,)], "a map<int,string>")
+    with pytest.raises(Exception, match="map keys must be strings"):
+        spark_to_avro_schema(df2.schema)
 
 
 def test_sync_marker_corruption_detected(tmp_path):
@@ -298,3 +304,120 @@ def test_datasource_reader_schema_option(spark, tmp_path):
         (1, 5, "unknown"),
         (2, 7, "unknown"),
     ]
+
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "n",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {
+            "name": "st",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [
+                        {"name": "s", "type": "string"},
+                        {"name": "d", "type": "double"},
+                    ],
+                },
+            ],
+        },
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {
+            "name": "m",
+            "type": {"type": "map", "values": ["null", "long"]},
+        },
+    ],
+}
+NESTED_ROWS = [
+    {"id": 1, "st": {"s": "a", "d": 2.5}, "arr": [1, 2, 3],
+     "m": {"k1": 7, "k2": None}},
+    {"id": 2, "st": None, "arr": [], "m": {}},
+]
+NESTED_EXPECT = [
+    (1, ("a", 2.5), [1, 2, 3], {"k1": 7, "k2": None}),
+    (2, None, [], {}),
+]
+
+
+def test_nested_python_roundtrip(tmp_path):
+    p = tmp_path / "n.avro"
+    write_avro_file(p, NESTED_ROWS, NESTED_SCHEMA, codec="deflate")
+    assert list(read_avro_file(p)) == NESTED_EXPECT
+    _schema, ddl = avro_file_schema(p)
+    assert ddl == (
+        "id bigint, st struct<s:string,d:double>, arr array<int>, "
+        "m map<string,bigint>"
+    )
+
+
+def test_nested_java_reads_python_files(spark, tmp_path):
+    p = tmp_path / "n.avro"
+    write_avro_file(p, NESTED_ROWS, NESTED_SCHEMA)
+    jvm = spark._jvm
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(str(p)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while rdr.hasNext():
+        got.append(str(rdr.next()))
+    rdr.close()
+    assert got == [
+        '{"id": 1, "st": {"s": "a", "d": 2.5}, "arr": [1, 2, 3], '
+        '"m": {"k1": 7, "k2": null}}',
+        '{"id": 2, "st": null, "arr": [], "m": {}}',
+    ]
+
+
+def test_nested_python_reads_java_files(spark, tmp_path):
+    """Direction 2 for complex types: the Java library writes a
+    nested record (incl. a multi-BLOCK array, which py writers never
+    emit) and this module reads it back exactly."""
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(
+        json.dumps(NESTED_SCHEMA)
+    )
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter()
+    )
+    p = tmp_path / "jn.avro"
+    writer.create(jschema, jvm.java.io.File(str(p)))
+    # build datums through Avro's own JSON decoder — py4j auto-unboxes
+    # java.lang.Long returns back to Python ints, so hand-built
+    # GenericRecords can't carry union-typed longs; the spec's JSON
+    # encoding (union values wrapped as {"type": value}) sidesteps it
+    json_rows = [
+        '{"id": 1, "st": {"inner": {"s": "a", "d": 2.5}}, '
+        '"arr": [1, 2, 3], "m": {"k1": {"long": 7}, "k2": null}}',
+        '{"id": 2, "st": null, "arr": [], "m": {}}',
+    ]
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    for line in json_rows:
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+            jschema, line
+        )
+        writer.append(reader.read(None, dec))
+    writer.close()
+    assert list(read_avro_file(p)) == NESTED_EXPECT
+
+
+def test_nested_spark_datasource_roundtrip(spark, tmp_path):
+    register_avro(spark)
+    df = spark.createDataFrame(
+        [(1, ("a", 2.5), [1, 2], {"k": 7}), (2, None, [], {})],
+        "id long, st struct<s:string,d:double>, arr array<int>, "
+        "m map<string,int>",
+    )
+    path = str(tmp_path / "ds")
+    df.write.format("avrofile").option("path", path).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format("avrofile").option("path", path).load()
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].st.s == "a" and rows[1].st.d == 2.5
+    assert list(rows[1].arr) == [1, 2] and dict(rows[1].m) == {"k": 7}
+    assert rows[2].st is None and list(rows[2].arr) == []
