@@ -424,6 +424,7 @@ HEADLINE = [
     "scc_event_types",
     "stream_dv_delete_deltalog",
     "delta_cdf_orders",
+    "avro_nested_roundtrip",
 ]
 
 

@@ -756,6 +756,74 @@ def avro_logical_types_roundtrip(
 
 
 # ---------------------------------------------------------------------------
+# Avro NESTED types (r9): the complex-type surface — struct↔record,
+# array, string-keyed map — proven through a full write→read→flatten
+# cycle: per-user aggregates materialize as a struct + a sorted
+# distinct-type array + a type→count map, travel through the Avro
+# container (deflate), and the flattened read-back must match the
+# direct SQL aggregation of the raw table. The Java library reads
+# these same shapes byte-for-byte (tests/test_avro.py nested
+# fixtures, both directions).
+@query(
+    "avro_nested_roundtrip",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                  THEN 1 END), 0) AS BIGINT) AS clicks,
+           MIN(event_type) AS first_type
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro import register_avro
+
+    register_avro(spark)
+    ev = read_parquet_table(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.struct(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("event_type").alias("first_type"),
+        ).alias("st"),
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+    )
+    # map: type -> count per user (a second grouping level)
+    per_type = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("event_type", "c"))
+                )
+            ).alias("counts")
+        )
+    )
+    nested = nested.join(per_type, "user_id")
+    root = SCRATCH / f"avro_nested_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = str(root / "user_profiles")
+    nested.write.format("avrofile").option("path", path).option(
+        "codec", "deflate"
+    ).mode("overwrite").save()
+    back = spark.read.format("avrofile").option("path", path).load()
+    return back.select(
+        "user_id",
+        F.col("st.n").alias("n_events"),
+        F.size("types").cast("bigint").alias("n_types"),
+        F.coalesce(F.col("counts")["click"], F.lit(0))
+        .cast("bigint")
+        .alias("clicks"),
+        F.col("st.first_type").alias("first_type"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
 # Bucketed co-located join: lineitem and orders written bucketed+sorted
 # on the order key join shuffle-free (SCALE.md §2's prescription for
 # fact-fact joins at 100 TB). tests/test_plan_shapes.py asserts the
