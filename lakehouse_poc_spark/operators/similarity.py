@@ -387,17 +387,18 @@ def ivf_index_add(
     identity `ann_index_maintained_embeddings` gates on. Returns the
     number of vectors added."""
     cents = wh.read(f"{table}_centroids")
-    n_cells = cents.count()
     # _assign_cells' single aggregation both assigns and collapses
     # duplicate ids within the batch (a replayed add must not
     # double-append — code-review r7), shuffling only the ADD BATCH
-    # (incremental by nature), never the index. Repartition by cell
-    # before the write so each touched cell gets ONE append file per
-    # add instead of one sliver per shuffle task (32 tasks × cells
-    # tiny files otherwise — both a toy-scale job cost and a real
-    # small-file problem on object storage).
+    # (incremental by nature), never the index. Hash-repartition by
+    # cell before the write so each touched cell gets ONE append file
+    # per add instead of one sliver per shuffle task (32 tasks ×
+    # cells tiny files otherwise — both a toy-scale job cost and a
+    # real small-file problem on object storage); non-empty partition
+    # count is bounded by |cells| regardless of the partition number,
+    # so no sizing job is needed.
     assigned = _assign_cells(new_vectors, cents, vec_col, id_col).repartition(
-        max(int(n_cells), 1), "cell"
+        "cell"
     )
     # count the ACTUAL appended rows; persist so the plan executes
     # once for both the count and the write

@@ -2856,10 +2856,13 @@ def ann_recall_after_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter((F.col("vec_id") < 468) & (F.col("vec_id") % 4 == r)),
             wh, tm, "embedding", "vec_id",
         )
+    # the three retrieval relations are |queries|*k rows (40) and are
+    # each referenced 2-3 times by the recall join tree below —
+    # persist so each path evaluates once, not per branch (r9)
     maintained = ivf_query_at_rest(
         wh, tm, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, nprobe=2,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
 
     # fresh: retrained quantizer over the full corpus
     tf = "ann.ivf_decay_fresh"
@@ -2867,14 +2870,14 @@ def ann_recall_after_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = ivf_query_at_rest(
         wh, tf, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5, nprobe=2,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
 
     from ..operators.similarity import brute_force_topk
 
     brute = brute_force_topk(
         emb, queries, vec_col="embedding", id_col="vec_id",
         query_id_col="vec_id", k=5,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
     hm = (
         brute.join(maintained, ["query_id", "neighbor_id"])
         .groupBy("query_id")
