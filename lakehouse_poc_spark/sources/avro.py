@@ -163,17 +163,31 @@ def _norm_type(t):
 
 def _norm(ftype):
     """Recursive type normalizer → codec node: a primitive/logical
-    tag (str), or ("union", inner) / ("record", [(name, node), …]) /
-    ("array", node) / ("map", node). Covers the spec's complex types
-    (r9 nested extension); unions beyond the 2-branch [null, T] form
-    stay out of scope."""
+    tag (str), or ("union", inner, null_branch_idx) /
+    ("record", [(name, node), …]) / ("array", node) / ("map", node) /
+    ("enum", (symbols…)) / ("fixed", size) /
+    ("decimal", precision, scale, fixed_size|None). Covers the spec's
+    complex types; unions beyond the 2-branch null∪T form stay out of
+    scope. A spec-valid [T, "null"] union is honored by BRANCH
+    POSITION (the null branch index is part of the node — r10 ADVICE
+    fix: the two orders are NOT interchangeable on the wire)."""
     t = _norm_type(ftype)
     if t is not None:
         return t
+    if isinstance(ftype, dict):
+        lt = ftype.get("logicalType")
+        kind = ftype.get("type")
+        if lt == "decimal" and kind in ("bytes", "fixed"):
+            return (
+                "decimal",
+                int(ftype["precision"]),
+                int(ftype.get("scale", 0)),
+                int(ftype["size"]) if kind == "fixed" else None,
+            )
     if isinstance(ftype, list):
         branches = [x for x in ftype if x != "null"]
         if len(branches) == 1 and "null" in ftype:
-            return ("union", _norm(branches[0]))
+            return ("union", _norm(branches[0]), ftype.index("null"))
     if isinstance(ftype, dict):
         kind = ftype.get("type")
         if kind == "record":
@@ -185,20 +199,46 @@ def _norm(ftype):
             return ("array", _norm(ftype["items"]))
         if kind == "map":
             return ("map", _norm(ftype["values"]))
+        if kind == "enum":
+            return ("enum", tuple(ftype["symbols"]))
+        if kind == "fixed":
+            return ("fixed", int(ftype["size"]))
     raise ValueError(
         f"avro: unsupported field type {ftype!r} (primitives, "
-        "date / timestamp-micros logical types, [null, T] unions, and "
-        "record / array / string-keyed map complex types are this "
-        "module's declared scope)"
+        "date / timestamp-micros / decimal logical types, null∪T "
+        "unions, enum, fixed, and record / array / string-keyed map "
+        "complex types are this module's declared scope)"
     )
 
 
 def _field_codec(ftype):
-    """Normalize a field type into (is_nullable, codec node)."""
+    """Normalize a field type into (null_branch_idx | None, codec
+    node): None means the field is non-nullable; 0 or 1 is the wire
+    index of the union's null branch (spec-valid either way)."""
     node = _norm(ftype)
     if isinstance(node, tuple) and node[0] == "union":
-        return True, node[1]
-    return False, node
+        return node[2], node[1]
+    return None, node
+
+
+def _int_to_tc(n: int) -> bytes:
+    """Minimal big-endian two's complement — byte-identical to Java
+    BigInteger.toByteArray(), which is what the Avro Java library
+    writes for decimal unscaled values."""
+    length = (n if n >= 0 else ~n).bit_length() // 8 + 1
+    return n.to_bytes(length, "big", signed=True)
+
+
+def _dec_unscaled(v, scale: int) -> int:
+    from decimal import Decimal
+
+    d = v if isinstance(v, Decimal) else Decimal(str(v))
+    unscaled = int(d.scaleb(scale))
+    if Decimal(unscaled).scaleb(-scale) != d:
+        raise ValueError(
+            f"avro: decimal value {v!r} does not fit scale {scale}"
+        )
+    return unscaled
 
 
 def _enc_any(v, node) -> bytes:
@@ -206,9 +246,34 @@ def _enc_any(v, node) -> bytes:
         return _enc_value(v, node)
     kind = node[0]
     if kind == "union":
+        null_idx = node[2]
         if v is None:
-            return _zz_enc(0)
-        return _zz_enc(1) + _enc_any(v, node[1])
+            return _zz_enc(null_idx)
+        return _zz_enc(1 - null_idx) + _enc_any(v, node[1])
+    if kind == "decimal":
+        raw = _int_to_tc(_dec_unscaled(v, node[2]))
+        if node[3] is None:  # bytes-backed: length-prefixed
+            return _zz_enc(len(raw)) + raw
+        if len(raw) > node[3]:
+            raise ValueError(
+                f"avro: decimal {v!r} overflows fixed({node[3]})"
+            )
+        pad = b"\xff" if raw[0] & 0x80 else b"\x00"  # sign-extend
+        return pad * (node[3] - len(raw)) + raw
+    if kind == "enum":
+        try:
+            return _zz_enc(node[1].index(v))
+        except ValueError:
+            raise ValueError(
+                f"avro: {v!r} not in enum symbols {node[1]!r}"
+            ) from None
+    if kind == "fixed":
+        raw = bytes(v)
+        if len(raw) != node[1]:
+            raise ValueError(
+                f"avro: fixed({node[1]}) got {len(raw)} bytes"
+            )
+        return raw
     if kind == "record":
         out = bytearray()
         for name, sub in node[1]:
@@ -241,7 +306,24 @@ def _dec_any(buf: io.BytesIO, node):
         return _dec_value(buf, node)
     kind = node[0]
     if kind == "union":
-        return None if _zz_dec(buf) == 0 else _dec_any(buf, node[1])
+        return (
+            None
+            if _zz_dec(buf) == node[2]
+            else _dec_any(buf, node[1])
+        )
+    if kind == "decimal":
+        from decimal import Decimal
+
+        if node[3] is None:
+            raw = buf.read(_zz_dec(buf))
+        else:
+            raw = buf.read(node[3])
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return Decimal(unscaled).scaleb(-node[2])
+    if kind == "enum":
+        return node[1][_zz_dec(buf)]
+    if kind == "fixed":
+        return buf.read(node[1])
     if kind == "record":
         return tuple(_dec_any(buf, sub) for _name, sub in node[1])
     if kind == "array":
@@ -273,13 +355,13 @@ def _dec_any(buf: io.BytesIO, node):
 
 def _enc_record(row, fields) -> bytes:
     out = bytearray()
-    for name, nullable, node in fields:
+    for name, null_idx, node in fields:
         v = row[name]
-        if nullable:
+        if null_idx is not None:
             if v is None:
-                out += _zz_enc(0)
+                out += _zz_enc(null_idx)
                 continue
-            out += _zz_enc(1)
+            out += _zz_enc(1 - null_idx)
         elif v is None:
             raise ValueError(f"avro: null in non-nullable field {name!r}")
         out += _enc_any(v, node)
@@ -288,9 +370,9 @@ def _enc_record(row, fields) -> bytes:
 
 def _dec_record(buf: io.BytesIO, fields) -> tuple:
     vals = []
-    for _name, nullable, node in fields:
-        if nullable:
-            if _zz_dec(buf) == 0:
+    for _name, null_idx, node in fields:
+        if null_idx is not None:
+            if _zz_dec(buf) == null_idx:
                 vals.append(None)
                 continue
         vals.append(_dec_any(buf, node))
@@ -331,7 +413,10 @@ _PROMOTIONS = {
 
 
 def _promote(v, w_typ: str, r_typ: str):
-    if w_typ == r_typ:
+    # NULLs pass through every resolution unchanged (r10 ADVICE fix:
+    # int(None) crashed the advertised int→long evolution path on any
+    # file with a null in the promoted column).
+    if v is None or w_typ == r_typ:
         return v
     if r_typ in _PROMOTIONS.get(w_typ, ()):
         return float(v) if r_typ in ("float", "double") else int(v)
@@ -382,6 +467,13 @@ def _spark_type_to_avro(dt, path: str) -> object:
             "type": "map",
             "values": ["null", inner] if dt.valueContainsNull else inner,
         }
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     t = dt.simpleString()
     if t not in _SPARK_TO_AVRO:
         raise ValueError(
@@ -406,6 +498,12 @@ def _node_ddl(node) -> str:
     kind = node[0]
     if kind == "union":
         return _node_ddl(node[1])
+    if kind == "decimal":
+        return f"decimal({node[1]},{node[2]})"
+    if kind == "enum":
+        return "string"
+    if kind == "fixed":
+        return "binary"
     if kind == "record":
         inner = ",".join(f"{n}:{_node_ddl(s)}" for n, s in node[1])
         return f"struct<{inner}>"
