@@ -1517,13 +1517,19 @@ def ewma_backtest_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Transitive closure of the event-type transition graph via a
 # RECURSIVE CTE (Spark 4 WITH RECURSIVE; DuckDB runs the identical
 # SQL text — shared constant below). min-hop reachability: seed with
-# the distinct 1-hop edges, expand frontier×edges with a hop bound
-# (the node domain is event types, so depth ≤ #types covers every
-# shortest path), then MIN(hops) per pair. Scale shape: the only
-# event-scale pass is the lag window deriving edges (same shape as
-# event_transition_matrix); the recursion runs on the TYPE graph —
-# a bounded dimension domain (#types² pairs), each round one
-# frontier-keyed join.
+# the distinct 1-hop edges, expand SIMPLE PATHS ONLY — each frontier
+# row carries its delimited visited-node path and an edge extends it
+# only to unvisited nodes. That replaces r9's literal 5-hop cap (r10
+# ADVICE fix: it silently truncated graphs of diameter > 5) with a
+# bound that is exact by construction: a shortest walk never revisits
+# a node, so simple paths preserve MIN(hops), and recursion depth is
+# ≤ #types with no explicit bound. (The node-count scalar-subquery
+# alternative hangs DuckDB 1.x when the subquery references a CTE
+# chain — measured this round.) Scale shape: the only event-scale
+# pass is the lag window deriving edges; the recursion runs on the
+# TYPE graph — a bounded dimension domain. Worst case is the simple-
+# path count of a dense type graph; domains past ~10² types should
+# use operators/graph.py's iterative min-label closure instead.
 _REACH_SQL = """
     WITH RECURSIVE seq AS (
         SELECT user_id, event_type,
@@ -1537,15 +1543,25 @@ _REACH_SQL = """
         WHERE prev_type IS NOT NULL AND prev_type <> event_type
     ),
     reach AS (
-        SELECT src, dst, 1 AS hops FROM edges
+        SELECT src, dst, 1 AS hops,
+               '|' || src || '|' || dst || '|' AS path
+        FROM edges
         UNION ALL
-        SELECT r.src, e.dst, r.hops + 1
+        SELECT r.src, e.dst, r.hops + 1,
+               r.path || e.dst || '|'
         FROM reach r JOIN edges e ON e.src = r.dst
-        WHERE r.hops < 5
+        WHERE instr(r.path, '|' || e.dst || '|') = 0
     )
     SELECT src AS src_type, dst AS dst_type,
            CAST(MIN(hops) AS INT) AS min_hops
-    FROM reach
+    FROM (
+        SELECT src, dst, hops FROM reach
+        UNION ALL
+        -- self-reachability: every shortest cycle through src is a
+        -- simple path src→…→b plus the closing edge b→src
+        SELECT r.src, r.src AS dst, r.hops + 1 AS hops
+        FROM reach r JOIN edges e ON e.src = r.dst AND e.dst = r.src
+    ) walks
     GROUP BY src, dst
     ORDER BY src_type, dst_type
 """
@@ -1581,11 +1597,14 @@ _SCC_SQL = """
         WHERE prev_type IS NOT NULL AND prev_type <> event_type
     ),
     reach AS (
-        SELECT src, dst, 1 AS hops FROM edges
+        SELECT src, dst, 1 AS hops,
+               '|' || src || '|' || dst || '|' AS path
+        FROM edges
         UNION ALL
-        SELECT r.src, e.dst, r.hops + 1
+        SELECT r.src, e.dst, r.hops + 1,
+               r.path || e.dst || '|'
         FROM reach r JOIN edges e ON e.src = r.dst
-        WHERE r.hops < 5
+        WHERE instr(r.path, '|' || e.dst || '|') = 0
     ),
     pairs AS (SELECT DISTINCT src, dst FROM reach),
     mutual AS (

@@ -252,10 +252,64 @@ def _dv_decode(data: bytes) -> list[int]:
     ]
 
 
-def _dv_positions(descriptor: dict, base: Path) -> list[int]:
-    """Load a descriptor's deleted row positions. storageType "p"
-    (absolute path) only — "u"/"i" need the z85 machinery this module
-    deliberately leaves behind the contract note above."""
+# PROTOCOL.md "Table Features": upgrading a legacy protocol version to
+# the table-features form (minWriterVersion 7 / minReaderVersion 3)
+# must ENUMERATE the features the legacy version implied — an external
+# writer honoring only the new lists would otherwise stop enforcing
+# e.g. CHECK constraints a writer-3 floor implied (r10 ADVICE fix).
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+_LEGACY_READER_FEATURES = {2: {"columnMapping"}}
+
+
+def _legacy_features(version: int, table: dict[int, set]) -> set:
+    out: set = set()
+    for v, feats in table.items():
+        if version >= v:
+            out |= feats
+    return out
+
+
+def _protocol_upgrade_action(
+    state: dict, reader_add: set, writer_add: set
+) -> dict:
+    """A protocol action lifting the table to reader 3 / writer 7
+    table-features form, carrying forward both explicitly-listed and
+    legacy-implied features plus the requested additions."""
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(
+                set(state.get("reader_features") or [])
+                | _legacy_features(
+                    state.get("min_reader", 1), _LEGACY_READER_FEATURES
+                )
+                | reader_add
+            ),
+            "writerFeatures": sorted(
+                set(state.get("writer_features") or [])
+                | _legacy_features(
+                    state.get("min_writer", 2), _LEGACY_WRITER_FEATURES
+                )
+                | writer_add
+            ),
+        }
+    }
+
+
+def _dv_sidecar_path(descriptor: dict, base: Path) -> Path:
+    """Resolve a DV descriptor's sidecar file: storageType "p" paths
+    may be relative, in which case they resolve against the TABLE
+    base — never the process CWD (r10 ADVICE fix: restore/vacuum used
+    to resolve relative descriptors against the CWD). "u"/"i" need
+    the z85 machinery this module deliberately leaves behind the
+    contract note above."""
     st = descriptor.get("storageType")
     if st != "p":
         raise DeltaLogError(
@@ -265,7 +319,12 @@ def _dv_positions(descriptor: dict, base: Path) -> list[int]:
     f = Path(descriptor["pathOrInlineDv"])
     if not f.is_absolute():
         f = base / f
-    return _dv_decode(f.read_bytes())
+    return f
+
+
+def _dv_positions(descriptor: dict, base: Path) -> list[int]:
+    """Load a descriptor's deleted row positions."""
+    return _dv_decode(_dv_sidecar_path(descriptor, base).read_bytes())
 
 
 def _last_checkpoint_meta(table_path: str | Path) -> dict | None:
@@ -1362,20 +1421,7 @@ class DeltaLogWriter:
         actions: list[dict] = []
         if _DV_FEATURE not in state.get("writer_features", set()):
             actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(
-                            set(state.get("reader_features") or [])
-                            | {_DV_FEATURE}
-                        ),
-                        "writerFeatures": sorted(
-                            set(state.get("writer_features") or [])
-                            | {_DV_FEATURE}
-                        ),
-                    }
-                }
+                _protocol_upgrade_action(state, {_DV_FEATURE}, {_DV_FEATURE})
             )
         rows_deleted = 0
         for r in matched:
@@ -1502,7 +1548,7 @@ class DeltaLogWriter:
         # restore would resurrect rows the target version had deleted
         for p, a in tgt_live.items():
             d = a.get("deletionVector")
-            if d and not Path(d["pathOrInlineDv"]).exists():
+            if d and not _dv_sidecar_path(d, self.path).exists():
                 missing.append(f"{p} (deletion vector)")
         if missing:
             raise DeltaLogError(
@@ -1668,7 +1714,9 @@ class DeltaLogWriter:
         # superseded sidecars (a later delete re-wrote the file's DV)
         # age out under the same retention clock as data files
         live_dv = {
-            str(Path(a["deletionVector"]["pathOrInlineDv"]).resolve())
+            str(
+                _dv_sidecar_path(a["deletionVector"], self.path).resolve()
+            )
             for a in state["adds"]
             if a.get("deletionVector")
         }

@@ -180,3 +180,80 @@ def test_dv_scope_guards_partitioned_and_mapped(spark, tmp_path):
     )
     with pytest.raises(DeltaLogError, match="partitioned"):
         w.delete_where_dv("id = 1")
+
+
+def test_protocol_upgrade_enumerates_legacy_features(spark, tmp_path):
+    """PROTOCOL.md table features: lifting a LEGACY writer floor (here
+    4, set by a foreign writer) to writer 7 must enumerate the
+    features versions ≤4 implied — appendOnly, invariants,
+    checkConstraints, changeDataFeed, generatedColumns — or an
+    external writer honoring only the new lists stops enforcing them
+    (r10 ADVICE fix)."""
+    p = tmp_path / "t"
+    w = _mk(spark, p)
+    # foreign writer raises the legacy floor to writer 4 (no lists)
+    (p / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+        )
+        + "\n"
+    )
+    w.delete_where_dv("id % 3 = 0")
+    st = _replay(p, None)
+    assert st["min_reader"] == 3 and st["min_writer"] == 7
+    assert set(st["writer_features"]) >= {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "deletionVectors",
+    }
+
+
+def test_restore_resolves_relative_dv_sidecars(spark, tmp_path):
+    """A foreign writer may record pathOrInlineDv RELATIVE to the
+    table base (the reader accepts that); restore's vacuum guard must
+    resolve it the same way, not against the process CWD (r10 ADVICE
+    fix — the guard used to falsely block the restore)."""
+    from lakehouse_poc_spark.sources.deltalog import _dv_encode
+
+    p = tmp_path / "t"
+    w = _mk(spark, p)
+    st0 = _replay(p, None)
+    target = st0["adds"][0]
+    # foreign commit: same data file, DV sidecar by RELATIVE name
+    sidecar = p / "deletionvector_foreign.bin"
+    payload = _dv_encode([0])
+    sidecar.write_bytes(payload)
+    add = {
+        k: v
+        for k, v in target.items()
+        if k in ("path", "partitionValues", "size")
+    }
+    add.update(
+        {
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "deletionVector": {
+                "storageType": "p",
+                "pathOrInlineDv": "deletionvector_foreign.bin",
+                "sizeInBytes": len(payload),
+                "cardinality": 1,
+            },
+        }
+    )
+    (p / "_delta_log" / f"{1:020d}.json").write_text(
+        json.dumps({"add": add}) + "\n"
+    )
+    n_v1 = read_delta(spark, p, 1).count()
+    assert n_v1 == 9  # relative sidecar readable, one row masked
+    # v2 undoes the delete (re-add without DV)
+    add2 = {k: v for k, v in add.items() if k != "deletionVector"}
+    (p / "_delta_log" / f"{2:020d}.json").write_text(
+        json.dumps({"add": add2}) + "\n"
+    )
+    assert read_delta(spark, p).count() == 10
+    v = w.restore(1)  # must NOT raise the vacuumed-DV guard
+    assert v == 3
+    assert read_delta(spark, p).count() == 9

@@ -9,6 +9,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -204,3 +205,37 @@ def test_dtw_fold_matches_brute_dp(spark):
     }
     for i, x, y in rows:
         assert got[i] == brute(x, y), f"row {i}"
+
+
+# ---------------------------------------------------------------------------
+# r10 ADVICE fix: the recursive reachability/SCC closure must cover
+# graphs of diameter > 5 (the old literal hop cap silently split
+# SCCs). A 7-type directed ring has diameter 6 and is ONE scc.
+
+
+def test_recursive_closure_covers_diameter_beyond_five(spark):
+    from lakehouse_poc_spark.plans.eventops import _REACH_SQL, _SCC_SQL
+
+    types = ["t0", "t1", "t2", "t3", "t4", "t5", "t6"]
+    # one user walks the ring twice: edges t0→t1→…→t6→t0
+    rows = [
+        (1, i, f"2024-01-01 00:00:{i:02d}", types[i % 7], 1.0)
+        for i in range(15)
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, "
+        "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).createOrReplaceTempView(
+        "events"
+    )
+    reach = {
+        (r.src_type, r.dst_type): r.min_hops
+        for r in spark.sql(_REACH_SQL).collect()
+    }
+    assert reach[("t0", "t6")] == 6  # needs depth 6 — old cap missed it
+    assert reach[("t0", "t0")] == 7  # full-ring cycle
+    assert len(reach) == 49  # every ordered pair incl. self
+    scc = spark.sql(_SCC_SQL).collect()
+    assert {r.scc_id for r in scc} == {"t0"} and all(
+        r.scc_size == 7 for r in scc
+    )
