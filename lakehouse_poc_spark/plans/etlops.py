@@ -2824,6 +2824,178 @@ def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Apache Iceberg v2 TABLE-FORMAT roundtrip (r10, VERDICT task 1):
+# write a table as REAL Iceberg metadata — v{N}.metadata.json +
+# Avro manifest lists and manifests via sources/avro.py (the codec
+# cross-validated against the Avro Java library), HadoopTables
+# version-hint commit protocol — then plan + read it back at LATEST
+# and at the first snapshot (time travel). Snapshot 1 = evens
+# (create), snapshot 2 = fast-append of odds (new manifest ONLY; the
+# create's manifest is carried untouched — the O(new files) append
+# property). A reader that ignores manifest-entry statuses, loses
+# carried manifests, or mis-parses the metadata chain breaks the
+# hash. sources/iceberg_meta.py documents the declared scope.
+@query(
+    "iceberg_meta_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_latest,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_snap0
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def iceberg_meta_roundtrip_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.iceberg_meta import (
+        IcebergTable,
+        read_iceberg,
+        snapshot_ids,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"iceberg_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_iceberg"
+    t = IcebergTable(spark, path)
+    t.create(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    first = snapshot_ids(path)[0]
+    latest = read_iceberg(spark, path).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_latest")
+    )
+    s0 = (
+        read_iceberg(spark, path, snapshot_id=first)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_snap0"))
+    )
+    return (
+        latest.join(s0, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_latest",
+            F.coalesce(F.col("n_snap0"), F.lit(0))
+            .cast("bigint")
+            .alias("n_snap0"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg SCAN PLANNING with stats pruning (r10): manifests carry
+# per-column lower/upper bounds (the spec's single-value binary
+# serialization, written from the parquet footers at commit time);
+# plan_files proves a range predicate empty per file and skips it
+# BEFORE any executor touches parquet. The table is written
+# range-clustered on o_orderkey so bounds are narrow; the query
+# returns the filtered aggregate AND the planner's file-skip
+# evidence (scanned vs skipped counts) — the oracle reproduces the
+# aggregate and the fixture's file layout arithmetic.
+@query(
+    "iceberg_prune_scan_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(8 AS BIGINT) AS n_files,
+           CAST(7 AS BIGINT) AS n_skipped
+    FROM orders
+    WHERE o_orderkey <= (SELECT MIN(o_orderkey) + 99 FROM orders)
+    """,
+)
+def iceberg_prune_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_meta import (
+        IcebergTable,
+        plan_files,
+        read_iceberg,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"iceberg_prune_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_clustered"
+    t = IcebergTable(spark, path)
+    # 8 range-clustered files: bounds partition the key domain, so a
+    # bottom-of-range predicate must plan exactly one file
+    t.create(orders.repartitionByRange(8, "o_orderkey"))
+    lo = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    pred = [("o_orderkey", "<=", int(lo) + 99)]
+    plan_all = plan_files(path)
+    plan = plan_files(path, predicates=pred)
+    got = read_iceberg(spark, path, predicates=pred).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+    return got.select(
+        "n",
+        "key_sum",
+        F.lit(len(plan_all["files"])).cast("bigint").alias("n_files"),
+        F.lit(plan["skipped"]).cast("bigint").alias("n_skipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The FIFTH SCD1 twin (r10): identical scenario and oracle to the
+# parquet / file-pruned / manifest / Delta-log variants, executed on
+# IcebergMetaWarehouse — storage = REAL Iceberg v2 snapshots
+# (sources/iceberg_meta.py). The shared oracle hash across all five
+# backends is the storage-never-leaks-into-semantics proof, now
+# extended to the second interoperable lakehouse format.
+@query(
+    "scd1_iceberg_customers",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name, 'CHANGED' FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY key
+    """,
+)
+def scd1_iceberg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.warehouse import IcebergMetaWarehouse
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    batch1 = cust.filter(F.col("c_custkey") % 2 == 0)
+    batch2 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 2 == 1)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    root = SCRATCH / f"scd1ice_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    wh = IcebergMetaWarehouse(spark, str(root))
+    t = "layer0150.dim_customer_ice"
+    wh.upsert(batch1, t, keys=["c_custkey"])
+    wh.upsert(batch2, t, keys=["c_custkey"])
+    return (
+        wh.read(t)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # The FOURTH SCD1 twin (r8): identical scenario and oracle to
 # scd1_customer_current / _file_pruned / _manifest, executed on
 # DeltaLogWarehouse — storage = REAL Delta-protocol commits

@@ -1,0 +1,225 @@
+"""Apache Iceberg v2 metadata backend (sources/iceberg_meta.py):
+snapshot lifecycle, time travel, commit atomicity (version-hint +
+create-exclusive metadata claim), stats-pruned scan planning, and the
+IcebergMetaWarehouse SCD1 surface. Conformance against FOREIGN
+metadata lives in test_iceberg_conformance.py."""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pytest
+
+from lakehouse_poc_spark.sources.iceberg_meta import (
+    IcebergMetaError,
+    IcebergTable,
+    bound_decode,
+    bound_encode,
+    current_metadata_version,
+    live_entries,
+    load_metadata,
+    plan_files,
+    read_avro_dicts,
+    read_iceberg,
+    snapshot_ids,
+    spark_to_iceberg_schema,
+)
+
+
+def _df(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.format_string("s%d", "id").alias("s"),
+        )
+    )
+
+
+def test_create_append_overwrite_and_time_travel(spark, tmp_path):
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    assert not t.exists()
+    assert t.create(_df(spark, 0, 50)) == 1
+    assert read_iceberg(spark, p).count() == 50
+    assert t.append(_df(spark, 50, 100)) == 2
+    assert read_iceberg(spark, p).count() == 100
+    sids = snapshot_ids(p)
+    assert len(sids) == 2
+    assert read_iceberg(spark, p, snapshot_id=sids[0]).count() == 50
+    # overwrite: latest shrinks, earlier snapshots still time-travel
+    t.overwrite(_df(spark, 0, 10))
+    assert read_iceberg(spark, p).count() == 10
+    assert read_iceberg(spark, p, snapshot_id=sids[1]).count() == 100
+    # metadata chain: v3 current, metadata-log links the history
+    md = load_metadata(p)
+    assert current_metadata_version(p) == 3
+    assert md["format-version"] == 2
+    assert len(md["metadata-log"]) == 2
+    assert md["last-sequence-number"] == 3
+
+
+def test_fast_append_carries_prior_manifests(spark, tmp_path):
+    """The O(new-files) append property: snapshot 2's manifest list
+    must reference snapshot 1's manifest UNCHANGED plus exactly one
+    new manifest."""
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(_df(spark, 0, 50))
+    md1 = load_metadata(p)
+    mlist1 = read_avro_dicts(p / md1["snapshots"][0]["manifest-list"])
+    t.append(_df(spark, 50, 100))
+    md2 = load_metadata(p)
+    mlist2 = read_avro_dicts(p / md2["snapshots"][1]["manifest-list"])
+    assert len(mlist2) == len(mlist1) + 1
+    carried = {m["manifest_path"] for m in mlist1}
+    assert carried <= {m["manifest_path"] for m in mlist2}
+
+
+def test_overwrite_records_deleted_entries(spark, tmp_path):
+    """Spec overwrite shape: replaced files re-enter a manifest as
+    status=DELETED (skipped by scans, visible to incremental
+    consumers)."""
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(_df(spark, 0, 50))
+    t.overwrite(_df(spark, 0, 10))
+    md = load_metadata(p)
+    snap = md["snapshots"][-1]
+    mlist = read_avro_dicts(p / snap["manifest-list"])
+    deleted = sum(m["deleted_files_count"] for m in mlist)
+    added = sum(m["added_files_count"] for m in mlist)
+    assert deleted > 0 and added > 0
+    # live entries exclude the deleted ones
+    assert all(e["status"] != 2 for e in live_entries(p))
+
+
+def test_concurrent_commit_exclusivity(spark, tmp_path):
+    """Two writers race for the same metadata version: exactly one
+    wins (create-exclusive os.link), the loser fails cleanly."""
+    p = tmp_path / "t"
+    a = IcebergTable(spark, p)
+    a.create(_df(spark, 0, 10))
+    md = load_metadata(p)
+    # writer B claims v2 out from under writer A's staged commit
+    b = IcebergTable(spark, p)
+    b.append(_df(spark, 10, 20))
+    with pytest.raises(IcebergMetaError, match="concurrent commit"):
+        # A still thinks v1 is current -> claims v2 -> loses
+        a._commit(md, base=1)
+    assert current_metadata_version(p) == 2
+    assert read_iceberg(spark, p).count() == 20
+
+
+def test_version_hint_fallback(spark, tmp_path):
+    """A missing/torn version-hint must fall back to scanning
+    v*.metadata.json (the HadoopTables recovery path)."""
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 30))
+    hint = p / "metadata" / "version-hint.text"
+    hint.unlink()
+    assert current_metadata_version(p) == 2
+    assert read_iceberg(spark, p).count() == 30
+    hint.write_text("garbage")  # torn hint
+    assert current_metadata_version(p) == 2
+
+
+def test_plan_files_prunes_by_bounds_and_never_lies(spark, tmp_path):
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(_df(spark, 0, 1000).repartitionByRange(8, "k"))
+    plan_all = plan_files(p)
+    assert len(plan_all["files"]) == 8
+    plan = plan_files(p, predicates=[("k", "<", 10)])
+    assert plan["skipped"] >= 6
+    # pruning is an optimization, never a semantic: the pruned read
+    # returns exactly the filtered rows
+    got = read_iceberg(spark, p, predicates=[("k", "<", 10)])
+    assert sorted(r.k for r in got.collect()) == list(range(10))
+    # equality + upper-range prune
+    assert plan_files(p, predicates=[("k", "=", 999)])["skipped"] >= 6
+    assert plan_files(p, predicates=[("k", ">", 990)])["skipped"] >= 6
+    # a predicate on an unknown column prunes nothing
+    assert plan_files(p, predicates=[("zz", "=", 1)])["skipped"] == 0
+
+
+def test_decimal_column_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "t"
+    df = spark.createDataFrame(
+        [(1, Decimal("12.34")), (2, Decimal("-0.05"))],
+        "k long, amt decimal(10,2)",
+    )
+    IcebergTable(spark, p).create(df)
+    ice = spark_to_iceberg_schema(df.schema)
+    assert ice["fields"][1]["type"] == "decimal(10, 2)"
+    back = read_iceberg(spark, p)
+    assert back.schema["amt"].dataType.simpleString() == "decimal(10,2)"
+    assert {r.amt for r in back.collect()} == {
+        Decimal("12.34"),
+        Decimal("-0.05"),
+    }
+
+
+def test_nested_types_fail_fast(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "k long, arr array<int>")
+    with pytest.raises(IcebergMetaError, match="unsupported Spark type"):
+        spark_to_iceberg_schema(df.schema)
+
+
+def test_bound_codec_roundtrip():
+    import datetime
+
+    cases = [
+        (42, "int"),
+        (-7, "long"),
+        (1.5, "double"),
+        (datetime.date(2024, 2, 29), "date"),
+        ("abc", "string"),
+    ]
+    for v, t in cases:
+        assert bound_decode(bound_encode(v, t), t) == v
+
+
+def test_expire_snapshots(spark, tmp_path):
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    t.append(_df(spark, 20, 30))
+    assert t.expire_snapshots(keep_last=1) == 2
+    md = load_metadata(p)
+    assert len(md["snapshots"]) == 1
+    assert read_iceberg(spark, p).count() == 30
+
+
+def test_warehouse_scd1_and_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_poc_spark.sinks.warehouse import IcebergMetaWarehouse
+
+    wh = IcebergMetaWarehouse(spark, str(tmp_path / "wh"))
+    t = "dim.cust"
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, seg string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, seg string"
+    )
+    wh.upsert(b1, t, keys=["k"])
+    wh.upsert(b2, t, keys=["k"])
+    got = {r.k: r.seg for r in wh.read(t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # snapshot-0 time travel (ordinal API)
+    assert {r.k for r in wh.read_version(t, 0).collect()} == {1, 2}
+    hist = wh.history(t)
+    assert hist[-1]["current"] and len(hist) >= 2
+    with pytest.raises(NotImplementedError):
+        wh.append(b1, t, partition_by=["seg"])
