@@ -2771,14 +2771,21 @@ def dv_delete_deltalog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# CHANGE DATA FEED on the Delta-log backend (r9): row-level changes
-# between two versions as exact multiset snapshot diffs
-# (sources/deltalog.py::table_changes) — inserts from the append,
-# deletes from the DV merge-on-read delete (the newer snapshot read
-# applies the bitmap, so MOR deletes surface as row-level deletes
-# without any _change_data materialization). The three-commit history
-# (CTAS evens → append odds → DV-delete keys%10∈{2,3}) makes both
-# change types appear from both write paths.
+# CHANGE DATA FEED on the Delta-log backend (r9; r10 = O(changes)):
+# with delta.enableChangeDataFeed set, the feed assembles PER COMMIT —
+# inserts read straight from the append's add files, deletes from the
+# _change_data parquet the DV delete materialized alongside its cdc
+# actions (sources/deltalog.py::_table_changes_cdc) — touching only
+# changed rows, never two table scans. The exceptAll snapshot diff
+# remains the identity oracle (test_deltalog_cdf.py pins equality on
+# this exact scenario). History: enable-CDF → CTAS evens → append
+# odds → DV-delete keys%10∈{2,3}.
+# Event-feed semantics (real Delta CDF): a row appended AND deleted
+# inside the range surfaces as BOTH events (here: odd keys %10=3 —
+# inserted at v2, deleted at v3); the snapshot diff nets such pairs
+# out, which is exactly the information a CDC consumer loses without
+# materialized change data. Inserts = the whole append (all odds);
+# deletes = every %10∈{2,3} key (evens land %10=2, odds %10=3).
 @query(
     "delta_cdf_orders",
     oracle="""
@@ -2788,11 +2795,11 @@ def dv_delete_deltalog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT 'insert' AS _change_type, o_orderstatus, o_orderkey
         FROM orders
-        WHERE o_orderkey % 2 = 1 AND o_orderkey % 10 NOT IN (2, 3)
+        WHERE o_orderkey % 2 = 1
         UNION ALL
         SELECT 'delete', o_orderstatus, o_orderkey
         FROM orders
-        WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 IN (2, 3)
+        WHERE o_orderkey % 10 IN (2, 3)
     )
     GROUP BY _change_type, o_orderstatus
     ORDER BY _change_type, o_orderstatus
@@ -2810,10 +2817,11 @@ def delta_cdf_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = root / "orders_cdf"
     w = DeltaLogWriter(spark, path)
     w.create(orders.filter(F.col("o_orderkey") % 2 == 0))      # v0
-    w.append(orders.filter(F.col("o_orderkey") % 2 == 1))      # v1
-    w.delete_where_dv("o_orderkey % 10 IN (2, 3)")             # v2 (MOR)
+    w.enable_cdf()                                             # v1
+    w.append(orders.filter(F.col("o_orderkey") % 2 == 1))      # v2
+    w.delete_where_dv("o_orderkey % 10 IN (2, 3)")             # v3 (MOR+cdc)
     return (
-        table_changes(spark, path, 0)
+        table_changes(spark, path, 1)
         .groupBy("_change_type", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
