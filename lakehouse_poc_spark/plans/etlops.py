@@ -2771,6 +2771,60 @@ def dv_delete_deltalog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deletionVectors on a PARTITIONED Delta-log table (r10, VERDICT task
+# 4 — the layout where MOR deletes matter most: "purge this tenant /
+# day" predicates name the partition column). The table partitions on
+# o_orderstatus (data files EXCLUDE the column per spec; the add
+# actions' partitionValues are the only copy), and the delete mixes a
+# partition predicate with a data predicate — the writer
+# reconstitutes partition values per add-group before matching, and
+# the descriptors ride adds that keep their partitionValues. Both
+# versions stay time-travelable; a reader that loses the partition
+# column on the MOR path or applies a bitmap to the wrong group
+# breaks the hash.
+@query(
+    "dv_delete_partitioned_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN NOT (o_orderstatus = 'O'
+                                   AND o_orderkey % 10 = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_latest,
+           CAST(SUM(CASE WHEN NOT (o_orderstatus = 'O'
+                                   AND o_orderkey % 10 = 1)
+                         THEN o_orderkey ELSE 0 END) AS BIGINT)
+               AS key_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_v0
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def dv_delete_partitioned_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    root = SCRATCH / f"deltalog_dvpart_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_dv_part"
+    w = DeltaLogWriter(spark, path)
+    w.create_partitioned(orders, ["o_orderstatus"])
+    w.delete_where_dv("o_orderstatus = 'O' AND o_orderkey % 10 = 1")
+    latest = read_delta(spark, path).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_latest"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+    v0 = read_delta(spark, path, version=0).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v0")
+    )
+    return latest.join(v0, "o_orderstatus").orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
 # CHANGE DATA FEED on the Delta-log backend (r9; r10 = O(changes)):
 # with delta.enableChangeDataFeed set, the feed assembles PER COMMIT —
 # inserts read straight from the append's add files, deletes from the

@@ -1515,6 +1515,75 @@ def stream_dv_delete_deltalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming DV deletes on a PARTITIONED Delta-log table (r10, VERDICT
+# task 4's streaming twin): the same exactly-once foreachBatch CDC
+# feed as stream_dv_delete_deltalog, but the target partitions on
+# o_orderstatus — each micro-batch's key set tombstones rows ACROSS
+# partition groups via per-group merge-on-read bitmaps, with replays
+# matching nothing (already-deleted keys are invisible to the MOR
+# view). Final state = plain SQL DELETE semantics on the partitioned
+# layout.
+@query(
+    "stream_dv_delete_partitioned",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE NOT (o_orderkey % 9 = 1) AND NOT (o_orderkey % 9 = 2)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def stream_dv_delete_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sources.deltalog import DeltaLogWriter, read_delta
+
+    work = stream_scratch("stream_dvpart_")
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+    def _build(d: Path) -> None:
+        k0 = orders.filter(F.col("o_orderkey") % 9 == 1).select("o_orderkey")
+        k1 = orders.filter(F.col("o_orderkey") % 9 == 2).select("o_orderkey")
+        stage_ordered_batches(d, [k0, k1])
+
+    src = cached_fixture(
+        f"dvdl_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/orders.parquet").st_mtime,
+    )
+
+    w = DeltaLogWriter(spark, work / "orders_dv_part")
+    w.create_partitioned(orders, ["o_orderstatus"])
+
+    key_schema = orders.select("o_orderkey").schema
+    stream = stream_parquet(
+        spark, str(src) + "/*/part-*", key_schema, max_files_per_trigger=1
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w.delete_keys_dv(batch_df, keys=["o_orderkey"])
+
+    run_foreach_batch(stream, apply, str(work / "ckpt"))
+    return (
+        read_delta(spark, work / "orders_dv_part")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming (incremental) market-basket mining: lineitem arrives in
 # two basket-complete micro-batches (split on orderkey parity —
 # baskets never straddle a batch), and three ADDITIVE state tables

@@ -675,47 +675,13 @@ def read_delta(
             [], StructType.fromJson(json.loads(state["schema"]))
         )
     dv_adds = [a for a in state["adds"] if a.get("deletionVector")]
-    if dv_adds and (pcols or mapped):
+    if dv_adds and mapped:
         raise DeltaLogError(
-            "deletionVectors on partitioned or column-mapped tables "
-            "is out of this reader's declared scope"
+            "deletionVectors on column-mapped tables is out of this "
+            "reader's declared scope"
         )
-    if dv_adds:
-        # merge-on-read: DV'd files are read with their parquet row
-        # index and the deleted positions anti-joined away; clean
-        # files bulk-read as before. A reader materializes each DV
-        # bitmap in memory by design (that's what a DV IS); position
-        # relations are broadcast, never shuffled.
-        clean = [
-            a["path"] for a in state["adds"] if not a.get("deletionVector")
-        ]
-        parts = []
-        if clean:
-            parts.append(
-                spark.read.parquet(
-                    *[str(base / _decode_path(f)) for f in clean]
-                )
-            )
-        for a in dv_adds:
-            positions = _dv_positions(a["deletionVector"], base)
-            d = spark.read.parquet(
-                str(base / _decode_path(a["path"]))
-            ).withColumn("__dv_ri", F.col("_metadata.row_index"))
-            if positions:
-                import pandas as pd
-
-                # Arrow path: a plain-list createDataFrame pickles
-                # row-by-row (~1 s per thousand rows); the pandas
-                # bridge ships the position vector in one Arrow batch
-                pos_df = spark.createDataFrame(
-                    pd.DataFrame({"__dv_ri": positions})
-                )
-                d = d.join(F.broadcast(pos_df), "__dv_ri", "left_anti")
-            parts.append(d.drop("__dv_ri"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    if dv_adds and not pcols:
+        return _read_adds_mor(spark, base, state["adds"])
     if not pcols:
         raw = spark.read.parquet(
             *[str(base / _decode_path(f)) for f in state["files"]]
@@ -737,11 +703,11 @@ def read_delta(
             ]
         )
     schema = StructType.fromJson(json.loads(state["schema"]))
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[dict]] = {}
     for a in state["adds"]:
         pv = a.get("partitionValues") or {}
         key = tuple((c, pv.get(c)) for c in pcols)
-        groups.setdefault(key, []).append(a["path"])
+        groups.setdefault(key, []).append(a)
     if partition_filters:
         groups = {
             k: v
@@ -759,15 +725,16 @@ def read_delta(
     # nulls-first group order: a NULL partition value is legal per
     # spec (absent/None in partitionValues), so the sort key must not
     # compare str against None (caught by the r9 conformance fixtures)
-    for key, paths in sorted(
+    for key, adds in sorted(
         groups.items(),
         key=lambda kv: tuple(
             (c, v is not None, v or "") for c, v in kv[0]
         ),
     ):
-        part = spark.read.schema(data_schema).parquet(
-            *[str(base / _decode_path(p)) for p in paths]
-        )
+        # r10: DV masks apply inside each partition group (data files
+        # exclude partition columns, so the mask must run BEFORE the
+        # literals are attached)
+        part = _read_adds_mor(spark, base, adds, read_schema=data_schema)
         for c, val in key:
             part = part.withColumn(
                 c, F.lit(val).cast(schema[c].dataType)
@@ -776,6 +743,56 @@ def read_delta(
         out = part if out is None else out.unionByName(part)
     if out is None:  # everything pruned away
         return spark.createDataFrame([], schema)
+    return out
+
+
+def _read_adds_mor(
+    spark: SparkSession, base: Path, adds: list[dict], read_schema=None
+) -> DataFrame:
+    """Read a list of add actions applying MERGE-ON-READ deletion-
+    vector masks: clean files bulk-read in one scan; each DV'd file
+    reads with its parquet row index and the deleted positions
+    anti-joined away. A reader materializes each DV bitmap in memory
+    by design (that's what a DV IS); position relations are
+    broadcast, never shuffled."""
+    from pyspark.sql import functions as F
+
+    def rdr():
+        return (
+            spark.read.schema(read_schema)
+            if read_schema is not None
+            else spark.read
+        )
+
+    clean = [a for a in adds if not a.get("deletionVector")]
+    parts = []
+    if clean:
+        parts.append(
+            rdr().parquet(
+                *[str(base / _decode_path(a["path"])) for a in clean]
+            )
+        )
+    for a in adds:
+        if not a.get("deletionVector"):
+            continue
+        positions = _dv_positions(a["deletionVector"], base)
+        d = rdr().parquet(
+            str(base / _decode_path(a["path"]))
+        ).withColumn("__dv_ri", F.col("_metadata.row_index"))
+        if positions:
+            import pandas as pd
+
+            # Arrow path: a plain-list createDataFrame pickles
+            # row-by-row (~1 s per thousand rows); the pandas
+            # bridge ships the position vector in one Arrow batch
+            pos_df = spark.createDataFrame(
+                pd.DataFrame({"__dv_ri": positions})
+            )
+            d = d.join(F.broadcast(pos_df), "__dv_ri", "left_anti")
+        parts.append(d.drop("__dv_ri"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 
@@ -1508,17 +1525,14 @@ class DeltaLogWriter:
         materialized driver-side to build the per-file bitmaps — the
         memory bound every DV-writing engine pays (the bitmap IS the
         materialized match set). Payload codec contract: see the
-        module-level deletion-vectors note. Unpartitioned, unmapped
-        tables only (declared scope). Returns {version, rows_deleted,
-        files_touched}."""
+        module-level deletion-vectors note. Partitioned tables are in
+        scope (r10): partition columns reconstitute per add-group
+        before the predicate runs and descriptors ride adds carrying
+        partitionValues; column-mapped tables stay out. Returns
+        {version, rows_deleted, files_touched}."""
         from pyspark.sql import functions as F
 
         state = _replay(self.path, None)
-        if (state["metaData"] or {}).get("partitionColumns"):
-            raise DeltaLogError(
-                "deletionVectors on partitioned tables is out of this "
-                "writer's declared scope"
-            )
         if state["mapping_mode"] != "none":
             raise DeltaLogError(
                 "deletionVectors on column-mapped tables is out of "
@@ -1540,11 +1554,6 @@ class DeltaLogWriter:
         exactly-once property streaming sinks lean on), same protocol
         upgrade and descriptor shape."""
         state = _replay(self.path, None)
-        if (state["metaData"] or {}).get("partitionColumns"):
-            raise DeltaLogError(
-                "deletionVectors on partitioned tables is out of this "
-                "writer's declared scope"
-            )
         if state["mapping_mode"] != "none":
             raise DeltaLogError(
                 "deletionVectors on column-mapped tables is out of "
@@ -1552,8 +1561,6 @@ class DeltaLogWriter:
             )
         if not state["files"]:
             return {"version": -1, "rows_deleted": 0, "files_touched": 0}
-        from pyspark.sql import functions as F  # noqa: F811
-
         return self._dv_apply(
             state,
             lambda df: df.join(
@@ -1563,19 +1570,59 @@ class DeltaLogWriter:
 
     def _dv_apply(self, state: dict, select_matches) -> dict:
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
 
         base = self.path
         by_uri: dict[str, dict] = {}
         for a in state["adds"]:
             uri = "file:" + str((base / _decode_path(a["path"])).resolve())
             by_uri[uri] = a
-        df = self.spark.read.parquet(
-            *[str(base / _decode_path(a["path"])) for a in state["adds"]]
-        ).select(
-            "*",
-            F.col("_metadata.file_path").alias("__dv_fp"),
-            F.col("_metadata.row_index").alias("__dv_ri"),
+        pcols = list(
+            (state["metaData"] or {}).get("partitionColumns") or []
         )
+        if pcols:
+            # partitioned MOR view (r10, VERDICT task 4): data files
+            # exclude partition columns, so reconstitute them per
+            # add-group BEFORE the predicate runs (predicates on
+            # partition columns are the common DV-delete shape —
+            # "purge this tenant/day") while keeping the physical
+            # file/row coordinates for the bitmaps
+            schema = StructType.fromJson(json.loads(state["schema"]))
+            data_schema = StructType(
+                [f for f in schema.fields if f.name not in pcols]
+            )
+            groups: dict[tuple, list[dict]] = {}
+            for a in state["adds"]:
+                pv = a.get("partitionValues") or {}
+                key = tuple((c, pv.get(c)) for c in pcols)
+                groups.setdefault(key, []).append(a)
+            df = None
+            for key, adds in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (c, v is not None, v or "") for c, v in kv[0]
+                ),
+            ):
+                part = self.spark.read.schema(data_schema).parquet(
+                    *[str(base / _decode_path(a["path"])) for a in adds]
+                ).select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__dv_fp"),
+                    F.col("_metadata.row_index").alias("__dv_ri"),
+                )
+                for c, val in key:
+                    part = part.withColumn(
+                        c, F.lit(val).cast(schema[c].dataType)
+                    )
+                df = part if df is None else df.unionByName(part)
+        else:
+            df = self.spark.read.parquet(
+                *[str(base / _decode_path(a["path"])) for a in state["adds"]]
+            ).select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
         existing: dict[str, list[int]] = {}
         old_pairs: list[tuple[str, int]] = []
         for uri, a in by_uri.items():
@@ -1625,15 +1672,14 @@ class DeltaLogWriter:
             payload = _dv_encode(merged)
             sidecar = base / f"deletionvector_{uuid.uuid4().hex}.bin"
             sidecar.write_bytes(payload)
-            actions.append(
-                {
-                    "remove": {
-                        "path": a["path"],
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                    }
-                }
-            )
+            remove = {
+                "path": a["path"],
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+            if a.get("partitionValues"):
+                remove["partitionValues"] = a["partitionValues"]
+            actions.append({"remove": remove})
             a2 = {
                 k: v for k, v in a.items() if k != "deletionVector"
             }

@@ -169,16 +169,109 @@ def test_dv_blind_append_commutes_and_writer_floor_enforced(
         w.append(_df(spark, [(101, "x")]))
 
 
-def test_dv_scope_guards_partitioned_and_mapped(spark, tmp_path):
-    p = tmp_path / "part"
+def _mk_partitioned(spark, p, n=20):
+    """Partitioned fixture: c = 'x' for even ids, 'y' for odd."""
     w = DeltaLogWriter(spark, p)
     w.create_partitioned(
         spark.createDataFrame(
-            [(1, "a", "x"), (2, "b", "y")], "id long, v string, c string"
+            [(i, f"v{i}", "x" if i % 2 == 0 else "y") for i in range(n)],
+            "id long, v string, c string",
         ),
         ["c"],
     )
-    with pytest.raises(DeltaLogError, match="partitioned"):
+    return w
+
+
+def test_dv_delete_on_partitioned_table(spark, tmp_path):
+    """r10 (VERDICT task 4): merge-on-read DELETE on a PARTITIONED
+    table — predicates may mix partition and data columns; partition
+    values reconstitute before the predicate; descriptors ride adds
+    carrying partitionValues; time travel intact."""
+    p = tmp_path / "part"
+    w = _mk_partitioned(spark, p)
+    n_parquet = len(list(p.rglob("*.parquet")))
+    # predicate ON the partition column + a data column
+    res = w.delete_where_dv("c = 'x' AND id < 10")  # ids 0,2,4,6,8
+    assert res["rows_deleted"] == 5
+    assert len(list(p.rglob("*.parquet"))) == n_parquet  # zero rewrites
+    got = sorted(r.id for r in read_delta(spark, p).collect())
+    assert got == [i for i in range(20) if not (i % 2 == 0 and i < 10)]
+    # partition columns still reconstitute on the MOR read
+    rows = {r.id: r.c for r in read_delta(spark, p).collect()}
+    assert rows[1] == "y" and rows[10] == "x"
+    # v0 time travel unaffected
+    assert read_delta(spark, p, 0).count() == 20
+    # descriptor rides an add WITH partitionValues
+    st = _replay(p, None)
+    dv_adds = [a for a in st["adds"] if a.get("deletionVector")]
+    assert dv_adds and all(
+        a.get("partitionValues") == {"c": "x"} for a in dv_adds
+    )
+    # second overlapping delete merges per file across partitions
+    res2 = w.delete_where_dv("id % 3 = 0")  # 3,9,15 live-even? see MOR
+    survivors = sorted(r.id for r in read_delta(spark, p).collect())
+    assert all(i % 3 != 0 or (i % 2 == 0 and i < 10) for i in survivors)
+    assert res2["rows_deleted"] == len(
+        [i for i in range(20)
+         if i % 3 == 0 and not (i % 2 == 0 and i < 10)]
+    )
+
+
+def test_dv_partitioned_checkpoint_and_restore(spark, tmp_path):
+    p = tmp_path / "part"
+    w = _mk_partitioned(spark, p)
+    w.delete_where_dv("id IN (0, 1)")          # v1
+    write_checkpoint(p, current_version(p))
+    # replay THROUGH the checkpoint keeps DV descriptors + partitions
+    assert read_delta(spark, p).count() == 18
+    w.delete_where_dv("id IN (2, 3)")          # v2
+    assert read_delta(spark, p).count() == 16
+    v = w.restore(1)                           # back to post-first-delete
+    assert v == 3
+    assert sorted(r.id for r in read_delta(spark, p).collect()) == list(
+        range(2, 20)
+    )
+
+
+def test_dv_partitioned_vacuum_keeps_live_sidecars(spark, tmp_path):
+    p = tmp_path / "part"
+    w = _mk_partitioned(spark, p)
+    w.delete_where_dv("id = 0")
+    n_sidecars = len(list(p.glob("deletionvector_*.bin")))
+    assert n_sidecars >= 1
+    res = w.vacuum(retention_ms=0, force=True, dry_run=False)
+    # live sidecars survive a zero-retention vacuum
+    assert len(list(p.glob("deletionvector_*.bin"))) == n_sidecars
+    assert read_delta(spark, p).count() == 19
+    assert res["files_removed"] == 0
+
+
+def test_dv_scope_guard_mapped_tables(spark, tmp_path):
+    """Column-mapped tables remain out of DV scope (declared)."""
+    import json as _json
+
+    p = tmp_path / "mapped"
+    w = _mk(spark, p)
+    st = _replay(p, None)
+    md = dict(st["metaData"])
+    cfg = dict(md.get("configuration") or {})
+    cfg["delta.columnMapping.mode"] = "name"
+    md["configuration"] = cfg
+    sch = _json.loads(md["schemaString"])
+    for i, f in enumerate(sch["fields"], start=1):
+        f.setdefault("metadata", {})[
+            "delta.columnMapping.physicalName"
+        ] = f["name"]
+        f["metadata"]["delta.columnMapping.id"] = i
+    md["schemaString"] = _json.dumps(sch)
+    w._commit(
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": md},
+        ],
+        "SET MAPPING",
+    )
+    with pytest.raises(DeltaLogError, match="column-mapped"):
         w.delete_where_dv("id = 1")
 
 
