@@ -425,6 +425,14 @@ HEADLINE = [
     "stream_dv_delete_deltalog",
     "delta_cdf_orders",
     "avro_nested_roundtrip",
+    # r10: Avro decimal logical type; Iceberg v2 metadata backend
+    # (roundtrip, stats-pruned planning, SCD1 twin); partitioned DVs
+    "avro_decimal_roundtrip",
+    "iceberg_meta_roundtrip_orders",
+    "iceberg_prune_scan_orders",
+    "scd1_iceberg_customers",
+    "dv_delete_partitioned_orders",
+    "stream_dv_delete_partitioned",
 ]
 
 
@@ -452,11 +460,44 @@ _MODULE_FAMILY = {
 }
 
 
+# Calibration anchor (VERDICT r10 task 2): the container's throughput
+# wobbles ±2-4× with ambient tenant load, so raw round-over-round
+# ratios conflate plan changes with machine weather. A pinned 3-query
+# trio — wide agg (q1), selective scan-agg (q6), JVM-side text kernel
+# (text_quality_scores), none of which changes round to round — is
+# timed at suite START, MIDDLE and END; the published `anchor` block
+# is the machine-speed measurement of record, and `regressions`
+# compares ANCHOR-NORMALIZED numbers when the previous record carries
+# an anchor (cur × prev_anchor/cur_anchor), so a uniformly-slow
+# machine window stops manufacturing phantom regressions.
+ANCHOR_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "text_quality_scores",
+]
+
+
+def _time_anchor(spark, sf_dir: str) -> float:
+    total = 0.0
+    for name in ANCHOR_QUERIES:
+        fn = plans.QUERIES[name]
+        runs: list[float] = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        total += min(runs)
+    return round(total, 3)
+
+
 def _family(name: str, fn) -> str:
     if name.startswith("stream_"):
         return "streaming"
-    if name.startswith("delta_") or "deltalog" in name:
+    if name.startswith("delta_") or "deltalog" in name or "dv_delete" in name:
         return "deltalog"
+    if "iceberg" in name:
+        return "iceberg"
     if "dedup" in name or "passage" in name or "minhash" in name:
         return "dedup"
     if name.startswith("window_"):
@@ -515,9 +556,13 @@ def main() -> None:
     # jitter is a larger fraction of short queries — the min over one
     # extra attempt keeps the ±20% round-over-round wobble of the
     # sub-second entries out of regression comparisons (VERDICT r2 §6).
+    anchor: dict[str, float] = {"start": _time_anchor(spark, sf_dir)}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    mid_at = len(HEADLINE) // 2
+    for qi, name in enumerate(HEADLINE):
+        if qi == mid_at:
+            anchor["mid"] = _time_anchor(spark, sf_dir)
         fn = plans.QUERIES.get(name)
         if fn is None:
             continue
@@ -549,6 +594,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_med": medians,
+                "anchor": anchor,
                 "sf": sf,
             }
         )
@@ -584,6 +630,10 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         isolated[name] = round(sorted(runs)[1], 3)
+    anchor["end"] = _time_anchor(spark, sf_dir)
+    anchor["median"] = round(
+        sorted([anchor["start"], anchor["mid"], anchor["end"]])[1], 3
+    )
     # Round-over-round diff (VERDICT r7 task 8): load the previous
     # round's committed bench record and flag honest regressions in
     # the artifact itself, so the comparable set never has to be
@@ -593,7 +643,7 @@ def main() -> None:
     # statistic). A row is flagged only when ratio > 1.3 AND the
     # absolute delta exceeds 0.5 s — sub-second scheduler jitter on a
     # shared container is noise, not a plan change.
-    regressions = _diff_previous(timings, isolated)
+    regressions = _diff_previous(timings, isolated, anchor, sf)
     # Per-family subtotals (min-basis) + counts: round-over-round
     # growth from NEW queries lands in its family's `n`, while a real
     # regression moves a family's `sec` with `n` unchanged.
@@ -622,6 +672,7 @@ def main() -> None:
                 "slowest_suite_med": {k: medians[k] for k in slowest_names},
                 "regressions": regressions,
                 "families": families,
+                "anchor": anchor,
                 "sf": sf,
             }
         )
@@ -629,12 +680,22 @@ def main() -> None:
 
 
 def _diff_previous(
-    timings: dict[str, float], isolated: dict[str, float]
+    timings: dict[str, float],
+    isolated: dict[str, float],
+    anchor: dict[str, float] | None = None,
+    sf: float | None = None,
 ) -> dict[str, dict]:
     """Compare this run against the newest committed BENCH_r*_local.json
-    (or BENCH_r*.json) and return {query: {prev, cur, ratio, basis}}
-    for every comparable query whose honest number moved > 1.3× AND
-    > 0.5 s. Override the baseline file with $SPARK_GRAFT_PREV_BENCH."""
+    (or BENCH_r*.json) and return {query: {prev, cur, cur_norm, ratio,
+    basis, load}} for every comparable query whose honest,
+    ANCHOR-NORMALIZED number moved > 1.3× AND > 0.5 s. When both
+    records carry an anchor, ``load = cur_anchor/prev_anchor`` is the
+    measured machine-speed ratio and current numbers are divided by it
+    before comparing — the r10 fix for round-over-round comparisons
+    being dominated by ambient container drift (r9: 17 flagged rows,
+    all on untouched code, all reproducing the machine window rather
+    than any plan change). Override the baseline file with
+    $SPARK_GRAFT_PREV_BENCH."""
     import re
 
     here = Path(__file__).resolve().parent
@@ -666,27 +727,47 @@ def _diff_previous(
                     prev.update(obj)
     except OSError:
         return {}
+    if sf is not None and prev.get("sf") not in (None, sf):
+        return {}  # different scale factor: ratios are meaningless
     prev_min = prev.get("queries") or {}
     prev_iso = prev.get("slowest_med") or {}
+    load = 1.0
+    prev_anchor = (prev.get("anchor") or {}).get("median")
+    if anchor and prev_anchor:
+        try:
+            pa_ = float(prev_anchor)
+            if pa_ > 0:
+                load = anchor["median"] / pa_
+        except (TypeError, ValueError):
+            pass
+
     out: dict[str, dict] = {}
+
+    def _flag(name: str, cur: float, p: float, basis: str) -> None:
+        cur_norm = round(cur / load, 3) if load > 0 else cur
+        if p > 0 and cur_norm / p > 1.3 and cur_norm - p > 0.5:
+            out[name] = {
+                "prev": p,
+                "cur": cur,
+                "cur_norm": cur_norm,
+                "ratio": round(cur_norm / p, 2),
+                "basis": basis,
+                "load": round(load, 3),
+            }
+
     for name, cur in isolated.items():
         if name in prev_iso:
-            p = float(prev_iso[name])
-            if p > 0 and cur / p > 1.3 and cur - p > 0.5:
-                out[name] = {
-                    "prev": p, "cur": cur,
-                    "ratio": round(cur / p, 2), "basis": "isolated",
-                }
+            _flag(name, cur, float(prev_iso[name]), "isolated")
+        elif name in prev_min:
+            # full-map base (r10): a query newly in the slowest set
+            # still compares against the previous record's per-query
+            # min rather than silently escaping the diff
+            _flag(name, cur, float(prev_min[name]), "isolated_vs_min")
     for name, cur in timings.items():
         if name in out or name in isolated:
             continue  # isolated basis already covered (or judged clean)
         if name in prev_min:
-            p = float(prev_min[name])
-            if p > 0 and cur / p > 1.3 and cur - p > 0.5:
-                out[name] = {
-                    "prev": p, "cur": cur,
-                    "ratio": round(cur / p, 2), "basis": "min",
-                }
+            _flag(name, cur, float(prev_min[name]), "min")
     return out
 
 

@@ -85,6 +85,22 @@ def main() -> None:
     from lakehouse_poc_spark.session import get_spark
 
     spark = get_spark("oracle_check", cpus=8)
+    # One oversized generated class (similarity_topk_ivf_trained's
+    # fused projection) exceeds janino's method limit; Spark falls
+    # back to interpreted mode (spark.sql.codegen.fallback=true, the
+    # default) and the query stays exact — but the ERROR stack trace
+    # buried real failures in the sweep log (VERDICT r10 task 9).
+    # Scope that one logger to FATAL here; the session default stays
+    # WARN so genuine errors still surface.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.catalyst.expressions.codegen."
+            "CodeGenerator",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass
     con = duck_con(sf_dir)
     qs = e.queries()
     oracles = e.oracle_sql()
@@ -112,6 +128,15 @@ def main() -> None:
         if not verdict.startswith("OK"):
             failures.append(name)
         print(f"{name:35s} {verdict}  rows={len(sdf)}  ({time.time()-t0:.1f}s)")
+        # Drain async listener callbacks (Observation, execution-UI)
+        # before the NEXT query mutates scratch state: a late callback
+        # re-touching a just-vacuumed path used to stack-trace into
+        # the sweep log (LOCAL_ORACLE_r09.txt:545 — post-success
+        # noise, VERDICT r10 task 9). Bounded wait; failures ignored.
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(5000)
+        except Exception:
+            pass
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
