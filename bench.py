@@ -433,6 +433,7 @@ HEADLINE = [
     "scd1_iceberg_customers",
     "dv_delete_partitioned_orders",
     "stream_dv_delete_partitioned",
+    "iceberg_pos_delete_orders",
 ]
 
 

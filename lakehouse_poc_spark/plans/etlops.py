@@ -3006,7 +3006,75 @@ def iceberg_prune_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# The FIFTH SCD1 twin (r10): identical scenario and oracle to the
+# Iceberg v2 POSITION DELETES (r10) — the spec's merge-on-read
+# row-level deletes and the Iceberg twin of the Delta backend's
+# deletionVectors: matched rows' (data file, row position) pairs land
+# in a sorted parquet delete file committed through a content=1
+# DELETE manifest; zero data-file bytes rewritten. Two overlapping
+# deletes prove MOR evaluation (the second matches only survivors);
+# an append AFTER the deletes proves the spec's delete_seq >= data_seq
+# rule (the late rows carry the same key pattern yet stay visible);
+# every snapshot stays time-travelable. A reader that ignores delete
+# files, applies them to the wrong file, or masks later appends
+# breaks the hash.
+@query(
+    "iceberg_pos_delete_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 <> 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_latest,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         AND o_orderkey % 10 NOT IN (2, 4)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_snap2,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 <> 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_snap1,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_snap0
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def iceberg_pos_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_meta import (
+        IcebergTable,
+        read_iceberg,
+        snapshot_ids,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    root = SCRATCH / f"iceberg_del_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_mor"
+    t = IcebergTable(spark, path)
+    t.create(evens)                                        # snap0
+    t.delete_where("o_orderkey % 10 = 2")                  # snap1 (MOR)
+    t.delete_where("o_orderkey % 10 IN (2, 4)")            # snap2 (overlap)
+    # snap3: re-append the %10=2 keys — they MATCH the earlier delete
+    # predicates yet must stay visible (delete_seq >= data_seq rule)
+    t.append(evens.filter(F.col("o_orderkey") % 10 == 2))
+
+    sids = snapshot_ids(path)
+
+    def _agg(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    latest = _agg(read_iceberg(spark, path), "n_latest")
+    s2 = _agg(read_iceberg(spark, path, snapshot_id=sids[2]), "n_snap2")
+    s1 = _agg(read_iceberg(spark, path, snapshot_id=sids[1]), "n_snap1")
+    s0 = _agg(read_iceberg(spark, path, snapshot_id=sids[0]), "n_snap0")
+    return (
+        latest.join(s2, "o_orderstatus")
+        .join(s1, "o_orderstatus")
+        .join(s0, "o_orderstatus")
+        .orderBy("o_orderstatus")
+    )
 # parquet / file-pruned / manifest / Delta-log variants, executed on
 # IcebergMetaWarehouse — storage = REAL Iceberg v2 snapshots
 # (sources/iceberg_meta.py). The shared oracle hash across all five

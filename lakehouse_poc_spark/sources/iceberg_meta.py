@@ -466,36 +466,56 @@ def _snapshot(md: dict, snapshot_id: int | None) -> dict | None:
 # -- scan planning -------------------------------------------------------------
 
 
-def live_entries(table_path: str | Path, snapshot_id: int | None = None):
-    """All live (added/existing) manifest entries of a snapshot:
+def snapshot_entries(
+    table_path: str | Path, snapshot_id: int | None = None
+) -> tuple[list[dict], list[dict]]:
+    """(data_entries, position_delete_entries) of a snapshot:
     manifest list → manifests → entries, statuses applied per spec
-    (DELETED entries drop out of scans; delete manifests — content
-    != 0 — are rejected, not silently skipped)."""
+    (DELETED entries drop out of scans). Every returned entry carries
+    ``_seq`` — its effective DATA SEQUENCE NUMBER (the entry's own
+    when explicit, else inherited from its manifest's
+    sequence_number per the spec's inheritance rule) — which decides
+    which deletes apply to which data files. Equality-delete files
+    (data_file.content == 2) are rejected loudly; POSITION deletes
+    (content == 1, r10) are in scope."""
     table_path = Path(table_path)
     md = load_metadata(table_path)
     snap = _snapshot(md, snapshot_id)
     if snap is None:
-        return []
+        return [], []
     mlist = _resolve(snap["manifest-list"], table_path)
-    out = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for m in read_avro_dicts(mlist):
-        if m.get("content", 0) != 0:
-            raise IcebergMetaError(
-                "delete manifests (content != 0) are out of this "
-                "module's declared scope — merge-on-read deletes need "
-                "the full sequence-number machinery"
-            )
+        m_seq = m.get("sequence_number", 0) or 0
         mpath = _resolve(m["manifest_path"], table_path)
         for e in read_avro_dicts(mpath):
             if e.get("status", ST_ADDED) == ST_DELETED:
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
+            content = df.get("content", 0) or 0
+            e = dict(e)
+            e["_seq"] = (
+                e.get("sequence_number")
+                if e.get("sequence_number") is not None
+                else m_seq
+            )
+            if content == 0:
+                data.append(e)
+            elif content == 1:
+                deletes.append(e)
+            else:
                 raise IcebergMetaError(
-                    "row-level delete files are out of scope"
+                    "equality-delete files (content=2) are out of "
+                    "this module's declared scope — position deletes "
+                    "(content=1) are supported"
                 )
-            out.append(e)
-    return out
+    return data, deletes
+
+
+def live_entries(table_path: str | Path, snapshot_id: int | None = None):
+    """Back-compat: the snapshot's live DATA entries only."""
+    return snapshot_entries(table_path, snapshot_id)[0]
 
 
 def plan_files(
@@ -513,8 +533,9 @@ def plan_files(
     md = load_metadata(table_path)
     schema = _current_schema(md)
     by_name = {f["name"]: f for f in schema["fields"]}
-    entries = live_entries(table_path, snapshot_id)
+    entries, delete_entries = snapshot_entries(table_path, snapshot_id)
     files: list[str] = []
+    file_meta: list[dict] = []
     skipped = 0
     scanned_rows = 0
     for e in entries:
@@ -522,9 +543,31 @@ def plan_files(
         if predicates and _prunable(df, predicates, by_name):
             skipped += 1
             continue
-        files.append(str(_resolve(df["file_path"], table_path)))
+        resolved = str(_resolve(df["file_path"], table_path))
+        files.append(resolved)
+        file_meta.append(
+            {
+                "path": df["file_path"],
+                "resolved": resolved,
+                "seq": e["_seq"],
+            }
+        )
         scanned_rows += df["record_count"]
-    return {"files": files, "skipped": skipped, "scanned_rows": scanned_rows}
+    return {
+        "files": files,
+        "file_meta": file_meta,
+        "skipped": skipped,
+        "scanned_rows": scanned_rows,
+        "delete_files": [
+            {
+                "resolved": str(
+                    _resolve(e["data_file"]["file_path"], table_path)
+                ),
+                "seq": e["_seq"],
+            }
+            for e in delete_entries
+        ],
+    }
 
 
 def _prunable(data_file: dict, predicates, by_name) -> bool:
@@ -580,7 +623,10 @@ def read_iceberg(
     plan = plan_files(table_path, snapshot_id, predicates)
     if not plan["files"]:
         return spark.createDataFrame([], ddl)
-    df = spark.read.schema(ddl).parquet(*plan["files"])
+    if plan["delete_files"]:
+        df = _read_mor(spark, ddl, plan)
+    else:
+        df = spark.read.schema(ddl).parquet(*plan["files"])
     if predicates:
         import operator as _op
 
@@ -591,6 +637,63 @@ def read_iceberg(
         for col, op, lit in predicates:
             df = df.filter(cmp[op](F.col(col), F.lit(lit)))
     return df
+
+
+# position-delete file schema per spec (reserved field ids)
+POS_DELETE_DDL = "file_path string, pos long"
+
+
+def _read_mor(spark: SparkSession, ddl: str, plan: dict) -> DataFrame:
+    """Merge-on-read scan with POSITION DELETES (spec v2 row-level
+    deletes, content=1): data files read with their parquet row
+    index; the delete relation — (data file path, row position) rows
+    from the snapshot's delete files — anti-joins matching positions
+    away. Sequence-number rule per spec: a delete applies to a data
+    file iff delete_seq >= data_seq, so rows appended AFTER a delete
+    are never masked by it. Scale shape: delete files are the changed
+    rows only (broadcast); the one scan over data files is the same
+    scan a clean read does."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(ddl).parquet(*plan["files"]).select(
+        "*",
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    import pandas as pd
+
+    # recorded-path ↔ reader-path ↔ data-sequence mapping relation
+    # (metadata plane: one row per planned file)
+    map_rel = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__rec": [m["path"] for m in plan["file_meta"]],
+                "__fp": [
+                    "file:" + m["resolved"] for m in plan["file_meta"]
+                ],
+                "__dseq": [m["seq"] for m in plan["file_meta"]],
+            }
+        )
+    )
+    dels = None
+    for d in plan["delete_files"]:
+        part = spark.read.schema(POS_DELETE_DDL).parquet(
+            d["resolved"]
+        ).select(
+            F.col("file_path").alias("__rec"),
+            F.col("pos").alias("__ri"),
+            F.lit(d["seq"]).alias("__dlseq"),
+        )
+        dels = part if dels is None else dels.unionByName(part)
+    dead = (
+        dels.join(F.broadcast(map_rel), "__rec")
+        .filter(F.col("__dlseq") >= F.col("__dseq"))
+        .select("__fp", "__ri")
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(dead), ["__fp", "__ri"], "left_anti"
+    ).drop("__fp", "__ri")
 
 
 def snapshot_ids(table_path: str | Path) -> list[int]:
@@ -716,6 +819,7 @@ class IcebergTable:
         snapshot_id: int,
         seq: int,
         ice_schema: dict,
+        content: int = 0,
     ) -> dict:
         mdir = _meta_dir(self.path)
         mdir.mkdir(parents=True, exist_ok=True)
@@ -733,7 +837,7 @@ class IcebergTable:
                 "partition-spec": "[]",
                 "partition-spec-id": "0",
                 "format-version": "2",
-                "content": "data",
+                "content": "data" if content == 0 else "deletes",
             },
         )
         counts = {ST_ADDED: [0, 0], ST_EXISTING: [0, 0], ST_DELETED: [0, 0]}
@@ -745,7 +849,7 @@ class IcebergTable:
             "manifest_path": f"metadata/{name}",
             "manifest_length": p.stat().st_size,
             "partition_spec_id": 0,
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
@@ -957,6 +1061,123 @@ class IcebergTable:
         return self._snapshot_commit(
             md, "overwrite", manifests, [], sid, seq, base=base
         )
+
+    def delete_where(self, predicate) -> dict:
+        """Merge-on-read DELETE via the spec's v2 POSITION-DELETE
+        files (content=1): matched rows' (data file path, row
+        position) pairs land in a sorted parquet delete file; the new
+        snapshot's manifest list carries a DELETE manifest plus every
+        prior manifest untouched — zero data-file bytes rewritten,
+        the Iceberg twin of the Delta backend's deletionVectors.
+        Matches evaluate against the MOR view (already-deleted rows
+        cannot match again); the delete's data sequence number is the
+        new snapshot's, so per the spec's ``delete_seq >= data_seq``
+        rule it masks ONLY data committed at or before this point —
+        later appends are untouched. NULL-predicate rows survive (SQL
+        DELETE semantics). Returns {version, rows_deleted}."""
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            raise IcebergMetaError(f"no Iceberg table at {self.path}")
+        base = current_metadata_version(self.path)
+        md = load_metadata(self.path, base)
+        schema = _current_schema(md)
+        ddl = iceberg_schema_to_ddl(schema)
+        plan = plan_files(self.path)
+        if not plan["files"]:
+            return {"version": -1, "rows_deleted": 0}
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        df = self.spark.read.schema(ddl).parquet(*plan["files"]).select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        import pandas as pd
+
+        map_rel = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "__rec": [m["path"] for m in plan["file_meta"]],
+                    "__fp": [
+                        "file:" + m["resolved"] for m in plan["file_meta"]
+                    ],
+                    "__dseq": [m["seq"] for m in plan["file_meta"]],
+                }
+            )
+        )
+        if plan["delete_files"]:
+            # MOR view: rows already position-deleted cannot re-match
+            dels = None
+            for d in plan["delete_files"]:
+                part = self.spark.read.schema(POS_DELETE_DDL).parquet(
+                    d["resolved"]
+                ).select(
+                    F.col("file_path").alias("__rec"),
+                    F.col("pos").alias("__ri"),
+                    F.lit(d["seq"]).alias("__dlseq"),
+                )
+                dels = part if dels is None else dels.unionByName(part)
+            dead = (
+                dels.join(F.broadcast(map_rel), "__rec")
+                .filter(F.col("__dlseq") >= F.col("__dseq"))
+                .select("__fp", "__ri")
+                .distinct()
+            )
+            df = df.join(F.broadcast(dead), ["__fp", "__ri"], "left_anti")
+        matched = (
+            df.filter(F.coalesce(pred, F.lit(False)))
+            .join(F.broadcast(map_rel.select("__rec", "__fp")), "__fp")
+            .select(
+                F.col("__rec").alias("file_path"),
+                F.col("__ri").alias("pos"),
+            )
+            .orderBy("file_path", "pos")  # spec: sorted delete files
+        )
+        import pyarrow.parquet as pq
+
+        pdf = matched.toPandas()
+        if pdf.empty:
+            return {"version": -1, "rows_deleted": 0}
+        sid, seq = self._next_ids(md)
+        data_dir = self.path / "data"
+        data_dir.mkdir(parents=True, exist_ok=True)
+        name = f"data/{uuid.uuid4().hex}-deletes.parquet"
+        tgt = self.path / name
+        import pyarrow as pa
+
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(pdf["file_path"], pa.string()),
+                    "pos": pa.array(pdf["pos"], pa.int64()),
+                }
+            ),
+            str(tgt),
+        )
+        entry = {
+            "status": ST_ADDED,
+            "snapshot_id": sid,
+            "sequence_number": None,  # inherits the manifest's seq
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1,
+                "file_path": name,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(pdf),
+                "file_size_in_bytes": tgt.stat().st_size,
+                "value_counts": [],
+                "null_value_counts": [],
+                "lower_bounds": [],
+                "upper_bounds": [],
+            },
+        }
+        m = self._write_manifest([entry], sid, seq, schema, content=1)
+        carried = self._current_manifests(md)
+        v = self._snapshot_commit(
+            md, "delete", [m], carried, sid, seq, base=base
+        )
+        return {"version": v, "rows_deleted": int(len(pdf))}
 
     def _current_manifests(self, md: dict) -> list[dict]:
         snap = _snapshot(md, None)

@@ -267,35 +267,88 @@ def test_foreign_manifest_without_bounds_never_prunes(spark, tmp_path):
     assert read_iceberg(spark, t, predicates=[("id", "=", -1)]).count() == 0
 
 
-def test_delete_manifests_rejected_not_skipped(spark, tmp_path):
-    """content=1 (delete) manifests are OUT of declared scope — the
-    reader must refuse loudly rather than silently resurrect rows."""
-    table = tmp_path / "dtable"
-    _write_parquet(table / "data" / "f1.parquet", [1], ["a"])
-    mdir = table / "metadata"
-    mdir.mkdir(parents=True, exist_ok=True)
+def test_equality_deletes_rejected_position_deletes_served(
+    spark, tmp_path
+):
+    """A FOREIGN writer's POSITION-DELETE file (content=1, the spec's
+    v2 row-level deletes) must mask exactly its positions under the
+    delete_seq >= data_seq rule; EQUALITY deletes (content=2) stay a
+    loud boundary."""
     from lakehouse_poc_spark.sources.iceberg_meta import (
+        MANIFEST_ENTRY_SCHEMA,
         MANIFEST_LIST_SCHEMA,
     )
+
+    table = tmp_path / "dtable"
+    _write_parquet(table / "data" / "f1.parquet", [1, 2, 3], ["a", "b", "c"])
+    # foreign position-delete parquet: masks row positions 0 and 2
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(
+                    ["data/f1.parquet", "data/f1.parquet"], pa.string()
+                ),
+                "pos": pa.array([0, 2], pa.int64()),
+            }
+        ),
+        str(table / "data" / "del1.parquet"),
+    )
+    mdir = table / "metadata"
+    mdir.mkdir(parents=True, exist_ok=True)
+
+    def _entry(content, path, count):
+        return {
+            "status": 1,
+            "snapshot_id": 7,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": count,
+                "file_size_in_bytes": 1,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+
+    write_avro_file(
+        mdir / "m-data.avro",
+        [_entry(0, "data/f1.parquet", 3)],
+        MANIFEST_ENTRY_SCHEMA,
+    )
+    write_avro_file(
+        mdir / "m-del.avro",
+        [_entry(1, "data/del1.parquet", 2)],
+        MANIFEST_ENTRY_SCHEMA,
+    )
+
+    def _mrow(path, content, seq):
+        return {
+            "manifest_path": path,
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 7,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
 
     write_avro_file(
         mdir / "snap-1.avro",
         [
-            {
-                "manifest_path": "metadata/mdel.avro",
-                "manifest_length": 1,
-                "partition_spec_id": 0,
-                "content": 1,  # DELETE manifest
-                "sequence_number": 1,
-                "min_sequence_number": 1,
-                "added_snapshot_id": 7,
-                "added_files_count": 1,
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": 1,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
+            _mrow("metadata/m-data.avro", 0, 1),
+            _mrow("metadata/m-del.avro", 1, 2),
         ],
         MANIFEST_LIST_SCHEMA,
     )
@@ -304,7 +357,7 @@ def test_delete_manifests_rejected_not_skipped(spark, tmp_path):
         [
             {
                 "snapshot-id": 7,
-                "sequence-number": 1,
+                "sequence-number": 2,
                 "timestamp-ms": 1700000000000,
                 "manifest-list": "metadata/snap-1.avro",
                 "summary": {"operation": "delete"},
@@ -312,7 +365,23 @@ def test_delete_manifests_rejected_not_skipped(spark, tmp_path):
         ],
         current=7,
     )
-    with pytest.raises(IcebergMetaError, match="delete manifests"):
+    got = read_iceberg(spark, table)
+    assert [(r.id, r.v) for r in got.collect()] == [(2, "b")]
+    # equality delete (content=2): loud refusal
+    write_avro_file(
+        mdir / "m-eq.avro",
+        [_entry(2, "data/del1.parquet", 2)],
+        MANIFEST_ENTRY_SCHEMA,
+    )
+    write_avro_file(
+        mdir / "snap-1.avro",
+        [
+            _mrow("metadata/m-data.avro", 0, 1),
+            _mrow("metadata/m-eq.avro", 1, 2),
+        ],
+        MANIFEST_LIST_SCHEMA,
+    )
+    with pytest.raises(IcebergMetaError, match="equality-delete"):
         read_iceberg(spark, table)
 
 

@@ -223,3 +223,64 @@ def test_warehouse_scd1_and_history(spark, tmp_path):
     assert hist[-1]["current"] and len(hist) >= 2
     with pytest.raises(NotImplementedError):
         wh.append(b1, t, partition_by=["seg"])
+
+
+def test_position_deletes_mor_semantics(spark, tmp_path):
+    """r10: spec v2 POSITION deletes — merge-on-read, overlapping
+    deletes evaluate against survivors, the delete_seq >= data_seq
+    rule leaves later appends unmasked, time travel intact, zero
+    data-file rewrites."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+        .repartition(4)
+    )
+    n_data = len(list((p / "data").glob("*.parquet")))
+    r1 = t.delete_where("k % 10 = 3")
+    assert r1["rows_deleted"] == 10
+    assert read_iceberg(spark, p).count() == 90
+    # no data file rewritten; one delete file added
+    files = list((p / "data").glob("*.parquet"))
+    assert len(files) == n_data + 1
+    # second delete overlaps: only the NEW matches count
+    r2 = t.delete_where("k % 10 IN (3, 4)")
+    assert r2["rows_deleted"] == 10
+    assert read_iceberg(spark, p).count() == 80
+    # rows appended after the deletes are not masked by them
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+    )
+    got = {r.k for r in read_iceberg(spark, p).collect()}
+    assert 103 in got and 104 in got and len(got) == 90
+    # time travel to pre-delete snapshots
+    sids = snapshot_ids(p)
+    assert read_iceberg(spark, p, snapshot_id=sids[0]).count() == 100
+    assert read_iceberg(spark, p, snapshot_id=sids[1]).count() == 90
+    # a no-match delete commits nothing
+    assert t.delete_where("k = -1")["rows_deleted"] == 0
+
+
+def test_position_delete_null_predicate_and_overwrite_reset(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "k long, v string"
+        )
+    )
+    # NULL-predicate rows survive (SQL DELETE semantics)
+    t.delete_where("v < 'b'")
+    assert {r.k for r in read_iceberg(spark, p).collect()} == {2, 3}
+    # overwrite drops obsolete delete manifests with everything else
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    plan = plan_files(p)
+    assert plan["delete_files"] == []
+    assert [r.k for r in read_iceberg(spark, p).collect()] == [9]
