@@ -434,6 +434,8 @@ HEADLINE = [
     "dv_delete_partitioned_orders",
     "stream_dv_delete_partitioned",
     "iceberg_pos_delete_orders",
+    "iceberg_schema_evolution_orders",
+    "stream_scd1_iceberg",
 ]
 
 

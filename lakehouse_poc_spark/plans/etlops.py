@@ -3075,6 +3075,72 @@ def iceberg_pos_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s0, "o_orderstatus")
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg SCHEMA EVOLUTION (r10): add-column per spec §Schemas —
+# fresh field ids (never reused), old data files read the new column
+# as NULL with ZERO rewrites, appends carry it, and the pre-evolution
+# snapshot time-travels with its PINNED two-column schema. The oracle
+# derives the same null/banded split from the source table.
+@query(
+    "iceberg_schema_evolution_orders",
+    oracle="""
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM (
+        SELECT 'legacy' AS band, o_orderkey
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN 'hi' ELSE 'lo' END,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def iceberg_schema_evolution_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.iceberg_meta import IcebergTable, read_iceberg
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    root = SCRATCH / f"iceberg_evo_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_evo"
+    t = IcebergTable(spark, path)
+    t.create(orders.filter(F.col("o_orderkey") % 2 == 0))  # v1 schema
+    t.update_schema(add=[("band", "string")])              # evolve
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "band",
+            F.when(F.col("o_custkey") % 3 == 0, F.lit("hi")).otherwise(
+                F.lit("lo")
+            ),
+        )
+    )
+    return (
+        read_iceberg(spark, path)
+        .select(
+            F.coalesce(F.col("band"), F.lit("legacy")).alias("band"),
+            "o_orderkey",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The FIFTH SCD1 twin (r10): identical scenario and oracle to the
 # parquet / file-pruned / manifest / Delta-log variants, executed on
 # IcebergMetaWarehouse — storage = REAL Iceberg v2 snapshots
 # (sources/iceberg_meta.py). The shared oracle hash across all five

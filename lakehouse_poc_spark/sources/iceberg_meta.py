@@ -450,6 +450,21 @@ def _current_schema(md: dict) -> dict:
     raise IcebergMetaError("metadata carries no schema")
 
 
+def _snapshot_schema(md: dict, snapshot_id: int | None) -> dict:
+    """The schema a read should use: the SNAPSHOT's recorded
+    schema-id for time travel (spec: snapshots pin their schema — an
+    old snapshot must not grow columns added later), else current."""
+    if snapshot_id is None:
+        return _current_schema(md)
+    snap = _snapshot(md, snapshot_id)
+    if snap is None or "schema-id" not in snap or "schemas" not in md:
+        return _current_schema(md)
+    for s in md["schemas"]:
+        if s.get("schema-id", 0) == snap["schema-id"]:
+            return s
+    return _current_schema(md)
+
+
 def _snapshot(md: dict, snapshot_id: int | None) -> dict | None:
     snaps = md.get("snapshots") or []
     if snapshot_id is None:
@@ -531,7 +546,7 @@ def plan_files(
     {'files', 'skipped', 'scanned_rows'}."""
     table_path = Path(table_path)
     md = load_metadata(table_path)
-    schema = _current_schema(md)
+    schema = _snapshot_schema(md, snapshot_id)
     by_name = {f["name"]: f for f in schema["fields"]}
     entries, delete_entries = snapshot_entries(table_path, snapshot_id)
     files: list[str] = []
@@ -619,7 +634,7 @@ def read_iceberg(
     never a semantic)."""
     table_path = Path(table_path)
     md = load_metadata(table_path)
-    ddl = iceberg_schema_to_ddl(_current_schema(md))
+    ddl = iceberg_schema_to_ddl(_snapshot_schema(md, snapshot_id))
     plan = plan_files(table_path, snapshot_id, predicates)
     if not plan["files"]:
         return spark.createDataFrame([], ddl)
@@ -717,17 +732,20 @@ class IcebergTable:
 
     # -- data staging (same two-phase discipline as DeltaLogWriter) ----
 
-    def _stage(self, df: DataFrame) -> list[dict]:
+    def _stage(self, df: DataFrame, ice_schema: dict | None = None) -> list[dict]:
         """Write df as parquet under ``data/`` and return data_file
         dicts with per-file stats read from the parquet FOOTERS
         (record counts, value/null counts, encoded lower/upper
         bounds) — the metadata that makes plan_files able to skip
-        files."""
+        files. ``ice_schema`` is the TABLE schema when the table
+        exists (its field IDs are authoritative once the schema has
+        evolved); stats map columns by NAME against it."""
         import shutil
 
         import pyarrow.parquet as pq
 
-        ice_schema = spark_to_iceberg_schema(df.schema)
+        if ice_schema is None:
+            ice_schema = spark_to_iceberg_schema(df.schema)
         job = uuid.uuid4().hex[:12]
         staging = self.path.with_name(self.path.name + f"__ice_stage.{job}")
         df.write.parquet(str(staging))
@@ -1012,7 +1030,7 @@ class IcebergTable:
                 "file_sequence_number": None,
                 "data_file": d,
             }
-            for d in self._stage(df)
+            for d in self._stage(df, _current_schema(md))
         ]
         m = self._write_manifest(entries, sid, seq, _current_schema(md))
         carried = self._current_manifests(md)
@@ -1055,7 +1073,7 @@ class IcebergTable:
                 "file_sequence_number": None,
                 "data_file": d,
             }
-            for d in self._stage(df)
+            for d in self._stage(df, schema)
         ]
         manifests.insert(0, self._write_manifest(adds, sid, seq, schema))
         return self._snapshot_commit(
@@ -1184,6 +1202,65 @@ class IcebergTable:
         if snap is None:
             return []
         return read_avro_dicts(_resolve(snap["manifest-list"], self.path))
+
+    def update_schema(
+        self,
+        add: list[tuple[str, str]] | None = None,
+        drop: list[str] | None = None,
+    ) -> int:
+        """SCHEMA EVOLUTION per spec §Schemas: ``add`` appends
+        (name, iceberg_type) columns with FRESH field ids
+        (last-column-id advances — ids are never reused, the invariant
+        every Iceberg reader relies on), ``drop`` removes columns
+        (their ids retire with them). The new schema gets the next
+        schema-id; all prior schemas stay in the metadata for readers
+        of old snapshots. Old data files simply lack the new columns
+        and read as NULL (the spec's add-column contract — no file is
+        rewritten); dropped columns vanish from reads while their
+        bytes stay in place. RENAME is out of declared scope: our
+        data files carry no parquet field-id metadata, so a rename
+        would need the spec's name-mapping fallback to re-associate
+        old files — refuse rather than mis-read."""
+        base = current_metadata_version(self.path)
+        md = dict(load_metadata(self.path, base))
+        schema = _current_schema(md)
+        fields = [dict(f) for f in schema["fields"]]
+        names = {f["name"] for f in fields}
+        last_id = md.get("last-column-id", max(f["id"] for f in fields))
+        for name in drop or []:
+            if name not in names:
+                raise IcebergMetaError(f"drop: no column {name!r}")
+            fields = [f for f in fields if f["name"] != name]
+        for name, ice_type in add or []:
+            if name in names:
+                raise IcebergMetaError(f"add: column {name!r} exists")
+            if not (
+                ice_type in _ICE_TO_SPARK
+                or ice_type.startswith("decimal(")
+            ):
+                raise IcebergMetaError(
+                    f"add: unsupported Iceberg type {ice_type!r}"
+                )
+            last_id += 1
+            fields.append(
+                {
+                    "id": last_id,
+                    "name": name,
+                    "required": False,  # spec: added columns are optional
+                    "type": ice_type,
+                }
+            )
+        new_sid = max(s.get("schema-id", 0) for s in md["schemas"]) + 1
+        new_schema = {
+            "type": "struct",
+            "schema-id": new_sid,
+            "fields": fields,
+        }
+        md["schemas"] = list(md["schemas"]) + [new_schema]
+        md["current-schema-id"] = new_sid
+        md["last-column-id"] = last_id
+        md["last-updated-ms"] = int(time.time() * 1000)
+        return self._commit(md, base=base)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the last ``keep_last`` snapshots from metadata

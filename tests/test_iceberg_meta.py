@@ -284,3 +284,61 @@ def test_position_delete_null_predicate_and_overwrite_reset(spark, tmp_path):
     plan = plan_files(p)
     assert plan["delete_files"] == []
     assert [r.k for r in read_iceberg(spark, p).collect()] == [9]
+
+
+def test_schema_evolution_add_and_drop(spark, tmp_path):
+    """Spec schema evolution: added columns get FRESH field ids and
+    read as NULL from old files (no rewrite); dropped columns vanish
+    from reads; old snapshots keep their pinned schema; rename is a
+    loud boundary (no parquet field-id metadata -> name-mapping would
+    be required)."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit("x").alias("old")
+        )
+    )
+    t.update_schema(add=[("band", "string"), ("score", "double")])
+    md = load_metadata(p)
+    sch = {f["name"]: f for f in md["schemas"][-1]["fields"]}
+    assert sch["band"]["id"] == 3 and sch["score"]["id"] == 4
+    assert md["last-column-id"] == 4 and md["current-schema-id"] == 1
+    # old files: new columns NULL
+    got = read_iceberg(spark, p)
+    assert got.columns == ["k", "old", "band", "score"]
+    assert all(r.band is None and r.score is None for r in got.collect())
+    # append WITH the new columns
+    t.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"),
+            F.lit("y").alias("old"),
+            F.lit("hi").alias("band"),
+            F.lit(0.5).alias("score"),
+        )
+    )
+    rows = {r.k: (r.band, r.score) for r in read_iceberg(spark, p).collect()}
+    assert rows[6] == ("hi", 0.5) and rows[0] == (None, None)
+    # stats for the added column carry the TABLE's field id (4), so
+    # pruning on it works for new files and never prunes old ones
+    plan = plan_files(p, predicates=[("score", ">", 0.9)])
+    assert plan["skipped"] >= 1  # the new file's bounds exclude 0.9?
+    # (score=0.5 constant -> upper bound 0.5 < 0.9 prunes new files;
+    # old files carry no 'score' stats and are never pruned)
+    assert read_iceberg(spark, p, predicates=[("score", ">", 0.9)]).count() == 0
+    # drop a column
+    t.update_schema(drop=["old"])
+    got2 = read_iceberg(spark, p)
+    assert got2.columns == ["k", "band", "score"]
+    # time travel: the FIRST snapshot reads with its pinned 2-column
+    # schema, not the evolved one
+    sids = snapshot_ids(p)
+    old_read = read_iceberg(spark, p, snapshot_id=sids[0])
+    assert old_read.columns == ["k", "old"]
+    # guards
+    with pytest.raises(IcebergMetaError, match="exists"):
+        t.update_schema(add=[("band", "string")])
+    with pytest.raises(IcebergMetaError, match="no column"):
+        t.update_schema(drop=["zzz"])
