@@ -342,3 +342,41 @@ def test_schema_evolution_add_and_drop(spark, tmp_path):
         t.update_schema(add=[("band", "string")])
     with pytest.raises(IcebergMetaError, match="no column"):
         t.update_schema(drop=["zzz"])
+
+
+def test_orphan_cleanup_and_timestamp_travel(spark, tmp_path):
+    """removeOrphanFiles: unreferenced data files older than the age
+    guard go; referenced files (incl. DELETED entries of live
+    snapshots) stay. snapshot_as_of: latest snapshot-log entry <= ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(_df(spark, 0, 10))
+    t.overwrite(_df(spark, 0, 5))  # old files now DELETED entries
+    # a stranded failed-write leftover
+    orphan = p / "data" / "stranded.parquet"
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), str(orphan))
+    # age guard: too fresh -> kept
+    assert t.remove_orphan_files(min_age_sec=3600) == []
+    removed = t.remove_orphan_files(min_age_sec=0)
+    assert removed == ["stranded.parquet"]
+    # files of the overwritten snapshot survive (still referenced by
+    # snapshot 1's manifests) and time travel still works
+    sids = snapshot_ids(p)
+    assert read_iceberg(spark, p, snapshot_id=sids[0]).count() == 10
+    # expiring snapshot 1 does NOT orphan its files here: the
+    # overwrite snapshot's DELETE-status manifest still references
+    # them, and removeOrphanFiles is deliberately conservative — only
+    # files referenced by NO metadata at all are orphans (the real
+    # action's contract; reachability-based cleanup belongs to
+    # expireSnapshots in full Iceberg)
+    t.expire_snapshots(keep_last=1)
+    assert t.remove_orphan_files(min_age_sec=0) == []
+    assert read_iceberg(spark, p).count() == 5
+    # timestamp travel
+    md = load_metadata(p)
+    log = md["snapshot-log"]
+    assert t.snapshot_as_of(log[-1]["timestamp-ms"]) == log[-1]["snapshot-id"]
+    assert t.snapshot_as_of(log[0]["timestamp-ms"] - 1) is None
