@@ -3078,6 +3078,80 @@ def iceberg_pos_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iceberg EQUALITY DELETES (r10): spec v2 content=2 delete files —
+# delete-by-key without file positions (the upsert/CDC write shape),
+# zero data-file rewrites, and the spec's STRICTLY-GREATER sequence
+# rule: a key re-appended AFTER its equality delete is visible again
+# (position deletes use >=; equality uses >, so snap2 below recovers
+# the FULL even count — the semantic this query pins). The final
+# delete matches on a TWO-column tuple. Oracle derives every
+# snapshot's state from the source table.
+@query(
+    "iceberg_eq_delete_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 <> 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_latest,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_snap2,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 <> 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_snap1,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_snap0
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def iceberg_eq_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg_meta import (
+        IcebergTable,
+        read_iceberg,
+        snapshot_ids,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    root = SCRATCH / f"iceberg_eqdel_{Path(sf_dir).name}"
+    if root.exists():
+        shutil.rmtree(root)
+    path = root / "orders_eq"
+    t = IcebergTable(spark, path)
+    t.create(evens)                                        # snap0
+    t.equality_delete(                                     # snap1
+        evens.filter(F.col("o_orderkey") % 10 == 2).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    # snap2: re-append the deleted keys — visible again (STRICTLY
+    # greater: the snap1 delete does not mask snap2 data)
+    t.append(evens.filter(F.col("o_orderkey") % 10 == 2))
+    t.equality_delete(                                     # snap3
+        evens.filter(F.col("o_orderkey") % 10 == 4),
+        ["o_orderkey", "o_orderstatus"],
+    )
+
+    sids = snapshot_ids(path)
+
+    def _agg(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    latest = _agg(read_iceberg(spark, path), "n_latest")
+    s2 = _agg(read_iceberg(spark, path, snapshot_id=sids[2]), "n_snap2")
+    s1 = _agg(read_iceberg(spark, path, snapshot_id=sids[1]), "n_snap1")
+    s0 = _agg(read_iceberg(spark, path, snapshot_id=sids[0]), "n_snap0")
+    return (
+        latest.join(s2, "o_orderstatus")
+        .join(s1, "o_orderstatus")
+        .join(s0, "o_orderstatus")
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Iceberg SCHEMA EVOLUTION (r10): add-column per spec §Schemas —
 # fresh field ids (never reused), old data files read the new column
 # as NULL with ZERO rewrites, appends carry it, and the pre-evolution

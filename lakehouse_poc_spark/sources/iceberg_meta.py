@@ -40,9 +40,14 @@ Delta backend).
 Declared scope (fail-fast boundaries, mirroring the Delta module's
 contract-note style): unpartitioned tables (partition field of the
 ``data_file`` record is the empty struct the spec prescribes for
-spec-id 0 with no fields), primitive + decimal column types, no
-row-level delete files (content=1/2 manifests are read-rejected, not
-silently dropped). Foreign metadata written by other implementations
+spec-id 0 with no fields), primitive + decimal column types. Both
+spec v2 row-level delete shapes are served merge-on-read: POSITION
+deletes (content=1, ``delete_seq >= data_seq``) and EQUALITY deletes
+(content=2, ``delete_seq > data_seq`` — STRICTLY greater per spec,
+so a commit's own appends are never masked by its deletes; NULL
+delete values match NULL row values). A content=2 entry without
+``equality_ids`` is rejected loudly, never guessed.
+Foreign metadata written by other implementations
 is in scope: paths may be ``file:`` URIs or table-relative, manifest
 Avro may carry extra fields anywhere (read through the writer schema
 and matched BY NAME, never position), unknown metadata.json keys are
@@ -316,6 +321,21 @@ MANIFEST_ENTRY_SCHEMA = {
                         ],
                         "field-id": 128,
                     },
+                    # spec field 135: field ids of the equality
+                    # columns an equality-delete file (content=2)
+                    # matches on; null for data/position-delete files
+                    {
+                        "name": "equality_ids",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": "int",
+                                "element-id": 136,
+                            },
+                        ],
+                        "field-id": 135,
+                    },
                 ],
             },
         },
@@ -483,24 +503,26 @@ def _snapshot(md: dict, snapshot_id: int | None) -> dict | None:
 
 def snapshot_entries(
     table_path: str | Path, snapshot_id: int | None = None
-) -> tuple[list[dict], list[dict]]:
-    """(data_entries, position_delete_entries) of a snapshot:
-    manifest list → manifests → entries, statuses applied per spec
-    (DELETED entries drop out of scans). Every returned entry carries
-    ``_seq`` — its effective DATA SEQUENCE NUMBER (the entry's own
-    when explicit, else inherited from its manifest's
-    sequence_number per the spec's inheritance rule) — which decides
-    which deletes apply to which data files. Equality-delete files
-    (data_file.content == 2) are rejected loudly; POSITION deletes
-    (content == 1, r10) are in scope."""
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """(data_entries, position_delete_entries, equality_delete_entries)
+    of a snapshot: manifest list → manifests → entries, statuses
+    applied per spec (DELETED entries drop out of scans). Every
+    returned entry carries ``_seq`` — its effective DATA SEQUENCE
+    NUMBER (the entry's own when explicit, else inherited from its
+    manifest's sequence_number per the spec's inheritance rule) —
+    which decides which deletes apply to which data files. POSITION
+    deletes (content == 1, r10) and EQUALITY deletes (content == 2,
+    r10 — must carry ``equality_ids``, rejected loudly otherwise)
+    are both in scope."""
     table_path = Path(table_path)
     md = load_metadata(table_path)
     snap = _snapshot(md, snapshot_id)
     if snap is None:
-        return [], []
+        return [], [], []
     mlist = _resolve(snap["manifest-list"], table_path)
     data: list[dict] = []
     deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for m in read_avro_dicts(mlist):
         m_seq = m.get("sequence_number", 0) or 0
         mpath = _resolve(m["manifest_path"], table_path)
@@ -519,13 +541,21 @@ def snapshot_entries(
                 data.append(e)
             elif content == 1:
                 deletes.append(e)
+            elif content == 2:
+                if not df.get("equality_ids"):
+                    raise IcebergMetaError(
+                        "equality-delete file (content=2) without "
+                        "equality_ids — refusing to guess which "
+                        f"columns {df.get('file_path')!r} matches on"
+                    )
+                eq_deletes.append(e)
             else:
                 raise IcebergMetaError(
-                    "equality-delete files (content=2) are out of "
-                    "this module's declared scope — position deletes "
-                    "(content=1) are supported"
+                    f"unknown data_file content {content!r} in "
+                    f"{mpath} — spec defines 0 (data), 1 (position "
+                    "deletes), 2 (equality deletes)"
                 )
-    return data, deletes
+    return data, deletes, eq_deletes
 
 
 def live_entries(table_path: str | Path, snapshot_id: int | None = None):
@@ -548,7 +578,10 @@ def plan_files(
     md = load_metadata(table_path)
     schema = _snapshot_schema(md, snapshot_id)
     by_name = {f["name"]: f for f in schema["fields"]}
-    entries, delete_entries = snapshot_entries(table_path, snapshot_id)
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    entries, delete_entries, eq_entries = snapshot_entries(
+        table_path, snapshot_id
+    )
     files: list[str] = []
     file_meta: list[dict] = []
     skipped = 0
@@ -582,7 +615,36 @@ def plan_files(
             }
             for e in delete_entries
         ],
+        "eq_delete_files": [
+            {
+                "resolved": str(
+                    _resolve(e["data_file"]["file_path"], table_path)
+                ),
+                "seq": e["_seq"],
+                "cols": _eq_ids_to_cols(
+                    e["data_file"]["equality_ids"], by_id, e
+                ),
+            }
+            for e in eq_entries
+        ],
     }
+
+
+def _eq_ids_to_cols(ids: list[int], by_id: dict, entry: dict) -> list[str]:
+    """equality_ids (field ids) → column names under the scan schema;
+    an id the schema no longer has (dropped column) is a loud error —
+    the delete's meaning would be lost, not approximated."""
+    cols = []
+    for i in ids:
+        if i not in by_id:
+            raise IcebergMetaError(
+                f"equality-delete file "
+                f"{entry['data_file'].get('file_path')!r} matches on "
+                f"field id {i}, which the scan schema does not carry "
+                "(dropped column?) — cannot apply the delete"
+            )
+        cols.append(by_id[i])
+    return cols
 
 
 def _prunable(data_file: dict, predicates, by_name) -> bool:
@@ -638,7 +700,7 @@ def read_iceberg(
     plan = plan_files(table_path, snapshot_id, predicates)
     if not plan["files"]:
         return spark.createDataFrame([], ddl)
-    if plan["delete_files"]:
+    if plan["delete_files"] or plan["eq_delete_files"]:
         df = _read_mor(spark, ddl, plan)
     else:
         df = spark.read.schema(ddl).parquet(*plan["files"])
@@ -659,14 +721,18 @@ POS_DELETE_DDL = "file_path string, pos long"
 
 
 def _read_mor(spark: SparkSession, ddl: str, plan: dict) -> DataFrame:
-    """Merge-on-read scan with POSITION DELETES (spec v2 row-level
-    deletes, content=1): data files read with their parquet row
+    """Merge-on-read scan with spec v2 row-level deletes. POSITION
+    deletes (content=1): data files read with their parquet row
     index; the delete relation — (data file path, row position) rows
     from the snapshot's delete files — anti-joins matching positions
-    away. Sequence-number rule per spec: a delete applies to a data
-    file iff delete_seq >= data_seq, so rows appended AFTER a delete
-    are never masked by it. Scale shape: delete files are the changed
-    rows only (broadcast); the one scan over data files is the same
+    away under the spec's ``delete_seq >= data_seq`` rule. EQUALITY
+    deletes (content=2): each delete file's rows are match tuples on
+    its ``equality_ids`` columns; a data row dies when a tuple
+    matches null-safely AND ``delete_seq > data_seq`` (STRICTLY
+    greater per spec — a commit's own appends survive its equality
+    deletes). Scale shape: delete relations are the changed rows
+    only (broadcast; the null-safe equality conjuncts keep the
+    anti-joins hashable); the one scan over data files is the same
     scan a clean read does."""
     from pyspark.sql import functions as F
 
@@ -690,25 +756,58 @@ def _read_mor(spark: SparkSession, ddl: str, plan: dict) -> DataFrame:
             }
         )
     )
-    dels = None
-    for d in plan["delete_files"]:
-        part = spark.read.schema(POS_DELETE_DDL).parquet(
-            d["resolved"]
-        ).select(
-            F.col("file_path").alias("__rec"),
-            F.col("pos").alias("__ri"),
-            F.lit(d["seq"]).alias("__dlseq"),
+    if plan["delete_files"]:
+        dels = None
+        for d in plan["delete_files"]:
+            part = spark.read.schema(POS_DELETE_DDL).parquet(
+                d["resolved"]
+            ).select(
+                F.col("file_path").alias("__rec"),
+                F.col("pos").alias("__ri"),
+                F.lit(d["seq"]).alias("__dlseq"),
+            )
+            dels = part if dels is None else dels.unionByName(part)
+        dead = (
+            dels.join(F.broadcast(map_rel), "__rec")
+            .filter(F.col("__dlseq") >= F.col("__dseq"))
+            .select("__fp", "__ri")
+            .distinct()
         )
-        dels = part if dels is None else dels.unionByName(part)
-    dead = (
-        dels.join(F.broadcast(map_rel), "__rec")
-        .filter(F.col("__dlseq") >= F.col("__dseq"))
-        .select("__fp", "__ri")
-        .distinct()
+        df = df.join(F.broadcast(dead), ["__fp", "__ri"], "left_anti")
+    df = _apply_eq_deletes(spark, df, map_rel, plan["eq_delete_files"])
+    return df.drop("__fp", "__ri")
+
+
+def _apply_eq_deletes(
+    spark: SparkSession, df: DataFrame, map_rel: DataFrame, eq_files: list
+) -> DataFrame:
+    """Anti-join EQUALITY-delete tuples away from ``df`` (which must
+    carry ``__fp``). Files are grouped by their equality-column set;
+    one broadcast anti-join per group. NULL delete values match NULL
+    row values (null-safe equality per spec)."""
+    from pyspark.sql import functions as F
+
+    if not eq_files:
+        return df
+    df = df.join(
+        F.broadcast(map_rel.select("__fp", "__dseq")), "__fp"
     )
-    return df.join(
-        F.broadcast(dead), ["__fp", "__ri"], "left_anti"
-    ).drop("__fp", "__ri")
+    groups: dict[tuple, list] = {}
+    for d in eq_files:
+        groups.setdefault(tuple(d["cols"]), []).append(d)
+    for cols, files in groups.items():
+        rel = None
+        for d in files:
+            part = spark.read.parquet(d["resolved"]).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                F.lit(d["seq"]).alias("__dlseq"),
+            )
+            rel = part if rel is None else rel.unionByName(part)
+        cond = F.col("__dlseq") > F.col("__dseq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        df = df.join(F.broadcast(rel), cond, "left_anti")
+    return df.drop("__dseq")
 
 
 def snapshot_ids(table_path: str | Path) -> list[int]:
@@ -843,6 +942,13 @@ class IcebergTable:
         mdir.mkdir(parents=True, exist_ok=True)
         name = f"{uuid.uuid4().hex}-m0.avro"
         p = mdir / name
+        # entries decoded from pre-equality_ids manifests (or foreign
+        # ones) may lack the nullable field — default it rather than
+        # KeyError inside the Avro encoder
+        entries = [
+            {**e, "data_file": {"equality_ids": None, **e["data_file"]}}
+            for e in entries
+        ]
         write_avro_file(p, entries, MANIFEST_ENTRY_SCHEMA, codec="deflate")
         # per-spec manifest key-value metadata rides the container
         # header; write_avro_file carries avro.schema — the Iceberg
@@ -1142,6 +1248,10 @@ class IcebergTable:
                 .distinct()
             )
             df = df.join(F.broadcast(dead), ["__fp", "__ri"], "left_anti")
+        # rows already equality-deleted cannot re-match either
+        df = _apply_eq_deletes(
+            self.spark, df, map_rel, plan["eq_delete_files"]
+        )
         matched = (
             df.filter(F.coalesce(pred, F.lit(False)))
             .join(F.broadcast(map_rel.select("__rec", "__fp")), "__fp")
@@ -1196,6 +1306,76 @@ class IcebergTable:
             md, "delete", [m], carried, sid, seq, base=base
         )
         return {"version": v, "rows_deleted": int(len(pdf))}
+
+    def equality_delete(self, keys: DataFrame, cols: list[str]) -> dict:
+        """Merge-on-read DELETE via the spec's v2 EQUALITY-delete
+        files (content=2): each distinct row of ``keys`` (projected
+        to ``cols``) is a delete marker that kills every data row
+        whose ``cols`` values match null-safely — the upsert/CDC
+        shape (delete-by-key without knowing file positions, the
+        write path streaming engines use). The manifest entry carries
+        the columns as spec ``equality_ids`` (field ids); the
+        delete's sequence number is the new snapshot's, and per the
+        spec's STRICTLY-GREATER rule it masks only data committed
+        BEFORE this snapshot — a row re-appended with the same key
+        later (or in the same commit) stays visible. Zero data-file
+        bytes rewritten. Returns {version, delete_markers}."""
+        if not self.exists():
+            raise IcebergMetaError(f"no Iceberg table at {self.path}")
+        base = current_metadata_version(self.path)
+        md = load_metadata(self.path, base)
+        schema = _current_schema(md)
+        by_name = {f["name"]: f for f in schema["fields"]}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise IcebergMetaError(
+                f"equality_delete columns {missing} not in the "
+                "current table schema"
+            )
+        markers = keys.select(*cols).distinct()
+        n_markers = markers.count()
+        if n_markers == 0:
+            return {"version": -1, "delete_markers": 0}
+        # Spark writes the delete file so column TYPES survive exactly
+        # (a pandas hop would widen nullable ints to float64); one
+        # sorted file per spec's recommendation for delete files
+        import shutil
+
+        job = uuid.uuid4().hex[:12]
+        staging = self.path.with_name(self.path.name + f"__ice_eqdel.{job}")
+        markers.orderBy(*cols).coalesce(1).write.parquet(str(staging))
+        data_dir = self.path / "data"
+        data_dir.mkdir(parents=True, exist_ok=True)
+        name = f"data/{job}-eq-deletes.parquet"
+        tgt = self.path / name
+        next(iter(sorted(staging.glob("*.parquet")))).rename(tgt)
+        shutil.rmtree(staging, ignore_errors=True)
+        sid, seq = self._next_ids(md)
+        entry = {
+            "status": ST_ADDED,
+            "snapshot_id": sid,
+            "sequence_number": None,  # inherits the manifest's seq
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 2,
+                "file_path": name,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n_markers,
+                "file_size_in_bytes": tgt.stat().st_size,
+                "value_counts": [],
+                "null_value_counts": [],
+                "lower_bounds": [],
+                "upper_bounds": [],
+                "equality_ids": [by_name[c]["id"] for c in cols],
+            },
+        }
+        m = self._write_manifest([entry], sid, seq, schema, content=2)
+        carried = self._current_manifests(md)
+        v = self._snapshot_commit(
+            md, "delete", [m], carried, sid, seq, base=base
+        )
+        return {"version": v, "delete_markers": int(n_markers)}
 
     def _current_manifests(self, md: dict) -> list[dict]:
         snap = _snapshot(md, None)

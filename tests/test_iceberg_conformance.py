@@ -272,8 +272,8 @@ def test_equality_deletes_rejected_position_deletes_served(
 ):
     """A FOREIGN writer's POSITION-DELETE file (content=1, the spec's
     v2 row-level deletes) must mask exactly its positions under the
-    delete_seq >= data_seq rule; EQUALITY deletes (content=2) stay a
-    loud boundary."""
+    delete_seq >= data_seq rule; an EQUALITY delete (content=2)
+    WITHOUT equality_ids is a loud refusal — never a guess."""
     from lakehouse_poc_spark.sources.iceberg_meta import (
         MANIFEST_ENTRY_SCHEMA,
         MANIFEST_LIST_SCHEMA,
@@ -296,7 +296,7 @@ def test_equality_deletes_rejected_position_deletes_served(
     mdir = table / "metadata"
     mdir.mkdir(parents=True, exist_ok=True)
 
-    def _entry(content, path, count):
+    def _entry(content, path, count, equality_ids=None):
         return {
             "status": 1,
             "snapshot_id": 7,
@@ -313,6 +313,7 @@ def test_equality_deletes_rejected_position_deletes_served(
                 "null_value_counts": None,
                 "lower_bounds": None,
                 "upper_bounds": None,
+                "equality_ids": equality_ids,
             },
         }
 
@@ -367,7 +368,7 @@ def test_equality_deletes_rejected_position_deletes_served(
     )
     got = read_iceberg(spark, table)
     assert [(r.id, r.v) for r in got.collect()] == [(2, "b")]
-    # equality delete (content=2): loud refusal
+    # equality delete (content=2) WITHOUT equality_ids: loud refusal
     write_avro_file(
         mdir / "m-eq.avro",
         [_entry(2, "data/del1.parquet", 2)],
@@ -383,6 +384,112 @@ def test_equality_deletes_rejected_position_deletes_served(
     )
     with pytest.raises(IcebergMetaError, match="equality-delete"):
         read_iceberg(spark, table)
+
+
+def test_foreign_equality_delete_served_strictly_greater(spark, tmp_path):
+    """A FOREIGN writer's EQUALITY-delete file (content=2 with
+    equality_ids, r10): match tuples kill rows null-safely under the
+    spec's STRICTLY-GREATER rule — delete at seq 2 masks seq-1 data
+    but NOT a seq-2 data file carrying the same key."""
+    from lakehouse_poc_spark.sources.iceberg_meta import (
+        MANIFEST_ENTRY_SCHEMA,
+        MANIFEST_LIST_SCHEMA,
+    )
+
+    table = tmp_path / "eqtable"
+    _write_parquet(table / "data" / "f1.parquet", [1, 2, 3], ["a", "b", "c"])
+    # re-append of key 1 committed AT the delete's sequence number
+    _write_parquet(table / "data" / "f2.parquet", [1], ["a2"])
+    # foreign equality-delete parquet: matches on column id (field 1)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 3], pa.int64())}),
+        str(table / "data" / "eqdel.parquet"),
+    )
+    mdir = table / "metadata"
+    mdir.mkdir(parents=True, exist_ok=True)
+
+    def _entry(content, path, count, equality_ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": 7,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": count,
+                "file_size_in_bytes": 1,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": equality_ids,
+            },
+        }
+
+    def _mrow(path, content, seq):
+        return {
+            "manifest_path": path,
+            "manifest_length": 1,
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 7,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    write_avro_file(
+        mdir / "m-data1.avro",
+        [_entry(0, "data/f1.parquet", 3)],
+        MANIFEST_ENTRY_SCHEMA,
+    )
+    write_avro_file(
+        mdir / "m-data2.avro",
+        [_entry(0, "data/f2.parquet", 1)],
+        MANIFEST_ENTRY_SCHEMA,
+    )
+    write_avro_file(
+        mdir / "m-eqdel.avro",
+        [_entry(2, "data/eqdel.parquet", 2, equality_ids=[1])],
+        MANIFEST_ENTRY_SCHEMA,
+    )
+    write_avro_file(
+        mdir / "snap-1.avro",
+        [
+            _mrow("metadata/m-data1.avro", 0, 1),
+            _mrow("metadata/m-data2.avro", 0, 2),
+            _mrow("metadata/m-eqdel.avro", 1, 2),
+        ],
+        MANIFEST_LIST_SCHEMA,
+    )
+    _metadata(
+        table,
+        [
+            {
+                "snapshot-id": 7,
+                "sequence-number": 2,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": "metadata/snap-1.avro",
+                "summary": {"operation": "delete"},
+            }
+        ],
+        current=7,
+    )
+    got = read_iceberg(spark, table)
+    # seq-1 rows with id 1 and 3 die; id 2 survives; the seq-2
+    # re-append of id 1 survives (strictly-greater, not >=)
+    assert sorted((r.id, r.v) for r in got.collect()) == [
+        (1, "a2"),
+        (2, "b"),
+    ]
 
 
 def test_java_written_manifest_read_and_planned(spark, tmp_path):

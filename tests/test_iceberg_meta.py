@@ -380,3 +380,73 @@ def test_orphan_cleanup_and_timestamp_travel(spark, tmp_path):
     log = md["snapshot-log"]
     assert t.snapshot_as_of(log[-1]["timestamp-ms"]) == log[-1]["snapshot-id"]
     assert t.snapshot_as_of(log[0]["timestamp-ms"] - 1) is None
+
+
+def test_equality_deletes_mor_semantics(spark, tmp_path):
+    """r10: spec v2 EQUALITY deletes — delete-by-key with zero
+    data-file rewrites, the STRICTLY-GREATER sequence rule (a key
+    re-appended after the delete is visible again), null-safe tuple
+    matching, and composition with position deletes."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(
+        spark.range(20)
+        .select(F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+        .repartition(2)
+    )
+    n_data = len(list((p / "data").glob("*.parquet")))
+    r = t.equality_delete(
+        spark.createDataFrame([(3,), (7,), (7,)], "k long"), ["k"]
+    )
+    assert r["delete_markers"] == 2  # distinct tuples only
+    got = {x.k for x in read_iceberg(spark, p).collect()}
+    assert got == set(range(20)) - {3, 7}
+    # zero data files rewritten; one delete file added
+    assert len(list((p / "data").glob("*.parquet"))) == n_data + 1
+    # STRICTLY greater: re-appending the key makes it visible again
+    t.append(spark.createDataFrame([(7, 99)], "k long, g long"))
+    rows = {(x.k, x.g) for x in read_iceberg(spark, p).collect()}
+    assert (7, 99) in rows and len(rows) == 19
+    # multi-column tuple match only kills exact combinations
+    t.equality_delete(
+        spark.createDataFrame([(7, 99), (5, 0)], "k long, g long"),
+        ["k", "g"],
+    )
+    got = {(x.k, x.g) for x in read_iceberg(spark, p).collect()}
+    assert (7, 99) not in got and (5, 2) in got and len(got) == 18
+    # time travel: pre-delete snapshot unaffected
+    assert read_iceberg(spark, p, snapshot_id=snapshot_ids(p)[0]).count() == 20
+    # composition with a position delete on the MOR view
+    t.delete_where("k = 11")
+    assert read_iceberg(spark, p).count() == 17
+    # a delete matching nothing still commits its markers (the CDC
+    # shape: markers are keys, not matched positions)
+    v = t.equality_delete(spark.createDataFrame([(500,)], "k long"), ["k"])
+    assert v["delete_markers"] == 1
+    assert read_iceberg(spark, p).count() == 17
+
+
+def test_equality_delete_null_matching_and_guards(spark, tmp_path):
+    """NULL delete values match NULL row values (spec null equality);
+    unknown columns and dropped-column field ids are loud errors."""
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None), (4, "d")], "k long, v string"
+        )
+    )
+    t.equality_delete(
+        spark.createDataFrame([(None,)], "v string"), ["v"]
+    )
+    assert {r.k for r in read_iceberg(spark, p).collect()} == {1, 4}
+    with pytest.raises(IcebergMetaError, match="not in the"):
+        t.equality_delete(
+            spark.createDataFrame([(1,)], "zz long"), ["zz"]
+        )
+    # dropping the matched column makes the delete unapplicable: loud
+    t.update_schema(drop=["v"])
+    with pytest.raises(IcebergMetaError, match="field id"):
+        read_iceberg(spark, p).collect()
