@@ -450,3 +450,37 @@ def test_equality_delete_null_matching_and_guards(spark, tmp_path):
     t.update_schema(drop=["v"])
     with pytest.raises(IcebergMetaError, match="field id"):
         read_iceberg(spark, p).collect()
+
+
+def test_equality_delete_overwrite_reset_and_orphan_protection(
+    spark, tmp_path
+):
+    """Equality-delete files are LIVE data: removeOrphanFiles must
+    never vacuum one that a snapshot references; an overwrite drops
+    the obsolete delete manifests with everything else."""
+    p = tmp_path / "t"
+    t = IcebergTable(spark, p)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+    )
+    t.equality_delete(spark.createDataFrame([(2,)], "k long"), ["k"])
+    eq_files = [
+        f.name for f in (p / "data").glob("*.parquet") if "eq-deletes" in f.name
+    ]
+    assert len(eq_files) == 1
+    # referenced by the delete snapshot: protected at any age
+    assert t.remove_orphan_files(min_age_sec=0) == []
+    assert {r.k for r in read_iceberg(spark, p).collect()} == {1, 3}
+    # overwrite resets the manifest set: no delete files planned
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    plan = plan_files(p)
+    assert plan["eq_delete_files"] == []
+    assert [r.k for r in read_iceberg(spark, p).collect()] == [9]
+    # time travel through the delete snapshot still works (the eq
+    # delete file stays referenced by history until snapshots expire)
+    sids = snapshot_ids(p)
+    assert {
+        r.k for r in read_iceberg(spark, p, snapshot_id=sids[1]).collect()
+    } == {1, 3}
