@@ -423,14 +423,21 @@ def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact cosine near-dup pairs (brute force — oracle path)."""
-    v = fan_out(df).select(F.col(id_col), F.col(vec_col).alias("v"))
+    from ..functions.vectors import dot, norm
+
+    v = fan_out(df).select(
+        F.col(id_col), F.col(vec_col).alias("v"), norm(F.col(vec_col)).alias("__n")
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 
 __all__ = [
     "build_shard_graph",
@@ -326,15 +326,16 @@ def hnsw_topk(
     qdf = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
-        cand.join(nbrs, "neighbor_id")
+        cand.join(nbrs.withColumn("__nn", norm(F.col("__nv"))), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+            (dot(F.col("__qv"), F.col("__nv")) / (F.col("__qn") * F.col("__nn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -454,15 +455,16 @@ def hnsw_query_at_rest(
     qdf = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
-        cand.join(nbrs, "neighbor_id")
+        cand.join(nbrs.withColumn("__nn", norm(F.col("__nv"))), "neighbor_id")
         .join(F.broadcast(qdf), "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+            (dot(F.col("__qv"), F.col("__nv")) / (F.col("__qn") * F.col("__nn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -42,7 +42,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
 from .partitioning import fan_out
 
 
@@ -81,14 +81,21 @@ def semdedup(
         base = base.select(
             F.col(id_col), F.col(vec_col).alias("v"), F.col(cluster_col).alias("cluster")
         )
-    a, b = base.alias("a"), base.alias("b")
+    # per-row norm precomputed ONCE, not once per candidate pair —
+    # cosine(a,b) = dot/(norm(a)·norm(b)) with identical operand order,
+    # so the filter sees bit-identical doubles (r10 optimization round)
+    withn = base.withColumn("__n", norm(F.col("v")))
+    a, b = withn.alias("a"), withn.alias("b")
     dups = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(cosine(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .filter(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.__n") * F.col("b.__n"))
+            >= F.lit(threshold)
+        )
         .select(F.col(f"b.{id_col}").alias("_dup_id"))
         .distinct()
     )

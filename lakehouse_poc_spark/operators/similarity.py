@@ -21,8 +21,20 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, norm
 from .partitioning import fan_out
+
+
+def _cos_pre(qv, nv, qn, nn):
+    """cosine(qv, nv) with the two norms PRECOMPUTED as columns:
+    dot(qv, nv) / (qn · nn). Bit-identical to ``cosine`` — the same
+    doubles flow into the same ``/`` and ``*`` tree (norms are the
+    identical fold over the identical array, just evaluated once per
+    ROW instead of once per PAIR) — but the per-pair work drops from
+    three array folds to one (r10 optimization round, guide §1.2/§2.3:
+    in every pairwise scorer the norms were recomputed |other side|×
+    per vector)."""
+    return dot(qv, nv) / (qn * nn)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
@@ -55,9 +67,15 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor id, cos_sim, rank).
     Self-matches (same id) are excluded when the id columns share a
     domain. Ties broken by neighbor id for determinism."""
-    c = fan_out(corpus).select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nv"),
+        norm(F.col(vec_col)).alias("__nn"),
+    )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -65,7 +83,9 @@ def brute_force_topk(
         .select(
             "query_id",
             F.col("__nid").alias("neighbor_id"),
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+            _cos_pre(
+                F.col("__qv"), F.col("__nv"), F.col("__qn"), F.col("__nn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -115,20 +135,27 @@ def ivf_topk(
             .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
         )
 
-    def assign(df: DataFrame, vid: str, v: str, probes: int) -> DataFrame:
+    cents = cents.withColumn("__cn", norm(F.col("__cv")))
+
+    def assign(df: DataFrame, vid: str, v: str, vn: str, probes: int) -> DataFrame:
         w = Window.partitionBy(vid).orderBy(F.desc("__csim"), F.asc("__cid"))
         return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("__csim", cosine(F.col(v), F.col("__cv")))
+            df.withColumn(vn, norm(F.col(v)))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "__csim",
+                _cos_pre(F.col(v), F.col("__cv"), F.col(vn), F.col("__cn")),
+            )
             .withColumn("__crank", F.row_number().over(w))
             .filter(F.col("__crank") <= probes)
-            .drop("__cv", "__csim", "__crank")
+            .drop("__cv", "__cn", "__csim", "__crank")
         )
 
     c = assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")),
         "neighbor_id",
         "__nv",
+        "__nn",
         1,
     )
     q = assign(
@@ -137,6 +164,7 @@ def ivf_topk(
         ),
         "query_id",
         "__qv",
+        "__qn",
         nprobe,
     )
     scored = (
@@ -145,7 +173,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+            _cos_pre(
+                F.col("__qv"), F.col("__nv"), F.col("__qn"), F.col("__nn")
+            ).alias("cos_sim"),
         )
         # no dedup needed: each corpus vector lives in exactly one cell
         # (probes=1 on the corpus side), so a pair meets at most once.
@@ -242,22 +272,32 @@ def lsh_topk(
                     )
         return F.explode(F.array(*entries)).alias("__tb")
 
-    c = c.select("neighbor_id", "__nv", side_keys("__nv", False)).select(
-        "neighbor_id", "__nv", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket")
+    c = c.select(
+        "neighbor_id", "__nv", norm(F.col("__nv")).alias("__nn"), side_keys("__nv", False)
+    ).select(
+        "neighbor_id", "__nv", "__nn",
+        F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket"),
     )
-    q = q.select("query_id", "__qv", side_keys("__qv", True)).select(
-        "query_id", "__qv", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket")
+    q = q.select(
+        "query_id", "__qv", norm(F.col("__qv")).alias("__qn"), side_keys("__qv", True)
+    ).select(
+        "query_id", "__qv", "__qn",
+        F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket"),
     )
     cand = (
         c.join(F.broadcast(q), ["__t", "__bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qv", "__nv")
+        .select("query_id", "neighbor_id", "__qv", "__nv", "__qn", "__nn")
     )
     if n_tables > 1 or multiprobe > 0:
         # a pair can meet in several tables/probes — score each once
         cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        _cos_pre(
+            F.col("__qv"), F.col("__nv"), F.col("__qn"), F.col("__nn")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -278,13 +318,17 @@ def _assign_cells(df: DataFrame, cents: DataFrame, vec_col: str, id_col: str) ->
     desc-nulls-last did."""
     s = F.struct(
         F.coalesce(
-            -cosine(F.col(vec_col), F.col("cent_vec")), F.lit(2.0)
+            -_cos_pre(
+                F.col(vec_col), F.col("cent_vec"), F.col("__vn"), F.col("__cn")
+            ),
+            F.lit(2.0),
         ).alias("negsim"),
         F.col("cent_id"),
         F.col(vec_col).alias("v"),
     )
     return (
-        df.crossJoin(F.broadcast(cents))
+        df.withColumn("__vn", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents.withColumn("__cn", norm(F.col("cent_vec")))))
         .groupBy(id_col)
         .agg(F.min(s).alias("__w"))
         .select(
@@ -342,27 +386,35 @@ def ivf_query_at_rest(
     cents = wh.read(f"{table}_centroids")
     q = (
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine(F.col("__qv"), F.col("cent_vec")))
+        .crossJoin(F.broadcast(cents.withColumn("__cn", norm(F.col("cent_vec")))))
+        .withColumn(
+            "__csim",
+            _cos_pre(F.col("__qv"), F.col("cent_vec"), F.col("__qn"), F.col("__cn")),
+        )
         .withColumn("__crank", F.row_number().over(
             Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cent_id"))
         ))
         .filter(F.col("__crank") <= nprobe)
-        .select("query_id", "__qv", F.col("cent_id").alias("cell"))
+        .select("query_id", "__qv", "__qn", F.col("cent_id").alias("cell"))
     )
     # probed cells: a bounded driver-side list (|queries| * nprobe ids)
     # that becomes a literal partition filter -> file-listing pruning
     cells = [r["cell"] for r in q.select("cell").distinct().collect()]
     corpus = wh.read(table).filter(F.col("cell").isin(cells))
     scored = (
-        corpus.join(F.broadcast(q), "cell")
+        corpus.withColumn("__nn", norm(F.col(vec_col)))
+        .join(F.broadcast(q), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim"),
+            _cos_pre(
+                F.col("__qv"), F.col(vec_col), F.col("__qn"), F.col("__nn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -439,7 +491,9 @@ def kmeans_parallel_init(
     """
     l = oversample or 2 * k
     base = corpus.select(
-        F.col(id_col).alias("__kid"), F.col(vec_col).cast("array<double>").alias("__kv")
+        F.col(id_col).alias("__kid"),
+        F.col(vec_col).cast("array<double>").alias("__kv"),
+        norm(F.col(vec_col).cast("array<double>")).alias("__kn"),
     )
     first = base.orderBy("__kid").limit(1).collect()
     if not first:
@@ -451,8 +505,11 @@ def kmeans_parallel_init(
             [(i, v) for i, v in enumerate(cands)], "cand_id int, cand_vec array<double>"
         )
         dist = (
-            base.crossJoin(F.broadcast(cdf))
-            .withColumn("__sim", cosine(F.col("__kv"), F.col("cand_vec")))
+            base.crossJoin(F.broadcast(cdf.withColumn("__cn", norm(F.col("cand_vec")))))
+            .withColumn(
+                "__sim",
+                _cos_pre(F.col("__kv"), F.col("cand_vec"), F.col("__kn"), F.col("__cn")),
+            )
             .groupBy("__kid")
             .agg(
                 F.first("__kv").alias("__kv"),
@@ -477,8 +534,11 @@ def kmeans_parallel_init(
     )
     w_assign = Window.partitionBy("__kid").orderBy(F.desc("__sim"), F.asc("cand_id"))
     weights_rows = (
-        base.crossJoin(F.broadcast(cdf))
-        .withColumn("__sim", cosine(F.col("__kv"), F.col("cand_vec")))
+        base.crossJoin(F.broadcast(cdf.withColumn("__cn", norm(F.col("cand_vec")))))
+        .withColumn(
+            "__sim",
+            _cos_pre(F.col("__kv"), F.col("cand_vec"), F.col("__kn"), F.col("__cn")),
+        )
         .withColumn("__r", F.row_number().over(w_assign))
         .filter(F.col("__r") == 1)
         .groupBy("cand_id")
@@ -545,15 +605,20 @@ def kmeans_train(
     else:
         raise ValueError(f"init must be 'minid' or 'parallel', got {init!r}")
     cents: list[tuple[int, list[float]]] = list(enumerate(seeds))
-    base = fan_out(corpus).select(F.col(id_col), F.col(vec_col))
+    base = fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__vn")
+    )
     for _ in range(iters):
         cent_df = spark.createDataFrame(
             [(cid, v) for cid, v in cents], "cent_id int, cent_vec array<double>"
-        )
+        ).withColumn("__cn", norm(F.col("cent_vec")))
         w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cent_id"))
         assigned = (
             base.crossJoin(F.broadcast(cent_df))
-            .withColumn("__csim", cosine(F.col(vec_col), F.col("cent_vec")))
+            .withColumn(
+                "__csim",
+                _cos_pre(F.col(vec_col), F.col("cent_vec"), F.col("__vn"), F.col("__cn")),
+            )
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") == 1)
             .select("cent_id", F.posexplode(F.col(vec_col).cast("array<double>")))
@@ -1266,13 +1331,19 @@ def lsh_query_at_rest(
         pred = pred | ((F.col("t") == t) & (F.col("bucket") == b))
     corpus = wh.read(table).filter(pred)
     cand = (
-        corpus.join(F.broadcast(q), ["t", "bucket"])
+        corpus.join(F.broadcast(q.withColumn("__qn", norm(F.col("__qv")))), ["t", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "__qv", F.col(vec_col))
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "__qv", "__qn", F.col(vec_col)
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        _cos_pre(
+            F.col("__qv"), F.col(vec_col), F.col("__qn"), norm(F.col(vec_col))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1297,11 +1368,13 @@ def hard_negatives(
         F.col(id_col).alias("__nid"),
         F.col(vec_col).alias("__nv"),
         F.col(label_col).alias("__nlab"),
+        norm(F.col(vec_col)).alias("__nn"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.col(label_col).alias("__qlab"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -1310,7 +1383,9 @@ def hard_negatives(
             "query_id",
             F.col("__nid").alias("neighbor_id"),
             F.col("__nlab").alias("neighbor_label"),
-            cosine(F.col("__qv"), F.col("__nv")).alias("cos_sim"),
+            _cos_pre(
+                F.col("__qv"), F.col("__nv"), F.col("__qn"), F.col("__nn")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

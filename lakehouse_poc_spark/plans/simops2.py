@@ -306,9 +306,15 @@ def ari_label_vs_cell_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("cid"))
+    from ..functions.vectors import dot, norm
+
     assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine(F.col("embedding"), F.col("cv")))
+        emb.withColumn("__vn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cents.withColumn("__cn", norm(F.col("cv")))))
+        .withColumn(
+            "__csim",
+            dot(F.col("embedding"), F.col("cv")) / (F.col("__vn") * F.col("__cn")),
+        )
         .withColumn("__crank", F.row_number().over(w))
         .filter(F.col("__crank") <= 1)
         .select("vec_id", "label", "cid")

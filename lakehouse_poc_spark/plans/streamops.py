@@ -1107,30 +1107,43 @@ def stream_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = str(work / "store")
 
+    from ..functions.vectors import dot, norm
+
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(
             "vec_id", "embedding", signbit_cluster(F.col("embedding"), 6)
         )
         # within-batch lower-id dups ∪ store dups (store ids are all
-        # lower by ingest-order contract)
-        a = batch.alias("a")
-        b = batch.alias("b")
+        # lower by ingest-order contract); per-row norms precomputed so
+        # each candidate pair pays one fold, not three (bit-identical
+        # cosine: same doubles into the same / and * tree)
+        withn = batch.withColumn("__n", norm(F.col("embedding")))
+        a = withn.alias("a")
+        b = withn.alias("b")
+        cos_ab = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+            F.col("a.__n") * F.col("b.__n")
+        )
         dups = (
             a.join(
                 b,
                 (F.col("a.cluster") == F.col("b.cluster"))
                 & (F.col("a.vec_id") < F.col("b.vec_id")),
             )
-            .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.3)
+            .filter(cos_ab >= 0.3)
             .select(F.col("b.vec_id").alias("vid"))
         )
         if Path(store).exists():
-            s = spark.read.parquet(store).alias("s")
+            s = (
+                spark.read.parquet(store)
+                .withColumn("__n", norm(F.col("embedding")))
+                .alias("s")
+            )
+            cos_sb = dot(F.col("s.embedding"), F.col("b.embedding")) / (
+                F.col("s.__n") * F.col("b.__n")
+            )
             dups = dups.unionByName(
                 s.join(b, F.col("s.cluster") == F.col("b.cluster"))
-                .filter(
-                    cosine(F.col("s.embedding"), F.col("b.embedding")) >= 0.3
-                )
+                .filter(cos_sb >= 0.3)
                 .select(F.col("b.vec_id").alias("vid"))
             )
         dups = dups.distinct()

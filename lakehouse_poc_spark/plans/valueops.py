@@ -128,11 +128,19 @@ def knn_shapley_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
         F.col("label").alias("clabel"),
     )
-    scored = train.crossJoin(F.broadcast(probes)).select(
-        "query_id",
-        "train_id",
-        (F.col("clabel") == F.col("qlabel")).cast("int").alias("ind"),
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    from ..functions.vectors import dot, norm
+
+    scored = (
+        train.withColumn("__cn", norm(F.col("cv")))
+        .crossJoin(F.broadcast(probes.withColumn("__qn", norm(F.col("qv")))))
+        .select(
+            "query_id",
+            "train_id",
+            (F.col("clabel") == F.col("qlabel")).cast("int").alias("ind"),
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
+        )
     )
     wrank = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("train_id")
