@@ -452,13 +452,19 @@ def ivf_index_add(
     assigned = _assign_cells(new_vectors, cents, vec_col, id_col).repartition(
         "cell"
     )
-    # count the ACTUAL appended rows; persist so the plan executes
-    # once for both the count and the write
-    assigned = assigned.persist()
-    n = assigned.count()
+    # count the ACTUAL appended rows with an Observation riding the
+    # write job itself (r10 optimization round): the old
+    # persist -> count -> write -> unpersist shape paid a whole extra
+    # Spark job per add — on the job-count-dominated maintained-index
+    # lifecycles (ann_recall_after_adds runs 4 adds, ~61 jobs total)
+    # that job floor IS the cost. Observation metrics are collected by
+    # the driver from the same tasks that write, so this is one job.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
     wh.append(assigned, table, partition_by=["cell"])
-    assigned.unpersist()
-    return n
+    return int(obs.get["n"])
 
 
 def kmeans_parallel_init(

@@ -3647,18 +3647,56 @@ def delta_checkpointed_ingest_orders(
         read_delta,
     )
 
+    import os
+
+    from ..streaming.windows import cached_fixture
+
     o = read_parquet_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+
+    # Stage the 12 arrival slices in ONE partitioned pass and serve
+    # each commit from its slice dir (r10 optimization round, guide
+    # §1.2: the per-commit `o.filter(%12==i)` re-scanned the FULL
+    # orders table twice per append — constraint agg + data-file
+    # stage — 24 full scans for 12 commits). Same build-once staged
+    # SOURCE discipline as the streaming twins (stream_delta_
+    # partitioned): slices are deterministic per scale factor; every
+    # commit's constraint check and data-file write still execute for
+    # real against the slice.
+    def _build(d: Path) -> None:
+        (
+            o.withColumn("__b", (F.col("o_orderkey") % 12).cast("int"))
+            .repartition(12, F.col("__b"))  # one file per slice dir
+            .write.partitionBy("__b")
+            .parquet(str(d / "slices"))
+        )
+
+    src = cached_fixture(
+        f"dlckpt_slices_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/orders.parquet").st_mtime,
+    )
+
+    # ONE partition-discovery read; per-commit slices are partition-
+    # pruned filters on it (a per-slice spark.read.parquet would pay a
+    # schema-inference job per commit — measured 12 extra jobs)
+    slices = spark.read.parquet(str(src / "slices"))
+
+    def _slice(i: int) -> DataFrame:
+        return slices.filter(F.col("__b") == i).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+
     root = SCRATCH / f"dlckpt_{Path(sf_dir).name}"
     if root.exists():
         shutil.rmtree(root)
     table = root / "orders_ckpt"
     w = DeltaLogWriter(spark, table)
-    w.create(o.filter(F.col("o_orderkey") % 12 == 0))
+    w.create(_slice(0))
     w.set_check_constraint("price_positive", "o_totalprice > 0")
     for i in range(1, 12):
-        w.append(o.filter(F.col("o_orderkey") % 12 == i))
+        w.append(_slice(i))
     # a poisoned batch: rejected whole, no partial state
     try:
         w.append(

@@ -2868,10 +2868,21 @@ def stream_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    fast = run_to_memory(counts(F.window("ts", "1 hour")), mode="complete")
-    slow = run_to_memory(
-        counts(F.window("ts", "6 hours", "1 hour")), mode="complete"
-    )
+    # The two burn-rate windows are INDEPENDENT bounded streams over
+    # the same source; run them concurrently so the slow window's
+    # micro-batches back-fill executors freed by the fast window's
+    # tail (guide §2.6 overlap — r10 optimization round: sequential
+    # availableNow runs paid two full micro-batch floors end to end).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fast_f = pool.submit(
+            run_to_memory, counts(F.window("ts", "1 hour")), "complete"
+        )
+        slow_f = pool.submit(
+            run_to_memory, counts(F.window("ts", "6 hours", "1 hour")), "complete"
+        )
+        fast, slow = fast_f.result(), slow_f.result()
     f = fast.select(
         F.col("w.end").alias("we"),
         F.col("err"),

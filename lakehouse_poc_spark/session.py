@@ -49,6 +49,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # ContextCleaner frees shuffle files / broadcasts only when a
+        # DRIVER GC collects their references; the default periodic-GC
+        # interval (30min) is longer than a whole multi-hundred-query
+        # session, so in local mode (driver == executor) stale shuffle
+        # state accumulates for tens of GB and later queries run under
+        # constant heap pressure (r10 optimization round: hybrid_rrf
+        # measured 24.7s mid-suite vs 1.8s after a System.gc()). Two
+        # minutes bounds that debt at negligible GC cost; on a real
+        # cluster the same setting keeps long-lived drivers lean.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Spark 4 rejects parquet TIMESTAMP(NANOS) (events.ts fixture);

@@ -38,8 +38,8 @@ from pathlib import Path
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -535,9 +535,16 @@ def write_avro_file(
     codec: str = "null",
     sync: bytes | None = None,
     block_rows: int = 4096,
+    level: int = 6,
 ) -> int:
     """Write one container file; returns the row count. ``rows`` yield
-    dict-like records (pyspark Rows work)."""
+    dict-like records (pyspark Rows work).
+
+    ``level`` is the deflate effort (r10 optimization round): the spec
+    does not pin a level and the Avro Java library's default is 6 —
+    the old hardcoded 9 paid ~5× the compression CPU for a 0.8% size
+    gain on the fixture tables (measured 1.17 s vs 0.23 s per 2.4 MB
+    block set at identical read cost)."""
     import os
 
     fields = []  # (name, nullable, typ)
@@ -568,7 +575,7 @@ def write_avro_file(
             return
         data = bytes(block)
         if codec == "deflate":
-            c = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw RFC 1951
+            c = zlib.compressobj(level, zlib.DEFLATED, -15)  # raw RFC 1951
             data = c.compress(data) + c.flush()
         out.extend(_zz_enc(n_block))
         out.extend(_zz_enc(len(data)))
@@ -715,14 +722,49 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _arrow_flat_schema(spark_schema):
+    """Arrow schema for the declared Spark schema when every field is
+    Arrow-columnar-friendly from the decoder's Python values (no
+    struct/map anywhere — the decoder emits tuples for records and
+    dicts for maps, which pa.array does not accept for those types).
+    Returns None when the legacy row path should be used."""
+    from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+    def flat(dt: DataType) -> bool:
+        if isinstance(dt, (StructType, MapType)):
+            return False
+        if isinstance(dt, ArrayType):
+            return flat(dt.elementType)
+        return True
+
+    if spark_schema is None or not all(
+        flat(f.dataType) for f in spark_schema.fields
+    ):
+        return None
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
 class AvroReader(DataSourceReader):
-    def __init__(self, options):
+    """Arrow-batched reader (r10 optimization round, guide §4): rows
+    used to leave the Python worker one pickled tuple at a time; now
+    each container file's decoded rows cross the boundary as
+    RecordBatches (columnar transpose via zip(*rows) is C-speed), which
+    removes the per-row pickle + JVM conversion entirely. Decode logic
+    is unchanged (read_avro_file). Nested struct/map schemas keep the
+    row path — pa.array can't take the decoder's tuple-shaped records."""
+
+    BATCH_ROWS = 8192
+
+    def __init__(self, options, spark_schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avrofile: 'path' option is required")
         self.glob = options.get("glob", "*.avro")
         rs = options.get("readerschema") or options.get("readerSchema")
         self.reader_schema = json.loads(rs) if rs else None
+        self.arrow_schema = _arrow_flat_schema(spark_schema)
 
     def _files(self):
         p = Path(self.path)
@@ -739,9 +781,32 @@ class AvroReader(DataSourceReader):
         return [_FilePartition(f) for f in self._files()]
 
     def read(self, partition):
-        yield from read_avro_file(
-            partition.path, reader_schema=self.reader_schema
-        )
+        rows = read_avro_file(partition.path, reader_schema=self.reader_schema)
+        if self.arrow_schema is None:
+            yield from rows
+            return
+        import pyarrow as pa
+
+        schema = self.arrow_schema
+        chunk: list[tuple] = []
+        append = chunk.append
+
+        def emit(batch_rows):
+            cols = list(zip(*batch_rows))
+            arrays = [
+                pa.array(cols[i], type=f.type)
+                for i, f in enumerate(schema)
+            ]
+            return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+        for rec in rows:
+            append(rec)
+            if len(chunk) >= self.BATCH_ROWS:
+                yield emit(chunk)
+                chunk = []
+                append = chunk.append
+        if chunk:
+            yield emit(chunk)
 
 
 class _PartMsg(WriterCommitMessage):
@@ -750,10 +815,47 @@ class _PartMsg(WriterCommitMessage):
         self.rows = rows
 
 
-class AvroWriter(DataSourceWriter):
+def _map_fixups(dt, path=()):
+    """(field path, converter) pairs for Arrow map values: RecordBatch
+    .to_pylist() yields maps as [(k, v), ...] pair lists, while the
+    encoder's map node expects a dict (sorted(v) / v[k]). Structs come
+    back as dicts already (v[name] works); arrays as lists."""
+    import pyarrow as pa
+
+    out = []
+    if pa.types.is_map(dt):
+        out.append((path, dict))
+    elif pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        for sub_path, conv in _map_fixups(dt.value_type, path + ("*",)):
+            out.append((sub_path, conv))
+    elif pa.types.is_struct(dt):
+        for f in dt:
+            out.extend(_map_fixups(f.type, path + (f.name,)))
+    return out
+
+
+def _apply_fixup(value, path, conv):
+    if value is None:
+        return None
+    if not path:
+        return conv(value)
+    head, rest = path[0], path[1:]
+    if head == "*":
+        return [_apply_fixup(x, rest, conv) for x in value]
+    value = dict(value)
+    value[head] = _apply_fixup(value.get(head), rest, conv)
+    return value
+
+
+class AvroWriter(DataSourceArrowWriter):
     """Two-phase commit, same discipline as tsvcorpus: tasks write
     private temps; the driver renames into place only when every task
-    succeeded."""
+    succeeded.
+
+    Arrow-batched (r10 optimization round, guide §4): rows used to
+    arrive one unpickled Row at a time; DataSourceArrowWriter hands the
+    task whole RecordBatches, and ``to_pylist()`` (a C-level column→
+    row transpose) feeds the unchanged byte-exact encoder."""
 
     def __init__(self, options, overwrite: bool, schema):
         self.path = options.get("path")
@@ -770,9 +872,24 @@ class AvroWriter(DataSourceWriter):
         tmpdir = os.path.join(self.path, "_temporary")
         os.makedirs(tmpdir, exist_ok=True)
         temp = os.path.join(tmpdir, f"part-{uuid.uuid4().hex}.avro.tmp")
-        n = write_avro_file(
-            temp, iterator, self.avro_schema, codec=self.codec
-        )
+
+        def rows():
+            fixups = None
+            for batch in iterator:
+                if fixups is None:
+                    fixups = [
+                        ((f.name,) + p, conv)
+                        for f in batch.schema
+                        for p, conv in _map_fixups(f.type, ())
+                    ]
+                recs = batch.to_pylist()
+                if fixups:
+                    for r in recs:
+                        for p, conv in fixups:
+                            r[p[0]] = _apply_fixup(r[p[0]], p[1:], conv)
+                yield from recs
+
+        n = write_avro_file(temp, rows(), self.avro_schema, codec=self.codec)
         return _PartMsg(temp=temp, rows=n)
 
     def commit(self, messages):
@@ -835,7 +952,7 @@ class AvroDataSource(DataSource):
         return ddl
 
     def reader(self, schema):
-        return AvroReader(self.options)
+        return AvroReader(self.options, spark_schema=schema)
 
     def writer(self, schema, overwrite: bool):
         return AvroWriter(self.options, overwrite, schema)

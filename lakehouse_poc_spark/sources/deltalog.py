@@ -1242,14 +1242,11 @@ class DeltaLogWriter:
                     )
         return out
 
-    def _check_constraints(self, df: DataFrame) -> None:
-        """Writer-side enforcement (the spec makes this MANDATORY for
-        writers that see delta.constraints.*): reject the whole batch
-        if any row evaluates a constraint to FALSE (SQL CHECK
-        semantics: NULL passes). One pass computes every violation
-        count together."""
+    def _constraint_exprs(self) -> dict[str, str]:
+        """Writer-floor guard + the table's CHECK constraints (name →
+        SQL expr). Driver-side log replay only — no Spark job."""
         if current_version(self.path) < 0:
-            return
+            return {}
         state = _replay(self.path, None)
         # writer-floor guard (spec: a writer MUST refuse tables whose
         # minWriterVersion exceeds what it implements — this writer
@@ -1274,11 +1271,32 @@ class DeltaLogWriter:
                 f"{sorted(_WRITER_FEATURES_SUPPORTED)}"
             )
         cfg = (state["metaData"] or {}).get("configuration") or {}
-        constraints = {
+        return {
             k.removeprefix("delta.constraints."): v
             for k, v in cfg.items()
             if k.startswith("delta.constraints.")
         }
+
+    @staticmethod
+    def _raise_violations(constraints: dict[str, str], counts) -> None:
+        """SQL CHECK semantics: NULL passes; any FALSE row rejects the
+        whole batch."""
+        bad = {n: int(counts[n] or 0) for n in constraints if counts[n]}
+        if bad:
+            raise DeltaLogError(
+                f"CHECK constraint violation, batch rejected: "
+                + ", ".join(
+                    f"{n} ({constraints[n]}): {c} rows"
+                    for n, c in bad.items()
+                )
+            )
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Writer-side enforcement (the spec makes this MANDATORY for
+        writers that see delta.constraints.*): reject the whole batch
+        if any row evaluates a constraint to FALSE. One pass computes
+        every violation count together."""
+        constraints = self._constraint_exprs()
         if not constraints:
             return
         from pyspark.sql import functions as F
@@ -1293,15 +1311,46 @@ class DeltaLogWriter:
                 for name, expr in constraints.items()
             ]
         ).collect()[0]
-        bad = {n: int(counts[n] or 0) for n in constraints if counts[n]}
-        if bad:
-            raise DeltaLogError(
-                f"CHECK constraint violation, batch rejected: "
-                + ", ".join(
-                    f"{n} ({constraints[n]}): {c} rows"
-                    for n, c in bad.items()
-                )
-            )
+        self._raise_violations(constraints, counts)
+
+    def _stage_checked(self, df: DataFrame) -> list[dict]:
+        """Constraint-checked staging in ONE Spark job: the violation
+        counts ride the staging write as Observation metrics instead
+        of a separate full agg pass over the batch (r10 optimization
+        round — the old check-then-stage shape scanned every batch
+        twice; at 100 TB that is a whole extra pass per commit). The
+        batch-rejection contract is unchanged: staged files are
+        invisible until _commit, so on violation they are deleted and
+        the same DeltaLogError raises — no partial state, same
+        message. Expects generated columns already applied; metrics
+        evaluate on the LOGICAL schema (before column mapping),
+        exactly like the old pre-stage check."""
+        constraints = self._constraint_exprs()
+        if not constraints:
+            return self._stage(self._to_physical(df))
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(expr), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(name)
+                for name, expr in constraints.items()
+            ],
+        )
+        adds = self._stage(self._to_physical(df))
+        try:
+            self._raise_violations(constraints, obs.get)
+        except DeltaLogError:
+            for a in adds:  # rejected whole: un-stage the batch
+                (self.path / a["add"]["path"]).unlink(missing_ok=True)
+            raise
+        return adds
 
     def _stage_partitioned(self, df: DataFrame, spec: list[str]) -> list[dict]:
         """Stage a partitioned write the way the spec stores it: data
@@ -1424,8 +1473,7 @@ class DeltaLogWriter:
         if current_version(self.path) < 0:
             return self.create(df)
         df = self._apply_generated(df)
-        self._check_constraints(df)
-        adds = self._stage(self._to_physical(df))
+        adds = self._stage_checked(df)
         for attempt in range(max_retries + 1):
             v_try = current_version(self.path) + 1
             try:
@@ -1467,8 +1515,7 @@ class DeltaLogWriter:
         if txn_version <= seen:
             return None  # already applied: exactly-once replay
         df = self._apply_generated(df)
-        self._check_constraints(df)
-        adds = self._stage(self._to_physical(df)) + [marker]
+        adds = self._stage_checked(df) + [marker]
         # same optimistic retry as append(), with one extra re-check:
         # a winner may BE this txn (another worker of the same app) —
         # re-consult the ledger before every retry so the replay stays
@@ -1494,8 +1541,7 @@ class DeltaLogWriter:
         if current_version(self.path) < 0:
             return self.create(df)
         df = self._apply_generated(df)
-        self._check_constraints(df)
-        df = self._to_physical(df)
+        adds = self._stage_checked(df)
         state = _replay(self.path, None)
         now = int(time.time() * 1000)
         removes = [
@@ -1508,7 +1554,7 @@ class DeltaLogWriter:
             }
             for f in state["files"]
         ]
-        return self._commit(removes + self._stage(df), "WRITE")
+        return self._commit(removes + adds, "WRITE")
 
     def delete_where_dv(self, predicate) -> dict:
         """Merge-on-read DELETE via the spec's deletionVectors table
