@@ -51,7 +51,13 @@ def upsert_hourly_rollup(
     """Merge one batch of events into the hourly rollup ``table``."""
     dims = list(dims or [])
     part = _partial(batch, ts_col, dims, value_col)
+    cached = None
     if wh.table_exists(table):
+        # the partial aggregate feeds BOTH the affected-days collect
+        # and the merge write — persist it so the batch is aggregated
+        # once, not twice (r10 optimization round, guide §1.2; the
+        # relation is rollup-sized: |hours × dims|, never batch-sized)
+        cached = part = part.persist()
         # affected day partitions only: a bounded driver-side list (days
         # present in the batch), used for partition-pruned reads
         days = [r["day"] for r in part.select("day").distinct().collect()]
@@ -64,9 +70,13 @@ def upsert_hourly_rollup(
                 F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
             )
         )
-    wh.overwrite_partitions(
-        part.select("hour", *dims, "n_events", "sum_value", "day"), table, ["day"]
-    )
+    try:
+        wh.overwrite_partitions(
+            part.select("hour", *dims, "n_events", "sum_value", "day"), table, ["day"]
+        )
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def read_rollup(wh: Warehouse, table: str, dims: list[str] | None = None) -> DataFrame:

@@ -1530,7 +1530,15 @@ def ewma_backtest_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TYPE graph — a bounded dimension domain. Worst case is the simple-
 # path count of a dense type graph; domains past ~10² types should
 # use operators/graph.py's iterative min-label closure instead.
-_REACH_SQL = """
+# Shared CTE text: the oracle derives `edges` inline from events; the
+# Spark side derives THE SAME relation as a DataFrame once,
+# checkpoints it (≤ |types|² rows) and feeds it to the identical
+# recursive body through a temp view — Spark INLINES non-recursive
+# CTEs, so the inline form re-ran the event-scale lag window + DISTINCT
+# on every recursion step (measured: 77 Spark jobs, ~5 s; DuckDB
+# materializes the CTE so its cost model never saw the problem).
+# r10 optimization round, guide §2.4/§1.2.
+_TRANSITION_EDGES_SQL = """
     WITH RECURSIVE seq AS (
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1542,6 +1550,9 @@ _REACH_SQL = """
         FROM seq
         WHERE prev_type IS NOT NULL AND prev_type <> event_type
     ),
+"""
+
+_REACH_BODY = """
     reach AS (
         SELECT src, dst, 1 AS hops,
                '|' || src || '|' || dst || '|' AS path
@@ -1566,11 +1577,41 @@ _REACH_SQL = """
     ORDER BY src_type, dst_type
 """
 
+_REACH_SQL = _TRANSITION_EDGES_SQL + _REACH_BODY
+
+
+def _transition_edges_view(spark: SparkSession, sf_dir: str, view: str) -> None:
+    """Materialize the event-type transition edge relation (the
+    seq/edges CTE pair of _TRANSITION_EDGES_SQL, expression-for-
+    expression) once, eagerly, into ``view``."""
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # bounded: ≤ |event types|² rows
+    )
+    edges.createOrReplaceTempView(view)
+
 
 @query("reachability_event_types", oracle=_REACH_SQL)
 def reachability_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_REACH_SQL)
+    _transition_edges_view(spark, sf_dir, "reach_edges")
+    return spark.sql(
+        "WITH RECURSIVE edges AS (SELECT src, dst FROM reach_edges),"
+        + _REACH_BODY
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1584,18 +1625,7 @@ def reachability_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lag window derives the edges; everything after runs on the
 # #types-sized dimension graph. Identical SQL text on both engines
 # (Spark 4 WITH RECURSIVE), the repo's shared-constant discipline.
-_SCC_SQL = """
-    WITH RECURSIVE seq AS (
-        SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_type
-        FROM events
-    ),
-    edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst
-        FROM seq
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ),
+_SCC_BODY = """
     reach AS (
         SELECT src, dst, 1 AS hops,
                '|' || src || '|' || dst || '|' AS path
@@ -1629,11 +1659,16 @@ _SCC_SQL = """
     ORDER BY event_type
 """
 
+_SCC_SQL = _TRANSITION_EDGES_SQL + _SCC_BODY
+
 
 @query("scc_event_types", oracle=_SCC_SQL)
 def scc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_SCC_SQL)
+    _transition_edges_view(spark, sf_dir, "scc_edges")
+    return spark.sql(
+        "WITH RECURSIVE edges AS (SELECT src, dst FROM scc_edges),"
+        + _SCC_BODY
+    )
 
 
 # ---------------------------------------------------------------------------

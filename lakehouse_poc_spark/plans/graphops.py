@@ -1325,7 +1325,7 @@ def ktruss_edges_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARTIC_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def _artic_sql() -> str:
+def _artic_sql(sym_view: str | None = None) -> str:
     variants = []
     for x in ["__none__"] + _ARTIC_TYPES:
         suffix = "full" if x == "__none__" else x
@@ -1356,7 +1356,20 @@ def _artic_sql() -> str:
                  > (SELECT n_comp FROM comp_full) AS is_articulation"""
         for x in _ARTIC_TYPES
     )
-    return f"""
+    # Spark inlines non-recursive CTEs, so the inline seq/edges/sym
+    # header re-ran the event-scale lag window inside every one of the
+    # six recursive closures; ``sym_view`` lets the Spark side feed a
+    # MATERIALIZED (≤ 2·|types|²-row) symmetric edge relation to the
+    # identical variant SQL instead (r10 optimization round). The
+    # oracle keeps the self-contained inline form — same relation by
+    # construction.
+    if sym_view is not None:
+        header = f"""
+    WITH RECURSIVE sym AS (
+        SELECT u, v FROM {sym_view}
+    ),"""
+    else:
+        header = """
     WITH RECURSIVE seq AS (
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
@@ -1370,7 +1383,8 @@ def _artic_sql() -> str:
     sym AS (
         SELECT src AS u, dst AS v FROM edges
         UNION SELECT dst AS u, src AS v FROM edges
-    ),{",".join(variants)}
+    ),"""
+    return f"""{header}{",".join(variants)}
     SELECT * FROM ({rows}) ORDER BY node
     """
 
@@ -1379,7 +1393,11 @@ def _artic_sql() -> str:
 def articulation_points_event_types(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    read_parquet_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "events"
-    )
-    return spark.sql(_artic_sql())
+    from .eventops import _transition_edges_view
+
+    _transition_edges_view(spark, sf_dir, "artic_edges")
+    spark.sql(
+        """SELECT src AS u, dst AS v FROM artic_edges
+           UNION SELECT dst AS u, src AS v FROM artic_edges"""
+    ).localCheckpoint(eager=True).createOrReplaceTempView("artic_sym")
+    return spark.sql(_artic_sql(sym_view="artic_sym"))

@@ -789,18 +789,7 @@ def croston_demand_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical recursive-CTE BFS on both engines (Spark 4 recursive CTE;
 # node domain is the handful of event types — evidence-sized edges,
 # never the raw fact table).
-_ECC_SQL = """
-    WITH RECURSIVE seq AS (
-        SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS prev_type
-        FROM events
-    ),
-    edges AS (
-        SELECT DISTINCT prev_type AS src, event_type AS dst
-        FROM seq
-        WHERE prev_type IS NOT NULL AND prev_type <> event_type
-    ),
+_ECC_BODY = """
     reach AS (
         SELECT src, dst, 1 AS hops FROM edges
         UNION ALL
@@ -826,11 +815,24 @@ _ECC_SQL = """
     ORDER BY node
 """
 
+# oracle = inline self-contained form; Spark feeds the identical body
+# a MATERIALIZED edge view (Spark inlines non-recursive CTEs, so the
+# inline form re-ran the event-scale lag window once per recursion
+# step — the reachability_event_types finding, r10 optimization round)
+from .eventops import _TRANSITION_EDGES_SQL  # noqa: E402
+
+_ECC_SQL = _TRANSITION_EDGES_SQL + _ECC_BODY
+
 
 @query("eccentricity_event_types", oracle=_ECC_SQL)
 def eccentricity_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ECC_SQL)
+    from .eventops import _transition_edges_view
+
+    _transition_edges_view(spark, sf_dir, "ecc_edges")
+    return spark.sql(
+        "WITH RECURSIVE edges AS (SELECT src, dst FROM ecc_edges),"
+        + _ECC_BODY
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1073,6 +1073,14 @@ def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # The phrase relation is the ONLY consumer of the tokenize+window
+    # subtree (r10 optimization round, guide §1.2): the old plan
+    # re-joined ns onto ph for both the word-stat and phrase-score
+    # passes, re-running the scan + posexplode + row_number window
+    # three times. A phrase's tokens ARE split(phrase, ' ') — tokens
+    # come from a \s+ split so none contains a space — so both passes
+    # derive from ph alone (persisted: evaluated once, reused twice),
+    # and the corpus-sized ns/window subtree runs exactly once.
     ph = ns.groupBy("doc_id", "grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("plen"),
         F.array_join(
@@ -1082,14 +1090,14 @@ def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("phrase"),
+    ).persist()
+    ph_tok = ph.select(
+        "doc_id", "grp", "phrase", "plen",
+        F.explode(F.split(F.col("phrase"), " ")).alias("t"),
     )
-    wstat = (
-        ns.join(ph, ["doc_id", "grp"])
-        .groupBy("t")
-        .agg(
-            F.sum("plen").cast("bigint").alias("deg"),
-            F.count(F.lit(1)).cast("bigint").alias("freq"),
-        )
+    wstat = ph_tok.groupBy("t").agg(
+        F.sum("plen").cast("bigint").alias("deg"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
     )
     term = wstat.select(
         "t",
@@ -1098,8 +1106,7 @@ def rake_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tm"),
     )
     pscore = (
-        ns.join(ph, ["doc_id", "grp"])
-        .join(term, "t")
+        ph_tok.join(term, "t")
         .groupBy("doc_id", "grp", "phrase", "plen")
         .agg(F.sum("tm").cast("bigint").alias("sm"))
     )
