@@ -495,7 +495,7 @@ def connected_components(
     edges = (
         p.union(p.select(F.col("dst"), F.col("src")))
         .distinct()
-        .localCheckpoint(eager=True)  # reused every round
+        .localCheckpoint(eager=False)  # the count below materializes it
     )
     n_edges = edges.count()
     if n_edges <= driver_threshold:
@@ -527,7 +527,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # round 1's changed-count materializes it
     )
     for _ in range(max_iter):
         hopped = labels
@@ -542,7 +542,7 @@ def connected_components(
             )
         stepped = labels.join(
             hopped.withColumnRenamed("label", "new_label"), "id"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # the changed-count materializes it
         changed = stepped.filter(F.col("new_label") < F.col("label")).count()
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if changed == 0:

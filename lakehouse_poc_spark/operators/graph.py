@@ -167,7 +167,11 @@ def pagerank_int(
             )
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: no mid-loop job — the RDD boundary still bounds
+            # plan depth, and the final action materializes the chain
+            # (r10 optimization round: each eager cadence checkpoint
+            # was a full extra job)
+            ranks = ranks.localCheckpoint(eager=False)
 
     out = ranks.select(
         "node",
@@ -324,8 +328,9 @@ def hits_int(
                 )
             )
             if (it + 1) % checkpoint_every == 0 or it + 1 == iterations:
-                auths = auths.localCheckpoint(eager=True)
-                hubs = hubs.localCheckpoint(eager=True)
+                # lazy (see pagerank): materialized by the final action
+                auths = auths.localCheckpoint(eager=False)
+                hubs = hubs.localCheckpoint(eager=False)
         return (
             nodes.join(auths.withColumnRenamed("as_", "auth_scaled"), "node")
             .join(hubs.withColumnRenamed("hs", "hub_scaled"), "node")
@@ -517,7 +522,7 @@ def label_propagation(
             und.select(F.col("u").alias("node"))
             .distinct()
             .withColumn("label", F.col("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by round 1's action
         )
         cadence = 1 if converge else max(1, checkpoint_every)
         for it in range(iters):
@@ -538,7 +543,10 @@ def label_propagation(
                 .select("node", F.col("__w.label").alias("label"))
             )
             if (it + 1) % cadence == 0 or it + 1 == iters:
-                new_labels = new_labels.localCheckpoint(eager=True)
+                # lazy: the converge count (a full inner-join scan) or
+                # the caller's final action materializes it — one job
+                # per round instead of two (r10 optimization round)
+                new_labels = new_labels.localCheckpoint(eager=False)
             if converge:
                 changed = (
                     new_labels.alias("n")
@@ -602,13 +610,13 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the count below
     )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by its first full action
     )
     if e0.count() <= driver_threshold:
         try:  # Arrow batch transfer (PySpark 4+) — ~10× the pickle path
@@ -755,7 +763,7 @@ def k_core(
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
             .filter(F.col("deg") >= k)
             .select(F.col("u").alias("node"), "deg")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # the count materializes it
         )
         n_alive = alive.count()
         for _ in range(max_rounds - 1):
@@ -766,7 +774,7 @@ def k_core(
                 .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
                 .filter(F.col("deg") >= k)
                 .select(F.col("u").alias("node"), "deg")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # the count materializes it
             )
             n_nxt = nxt.count()
             done = n_nxt == n_alive
@@ -815,7 +823,7 @@ def k_truss(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # the count materializes it
     )
     n_cur = cur.count()
     out = None
@@ -869,7 +877,7 @@ def k_truss(
                 .alias("support"),
             )
             .filter(F.col("support") >= k - 2)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # the count materializes it
         )
         n_nxt = sup.count()
         done = n_nxt == n_cur
@@ -946,7 +954,7 @@ def sssp(
                 dist.unionByName(relaxed)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # fp()'s agg materializes it
             )
             nfp = fp(nxt)
             done = nfp == cur
