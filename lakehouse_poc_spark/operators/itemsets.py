@@ -56,6 +56,7 @@ def frequent_pairs(
     item_col: str,
     minsup: int = 2,
     max_basket: int | None = None,
+    _relation: DataFrame | None = None,
 ) -> DataFrame:
     """Frequent item pairs with support, confidence and lift.
 
@@ -64,7 +65,14 @@ def frequent_pairs(
     confidence = pair_cnt / supp_a (P(b | a)),
     lift = pair_cnt · n_baskets / (supp_a · supp_b).
     """
-    b = _basket_relation(baskets, basket_col, item_col, max_basket).persist()
+    # ``_relation``: a prebuilt (__bk, __it) relation — the triple pass
+    # shares ONE deduped basket relation across both passes instead of
+    # re-shuffling the corpus-sized distinct twice (r10 optimization)
+    b = (
+        _relation
+        if _relation is not None
+        else _basket_relation(baskets, basket_col, item_col, max_basket)
+    ).persist()
     try:
         n_baskets = b.select("__bk").distinct().count()
         supp = (
@@ -140,10 +148,13 @@ def frequent_triples(
     worst-case intermediate is (baskets × frequent-pairs-per-basket),
     never basket-size³. The frequent-pair relation is minsup-pruned
     and broadcast-eligible."""
+    b = _basket_relation(
+        baskets, basket_col, item_col, max_basket
+    ).localCheckpoint(eager=False)  # materialized by the pair pass's count
     l2 = frequent_pairs(
-        baskets, basket_col, item_col, minsup=minsup, max_basket=max_basket
+        baskets, basket_col, item_col, minsup=minsup,
+        max_basket=max_basket, _relation=b,
     ).select("item_a", "item_b")
-    b = _basket_relation(baskets, basket_col, item_col, max_basket)
     pa = b.select("__bk", F.col("__it").alias("item_a"))
     pb = b.select("__bk", F.col("__it").alias("item_b"))
     pc = b.select("__bk", F.col("__it").alias("item_c"))

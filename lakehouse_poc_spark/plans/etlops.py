@@ -36,7 +36,22 @@ from .tpch import sql_dsum
 
 T1 = "2024-01-01 00:00:00"
 T2 = "2024-01-02 00:00:00"
-SCRATCH = Path("/root/repo/.scratch")
+# Scratch root for per-run demo tables: tmpfs where available (the
+# same non-durable-ephemeral argument as the streaming scratch in
+# streaming/windows.py — every table here is rebuilt from parquet
+# inputs each run, so durability buys nothing and disk I/O is pure
+# overhead; r10 optimization round). Env-overridable; falls back to
+# the repo-local dir on machines without /dev/shm.
+import os as _os
+
+SCRATCH = Path(
+    _os.environ.get(
+        "SPARK_GRAFT_BATCH_SCRATCH",
+        "/dev/shm/lakehouse_batch_scratch"
+        if Path("/dev/shm").is_dir()
+        else "/root/repo/.scratch",
+    )
+)
 
 CUST_CFG = PipelineConfig(
     name="cust",
@@ -2560,37 +2575,56 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_parquet_table(spark, sf_dir, "orders")
     wh = _fresh_wh(spark, f"gdpr_{Path(sf_dir).name}")
     tc, to = "pii.customer", "pii.orders"
-    wh.append(cust.repartition(4), tc)
-    wh.append(orders.repartition(4), to)
-    before_c, before_o = wh.read(tc).count(), wh.read(to).count()
-    n_subjects_c = wh.delete_where_dv(tc, F.col("c_custkey") % 97 == 0)[
-        "rows_deleted"
-    ]
-    wh.delete_where_dv(to, F.col("o_custkey") % 97 == 0)
-    # merge-on-read: the DV applies at read time (read_mor);
-    # compact_purge_dv is the later physical-erasure step
-    after_c = wh.read_mor(tc)
-    after_o = wh.read_mor(to)
-    subjects_o = (
-        orders.filter(F.col("o_custkey") % 97 == 0)
-        .select("o_custkey")
-        .distinct()
-        .count()
-    )
-    orphans = (
-        after_o.join(
-            after_c.select(F.col("c_custkey").alias("o_custkey")),
-            "o_custkey",
-            "left_anti",
+    # the two tables' lifecycles are independent end to end — land,
+    # count, and DV-delete them concurrently (guide §2.6 overlap;
+    # r10 optimization round: the audit ran ~10 dependent-free actions
+    # strictly sequentially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(lambda: wh.append(cust.repartition(4), tc))
+        fo = pool.submit(lambda: wh.append(orders.repartition(4), to))
+        fc.result(), fo.result()
+        bc = pool.submit(lambda: wh.read(tc).count())
+        bo = pool.submit(lambda: wh.read(to).count())
+        before_c, before_o = bc.result(), bo.result()
+        dc = pool.submit(
+            lambda: wh.delete_where_dv(tc, F.col("c_custkey") % 97 == 0)
         )
-        # orders legitimately reference customers above the fixture's
-        # customer-key range; orphans here = erased-but-still-referenced
-        .filter(F.col("o_custkey") % 97 == 0)
-        .count()
-    )
+        do = pool.submit(
+            lambda: wh.delete_where_dv(to, F.col("o_custkey") % 97 == 0)
+        )
+        n_subjects_c = dc.result()["rows_deleted"]
+        do.result()
+        # merge-on-read: the DV applies at read time (read_mor);
+        # compact_purge_dv is the later physical-erasure step
+        after_c = wh.read_mor(tc)
+        after_o = wh.read_mor(to)
+        fsub = pool.submit(
+            lambda: orders.filter(F.col("o_custkey") % 97 == 0)
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        forph = pool.submit(
+            lambda: after_o.join(
+                after_c.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            )
+            # orders legitimately reference customers above the
+            # fixture's customer-key range; orphans here =
+            # erased-but-still-referenced
+            .filter(F.col("o_custkey") % 97 == 0)
+            .count()
+        )
+        fac = pool.submit(after_c.count)
+        fao = pool.submit(after_o.count)
+        subjects_o, orphans = fsub.result(), forph.result()
+        after_c_n, after_o_n = fac.result(), fao.result()
     rows = [
-        ("customer", before_c, after_c.count(), int(n_subjects_c), 0),
-        ("orders", before_o, after_o.count(), subjects_o, orphans),
+        ("customer", before_c, after_c_n, int(n_subjects_c), 0),
+        ("orders", before_o, after_o_n, subjects_o, orphans),
     ]
     return spark.createDataFrame(
         rows,

@@ -26,6 +26,12 @@ from ..operators.similarity import brute_force_topk, hyperplanes, ivf_topk, lsh_
 from ..sources.readers import read_parquet_table
 from . import query
 
+
+def _batch_scratch():
+    from .etlops import SCRATCH
+
+    return SCRATCH
+
 EMB_DIM = 64
 
 
@@ -2502,7 +2508,7 @@ def ann_index_maintained_embeddings(
     from ..sinks.warehouse import Warehouse
 
     emb = _t(spark, sf_dir, "embeddings")
-    root = Path("/root/repo/.scratch") / f"annidx_{Path(sf_dir).name}"
+    root = _batch_scratch() / f"annidx_{Path(sf_dir).name}"
     if root.exists():
         shutil.rmtree(root)
     wh = Warehouse(spark, str(root))
@@ -2839,7 +2845,7 @@ def ann_recall_after_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.warehouse import Warehouse
 
     emb = _t(spark, sf_dir, "embeddings")
-    root = Path("/root/repo/.scratch") / f"anndecay_{Path(sf_dir).name}"
+    root = _batch_scratch() / f"anndecay_{Path(sf_dir).name}"
     if root.exists():
         shutil.rmtree(root)
     wh = Warehouse(spark, str(root))
@@ -3140,7 +3146,7 @@ def ann_hnsw_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.warehouse import Warehouse
 
     emb = _t(spark, sf_dir, "embeddings")
-    root = Path("/root/repo/.scratch") / f"hnswidx_{Path(sf_dir).name}"
+    root = _batch_scratch() / f"hnswidx_{Path(sf_dir).name}"
     if root.exists():
         shutil.rmtree(root)
     wh = Warehouse(spark, str(root))
