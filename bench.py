@@ -748,7 +748,21 @@ def _diff_previous(
 
     def _flag(name: str, cur: float, p: float, basis: str) -> None:
         cur_norm = round(cur / load, 3) if load > 0 else cur
-        if p > 0 and cur_norm / p > 1.3 and cur_norm - p > 0.5:
+        # A real plan regression shows in BOTH the raw and the
+        # anchor-normalized ratio: under a slow window (load > 1) raw
+        # over-states and the normalized ratio filters it; under a
+        # FAST window (load < 1) the scalar anchor over-corrects heavy
+        # shuffle queries (they do not speed up proportionally with
+        # ambient idleness) and the normalized ratio alone
+        # manufactured flags on untouched queries (r10 optimization
+        # round: load 0.576 flagged q4/record_linkage/kcore whose raw
+        # numbers had IMPROVED). Require both ratios.
+        if (
+            p > 0
+            and cur_norm / p > 1.3
+            and cur / p > 1.3
+            and cur_norm - p > 0.5
+        ):
             out[name] = {
                 "prev": p,
                 "cur": cur,

@@ -1123,3 +1123,23 @@ def test_vacuum_reclaims_aborted_append_orphans(spark, tmp_path):
     res = w1.vacuum(retention_ms=0, force=True)
     assert res["files_removed"] >= 1
     assert sorted(r.id for r in read_delta(spark, p).collect()) == [1]
+
+
+def test_rejected_batch_unstages_its_files(spark, tmp_path):
+    """r10 optimization: constraint checks ride the staging write as
+    Observation metrics (one pass). A rejected batch must still leave
+    ZERO footprint — same live rows AND no orphan staged parquet in
+    the table dir (the old check-then-stage order never staged; the
+    new stage-then-check order must clean up)."""
+    p = tmp_path / "t"
+    w = DeltaLogWriter(spark, p)
+    w.create(_df(spark, [(1, "a"), (2, "b")]))
+    w.set_check_constraint("id_positive", "id > 0")
+    files_before = sorted(f.name for f in p.glob("*.parquet"))
+    with pytest.raises(DeltaLogError, match="id_positive"):
+        w.append(_df(spark, [(-5, "x")]))
+    assert sorted(f.name for f in p.glob("*.parquet")) == files_before
+    assert read_delta(spark, p).count() == 2
+    # and the writer still works after the rejection
+    w.append(_df(spark, [(7, "g")]))
+    assert read_delta(spark, p).count() == 3
