@@ -1,6 +1,7 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE JSON line (the last and only stdout line — the driver
+parses the final line, so the per-query map must ride it):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall time of the headline query set (each query
@@ -589,19 +590,6 @@ def main() -> None:
         medians[name] = round(sorted(attempts)[len(attempts) // 2], 3)
     total = round(sum(timings.values()), 3)
     total_med = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_med": medians,
-                "anchor": anchor,
-                "sf": sf,
-            }
-        )
-    )
     # Isolated re-timing of the slowest queries (VERDICT r6 task 1):
     # suite-position contention (page-cache state, JVM GC pressure from
     # the 100+ preceding queries) swings the heavy dedup/similarity
@@ -659,10 +647,14 @@ def main() -> None:
     for row in families.values():
         row["sec"] = round(row["sec"], 3)
     families = dict(sorted(families.items()))
-    # The driver records only the last 2000 chars of stdout; the full
-    # line above is ~5k chars, so its leading totals get truncated
-    # (seen in BENCH_r05.json). Print a compact self-describing summary
-    # LAST so the tail always carries the headline numbers.
+    # ONE JSON line, carrying the per-query map (r10 VERDICT task 1):
+    # the driver parses the LAST stdout line only, and through r10 the
+    # per-query `queries` map rode a separate first line — so
+    # PERF_r*.json could never build a round-over-round per-query
+    # comparison (`n_common = 0`, `prev/now_bench_ok: false`). Merging
+    # everything into a single final line restores that contract. The
+    # timed region, per-query methodology and every published field are
+    # unchanged — this is output plumbing only.
     print(
         json.dumps(
             {
@@ -671,6 +663,8 @@ def main() -> None:
                 "value_med": total_med,
                 "unit": "sec",
                 "n": len(timings),
+                "queries": timings,
+                "queries_med": medians,
                 "slowest_med": isolated,
                 "slowest_suite_med": {k: medians[k] for k in slowest_names},
                 "regressions": regressions,

@@ -758,29 +758,49 @@ def k_core(
         .persist()
     )
     try:
-        alive = (
+        # DECREMENTAL peel (r11 optimization round, guide §1.2/§2.3):
+        # the r10 shape recomputed every survivor's degree from the
+        # full edge relation each round (two edge-sized joins + an
+        # edge-sized aggregation per round). The peel is monotone, so
+        # the within-subgraph degree can instead be DECREMENTED by the
+        # edges into the (typically tiny) set of nodes dropped in the
+        # previous round: deg_r(u) = deg_{r-1}(u) − |N(u) ∩ dropped|.
+        # Per round the only edge-relation work is one probe of the
+        # cached symmetric edges against the dropped set (AQE
+        # broadcasts it while small); everything else is node-sized.
+        # The fixed point, the termination condition (no node dropped)
+        # and the returned within-core degrees are exactly the r10
+        # values — tests/test_graph.py and the oracle pin that.
+        deg0 = (
             und.groupBy("u")
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-            .filter(F.col("deg") >= k)
             .select(F.col("u").alias("node"), "deg")
-            .localCheckpoint(eager=False)  # the count materializes it
+            .localCheckpoint(eager=False)  # the count below materializes it
         )
-        n_alive = alive.count()
+        alive = deg0.filter(F.col("deg") >= k)
+        dropped = deg0.filter(F.col("deg") < k).select("node")
+        n_dropped = dropped.count()
         for _ in range(max_rounds - 1):
-            nxt = (
-                und.join(alive.select(F.col("node").alias("u")), "u")
-                .join(alive.select(F.col("node").alias("v")), "v")
+            if n_dropped == 0:
+                break
+            dec = (
+                und.join(dropped.withColumnRenamed("node", "v"), "v")
                 .groupBy("u")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-                .filter(F.col("deg") >= k)
-                .select(F.col("u").alias("node"), "deg")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__d"))
+            )
+            nxt = (
+                alive.join(dec, alive.node == dec.u, "left")
+                .select(
+                    "node",
+                    (
+                        F.col("deg") - F.coalesce(F.col("__d"), F.lit(0))
+                    ).alias("deg"),
+                )
                 .localCheckpoint(eager=False)  # the count materializes it
             )
-            n_nxt = nxt.count()
-            done = n_nxt == n_alive
-            alive, n_alive = nxt, n_nxt
-            if done:
-                break
+            alive = nxt.filter(F.col("deg") >= k)
+            dropped = nxt.filter(F.col("deg") < k).select("node")
+            n_dropped = dropped.count()
         return alive
     finally:
         und.unpersist()

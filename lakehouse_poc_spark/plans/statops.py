@@ -2294,10 +2294,43 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 128
     ev = _t(spark, sf_dir, "events")
+    # ONE pass over events (r11 optimization round, guide §1.2): the
+    # original plan scanned the event log four times — the distinct
+    # (type, user) relation, its per-side counts, the exact truth
+    # countDistincts, and the per-user intersection truth. All four are
+    # derivable from one per-user aggregate (nc, np), which is tiny
+    # (one row per user) and checkpointed once; every downstream job
+    # reads it instead of the log. Results are bit-identical: the
+    # distinct pair set, the hash, the rank order and the integer
+    # truths are all reconstructed exactly (countDistinct's
+    # null-exclusion is preserved via the isNotNull guard).
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("nc"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .localCheckpoint(eager=False)  # the counts collect materializes it
+    )
     du = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
+        per_user.select(
+            "user_id",
+            F.explode(
+                F.concat(
+                    F.when(
+                        F.col("nc") > 0, F.array(F.lit("click"))
+                    ).otherwise(F.array().cast("array<string>")),
+                    F.when(
+                        F.col("np") > 0, F.array(F.lit("purchase"))
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            ).alias("event_type"),
+        )
         .select("event_type", "user_id")
-        .distinct()
         .withColumn(
             "h",
             (F.col("user_id") * F.lit(2654435761) + F.lit(12345))
@@ -2367,30 +2400,26 @@ def kmv_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("m"))
         .crossJoin(F.broadcast(tmin))
     )
-    truth = ev.agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
+    # truth re-derived from the shared per-user aggregate: true_clicks
+    # was COUNT(DISTINCT user_id) over click rows — i.e. the number of
+    # NON-NULL users with nc > 0 (countDistinct skips nulls; the
+    # groupBy's null group is guarded out to match). true_both counted
+    # the per-user groups with both sides > 0 INCLUDING a null group,
+    # exactly as the original groupBy+filter+count did.
+    truth = per_user.agg(
+        F.sum(
+            ((F.col("nc") > 0) & F.col("user_id").isNotNull()).cast("long")
         )
         .cast("bigint")
         .alias("true_clicks"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        F.sum(
+            ((F.col("np") > 0) & F.col("user_id").isNotNull()).cast("long")
         )
         .cast("bigint")
         .alias("true_purchases"),
     )
-    both = (
-        ev.groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when(F.col("event_type") == "click", 1).otherwise(0)
-            ).alias("nc"),
-            F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            ).alias("np"),
-        )
-        .filter((F.col("nc") > 0) & (F.col("np") > 0))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("true_both"))
+    both = per_user.filter((F.col("nc") > 0) & (F.col("np") > 0)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_both")
     )
     return (
         truth.crossJoin(F.broadcast(th_c))

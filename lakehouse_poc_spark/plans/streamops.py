@@ -21,6 +21,7 @@ Determinism notes:
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -48,6 +49,7 @@ from ..streaming.windows import (
     stream_events,
     stream_parquet,
     stream_scratch,
+    stream_state_partitions,
     windowed_agg,
 )
 from . import query
@@ -73,7 +75,16 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_agg(
         stream_events(spark, sf_dir), window="1 hour", watermark="2 hours"
     )
-    sunk = run_to_memory(agg, mode="complete")
+    # state partitions derived from source size (guide §2; r11): a
+    # bounded MB-scale replay doesn't need the batch session's shuffle
+    # width — at cluster scale the clamp is a no-op.
+    sunk = run_to_memory(
+        agg,
+        mode="complete",
+        shuffle_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"
+        ),
+    )
     return sunk.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
@@ -109,7 +120,13 @@ def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="2 hours",
         keys=(),
     )
-    sunk = run_to_memory(agg, mode="complete")
+    sunk = run_to_memory(
+        agg,
+        mode="complete",
+        shuffle_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"
+        ),
+    )
     return sunk.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n",
@@ -148,6 +165,9 @@ def stream_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = session_agg(
         stream_events(spark, sf_dir), gap="30 minutes", watermark="2 hours"
     )
+    # no state-partition clamp: session_window merge pays a
+    # per-partition SORT of the input — measured slightly slower at
+    # the clamped width (r11), unlike the hash-agg streams below
     sunk = run_to_memory(agg, mode="complete")
     return (
         sunk.groupBy("user_id")
@@ -186,7 +206,12 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
     )
     deduped = dedup_within_watermark(stream, keys=("event_id",), watermark="1 hour")
-    sunk = run_append_to_parquet(deduped, str(work / "out"), str(work / "ckpt"))
+    sunk = run_append_to_parquet(
+        deduped,
+        str(work / "out"),
+        str(work / "ckpt"),
+        shuffle_partitions=stream_state_partitions(spark, src),
+    )
     return (
         sunk.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
@@ -239,7 +264,14 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
     )
-    sunk = run_append_to_parquet(joined, str(work / "out"), str(work / "ckpt"))
+    sunk = run_append_to_parquet(
+        joined,
+        str(work / "out"),
+        str(work / "ckpt"),
+        shuffle_partitions=stream_state_partitions(
+            spark, f"{sf_dir}/events.parquet"
+        ),
+    )
     return (
         sunk.groupBy(F.col("c_user").alias("user_id"))
         .agg(
@@ -323,7 +355,15 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(out)
 
     run_foreach_batch(
-        running_user_stats(stream), sink, str(work / "ckpt"), output_mode="update"
+        running_user_stats(stream),
+        sink,
+        str(work / "ckpt"),
+        output_mode="update",
+        # NO adaptive state-partition clamp here (r11, measured): the
+        # per-user Python fold in applyInPandasWithState is the real
+        # work — one state partition serialized it onto one worker
+        # (cusum 4.1 s -> 10.2 s). Python-stateful ops need compute
+        # parallelism, not minimal state-commit overhead.
     )
     snapshots = spark.read.parquet(out)
     latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -603,6 +643,53 @@ def stream_dq_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # micro-batch), advancing the watermark over every real row; no-data
 # micro-batches (on by default) then evict and emit the remaining
 # unmatched state. The sentinel user (-1) is filtered from results.
+def _sentinel_staged_events(spark: SparkSession, sf_dir: str, key: str, rows):
+    """Events + watermark-flush sentinel arrival fixture (00_events,
+    then 01_flush 10 days past max event time), staged once per scale
+    factor via cached_fixture — the close-the-books replay three
+    queries previously staged inline per run (max-ts collect + two
+    writes + copy every invocation; r11 optimization round, DISCLOSED
+    per query in OPTIMIZATION_r11.md). ``rows`` maps flush_ts -> the
+    sentinel rows in the RAW fixture schema. Returns (src dir, schema).
+    """
+    import os as _os
+
+    path = f"{sf_dir}/events.parquet"
+    ensure_session_confs(spark)
+    raw = spark.read.parquet(path)
+    schema = raw.schema
+
+    def _build(d: Path) -> None:
+        shutil.copy(path, d / "00_events.parquet")
+        max_ts_row = raw.agg(F.max("ts").alias("m")).first()
+        if isinstance(max_ts_row["m"], int):
+            flush_ts = max_ts_row["m"] + 10 * 24 * 3600 * 1_000_000_000
+        else:
+            flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(
+                days=10
+            )
+        sent_dir = d / "__sentinel_build"
+        spark.createDataFrame(rows(flush_ts), schema).coalesce(1).write.parquet(
+            str(sent_dir)
+        )
+        part = next(
+            p for p in sent_dir.iterdir() if p.name.endswith(".parquet")
+        )
+        target = d / "01_flush.parquet"
+        shutil.copy(part, target)
+        shutil.rmtree(sent_dir)
+        st = _os.stat(d / "00_events.parquet")
+        _os.utime(target, (st.st_atime + 10, st.st_mtime + 10))
+
+    src = cached_fixture(
+        f"{key}_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(path).st_mtime,
+    )
+    return src, schema
+
+
+
 # This is the standard "close the books" pattern for replaying
 # bounded history through an unbounded-stream operator.
 @query(
@@ -623,40 +710,19 @@ def stream_dq_gate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     work = stream_scratch("stream_sslo_")
-    src = work / "in"
-    src.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
-    ensure_session_confs(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    schema = raw.schema
     # Sentinel: one click + one purchase 10 days past max event time,
-    # written in the RAW fixture schema so the stream reader accepts it.
-    max_ts_row = raw.agg(F.max("ts").alias("m")).first()
-    # The raw fixture may encode ts as TIMESTAMP (datetime) or as
-    # nanos-as-long (see normalize_event_ts) — advance 10 days in
-    # whichever domain the raw schema uses.
-    if isinstance(max_ts_row["m"], int):
-        flush_ts = max_ts_row["m"] + 10 * 24 * 3600 * 1_000_000_000
-    else:
-        flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
-    sentinel = spark.createDataFrame(
-        [
+    # written in the RAW fixture schema so the stream reader accepts
+    # it; staged once per SF (see _sentinel_staged_events).
+    src, schema = _sentinel_staged_events(
+        spark,
+        sf_dir,
+        "ssjoin_flush",
+        lambda flush_ts: [
             (-1, flush_ts, -1, "click", 0.0, None),
             (-2, flush_ts, -1, "purchase", 0.0, None),
         ],
-        schema,
     )
-    sent_dir = work / "sentinel"
-    sentinel.coalesce(1).write.parquet(str(sent_dir))
-    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
-    target = src / "01_flush.parquet"
-    shutil.copy(part, target)
-    # Strictly later mtime than the data file → second micro-batch.
-    st = os.stat(src / "00_events.parquet")
-    os.utime(target, (st.st_atime + 10, st.st_mtime + 10))
 
     stream = normalize_event_ts(
         stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
@@ -682,7 +748,12 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
         "left_outer",
     )
-    sunk = run_append_to_parquet(joined, str(work / "out"), str(work / "ckpt"))
+    sunk = run_append_to_parquet(
+        joined,
+        str(work / "out"),
+        str(work / "ckpt"),
+        shuffle_partitions=stream_state_partitions(spark, src),
+    )
     return (
         sunk.filter(F.col("c_user") >= 0)
         .groupBy(F.col("c_user").alias("user_id"))
@@ -770,8 +841,15 @@ def stream_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(out)
 
     run_foreach_batch(
-        running_ewma(stream, lam=0.9), sink, str(work / "ckpt"),
+        running_ewma(stream, lam=0.9),
+        sink,
+        str(work / "ckpt"),
         output_mode="update",
+        # NO adaptive state-partition clamp here (r11, measured): the
+        # per-user Python fold in applyInPandasWithState is the real
+        # work — one state partition serialized it onto one worker
+        # (cusum 4.1 s -> 10.2 s). Python-stateful ops need compute
+        # parallelism, not minimal state-commit overhead.
     )
     snapshots = spark.read.parquet(out)
     latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -807,32 +885,16 @@ def stream_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from ..streaming.stateful import inactive_users
 
     work = stream_scratch("stream_inactive_")
-    src = work / "in"
-    src.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
-    ensure_session_confs(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    schema = raw.schema
-    max_ts_row = raw.agg(F.max("ts").alias("m")).first()
-    if isinstance(max_ts_row["m"], int):
-        flush_ts = max_ts_row["m"] + 10 * 24 * 3600 * 1_000_000_000
-    else:
-        flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
-    sentinel = spark.createDataFrame(
-        [(-1, flush_ts, -1, "click", 0.0, None)], schema
+    # events + single-click flush sentinel, staged once per SF
+    src, schema = _sentinel_staged_events(
+        spark,
+        sf_dir,
+        "inactive_flush",
+        lambda flush_ts: [(-1, flush_ts, -1, "click", 0.0, None)],
     )
-    sent_dir = work / "sentinel"
-    sentinel.coalesce(1).write.parquet(str(sent_dir))
-    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
-    target = src / "01_flush.parquet"
-    shutil.copy(part, target)
-    st = os.stat(src / "00_events.parquet")
-    os.utime(target, (st.st_atime + 10, st.st_mtime + 10))
 
     stream = normalize_event_ts(
         stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
@@ -880,34 +942,17 @@ def stream_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     work = stream_scratch("stream_ssfo_")
-    src = work / "in"
-    src.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", src / "00_events.parquet")
-    ensure_session_confs(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    schema = raw.schema
-    max_ts_row = raw.agg(F.max("ts").alias("m")).first()
-    if isinstance(max_ts_row["m"], int):
-        flush_ts = max_ts_row["m"] + 10 * 24 * 3600 * 1_000_000_000
-    else:
-        flush_ts = max_ts_row["m"] + __import__("datetime").timedelta(days=10)
-    sentinel = spark.createDataFrame(
-        [
+    # same staged sentinel fixture as the left-outer twin
+    src, schema = _sentinel_staged_events(
+        spark,
+        sf_dir,
+        "ssjoin_flush",
+        lambda flush_ts: [
             (-1, flush_ts, -1, "click", 0.0, None),
             (-2, flush_ts, -1, "purchase", 0.0, None),
         ],
-        schema,
     )
-    sent_dir = work / "sentinel"
-    sentinel.coalesce(1).write.parquet(str(sent_dir))
-    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
-    target = src / "01_flush.parquet"
-    shutil.copy(part, target)
-    st = os.stat(src / "00_events.parquet")
-    os.utime(target, (st.st_atime + 10, st.st_mtime + 10))
 
     stream = normalize_event_ts(
         stream_parquet(spark, str(src), schema, max_files_per_trigger=1)
@@ -933,7 +978,12 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 15 MINUTES")),
         "full_outer",
     )
-    sunk = run_append_to_parquet(joined, str(work / "out"), str(work / "ckpt"))
+    sunk = run_append_to_parquet(
+        joined,
+        str(work / "out"),
+        str(work / "ckpt"),
+        shuffle_partitions=stream_state_partitions(spark, src),
+    )
     key = F.coalesce(F.col("c_user"), F.col("p_user"))
     return (
         sunk.filter(key >= 0)
@@ -1314,7 +1364,12 @@ def stream_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("b.doc_id").alias("vid"))
         )
         if Path(band_store).exists():
-            s = spark.read.parquet(band_store).alias("s")
+            # explicit schema: per-batch spark.read.parquet pays a
+            # schema-inference job; the store schema IS the band
+            # relation's schema (r11 optimization round)
+            s = spark.read.schema(bands.schema).parquet(band_store).alias(
+                "s"
+            )
             dropped = dropped.unionByName(
                 s.join(
                     b,
@@ -1328,8 +1383,21 @@ def stream_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ids.join(
             dropped, ids.doc_id == dropped.vid, "left"
         ).select("doc_id", F.col("vid").isNull().alias("kept"))
-        out.write.mode("append").parquet(out_store)
-        bands.write.mode("append").parquet(band_store)
+        # the two appends are independent (disjoint paths; the band
+        # store is only read by the NEXT batch) — overlap them so the
+        # verdict write back-fills the band write's task tail
+        # (guide §2.6; the gdpr/slo pattern from r10)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(
+                lambda: out.write.mode("append").parquet(out_store)
+            )
+            f2 = pool.submit(
+                lambda: bands.write.mode("append").parquet(band_store)
+            )
+            f1.result()
+            f2.result()
         bands.unpersist()
 
     run_foreach_batch(stream, dedup_batch, str(work / "ckpt"))
@@ -1404,6 +1472,11 @@ def stream_cusum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink,
         str(work / "ckpt"),
         output_mode="update",
+        # NO adaptive state-partition clamp here (r11, measured): the
+        # per-user Python fold in applyInPandasWithState is the real
+        # work — one state partition serialized it onto one worker
+        # (cusum 4.1 s -> 10.2 s). Python-stateful ops need compute
+        # parallelism, not minimal state-commit overhead.
     )
     snapshots = spark.read.parquet(out)
     latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -1881,6 +1954,11 @@ def stream_pattern_match_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink,
         str(work / "ckpt"),
         output_mode="update",
+        # NO adaptive state-partition clamp here (r11, measured): the
+        # per-user Python fold in applyInPandasWithState is the real
+        # work — one state partition serialized it onto one worker
+        # (cusum 4.1 s -> 10.2 s). Python-stateful ops need compute
+        # parallelism, not minimal state-commit overhead.
     )
     snapshots = spark.read.parquet(out)
     latest = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -2012,24 +2090,38 @@ def stream_late_data_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
 
     work = stream_scratch("stream_late_")
-    src = work / "in"
-    src.mkdir()
     ev = read_parquet_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
-    mn, mx = ev.agg(
-        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
-    ).collect()[0]
-    c1 = mn + (mx - mn) // 4
-    c2 = mn + (mx - mn) // 2
-    s = F.unix_timestamp("ts")
-    ev.coalesce(1).write.parquet(str(src / "t0"))
-    ev.filter(s < c1).coalesce(1).write.parquet(str(src / "t1"))
-    ev.filter((s >= c1) & (s < c2)).coalesce(1).write.parquet(str(src / "t2"))
-    for i, d in enumerate(("t0", "t1", "t2")):
-        for p in (src / d).glob("part-*"):
-            st = os.stat(p)
-            os.utime(p, (st.st_atime + i * 10, st.st_mtime + i * 10))
+
+    # Deterministic arrival fixture (full replay, then two
+    # progressively-late slices), staged once per scale factor and
+    # shared across runs — the established cached-source discipline
+    # (r5 task 6 / r10); the per-run inline staging paid a min/max
+    # collect plus three single-partition writes on every invocation.
+    # DISCLOSED per-query in OPTIMIZATION_r11.md with the A/B quoted
+    # both with and without the fixture build (r10 VERDICT item 3).
+    def _build(d: Path) -> None:
+        mn, mx = ev.agg(
+            F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+        ).collect()[0]
+        c1 = mn + (mx - mn) // 4
+        c2 = mn + (mx - mn) // 2
+        s = F.unix_timestamp("ts")
+        stage_ordered_batches(
+            d,
+            [
+                ev,
+                ev.filter(s < c1),
+                ev.filter((s >= c1) & (s < c2)),
+            ],
+        )
+
+    src = cached_fixture(
+        f"late_audit_batches_{Path(sf_dir).name}",
+        _build,
+        token=os.stat(f"{sf_dir}/events.parquet").st_mtime,
+    )
     stream = stream_parquet(
         spark, str(src) + "/*/part-*", ev.schema, max_files_per_trigger=1
     )
@@ -2043,7 +2135,16 @@ def stream_late_data_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q = run_foreach_batch(agg, sink, str(work / "ckpt"), output_mode="append")
+    q = run_foreach_batch(
+        agg,
+        sink,
+        str(work / "ckpt"),
+        output_mode="append",
+        # safe with foreachBatch here: the per-batch fn only appends the
+        # already-aggregated window rows; no wide batch compute runs
+        # under the scoped conf
+        shuffle_partitions=stream_state_partitions(spark, src),
+    )
     dropped = 0
     for p in q.recentProgress:
         for op in p["stateOperators"]:
@@ -2387,8 +2488,15 @@ def stream_holt_winters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(snap_store)
 
     run_foreach_batch(
-        running_holt_winters(stream), sink, str(work / "ckpt"),
+        running_holt_winters(stream),
+        sink,
+        str(work / "ckpt"),
         output_mode="update",
+        # NO adaptive state-partition clamp here (r11, measured): the
+        # per-user Python fold in applyInPandasWithState is the real
+        # work — one state partition serialized it onto one worker
+        # (cusum 4.1 s -> 10.2 s). Python-stateful ops need compute
+        # parallelism, not minimal state-commit overhead.
     )
     out = spark.read.parquet(snap_store)
     w = W.partitionBy("user_id").orderBy(F.col("t").desc())
@@ -2919,11 +3027,15 @@ def stream_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
+        nparts = stream_state_partitions(spark, f"{sf_dir}/events.parquet")
         fast_f = pool.submit(
-            run_to_memory, counts(F.window("ts", "1 hour")), "complete"
+            run_to_memory, counts(F.window("ts", "1 hour")), "complete", nparts
         )
         slow_f = pool.submit(
-            run_to_memory, counts(F.window("ts", "6 hours", "1 hour")), "complete"
+            run_to_memory,
+            counts(F.window("ts", "6 hours", "1 hour")),
+            "complete",
+            nparts,
         )
         fast, slow = fast_f.result(), slow_f.result()
     f = fast.select(

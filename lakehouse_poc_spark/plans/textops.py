@@ -1289,6 +1289,14 @@ def heaps_law_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(20,0)")
             .alias("new_tokens"),
         )
+        # one row per doc — tiny. Without this checkpoint the
+        # explode+distinct token pipeline above re-executes for EVERY
+        # downstream action (global_rank's offset collect, global_cumsum's
+        # totals collect, the d_total count, and the two final-action
+        # branches): 5 full corpus tokenizations for one result
+        # (r11 optimization round, guide §1.2 "don't recompute what you
+        # already have"). Lazy: global_rank's collect materializes it.
+        .localCheckpoint(eager=False)
     )
     ranked = global_rank(
         base,

@@ -1587,13 +1587,17 @@ class Warehouse:
         if not self.table_exists(bt):
             return None
         idx = self.read(bt)
-        cfg = idx.select("key_col", "m_bits", "k").limit(1).collect()
-        if not cfg:
+        # ONE metadata collect (r11): cfg and the indexed-file set ride
+        # the same tiny scan — the index has one row per data file, so
+        # splitting this into a limit(1) collect plus a second full
+        # collect paid an extra Spark job for nothing.
+        meta = idx.select("file", "key_col", "m_bits", "k").collect()
+        if not meta:
             return None
-        key_col = cfg[0]["key_col"]
-        m_bits, k = int(cfg[0]["m_bits"]), int(cfg[0]["k"])
+        key_col = meta[0]["key_col"]
+        m_bits, k = int(meta[0]["m_bits"]), int(meta[0]["k"])
         live = {p.name: p for p in self._data_files(table)}
-        indexed = {r["file"] for r in idx.select("file").collect()}
+        indexed = {r["file"] for r in meta}
         removed = sorted(indexed - set(live))
         added = sorted(n for n in live if n not in indexed)
         if not removed and not added:
@@ -1628,27 +1632,27 @@ class Warehouse:
         seen yet (a stale index costs reads, never results). Result
         is identical to the full-scan filter."""
         bt = self._bloom_table(table)
-        idx = self.read(bt)
-        cfg = idx.select("key_col", "m_bits", "k").limit(1).collect()
-        if not cfg or cfg[0]["key_col"] != key_col:
+        # ONE collect of the whole index (r11): it is metadata-sized
+        # (one row per data file; set-bit positions, not data), and the
+        # old shape paid three separate Spark jobs per lookup — cfg
+        # limit(1), the admitted filter, the indexed-file list — on a
+        # table this small the per-job scheduling floor dominated the
+        # lookup. The membership test (all k probe positions present)
+        # moves to driver-side set ops on the same rows; the probe
+        # positions still come from the one-row engine-hash job
+        # (xxhash64 must match build-time bit positions exactly).
+        rows = self.read(bt).collect()
+        if not rows or rows[0]["key_col"] != key_col:
             raise ValueError(
                 f"bloom index of {table!r} is not built on {key_col!r} "
-                f"(indexed: {cfg[0]['key_col'] if cfg else None!r})"
+                f"(indexed: {rows[0]['key_col'] if rows else None!r})"
             )
-        m_bits, k = int(cfg[0]["m_bits"]), int(cfg[0]["k"])
+        m_bits, k = int(rows[0]["m_bits"]), int(rows[0]["k"])
         from ..operators.filestats import bloom_probe_positions
 
-        probes = bloom_probe_positions(self.spark, value, m_bits, k)
-        lit_probes = F.array(*[F.lit(p) for p in probes])
-        admitted = {
-            r["file"]
-            for r in idx.filter(
-                F.size(F.array_except(lit_probes, F.col("bits"))) == 0
-            )
-            .select("file")
-            .collect()
-        }
-        indexed = {r["file"] for r in idx.select("file").collect()}
+        probes = set(bloom_probe_positions(self.spark, value, m_bits, k))
+        admitted = {r["file"] for r in rows if probes <= set(r["bits"])}
+        indexed = {r["file"] for r in rows}
         live = {p.name: p for p in self._data_files(table)}
         to_read = [
             str(p)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +29,33 @@ from ..operators.scd2 import MergeStats, scd2_merge
 from ..sinks.warehouse import Warehouse
 
 
-def run_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` to one bounded streaming
+    run. Stateful operators read the conf at query start and pin it
+    into the checkpoint, so this is the only way to size their state
+    partitioning (AQE cannot: it is disabled in stateful workloads).
+    Callers pass a value derived from the SOURCE size
+    (:func:`..streaming.windows.stream_state_partitions`) — never a
+    constant. Restored on exit; each query here starts a fresh
+    checkpoint, so the scoping cannot leak into another stream."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Run a (typically aggregating) stream to completion into a memory
     sink; returns the sink contents as a batch DataFrame.
 
@@ -38,29 +65,36 @@ def run_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     correctness run.
     """
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(sdf.sparkSession, shuffle_partitions):
+        q = (
+            sdf.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.table(name)
 
 
-def run_append_to_parquet(sdf: DataFrame, sink_dir: str, checkpoint_dir: str) -> DataFrame:
+def run_append_to_parquet(
+    sdf: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Run an append-mode stream (row-wise ops: dedup, filters, maps)
     to completion into a parquet sink; returns the sink as a batch DF."""
-    q = (
-        sdf.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(sdf.sparkSession, shuffle_partitions):
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sdf.sparkSession.read.parquet(sink_dir)
 
 
@@ -69,6 +103,7 @@ def run_foreach_batch(
     fn: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Run a stream to completion, handing each micro-batch to ``fn``.
 
@@ -80,14 +115,15 @@ def run_foreach_batch(
     progress metrics (e.g. ``numRowsDroppedByWatermark`` for the
     late-data audit); existing callers ignore the return value.
     """
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .foreachBatch(fn)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(sdf.sparkSession, shuffle_partitions):
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .foreachBatch(fn)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 

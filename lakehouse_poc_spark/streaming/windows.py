@@ -106,6 +106,47 @@ def cached_fixture(key: str, build, token: object = None) -> Path:
     return d
 
 
+def stream_state_partitions(spark: SparkSession, *paths) -> int:
+    """Scale-adaptive shuffle/state partition count for a BOUNDED
+    file-source stream (guide §2: derive partitioning from input size,
+    never from a constant tuned for one deployment).
+
+    Stateful streaming operators pin their state-store partition count
+    to ``spark.sql.shuffle.partitions`` at first trigger, and AQE
+    cannot coalesce it (AQE is disabled in stateful workloads). With
+    the session default sized for batch work, a megabytes-sized
+    bounded replay pays (partitions × micro-batches) state-store
+    commits and task launches per stateful operator — pure floor. One
+    64 MB-sized partition per source chunk caps that floor while
+    leaving cluster-scale inputs at the configured width: the clamp
+    only ever LOWERS the count (ceil(bytes/64MB), min 1), so at
+    100 TB the formula returns the configured partitioning unchanged.
+
+    ``paths`` are files or directories (globs resolve via rglob); the
+    result is intended for the ``shuffle_partitions`` argument of the
+    streaming runners, scoped to one bounded run.
+    """
+    import math
+
+    total = 0
+    for p in paths:
+        pp = Path(str(p).removeprefix("file://"))
+        # strip a trailing glob component ("/*/part-*") if present
+        while any(ch in pp.name for ch in "*?["):
+            pp = pp.parent
+        if pp.is_dir():
+            total += sum(
+                f.stat().st_size for f in pp.rglob("*") if f.is_file()
+            )
+        elif pp.is_file():
+            total += pp.stat().st_size
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        cur = 200
+    return max(1, min(cur, math.ceil(total / (64 << 20))))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema from a batch
     peek — file streams require an explicit schema; the ns→us cast

@@ -75,7 +75,11 @@ def main() -> None:
         lambda pdf: pdf, "id long"
     ).count()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    plans_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+    )
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:
