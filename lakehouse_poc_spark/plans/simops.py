@@ -2851,39 +2851,63 @@ def ann_recall_after_adds(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, str(root))
     queries = emb.filter(F.col("vec_id") < 8)
 
-    # maintained: build small, freeze centroids, grow ~16x in 4 adds
-    tm = "ann.ivf_decay_maintained"
-    ivf_build_index(
-        emb.filter(F.col("vec_id") >= 468), wh, tm,
-        "embedding", "vec_id", n_centroids=16,
-    )
-    for r in range(4):
-        ivf_index_add(
-            emb.filter((F.col("vec_id") < 468) & (F.col("vec_id") % 4 == r)),
-            wh, tm, "embedding", "vec_id",
-        )
-    # the three retrieval relations are |queries|*k rows (40) and are
-    # each referenced 2-3 times by the recall join tree below —
-    # persist so each path evaluates once, not per branch (r9)
-    maintained = ivf_query_at_rest(
-        wh, tm, queries, vec_col="embedding", id_col="vec_id",
-        query_id_col="vec_id", k=5, nprobe=2,
-    ).select("query_id", "neighbor_id").persist()
-
-    # fresh: retrained quantizer over the full corpus
-    tf = "ann.ivf_decay_fresh"
-    ivf_build_index(emb, wh, tf, "embedding", "vec_id", n_centroids=16)
-    fresh = ivf_query_at_rest(
-        wh, tf, queries, vec_col="embedding", id_col="vec_id",
-        query_id_col="vec_id", k=5, nprobe=2,
-    ).select("query_id", "neighbor_id").persist()
-
     from ..operators.similarity import brute_force_topk
 
-    brute = brute_force_topk(
-        emb, queries, vec_col="embedding", id_col="vec_id",
-        query_id_col="vec_id", k=5,
-    ).select("query_id", "neighbor_id").persist()
+    # The three retrieval paths — maintained index (build + 4 adds +
+    # query), fresh index (build + query) and the exact brute-force
+    # truth — are INDEPENDENT lifecycles on disjoint tables; run them
+    # concurrently so each path's micro-job tails back-fill the others
+    # (guide §2.6; the gdpr/slo pattern — r11 optimization round).
+    # Each relation is |queries|*k rows (40) and referenced 2-3 times
+    # by the recall join tree below, so every path persists AND
+    # materializes inside its thread (r9 persist discipline).
+    def _maintained() -> DataFrame:
+        tm = "ann.ivf_decay_maintained"
+        # build small, freeze centroids, grow ~16x in 4 adds
+        ivf_build_index(
+            emb.filter(F.col("vec_id") >= 468), wh, tm,
+            "embedding", "vec_id", n_centroids=16,
+        )
+        for r in range(4):
+            ivf_index_add(
+                emb.filter(
+                    (F.col("vec_id") < 468) & (F.col("vec_id") % 4 == r)
+                ),
+                wh, tm, "embedding", "vec_id",
+            )
+        out = ivf_query_at_rest(
+            wh, tm, queries, vec_col="embedding", id_col="vec_id",
+            query_id_col="vec_id", k=5, nprobe=2,
+        ).select("query_id", "neighbor_id").persist()
+        out.count()
+        return out
+
+    def _fresh() -> DataFrame:
+        tf = "ann.ivf_decay_fresh"
+        # retrained quantizer over the full corpus
+        ivf_build_index(emb, wh, tf, "embedding", "vec_id", n_centroids=16)
+        out = ivf_query_at_rest(
+            wh, tf, queries, vec_col="embedding", id_col="vec_id",
+            query_id_col="vec_id", k=5, nprobe=2,
+        ).select("query_id", "neighbor_id").persist()
+        out.count()
+        return out
+
+    def _brute() -> DataFrame:
+        out = brute_force_topk(
+            emb, queries, vec_col="embedding", id_col="vec_id",
+            query_id_col="vec_id", k=5,
+        ).select("query_id", "neighbor_id").persist()
+        out.count()
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fm = pool.submit(_maintained)
+        ff = pool.submit(_fresh)
+        fb = pool.submit(_brute)
+        maintained, fresh, brute = fm.result(), ff.result(), fb.result()
     hm = (
         brute.join(maintained, ["query_id", "neighbor_id"])
         .groupBy("query_id")
